@@ -1,0 +1,120 @@
+"""Differential-test harness: run a Spark plan and its DuckDB oracle on
+the same parquet fixtures and compare canonicalized results — the same
+row-count + column-name + order-insensitive value-hash contract the
+driver applies (SURVEY.md §5.2 layer 2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import FIXTURE_TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with every fixture registered as a view, the
+    same names the driver pre-registers."""
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v: object) -> str:
+    """Canonicalize one cell so Spark and DuckDB values hash alike."""
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, _dt.timedelta):
+        return f"td:{v.total_seconds()}"
+    return str(v)
+
+
+def _canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    """Sort columns by name, then canonicalize + sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols_sorted = [columns[i] for i in order]
+    out = sorted(
+        "|".join(_canon_value(row[i]) for i in order) for row in rows
+    )
+    return cols_sorted, out
+
+
+@dataclass
+class DiffResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    columns_match: bool
+    hash_match: bool
+    spark_cols: list[str]
+    oracle_cols: list[str]
+    sample_diff: list[str]
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.spark_rows == self.oracle_rows
+            and self.columns_match
+            and self.hash_match
+        )
+
+
+def compare(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    con: duckdb.DuckDBPyConnection,
+) -> DiffResult:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    cur = con.execute(oracle_sql)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    sc, s_canon = _canon_rows(s_cols, s_rows)
+    oc, o_canon = _canon_rows(o_cols, o_rows)
+    h_s = hashlib.sha256("\n".join(s_canon).encode()).hexdigest()
+    h_o = hashlib.sha256("\n".join(o_canon).encode()).hexdigest()
+
+    sample: list[str] = []
+    if h_s != h_o:
+        s_set, o_set = set(s_canon), set(o_canon)
+        sample = [f"spark-only: {r}" for r in sorted(s_set - o_set)[:3]] + [
+            f"oracle-only: {r}" for r in sorted(o_set - s_set)[:3]
+        ]
+    return DiffResult(
+        name=name,
+        spark_rows=len(s_rows),
+        oracle_rows=len(o_rows),
+        columns_match=sc == oc,
+        hash_match=h_s == h_o,
+        spark_cols=sc,
+        oracle_cols=oc,
+        sample_diff=sample,
+    )

@@ -1,0 +1,201 @@
+"""Event-stream analytics over the `events` fixture: time bucketing,
+JSON extraction, sessionization — the batch twins of the streaming
+windowed aggregations (SURVEY.md §2.B time-bucketing/streaming rows).
+Batch/stream parity for these shapes is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .queries import query
+
+
+@query(
+    "events_minutely",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('minute', ts), event_type
+    """,
+    bench=True,
+)
+def events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time bucket (ClickHouse toStartOfMinute). This exact
+    groupBy runs unchanged on a streaming DataFrame with a watermark —
+    see streaming/windows.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse, value FROM events
+    ), w AS (
+        SELECT tse - (tse % 300) AS window_start, value FROM e
+        UNION ALL
+        SELECT tse - (tse % 300) - 300 AS window_start, value FROM e
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY window_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min width, 5 min slide) via F.window — each
+    event lands in exactly two windows. The oracle reproduces the two
+    overlapping tumbling grids with epoch arithmetic; window_start is
+    exposed as epoch seconds so both engines hash identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n",
+                "total_value")
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: get_json_object (ClickHouse
+    JSONExtract*). At scale prefer from_json once into a struct column
+    rather than repeated path extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
+    the batch twin of session_window streaming aggregation. One shuffle
+    on user_id serves both window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "events_user_funnel",
+    oracle="""
+    SELECT e1.user_id,
+           COUNT(DISTINCT e2.event_id) AS purchases_after_signup
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.event_type = 'purchase'
+    WHERE e1.event_type = 'signup'
+    GROUP BY e1.user_id
+    """,
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join funnel (signup → later purchase). The range predicate
+    rides on the user_id equi-join, so it stays a hash join with a
+    post-filter — no cartesian blow-up."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    return (
+        signups.join(purchases, "user_id")
+        .filter(F.col("purchase_ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("purchase_id").alias("purchases_after_signup"))
+    )
+
+
+@query(
+    "orders_asof_last_event",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, e.event_id AS last_event_id
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey % 150 = e.user_id
+     AND e.ts <= o.o_orderdate + INTERVAL 30 YEAR
+    """,
+)
+def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest event per user at or before a probe
+    time. Spark lacks ASOF JOIN; the scalable idiom is equi-join on key
+    + row_number over ts DESC — one shuffle, no range explosion. Oracle
+    uses DuckDB's native ASOF JOIN. (Order dates predate event ts, so
+    the probe time is shifted; the join-shape is what's under test.)
+
+    Deterministic tie-break: DuckDB ASOF picks the max ts ≤ probe; ties
+    on ts broken by max event_id to make both engines agree."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    probe = o.select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("probe_ts"),
+    )
+    joined = probe.join(ev.select("user_id", "ts", "event_id"), "user_id", "left")
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc_nulls_last("ts"), F.desc_nulls_last("event_id"))
+    return (
+        joined.filter((F.col("ts") <= F.col("probe_ts")) | F.col("ts").isNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", F.col("event_id").alias("last_event_id"))
+    )

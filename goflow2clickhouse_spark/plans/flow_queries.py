@@ -1,0 +1,233 @@
+"""Flow-analytics queries over the `flows` fact table — the workload the
+reference's ClickHouse deployment exists to serve (SURVEY.md §2.B over
+the schema of initdb/create_tables.sql:1-35).
+
+The flows table is derived deterministically from lineitem (see
+flows_view.py) so every query here is hash-checked against DuckDB
+running the identical CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .flows_view import FLOWS_WITH, flows_df
+from .queries import query
+
+
+@query(
+    "flows_top_talkers",
+    oracle=FLOWS_WITH + """
+    SELECT src_addr,
+           CAST(SUM(bytes) AS BIGINT)   AS total_bytes,
+           CAST(SUM(packets) AS BIGINT) AS total_packets,
+           COUNT(*) AS n_flows
+    FROM flows
+    WHERE proto = 6
+    GROUP BY src_addr
+    ORDER BY total_bytes DESC, src_addr
+    LIMIT 10
+    """,
+    bench=True,
+)
+def flows_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top talkers: the canonical flow query (filter → agg → top-k).
+    Scale: partial agg collapses per-partition before the shuffle; the
+    final sort sees only |distinct src_addr| rows, and LIMIT is pushed
+    into a TakeOrdered — no global sort of the fact table."""
+    fl = flows_df(spark, sf_dir)
+    return (
+        fl.filter(F.col("proto") == 6)
+        .groupBy("src_addr")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("packets").alias("total_packets"),
+            F.count("*").alias("n_flows"),
+        )
+        .orderBy(F.desc("total_bytes"), "src_addr")
+        .limit(10)
+    )
+
+
+@query(
+    "flows_protocol_breakdown",
+    oracle=FLOWS_WITH + """
+    SELECT proto, flow_direction,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           COUNT(*) AS n_flows,
+           ROUND(AVG(bytes), 2) AS avg_bytes
+    FROM flows
+    GROUP BY proto, flow_direction
+    """,
+)
+def flows_protocol_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fl = flows_df(spark, sf_dir)
+    return fl.groupBy("proto", "flow_direction").agg(
+        F.sum("bytes").alias("total_bytes"),
+        F.count("*").alias("n_flows"),
+        F.round(F.avg("bytes"), 2).alias("avg_bytes"),
+    )
+
+
+@query(
+    "flows_bitrate_timeseries",
+    oracle=FLOWS_WITH + """
+    SELECT (time_received - (time_received % 300)) AS bucket_start,
+           CAST(SUM(bytes) * 8 AS BIGINT) AS bits,
+           COUNT(*) AS n_flows
+    FROM flows
+    GROUP BY (time_received - (time_received % 300))
+    """,
+)
+def flows_bitrate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute traffic buckets (ClickHouse toStartOfInterval ≡ epoch
+    modular truncation — kept in epoch-seconds so the oracle is exact)."""
+    fl = flows_df(spark, sf_dir)
+    bucket = (F.col("time_received") - (F.col("time_received") % 300)).alias(
+        "bucket_start")
+    return fl.groupBy(bucket).agg(
+        (F.sum("bytes") * 8).alias("bits"),
+        F.count("*").alias("n_flows"),
+    )
+
+
+@query(
+    "flows_tcp_syn_only",
+    oracle=FLOWS_WITH + """
+    SELECT dst_addr, COUNT(*) AS syn_count
+    FROM flows
+    WHERE proto = 6 AND (tcp_flags & 2) != 0 AND (tcp_flags & 16) = 0
+    GROUP BY dst_addr
+    ORDER BY syn_count DESC, dst_addr
+    LIMIT 20
+    """,
+)
+def flows_tcp_syn_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-ops on tcp_flags (ClickHouse bitAnd): SYN set, ACK clear —
+    the SYN-scan detection shape."""
+    fl = flows_df(spark, sf_dir)
+    return (
+        fl.filter(
+            (F.col("proto") == 6)
+            & (F.col("tcp_flags").bitwiseAND(2) != 0)
+            & (F.col("tcp_flags").bitwiseAND(16) == 0)
+        )
+        .groupBy("dst_addr")
+        .agg(F.count("*").alias("syn_count"))
+        .orderBy(F.desc("syn_count"), "dst_addr")
+        .limit(20)
+    )
+
+
+@query(
+    "flows_port_fanout",
+    oracle=FLOWS_WITH + """
+    SELECT src_addr,
+           COUNT(DISTINCT dst_port) AS n_ports,
+           COUNT(DISTINCT dst_addr) AS n_dsts
+    FROM flows
+    GROUP BY src_addr
+    ORDER BY n_ports DESC, src_addr
+    LIMIT 15
+    """,
+)
+def flows_port_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port-scan fan-out: multiple exact distincts per key (Catalyst
+    expands to grouping-id aggregation; at 100 TB swap to
+    approx_count_distinct — see approx_distinct_customers)."""
+    fl = flows_df(spark, sf_dir)
+    return (
+        fl.groupBy("src_addr")
+        .agg(
+            F.count_distinct("dst_port").alias("n_ports"),
+            F.count_distinct("dst_addr").alias("n_dsts"),
+        )
+        .orderBy(F.desc("n_ports"), "src_addr")
+        .limit(15)
+    )
+
+
+@query(
+    "flows_sampler_utilization",
+    oracle=FLOWS_WITH + """
+    SELECT sampler_address, type,
+           CAST(SUM(bytes * sampling_rate) AS BIGINT) AS est_bytes,
+           CAST(MIN(time_flow_start) AS BIGINT) AS first_seen,
+           CAST(MAX(time_flow_end) AS BIGINT)   AS last_seen
+    FROM flows
+    GROUP BY sampler_address, type
+    """,
+)
+def flows_sampler_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-exporter rollup with sampling-rate extrapolation (the
+    `bytes * sampling_rate` estimator standard for sampled NetFlow)."""
+    fl = flows_df(spark, sf_dir)
+    return fl.groupBy("sampler_address", "type").agg(
+        F.sum(F.col("bytes") * F.col("sampling_rate")).alias("est_bytes"),
+        F.min("time_flow_start").alias("first_seen"),
+        F.max("time_flow_end").alias("last_seen"),
+    )
+
+
+@query(
+    "flows_duration_histogram",
+    oracle=FLOWS_WITH + """
+    SELECT CASE WHEN time_flow_end - time_flow_start < 10  THEN '0-10s'
+                WHEN time_flow_end - time_flow_start < 60  THEN '10-60s'
+                ELSE '60s+' END AS duration_bucket,
+           COUNT(*) AS n_flows,
+           ROUND(AVG(CAST(bytes AS DOUBLE)), 2) AS avg_bytes,
+           ROUND(SUM(CAST(bytes AS DOUBLE)) /
+                 SUM(CASE WHEN time_flow_end > time_flow_start
+                          THEN CAST(time_flow_end - time_flow_start AS DOUBLE)
+                          ELSE 1.0 END), 2) AS bytes_per_sec
+    FROM flows
+    GROUP BY 1
+    """,
+)
+def flows_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-duration histogram + aggregate bitrate (arithmetic projection
+    over two epoch columns; CASE bucketing)."""
+    fl = flows_df(spark, sf_dir)
+    dur = F.col("time_flow_end") - F.col("time_flow_start")
+    bucket = (
+        F.when(dur < 10, "0-10s").when(dur < 60, "10-60s").otherwise("60s+")
+    )
+    safe_dur = F.when(dur > 0, dur.cast("double")).otherwise(F.lit(1.0))
+    return (
+        fl.groupBy(bucket.alias("duration_bucket"))
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.round(F.avg(F.col("bytes").cast("double")), 2).alias("avg_bytes"),
+            F.round(F.sum(F.col("bytes").cast("double")) / F.sum(safe_dur), 2)
+            .alias("bytes_per_sec"),
+        )
+    )
+
+
+@query(
+    "flows_conversation_matrix",
+    oracle=FLOWS_WITH + """
+    SELECT src_addr, dst_addr, proto,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           COUNT(*) AS n_flows
+    FROM flows
+    GROUP BY src_addr, dst_addr, proto
+    HAVING COUNT(*) >= 2
+    ORDER BY total_bytes DESC, src_addr, dst_addr, proto
+    LIMIT 25
+    """,
+)
+def flows_conversation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation (src,dst) matrix with HAVING — the widest flow
+    grouping; at 100 TB this is the query that needs AQE skew handling
+    (hot talker pairs)."""
+    fl = flows_df(spark, sf_dir)
+    return (
+        fl.groupBy("src_addr", "dst_addr", "proto")
+        .agg(F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_flows"))
+        .filter(F.col("n_flows") >= 2)
+        .orderBy(F.desc("total_bytes"), "src_addr", "dst_addr", "proto")
+        .limit(25)
+    )

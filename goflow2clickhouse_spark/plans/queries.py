@@ -1,0 +1,616 @@
+"""The named analytical query inventory (SURVEY.md §2.B instantiated).
+
+The reference delegates its entire query surface to ClickHouse SQL over
+the `flows` table (evidence: initdb/create_tables.sql ships a queryable
+schema + ENGINE=Null and the repo contains zero SELECTs). This module is
+that surface, re-expressed as Spark DataFrame plans, each paired with an
+ANSI/DuckDB oracle SQL string for differential testing.
+
+Conventions (driver contract):
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL (the harness sorts columns by name before hashing);
+- double-valued aggregates are rounded (2dp money, 4dp ratios) in BOTH
+  engines so accumulation-order ulps can't break the value hash;
+- oracle sums over BIGINT are cast back to BIGINT (DuckDB widens to
+  HUGEINT, Spark stays LongType);
+- top-k queries always carry a unique tie-breaker in the sort so LIMIT
+  is deterministic on both engines.
+
+Scale notes (100 TB design intent) are in each query's docstring; the
+broadcast hints mark joins whose build side is bounded (region=5,
+nation=25 rows at every scale factor).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .flows_view import FLOWS_WITH, flows_df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = ()
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, bench: bool = False,
+          tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench, tags)
+        return fn
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# TPC-H-style relational core: scan → filter → agg → sort
+# ===========================================================================
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted. Scale: single wide scan + partial (map-side)
+    aggregation into 6 groups — shuffle is a few KB regardless of input
+    size; the scan reads only 7 of 11 columns (pruned)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted. Scale: the c_mktsegment filter runs before the
+    join (pushed to the customer scan); order of joins left to Catalyst +
+    AQE (customer side shrinks ~5x after the filter)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: 6-way join. Scale: nation (25) and region (5)
+    are bounded at every SF → explicit broadcast; the big fact joins
+    (orders⋈lineitem⋈supplier) shuffle on their keys and AQE handles
+    skew. Region filter prunes 4/5 of nations before the fact join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                 & (c.c_nationkey == F.col("s_nationkey")))
+        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg. Scale: all four predicates push
+    into the parquet scan (row-group min/max skipping on l_shipdate);
+    result is a single row — no meaningful shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: fact-fact join + broadcast dim + top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Window functions / per-group top-k
+# ===========================================================================
+
+@query(
+    "top_customer_per_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT c_nationkey, c_custkey, c_name,
+               ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey, c_custkey, c_name
+    ), ranked AS (
+        SELECT n_name, c_custkey, c_name, total_spend,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY total_spend DESC, c_custkey) AS rn
+        FROM spend JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, c_custkey, c_name, total_spend, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window — the scalable top-k idiom
+    (no global sort; one shuffle on the partition key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    spend = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total_spend"), F.col("c_custkey")
+    )
+    return (
+        spend.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rn")
+    )
+
+
+@query(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (deterministic under ties
+    via the o_orderkey tie-breaker)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — inter-event gaps per key (the reference's inter-flow-gap
+    analytics shape, SURVEY.md §2.B windows row)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int").alias("gap_days"),
+    )
+
+
+# ===========================================================================
+# Grouping sets / rollup / cube
+# ===========================================================================
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+@query(
+    "cube_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# ===========================================================================
+# Join variants: semi / anti / set ops / subqueries
+# ===========================================================================
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — Catalyst turns it into one shuffle-hash anti."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "big_spender_customers_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def big_spender_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ correlated EXISTS (decorrelated by Catalyst)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "nation_coverage_set_ops",
+    oracle="""
+    SELECT n_nationkey AS nationkey, 'both' AS coverage FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+      AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey AS nationkey, 'customer_only' AS coverage FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+      AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def nation_coverage_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect + except + unionByName over key sets."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    both = cust_nations.intersect(supp_nations).withColumn("coverage", F.lit("both"))
+    cust_only = cust_nations.distinct().exceptAll(supp_nations.distinct()).withColumn(
+        "coverage", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+@query(
+    "orders_above_global_avg",
+    oracle="""
+    SELECT COUNT(*) AS n_above,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (computed once, broadcast into the filter)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("a"))
+    return (
+        o.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .agg(F.count("*").alias("n_above"),
+             F.round(F.max("o_totalprice"), 2).alias("max_price"))
+    )
+
+
+@query(
+    "priority_revenue_union",
+    oracle="""
+    SELECT 'urgent' AS bucket, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'low' AS bucket, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+    FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def priority_revenue_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def bucket(pri: str, tag: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == pri)
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+                 F.count("*").alias("n"))
+            .select(F.lit(tag).alias("bucket"), "total", "n")
+        )
+
+    return bucket("1-URGENT", "urgent").unionByName(bucket("5-LOW", "low"))
+
+
+# ===========================================================================
+# Aggregate variety: distinct, percentiles, CASE buckets, string fns
+# ===========================================================================
+
+@query(
+    "distinct_customers_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expand+two-phase in Spark). The approximate twin
+    (`uniq` → approx_count_distinct) is `approx_distinct_src` (no oracle,
+    sketch values are engine-specific)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("approx_distinct_customers", oracle=None)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `uniq()` equivalent: HLL++ sketch, mergeable across
+    partitions — the 100 TB-safe distinct. No oracle: sketch estimates
+    are engine-specific (driver does the rows-only check)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ClickHouse quantileExact).
+    percentile_approx is the at-scale variant (sketch, no oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95), 2).alias("p95"),
+    )
+
+
+@query(
+    "order_value_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+@query(
+    "part_brand_stats",
+    oracle="""
+    SELECT upper(p_type) AS type_u,
+           CAST(substring(p_brand, 7) AS INT) AS brand_num,
+           COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY upper(p_type), CAST(substring(p_brand, 7) AS INT)
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: LIKE, substring, upper, string→int cast."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(
+            F.upper("p_type").alias("type_u"),
+            F.substring("p_brand", 7, 100).cast("int").alias("brand_num"),
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing: name → callable(spark, sf_dir) → DataFrame."""
+    return {name: spec.spark for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    """Driver-facing: name → DuckDB oracle SQL (only SQL-expressible)."""
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {n: s for n, s in _REGISTRY.items() if s.bench}

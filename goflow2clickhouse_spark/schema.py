@@ -1,0 +1,180 @@
+"""Single source of truth for schemas.
+
+The reference declares the `flows` schema twice — a Go struct with `ch:`
+tags (/root/reference/main.go:45-77) and ClickHouse DDL
+(/root/reference/initdb/create_tables.sql:1-35) — which must be kept in
+sync by hand. Here the schema lives once, in FLOWS_SCHEMA, and DDL /
+views / transforms all derive from it.
+
+Type mapping (SURVEY.md §1.3): ClickHouse unsigned ints widen to Spark
+LongType (UInt32 losslessly; UInt64 documented as < 2^63 in practice —
+epoch seconds, byte/packet counts never approach it). `type` is Int32 in
+the DDL (create_tables.sql:3) → IntegerType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# flows — the reference's single fact table
+# (column order mirrors initdb/create_tables.sql:3-33 / main.go:45-77)
+# ---------------------------------------------------------------------------
+
+FLOWS_COLUMNS: list[tuple[str, object]] = [
+    ("type", IntegerType()),              # create_tables.sql:3,  main.go:46
+    ("time_received", LongType()),        # create_tables.sql:4,  main.go:47
+    ("sequence_num", LongType()),         # create_tables.sql:5,  main.go:48
+    ("sampling_rate", LongType()),        # create_tables.sql:6,  main.go:49
+    ("flow_direction", LongType()),       # create_tables.sql:7,  main.go:50
+    ("sampler_address", StringType()),    # create_tables.sql:9,  main.go:52
+    ("time_flow_start", LongType()),      # create_tables.sql:11, main.go:54
+    ("time_flow_end", LongType()),        # create_tables.sql:12, main.go:55
+    ("bytes", LongType()),                # create_tables.sql:14, main.go:57
+    ("packets", LongType()),              # create_tables.sql:15, main.go:58
+    ("src_addr", StringType()),           # create_tables.sql:17, main.go:60
+    ("dst_addr", StringType()),           # create_tables.sql:18, main.go:61
+    ("etype", LongType()),                # create_tables.sql:20, main.go:63
+    ("proto", LongType()),                # create_tables.sql:22, main.go:65
+    ("src_port", LongType()),             # create_tables.sql:24, main.go:67
+    ("dst_port", LongType()),             # create_tables.sql:25, main.go:68
+    ("forwarding_status", LongType()),    # create_tables.sql:27, main.go:70
+    ("tcp_flags", LongType()),            # create_tables.sql:28, main.go:71
+    ("icmp_type", LongType()),            # create_tables.sql:29, main.go:72
+    ("icmp_code", LongType()),            # create_tables.sql:30, main.go:73
+    ("fragment_id", LongType()),          # create_tables.sql:32, main.go:75
+    ("fragment_offset", LongType()),      # create_tables.sql:33, main.go:76
+]
+
+FLOWS_SCHEMA = StructType(
+    [StructField(name, dtype, nullable=False) for name, dtype in FLOWS_COLUMNS]
+)
+
+# Raw decoded-message schema — the subset of goflow's pb.FlowMessage the
+# reference consumes (main.go:127-150). Addresses arrive as raw bytes
+# (4 or 16) and are formatted to strings by the transform (main.go:133).
+RAW_FLOW_SCHEMA = StructType(
+    [
+        StructField("Type", LongType(), False),
+        StructField("TimeReceived", LongType(), False),
+        StructField("SequenceNum", LongType(), False),
+        StructField("SamplingRate", LongType(), False),
+        StructField("FlowDirection", LongType(), False),
+        StructField("SamplerAddress", BinaryType(), False),
+        StructField("TimeFlowStart", LongType(), False),
+        StructField("TimeFlowEnd", LongType(), False),
+        StructField("Bytes", LongType(), False),
+        StructField("Packets", LongType(), False),
+        StructField("SrcAddr", BinaryType(), False),
+        StructField("DstAddr", BinaryType(), False),
+        StructField("Etype", LongType(), False),
+        StructField("Proto", LongType(), False),
+        StructField("SrcPort", LongType(), False),
+        StructField("DstPort", LongType(), False),
+        StructField("ForwardingStatus", LongType(), False),
+        StructField("TCPFlags", LongType(), False),
+        StructField("IcmpType", LongType(), False),
+        StructField("IcmpCode", LongType(), False),
+        StructField("FragmentId", LongType(), False),
+        StructField("FragmentOffset", LongType(), False),
+    ]
+)
+
+
+def flows_ddl(table: str = "flows") -> str:
+    """Spark SQL DDL equivalent of initdb/create_tables.sql:1-35.
+
+    The reference's ENGINE=Null is a pure ingestion funnel; in Spark the
+    equivalent durable form is a parquet/Delta table fed by the streaming
+    sink, so the DDL here is USING PARQUET.
+    """
+    cols = ",\n  ".join(
+        f"{name} {dtype.simpleString().upper()}" for name, dtype in FLOWS_COLUMNS
+    )
+    return f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n) USING PARQUET"
+
+
+# ---------------------------------------------------------------------------
+# Driver fixture tables (/root/testdata/sf*/ — FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+FIXTURE_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+        StructField("label", IntegerType(), False),
+    ]
+)
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("source", StringType(), False),
+        StructField("n_chars", LongType(), False),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("props", StringType(), False),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → pushdown + pruning free.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    default; it is read as epoch-nanos long and floored to microseconds
+    — exactly DuckDB's internal µs truncation, so oracles agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view named after itself.
+
+    Mirrors the oracle harness, which pre-registers the same names in
+    DuckDB, so one SQL text can run on both engines.
+    """
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,45 @@
+"""Differential test: every registered query with an oracle must match
+DuckDB on row count, sorted column names, and order-insensitive value
+hash — the same contract the driver's t2 gate applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goflow2clickhouse_spark.oracle import compare, duck_connect
+from goflow2clickhouse_spark.plans import registry
+
+SPECS = registry()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+NO_ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = SPECS[name]
+    df = spec.spark(spark, sf_dir)
+    res = compare(name, df, spec.oracle, duck)
+    assert res.columns_match, (
+        f"{name}: column mismatch spark={res.spark_cols} oracle={res.oracle_cols}"
+    )
+    assert res.spark_rows == res.oracle_rows, (
+        f"{name}: rows spark={res.spark_rows} oracle={res.oracle_rows}"
+    )
+    assert res.hash_match, f"{name}: value hash mismatch; diff={res.sample_diff}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_NAMES)
+def test_query_runs_rows_only(spark, sf_dir, name):
+    """Queries without oracles (sketches/ML) must still run and return a
+    stable schema with ≥0 rows."""
+    df = SPECS[name].spark(spark, sf_dir)
+    assert df.columns
+    assert df.count() >= 0

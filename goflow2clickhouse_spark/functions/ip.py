@@ -1,0 +1,71 @@
+"""IP-address scalar functions.
+
+The reference formats raw address bytes to strings with Go's
+`net.IP.String()` at /root/reference/main.go:133,138,139. Semantics
+replicated here (property-tested in tests/test_ip.py):
+
+- 4-byte input → dotted quad;
+- 16-byte IPv4-mapped (::ffff:a.b.c.d) → dotted quad (Go's To4());
+- other 16-byte → RFC 5952 compressed lowercase IPv6;
+- anything else → NULL (Go returns "?hex"; we prefer NULL for SQL).
+
+`ip_to_string` is an Arrow-vectorized pandas UDF — the only Python in
+the ingest hot path; everything around it is JVM whole-stage codegen.
+The pure-column IPv4 variants (`ipv4_num_to_string` /
+`ipv4_string_to_num`, ClickHouse's IPv4NumToString/IPv4StringToNum)
+stay entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def _format_ip(b: bytes | None) -> str | None:
+    if b is None:
+        return None
+    if len(b) == 4:
+        return str(ipaddress.IPv4Address(b))
+    if len(b) == 16:
+        v6 = ipaddress.IPv6Address(b)
+        mapped = v6.ipv4_mapped
+        if mapped is not None:  # Go To4() succeeds → dotted quad (main.go:133)
+            return str(mapped)
+        return str(v6)  # Python str() is RFC 5952, same as Go
+    return None
+
+
+@pandas_udf(StringType())
+def ip_to_string(addr: pd.Series) -> pd.Series:
+    return addr.map(_format_ip)
+
+
+def ipv4_num_to_string(col: Column | str) -> Column:
+    """ClickHouse IPv4NumToString: uint32 → dotted quad. Pure column
+    expression (whole-stage codegen; no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(
+        ".",
+        F.shiftright(c, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(c, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(c, 8).bitwiseAND(F.lit(255)).cast("string"),
+        c.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def ipv4_string_to_num(col: Column | str) -> Column:
+    """ClickHouse IPv4StringToNum: dotted quad → uint32 (as LongType)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, r"\.")
+    return (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )

@@ -1,0 +1,81 @@
+"""Sink adapters for the ingest pipeline's foreachBatch.
+
+The reference's only sink is a ClickHouse bulk insert over the native
+protocol (/root/reference/main.go:156-173, conn at main.go:83-99).
+Here sinks are functions (DataFrame, batch_id) -> None, so foreachBatch
+can fan one micro-batch out to several (the ENGINE=Null + materialized
+views pattern of initdb/create_tables.sql:35 becomes: one stream, many
+sink fns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+SinkFn = Callable[[DataFrame, int], None]
+
+
+def parquet_sink(path: str, partition_by: Sequence[str] = ()) -> SinkFn:
+    """Append each micro-batch to a parquet dataset. Idempotence note:
+    with a checkpoint, replays of a failed batch can duplicate rows in
+    plain append mode — at scale use partition_by=('ingest_batch',) so
+    a replay overwrites its own partition (exactly-once)."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return sink
+
+
+def idempotent_parquet_sink(path: str) -> SinkFn:
+    """Exactly-once parquet: each batch writes (overwrite) its own
+    subdirectory keyed by batch_id, so checkpoint replays are no-ops."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return sink
+
+
+def clickhouse_jdbc_sink(
+    url: str,
+    table: str = "flows",
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> SinkFn:
+    """ClickHouse over JDBC — the production twin of the reference's
+    native-protocol insert (main.go:157-169). `batchsize` mirrors
+    -batchsize (main.go:36). Requires the ClickHouse JDBC driver on the
+    executor classpath; unreachable in this test environment, kept as a
+    thin adapter behind the SinkFn seam (SURVEY.md §7.4)."""
+    props = {"driver": "com.clickhouse.jdbc.ClickHouseDriver"}
+    props.update(properties or {})
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.write.mode("append")
+            .option("batchsize", str(batchsize))
+            .jdbc(url, table, properties=props)
+        )
+
+    return sink
+
+
+def fanout(*sinks: SinkFn) -> SinkFn:
+    """Send each micro-batch to several sinks (materialized-view
+    pattern). The batch is persisted once so sinks don't recompute."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.persist()
+        try:
+            for s in sinks:
+                s(df, batch_id)
+        finally:
+            df.unpersist()
+
+    return sink

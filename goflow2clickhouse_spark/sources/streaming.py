@@ -1,0 +1,142 @@
+"""Streaming source specs — the engine's equivalent of the reference's
+listener config (-listen "sflow://:6343,netflow://:2055", parsed and
+dispatched at /root/reference/main.go:207-244; unknown scheme fatal at
+main.go:242).
+
+The reference's three UDP decoders (sFlow main.go:226-229, NetFlow
+v9/IPFIX main.go:231-235, NetFlow v5 main.go:236-240) are network
+listeners with protocol decode inside the goflow library. Spark has no
+built-in UDP source, so the engine defines a pluggable seam:
+
+  file://<dir>?maxFilesPerTrigger=N   parquet drop-dir (tests, replay)
+  rate://?rowsPerSecond=N             synthetic raw flows (load tests)
+  kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
+  sflow:// netflow:// nfl://          accepted & documented: require a
+                                      UDP→Kafka/file relay in front
+                                      (no in-JVM UDP decode)
+
+Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
+`fan_in` + `flow_transform` apply uniformly downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import RAW_FLOW_SCHEMA
+
+_UDP_SCHEMES = {"sflow", "netflow", "nfl"}
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    scheme: str
+    target: str
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def parse_listen(listen: str) -> list[SourceSpec]:
+    """Parse a comma-separated listen string (main.go:207-219 shape).
+    Unknown schemes raise ValueError (≡ log.Fatal at main.go:242)."""
+    specs: list[SourceSpec] = []
+    for part in listen.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        u = urlparse(part)
+        scheme = u.scheme.lower()
+        if scheme not in _UDP_SCHEMES | {"file", "rate", "kafka"}:
+            raise ValueError(f"unknown source scheme: {scheme!r} in {part!r}")
+        options = {k: v[-1] for k, v in parse_qs(u.query).items()}
+        target = (u.netloc + u.path) if scheme != "file" else u.path
+        specs.append(SourceSpec(scheme=scheme, target=target, options=options))
+    if not specs:
+        raise ValueError("empty listen string")
+    return specs
+
+
+def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Materialize one source spec as a streaming DataFrame of raw
+    flow records (RAW_FLOW_SCHEMA)."""
+    if spec.scheme == "file":
+        reader = spark.readStream.schema(RAW_FLOW_SCHEMA)
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        if "maxFilesPerTrigger" not in spec.options:
+            # size-bound half of the reference's size-OR-time batcher
+            reader = reader.option("maxFilesPerTrigger", "8")
+        return reader.parquet(spec.target)
+
+    if spec.scheme == "rate":
+        rate = spark.readStream.format("rate")
+        for k, v in spec.options.items():
+            rate = rate.option(k, v)
+        return _synthetic_raw_flows(rate.load())
+
+    if spec.scheme == "kafka":
+        broker, _, topic = spec.target.partition("/")
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", topic or spec.options.get("topic", "flows"))
+        )
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+        # goflow2's JSON output convention: one FlowMessage per record
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), RAW_FLOW_SCHEMA).alias("m")
+        ).select("m.*")
+
+    if spec.scheme in _UDP_SCHEMES:
+        raise NotImplementedError(
+            f"{spec.scheme}:// is a UDP listener in the reference "
+            "(main.go:226-240); Spark executors don't host UDP decoders. "
+            "Front with a goflow2→Kafka relay and use kafka://, or replay "
+            "captures with file://."
+        )
+    raise ValueError(f"unhandled scheme {spec.scheme}")
+
+
+def _synthetic_raw_flows(rate_df: DataFrame) -> DataFrame:
+    """Deterministic raw flows from the rate source (load testing)."""
+    v = F.col("value")
+    ip4 = lambda a, b: F.concat(  # noqa: E731 — 4-byte binary IPv4
+        F.lit(bytes([a])), F.lit(bytes([b])),
+        _byte(v % 251), _byte((v * 7) % 249),
+    )
+    ts = F.col("timestamp").cast("long")
+    return rate_df.select(
+        (v % 4 + 1).alias("Type"),
+        ts.alias("TimeReceived"),
+        (v % 100000).alias("SequenceNum"),
+        F.lit(1000).cast("long").alias("SamplingRate"),
+        (v % 2).alias("FlowDirection"),
+        ip4(10, 0).alias("SamplerAddress"),
+        (ts - v % 300).alias("TimeFlowStart"),
+        (ts - v % 300 + v % 120).alias("TimeFlowEnd"),
+        (40 + (v * 997) % 100000).alias("Bytes"),
+        (1 + v % 64).alias("Packets"),
+        ip4(192, 168).alias("SrcAddr"),
+        ip4(172, 16).alias("DstAddr"),
+        F.lit(2048).cast("long").alias("Etype"),
+        F.when(v % 10 < 6, 6).when(v % 10 < 9, 17).otherwise(1)
+        .cast("long").alias("Proto"),
+        (1024 + v % 64000).alias("SrcPort"),
+        F.lit(443).cast("long").alias("DstPort"),
+        F.lit(64).cast("long").alias("ForwardingStatus"),
+        F.when(v % 10 < 6, 2 + v % 32).otherwise(0).cast("long").alias("TCPFlags"),
+        F.lit(0).cast("long").alias("IcmpType"),
+        F.lit(0).cast("long").alias("IcmpCode"),
+        F.lit(0).cast("long").alias("FragmentId"),
+        F.lit(0).cast("long").alias("FragmentOffset"),
+    )
+
+
+def _byte(col):
+    """One modular byte as 1-length binary (for synthetic IPs)."""
+    return F.unhex(F.lpad(F.hex(col), 2, "0"))

@@ -1,0 +1,90 @@
+"""Property + golden tests for IP formatting parity with Go's
+net.IP.String() (reference main.go:133,138,139) — SURVEY.md §5.2.1.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goflow2clickhouse_spark.functions.ip import (
+    _format_ip,
+    ipv4_num_to_string,
+    ipv4_string_to_num,
+)
+
+# ---- pure-Python formatting core (the pandas UDF maps this) ----------------
+
+GOLDEN = [
+    (bytes([192, 168, 1, 1]), "192.168.1.1"),
+    (bytes([0, 0, 0, 0]), "0.0.0.0"),
+    (bytes([255, 255, 255, 255]), "255.255.255.255"),
+    # IPv4-mapped IPv6 → Go To4() → dotted quad (main.go:133)
+    (bytes(10) + b"\xff\xff" + bytes([10, 0, 0, 1]), "10.0.0.1"),
+    # RFC 5952 compression
+    (ipaddress.IPv6Address("2001:db8::1").packed, "2001:db8::1"),
+    (ipaddress.IPv6Address("::1").packed, "::1"),
+    (ipaddress.IPv6Address("::").packed, "::"),
+    # longest zero-run compressed, lowercase hex
+    (
+        ipaddress.IPv6Address("2001:0:0:1:0:0:0:1").packed,
+        "2001:0:0:1::1",
+    ),
+    (bytes(3), None),  # invalid length → NULL (Go prints "?...")
+    (None, None),
+]
+
+
+def test_golden_ip_formatting():
+    for raw, expected in GOLDEN:
+        assert _format_ip(raw) == expected, raw
+
+
+@given(st.binary(min_size=4, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_ipv4_matches_python_ipaddress(b):
+    assert _format_ip(b) == str(ipaddress.IPv4Address(b))
+
+
+@given(st.binary(min_size=16, max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_ipv6_matches_go_semantics(b):
+    v6 = ipaddress.IPv6Address(b)
+    expected = str(v6.ipv4_mapped) if v6.ipv4_mapped else str(v6)
+    assert _format_ip(b) == expected
+
+
+# ---- column-expression variants (JVM-side) ---------------------------------
+
+
+def test_ipv4_num_string_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    nums = [0, 1, 167772161, 3232235777, 4294967295]
+    df = spark.createDataFrame([(n,) for n in nums], ["n"])
+    out = (
+        df.select(
+            "n",
+            ipv4_num_to_string("n").alias("s"),
+        )
+        .select("n", "s", ipv4_string_to_num("s").alias("rt"))
+        .collect()
+    )
+    for row in out:
+        assert row.s == str(ipaddress.IPv4Address(row.n))
+        assert row.rt == row.n
+
+
+def test_ip_to_string_udf(spark):
+    """The Arrow-vectorized UDF end-to-end on a DataFrame."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.ip import ip_to_string
+
+    data = [(raw,) for raw, _ in GOLDEN if raw is not None]
+    df = spark.createDataFrame(data, "addr binary")
+    got = [r.s for r in df.select(ip_to_string("addr").alias("s")).collect()]
+    expected = [exp for raw, exp in GOLDEN if raw is not None]
+    assert got == expected

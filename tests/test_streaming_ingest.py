@@ -1,0 +1,128 @@
+"""End-to-end streaming ingest (SURVEY.md §5.2 layer 3): file-source
+stream of raw-flow parquet chunks → fan-in → transform → foreachBatch
+parquet sink; sink contents must equal the batch-mode transform of the
+same input (stream/batch parity), and replays must not duplicate
+(exactly-once via the idempotent sink).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goflow2clickhouse_spark.schema import FLOWS_SCHEMA, RAW_FLOW_SCHEMA
+from goflow2clickhouse_spark.sinks import idempotent_parquet_sink, parquet_sink
+from goflow2clickhouse_spark.sources.streaming import parse_listen
+from goflow2clickhouse_spark.streaming.ingest import (
+    IngestConfig,
+    IngestPipeline,
+    run_batch_etl,
+)
+from tests.test_flows_transform import _raw_row
+
+
+@pytest.fixture()
+def raw_dir(spark, tmp_path):
+    """Three parquet chunk-files of deterministic raw flows."""
+    d = tmp_path / "raw"
+    for chunk in range(3):
+        rows = [
+            _raw_row(SequenceNum=chunk * 100 + i, SrcPort=2000 + i)
+            for i in range(50)
+        ]
+        spark.createDataFrame(rows, RAW_FLOW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    return d
+
+
+def test_stream_batch_parity(spark, tmp_path, raw_dir):
+    out = tmp_path / "out"
+    cfg = IngestConfig(
+        listen=f"file://{raw_dir}?maxFilesPerTrigger=1",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe = IngestPipeline(spark, cfg, parquet_sink(str(out)))
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(out))
+    batch = run_batch_etl(spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(raw_dir)))
+
+    assert [f.name for f in streamed.schema.fields] == [
+        f.name for f in FLOWS_SCHEMA.fields
+    ]
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+    assert len(s) == 150
+
+
+def test_restart_no_duplicates(spark, tmp_path, raw_dir):
+    """Checkpointed restart: second run over the same source must not
+    re-deliver processed batches (upgrade over main.go:158-172's
+    at-most-once — SURVEY.md §0.3)."""
+    out = tmp_path / "out2"
+    cfg = IngestConfig(
+        listen=f"file://{raw_dir}?maxFilesPerTrigger=1",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    pipe = IngestPipeline(spark, cfg, idempotent_parquet_sink(str(out)))
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(str(out)).count()
+
+    # restart with same checkpoint — nothing new to process
+    q2 = IngestPipeline(spark, cfg, idempotent_parquet_sink(str(out))).start(
+        available_now=True
+    )
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(str(out)).count()
+    assert n1 == n2 == 150
+
+
+def test_parse_listen_dispatch():
+    specs = parse_listen("file:///tmp/a?maxFilesPerTrigger=2,rate://?rowsPerSecond=10")
+    assert [s.scheme for s in specs] == ["file", "rate"]
+    assert specs[0].options["maxFilesPerTrigger"] == "2"
+
+    # unknown scheme fatal (main.go:242)
+    with pytest.raises(ValueError, match="unknown source scheme"):
+        parse_listen("bogus://x")
+
+    # UDP schemes are recognized but need a relay (main.go:226-240 seam)
+    udp = parse_listen("sflow://:6343,netflow://:2055,nfl://:2056")
+    assert [s.scheme for s in udp] == ["sflow", "netflow", "nfl"]
+
+
+def test_udp_scheme_raises_not_implemented(spark):
+    from goflow2clickhouse_spark.sources.streaming import open_stream
+
+    (spec,) = parse_listen("sflow://:6343")
+    with pytest.raises(NotImplementedError, match="relay"):
+        open_stream(spark, spec)
+
+
+def test_rate_source_synthesizes_valid_flows(spark, tmp_path):
+    """rate:// load-test source → transform must produce valid rows."""
+    cfg = IngestConfig(
+        listen="rate://?rowsPerSecond=100",
+        checkpoint=str(tmp_path / "ckpt3"),
+    )
+    out = tmp_path / "out3"
+    cfg.batch_max_time = "2 seconds"
+    pipe = IngestPipeline(spark, cfg, parquet_sink(str(out)))
+    q = pipe.start(available_now=False)
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not list(out.glob("part-*.parquet")):
+            time.sleep(1)  # wait for the first committed micro-batch file
+    finally:
+        q.stop()
+    parts = [str(p) for p in out.glob("part-*.parquet")]
+    assert parts, "rate source produced no flows within 60s"
+    rows = spark.read.schema(FLOWS_SCHEMA).parquet(*parts).collect()
+    for r in rows:
+        assert r.src_addr.startswith("192.168.")
+        assert r.proto in (1, 6, 17)

@@ -1,0 +1,256 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.C):
+exact, normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- exact dedup is a single hash-aggregate on the key (map-side partial
+  combine; the representative is min(id), not "first seen", so the
+  result is deterministic and parallel-safe);
+- near-dup never compares all pairs: candidates come from an inverted
+  index (shared shingle), LSH band buckets, or SimHash bands — all
+  equi-joins Catalyst executes as shuffle-hash joins on the band key;
+  only candidates get exact verification;
+- all hashes are derived from md5 (62-bit hex prefix folded to 31 bits)
+  so every stage is reproducible in any engine — the DuckDB oracles in
+  plans/extension_queries.py re-run the identical pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: permutation arithmetic stays < 2^36, safe in
+# 64-bit integers under ANSI overflow checking in both engines.
+MERSENNE_31 = 2_147_483_647
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def hash31(col: Column) -> Column:
+    """Portable 31-bit string hash: first 15 hex chars of md5 → int,
+    folded into [0, 2^31-1). Same value computable in DuckDB as
+    CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT) % 2147483647."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MERSENNE_31
+    )
+
+
+def _perm(h: Column, i: int) -> Column:
+    """i-th minhash permutation: (a_i * h + b_i) mod p."""
+    a, b = 2 * i + 1, i * 7919 + 1
+    return (F.lit(a) * h + F.lit(b)) % MERSENNE_31
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per key: the one with the minimum id (deterministic,
+    unlike dropDuplicates' partition-order-dependent pick). One shuffle."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → strip non-alnum → collapse whitespace (the usual exact-
+    dedup canonicalization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), F.lit("[^a-z0-9 ]"), F.lit(" ")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle). Documents
+    shorter than n words yield no shingles."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard ≥ threshold, via the
+    inverted-index join (pairs sharing ≥1 shingle) — never all-pairs.
+    Returns (id_a, id_b, jaccard), id_a < id_b."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """NUM_PERM minhash values per document, one aggregation pass:
+    (id, mh0..mh15)."""
+    h = hash31(F.col("shingle"))
+    return shingles.groupBy(id_col).agg(
+        *[F.min(_perm(h, i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (BANDS bands × ROWS_PER_BAND rows); documents
+    agreeing on any full band become candidates. Equi-join per band on
+    the concatenated band key, unioned, distinct."""
+    bands = []
+    for j in range(BANDS):
+        cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        band = sigs.select(F.col(id_col), key.alias("band_key"))
+        left = band.select(F.col(id_col).alias("id_a"), "band_key")
+        right = band.select(F.col(id_col).alias("id_b"), "band_key")
+        bands.append(
+            left.join(right, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands →
+    candidates → exact-Jaccard verify ≥ threshold."""
+    sh = word_shingles(df, text_col, id_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over word hashes: bit b is 1 iff the majority of
+    the document's words have bit b set. One explode + one aggregation.
+    Bit test uses modular arithmetic (h % 2^(b+1) >= 2^b) so the exact
+    computation ports to any SQL engine."""
+    w = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    h = hash31(F.col("word"))
+    aggs = []
+    for b in range(SIMHASH_BITS):
+        pb = 1 << b
+        bit = F.when(h % (2 * pb) >= pb, 1).otherwise(-1)
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    sums = w.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of the 16-bit
+    signature. Candidates by the 4-nibble pigeonhole (distance ≤ 3 ⇒
+    some nibble equal), then exact Hamming verify — both steps portable
+    modular arithmetic. Returns (id_a, id_b, hamming)."""
+    cands = None
+    for j in range(4):
+        lo, hi = 16 ** j, 16 ** (j + 1)
+        nib = (F.col("simhash") % hi) - (F.col("simhash") % lo)
+        band = sigs.select(F.col(id_col), nib.alias("nib"))
+        left = band.select(F.col(id_col).alias("id_a"), "nib")
+        right = band.select(F.col(id_col).alias("id_b"), "nib")
+        pairs = (
+            left.join(right, "nib")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    ham = None
+    for b in range(SIMHASH_BITS):
+        pb = 1 << b
+        bit_a = (F.col("sig_a") % (2 * pb) >= pb).cast("int")
+        bit_b = (F.col("sig_b") % (2 * pb) >= pb).cast("int")
+        term = F.abs(bit_a - bit_b)
+        ham = term if ham is None else ham + term
+    return (
+        joined.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (SURVEY.md §2.C).
+
+- `cosine` / `dot`: pure column expressions over array<double>
+  (zip_with + aggregate — JVM codegen, no Python, no UDF).
+- `topk_bruteforce`: broadcast the query vector, score every row,
+  TakeOrdered(k) — the exact baseline. At 100 TB this is one narrow
+  pass: no shuffle except the final top-k reduction.
+- `signrp_lsh_*`: sign-random-projection LSH — deterministic integer
+  projection matrix (portable arithmetic, so the DuckDB oracle can
+  replay it), bucket by the sign bits, search only the query's bucket.
+  The scale path: candidates shrink by ~2^BITS_, turning a full scan
+  into a bucket-local scan; recall tunable via BITS_/multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIGNRP_BITS = 6
+DIM = 64
+
+
+def projection_matrix(bits: int = SIGNRP_BITS, dim: int = DIM) -> list[list[int]]:
+    """Deterministic pseudo-random projection vectors with integer
+    entries in [-6, 6]: P[j][d] = ((j*31 + d*17) % 13) - 6."""
+    return [[((j * 31 + d * 17) % 13) - 6 for d in range(dim)] for j in range(bits)]
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame (broadcast
+    crossJoin → score → TakeOrdered). Ties broken by id."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), as_double("_qvec")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def signrp_bucket(vec_col: Column | str, bits: int = SIGNRP_BITS) -> Column:
+    """LSH bucket id: bit j set iff dot(P_j, v) >= 0."""
+    v = as_double(vec_col)
+    proj = projection_matrix(bits)
+    bucket = None
+    for j, row in enumerate(proj):
+        p = F.array(*[F.lit(float(x)) for x in row])
+        term = F.when(dot(p, v) >= 0, 1 << j).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def signrp_lsh_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: restrict the exact cosine scan to the query's LSH bucket.
+    At scale, write embeddings partitioned by bucket so the scan prunes
+    to one partition (partition pruning on the bucket column)."""
+    bucketed = embeddings.withColumn("bucket", signrp_bucket(vec_col))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("_qvec"), signrp_bucket(vec_col).alias("_qbucket")
+        )
+    )
+    return (
+        bucketed.join(q, F.col("bucket") == F.col("_qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), as_double("_qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs_blocked(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with blocking: only pairs
+    sharing block_col are compared (equi-join on the block key — the
+    100 TB pattern; unblocked all-pairs is O(n²))."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("va"))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.C):
+tokenization, quality scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+All pure column expressions (JVM whole-stage codegen, zero Python in
+the hot path) and all portable: each has an exact DuckDB-SQL twin in
+plans/extension_queries.py so results are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# marker words per language for the n-gram/stopword language heuristic;
+# checked in fixed priority order (deterministic tie-break)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "y"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def stopword_count(text: Column | str) -> Column:
+    return F.size(F.filter(words(text), lambda w: w.isin(*STOPWORDS)))
+
+
+def distinct_word_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(words(text)))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    no_spaces = F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return no_spaces / word_count(c)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals; downstream filters pick thresholds
+    (e.g. stopword_ratio too low → boilerplate/gibberish)."""
+    c = F.col(text_col)
+    nw = word_count(c)
+    return df.withColumns(
+        {
+            "n_words": nw,
+            "n_distinct_words": distinct_word_count(c),
+            "distinct_ratio": F.round(distinct_word_count(c) / nw, 4),
+            "stopword_ratio": F.round(stopword_count(c) / nw, 4),
+            "avg_word_len": F.round(avg_word_len(c), 4),
+        }
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    w = words(text)
+    return {
+        lang: F.size(F.filter(w, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """argmax over language scores, ties broken by the fixed order of
+    LANG_MARKERS; all-zero scores → 'unknown'."""
+    scores = lang_scores(text)
+    items = list(scores.items())
+    # first lang (in LANG_MARKERS order) whose score equals the max
+    max_score = F.greatest(*[s for _, s in items])
+    expr = F.lit("unknown")
+    for lang, s in reversed(items):
+        expr = F.when((max_score > 0) & (s == max_score), lang).otherwise(expr)
+    return expr
+
+
+def token_count_regex(text: Column | str) -> Column:
+    """BPE-ish token counting: runs of letters, runs of digits, single
+    punctuation — the standard pre-tokenizer regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Deterministic position-weighted document fingerprint
+    (rolling-hash family): sum_i ascii(text[i]) * i  mod  `mod`.
+    Pure column expression; identical arithmetic is expressible in any
+    SQL engine, so fingerprint-based dedup is oracle-checkable."""
+    c = F.col(text) if isinstance(text, str) else text
+    per_pos = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long") * i.cast("long"),
+    )
+    return F.aggregate(per_pos, F.lit(0).cast("long"), lambda acc, x: acc + x) % mod

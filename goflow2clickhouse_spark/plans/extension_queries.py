@@ -1,0 +1,538 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.C): dedup,
+similarity search, text analysis, multimodal — each oracle-checked
+against DuckDB replaying the identical (portable) arithmetic.
+
+Near-dup corpora: the fixture documents are random synthetic text with
+no real duplicates, so dedup queries run over CORPUS — documents plus
+deterministic planted variants (drop-first-word copies for near-dup,
+verbatim copies for exact dup), built identically in both engines.
+
+The MinHash/SimHash oracle SQL is generated from the same constants as
+the Spark operators (NUM_PERM, band layout, Mersenne-31 hashing), so a
+drift in either side fails the hash check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..schema import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# shared corpora (Spark + identical SQL)
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       substring(text, instr(text, ' ') + 1) AS text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+_H31 = (
+    "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+_SHINGLES_SQL = f"""
+corpus AS ({CORPUS_SQL}),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+        WHERE len(w) >= 3
+    ) u
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (the planted verbatim copies): deterministic
+    representative = min doc_id. One hash-aggregate shuffle; at 100 TB
+    pre-hash the text (sha2) so the shuffle key is 32 bytes, not the
+    document."""
+    c = corpus(spark, sf_dir)
+    return (
+        c.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')) AS ntext
+        FROM corpus
+    )
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT ntext) AS n_unique
+    FROM norm
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (lower/strip-punct/collapse-ws): corpus
+    size vs distinct canonical forms."""
+    c = corpus(spark, sf_dir)
+    n = c.select(D.normalize_text("text").alias("ntext"))
+    return n.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("ntext").alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard (inverted index)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard ≥ 0.5 via the inverted-index join (only
+    pairs sharing a shingle are scored — never all-pairs)."""
+    sh = D.word_shingles(corpus(spark, sf_dir))
+    return D.jaccard_pairs(sh, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH (generated oracle mirrors operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    h = _H31.format(x="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({2 * i + 1} * h + {i * 7919 + 1}) % 2147483647) AS mh{i}"
+        for i in range(D.NUM_PERM)
+    )
+    band_keys = []
+    for j in range(D.BANDS):
+        cols = [f"mh{j * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = "concat_ws('_', " + ", ".join(f"CAST({c} AS STRING)" for c in cols) + ")"
+        band_keys.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"(SELECT doc_id, {key} AS bk FROM mh) a JOIN "
+            f"(SELECT doc_id, {key} AS bk FROM mh) b "
+            f"ON a.bk = b.bk AND a.doc_id < b.doc_id"
+        )
+    cands = "\n        UNION\n        ".join(band_keys)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    h AS (SELECT doc_id, {h} AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    cands AS (
+        {cands}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (id_a, id_b) FROM cands)
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) → LSH(4 bands × 4 rows) → candidate pairs →
+    exact-Jaccard verify ≥ 0.5. The scale path for near-dup dedup:
+    signatures are one aggregation; candidates are 4 equi-joins on
+    band keys; verification touches only candidates."""
+    return D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    h = _H31.format(x="word")
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN h % {2 << b} >= {1 << b} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    nib_joins = []
+    for j in range(4):
+        lo, hi = 16 ** j, 16 ** (j + 1)
+        nib = f"(simhash % {hi}) - (simhash % {lo})"
+        nib_joins.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"(SELECT doc_id, {nib} AS nib FROM sig) a JOIN "
+            f"(SELECT doc_id, {nib} AS nib FROM sig) b "
+            f"ON a.nib = b.nib AND a.doc_id < b.doc_id"
+        )
+    cands = "\n        UNION\n        ".join(nib_joins)
+    ham = " + ".join(
+        f"abs(CASE WHEN sa.simhash % {2 << b} >= {1 << b} THEN 1 ELSE 0 END - "
+        f"CASE WHEN sb.simhash % {2 << b} >= {1 << b} THEN 1 ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    w AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM corpus
+    ),
+    hh AS (SELECT doc_id, {h} AS h FROM w),
+    sums AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums),
+    cands AS (
+        {cands}
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, ({ham}) AS hamming
+        FROM cands c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT hamming, COUNT(*) AS n_pairs
+    FROM verified WHERE hamming <= 3 GROUP BY hamming
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup: nibble-band candidates (pigeonhole for
+    Hamming ≤ 3), exact Hamming verify; reported as a pair-count
+    histogram by distance (pair lists over a 31-word vocabulary are
+    huge and uninformative)."""
+    sigs = D.simhash(corpus(spark, sf_dir))
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast query vector, score all rows
+    (zip_with/aggregate — JVM codegen), TakeOrdered(10)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.topk_bruteforce(e, q, k=10)
+
+
+def _signrp_oracle() -> str:
+    proj = S.projection_matrix()
+    arrays = [
+        "[" + ", ".join(f"{x}.0" for x in row) + "]" for row in proj
+    ]
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j, arr in enumerate(arrays)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM b, q WHERE bucket = qb
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """
+
+
+@query("similarity_lsh_ann", oracle=_signrp_oracle())
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: deterministic integer projection
+    matrix → 6 sign bits → bucket; exact cosine only within the query's
+    bucket. At scale: partition embeddings by bucket → partition-pruned
+    scan (~1/64 of data per probe)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.signrp_lsh_topk(e, q, k=5)
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.35
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking (the O(n²)→
+    O(sum block²) reduction; at 100 TB the block key is an LSH bucket
+    instead of a label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_blocked(e, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality_stats",
+    oracle="""
+    WITH q AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+               length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_words), 4) AS avg_words,
+           ROUND(AVG(n_distinct * 1.0 / n_words), 4) AS avg_distinct_ratio,
+           ROUND(AVG(n_stop * 1.0 / n_words), 4) AS avg_stopword_ratio,
+           ROUND(AVG(n_alpha * 1.0 / n_words), 4) AS avg_word_len
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score aggregates per source (length, lexical diversity,
+    stopword density — the standard pre-training quality filters)."""
+    d = T.quality_features(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg(F.col("n_distinct_words") / F.col("n_words")), 4).alias(
+            "avg_distinct_ratio"
+        ),
+        F.round(F.avg(T.stopword_count("text") / F.col("n_words")), 4).alias(
+            "avg_stopword_ratio"
+        ),
+        F.round(
+            F.avg(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.col("n_words")),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    scores = ",\n               ".join(score_cols)
+    langs = list(T.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'unknown'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN {greatest} > 0 AND s_{lg} = {greatest} THEN '{lg}' ELSE {pred} END"
+    return f"""
+    WITH s AS (
+        SELECT lang,
+               {scores}
+        FROM documents
+    ),
+    p AS (SELECT lang, {pred} AS predicted FROM s)
+    SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column:
+    confusion counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens
+    (letter-runs | digit-runs | punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(T.token_count_regex("text")).alias("total_tokens"),
+        F.sum(T.word_count("text")).alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "doc_fingerprint_dups",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    fp AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, length(text)),
+                        i -> ascii(substring(text, i, 1)) * i)) % 1000000007 AS fingerprint
+        FROM corpus
+    )
+    SELECT CAST(fingerprint AS BIGINT) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted fingerprint dedup (rolling-hash family): one
+    projection + one aggregation; catches the planted verbatim copies
+    without shuffling full documents."""
+    c = corpus(spark, sf_dir)
+    return (
+        c.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source,
+               octet_length(encode(text)) AS byte_len,
+               list_sum(list_transform(generate_series(1, length(text)),
+                        i -> ascii(substring(text, i, 1)))) % 65536 AS checksum,
+               octet_length(encode(text)) % 640 + 1 AS width,
+               octet_length(encode(text)) * 7 % 480 + 1 AS height
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           CAST(SUM(checksum) AS BIGINT) AS sum_checksum,
+           ROUND(AVG(width), 4) AS avg_width,
+           ROUND(AVG(height), 4) AS avg_height
+    FROM f GROUP BY source
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: attach binary payload + metadata struct,
+    extract features per Arrow batch via mapInPandas (real byte-level
+    work in Python), aggregate. The oracle recomputes the same features
+    from the utf-8 bytes in SQL — checksum mismatch would catch any
+    batch-boundary or encoding bug in the pandas path."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.attach_blob(d)
+    feats = M.extract_features(blobs)
+    joined = feats.join(d.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum("checksum").alias("sum_checksum"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
+@query("multimodal_blob_schema", oracle=None)
+def multimodal_blob_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the binary + metadata-struct layout itself
+    (BinaryType payload, struct<modality,byte_len>), metadata-only
+    projection (never touches blob bytes — at scale this is the
+    column-pruned fast path)."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.attach_blob(d)
+    return blobs.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.byte_len").alias("byte_len"),
+    )

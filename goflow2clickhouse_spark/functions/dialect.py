@@ -1,0 +1,136 @@
+"""ClickHouse-dialect shim (SURVEY.md §2.B last row): translate the
+ClickHouse SQL functions an operator of the reference deployment would
+use over `flows` into Spark SQL equivalents, so existing ClickHouse
+query inventories port verbatim.
+
+Two surfaces:
+- `translate(sql)` — textual rewrite of the common ClickHouse function
+  spellings into Spark SQL (pure-function mapping, inline expansion
+  for the IPv4 helpers so everything stays JVM-side);
+- `CLICKHOUSE_COLUMN_FNS` — the same mapping as DataFrame column
+  helpers for programmatic use.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .ip import ipv4_num_to_string, ipv4_string_to_num
+
+# name → (spark SQL template with {0},{1} args) — order matters: longer
+# names first so e.g. uniqExact isn't eaten by uniq.
+_TEXT_RULES: list[tuple[str, str]] = [
+    ("uniqExact", "count(DISTINCT {0})"),
+    ("uniq", "approx_count_distinct({0})"),
+    ("toStartOfMinute", "date_trunc('minute', {0})"),
+    ("toStartOfHour", "date_trunc('hour', {0})"),
+    ("toStartOfDay", "date_trunc('day', {0})"),
+    ("toDateTime", "to_timestamp({0})"),
+    ("toDate", "to_date({0})"),
+    ("toUInt32", "cast({0} as bigint)"),
+    ("toUInt64", "cast({0} as bigint)"),
+    ("toInt32", "cast({0} as int)"),
+    ("toString", "cast({0} as string)"),
+    ("intDiv", "({0} div {1})"),
+    ("bitAnd", "({0} & {1})"),
+    ("bitOr", "({0} | {1})"),
+    ("bitXor", "({0} ^ {1})"),
+    ("modulo", "({0} % {1})"),
+    ("halfMD5", "cast(conv(substring(md5({0}), 1, 15), 16, 10) as bigint)"),
+    (
+        "IPv4NumToString",
+        "concat_ws('.', cast(shiftright({0},24)&255 as string),"
+        " cast(shiftright({0},16)&255 as string),"
+        " cast(shiftright({0},8)&255 as string), cast({0}&255 as string))",
+    ),
+    (
+        "IPv4StringToNum",
+        "(cast(split({0},'[.]')[0] as bigint)*16777216"
+        " + cast(split({0},'[.]')[1] as bigint)*65536"
+        " + cast(split({0},'[.]')[2] as bigint)*256"
+        " + cast(split({0},'[.]')[3] as bigint))",
+    ),
+]
+
+# quantile(p)(x) / quantileExact(p)(x) — curried ClickHouse spelling
+_QUANTILE = re.compile(r"quantile(Exact)?\(([^)]*)\)\(([^)]*)\)")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a function argument list at top-level commas."""
+    args, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _rewrite_calls(sql: str, name: str, template: str) -> str:
+    """Rewrite every `name(args)` call, handling nested parens."""
+    out = []
+    i = 0
+    pat = re.compile(rf"\b{name}\s*\(")
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        # find matching close paren
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_args(sql[m.end() : j - 1])
+        out.append(template.format(*args))
+        i = j
+    return "".join(out)
+
+
+def translate(sql: str) -> str:
+    """ClickHouse SQL → Spark SQL for the supported function surface."""
+    sql = _QUANTILE.sub(
+        lambda m: (
+            f"percentile({m.group(3)}, {m.group(2)})"
+            if m.group(1)
+            else f"percentile_approx({m.group(3)}, {m.group(2)})"
+        ),
+        sql,
+    )
+    for name, template in _TEXT_RULES:
+        sql = _rewrite_calls(sql, name, template)
+    return sql
+
+
+CLICKHOUSE_COLUMN_FNS: dict[str, Callable[..., Column]] = {
+    "uniq": lambda c: F.approx_count_distinct(c),
+    "uniqExact": lambda c: F.count_distinct(c),
+    "toStartOfMinute": lambda c: F.date_trunc("minute", c),
+    "toStartOfHour": lambda c: F.date_trunc("hour", c),
+    "toDateTime": lambda c: F.to_timestamp(c),
+    "toDate": lambda c: F.to_date(c),
+    "intDiv": lambda a, b: a.cast("long") / b,  # use F.expr("a div b") in SQL
+    "bitAnd": lambda a, b: a.bitwiseAND(b),
+    "bitOr": lambda a, b: a.bitwiseOR(b),
+    "bitXor": lambda a, b: a.bitwiseXOR(b),
+    "IPv4NumToString": ipv4_num_to_string,
+    "IPv4StringToNum": ipv4_string_to_num,
+    "quantile": lambda c, p: F.percentile_approx(c, p),
+    "quantileExact": lambda c, p: F.percentile(c, p),
+}

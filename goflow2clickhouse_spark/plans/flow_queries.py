@@ -231,3 +231,63 @@ def flows_conversation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_bytes"), "src_addr", "dst_addr", "proto")
         .limit(25)
     )
+
+
+@query(
+    "flows_tumbling_traffic",
+    oracle=FLOWS_WITH + """
+    SELECT (time_received - (time_received % 300)) AS window_start,
+           proto,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           COUNT(*) AS n_flows
+    FROM flows
+    GROUP BY (time_received - (time_received % 300)), proto
+    """,
+)
+def flows_tumbling_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py tumbling_traffic — the same
+    expressions run with a watermark on the live stream (stream/batch
+    parity asserted in tests/test_streaming_windows.py)."""
+    from ..streaming.windows import tumbling_traffic
+
+    out = tumbling_traffic(flows_df(spark, sf_dir), streaming=False)
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "proto", "total_bytes", "n_flows",
+    )
+
+
+@query(
+    "ch_dialect_top_talkers",
+    oracle=FLOWS_WITH + """
+    SELECT src_addr,
+           CAST(SUM(bytes * sampling_rate) AS BIGINT) AS est_bytes,
+           COUNT(DISTINCT dst_addr) AS n_peers,
+           (time_received - (time_received % 60)) AS minute_bucket
+    FROM flows
+    WHERE (tcp_flags & 16) != 0
+    GROUP BY src_addr, (time_received - (time_received % 60))
+    ORDER BY est_bytes DESC, src_addr
+    LIMIT 10
+    """,
+)
+def ch_dialect_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query written in ClickHouse dialect (uniqExact, bitAnd,
+    toUInt64, modulo), run through the dialect shim's translate() and
+    executed by Spark SQL — the portability path for existing
+    ClickHouse query inventories (SURVEY.md §2.B shim row)."""
+    from ..functions.dialect import translate
+
+    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    ch_sql = """
+    SELECT src_addr,
+           toUInt64(SUM(bytes * sampling_rate)) AS est_bytes,
+           uniqExact(dst_addr) AS n_peers,
+           (time_received - modulo(time_received, 60)) AS minute_bucket
+    FROM flows
+    WHERE bitAnd(tcp_flags, 16) != 0
+    GROUP BY src_addr, (time_received - modulo(time_received, 60))
+    ORDER BY est_bytes DESC, src_addr
+    LIMIT 10
+    """
+    return spark.sql(translate(ch_sql))

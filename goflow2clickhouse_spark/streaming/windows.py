@@ -1,0 +1,97 @@
+"""Streaming windowed aggregations over the flow stream — the
+materialized-view layer the reference delegates to ClickHouse
+(ENGINE=Null + attached MVs, initdb/create_tables.sql:35). Each
+function works on BOTH a batch and a streaming flows DataFrame (same
+expressions), so every streaming aggregate has a batch twin the oracle
+can check (SURVEY.md §7.4: keep streaming state expressible in batch).
+
+Late data: the reference inserts late rows as-is (no event-time
+processing anywhere in main.go). Here late rows are handled properly:
+`withWatermark` bounds state and drops rows later than the allowed
+lateness — a documented semantic upgrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(flows: DataFrame, col: str = "time_received") -> DataFrame:
+    """Epoch-seconds → TimestampType event-time column `ts`."""
+    return flows.withColumn("ts", F.timestamp_seconds(F.col(col)))
+
+
+def tumbling_traffic(
+    flows: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-protocol traffic in tumbling windows. Streaming: partial
+    aggregates live in the state store keyed by (window, proto) —
+    state size is bounded by watermark horizon × key cardinality,
+    independent of input volume (the 100 TB-safe design)."""
+    df = with_event_time(flows)
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "proto")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.count("*").alias("n_flows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "proto",
+            "total_bytes",
+            "n_flows",
+        )
+    )
+
+
+def sliding_top_talker_bytes(
+    flows: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-source bytes in sliding windows (each row feeds
+    width/slide windows)."""
+    df = with_event_time(flows)
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", width, slide).alias("w"), "src_addr")
+        .agg(F.sum("bytes").alias("total_bytes"))
+        .select(F.col("w.start").alias("window_start"), "src_addr", "total_bytes")
+    )
+
+
+def session_conversations(
+    flows: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Conversation sessions per (src,dst): flows closer than `gap`
+    merge into one session — `session_window` is the stateful custom
+    operator ClickHouse has no native equivalent for."""
+    df = with_event_time(flows)
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(
+            F.session_window("ts", gap).alias("w"), "src_addr", "dst_addr"
+        )
+        .agg(F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_flows"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "src_addr",
+            "dst_addr",
+            "total_bytes",
+            "n_flows",
+        )
+    )

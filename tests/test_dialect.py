@@ -1,0 +1,49 @@
+"""ClickHouse-dialect shim tests: textual translation + execution
+equivalence against native Spark expressions."""
+
+from __future__ import annotations
+
+from goflow2clickhouse_spark.functions.dialect import translate
+
+
+def test_translate_simple():
+    assert translate("uniq(x)") == "approx_count_distinct(x)"
+    assert translate("uniqExact(x)") == "count(DISTINCT x)"
+    assert translate("toStartOfMinute(ts)") == "date_trunc('minute', ts)"
+    assert translate("bitAnd(tcp_flags, 2)") == "(tcp_flags & 2)"
+    assert translate("intDiv(a, b)") == "(a div b)"
+    assert translate("quantile(0.5)(x)") == "percentile_approx(x, 0.5)"
+    assert translate("quantileExact(0.9)(x)") == "percentile(x, 0.9)"
+
+
+def test_translate_nested():
+    got = translate("toStartOfMinute(toDateTime(time_received))")
+    assert got == "date_trunc('minute', to_timestamp(time_received))"
+    got = translate("uniqExact(bitAnd(a, b))")
+    assert got == "count(DISTINCT (a & b))"
+
+
+def test_translated_sql_executes(spark):
+    df = spark.createDataFrame(
+        [(3232235777, 6, 1700000000), (167772161, 17, 1700000042)],
+        "ip bigint, proto bigint, t bigint",
+    )
+    df.createOrReplaceTempView("t_dialect")
+    out = spark.sql(
+        translate(
+            "SELECT IPv4NumToString(ip) AS ip_s, "
+            "toDate(toDateTime(t)) AS d, "
+            "bitAnd(proto, 2) AS p2 FROM t_dialect ORDER BY ip"
+        )
+    ).collect()
+    assert out[0].ip_s == "10.0.0.1"
+    assert out[1].ip_s == "192.168.1.1"
+    assert str(out[0].d) == "2023-11-14"
+    assert out[0].p2 == 0 and out[1].p2 == 2
+
+
+def test_ipv4_roundtrip_via_dialect(spark):
+    out = spark.sql(
+        translate("SELECT IPv4StringToNum(IPv4NumToString(3232235777)) AS n")
+    ).collect()
+    assert out[0].n == 3232235777

@@ -1,0 +1,153 @@
+"""Streaming windowed aggregations (SURVEY.md §7.1 step 6):
+stream/batch parity for tumbling windows, watermark semantics
+(in-horizon windows emitted, late rows dropped), session windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goflow2clickhouse_spark.operators.flows import flow_transform
+from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+from goflow2clickhouse_spark.streaming.windows import (
+    session_conversations,
+    tumbling_traffic,
+)
+from tests.test_flows_transform import _raw_row
+
+BASE = 1_700_000_000
+W0 = BASE - BASE % 300  # start of the 5-min window containing BASE
+
+
+def _chunk(spark, start_s: int, n: int, proto: int = 6):
+    rows = [
+        _raw_row(
+            TimeReceived=start_s + i,
+            SequenceNum=start_s + i,
+            Proto=proto,
+            Bytes=100,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, RAW_FLOW_SCHEMA)
+
+
+@pytest.fixture()
+def flow_chunks(spark, tmp_path):
+    """Three time-ordered chunk files spanning 3 five-minute windows,
+    plus one very-late row (2 hours behind) in the last chunk."""
+    d = tmp_path / "chunks"
+    for i in range(3):
+        df = _chunk(spark, BASE + i * 300, 50)
+        if i == 2:
+            late = _chunk(spark, BASE - 7200, 1)  # beyond any watermark
+            df = df.unionByName(late)
+        df.coalesce(1).write.mode("append").parquet(str(d))
+    return d
+
+
+def test_tumbling_stream_batch_parity_complete(spark, tmp_path, flow_chunks):
+    """Complete-mode streaming result == batch result on same input."""
+    raw_stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flow_chunks))
+    )
+    agg = tumbling_traffic(flow_transform(raw_stream), streaming=False)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumble_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.table("tumble_complete").collect())
+    )
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(flow_chunks))
+    batch = sorted(
+        map(tuple, tumbling_traffic(flow_transform(batch_raw), streaming=False).collect())
+    )
+    assert streamed == batch
+    assert len(streamed) == 4  # 3 on-time windows + 1 late-row window
+
+
+def test_watermark_append_drops_late(spark, tmp_path, flow_chunks):
+    """Append mode with watermark: windows sealed by the advancing
+    watermark are emitted; the 2-hour-late row is dropped (never
+    appears), and the final still-open window is not emitted — the
+    documented upgrade over the reference's insert-late-rows-as-is."""
+    raw_stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flow_chunks))
+    )
+    agg = tumbling_traffic(
+        flow_transform(raw_stream), width="5 minutes", watermark="1 minute"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumble_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tumble_append").collect()
+    starts = sorted(r.window_start.timestamp() for r in rows)
+
+    late_w = (BASE - 7200) - (BASE - 7200) % 300
+    assert late_w not in starts  # late row's window never appears
+    # the first two windows sealed as the watermark advanced past them
+    assert W0 in starts and W0 + 300 in starts
+    # final window still open at termination → not emitted in append
+    assert W0 + 600 not in starts
+
+
+def test_session_windows_batch(spark):
+    """session_window merges flows within the gap into one session."""
+    rows = (
+        [_raw_row(TimeReceived=BASE + i * 10, SequenceNum=i) for i in range(5)]
+        # > 30s gap → second session
+        + [_raw_row(TimeReceived=BASE + 200 + i, SequenceNum=100 + i) for i in range(3)]
+    )
+    df = flow_transform(spark.createDataFrame(rows, RAW_FLOW_SCHEMA))
+    out = session_conversations(df, gap="30 seconds", streaming=False).collect()
+    assert len(out) == 2
+    by_start = sorted(out, key=lambda r: r.session_start)
+    assert by_start[0].n_flows == 5 and by_start[1].n_flows == 3
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    """The stateful streaming session operator end-to-end (append mode
+    requires watermark; sessions close when the watermark passes)."""
+    d = tmp_path / "sess"
+    for i in range(3):
+        _chunk(spark, BASE + i * 600, 5).coalesce(1).write.mode("append").parquet(
+            str(d)
+        )
+    raw_stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = session_conversations(
+        flow_transform(raw_stream), gap="30 seconds", watermark="1 minute"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sessions_stream").collect()
+    # first two sessions sealed by the advancing watermark
+    assert len(rows) == 2
+    assert all(r.n_flows == 5 for r in rows)

@@ -164,8 +164,12 @@ def minhash_lsh_dedup_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
-    candidates → exact-Jaccard verify ≥ threshold."""
-    sh = word_shingles(df, text_col, id_col, n)
+    candidates → exact-Jaccard verify ≥ threshold.
+
+    The shingle relation feeds three consumers (signatures, both sides
+    of the verify join); persist it so the explode+distinct runs once —
+    at 100 TB this is the stage you'd materialize to storage instead."""
+    sh = word_shingles(df, text_col, id_col, n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -291,3 +291,75 @@ def ch_dialect_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """
     return spark.sql(translate(ch_sql))
+
+
+@query(
+    "flows_ingest_transform",
+    oracle="""
+    WITH raw AS (
+        SELECT l_orderkey * 8 + l_linenumber AS rid,
+               l_partkey % 256 AS o2, l_suppkey % 251 AS o3,
+               (l_orderkey * 8 + l_linenumber) % 253 AS o4,
+               40 + CAST(FLOOR(l_extendedprice) AS BIGINT) AS bytes
+        FROM lineitem
+    )
+    SELECT concat('10.', CAST(o2 AS STRING), '.', CAST(o3 AS STRING), '.',
+                  CAST(o4 AS STRING)) AS src_addr,
+           COUNT(*) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM raw
+    GROUP BY 1
+    ORDER BY total_bytes DESC, src_addr
+    LIMIT 20
+    """,
+)
+def flows_ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest projection itself (main.go:127-150) under oracle
+    check: raw 4-byte addresses are synthesized from lineitem keys,
+    pushed through flow_transform (including the Arrow ip_to_string
+    UDF, main.go:138), and the resulting dotted-quad strings must match
+    the oracle's pure string arithmetic."""
+    from ..operators.flows import flow_transform
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+
+    def byte_bin(c):
+        return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+    raw = li.select(
+        F.lit(1).cast("long").alias("Type"),
+        F.lit(1700000000).cast("long").alias("TimeReceived"),
+        rid.cast("long").alias("SequenceNum"),
+        F.lit(1).cast("long").alias("SamplingRate"),
+        F.lit(0).cast("long").alias("FlowDirection"),
+        F.unhex(F.lit("0a000001")).alias("SamplerAddress"),
+        F.lit(1700000000).cast("long").alias("TimeFlowStart"),
+        F.lit(1700000000).cast("long").alias("TimeFlowEnd"),
+        (F.lit(40) + F.floor("l_extendedprice").cast("long")).alias("Bytes"),
+        F.lit(1).cast("long").alias("Packets"),
+        F.concat(
+            byte_bin(F.lit(10)),
+            byte_bin(F.col("l_partkey") % 256),
+            byte_bin(F.col("l_suppkey") % 251),
+            byte_bin(rid % 253),
+        ).alias("SrcAddr"),
+        F.unhex(F.lit("ac100001")).alias("DstAddr"),
+        F.lit(2048).cast("long").alias("Etype"),
+        F.lit(6).cast("long").alias("Proto"),
+        F.lit(40000).cast("long").alias("SrcPort"),
+        F.lit(443).cast("long").alias("DstPort"),
+        F.lit(64).cast("long").alias("ForwardingStatus"),
+        F.lit(18).cast("long").alias("TCPFlags"),
+        F.lit(0).cast("long").alias("IcmpType"),
+        F.lit(0).cast("long").alias("IcmpCode"),
+        F.lit(0).cast("long").alias("FragmentId"),
+        F.lit(0).cast("long").alias("FragmentOffset"),
+    )
+    flows = flow_transform(raw)
+    return (
+        flows.groupBy("src_addr")
+        .agg(F.count("*").alias("n_flows"), F.sum("bytes").alias("total_bytes"))
+        .orderBy(F.desc("total_bytes"), "src_addr")
+        .limit(20)
+    )

@@ -93,7 +93,7 @@ RAW_FLOW_SCHEMA = StructType(
 )
 
 
-def flows_ddl(table: str = "flows") -> str:
+def flows_ddl(table: str = "flows", location: str | None = None) -> str:
     """Spark SQL DDL equivalent of initdb/create_tables.sql:1-35.
 
     The reference's ENGINE=Null is a pure ingestion funnel; in Spark the
@@ -103,7 +103,8 @@ def flows_ddl(table: str = "flows") -> str:
     cols = ",\n  ".join(
         f"{name} {dtype.simpleString().upper()}" for name, dtype in FLOWS_COLUMNS
     )
-    return f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n) USING PARQUET"
+    loc = f"\nLOCATION '{location}'" if location else ""
+    return f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n) USING PARQUET{loc}"
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the scale contract (SURVEY.md §4.2,
+the 100 TB design rules): filters reach the parquet scan, projections
+prune columns, bounded dims broadcast, top-k never global-sorts, and
+aggregations partial-combine before the shuffle. A regression here is a
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from goflow2clickhouse_spark.plans import registry
+
+SPECS = registry()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = plan_str(spark, SPECS["q1_pricing_summary"].spark(spark, SF))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1].split("\n")[0]
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, f"scan reads wrong columns: {cols}"
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = SPECS["q1_pricing_summary"].spark(spark, SF)
+    df.collect()  # AQE finalizes the physical plan on execution
+    p = plan_str(spark, df, "simple")
+    assert "isFinalPlan=true" in p
+    assert "*(" in p, f"no WholeStageCodegen spans in q1 plan:\n{p}"
+
+
+def test_q5_broadcasts_dims(spark):
+    p = plan_str(spark, SPECS["q5_local_supplier_volume"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastExchange" in p
+
+
+def test_q6_all_filters_pushed(spark):
+    p = plan_str(spark, SPECS["q6_forecast_revenue"].spark(spark, SF))
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+
+
+def test_top_talkers_no_global_sort(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap + merge),
+    never Sort+Limit over the full aggregate."""
+    p = plan_str(spark, SPECS["flows_top_talkers"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "\n    (global Sort" not in p
+
+
+def test_top_talkers_partial_aggregation(spark):
+    """Map-side combine: a HashAggregate must appear below the Exchange
+    (shuffle moves one row per (partition, src_addr), not per flow)."""
+    p = plan_str(spark, SPECS["flows_top_talkers"].spark(spark, SF), "simple")
+    agg_before_exchange = re.search(
+        r"HashAggregate.*\n.*Exchange", p
+    ) or "partial" in p.lower()
+    ordered = p.index("Exchange") > p.index("HashAggregate")
+    assert ordered, f"no partial aggregate before shuffle:\n{p}"
+
+
+def test_anti_join_shape(spark):
+    p = plan_str(spark, SPECS["customers_without_orders"].spark(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_semi_join_shape(spark):
+    p = plan_str(spark, SPECS["big_spender_customers_semi"].spark(spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_similarity_topk_broadcast_no_shuffle_scan(spark):
+    """Brute-force top-k: query vector broadcast (nested-loop over the
+    1-row side), then TakeOrdered — the embeddings scan itself must not
+    shuffle."""
+    p = plan_str(spark, SPECS["similarity_topk_bruteforce"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_events_scan_prunes_props(spark):
+    """events_minutely must not read the (wide) props JSON column."""
+    p = plan_str(spark, SPECS["events_minutely"].spark(spark, SF))
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert "props" not in read
+
+
+def test_flows_view_scan_prunes_lineitem(spark):
+    """The derived flows view must read only the 4 lineitem columns it
+    uses, at every consumer."""
+    p = plan_str(spark, SPECS["flows_protocol_breakdown"].spark(spark, SF))
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols <= {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                    "l_extendedprice"}, cols

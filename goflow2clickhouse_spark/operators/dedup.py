@@ -74,17 +74,23 @@ def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle). Documents
-    shorter than n words yield no shingles."""
-    w = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
+    shorter than n words yield no shingles.
+
+    The words array is materialized in its own projection first: lambda
+    bodies inside `transform` re-evaluate any outer *expression* per
+    element, so deriving shingles directly from `split(text)` would
+    re-split the whole document once per shingle — O(len²) per doc.
+    Against a bound column reference each `slice` is O(n)."""
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
+    )
+    w = F.col("_words")
     sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-        ),
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
     return (
-        df.filter(F.size(w) >= n)
+        words.filter(F.size(w) >= n)
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
@@ -127,33 +133,55 @@ def jaccard_pairs(
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """NUM_PERM minhash values per document, one aggregation pass:
-    (id, mh0..mh15)."""
-    h = hash31(F.col("shingle"))
-    return shingles.groupBy(id_col).agg(
-        *[F.min(_perm(h, i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    (id, mh0..mh15). The md5-based base hash is projected once per row
+    before the aggregate — all NUM_PERM update expressions then read the
+    same column instead of each re-hashing the shingle."""
+    h = F.col("_h31")
+    return (
+        shingles.select(F.col(id_col), hash31(F.col("shingle")).alias("_h31"))
+        .groupBy(id_col)
+        .agg(*[F.min(_perm(h, i)).alias(f"mh{i}") for i in range(NUM_PERM)])
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signature (BANDS bands × ROWS_PER_BAND rows); documents
-    agreeing on any full band become candidates. Equi-join per band on
-    the concatenated band key, unioned, distinct."""
-    bands = []
+    agreeing on any full band become candidates.
+
+    One shuffle total: explode each signature into BANDS
+    (band_no, band_key) rows, group into buckets, expand each bucket's
+    sorted id array into ordered pairs with pure array expressions —
+    no self-join, so BANDS× fewer shuffles than the join-per-band
+    formulation. A pathological bucket of k ids still expands to k²/2
+    pairs inside one task; that is inherent to LSH and the reason BANDS×
+    ROWS_PER_BAND is tuned so buckets stay small."""
+    band_structs = []
     for j in range(BANDS):
         cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        band = sigs.select(F.col(id_col), key.alias("band_key"))
-        left = band.select(F.col(id_col).alias("id_a"), "band_key")
-        right = band.select(F.col(id_col).alias("id_b"), "band_key")
-        bands.append(
-            left.join(right, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        band_structs.append(F.struct(F.lit(j).alias("band_no"), key.alias("band_key")))
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band_no", "b.band_key")
+    buckets = (
+        exploded.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out.distinct()
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup_pairs(
@@ -168,12 +196,24 @@ def minhash_lsh_dedup_pairs(
 
     The shingle relation feeds three consumers (signatures, both sides
     of the verify join); persist it so the explode+distinct runs once —
-    at 100 TB this is the stage you'd materialize to storage instead."""
+    at 100 TB this is the stage you'd materialize to storage instead.
+
+    The exact-Jaccard verify only ever needs shingles of documents that
+    appear in some candidate pair, so the inverted-index self-join runs
+    over the candidate-pruned shingle set, not the full corpus: the
+    quadratic stage is sized by LSH recall (tiny), not corpus size —
+    without this, one hot shingle shared by k docs costs k² join rows."""
     sh = word_shingles(df, text_col, id_col, n).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -207,8 +247,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     computation ports to any SQL engine."""
     w = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
-    )
-    h = hash31(F.col("word"))
+    ).select(F.col(id_col), hash31(F.col("word")).alias("_h31"))
+    h = F.col("_h31")
     aggs = []
     for b in range(SIMHASH_BITS):
         pb = 1 << b

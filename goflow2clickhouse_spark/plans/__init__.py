@@ -7,6 +7,7 @@ from .queries import QuerySpec, all_oracles, all_queries, bench_queries, registr
 from . import flow_queries as _flow_queries  # noqa: F401, E402
 from . import event_queries as _event_queries  # noqa: F401, E402
 from . import extension_queries as _extension_queries  # noqa: F401, E402
+from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 __all__ = [
     "QuerySpec",

@@ -1,0 +1,421 @@
+"""TPC-H-shaped relational coverage, part 2 (SURVEY.md §2.B).
+
+The reference delegates all querying to ClickHouse SQL
+(initdb/create_tables.sql ships the schema, ENGINE=Null presumes
+operator-attached materialized views); this module widens the declared
+analytical surface with the TPC-H query shapes the fixture schema can
+express (no partsupp / commitdate / shipmode columns in the fixtures, so
+q2/q4/q11/q12/q16/q20/q21 have no faithful adaptation and are omitted).
+
+Every query carries a DuckDB oracle; aliases match column-for-column
+(driver hashes values under sorted column names). Money aggregates are
+rounded to 2dp in both engines; ratio aggregates to 4dp; year extraction
+cast to INT on both sides (DuckDB EXTRACT returns BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .queries import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    """Revenue expression; built lazily — module import must not need
+    an active SparkContext (PySpark 4 resolves F.col eagerly)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: bidirectional nation-pair trade volume by year.
+    Scale: nation is 25 rows at every SF — both copies broadcast; the
+    disjunctive nation-pair filter runs after the broadcast joins, and
+    the two fact joins (lineitem⋈orders⋈(customer,supplier)) shuffle on
+    their keys with AQE."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region    ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted: one nation's share of a region's market for one
+    part type, per year — conditional-aggregation ratio. Scale: part is
+    filtered on p_type before the fact join (1/6 selectivity pushed to
+    the scan); nation/region broadcast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_dim = F.broadcast(
+        n1.join(r, n1.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    supp_dim = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    vol = _rev()
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_dim, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp_dim, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer, including the
+    zero-order customers the outer join preserves. Two cascaded
+    aggregations; the second groups on a tiny domain (order counts), so
+    its shuffle is negligible at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue percentage for one month. Scale: the
+    one-month shipdate filter hits parquet row-group min/max; part joins
+    broadcast at test SF and shuffle-hash beyond the threshold."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
+    return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(_rev()), 4).alias("promo_pct")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+                    AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    aggregate feeding a scalar-subquery equality. Revenue is compared in
+    integer cents so the equality is exact in both engines. Scale: the
+    revenue CTE is computed once and reused for both the max and the
+    join (Spark: same DataFrame object → one shuffle reused)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()) * 100, 0).cast("long").alias("total_revenue_cents")
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("m"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue_cents") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (no p_container in fixtures): revenue lost if
+    small-quantity orders of one brand's parts were not filled. The
+    correlated per-part AVG decorrelates to a groupBy + join — at scale
+    that aggregate is tiny (one row per part) and broadcastable after
+    the brand filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    brand_li = li.join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    ).withColumnRenamed("l_partkey", "avg_pk")
+    return (
+        brand_li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind the largest-quantity orders — HAVING
+    subquery as a semi-join. Scale: the qualifying-order set is a tiny
+    fraction of orders; semi-joining lineitem against it first keeps the
+    final aggregation small."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    li_big = li.join(big.withColumnRenamed("l_orderkey", "big_ok"),
+                     F.col("l_orderkey") == F.col("big_ok"), "left_semi")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li_big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted: disjunction of conjunctive predicates across
+    both join sides. Scale: Catalyst extracts the common join key and
+    pushes the per-side residuals (p_brand/p_size disjunction to the
+    part scan, l_quantity range union to lineitem) before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20)
+        | arm("Brand#3", 35, 20, 30)
+    ).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone in fixtures — the "country code" is
+    a c_name digit slice): above-average-balance customers with no
+    orders. Anti-join + scalar subquery; the average broadcasts into
+    the filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

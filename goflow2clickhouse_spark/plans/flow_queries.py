@@ -363,3 +363,51 @@ def flows_ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_bytes"), "src_addr")
         .limit(20)
     )
+
+
+@query(
+    "flows_conversation_sessions",
+    oracle=FLOWS_WITH + """
+    , per_t AS (
+        SELECT sampler_address, time_received AS t,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(bytes) AS BIGINT) AS b
+        FROM flows GROUP BY sampler_address, time_received
+    ), marked AS (
+        SELECT sampler_address, t, n, b,
+               CASE WHEN LAG(t) OVER w IS NULL
+                     OR t - LAG(t) OVER w > 2 THEN 1 ELSE 0 END AS new_s
+        FROM per_t
+        WINDOW w AS (PARTITION BY sampler_address ORDER BY t)
+    ), sess AS (
+        SELECT sampler_address, t, n, b,
+               SUM(new_s) OVER (PARTITION BY sampler_address ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT sampler_address,
+           MIN(t) AS session_start, MAX(t) AS session_end,
+           CAST(SUM(n) AS BIGINT) AS n_flows,
+           CAST(SUM(b) AS BIGINT) AS total_bytes
+    FROM sess GROUP BY sampler_address, sid
+    ORDER BY sampler_address, session_start
+    """,
+)
+def flows_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState conversation tracker
+    (streaming/stateful.py) under oracle check: idle-gap sessionization
+    per sampler. The per-instant pre-aggregation makes tie handling
+    deterministic in both engines; the streaming operator shares the
+    exact semantics (tests/test_stateful.py proves stream/batch
+    parity)."""
+    from ..streaming.stateful import conversations_batch
+
+    out = conversations_batch(
+        flows_df(spark, sf_dir), key_cols=["sampler_address"], gap_s=2
+    )
+    return out.select(
+        "sampler_address",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_flows",
+        "total_bytes",
+    ).orderBy("sampler_address", "session_start")

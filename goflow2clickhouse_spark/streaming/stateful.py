@@ -1,0 +1,209 @@
+"""Custom stateful streaming operator: conversation tracking over the
+flow stream with `applyInPandasWithState`.
+
+The reference has no stateful processing at all (SURVEY.md §2.A: late
+data is inserted as-is, no event-time handling anywhere in main.go);
+`session_window` (streaming/windows.py) covers the built-in gap-session
+shape. This operator is the *custom* variant for semantics the built-in
+can't express — per-conversation state with arbitrary transition logic
+(merge policy, per-session derived fields, early emission), the
+`applyInPandasWithState` pattern from the PySpark Structured Streaming
+API.
+
+Semantics (identical in the streaming operator and the batch twin):
+- flows are pre-aggregated per (key, second): ties on the event time
+  always land in the same session regardless of row order — without
+  this, lag()-based sessionization is nondeterministic under ties;
+- consecutive per-second rows whose gap exceeds `gap_s` start a new
+  session; a session emits (key, session_start, session_end, n_flows,
+  total_bytes);
+- streaming: the trailing (still-open) session per key lives in the
+  state store and emits when the event-time watermark passes its end +
+  gap (GroupStateTimeout.EventTimeTimeout). Sessions closed *within* a
+  batch emit immediately. State per key is one fixed-width row —
+  state size is O(active conversations), independent of input volume.
+
+At 100 TB: the shuffle is one exchange on the conversation key; the
+pandas handler sees per-key batches via Arrow. Skewed keys (one hot
+conversation) bound the handler's batch to that key's rows per trigger,
+not the whole partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .windows import with_event_time
+
+_KEY_COLS = ["src_addr", "dst_addr", "proto"]
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_flows", LongType()),
+        StructField("total_bytes", LongType()),
+    ]
+)
+
+
+def _output_schema(key_cols: list[str], key_types: list[Any]) -> StructType:
+    return StructType(
+        [StructField(c, t) for c, t in zip(key_cols, key_types)]
+        + [
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_flows", LongType()),
+            StructField("total_bytes", LongType()),
+        ]
+    )
+
+
+def _session_frames(
+    key: tuple, key_cols: list[str], sessions: list[tuple[int, int, int, int]]
+) -> pd.DataFrame:
+    recs = []
+    for start_ms, end_ms, n, b in sessions:
+        rec = dict(zip(key_cols, key))
+        rec["session_start"] = pd.Timestamp(start_ms, unit="ms")
+        rec["session_end"] = pd.Timestamp(end_ms, unit="ms")
+        rec["n_flows"] = n
+        rec["total_bytes"] = b
+        recs.append(rec)
+    return pd.DataFrame(recs)
+
+
+def _make_tracker(key_cols: list[str], gap_s: int):
+    gap_ms = gap_s * 1000
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, end_ms, n, b = state.get
+            state.remove()
+            yield _session_frames(key, key_cols, [(start_ms, end_ms, n, b)])
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # pre-aggregate per event-time instant: tie-safe sessionization
+        ts_ms = rows["ts"].astype("int64") // 1_000_000
+        per_t = (
+            pd.DataFrame({"t": ts_ms, "bytes": rows["bytes"]})
+            .groupby("t", sort=True)
+            .agg(n=("bytes", "size"), b=("bytes", "sum"))
+            .reset_index()
+        )
+
+        sessions: list[tuple[int, int, int, int]] = []
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = None
+        for t, n, b in per_t.itertuples(index=False):
+            if cur is None:
+                cur = [int(t), int(t), int(n), int(b)]
+            elif t - cur[1] > gap_ms:
+                sessions.append(tuple(cur))
+                cur = [int(t), int(t), int(n), int(b)]
+            else:
+                cur[1] = int(t)
+                cur[2] += int(n)
+                cur[3] += int(b)
+
+        wm = state.getCurrentWatermarkMs()
+        if cur is not None and cur[1] + gap_ms <= wm:
+            # trailing session already expired relative to the watermark
+            sessions.append(tuple(cur))
+            cur = None
+        if cur is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if sessions:
+            yield _session_frames(key, key_cols, sessions)
+
+    return track
+
+
+def conversation_tracker(
+    flows: DataFrame,
+    key_cols: list[str] | None = None,
+    gap_s: int = 30,
+    watermark: str = "2 minutes",
+    time_col: str = "time_received",
+) -> DataFrame:
+    """Streaming conversation sessions via applyInPandasWithState.
+
+    `flows` is the transformed 22-column stream; the event time is
+    `time_col` (epoch seconds). Output appends one row per closed
+    session."""
+    key_cols = key_cols or _KEY_COLS
+    df = with_event_time(flows, time_col).withWatermark("ts", watermark)
+    key_types = [df.schema[c].dataType for c in key_cols]
+    return (
+        df.select(*key_cols, "ts", "bytes")
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            _make_tracker(key_cols, gap_s),
+            _output_schema(key_cols, key_types),
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def conversations_batch(
+    flows: DataFrame,
+    key_cols: list[str] | None = None,
+    gap_s: int = 30,
+    time_col: str = "time_received",
+) -> DataFrame:
+    """Batch twin of `conversation_tracker` — identical session
+    semantics expressed with window functions, so the stateful operator
+    has an oracle-checkable equivalent (SURVEY.md §7.4).
+
+    Plan: pre-aggregate per (key, instant) → lag/cumsum boundary
+    detection → session aggregation. Two shuffles on the key; the
+    window runs over per-instant rows, not raw flows."""
+    key_cols = key_cols or _KEY_COLS
+    df = with_event_time(flows, time_col)
+    per_t = df.groupBy(*key_cols, "ts").agg(
+        F.count("*").alias("n"), F.sum("bytes").alias("b")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = per_t.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    sid = F.sum("new_s").over(
+        Window.partitionBy(*key_cols).orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("sid", sid)
+        .groupBy(*key_cols, "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("n").alias("n_flows"),
+            F.sum("b").alias("total_bytes"),
+        )
+        .drop("sid")
+    )

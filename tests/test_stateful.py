@@ -1,0 +1,129 @@
+"""Custom stateful streaming operator (applyInPandasWithState
+conversation tracker): stream/batch parity, timeout emission, tie
+handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goflow2clickhouse_spark.operators.flows import flow_transform
+from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+from goflow2clickhouse_spark.streaming.stateful import (
+    conversation_tracker,
+    conversations_batch,
+)
+from tests.test_flows_transform import _raw_row
+
+BASE = 1_700_000_000
+KEY = ["src_addr", "dst_addr", "proto"]
+
+
+def _rows(start_s: int, n: int, seq0: int, bytes_: int = 100, step: int = 5):
+    return [
+        _raw_row(
+            TimeReceived=start_s + i * step,
+            SequenceNum=seq0 + i,
+            Bytes=bytes_,
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def session_chunks(spark, tmp_path):
+    """Three time-ordered chunks for one conversation key:
+    chunk 0: 5 flows 5s apart   (session A)
+    chunk 1: gap 300s, 3 flows  (session B), incl. a duplicate timestamp
+    chunk 2: gap 600s, 1 far-future flush flow on a different key so the
+             watermark passes every real session's end.
+    """
+    d = tmp_path / "conv"
+    c0 = _rows(BASE, 5, 0)
+    c1 = _rows(BASE + 1000, 3, 100)
+    c1.append(_raw_row(TimeReceived=BASE + 1000, SequenceNum=999, Bytes=7))
+    c2 = [
+        _raw_row(
+            TimeReceived=BASE + 100_000,
+            SequenceNum=5000,
+            SrcAddr=bytes([10, 9, 9, 9]),
+        )
+    ]
+    for chunk in (c0, c1, c2):
+        spark.createDataFrame(chunk, RAW_FLOW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    return d
+
+
+def _run_stream(spark, path, ckpt, gap_s=30):
+    raw = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path))
+    )
+    out = conversation_tracker(
+        flow_transform(raw), key_cols=KEY, gap_s=gap_s, watermark="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("conv_stream")
+
+
+def test_stream_batch_parity(spark, tmp_path, session_chunks):
+    """Every closed session the stateful operator emits must equal the
+    batch twin's sessions on the same input (excluding the flush key,
+    whose trailing session never times out)."""
+    streamed = _run_stream(spark, session_chunks, tmp_path / "ck")
+    got = sorted(
+        (r.src_addr, r.dst_addr, r.proto,
+         int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+         r.n_flows, r.total_bytes)
+        for r in streamed.collect()
+        if r.src_addr != "10.9.9.9"
+    )
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(session_chunks))
+    twin = conversations_batch(flow_transform(batch_raw), key_cols=KEY, gap_s=30)
+    want = sorted(
+        (r.src_addr, r.dst_addr, r.proto,
+         int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+         r.n_flows, r.total_bytes)
+        for r in twin.filter(F.col("src_addr") != "10.9.9.9").collect()
+    )
+    assert got == want
+    assert len(got) == 2  # sessions A and B
+
+
+def test_sessions_content(spark, tmp_path, session_chunks):
+    streamed = _run_stream(spark, session_chunks, tmp_path / "ck2")
+    rows = sorted(
+        (r for r in streamed.collect() if r.src_addr != "10.9.9.9"),
+        key=lambda r: r.session_start,
+    )
+    a, b = rows
+    assert a.n_flows == 5 and a.total_bytes == 500
+    assert int((a.session_end - a.session_start).total_seconds()) == 20
+    # session B: 3 flows + 1 duplicate-timestamp flow folded in
+    assert b.n_flows == 4 and b.total_bytes == 307
+
+
+def test_batch_twin_tie_determinism(spark):
+    """Duplicate event times at a session boundary must land in one
+    session regardless of row order (the per-instant pre-aggregation)."""
+    rows = (
+        _rows(BASE, 2, 0)
+        + [_raw_row(TimeReceived=BASE + 100, SequenceNum=10, Bytes=1)] * 3
+    )
+    df = flow_transform(spark.createDataFrame(rows, RAW_FLOW_SCHEMA))
+    out = conversations_batch(df, key_cols=KEY, gap_s=30).collect()
+    assert len(out) == 2
+    by_start = sorted(out, key=lambda r: r.session_start)
+    assert by_start[1].n_flows == 3 and by_start[1].total_bytes == 3

@@ -131,3 +131,91 @@ def neardup_pairs_blocked(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    embeddings: DataFrame, k: int = IVF_K,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse-quantizer centroids as ONE row holding an array of
+    (cid, cvec) structs. Deterministic seeds (the k lowest-id vectors)
+    instead of k-means so the index is replayable in any engine; a real
+    deployment would plug trained centroids into the same shape."""
+    cents = embeddings.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
+    )
+    return cents.agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("_cents"))
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids_row: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """cell = argmax_centroid cosine(cvec, v): broadcast the 1-row
+    centroid array, then a pure projection — array_max over
+    (score, -cid) structs, ties to the smaller cid. No shuffle; at
+    100 TB this is the narrow index-build pass you'd follow with
+    `write.partitionBy("cell")` so probes become partition-pruned
+    scans."""
+    v = as_double(vec_col)
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(c["cvec"], v).alias("score"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return (
+        embeddings.join(F.broadcast(centroids_row))
+        .withColumn("cell", (-best["ncid"]).cast("long"))
+        .drop("_cents")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    n_cells: int = IVF_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: score only the nprobe cells nearest the query vector.
+    Probe set and assignments both derive from the same broadcast
+    centroid row; the candidate scan is an equi-join on cell id
+    (→ partition pruning when the index is written partitioned by
+    cell)."""
+    cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    assigned = ivf_assign(embeddings, cents_row, vec_col)
+    qcells = (
+        query.join(F.broadcast(cents_row))
+        .select(F.col(vec_col).alias("_qv"), F.explode("_cents").alias("c"))
+        .select(
+            "_qv",
+            F.col("c.cid").alias("probe_cell"),
+            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), "probe_cell")
+        .limit(nprobe)
+    )
+    return (
+        assigned.join(
+            F.broadcast(qcells), F.col("cell") == F.col("probe_cell")
+        )
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), as_double("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -314,6 +314,51 @@ def _signrp_oracle() -> str:
     """
 
 
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cvec) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM scored) t
+        WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qcells AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_dot_product(qv, c.cvec) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+                 DESC, c.cid
+        LIMIT 2)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, qv) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM assign a, q
+    WHERE a.cid IN (SELECT cid FROM qcells)
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 5
+    """
+
+
+@query("similarity_ivf_ann", oracle=_IVF_ORACLE)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seed centroids -> argmax-cosine cell
+    assignment (broadcast, no shuffle) -> probe the 2 cells nearest the
+    query -> exact cosine within probed cells. The at-scale layout
+    writes the assigned table partitioned by cell, so each probe is a
+    partition-pruned scan; the oracle replays the identical index in
+    SQL (both engines accumulate dot products in index order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.ivf_topk(e, q, k=5, nprobe=2, n_cells=8)
+
+
 @query("similarity_lsh_ann", oracle=_signrp_oracle())
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN: deterministic integer projection

@@ -21,16 +21,41 @@ from pyspark.sql import functions as F
 
 from .ip import ipv4_num_to_string, ipv4_string_to_num
 
-# name → (spark SQL template with {0},{1} args) — order matters: longer
-# names first so e.g. uniqExact isn't eaten by uniq.
-_TEXT_RULES: list[tuple[str, str]] = [
+_INTERVAL_RE = re.compile(r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?", re.I)
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(t, INTERVAL n unit) → epoch-floor arithmetic
+    (date_trunc has no n-unit granularity)."""
+    m = _INTERVAL_RE.fullmatch(args[1].strip())
+    if not m:
+        raise ValueError(f"unsupported toStartOfInterval interval: {args[1]!r}")
+    secs = int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
+    return f"timestamp_seconds((unix_timestamp({args[0]}) div {secs}) * {secs})"
+
+
+# name → spark SQL template with {0},{1} args, or callable(args) → SQL.
+# Order matters: longer names first so e.g. uniqExact isn't eaten by uniq.
+_TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("uniqExact", "count(DISTINCT {0})"),
     ("uniq", "approx_count_distinct({0})"),
+    ("toStartOfFiveMinutes", "timestamp_seconds((unix_timestamp({0}) div 300) * 300)"),
+    ("toStartOfInterval", _to_start_of_interval),
     ("toStartOfMinute", "date_trunc('minute', {0})"),
     ("toStartOfHour", "date_trunc('hour', {0})"),
     ("toStartOfDay", "date_trunc('day', {0})"),
+    ("toYYYYMM", "cast(date_format({0}, 'yyyyMM') as int)"),
     ("toDateTime", "to_timestamp({0})"),
     ("toDate", "to_date({0})"),
+    ("toHour", "hour({0})"),
+    ("toMinute", "minute({0})"),
+    ("countIf", "sum(CASE WHEN {0} THEN 1 ELSE 0 END)"),
+    ("sumIf", "sum(CASE WHEN {1} THEN {0} ELSE 0 END)"),
+    ("avgIf", "avg(CASE WHEN {1} THEN {0} END)"),
+    ("minIf", "min(CASE WHEN {1} THEN {0} END)"),
+    ("maxIf", "max(CASE WHEN {1} THEN {0} END)"),
+    ("ifNull", "coalesce({0}, {1})"),
     ("toUInt32", "cast({0} as bigint)"),
     ("toUInt64", "cast({0} as bigint)"),
     ("toInt32", "cast({0} as int)"),
@@ -98,7 +123,7 @@ def _rewrite_calls(sql: str, name: str, template: str) -> str:
                 depth -= 1
             j += 1
         args = _split_args(sql[m.end() : j - 1])
-        out.append(template.format(*args))
+        out.append(template(args) if callable(template) else template.format(*args))
         i = j
     return "".join(out)
 

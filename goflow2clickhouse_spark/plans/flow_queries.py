@@ -411,3 +411,41 @@ def flows_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flows",
         "total_bytes",
     ).orderBy("sampler_address", "session_start")
+
+
+@query(
+    "ch_dialect_port_profile",
+    oracle=FLOWS_WITH + """
+    SELECT dst_port,
+           (time_received - (time_received % 300)) AS bucket,
+           CAST(SUM(CASE WHEN proto = 6 THEN 1 ELSE 0 END) AS BIGINT) AS tcp_flows,
+           CAST(SUM(CASE WHEN proto = 17 THEN 1 ELSE 0 END) AS BIGINT) AS udp_flows,
+           CAST(SUM(CASE WHEN flow_direction = 0 THEN bytes ELSE 0 END) AS BIGINT)
+               AS ingress_bytes
+    FROM flows
+    GROUP BY dst_port, (time_received - (time_received % 300))
+    ORDER BY dst_port, bucket
+    LIMIT 50
+    """,
+)
+def ch_dialect_port_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate family of the dialect shim (countIf /
+    sumIf / toStartOfInterval / toDateTime / toUInt64) — a ClickHouse
+    per-port traffic profile run verbatim through translate()."""
+    from ..functions.dialect import translate
+
+    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    ch_sql = """
+    SELECT dst_port,
+           toUInt64(toStartOfInterval(toDateTime(time_received),
+                                      INTERVAL 5 MINUTE)) AS bucket,
+           countIf(proto = 6) AS tcp_flows,
+           countIf(proto = 17) AS udp_flows,
+           sumIf(bytes, flow_direction = 0) AS ingress_bytes
+    FROM flows
+    GROUP BY dst_port, toUInt64(toStartOfInterval(toDateTime(time_received),
+                                                  INTERVAL 5 MINUTE))
+    ORDER BY dst_port, bucket
+    LIMIT 50
+    """
+    return spark.sql(translate(ch_sql))

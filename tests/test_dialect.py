@@ -47,3 +47,24 @@ def test_ipv4_roundtrip_via_dialect(spark):
         translate("SELECT IPv4StringToNum(IPv4NumToString(3232235777)) AS n")
     ).collect()
     assert out[0].n == 3232235777
+
+
+def test_translate_conditional_aggregates():
+    assert translate("countIf(proto = 6)") == "sum(CASE WHEN proto = 6 THEN 1 ELSE 0 END)"
+    assert translate("sumIf(bytes, d = 0)") == "sum(CASE WHEN d = 0 THEN bytes ELSE 0 END)"
+    assert translate("avgIf(x, y > 1)") == "avg(CASE WHEN y > 1 THEN x END)"
+    assert translate("ifNull(a, 0)") == "coalesce(a, 0)"
+
+
+def test_translate_interval_bucketing():
+    got = translate("toStartOfInterval(ts, INTERVAL 5 MINUTE)")
+    assert got == "timestamp_seconds((unix_timestamp(ts) div 300) * 300)"
+    got = translate("toStartOfFiveMinutes(ts)")
+    assert got == "timestamp_seconds((unix_timestamp(ts) div 300) * 300)"
+    got = translate("toStartOfInterval(ts, INTERVAL 2 HOURS)")
+    assert got == "timestamp_seconds((unix_timestamp(ts) div 7200) * 7200)"
+
+
+def test_translate_date_parts():
+    assert translate("toHour(ts)") == "hour(ts)"
+    assert translate("toYYYYMM(ts)") == "cast(date_format(ts, 'yyyyMM') as int)"

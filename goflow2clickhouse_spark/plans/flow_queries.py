@@ -449,3 +449,53 @@ def ch_dialect_port_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """
     return spark.sql(translate(ch_sql))
+
+
+@query(
+    "flows_maintenance_overlap",
+    oracle=FLOWS_WITH + """
+    , windows AS (
+        SELECT * FROM (VALUES
+            (1, 1700000300, 1700000600),
+            (2, 1700001500, 1700001800),
+            (3, 1700002700, 1700003300)
+        ) AS w(win_id, w_start, w_end)
+    )
+    SELECT win_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sampler_address) AS n_samplers
+    FROM flows JOIN windows
+      ON time_flow_start <= w_end AND time_flow_end >= w_start
+    GROUP BY win_id
+    ORDER BY win_id
+    """,
+)
+def flows_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY.md §2.B joins row): flows whose [start,end]
+    interval overlaps a maintenance window — non-equi join condition.
+    Scale: the window list is tiny and broadcast, so the non-equi
+    predicate evaluates as a BroadcastNestedLoopJoin over 3 rows — a
+    narrow pass, never an all-pairs shuffle."""
+    wins = F.broadcast(
+        spark.createDataFrame(
+            [(1, 1_700_000_300, 1_700_000_600),
+             (2, 1_700_001_500, 1_700_001_800),
+             (3, 1_700_002_700, 1_700_003_300)],
+            "win_id int, w_start long, w_end long",
+        )
+    )
+    f = flows_df(spark, sf_dir)
+    cond = (F.col("time_flow_start") <= F.col("w_end")) & (
+        F.col("time_flow_end") >= F.col("w_start")
+    )
+    return (
+        f.join(wins, cond)
+        .groupBy("win_id")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+            F.count_distinct("sampler_address").alias("n_samplers"),
+        )
+        .orderBy("win_id")
+    )

@@ -399,13 +399,18 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — Catalyst turns it into one shuffle-hash anti."""
+    """Left-anti join — Catalyst turns it into one shuffle-hash anti.
+    Scoped to recent orders: every fixture customer has some order, so
+    the unscoped predicate would be vacuously empty at every SF."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -392,7 +392,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                            WHERE c_acctbal > 0.0)
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -401,8 +402,10 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 adapted (no c_phone in fixtures — the "country code" is
     a c_name digit slice): above-average-balance customers with no
-    orders. Anti-join + scalar subquery; the average broadcasts into
-    the filter."""
+    recent orders (every fixture customer has *some* order, so the
+    classic no-orders-ever predicate is vacuous — recency keeps the
+    anti-join meaningful at every SF). Anti-join + scalar subquery; the
+    average broadcasts into the filter."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
@@ -411,7 +414,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            o.filter(F.col("o_orderdate") >= _ts("2000-01-01")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
@@ -419,3 +426,77 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity AS amount
+        FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no ps_supplycost in fixtures — supply cost
+    proxied as 10% of retail price): profit by supplier nation and
+    year for parts matching a name infix. Scale: the LIKE filter prunes
+    part before the fact join; nation broadcasts; the profit expression
+    is a pure projection inside whole-stage codegen."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    amount = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS total,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grp_id
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY grp_id, l_returnflag, l_linestatus
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers (SURVEY.md §2.B
+    aggregations row) — the general form behind rollup/cube, via
+    Spark SQL. One expand + one aggregation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS total,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                   AS grp_id
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY grp_id, l_returnflag, l_linestatus
+    """)

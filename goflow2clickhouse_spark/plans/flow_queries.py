@@ -391,6 +391,7 @@ def flows_ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY sampler_address, sid
     ORDER BY sampler_address, session_start
     """,
+    bench=True,
 )
 def flows_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the applyInPandasWithState conversation tracker

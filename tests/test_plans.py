@@ -107,3 +107,33 @@ def test_flows_view_scan_prunes_lineitem(spark):
     cols = {c.split(":")[0] for c in read.split(",")}
     assert cols <= {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                     "l_extendedprice"}, cols
+
+
+def test_range_join_broadcasts_window_list(spark):
+    """Interval-overlap range join must be a BroadcastNestedLoopJoin
+    over the tiny window list — never a cartesian shuffle."""
+    p = plan_str(spark, SPECS["flows_maintenance_overlap"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_broadcasts_nation(spark):
+    p = plan_str(spark, SPECS["q9_product_profit"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan one Expand + one aggregation pass, not a
+    union of per-set scans."""
+    p = plan_str(spark, SPECS["grouping_sets_revenue"].spark(spark, SF), "simple")
+    assert p.count("Expand") >= 1
+    assert p.count("Scan parquet") == 1
+
+
+def test_ivf_assignment_no_shuffle(spark):
+    """IVF cell assignment is a broadcast + projection; the only
+    exchanges allowed are for the tiny centroid/probe sides and the
+    final top-k, never a repartition of the embeddings scan."""
+    p = plan_str(spark, SPECS["similarity_ivf_ann"].spark(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p

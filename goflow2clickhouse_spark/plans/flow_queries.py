@@ -500,3 +500,35 @@ def flows_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_id")
     )
+
+
+@query(
+    "flows_top_talkers_salted",
+    oracle=FLOWS_WITH + """
+    SELECT src_addr,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_flows
+    FROM flows
+    GROUP BY src_addr
+    ORDER BY total_bytes DESC, src_addr
+    LIMIT 10
+    """,
+)
+def flows_top_talkers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top talkers via the salted two-phase aggregate (operators/
+    skew.py) — identical result to the plain groupBy, skew-safe plan:
+    a hot src_addr spreads over n_salt reducers in phase one, and the
+    phase-two shuffle moves one row per (key, salt)."""
+    from ..operators.skew import salted_agg
+
+    f = flows_df(spark, sf_dir)
+    agg = salted_agg(
+        f.select("src_addr", "bytes"),
+        ["src_addr"],
+        {
+            "total_bytes": ("sum", F.sum("bytes")),
+            "n_flows": ("sum", F.count("*")),
+        },
+        n_salt=16,
+    )
+    return agg.orderBy(F.desc("total_bytes"), "src_addr").limit(10)

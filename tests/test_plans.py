@@ -137,3 +137,11 @@ def test_ivf_assignment_no_shuffle(spark):
     p = plan_str(spark, SPECS["similarity_ivf_ann"].spark(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_salted_agg_two_phase(spark):
+    """Salted aggregation: two aggregation phases around two exchanges,
+    same result as the plain groupBy (oracle test covers values)."""
+    p = plan_str(spark, SPECS["flows_top_talkers_salted"].spark(spark, SF), "simple")
+    assert p.count("Exchange") >= 2
+    assert "xxhash64" in p or "pmod" in p

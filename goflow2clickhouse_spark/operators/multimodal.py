@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -92,3 +93,77 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "blob").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing over mapInPandas: Arrow batch in → per-row
+    transformed payload out. The stub 'resampler' is deterministic
+    (truncate/cycle the real bytes to width*height); a real deployment
+    swaps the inner function for PIL/opencv — the schema, batch shape,
+    and partitioning stay identical."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def stub_resample(b: bytes) -> bytes:
+                if len(b) >= target:
+                    return bytes(b[:target])
+                reps = target // max(len(b), 1) + 1
+                return bytes((b * reps)[:target])
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "blob": pdf["blob"].map(stub_resample),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling plumbing: treat the payload as fixed-size frames,
+    emit every n-th — a 1→N mapInPandas (output rows ≠ input rows, the
+    video-decode batch shape). Deterministic fake framing (byte slices)
+    stands in for a codec; partitioning is inherited from the input, so
+    at scale frames of one video stay on one partition unless
+    explicitly repartitioned for downstream balance."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                n_frames = len(blob) // frame_bytes
+                for f in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    nos.append(f)
+                    frames.append(bytes(blob[f * frame_bytes:(f + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, "blob").mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,69 @@
+"""Multimodal column plumbing: binary payloads + metadata, mapInPandas
+feature extraction, resize and frame-sample batch shapes (codecs are
+stubbed; the Spark-side schema/partitioning/batching is real)."""
+
+from __future__ import annotations
+
+import pytest
+
+from goflow2clickhouse_spark.operators.multimodal import (
+    attach_blob,
+    decode_audio,
+    decode_image,
+    extract_features,
+    resize_image,
+    sample_frames,
+)
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "x" * 300),
+    (3, "short"),
+]
+
+
+@pytest.fixture()
+def blobs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return attach_blob(df)
+
+
+def test_attach_blob_schema_and_meta(blobs):
+    row = blobs.filter("doc_id = 2").first()
+    assert bytes(row.blob) == b"x" * 300
+    assert row.meta.modality == "text" and row.meta.byte_len == 300
+
+
+def test_extract_features_deterministic(blobs):
+    out = {r.doc_id: r for r in extract_features(blobs).collect()}
+    assert out[2].byte_len == 300
+    assert out[2].checksum == (300 * ord("x")) % 65536
+    assert out[2].width == 300 % 640 + 1
+    assert out[3].byte_len == 5
+
+
+def test_resize_truncates_and_cycles(blobs):
+    out = {r.doc_id: r for r in resize_image(blobs, 10, 4).collect()}
+    assert all(len(bytes(r.blob)) == 40 for r in out.values())
+    assert bytes(out[2].blob) == b"x" * 40          # truncation path
+    assert bytes(out[3].blob) == (b"short" * 8)     # cycle path
+    assert out[1].width == 10 and out[1].height == 4
+
+
+def test_sample_frames_shape(blobs):
+    out = sample_frames(blobs, frame_bytes=64, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 300 bytes → 4 full frames → frames 0 and 2 sampled
+    assert sorted(r.frame_no for r in by_doc[2]) == [0, 2]
+    assert all(len(bytes(r.frame)) == 64 for r in by_doc[2])
+    # doc 3: 5 bytes → no full frame → no rows
+    assert 3 not in by_doc
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")

@@ -198,35 +198,38 @@ def minhash_lsh_dedup_pairs(
     of the verify join); persist it so the explode+distinct runs once —
     at 100 TB this is the stage you'd materialize to storage instead.
 
-    The exact-Jaccard verify only ever needs shingles of documents that
-    appear in some candidate pair, so the inverted-index self-join runs
-    over the candidate-pruned shingle set, not the full corpus: the
-    quadratic stage is sized by LSH recall (tiny), not corpus size —
-    without this, one hot shingle shared by k docs costs k² join rows."""
+    The exact-Jaccard verify is by-fetch, not by-join: candidate pairs
+    (sized by LSH recall, tiny relative to the corpus) join against
+    per-document shingle *arrays* restricted to candidate docs, and the
+    intersection is computed per pair with array_intersect — no
+    inverted-index self-join, so there is no per-shingle quadratic
+    expansion and no shuffle keyed on shingle text. At 100 TB the
+    heavy relations shuffle only on document id."""
     sh = word_shingles(df, text_col, id_col, n).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, id_col, "left_semi")
-    sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cands, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+    sets = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("shs"))
     )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "nb"}), "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+            F.round(
+                shared
+                / (F.size("shs_a") + F.size("shs_b") - shared),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

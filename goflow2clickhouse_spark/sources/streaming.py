@@ -11,9 +11,14 @@ built-in UDP source, so the engine defines a pluggable seam:
   file://<dir>?maxFilesPerTrigger=N   parquet drop-dir (tests, replay)
   rate://?rowsPerSecond=N             synthetic raw flows (load tests)
   kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
-  sflow:// netflow:// nfl://          accepted & documented: require a
-                                      UDP→Kafka/file relay in front
-                                      (no in-JVM UDP decode)
+  udp://<host>:<port>                 native UDP listener (Python
+                                      DataSource, sources/udp.py):
+                                      goflow2 JSON datagrams, at-most-
+                                      once like the reference
+  sflow:// netflow:// nfl://          accepted & documented: binary
+                                      protocol decode needs a goflow2
+                                      relay in front (→ udp://, kafka://
+                                      or file://)
 
 Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
 `fan_in` + `flow_transform` apply uniformly downstream.
@@ -49,7 +54,7 @@ def parse_listen(listen: str) -> list[SourceSpec]:
             continue
         u = urlparse(part)
         scheme = u.scheme.lower()
-        if scheme not in _UDP_SCHEMES | {"file", "rate", "kafka"}:
+        if scheme not in _UDP_SCHEMES | {"file", "rate", "kafka", "udp"}:
             raise ValueError(f"unknown source scheme: {scheme!r} in {part!r}")
         options = {k: v[-1] for k, v in parse_qs(u.query).items()}
         target = (u.netloc + u.path) if scheme != "file" else u.path
@@ -91,6 +96,22 @@ def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         return raw.select(
             F.from_json(F.col("value").cast("string"), RAW_FLOW_SCHEMA).alias("m")
         ).select("m.*")
+
+    if spec.scheme == "udp":
+        # native UDP listener (Spark 4 Python DataSource): goflow2-style
+        # JSON datagrams → RAW_FLOW_SCHEMA rows; sources/udp.py
+        from .udp import UdpFlowDataSource
+
+        spark.dataSource.register(UdpFlowDataSource)
+        host, _, port = spec.target.partition(":")
+        reader = (
+            spark.readStream.format("udp_flows")
+            .option("host", host or "0.0.0.0")
+            .option("port", port or "6343")
+        )
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        return reader.load()
 
     if spec.scheme in _UDP_SCHEMES:
         raise NotImplementedError(

@@ -4,8 +4,11 @@ The reference delegates all querying to ClickHouse SQL
 (initdb/create_tables.sql ships the schema, ENGINE=Null presumes
 operator-attached materialized views); this module widens the declared
 analytical surface with the TPC-H query shapes the fixture schema can
-express (no partsupp / commitdate / shipmode columns in the fixtures, so
-q2/q4/q11/q12/q16/q20/q21 have no faithful adaptation and are omitted).
+express. The fixtures carry no partsupp / commitdate / shipmode
+columns; q11/q16/q20 are adapted by deriving the part-supplier relation
+from observed lineitem pairs, while q2/q4/q12/q21 (which need
+supplycost or commit/receipt dates specifically) have no faithful
+adaptation and are omitted.
 
 Every query carries a DuckDB oracle; aliases match column-for-column
 (driver hashes values under sorted column names). Money aggregates are
@@ -501,3 +504,138 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY grp_id, l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, ROUND(value, 2) AS value
+    FROM supply
+    WHERE value > (SELECT SUM(value) * 0.001 FROM supply)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp/availqty in fixtures — supply
+    value derives from lineitem revenue per part for one nation's
+    suppliers): parts whose supply value exceeds a fraction of the
+    national total. HAVING against a scalar subquery over the same
+    aggregate — Spark computes the CTE once and reuses it for both
+    sides (same DataFrame object → one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    supply = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    total = supply.agg((F.sum("value") * 0.001).alias("cut"))
+    return (
+        supply.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    WITH partsupp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM partsupp
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: the part-supplier relation derives from
+    observed lineitem pairs (fixtures carry no partsupp), and the
+    complaint filter becomes negative-balance suppliers. Shapes: NOT IN
+    anti-join + multi-key COUNT(DISTINCT). Scale: the distinct pair
+    projection shuffles (partkey, suppkey) only — two longs — before
+    the part join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM shipped
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+            AND qty > 50)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (availqty threshold becomes shipped-quantity
+    threshold): suppliers in one nation who moved >50 units of
+    red-prefixed parts in 1996. Nested semi-joins; the part-name filter
+    prunes before the quantity aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

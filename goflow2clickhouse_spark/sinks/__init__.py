@@ -57,6 +57,8 @@ def clickhouse_jdbc_sink(
     props.update(properties or {})
 
     def sink(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():  # empty-batch elision (main.go:156)
+            return
         (
             df.write.mode("append")
             .option("batchsize", str(batchsize))

@@ -71,8 +71,10 @@ class IngestPipeline:
         then stops — the replay/catch-up mode (and the test mode)."""
 
         def _feed(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():  # empty-batch elision (main.go:156)
-                return
+            # No isEmpty() pre-check here: that extra action re-scans
+            # the source every batch (doubling input metrics and I/O).
+            # Empty-batch elision (main.go:156) lives in the sinks that
+            # pay per-batch round trips (clickhouse_jdbc_sink).
             self.sink(batch_df, batch_id)
 
         writer = self.stream().writeStream.queryName(query_name)

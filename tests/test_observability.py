@@ -1,0 +1,60 @@
+"""Observability (StreamingQueryListener metrics ≡ the reference's
+/metrics endpoint) and the fanout sink (≡ ENGINE=Null + multiple
+materialized views)."""
+
+from __future__ import annotations
+
+import time
+
+from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+from goflow2clickhouse_spark.sinks import fanout, parquet_sink
+from goflow2clickhouse_spark.streaming.ingest import IngestConfig, IngestPipeline
+from goflow2clickhouse_spark.streaming.metrics import FlowMetricsListener
+from tests.test_flows_transform import _raw_row
+
+
+def _write_chunks(spark, d, n_rows=40):
+    rows = [_raw_row(SequenceNum=i) for i in range(n_rows)]
+    spark.createDataFrame(rows, RAW_FLOW_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(str(d))
+
+
+def test_metrics_listener_counts_rows(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_chunks(spark, src, 40)
+    listener = FlowMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = IngestConfig(
+            listen=f"file://{src}", checkpoint=str(tmp_path / "ck")
+        )
+        out = tmp_path / "out"
+        q = IngestPipeline(spark, cfg, parquet_sink(str(out))).start(
+            query_name="metrics_run", available_now=True
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        snap = listener.metrics.snapshot()
+        while time.time() < deadline and snap["flows_rows_total"] < 40:
+            time.sleep(0.5)
+            snap = listener.metrics.snapshot()
+        assert snap["flows_batches_total"] >= 1
+        assert snap["flows_rows_total"] == 40
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_fanout_sink_feeds_all_sinks(spark, tmp_path):
+    src = tmp_path / "in2"
+    _write_chunks(spark, src, 25)
+    a, b = tmp_path / "a", tmp_path / "b"
+    cfg = IngestConfig(listen=f"file://{src}", checkpoint=str(tmp_path / "ck2"))
+    q = IngestPipeline(
+        spark, cfg, fanout(parquet_sink(str(a)), parquet_sink(str(b)))
+    ).start(query_name="fanout_run", available_now=True)
+    q.awaitTermination(120)
+    ra = spark.read.parquet(str(a))
+    rb = spark.read.parquet(str(b))
+    assert ra.count() == 25 and rb.count() == 25
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))

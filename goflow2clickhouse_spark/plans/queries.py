@@ -619,3 +619,35 @@ def all_oracles() -> dict[str, str]:
 
 def bench_queries() -> dict[str, QuerySpec]:
     return {n: s for n, s in _REGISTRY.items() if s.bench}
+
+
+@query(
+    "customer_order_value_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                 2) AS last_price,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full frame) / ntile per customer —
+    window-function breadth. Windows always partition by a key (one
+    shuffle, parallel per key); a global ORDER BY window would funnel
+    every row through one task and is deliberately absent from this
+    inventory."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

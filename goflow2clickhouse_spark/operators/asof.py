@@ -1,0 +1,82 @@
+"""As-of join — ClickHouse `ASOF JOIN` parity as a reusable operator.
+
+Spark has no native as-of join. Two formulations exist:
+
+1. equi-join on key + row_number over ts DESC — simple, but it
+   materializes every (probe row × candidate row) pair per key before
+   the filter: quadratic in per-key density.
+2. **union-timeline** (this module): tag probe and reference rows,
+   union them into one per-key timeline, sort once, and carry the most
+   recent reference value forward with last(..., ignorenulls) over an
+   unbounded-preceding frame. One shuffle on the key, linear work in
+   |probes| + |references| per key — the 100 TB shape.
+
+Semantics match ClickHouse/DuckDB ASOF LEFT JOIN (backward): for each
+probe row, the reference row with the greatest ts <= probe ts; ties on
+ts resolved toward the largest tie-break value; probes with no earlier
+reference get NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    probes: DataFrame,
+    refs: DataFrame,
+    key: str,
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each probe row: the value_cols of the latest refs row with
+    ref_ts <= probe_ts on the same key (NULL when none). Output: all
+    probe columns + value_cols."""
+    probe_cols = probes.columns
+    tb = tie_break or value_cols[0]
+
+    # the carried payload is ONE struct so a match is atomic — carrying
+    # value columns independently could stitch together different
+    # reference rows when some values are null
+    val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{refs.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast(refs.schema[tb].dataType).alias("_tb"),
+        *[F.col(c) for c in probe_cols],
+        null_struct.alias("_v"),
+    )
+    r = refs.select(
+        F.col(key).alias("_k"),
+        F.col(ref_ts).alias("_ts"),
+        F.lit(0).alias("_is_probe"),
+        F.col(tb).alias("_tb"),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_cols],
+        val_struct.alias("_v"),
+    )
+    # references sort before probes at equal _ts (ASOF is <=); among
+    # reference ties the largest tie-break sorts last, and
+    # last(ignorenulls) carries the latest non-null struct forward
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_probe", F.asc_nulls_first("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = p.unionByName(r).select(
+        "_is_probe",
+        *probe_cols,
+        F.last("_v", ignorenulls=True).over(w).alias("_m"),
+    )
+    return (
+        carried.filter(F.col("_is_probe") == 1)
+        .select(*probe_cols, *[F.col(f"_m.{c}").alias(c) for c in value_cols])
+    )

@@ -199,3 +199,53 @@ def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "o_custkey", F.col("event_id").alias("last_event_id"))
     )
+
+
+@query(
+    "orders_asof_union_timeline",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           e.event_id AS last_event_id,
+           ROUND(e.value, 4) AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value,
+               event_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ) e
+      ON o.o_custkey % 150 = e.user_id
+     AND e.ts <= o.o_orderdate + INTERVAL 30 YEAR
+    """,
+)
+def orders_asof_union_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The union-timeline as-of operator (operators/asof.py) against
+    DuckDB's native ASOF JOIN: linear per key instead of the
+    row_number formulation's probe x candidate blow-up
+    (orders_asof_last_event keeps the quadratic twin for comparison).
+    The oracle pre-dedupes equal-ts events to the max event_id, the
+    operator's tie-break contract."""
+    from ..operators.asof import asof_join_backward
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    probes = o.select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("probe_ts"),
+    )
+    out = asof_join_backward(
+        probes, ev,
+        key="user_id", probe_ts="probe_ts", ref_ts="ts",
+        value_cols=["event_id", "value"], tie_break="event_id",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_event_value"),
+    )

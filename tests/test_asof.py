@@ -1,0 +1,39 @@
+"""Union-timeline as-of join operator: matches, misses, equal-ts
+tie-breaks, atomic multi-column payloads."""
+
+from __future__ import annotations
+
+from goflow2clickhouse_spark.operators.asof import asof_join_backward
+
+
+def test_asof_basic_and_miss(spark):
+    probes = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 5), (3, 20, 50)],
+        "pid long, k long, pts long",
+    )
+    refs = spark.createDataFrame(
+        [(10, 50, 7, 0.5), (10, 99, 8, 0.8), (20, 60, 9, 0.9)],
+        "k long, rts long, rid long, rv double",
+    )
+    out = {
+        r.pid: (r.rid, r.rv)
+        for r in asof_join_backward(
+            probes, refs, "k", "pts", "rts", ["rid", "rv"], "rid"
+        ).collect()
+    }
+    assert out[1] == (8, 0.8)      # latest ref at ts 99 <= 100
+    assert out[2] == (None, None)  # no ref at or before ts 5
+    assert out[3] == (None, None)  # ref at 60 > probe 50
+
+def test_asof_equal_ts_and_ties(spark):
+    probes = spark.createDataFrame([(1, 1, 100)], "pid long, k long, pts long")
+    refs = spark.createDataFrame(
+        [(1, 100, 3, 0.3), (1, 100, 4, 0.4), (1, 90, 9, 0.9)],
+        "k long, rts long, rid long, rv double",
+    )
+    row = asof_join_backward(
+        probes, refs, "k", "pts", "rts", ["rid", "rv"], "rid"
+    ).first()
+    # ref at equal ts IS eligible (<=); tie at ts=100 -> max rid wins,
+    # and the payload is atomic (rid=4 comes with rv=0.4, never 0.3)
+    assert (row.rid, row.rv) == (4, 0.4)

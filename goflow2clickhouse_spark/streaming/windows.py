@@ -95,3 +95,21 @@ def session_conversations(
             "n_flows",
         )
     )
+
+
+def dedup_stream(
+    flows: DataFrame,
+    key_cols: tuple[str, ...] = ("sampler_address", "sequence_num"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered flow records (UDP
+    duplicates, exporter resends) on their identity key.
+    dropDuplicatesWithinWatermark keeps one state row per key only
+    until the watermark passes — state is bounded by horizon x key
+    rate, never by stream length (the 100 TB-safe streaming dedup;
+    plain dropDuplicates on a stream grows state forever)."""
+    return (
+        with_event_time(flows)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([*key_cols])
+    )

@@ -151,3 +151,44 @@ def test_session_windows_streaming(spark, tmp_path):
     # first two sessions sealed by the advancing watermark
     assert len(rows) == 2
     assert all(r.n_flows == 5 for r in rows)
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    """Duplicate flow records across micro-batches (same identity key,
+    within the watermark horizon) are emitted exactly once, and the
+    surviving set equals batch dropDuplicates on the same input."""
+    from goflow2clickhouse_spark.streaming.windows import dedup_stream
+
+    d = tmp_path / "dup"
+    c0 = [_raw_row(TimeReceived=BASE + i, SequenceNum=i) for i in range(5)]
+    # chunk 1 re-delivers two records and adds one new
+    c1 = [
+        _raw_row(TimeReceived=BASE + 1, SequenceNum=1),
+        _raw_row(TimeReceived=BASE + 3, SequenceNum=3),
+        _raw_row(TimeReceived=BASE + 60, SequenceNum=100),
+    ]
+    for chunk in (c0, c1):
+        spark.createDataFrame(chunk, RAW_FLOW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    raw = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        dedup_stream(flow_transform(raw), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.sequence_num for r in spark.table("dedup_stream").collect())
+    batch = flow_transform(
+        spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(d))
+    ).dropDuplicates(["sampler_address", "sequence_num"])
+    want = sorted(r.sequence_num for r in batch.collect())
+    assert got == want == [0, 1, 2, 3, 4, 100]

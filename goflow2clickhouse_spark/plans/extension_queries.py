@@ -581,3 +581,57 @@ def multimodal_blob_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.modality").alias("modality"),
         F.col("meta.byte_len").alias("byte_len"),
     )
+
+
+@query(
+    "corpus_quality_filter",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, source, n_chars, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS dr,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+                   / len(string_split(text, ' ')) AS sr
+        FROM documents
+    ),
+    kept AS (
+        SELECT *,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM q
+        WHERE n_words >= 20 AND dr >= 0.3 AND sr >= 0.02
+    ),
+    keep_ids AS (SELECT norm, MIN(doc_id) AS doc_id FROM kept GROUP BY norm)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept JOIN keep_ids USING (norm, doc_id)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training corpus filter as one pipeline: quality
+    thresholds (length, lexical diversity, stopword density) →
+    normalized-text exact dedup (min-id representative) → per-source
+    survivor stats. Scale: the quality pass is a narrow codegen'd
+    projection; the dedup is one shuffle on the normalized-text hash."""
+    from ..operators.dedup import exact_dedup, normalize_text
+
+    d = T.quality_features(load_table(spark, sf_dir, "documents"))
+    kept = d.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("distinct_ratio") >= 0.3)
+        & (F.col("stopword_ratio") >= 0.02)
+    ).withColumn("norm", normalize_text("text"))
+    deduped = exact_dedup(kept, ["norm"], "doc_id")
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

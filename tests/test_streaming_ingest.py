@@ -126,3 +126,11 @@ def test_rate_source_synthesizes_valid_flows(spark, tmp_path):
     for r in rows:
         assert r.src_addr.startswith("192.168.")
         assert r.proto in (1, 6, 17)
+
+
+def test_parse_listen_udp_and_multi():
+    specs = parse_listen("udp://:6343,udp://10.0.0.5:2055?maxRowsPerTrigger=5000")
+    assert [s.scheme for s in specs] == ["udp", "udp"]
+    assert specs[0].target == ":6343"
+    assert specs[1].target == "10.0.0.5:2055"
+    assert specs[1].options == {"maxRowsPerTrigger": "5000"}

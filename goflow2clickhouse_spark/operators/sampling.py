@@ -1,0 +1,60 @@
+"""Deterministic sampling and dataset splits for training-data
+pipelines.
+
+`df.sample()` / `sampleBy()` are seeded per-partition — the selected
+rows change with partitioning, Spark version, and engine, so a rerun or
+a different cluster silently yields a different dataset. Training
+pipelines need the opposite: membership decided by a pure function of
+the row's identity. Everything here keys off the md5-based hash31
+(operators/dedup.py), so the same split is reproducible in any engine
+(DuckDB oracles replay it exactly) and stable under repartitioning,
+scale-out, and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE_31, hash31
+
+_BUCKETS = 10_000
+
+
+def sample_bucket(id_col: Column | str) -> Column:
+    """Stable bucket in [0, 10000) from the row id — the sampling /
+    split domain. Uses hash31 of the id's string form (salted so
+    sampling is independent of dedup's minhash permutations)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash31(F.concat(F.lit("sample:"), c.cast("string"))) % _BUCKETS
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, decided by identity hash: reproducible
+    across engines, partitionings, and reruns; composable (a 1% sample
+    is a subset of the 10% sample)."""
+    return df.filter(sample_bucket(id_col) < int(fraction * _BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Add a `split` column assigning each row to one named split
+    (e.g. {"train": .9, "val": .05, "test": .05}) by consecutive hash
+    ranges. Disjoint, exhaustive, deterministic — and stable under
+    corpus growth: a row's split never depends on other rows."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = sample_bucket(id_col)
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = bucket < int(edge * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

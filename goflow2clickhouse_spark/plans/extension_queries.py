@@ -635,3 +635,81 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SAMPLE_BUCKET_SQL = _H31.format(
+    x="concat('sample:', CAST(doc_id AS VARCHAR))"
+) + " % 10000"
+
+
+@query(
+    "dataset_split_counts",
+    oracle=f"""
+    WITH b AS (
+        SELECT source, n_chars, {_SAMPLE_BUCKET_SQL} AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY source, CASE WHEN bucket < 9000 THEN 'train'
+                          WHEN bucket < 9500 THEN 'val'
+                          ELSE 'test' END
+    ORDER BY source, split
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    membership is a pure function of doc identity (md5-derived), so the
+    split is reproducible across engines, partitionings, and reruns —
+    sample()/sampleBy() are none of those. Oracle replays the identical
+    hash arithmetic."""
+    from ..operators.sampling import split_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "deterministic_sample_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, n_chars, {_SAMPLE_BUCKET_SQL} AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b WHERE bucket < 1000
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% identity-hash sample, per-language stats. Composable (the 1%
+    sample is a strict subset of this one) and stable as the corpus
+    grows — a row's membership never depends on other rows."""
+    from ..operators.sampling import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", 0.10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

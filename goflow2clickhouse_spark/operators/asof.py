@@ -36,6 +36,12 @@ def asof_join_backward(
     ref_ts <= probe_ts on the same key (NULL when none). Output: all
     probe columns + value_cols."""
     probe_cols = probes.columns
+    clash = set(probe_cols) & set(value_cols)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with probe columns — "
+            "alias one side before the as-of join"
+        )
     tb = tie_break or value_cols[0]
 
     # the carried payload is ONE struct so a match is atomic — carrying

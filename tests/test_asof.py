@@ -37,3 +37,12 @@ def test_asof_equal_ts_and_ties(spark):
     # ref at equal ts IS eligible (<=); tie at ts=100 -> max rid wins,
     # and the payload is atomic (rid=4 comes with rv=0.4, never 0.3)
     assert (row.rid, row.rv) == (4, 0.4)
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    probes = spark.createDataFrame([(1, 1, 10)], "pid long, k long, pts long")
+    refs = spark.createDataFrame([(1, 5, 2)], "k long, rts long, pid long")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_backward(probes, refs, "k", "pts", "rts", ["pid"])

@@ -713,3 +713,69 @@ def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "top_terms_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    df_t AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf_src AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY source, term
+    ),
+    scored AS (
+        SELECT source, term, tf,
+               ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        FROM tf_src JOIN df_t USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT source, term, tf, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY source, rn
+    """,
+)
+def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms by TF-IDF — explode, two
+    aggregations, broadcast of the tiny document-frequency and corpus
+    count sides, per-group top-k via row_number. Scale: the only big
+    shuffles key on term and (source, term); document frequency is one
+    row per distinct term (vocabulary-sized, broadcastable)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    df_t = (
+        terms.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    tf_src = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf_src.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tf", "tfidf", F.col("rn").cast("int").alias("rn"))
+        .orderBy("source", "rn")
+    )

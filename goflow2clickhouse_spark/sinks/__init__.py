@@ -81,3 +81,17 @@ def fanout(*sinks: SinkFn) -> SinkFn:
             df.unpersist()
 
     return sink
+
+
+def partitioned_flows_sink(path: str) -> SinkFn:
+    """Append each micro-batch into the date-partitioned flows layout
+    (plans/storage.py): the streaming equivalent of the reference's
+    ENGINE=Null + persisted materialized view, laid out so time-ranged
+    queries prune at the directory level."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        from ..plans.storage import write_flows_partitioned
+
+        write_flows_partitioned(df, path, mode="append")
+
+    return sink

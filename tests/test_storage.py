@@ -68,3 +68,39 @@ def test_ivf_index_partition_pruned_probe(spark, tmp_path):
     # every embedding landed in exactly one cell
     assert idx.count() == emb.count()
     assert idx.select("vec_id").distinct().count() == emb.count()
+
+
+def test_streaming_into_partitioned_layout(spark, tmp_path):
+    """Ingest stream → partitioned_flows_sink → date-partitioned layout
+    readable with partition pruning; contents equal the batch transform
+    of the same input."""
+    from goflow2clickhouse_spark.operators.flows import flow_transform
+    from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+    from goflow2clickhouse_spark.sinks import partitioned_flows_sink
+    from goflow2clickhouse_spark.streaming.ingest import IngestConfig, IngestPipeline
+    from tests.test_flows_transform import _raw_row
+
+    src = tmp_path / "in"
+    rows = [
+        _raw_row(TimeReceived=1_700_000_000 + d * 86400, SequenceNum=d * 10 + i)
+        for d in range(2)
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, RAW_FLOW_SCHEMA).coalesce(1).write.parquet(str(src))
+    out = tmp_path / "flows_store"
+    cfg = IngestConfig(listen=f"file://{src}", checkpoint=str(tmp_path / "ck"))
+    q = IngestPipeline(spark, cfg, partitioned_flows_sink(str(out))).start(
+        query_name="part_sink", available_now=True
+    )
+    q.awaitTermination(120)
+
+    stored = read_flows(spark, str(out))
+    assert stored.count() == 10
+    assert stored.select("event_date").distinct().count() == 2
+    one_day = stored.filter(F.col("event_date") == "2023-11-14")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", _plan(one_day))
+    assert m and "event_date" in m.group(1)
+    batch = flow_transform(spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(src)))
+    assert sorted(r.sequence_num for r in stored.collect()) == sorted(
+        r.sequence_num for r in batch.collect()
+    )

@@ -150,7 +150,9 @@ CLICKHOUSE_COLUMN_FNS: dict[str, Callable[..., Column]] = {
     "toStartOfHour": lambda c: F.date_trunc("hour", c),
     "toDateTime": lambda c: F.to_timestamp(c),
     "toDate": lambda c: F.to_date(c),
-    "intDiv": lambda a, b: a.cast("long") / b,  # use F.expr("a div b") in SQL
+    # double-divide then cast truncates toward zero (ClickHouse intDiv
+    # semantics); exact for |quotient| < 2^52 — the SQL path uses `div`
+    "intDiv": lambda a, b: (a.cast("double") / b.cast("double")).cast("long"),
     "bitAnd": lambda a, b: a.bitwiseAND(b),
     "bitOr": lambda a, b: a.bitwiseOR(b),
     "bitXor": lambda a, b: a.bitwiseXOR(b),

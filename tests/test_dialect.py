@@ -68,3 +68,15 @@ def test_translate_interval_bucketing():
 def test_translate_date_parts():
     assert translate("toHour(ts)") == "hour(ts)"
     assert translate("toYYYYMM(ts)") == "cast(date_format(ts, 'yyyyMM') as int)"
+
+
+def test_column_fns_intdiv_truncates(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.dialect import CLICKHOUSE_COLUMN_FNS
+
+    df = spark.createDataFrame([(7, 2), (-7, 2), (9, 3)], "a long, b long")
+    out = df.select(
+        CLICKHOUSE_COLUMN_FNS["intDiv"](F.col("a"), F.col("b")).alias("d")
+    ).collect()
+    assert [r.d for r in out] == [3, -3, 3]  # toward zero, like intDiv

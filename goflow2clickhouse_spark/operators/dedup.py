@@ -184,6 +184,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document as ONE array column —
+    (id, shs). The packed form of word_shingles: no explode, no
+    corpus-wide distinct shuffle; each document's shingle set stays in
+    its own row."""
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+    w = F.col("_words")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return words.filter(F.size(w) >= n).select(F.col(id_col), sh.alias("shs"))
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -194,29 +212,37 @@ def minhash_lsh_dedup_pairs(
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     candidates → exact-Jaccard verify ≥ threshold.
 
-    The shingle relation feeds three consumers (signatures, both sides
-    of the verify join); persist it so the explode+distinct runs once —
-    at 100 TB this is the stage you'd materialize to storage instead.
-
-    The exact-Jaccard verify is by-fetch, not by-join: candidate pairs
-    (sized by LSH recall, tiny relative to the corpus) join against
-    per-document shingle *arrays* restricted to candidate docs, and the
-    intersection is computed per pair with array_intersect — no
-    inverted-index self-join, so there is no per-shingle quadratic
-    expansion and no shuffle keyed on shingle text. At 100 TB the
-    heavy relations shuffle only on document id."""
-    sh = word_shingles(df, text_col, id_col, n).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    Array-native formulation: shingle sets stay packed one-array-per-
+    document (shingle_arrays), signatures and band keys are narrow
+    array expressions over that row — the corpus is NEVER exploded into
+    a (doc, shingle) relation, so the only shuffles are the LSH bucket
+    groupBy, the pair distinct, and two id-keyed verify joins. The
+    exact-Jaccard verify is by-fetch: candidate pairs (sized by LSH
+    recall) join the per-document arrays and intersect with
+    array_intersect — no inverted-index self-join, no per-shingle
+    quadratic expansion. At 100 TB the persisted array relation is the
+    stage you'd materialize to storage."""
+    sh = shingle_arrays(df, text_col, id_col, n).persist()
+    # per-row hash array computed once; each signature slot is an
+    # array_min over a narrow transform of it
+    hs = sh.select(
+        F.col(id_col),
+        F.transform("shs", lambda s: hash31(s)).alias("_hs"),
+    )
+    sigs = hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("_hs", lambda h: _perm(h, i))).alias(f"mh{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+    cands = lsh_candidate_pairs(sigs, id_col)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = (
-        sh.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("shs"))
-    )
+    sets = sh.join(cand_ids, id_col, "left_semi")
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     shared = F.size(F.array_intersect("shs_a", "shs_b"))

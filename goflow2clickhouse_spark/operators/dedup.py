@@ -327,3 +327,43 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (pairs → clusters → keep-one-per-cluster)
+# ---------------------------------------------------------------------------
+
+def cluster_pairs(
+    pairs: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """k-step min-label propagation over near-dup pairs: every node
+    adopts the smallest label in its k-hop neighborhood. Returns
+    (id, cluster_id) for every doc appearing in some pair; the
+    cluster representative (the id to KEEP) is the cluster_id itself.
+
+    k iterations resolve components of diameter <= 2k. Near-dup
+    components are dense (copies pair with each other, not in chains),
+    so k=2 converges for dedup workloads; a general connected-
+    components need would iterate to fixpoint (same loop body). Each
+    iteration is one join + one aggregation on the (tiny, pair-sized)
+    edge relation — never touches the corpus."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(iterations):
+        neigh = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("mn"))
+        )
+        labels = labels.join(neigh, labels.id == neigh.src).select(
+            "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
+        )
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

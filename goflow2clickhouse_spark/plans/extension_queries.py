@@ -201,6 +201,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
 
 
+_CLUSTER_ORACLE = f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l1 AS (
+        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
+        FROM nodes n JOIN edges e ON e.src = n.id
+        GROUP BY n.id
+    ),
+    l2 AS (
+        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
+        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
+        GROUP BY a.id, a.lbl
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM l2 GROUP BY lbl
+    ) s
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+@query("dedup_cluster_sizes", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> clusters (2-step min-label propagation,
+    operators/dedup.cluster_pairs) -> cluster-size histogram. The
+    keep-one-per-cluster decision is `id == cluster_id`; this query
+    verifies the clustering itself against a SQL replay of the same
+    two propagation rounds."""
+    pairs = D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
+    labels = D.cluster_pairs(pairs, iterations=2)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash
 # ---------------------------------------------------------------------------

@@ -219,3 +219,74 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group embedding centroids (column-native + applyInPandas twin)
+# ---------------------------------------------------------------------------
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per label, pure column ops: posexplode
+    the vector, average per (label, position), re-assemble with
+    array_agg ordered by position. Two shuffles, all JVM-side —
+    the Spark-first formulation; see `label_centroids_pandas` for the
+    Arrow group-map twin."""
+    from pyspark.sql import functions as F
+
+    pos = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(vec_col)).alias("pos", "x"),
+    )
+    per_pos = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def label_centroids_pandas(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """applyInPandas twin of `label_centroids`: one Arrow batch per
+    label group, numpy mean inside. Use when the per-group computation
+    outgrows column expressions (iterative refinement, covariance);
+    for a plain mean the column version wins (no Python in the path).
+    tests/test_similarity.py proves both produce identical results."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("label", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+
+    def mean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].map(np.asarray).values).astype("float64")
+        return pd.DataFrame(
+            {"label": [int(pdf[label_col].iloc[0])], "centroid": [mat.mean(axis=0)]}
+        )
+
+    return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
+        mean_group, schema
+    )

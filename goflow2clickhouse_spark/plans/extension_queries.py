@@ -825,3 +825,43 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "tfidf", F.col("rn").cast("int").alias("rn"))
         .orderBy("source", "rn")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH pos AS (
+        SELECT label, CAST(embedding[gs.pos] AS DOUBLE) AS x, gs.pos
+        FROM embeddings, generate_series(1, 64) AS gs(pos)
+    ),
+    per_pos AS (
+        SELECT label, pos, AVG(x) AS m FROM pos GROUP BY label, pos
+    )
+    SELECT label,
+           ROUND(MIN(m), 6) AS min_dim_mean,
+           ROUND(MAX(m), 6) AS max_dim_mean,
+           ROUND(AVG(m), 6) AS avg_dim_mean
+    FROM per_pos
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid summary (min/max/mean of the centroid's
+    dimensions) via the column-native centroid op. The full vectors are
+    compared Spark-vs-pandas in tests/test_similarity.py; the oracle
+    checks the arithmetic against DuckDB's UNNEST WITH ORDINALITY."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e)
+    c = F.col("centroid")
+    return (
+        cents.select(
+            "label",
+            F.round(F.array_min(c), 6).alias("min_dim_mean"),
+            F.round(F.array_max(c), 6).alias("max_dim_mean"),
+            F.round(
+                F.aggregate(c, F.lit(0.0), lambda a, x: a + x) / F.size(c), 6
+            ).alias("avg_dim_mean"),
+        )
+        .orderBy("label")
+    )

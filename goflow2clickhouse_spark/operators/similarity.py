@@ -290,3 +290,52 @@ def label_centroids_pandas(
     return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
         mean_group, schema
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_cells: int = IVF_K,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-style refinement of the IVF seed centroids, expressed
+    entirely in DataFrame ops: assign every vector to its argmax-cosine
+    centroid (broadcast, narrow), recompute each cell's element-wise
+    mean (posexplode → per-(cell, pos) average → re-assemble), repeat.
+    Deterministic end-to-end (seed centroids + fixed tie-breaks), so
+    any engine can replay it. Returns (cell, centroid, n_members).
+
+    Scale: per iteration, one narrow assignment pass over the corpus +
+    one aggregation keyed by (cell, position) — K×dim rows out. The
+    corpus is never collected; centroids travel by broadcast."""
+    from pyspark.sql import functions as F
+
+    cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, cents_row, vec_col)
+        pos = assigned.select(
+            "cell", F.posexplode(as_double(vec_col)).alias("pos", "x")
+        )
+        new_cents = (
+            pos.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        cents_row = new_cents.select(
+            F.struct(F.col("cell").alias("cid"), F.col("cvec")).alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("_cents"))
+    final = ivf_assign(embeddings, cents_row, vec_col)
+    sizes = final.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cents = cents_row.select(F.explode("_cents").alias("c")).select(
+        F.col("c.cid").alias("cell"), F.col("c.cvec").alias("centroid")
+    )
+    return cents.join(sizes, "cell", "left").select(
+        "cell", "centroid", F.coalesce("n_members", F.lit(0)).alias("n_members")
+    )

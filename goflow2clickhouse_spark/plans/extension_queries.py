@@ -865,3 +865,71 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KMEANS_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cvec) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM scored) t WHERE rn = 1),
+    newc AS (
+        SELECT cid AS cell, gs.pos, AVG(v[gs.pos]) AS m
+        FROM assign, generate_series(1, 64) AS gs(pos)
+        GROUP BY cid, gs.pos),
+    vnorm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    cnorm AS (SELECT cell, sqrt(SUM(m * m)) AS nc FROM newc GROUP BY cell),
+    dots AS (
+        SELECT e2.vec_id, n.cell, SUM(e2.v[n.pos] * n.m) AS d
+        FROM e e2, newc n
+        GROUP BY e2.vec_id, n.cell),
+    scored2 AS (
+        SELECT d2.vec_id, d2.cell, d2.d / (vn.nv * cn.nc) AS score
+        FROM dots d2 JOIN vnorm vn USING (vec_id) JOIN cnorm cn USING (cell)),
+    final AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cell) AS rn
+            FROM scored2) t WHERE rn = 1),
+    sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM final GROUP BY cell),
+    summ AS (SELECT cell, ROUND(MIN(m), 6) AS min_dim,
+                    ROUND(MAX(m), 6) AS max_dim,
+                    ROUND(AVG(m), 6) AS avg_dim
+             FROM newc GROUP BY cell)
+    SELECT s.cell, COALESCE(z.n_members, 0) AS n_members,
+           s.min_dim, s.max_dim, s.avg_dim
+    FROM summ s LEFT JOIN sizes z USING (cell)
+    ORDER BY s.cell
+    """
+
+
+@query("kmeans_refined_cells", oracle=_KMEANS_ORACLE)
+def kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF seed centroids (operators/
+    similarity.kmeans_refine), summarized per cell — iterative ML-style
+    refinement expressed as pure DataFrame ops and replayed exactly in
+    SQL (deterministic seeds + fixed tie-breaks make the whole
+    iteration engine-portable)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.kmeans_refine(e, n_cells=8, iterations=1)
+    c = F.col("centroid")
+    return (
+        out.select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_members",
+            F.round(F.array_min(c), 6).alias("min_dim"),
+            F.round(F.array_max(c), 6).alias("max_dim"),
+            F.round(
+                F.aggregate(c, F.lit(0.0), lambda a, x: a + x) / F.size(c), 6
+            ).alias("avg_dim"),
+        )
+        .orderBy("cell")
+    )

@@ -651,3 +651,45 @@ def customer_order_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "nation_balance_full_outer",
+    oracle="""
+    WITH cb AS (
+        SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+        FROM customer GROUP BY c_nationkey
+    ),
+    sb AS (
+        SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cb.nationkey, sb.nationkey) AS nationkey,
+           COALESCE(cust_bal, 0.0) AS cust_bal,
+           COALESCE(supp_bal, 0.0) AS supp_bal
+    FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates — nations with only customers
+    or only suppliers survive with the missing side zeroed. Completes
+    the §2.B join-type inventory (inner/left/semi/anti/range/as-of/
+    full outer)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cb = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal")
+    )
+    sb = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal")
+    )
+    return (
+        cb.join(sb, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )

@@ -80,3 +80,31 @@ def test_column_fns_intdiv_truncates(spark):
         CLICKHOUSE_COLUMN_FNS["intDiv"](F.col("a"), F.col("b")).alias("d")
     ).collect()
     assert [r.d for r in out] == [3, -3, 3]  # toward zero, like intDiv
+
+
+# ---- property-based: translator structure preservation ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDENT = st.text(alphabet="abcxyz_", min_size=1, max_size=6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_IDENT, _IDENT)
+def test_translate_balanced_parens_and_idempotent_passthrough(a, b):
+    """Translation preserves paren balance, and SQL without ClickHouse
+    spellings passes through byte-identical."""
+    src = f"SELECT uniq({a}), bitAnd({a}, {b}), sumIf({a}, {b} > 0) FROM t"
+    out = translate(src)
+    assert out.count("(") == out.count(")")
+    plain = f"SELECT {a}, count(*) FROM t WHERE {b} > 1 GROUP BY {a}"
+    assert translate(plain) == plain
+
+
+@settings(max_examples=50, deadline=None)
+@given(_IDENT)
+def test_translate_nested_calls_inside_out(x):
+    """Nested ClickHouse calls translate at every level."""
+    out = translate(f"uniqExact(toStartOfMinute(toDateTime({x})))")
+    assert out == f"count(DISTINCT date_trunc('minute', to_timestamp({x})))"

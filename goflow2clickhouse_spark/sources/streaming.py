@@ -13,10 +13,14 @@ built-in UDP source, so the engine defines a pluggable seam:
   kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
   udp://<host>:<port>                 native UDP listener (Python
                                       DataSource, sources/udp.py):
-                                      goflow2 JSON datagrams, at-most-
-                                      once like the reference
-  sflow:// netflow:// nfl://          accepted & documented: binary
-                                      protocol decode needs a goflow2
+                                      binary NetFlow v5 OR goflow2 JSON
+                                      datagrams, at-most-once like the
+                                      reference
+  netflow:// nfl://                   same listener on port 2055; v5
+                                      decodes natively, v9/IPFIX needs
+                                      a goflow2 relay (template state)
+  sflow://                            accepted & documented: binary
+                                      sFlow decode needs a goflow2
                                       relay in front (→ udp://, kafka://
                                       or file://)
 
@@ -97,9 +101,14 @@ def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
             F.from_json(F.col("value").cast("string"), RAW_FLOW_SCHEMA).alias("m")
         ).select("m.*")
 
-    if spec.scheme == "udp":
-        # native UDP listener (Spark 4 Python DataSource): goflow2-style
-        # JSON datagrams → RAW_FLOW_SCHEMA rows; sources/udp.py
+    if spec.scheme in {"udp", "netflow", "nfl"}:
+        # native UDP listener (Spark 4 Python DataSource): binary
+        # NetFlow v5 datagrams decoded in-process (main.go:236-240
+        # parity) or goflow2-style JSON datagrams; sources/udp.py.
+        # netflow:// and nfl:// are the reference's spellings for the
+        # same socket (main.go:231-240) — v9/IPFIX datagrams on that
+        # port still need a goflow2 relay (template state), v5 and JSON
+        # decode natively.
         from .udp import UdpFlowDataSource
 
         spark.dataSource.register(UdpFlowDataSource)
@@ -107,18 +116,19 @@ def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         reader = (
             spark.readStream.format("udp_flows")
             .option("host", host or "0.0.0.0")
-            .option("port", port or "6343")
+            .option("port", port or ("2055" if spec.scheme != "udp" else "6343"))
         )
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         return reader.load()
 
-    if spec.scheme in _UDP_SCHEMES:
+    if spec.scheme == "sflow":
         raise NotImplementedError(
-            f"{spec.scheme}:// is a UDP listener in the reference "
-            "(main.go:226-240); Spark executors don't host UDP decoders. "
-            "Front with a goflow2→Kafka relay and use kafka://, or replay "
-            "captures with file://."
+            "sflow:// is a UDP listener with binary sFlow v5 decode in "
+            "the reference (main.go:226-229); sample-record decode needs "
+            "the full sFlow structure zoo. Front with a goflow2→Kafka "
+            "relay and use kafka://, send goflow2 JSON to udp://, or "
+            "replay captures with file://."
         )
     raise ValueError(f"unhandled scheme {spec.scheme}")
 

@@ -52,6 +52,103 @@ def test_parse_datagram_garbage_dropped():
     assert parse_datagram(b"") is None
 
 
+def test_parse_datagram_valid_json_non_object_dropped():
+    # valid JSON that isn't an object must drop, not crash the source
+    assert parse_datagram(b"[1, 2]") is None
+    assert parse_datagram(b'"x"') is None
+    assert parse_datagram(b"5") is None
+    assert parse_datagram(b"null") is None
+
+
+def test_parse_datagram_non_numeric_fields_dropped():
+    assert parse_datagram(_msg(Bytes="abc")) is None
+    assert parse_datagram(_msg(Proto={"nested": 1})) is None
+    assert parse_datagram(_msg(SrcPort=[443])) is None
+
+
+def _v5_datagram(records: list[dict], *, sys_uptime=100_000,
+                 unix_secs=1_700_000_000, seq=42, sampling=0x4000 | 1000):
+    import struct
+
+    head = struct.pack(
+        ">HHIIIIBBH", 5, len(records), sys_uptime, unix_secs, 0, seq, 0, 0,
+        sampling,
+    )
+    recs = b""
+    for r in records:
+        recs += struct.pack(
+            ">4s4s4sHHIIIIHHBBBBHHBBH",
+            r.get("src", bytes([10, 1, 1, 1])),
+            r.get("dst", bytes([10, 2, 2, 2])),
+            b"\x00" * 4,
+            0, 0,
+            r.get("pkts", 10),
+            r.get("octets", 5000),
+            r.get("first", 90_000),
+            r.get("last", 95_000),
+            r.get("srcport", 1234),
+            r.get("dstport", 443),
+            0,
+            r.get("tcp_flags", 0x12),
+            r.get("proto", 6),
+            0, 0, 0, 0, 0, 0,
+        )
+    return head + recs
+
+
+def test_decode_netflow_v5_byte_exact():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    sampler = bytes([192, 0, 2, 9])
+    rows = decode_datagram(_v5_datagram([{}, {"proto": 17, "dstport": 53}]),
+                           sampler)
+    assert len(rows) == 2
+    names = [f.name for f in RAW_FLOW_SCHEMA.fields]
+    r0 = dict(zip(names, rows[0]))
+    assert r0["Type"] == 2  # NETFLOW_V5
+    assert r0["TimeReceived"] == 1_700_000_000
+    assert r0["SequenceNum"] == 42
+    assert r0["SamplingRate"] == 1000  # low 14 bits only
+    assert r0["SamplerAddress"] == sampler
+    # first=90000ms, uptime=100000ms → flow started 10s before unix_secs
+    assert r0["TimeFlowStart"] == 1_700_000_000 - 10
+    assert r0["TimeFlowEnd"] == 1_700_000_000 - 5
+    assert r0["Bytes"] == 5000 and r0["Packets"] == 10
+    assert r0["SrcAddr"] == bytes([10, 1, 1, 1])
+    assert r0["DstAddr"] == bytes([10, 2, 2, 2])
+    assert r0["Etype"] == 0x0800 and r0["Proto"] == 6
+    assert r0["SrcPort"] == 1234 and r0["DstPort"] == 443
+    assert r0["TCPFlags"] == 0x12
+    r1 = dict(zip(names, rows[1]))
+    assert r1["Proto"] == 17 and r1["DstPort"] == 53
+
+
+def test_decode_netflow_v5_icmp_packing():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    # proto 1: dst_port carries (type << 8) | code — echo request 8/0
+    rows = decode_datagram(
+        _v5_datagram([{"proto": 1, "dstport": (8 << 8) | 0}]), b"\x00" * 4)
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["IcmpType"] == 8 and named["IcmpCode"] == 0
+    assert named["DstPort"] == 0
+
+
+def test_decode_netflow_v5_malformed():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    good = _v5_datagram([{}])
+    assert decode_datagram(good[:20], b"\x00" * 4) is None  # short header
+    assert decode_datagram(good[:-10], b"\x00" * 4) is None  # truncated rec
+    # count says 2 but only 1 record present
+    bad_count = bytearray(good)
+    bad_count[3] = 2
+    assert decode_datagram(bytes(bad_count), b"\x00" * 4) is None
+    # JSON framing still dispatches through decode_datagram
+    assert decode_datagram(_msg(), b"\x00" * 4) is not None
+    assert decode_datagram(b"{broken", b"\x00" * 4) is None
+
+
 @pytest.fixture()
 def reader():
     r = UdpFlowStreamReader({"host": "127.0.0.1", "port": "0"})
@@ -80,6 +177,22 @@ def test_reader_drain_and_offsets(reader):
     assert list(rows2) == [] and off2 == {"count": 5}
     # UDP replay is empty by contract (at-most-once, reference parity)
     assert list(r.readBetweenOffsets({"count": 0}, {"count": 5})) == []
+
+
+def test_reader_mixed_binary_and_json(reader):
+    """One drain handles interleaved v5 binary and JSON datagrams; the
+    binary rows carry the sender's address as SamplerAddress."""
+    r, port = reader
+    _send(port, [_v5_datagram([{}, {}]), _msg(SequenceNum=9), b"[1,2]"])
+    time.sleep(0.2)
+    rows, off = r.read({"count": 0})
+    rows = list(rows)
+    assert len(rows) == 3 and off == {"count": 3}
+    names = [f.name for f in RAW_FLOW_SCHEMA.fields]
+    v5_rows = [dict(zip(names, t)) for t in rows if t[0] == 2]
+    assert len(v5_rows) == 2
+    assert v5_rows[0]["SamplerAddress"] == bytes([127, 0, 0, 1])
+    assert r._dropped == 1  # the [1,2] datagram
 
 
 def test_udp_stream_end_to_end(spark, tmp_path):

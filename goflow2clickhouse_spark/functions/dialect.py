@@ -65,7 +65,13 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("bitOr", "({0} | {1})"),
     ("bitXor", "({0} ^ {1})"),
     ("modulo", "({0} % {1})"),
-    ("halfMD5", "cast(conv(substring(md5({0}), 1, 15), 16, 10) as bigint)"),
+    # ClickHouse halfMD5 = big-endian UInt64 of the first 8 MD5 bytes.
+    # Built from two 32-bit hex halves so conv() never exceeds bigint
+    # range; shiftleft wraps to Spark's signed long, which carries the
+    # same 64 bits as ClickHouse's UInt64 (value-compatible mod 2^64).
+    ("halfMD5",
+     "(shiftleft(cast(conv(substring(md5({0}),1,8),16,10) as bigint),32)"
+     " | cast(conv(substring(md5({0}),9,8),16,10) as bigint))"),
     (
         "IPv4NumToString",
         "concat_ws('.', cast(shiftright({0},24)&255 as string),"

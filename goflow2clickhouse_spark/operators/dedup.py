@@ -16,6 +16,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -220,8 +222,17 @@ def minhash_lsh_dedup_pairs(
     exact-Jaccard verify is by-fetch: candidate pairs (sized by LSH
     recall) join the per-document arrays and intersect with
     array_intersect — no inverted-index self-join, no per-shingle
-    quadratic expansion. At 100 TB the persisted array relation is the
-    stage you'd materialize to storage."""
+    quadratic expansion.
+
+    Caching contract: the shingle relation feeds two branches
+    (signatures, verify-fetch), so it is persisted — but the cache's
+    lifetime is tied to the RETURNED DataFrame via weakref.finalize,
+    not to the session: when the caller drops the result handle, the
+    shingle relation unpersists. No session-lifetime executor
+    memory/disk leak; recompute after release is safe (Spark falls
+    back to lineage). At 100 TB you'd instead materialize
+    `shingle_arrays(df)` to storage once and share it across dedup
+    runs."""
     sh = shingle_arrays(df, text_col, id_col, n).persist()
     # per-row hash array computed once; each signature slot is an
     # array_min over a narrow transform of it
@@ -246,7 +257,7 @@ def minhash_lsh_dedup_pairs(
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     shared = F.size(F.array_intersect("shs_a", "shs_b"))
-    return (
+    result = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -260,6 +271,17 @@ def minhash_lsh_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    weakref.finalize(result, _safe_unpersist, sh)
+    return result
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    """Best-effort unpersist for weakref.finalize callbacks (the session
+    may already be stopped by the time the result handle is GC'd)."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------

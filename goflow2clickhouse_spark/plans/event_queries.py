@@ -176,13 +176,20 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward) join: latest event per user at or before a probe
-    time. Spark lacks ASOF JOIN; the scalable idiom is equi-join on key
-    + row_number over ts DESC — one shuffle, no range explosion. Oracle
-    uses DuckDB's native ASOF JOIN. (Order dates predate event ts, so
-    the probe time is shifted; the join-shape is what's under test.)
+    time, via the linear union-timeline operator (operators/asof.py).
+    Oracle uses DuckDB's native ASOF JOIN. (Order dates predate event
+    ts, so the probe time is shifted; the join-shape is what's under
+    test.)
+
+    The equi-join + row_number formulation that used to live here
+    materializes every probe x candidate row per key before ranking —
+    quadratic per key, a scale-killer; it survives only as the
+    reference implementation inside tests/test_asof.py.
 
     Deterministic tie-break: DuckDB ASOF picks the max ts ≤ probe; ties
     on ts broken by max event_id to make both engines agree."""
+    from ..operators.asof import asof_join_backward
+
     o = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
     probe = o.select(
@@ -190,14 +197,13 @@ def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 150).alias("user_id"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("probe_ts"),
     )
-    joined = probe.join(ev.select("user_id", "ts", "event_id"), "user_id", "left")
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.desc_nulls_last("ts"), F.desc_nulls_last("event_id"))
-    return (
-        joined.filter((F.col("ts") <= F.col("probe_ts")) | F.col("ts").isNull())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "o_custkey", F.col("event_id").alias("last_event_id"))
+    out = asof_join_backward(
+        probe, ev.select("user_id", "ts", "event_id"),
+        key="user_id", probe_ts="probe_ts", ref_ts="ts",
+        value_cols=["event_id"], tie_break="event_id",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("event_id").alias("last_event_id")
     )
 
 
@@ -223,11 +229,9 @@ def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_asof_union_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The union-timeline as-of operator (operators/asof.py) against
-    DuckDB's native ASOF JOIN: linear per key instead of the
-    row_number formulation's probe x candidate blow-up
-    (orders_asof_last_event keeps the quadratic twin for comparison).
-    The oracle pre-dedupes equal-ts events to the max event_id, the
-    operator's tie-break contract."""
+    DuckDB's native ASOF JOIN, carrying a second value column through
+    the fill. The oracle pre-dedupes equal-ts events to the max
+    event_id, the operator's tie-break contract."""
     from ..operators.asof import asof_join_backward
 
     o = load_table(spark, sf_dir, "orders")

@@ -809,7 +809,7 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count("*").alias("n_docs"))
     tf_src = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
     scored = (
-        tf_src.join(df_t, "term")
+        tf_src.join(F.broadcast(df_t), "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -68,16 +68,35 @@ def parse_listen(listen: str) -> list[SourceSpec]:
     return specs
 
 
-def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+#: assumed rows per dropped parquet file when deriving a file-count cap
+#: from a row-count batch size (-batchsize is rows in the reference,
+#: main.go:36; the file source can only cap files per trigger).
+_ROWS_PER_FILE_ESTIMATE = 10_000
+
+
+def open_stream(
+    spark: SparkSession, spec: SourceSpec, batch_size: int | None = None
+) -> DataFrame:
     """Materialize one source spec as a streaming DataFrame of raw
-    flow records (RAW_FLOW_SCHEMA)."""
+    flow records (RAW_FLOW_SCHEMA).
+
+    `batch_size` is the per-trigger row cap (-batchsize, main.go:36):
+    mapped to each source's native cap (maxRowsPerTrigger for udp,
+    maxOffsetsPerTrigger for kafka, a derived maxFilesPerTrigger for
+    file). Explicit URL options always win. The rate source is a load
+    generator — its volume knob is rowsPerSecond, so batch_size does
+    not apply."""
     if spec.scheme == "file":
         reader = spark.readStream.schema(RAW_FLOW_SCHEMA)
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         if "maxFilesPerTrigger" not in spec.options:
             # size-bound half of the reference's size-OR-time batcher
-            reader = reader.option("maxFilesPerTrigger", "8")
+            files = (
+                max(1, batch_size // _ROWS_PER_FILE_ESTIMATE)
+                if batch_size else 8
+            )
+            reader = reader.option("maxFilesPerTrigger", str(files))
         return reader.parquet(spec.target)
 
     if spec.scheme == "rate":
@@ -93,6 +112,8 @@ def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
             .option("kafka.bootstrap.servers", broker)
             .option("subscribe", topic or spec.options.get("topic", "flows"))
         )
+        if batch_size and "maxOffsetsPerTrigger" not in spec.options:
+            reader = reader.option("maxOffsetsPerTrigger", str(batch_size))
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         raw = reader.load()
@@ -118,6 +139,8 @@ def open_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
             .option("host", host or "0.0.0.0")
             .option("port", port or ("2055" if spec.scheme != "udp" else "6343"))
         )
+        if batch_size and "maxRowsPerTrigger" not in spec.options:
+            reader = reader.option("maxRowsPerTrigger", str(batch_size))
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         return reader.load()

@@ -61,7 +61,10 @@ class IngestPipeline:
 
     def stream(self) -> DataFrame:
         """The transformed streaming DataFrame (22-column flows)."""
-        raws = [open_stream(self.spark, s) for s in self._specs]
+        raws = [
+            open_stream(self.spark, s, batch_size=self.config.batch_size)
+            for s in self._specs
+        ]
         return flow_transform(fan_in(*raws))
 
     def start(

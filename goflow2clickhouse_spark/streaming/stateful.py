@@ -120,7 +120,11 @@ def _make_tracker(key_cols: list[str], gap_s: int):
                 sessions.append(tuple(cur))
                 cur = [int(t), int(t), int(n), int(b)]
             else:
-                cur[1] = int(t)
+                # max, not assignment: a later micro-batch can deliver an
+                # in-watermark late event with t < the carried session end;
+                # regressing end_ms would fire EventTimeTimeout early and
+                # emit a session_end below the batch twin's max(ts).
+                cur[1] = max(cur[1], int(t))
                 cur[2] += int(n)
                 cur[3] += int(b)
 

@@ -39,6 +39,43 @@ def test_asof_equal_ts_and_ties(spark):
     assert (row.rid, row.rv) == (4, 0.4)
 
 
+def test_asof_agrees_with_quadratic_reference(spark):
+    """The retired equi-join + row_number formulation (quadratic per
+    key: every probe x candidate pair materializes before ranking) is
+    kept here only as a reference implementation; the linear
+    union-timeline operator must agree with it row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    probes = spark.createDataFrame(
+        [(i, i % 3, 10 * i) for i in range(1, 20)],
+        "pid long, k long, pts long",
+    )
+    refs = spark.createDataFrame(
+        [(k, 7 * j, 100 * k + j) for k in range(3) for j in range(25)],
+        "k long, rts long, rid long",
+    )
+
+    linear = {
+        r.pid: r.rid
+        for r in asof_join_backward(
+            probes, refs, "k", "pts", "rts", ["rid"], "rid"
+        ).collect()
+    }
+
+    joined = probes.join(refs, "k", "left")
+    w = Window.partitionBy("pid").orderBy(
+        F.desc_nulls_last("rts"), F.desc_nulls_last("rid"))
+    quadratic = {
+        r.pid: r.rid
+        for r in joined.filter((F.col("rts") <= F.col("pts")) | F.col("rts").isNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert linear == quadratic
+
+
 def test_asof_rejects_column_collision(spark):
     import pytest as _pytest
 

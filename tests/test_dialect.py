@@ -49,6 +49,26 @@ def test_ipv4_roundtrip_via_dialect(spark):
     assert out[0].n == 3232235777
 
 
+def test_halfmd5_value_parity(spark):
+    """halfMD5 must equal ClickHouse's value: big-endian UInt64 of the
+    first 8 MD5 bytes (as Spark's signed long, same 64 bits)."""
+    import hashlib
+
+    vals = ["", "abc", "10.0.0.1", "the quick brown fox"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    df.createOrReplaceTempView("half_md5_t")
+    got = {
+        r.s: r.h
+        for r in spark.sql(
+            "SELECT s, " + translate("halfMD5(s)") + " AS h FROM half_md5_t"
+        ).collect()
+    }
+    for v in vals:
+        u64 = int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+        want = u64 - (1 << 64) if u64 >= (1 << 63) else u64  # signed long
+        assert got[v] == want, f"halfMD5({v!r})"
+
+
 def test_translate_conditional_aggregates():
     assert translate("countIf(proto = 6)") == "sum(CASE WHEN proto = 6 THEN 1 ELSE 0 END)"
     assert translate("sumIf(bytes, d = 0)") == "sum(CASE WHEN d = 0 THEN bytes ELSE 0 END)"

@@ -139,6 +139,15 @@ def test_ivf_assignment_no_shuffle(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_tfidf_broadcasts_document_frequency(spark):
+    """The vocabulary-sized document-frequency side must broadcast into
+    the (source, term) TF relation — a term-keyed shuffle join there
+    re-shuffles the whole TF relation for a dim that fits in memory."""
+    p = plan_str(spark, SPECS["top_terms_tfidf"].spark(spark, SF), "simple")
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "SortMergeJoin" not in p, f"df_t join fell back to SMJ:\n{p}"
+
+
 def test_salted_agg_two_phase(spark):
     """Salted aggregation: two aggregation phases around two exchanges,
     same result as the plain groupBy (oracle test covers values)."""

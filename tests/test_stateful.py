@@ -115,6 +115,44 @@ def test_sessions_content(spark, tmp_path, session_chunks):
     assert b.n_flows == 4 and b.total_bytes == 307
 
 
+def test_late_event_cannot_regress_session_end(spark, tmp_path):
+    """A later micro-batch delivering an in-watermark late event (t below
+    the carried session end) must not move the session end backwards —
+    regression would fire the event-time timeout early and break parity
+    with the batch twin."""
+    d = tmp_path / "late"
+    # batch 0: 5 flows BASE..BASE+20 → state end = BASE+20, wm = BASE+10
+    c0 = _rows(BASE, 5, 0)
+    # batch 1: one late event at BASE+15 — inside the watermark, below end
+    c1 = [_raw_row(TimeReceived=BASE + 15, SequenceNum=50, Bytes=9)]
+    # batch 2: far-future flush on another key so the session times out
+    c2 = [
+        _raw_row(
+            TimeReceived=BASE + 100_000,
+            SequenceNum=5000,
+            SrcAddr=bytes([10, 9, 9, 9]),
+        )
+    ]
+    for chunk in (c0, c1, c2):
+        spark.createDataFrame(chunk, RAW_FLOW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    streamed = _run_stream(spark, d, tmp_path / "ck_late")
+    rows = [r for r in streamed.collect() if r.src_addr != "10.9.9.9"]
+    assert len(rows) == 1
+    (s,) = rows
+    assert int(s.session_end.timestamp()) == BASE + 20  # not BASE+15
+    assert s.n_flows == 6 and s.total_bytes == 509
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(d))
+    twin = conversations_batch(flow_transform(batch_raw), key_cols=KEY, gap_s=30)
+    t = twin.filter(F.col("src_addr") != "10.9.9.9").collect()
+    assert len(t) == 1
+    assert int(t[0].session_end.timestamp()) == BASE + 20
+    assert t[0].n_flows == 6 and t[0].total_bytes == 509
+
+
 def test_batch_twin_tie_determinism(spark):
     """Duplicate event times at a session boundary must land in one
     session regardless of row order (the per-instant pre-aggregation)."""

@@ -80,6 +80,34 @@ def test_restart_no_duplicates(spark, tmp_path, raw_dir):
     assert n1 == n2 == 150
 
 
+def test_batchsize_reaches_file_source(spark, tmp_path, raw_dir):
+    """--batchsize (rows) must derive the file source's per-trigger cap:
+    batch_size=10_000 → 1 file per trigger → one batch per chunk file."""
+    out = tmp_path / "out3"
+    cfg = IngestConfig(
+        listen=f"file://{raw_dir}",  # no explicit maxFilesPerTrigger
+        batch_size=10_000,
+        checkpoint=str(tmp_path / "ckpt3"),
+    )
+    seen: list[int] = []
+
+    def counting_sink(df, batch_id):
+        seen.append(df.count())
+
+    q = IngestPipeline(spark, cfg, counting_sink).start(available_now=True)
+    q.awaitTermination(120)
+    assert len(seen) == 3 and sum(seen) == 150  # one batch per file
+
+
+def test_batchsize_reaches_udp_source():
+    """The udp reader's drain cap must come from maxRowsPerTrigger,
+    which open_stream derives from batch_size."""
+    from goflow2clickhouse_spark.sources.udp import UdpFlowStreamReader
+
+    r = UdpFlowStreamReader({"maxRowsPerTrigger": "777"})
+    assert r.max_per_batch == 777
+
+
 def test_parse_listen_dispatch():
     specs = parse_listen("file:///tmp/a?maxFilesPerTrigger=2,rate://?rowsPerSecond=10")
     assert [s.scheme for s in specs] == ["file", "rate"]

@@ -14,8 +14,10 @@ reference flag (main.go)        here
 -batchsize (go:36)              --batchsize (per-trigger source cap)
 -batchmaxtime (go:37)           --batchmaxtime (trigger interval)
 -workers (go:35)                Spark parallelism (SPARK_GRAFT_CPUS)
--metrics.addr (go:39)           metrics listener always attached; scrape
-                                 via FlowMetricsListener.metrics.snapshot()
+-metrics.addr (go:39)           --metrics-addr host:port → Prometheus
+                                 /metrics endpoint (empty = disabled;
+                                 snapshot dict always available via
+                                 FlowMetricsListener.metrics.snapshot())
 """
 
 from __future__ import annotations
@@ -64,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="/tmp/goflow2spark-ckpt")
     p.add_argument("--available-now", action="store_true",
                    help="drain available input then exit (replay mode)")
+    p.add_argument("--metrics-addr", default="",
+                   help="host:port for the Prometheus /metrics endpoint "
+                        "(main.go:39 parity; empty = disabled)")
     return p
 
 
@@ -72,11 +77,17 @@ def main(argv: list[str] | None = None) -> int:
     # imports deferred so --help works without a JVM
     from .session import get_spark
     from .streaming.ingest import IngestConfig, IngestPipeline
-    from .streaming.metrics import FlowMetricsListener
+    from .streaming.metrics import FlowMetricsListener, MetricsHttpServer
 
     spark = get_spark(app_name="goflow2clickhouse-spark-ingest")
     listener = FlowMetricsListener()
     spark.streams.addListener(listener)
+    server = (
+        MetricsHttpServer(listener.metrics, args.metrics_addr)
+        if args.metrics_addr else None
+    )
+    if server:
+        print(f"serving /metrics on port {server.port}", file=sys.stderr)
     cfg = IngestConfig(
         listen=args.listen,
         batch_max_time=args.batchmaxtime,
@@ -85,7 +96,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipe = IngestPipeline(spark, cfg, make_sink(args.sink))
     query = pipe.start(available_now=args.available_now)
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if server:
+            server.close()
     snap = listener.metrics.snapshot()
     print(f"ingested {int(snap['flows_rows_total'])} rows "
           f"in {int(snap['flows_batches_total'])} batches", file=sys.stderr)

@@ -284,6 +284,16 @@ def _safe_unpersist(df: DataFrame) -> None:
         pass
 
 
+def pin(df: DataFrame, *handles) -> DataFrame:
+    """Keep `handles` (DataFrames whose caches/checkpoints are tied to
+    their Python lifetime via weakref.finalize) alive for as long as
+    `df` is. REQUIRED whenever a caller builds further plan on top of a
+    finalizer-managed result and drops the intermediate handle — else
+    the cache releases before the composed query ever runs."""
+    df._cache_pins = handles  # noqa: SLF001 — deliberate attach
+    return df
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -356,36 +366,87 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 def cluster_pairs(
-    pairs: DataFrame, iterations: int = 2
+    pairs: DataFrame, iterations: int = 2,
+    broadcast_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """k-step min-label propagation over near-dup pairs: every node
     adopts the smallest label in its k-hop neighborhood. Returns
     (id, cluster_id) for every doc appearing in some pair; the
     cluster representative (the id to KEEP) is the cluster_id itself.
 
-    k iterations resolve components of diameter <= 2k. Near-dup
+    k iterations converge every component whose min-id node is within
+    k hops of all members (labels move one hop per round). Near-dup
     components are dense (copies pair with each other, not in chains),
     so k=2 converges for dedup workloads; a general connected-
     components need would iterate to fixpoint (same loop body). Each
     iteration is one join + one aggregation on the (tiny, pair-sized)
-    edge relation — never touches the corpus."""
-    edges = pairs.select(
+    edge relation — never touches the corpus.
+
+    Like every iterative graph operator (GraphX does the same), this
+    one has a deliberate materialization point: the edge relation is
+    CHECKPOINTED once, not merely persisted — it feeds every loop
+    iteration, and a persist alone keeps the upstream lineage (e.g. a
+    whole MinHash plan) inside the iteration DAG, which Catalyst then
+    re-analyzes once per reference (~5x for k=2; analysis time, not
+    execution, dominated the wall clock). Reliable `.checkpoint()`
+    when the session has a checkpoint dir (the cluster deployment —
+    survives executor loss), `.localCheckpoint()` otherwise. The
+    materialized count picks the physical strategy: a graph at or
+    below `broadcast_max_edges` iterates with broadcast joins on one
+    partition (near-dup graphs are dup-fraction-sized, overwhelmingly
+    this case — shuffle-stage overhead would dominate otherwise); a
+    bigger graph falls back to plain shuffle joins, the scale-correct
+    path. Lifecycle: the checkpoint blocks are released when the
+    returned labels handle is dropped, same contract as
+    minhash_lsh_dedup_pairs."""
+    sc = pairs.sparkSession.sparkContext
+    edges_raw = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    ids_before = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet()}
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    cached = (
+        edges_raw.checkpoint(eager=True) if reliable
+        else edges_raw.localCheckpoint(eager=True)
+    )
+    ckpt_ids = [
+        i for k in sc._jsc.getPersistentRDDs().keySet()
+        if (i := int(str(k))) not in ids_before
+    ]
+    small = cached.count() <= broadcast_max_edges
+    edges = cached.coalesce(1) if small else cached
+    hint = F.broadcast if small else (lambda df: df)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "lbl", F.col("id")
     )
     for _ in range(iterations):
         neigh = (
             edges.join(
-                labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}), "dst"
+                hint(labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"})),
+                "dst",
             )
             .groupBy("src")
             .agg(F.min("nlbl").alias("mn"))
         )
-        labels = labels.join(neigh, labels.id == neigh.src).select(
+        labels = labels.join(hint(neigh), labels.id == neigh.src).select(
             "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
         )
-    return labels.select("id", F.col("lbl").alias("cluster_id"))
+    result = labels.select("id", F.col("lbl").alias("cluster_id"))
+    weakref.finalize(result, _release_rdds, sc, ckpt_ids)
+    return result
+
+
+def _release_rdds(sc, rdd_ids: list[int]) -> None:
+    """Best-effort release of checkpoint RDD blocks once the result
+    handle is gone (df.unpersist does not reach localCheckpoint
+    storage; SparkContext.unpersistRDD does)."""
+    for i in rdd_ids:
+        try:
+            sc._jsc.sc().unpersistRDD(i, False)
+        except Exception:
+            return

@@ -27,6 +27,7 @@ promote([
     "similarity_ivf_ann",
     "similarity_lsh_ann",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

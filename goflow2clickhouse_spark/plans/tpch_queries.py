@@ -129,6 +129,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     ORDER BY o_year
     """,
+    bench=True,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 adapted: one nation's share of a region's market for one
@@ -451,6 +452,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
+    bench=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted (no ps_supplycost in fixtures — supply cost

@@ -51,8 +51,10 @@ def clickhouse_jdbc_sink(
     """ClickHouse over JDBC — the production twin of the reference's
     native-protocol insert (main.go:157-169). `batchsize` mirrors
     -batchsize (main.go:36). Requires the ClickHouse JDBC driver on the
-    executor classpath; unreachable in this test environment, kept as a
-    thin adapter behind the SinkFn seam (SURVEY.md §7.4)."""
+    executor classpath; no ClickHouse server exists in the test
+    environment, so the writer plumbing is contract-tested against an
+    embedded Derby JDBC target (tests/test_jdbc_sink.py) — same Spark
+    JDBC write path, injectable driver/URL."""
     props = {"driver": "com.clickhouse.jdbc.ClickHouseDriver"}
     props.update(properties or {})
 

@@ -1,14 +1,16 @@
 """Observability — the engine's equivalent of the reference's
 Prometheus /metrics endpoint (/root/reference/main.go:39-40,177-180):
 a StreamingQueryListener accumulating rows/sec + batch counts, exposed
-as a plain dict (scrapeable by any exporter; Spark's own
-spark.metrics Prometheus servlet covers executor-level metrics).
+as a plain dict AND served in Prometheus text format over HTTP
+(MetricsHttpServer, --metrics-addr). Spark's own spark.metrics
+Prometheus servlet covers executor-level metrics.
 """
 
 from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql.streaming import StreamingQueryListener
 
@@ -61,3 +63,61 @@ class FlowMetricsListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
+
+
+def prometheus_text(snapshot: dict[str, float]) -> str:
+    """Render a metrics snapshot in the Prometheus text exposition
+    format (the payload the reference serves at /metrics)."""
+    lines = []
+    for name in sorted(snapshot):
+        kind = "counter" if name.endswith("_total") else "gauge"
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {snapshot[name]}")
+    return "\n".join(lines) + "\n"
+
+
+class MetricsHttpServer:
+    """HTTP /metrics endpoint (main.go:39-40,177-180 parity: the
+    reference mounts promhttp on -metrics.addr).
+
+    Runs a daemon-threaded stdlib HTTP server on `addr`
+    ("host:port"; port 0 picks an ephemeral one — read it back from
+    `.port`). Driver-side only, like the reference's single process
+    endpoint; executor metrics belong to Spark's own metrics system.
+    """
+
+    def __init__(self, metrics: IngestMetrics, addr: str = "127.0.0.1:0"):
+        host, _, port = addr.rpartition(":")
+        snapshot = metrics.snapshot  # bound method; handler stays tiny
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+                if self.path.split("?")[0] != "/metrics":
+                    self.send_error(404)
+                    return
+                body = prometheus_text(snapshot()).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # silence per-scrape logs
+                pass
+
+        self._server = ThreadingHTTPServer((host or "0.0.0.0", int(port or 0)),
+                                           _Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="metrics-http", daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -28,3 +28,35 @@ def test_minhash_lsh_unpersists_with_result_handle(spark):
     assert _n_persistent(spark) == before, (
         "shingle relation still cached after the result handle was dropped"
     )
+
+
+def test_cluster_pairs_checkpoint_released_and_composition_safe(spark):
+    """cluster_pairs checkpoints its edge relation (lineage truncation
+    for the iterative loop): a composed plan built on top must still
+    execute after the intermediate handle is dropped (pin contract),
+    and the checkpoint blocks must release with the final handle."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.dedup import cluster_pairs, pin
+
+    before = _n_persistent(spark)
+    # dense components (the near-dup shape cluster_pairs targets):
+    # a triangle, a pair, and a 4-star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    labels = cluster_pairs(pairs, iterations=2)
+    sizes = pin(
+        labels.groupBy("cluster_id").agg(F.count("*").alias("n")), labels
+    )
+    del labels  # composed plan must survive this (the pin holds it)
+    gc.collect()
+    got = {r.cluster_id: r.n for r in sizes.collect()}
+    assert got == {1: 3, 10: 2, 20: 4}
+
+    del sizes
+    gc.collect()
+    assert _n_persistent(spark) == before, (
+        "edge checkpoint still held after the final handle was dropped"
+    )

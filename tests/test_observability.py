@@ -45,6 +45,68 @@ def test_metrics_listener_counts_rows(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_metrics_http_endpoint_scrape(spark, tmp_path):
+    """The /metrics HTTP endpoint (reference parity, main.go:177-180)
+    serves the listener's counters in Prometheus text format while an
+    ingest runs; non-/metrics paths 404."""
+    import urllib.error
+    import urllib.request
+
+    from goflow2clickhouse_spark.streaming.metrics import MetricsHttpServer
+
+    src = tmp_path / "in_http"
+    _write_chunks(spark, src, 40)
+    listener = FlowMetricsListener()
+    spark.streams.addListener(listener)
+    server = MetricsHttpServer(listener.metrics, "127.0.0.1:0")
+    try:
+        cfg = IngestConfig(
+            listen=f"file://{src}", checkpoint=str(tmp_path / "ck_http")
+        )
+        q = IngestPipeline(
+            spark, cfg, parquet_sink(str(tmp_path / "out_http"))
+        ).start(query_name="metrics_http_run", available_now=True)
+
+        url = f"http://127.0.0.1:{server.port}/metrics"
+        # scrape-able while the query is running
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            assert resp.status == 200
+            assert "text/plain" in resp.headers["Content-Type"]
+        q.awaitTermination(120)
+
+        deadline = time.time() + 30
+        body = ""
+        while time.time() < deadline:
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                body = resp.read().decode()
+            if "flows_rows_total 40.0" in body:
+                break
+            time.sleep(0.5)
+        assert "# TYPE flows_rows_total counter" in body
+        assert "flows_rows_total 40.0" in body
+        assert "# TYPE flows_batch_duration_ms gauge" in body
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/other", timeout=10)
+            raise AssertionError("non-/metrics path should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.close()
+        spark.streams.removeListener(listener)
+
+
+def test_prometheus_text_format():
+    from goflow2clickhouse_spark.streaming.metrics import prometheus_text
+
+    text = prometheus_text({"x_total": 3.0, "y_rate": 1.5})
+    assert text == (
+        "# TYPE x_total counter\nx_total 3.0\n"
+        "# TYPE y_rate gauge\ny_rate 1.5\n"
+    )
+
+
 def test_fanout_sink_feeds_all_sinks(spark, tmp_path):
     src = tmp_path / "in2"
     _write_chunks(spark, src, 25)

@@ -162,6 +162,13 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
         self.host = options.get("host", "0.0.0.0")
         self.port = int(options.get("port", "6343"))
         self.max_per_batch = int(options.get("maxRowsPerTrigger", "100000"))
+        # reuseport=true → SO_REUSEPORT: N listener streams bind the SAME
+        # port and the kernel spreads datagrams across them — the engine's
+        # -workers parity (main.go:35: N decode goroutines per listener).
+        # Compose with fan_in: open N udp:// streams with reuseport and
+        # union them (sources/streaming.py docstring).
+        self.reuseport = options.get("reuseport", "false").lower() == "true"
+        self.rcvbuf = int(options.get("rcvbuf", "0"))
         self._sock: socket.socket | None = None
         self._dropped = 0
 
@@ -169,6 +176,10 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
         if self._sock is None:
             s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            if self.reuseport:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            if self.rcvbuf > 0:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, self.rcvbuf)
             s.bind((self.host, self.port))
             s.setblocking(False)
             self._sock = s

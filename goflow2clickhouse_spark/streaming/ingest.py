@@ -28,7 +28,7 @@ Semantics deltas (documented, both upgrades):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -60,11 +60,30 @@ class IngestPipeline:
         self._specs = parse_listen(config.listen)
 
     def stream(self) -> DataFrame:
-        """The transformed streaming DataFrame (22-column flows)."""
-        raws = [
-            open_stream(self.spark, s, batch_size=self.config.batch_size)
-            for s in self._specs
-        ]
+        """The transformed streaming DataFrame (22-column flows).
+
+        -workers parity (main.go:35): a udp://-family spec with
+        ?workers=N opens N SO_REUSEPORT listener streams on the same
+        port (kernel spreads datagrams across them) and fans them in —
+        N decode loops for one listener, like the reference's N
+        FlowRoutine goroutines."""
+        raws: list[DataFrame] = []
+        for s in self._specs:
+            workers = int(s.options.get("workers", "1"))
+            if workers > 1 and s.scheme in {"udp", "netflow", "nfl"}:
+                opts = {k: v for k, v in s.options.items() if k != "workers"}
+                opts["reuseport"] = "true"
+                spec_n = replace(s, options=opts)
+                raws.extend(
+                    open_stream(self.spark, spec_n,
+                                batch_size=self.config.batch_size)
+                    for _ in range(workers)
+                )
+            else:
+                raws.append(
+                    open_stream(self.spark, s,
+                                batch_size=self.config.batch_size)
+                )
         return flow_transform(fan_in(*raws))
 
     def start(

@@ -108,6 +108,24 @@ def test_batchsize_reaches_udp_source():
     assert r.max_per_batch == 777
 
 
+def test_udp_workers_fan_in(spark):
+    """udp://...?workers=N must open N SO_REUSEPORT listener streams on
+    one port, fanned in (-workers parity, main.go:35)."""
+    import socket as _socket
+
+    probe = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    cfg = IngestConfig(listen=f"udp://127.0.0.1:{port}?workers=2")
+    pipe = IngestPipeline(spark, cfg, lambda df, bid: None)
+    df = pipe.stream()
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("udp_flows") == 2, plan
+    assert "Union" in plan
+
+
 def test_parse_listen_dispatch():
     specs = parse_listen("file:///tmp/a?maxFilesPerTrigger=2,rate://?rowsPerSecond=10")
     assert [s.scheme for s in specs] == ["file", "rate"]

@@ -195,6 +195,36 @@ def test_reader_mixed_binary_and_json(reader):
     assert r._dropped == 1  # the [1,2] datagram
 
 
+def test_reuseport_two_listeners_share_port():
+    """-workers parity: with reuseport=true two readers bind the SAME
+    port and the kernel spreads datagrams between them; fan-in of both
+    streams sees every datagram exactly once."""
+    rcvbuf = str(4 * 1024 * 1024)
+    r1 = UdpFlowStreamReader(
+        {"host": "127.0.0.1", "port": "0", "reuseport": "true",
+         "rcvbuf": rcvbuf})
+    s1 = r1._socket()
+    port = s1.getsockname()[1]
+    r2 = UdpFlowStreamReader(
+        {"host": "127.0.0.1", "port": str(port), "reuseport": "true",
+         "rcvbuf": rcvbuf})
+    s2 = r2._socket()
+    try:
+        n = 200
+        # several sender sockets: the kernel spreads per 4-tuple, so a
+        # single sender would land entirely on one listener
+        for base in range(0, n, 50):
+            _send(port, [_msg(SequenceNum=i) for i in range(base, base + 50)])
+        time.sleep(0.3)
+        rows1 = list(r1.read({"count": 0})[0])
+        rows2 = list(r2.read({"count": 0})[0])
+        seqs = sorted(t[2] for t in rows1 + rows2)
+        assert seqs == list(range(n))  # all delivered, none duplicated
+    finally:
+        s1.close()
+        s2.close()
+
+
 def test_udp_drain_rate_floor(reader):
     """The driver-drain ceiling (README 'UDP ingest throughput'): the
     single-socket reader must clear the reference's implied >=1,000

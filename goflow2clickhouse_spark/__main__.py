@@ -2,13 +2,15 @@
 (/root/reference/main.go:31-40):
 
   python -m goflow2clickhouse_spark \\
-      --listen udp://:6343,udp://:2055 \\
+      --listen sflow://:6343,netflow://:2055 \\
       --sink parquet:///data/flows \\
       --batchsize 10000 --batchmaxtime "10 seconds"
 
 reference flag (main.go)        here
 -listen  (go:31)                --listen (same comma-separated URL list;
-                                 udp:// native, file://, rate://, kafka://)
+                                 sflow:// netflow:// udp:// native with
+                                 in-process binary sFlow-v5/NetFlow-v5
+                                 decode, file://, rate://, kafka://)
 -db      (go:33)                --sink  (parquet://<path>,
                                  partitioned://<path>, jdbc:<url>)
 -batchsize (go:36)              --batchsize (per-trigger source cap)
@@ -54,8 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="goflow2clickhouse_spark",
         description="PySpark-native flow ingest pipeline",
     )
-    p.add_argument("--listen", default="udp://:6343,udp://:2055",
-                   help="comma-separated source URLs (main.go:31 parity)")
+    p.add_argument("--listen", default="sflow://:6343,netflow://:2055",
+                   help="comma-separated source URLs (main.go:31 default "
+                        "and parity)")
     p.add_argument("--sink", default="parquet:///tmp/flows-out",
                    help="sink spec: parquet://, parquet-idempotent://, "
                         "partitioned://, jdbc:...#table")

@@ -13,16 +13,13 @@ built-in UDP source, so the engine defines a pluggable seam:
   kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
   udp://<host>:<port>                 native UDP listener (Python
                                       DataSource, sources/udp.py):
-                                      binary NetFlow v5 OR goflow2 JSON
-                                      datagrams, at-most-once like the
-                                      reference
-  netflow:// nfl://                   same listener on port 2055; v5
-                                      decodes natively, v9/IPFIX needs
-                                      a goflow2 relay (template state)
-  sflow://                            accepted & documented: binary
-                                      sFlow decode needs a goflow2
-                                      relay in front (→ udp://, kafka://
-                                      or file://)
+                                      binary sFlow v5, binary NetFlow
+                                      v5, or goflow2 JSON datagrams —
+                                      at-most-once like the reference
+  sflow://  (port 6343)               same listener, reference spelling
+  netflow:// nfl:// (port 2055)       same listener; v9/IPFIX datagrams
+                                      need a goflow2 relay in front
+                                      (template state) → kafka://
 
 Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
 `fan_in` + `flow_transform` apply uniformly downstream.
@@ -122,22 +119,24 @@ def open_stream(
             F.from_json(F.col("value").cast("string"), RAW_FLOW_SCHEMA).alias("m")
         ).select("m.*")
 
-    if spec.scheme in {"udp", "netflow", "nfl"}:
-        # native UDP listener (Spark 4 Python DataSource): binary
-        # NetFlow v5 datagrams decoded in-process (main.go:236-240
-        # parity) or goflow2-style JSON datagrams; sources/udp.py.
-        # netflow:// and nfl:// are the reference's spellings for the
-        # same socket (main.go:231-240) — v9/IPFIX datagrams on that
-        # port still need a goflow2 relay (template state), v5 and JSON
-        # decode natively.
+    if spec.scheme in {"udp", "sflow", "netflow", "nfl"}:
+        # native UDP listener (Spark 4 Python DataSource): binary sFlow
+        # v5 (main.go:226-229 parity) and binary NetFlow v5
+        # (main.go:236-240 parity) decoded in-process, goflow2-style
+        # JSON as the fallback framing; sources/udp.py. sflow:// and
+        # netflow://|nfl:// are the reference's listener spellings with
+        # their default ports — NetFlow v9/IPFIX datagrams still need a
+        # goflow2 relay (template state), everything else decodes
+        # natively.
         from .udp import UdpFlowDataSource
 
         spark.dataSource.register(UdpFlowDataSource)
         host, _, port = spec.target.partition(":")
+        default_port = "2055" if spec.scheme in {"netflow", "nfl"} else "6343"
         reader = (
             spark.readStream.format("udp_flows")
             .option("host", host or "0.0.0.0")
-            .option("port", port or ("2055" if spec.scheme != "udp" else "6343"))
+            .option("port", port or default_port)
         )
         if batch_size and "maxRowsPerTrigger" not in spec.options:
             reader = reader.option("maxRowsPerTrigger", str(batch_size))
@@ -145,14 +144,6 @@ def open_stream(
             reader = reader.option(k, v)
         return reader.load()
 
-    if spec.scheme == "sflow":
-        raise NotImplementedError(
-            "sflow:// is a UDP listener with binary sFlow v5 decode in "
-            "the reference (main.go:226-229); sample-record decode needs "
-            "the full sFlow structure zoo. Front with a goflow2→Kafka "
-            "relay and use kafka://, send goflow2 JSON to udp://, or "
-            "replay captures with file://."
-        )
     raise ValueError(f"unhandled scheme {spec.scheme}")
 
 

@@ -4,14 +4,19 @@ engine's native stand-in for the reference's UDP listeners
 inside the goflow library).
 
 Wire formats (auto-dispatched per datagram, decode_datagram):
+- binary sFlow v5 — flow samples (plain + expanded) carrying raw
+  packet-header records, with the ethernet/VLAN/IPv4/IPv6/TCP/UDP/ICMP
+  header walk done in-process (main.go:226-229 parity; format spec is
+  public at sflow.org/sflow_version_5.txt). Counter samples and
+  non-raw-header records are skipped, exactly the subset the reference
+  inserts;
 - binary NetFlow v5 — fixed 24-byte header + 48-byte records, decoded
   in-process (main.go:236-240 parity; the format is fixed so no
   template state is needed);
 - one JSON object per datagram with the goflow2-style field names of
   the raw FlowMessage (Type, TimeReceived, SamplerAddress as a
   dotted/colon IP string, ...) — what a goflow2 -transport.udp relay
-  emits for the template-dependent protocols (sFlow, NetFlow v9,
-  IPFIX).
+  emits for the template-dependent protocols (NetFlow v9, IPFIX).
 
 Delivery semantics — deliberately the REFERENCE's, not Spark's usual:
 UDP is lossy and unreplayable, so `readBetweenOffsets` (the replay path
@@ -31,6 +36,7 @@ import ipaddress
 import json
 import socket
 import struct
+import time
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -43,10 +49,13 @@ _BINARY_FIELDS = {"SamplerAddress", "SrcAddr", "DstAddr"}
 
 # FlowMessage.FlowType enum values (goflow2 wire contract; the reference
 # consumes these via the JSON transport).
+_TYPE_SFLOW_5 = 1
 _TYPE_NETFLOW_V5 = 2
 
 _V5_HEADER = struct.Struct(">HHIIIIBBH")  # 24 bytes
 _V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")  # 48 bytes
+
+_U32 = struct.Struct(">I")
 
 
 def parse_datagram(payload: bytes) -> tuple | None:
@@ -144,13 +153,158 @@ def decode_netflow_v5(payload: bytes, sampler: bytes) -> list[tuple] | None:
     return rows
 
 
-def decode_datagram(payload: bytes, sampler: bytes = b"\x00\x00\x00\x00") -> list[tuple] | None:
-    """Framing dispatch: binary NetFlow v5 if the first two bytes are the
-    big-endian version tag 0x0005, else one goflow2-style JSON object.
-    Returns RAW_FLOW_SCHEMA rows, or None when undecodable (caller counts
-    the drop).  JSON can never collide with the tag: it starts with
-    printable bytes ('{', whitespace), never 0x00.
+def _parse_sampled_header(hdr: bytes, frame_len: int) -> dict | None:
+    """Walk an ethernet frame header sampled by sFlow: ethernet
+    [+802.1Q VLAN] → IPv4/IPv6 → TCP/UDP ports+flags or ICMP type/code.
+    Returns the RAW_FLOW_SCHEMA-relevant fields, or None if the frame
+    isn't parseable IP (the reference inserts zeros in that case too —
+    goflow keeps the sample with L2 info only)."""
+    out = {
+        "Etype": 0, "Proto": 0, "SrcAddr": b"\x00" * 4, "DstAddr": b"\x00" * 4,
+        "SrcPort": 0, "DstPort": 0, "TCPFlags": 0, "IcmpType": 0,
+        "IcmpCode": 0, "FragmentId": 0, "FragmentOffset": 0,
+    }
+    if len(hdr) < 14:
+        return out
+    etype = int.from_bytes(hdr[12:14], "big")
+    off = 14
+    if etype == 0x8100 and len(hdr) >= 18:  # single 802.1Q tag
+        etype = int.from_bytes(hdr[16:18], "big")
+        off = 18
+    out["Etype"] = etype
+    if etype == 0x0800 and len(hdr) >= off + 20:  # IPv4
+        ihl = (hdr[off] & 0x0F) * 4
+        proto = hdr[off + 9]
+        out["Proto"] = proto
+        out["FragmentId"] = int.from_bytes(hdr[off + 4:off + 6], "big")
+        out["FragmentOffset"] = (
+            int.from_bytes(hdr[off + 6:off + 8], "big") & 0x1FFF
+        )
+        out["SrcAddr"] = hdr[off + 12:off + 16]
+        out["DstAddr"] = hdr[off + 16:off + 20]
+        l4 = off + ihl
+    elif etype == 0x86DD and len(hdr) >= off + 40:  # IPv6 (no ext walk)
+        proto = hdr[off + 6]
+        out["Proto"] = proto
+        out["SrcAddr"] = hdr[off + 8:off + 24]
+        out["DstAddr"] = hdr[off + 24:off + 40]
+        l4 = off + 40
+    else:
+        return out
+    if proto in (6, 17) and len(hdr) >= l4 + 4:
+        out["SrcPort"] = int.from_bytes(hdr[l4:l4 + 2], "big")
+        out["DstPort"] = int.from_bytes(hdr[l4 + 2:l4 + 4], "big")
+        if proto == 6 and len(hdr) >= l4 + 14:
+            out["TCPFlags"] = hdr[l4 + 13]
+    elif proto in (1, 58) and len(hdr) >= l4 + 2:  # ICMP / ICMPv6
+        out["IcmpType"], out["IcmpCode"] = hdr[l4], hdr[l4 + 1]
+    return out
+
+
+def decode_sflow_v5(
+    payload: bytes, sampler: bytes, now_s: int
+) -> list[tuple] | None:
+    """Binary sFlow v5 datagram → RAW_FLOW_SCHEMA rows (None = malformed).
+
+    Decodes the subset the reference's pipeline actually inserts
+    (goflow's sFlow decoder behind main.go:226-229): flow samples
+    (format 1) and expanded flow samples (format 3) whose records are
+    raw packet headers (record format 1, header protocol 1 = ethernet).
+    Counter samples and other record types are skipped, not errors.
+    sFlow carries no wall-clock timestamp — TimeReceived/Start/End are
+    the collector's receive time (`now_s`), exactly goflow's behavior.
+    Every parsed sample contributes Bytes = sampled frame_length and
+    Packets = 1 (one sampled packet per flow sample record).
     """
+    try:
+        if len(payload) < 28:
+            return None
+        if _U32.unpack_from(payload, 0)[0] != 5:
+            return None
+        ip_ver = _U32.unpack_from(payload, 4)[0]
+        off = 8
+        if ip_ver == 1:
+            agent = payload[off:off + 4]
+            off += 4
+        elif ip_ver == 2:
+            agent = payload[off:off + 16]
+            off += 16
+        else:
+            return None
+        _sub_agent, seq, _uptime, n_samples = struct.unpack_from(
+            ">IIII", payload, off
+        )
+        off += 16
+        rows: list[tuple] = []
+        for _ in range(n_samples):
+            if off + 8 > len(payload):
+                return None  # truncated sample header
+            sample_type, sample_len = struct.unpack_from(">II", payload, off)
+            off += 8
+            body_end = off + sample_len
+            if body_end > len(payload):
+                return None  # truncated sample body
+            p = off
+            off = body_end
+            if sample_type not in (1, 3):  # counter samples etc.: skip
+                continue
+            expanded = sample_type == 3
+            # flow_sample: seq, source_id, rate, pool, drops, in, out, n
+            # expanded spellings widen source_id/input/output to pairs
+            need = 44 if expanded else 32
+            if p + need > body_end:
+                continue
+            _sseq = _U32.unpack_from(payload, p)[0]; p += 4
+            p += 8 if expanded else 4  # source_id (type,index) | packed
+            rate = _U32.unpack_from(payload, p)[0]; p += 4
+            p += 8  # sample_pool, drops
+            p += 16 if expanded else 8  # input/output interfaces
+            n_recs = _U32.unpack_from(payload, p)[0]; p += 4
+            for _r in range(n_recs):
+                if p + 8 > body_end:
+                    break
+                rec_fmt, rec_len = struct.unpack_from(">II", payload, p)
+                p += 8
+                rec_end = p + rec_len
+                if rec_end > body_end:
+                    break
+                if rec_fmt == 1 and p + 16 <= rec_end:  # raw packet header
+                    hdr_proto, frame_len, _stripped, hdr_size = \
+                        struct.unpack_from(">IIII", payload, p)
+                    hdr = payload[p + 16:min(p + 16 + hdr_size, rec_end)]
+                    if hdr_proto == 1:  # ethernet
+                        fields = _parse_sampled_header(hdr, frame_len)
+                        rows.append((
+                            _TYPE_SFLOW_5, now_s, seq, rate, 0, sampler,
+                            now_s, now_s, frame_len, 1,
+                            fields["SrcAddr"], fields["DstAddr"],
+                            fields["Etype"], fields["Proto"],
+                            fields["SrcPort"], fields["DstPort"], 0,
+                            fields["TCPFlags"], fields["IcmpType"],
+                            fields["IcmpCode"], fields["FragmentId"],
+                            fields["FragmentOffset"],
+                        ))
+                p = rec_end
+        return rows
+    except struct.error:
+        return None
+
+
+def decode_datagram(
+    payload: bytes,
+    sampler: bytes = b"\x00\x00\x00\x00",
+    now_s: int | None = None,
+) -> list[tuple] | None:
+    """Framing dispatch on the leading version tag: binary sFlow v5
+    (uint32 5), binary NetFlow v5 (uint16 5), else one goflow2-style
+    JSON object. Returns RAW_FLOW_SCHEMA rows, or None when undecodable
+    (caller counts the drop). JSON can never collide with the binary
+    tags: it starts with printable bytes ('{', whitespace), never 0x00.
+    """
+    if len(payload) >= 4 and payload[:3] == b"\x00\x00\x00" and payload[3] == 5:
+        return decode_sflow_v5(
+            payload, sampler, int(time.time()) if now_s is None else now_s
+        )
     if len(payload) >= 2 and payload[0] == 0 and payload[1] == 5:
         return decode_netflow_v5(payload, sampler)
     row = parse_datagram(payload)

@@ -10,7 +10,7 @@ from goflow2clickhouse_spark.__main__ import build_parser, make_sink
 
 def test_parser_defaults_match_reference():
     a = build_parser().parse_args([])
-    assert a.listen == "udp://:6343,udp://:2055"   # main.go:31
+    assert a.listen == "sflow://:6343,netflow://:2055"  # main.go:31 verbatim
     assert a.batchsize == 10_000                    # main.go:36
     assert a.batchmaxtime == "10 seconds"           # main.go:37
 

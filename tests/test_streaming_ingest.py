@@ -135,17 +135,21 @@ def test_parse_listen_dispatch():
     with pytest.raises(ValueError, match="unknown source scheme"):
         parse_listen("bogus://x")
 
-    # UDP schemes are recognized but need a relay (main.go:226-240 seam)
+    # the reference's listener spellings all resolve to the native
+    # UDP DataSource (binary sFlow v5 / NetFlow v5 decode in-process)
     udp = parse_listen("sflow://:6343,netflow://:2055,nfl://:2056")
     assert [s.scheme for s in udp] == ["sflow", "netflow", "nfl"]
 
 
-def test_udp_scheme_raises_not_implemented(spark):
+def test_reference_listener_schemes_open_native_streams(spark):
     from goflow2clickhouse_spark.sources.streaming import open_stream
 
-    (spec,) = parse_listen("sflow://:6343")
-    with pytest.raises(NotImplementedError, match="relay"):
-        open_stream(spark, spec)
+    for url in ("sflow://127.0.0.1:0", "netflow://127.0.0.1:0"):
+        (spec,) = parse_listen(url)
+        df = open_stream(spark, spec)
+        assert df.isStreaming
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "udp_flows" in plan
 
 
 def test_rate_source_synthesizes_valid_flows(spark, tmp_path):

@@ -183,16 +183,153 @@ def test_reader_mixed_binary_and_json(reader):
     """One drain handles interleaved v5 binary and JSON datagrams; the
     binary rows carry the sender's address as SamplerAddress."""
     r, port = reader
-    _send(port, [_v5_datagram([{}, {}]), _msg(SequenceNum=9), b"[1,2]"])
+    sflow = _sflow_datagram(
+        [(1, _flow_sample([(1, _raw_header_record(_eth_frame()))]))])
+    _send(port, [_v5_datagram([{}, {}]), _msg(SequenceNum=9, Type=4),
+                 b"[1,2]", sflow])
     time.sleep(0.2)
     rows, off = r.read({"count": 0})
     rows = list(rows)
-    assert len(rows) == 3 and off == {"count": 3}
+    assert len(rows) == 4 and off == {"count": 4}
     names = [f.name for f in RAW_FLOW_SCHEMA.fields]
     v5_rows = [dict(zip(names, t)) for t in rows if t[0] == 2]
     assert len(v5_rows) == 2
     assert v5_rows[0]["SamplerAddress"] == bytes([127, 0, 0, 1])
+    sflow_rows = [dict(zip(names, t)) for t in rows if t[0] == 1]
+    assert len(sflow_rows) == 1
+    assert sflow_rows[0]["SamplerAddress"] == bytes([127, 0, 0, 1])
     assert r._dropped == 1  # the [1,2] datagram
+
+
+def _eth_frame(*, etype=0x0800, vlan=False, proto=6, src=bytes([1, 2, 3, 4]),
+               dst=bytes([5, 6, 7, 8]), sport=1234, dport=80, tcp_flags=0x12,
+               icmp=(0, 0)):
+    import struct
+
+    hdr = b"\xaa" * 6 + b"\xbb" * 6
+    if vlan:
+        hdr += struct.pack(">HH", 0x8100, 100)
+    hdr += struct.pack(">H", etype)
+    if etype == 0x0800:
+        ip = struct.pack(">BBHHHBBH", 0x45, 0, 40, 0x1f2e, 0x2005, 64,
+                         proto, 0) + src + dst
+        hdr += ip
+    elif etype == 0x86DD:
+        hdr += struct.pack(">IHBB", 0x60000000, 20, proto, 64) + src + dst
+    if proto in (6, 17):
+        hdr += struct.pack(">HH", sport, dport)
+        if proto == 6:
+            hdr += struct.pack(">IIBB", 1, 2, 0x50, tcp_flags) + b"\x00\x00"
+    elif proto in (1, 58):
+        hdr += bytes(icmp) + b"\x00\x00"
+    return hdr
+
+
+def _sflow_datagram(samples, *, seq=77, agent_v6=False):
+    """samples: list of (sample_type, body_bytes)."""
+    import struct
+
+    agent = (2, b"\x20\x01" + b"\x00" * 14) if agent_v6 else (1, bytes([192, 0, 2, 1]))
+    head = struct.pack(">II", 5, agent[0]) + agent[1] + struct.pack(
+        ">IIII", 7, seq, 123456, len(samples))
+    body = b""
+    for stype, sbody in samples:
+        body += struct.pack(">II", stype, len(sbody)) + sbody
+    return head + body
+
+
+def _flow_sample(records, *, rate=512, expanded=False):
+    import struct
+
+    if expanded:
+        head = struct.pack(">IIIIIIIIII", 9, 0, 3, rate, 10_000, 0, 0, 1, 0, 2)
+    else:
+        head = struct.pack(">IIIIIII", 9, (0 << 24) | 3, rate, 10_000, 0, 1, 2)
+    head += struct.pack(">I", len(records))
+    body = head
+    for fmt, rec in records:
+        body += struct.pack(">II", fmt, len(rec)) + rec
+    return body
+
+
+def _raw_header_record(hdr: bytes, frame_len=1500, hdr_proto=1):
+    import struct
+
+    padded = hdr + b"\x00" * ((4 - len(hdr) % 4) % 4)
+    return struct.pack(">IIII", hdr_proto, frame_len, 4, len(hdr)) + padded
+
+
+def test_decode_sflow_v5_flow_sample():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    hdr = _eth_frame(sport=5555, dport=443, tcp_flags=0x18)
+    dgram = _sflow_datagram(
+        [(1, _flow_sample([(1, _raw_header_record(hdr, frame_len=900))]))])
+    rows = decode_datagram(dgram, bytes([10, 0, 0, 9]), now_s=1_700_000_000)
+    assert len(rows) == 1
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["Type"] == 1  # SFLOW_5
+    assert named["TimeReceived"] == 1_700_000_000
+    assert named["TimeFlowStart"] == named["TimeFlowEnd"] == 1_700_000_000
+    assert named["SequenceNum"] == 77
+    assert named["SamplingRate"] == 512
+    assert named["SamplerAddress"] == bytes([10, 0, 0, 9])
+    assert named["Bytes"] == 900 and named["Packets"] == 1
+    assert named["SrcAddr"] == bytes([1, 2, 3, 4])
+    assert named["DstAddr"] == bytes([5, 6, 7, 8])
+    assert named["Etype"] == 0x0800 and named["Proto"] == 6
+    assert named["SrcPort"] == 5555 and named["DstPort"] == 443
+    assert named["TCPFlags"] == 0x18
+    assert named["FragmentId"] == 0x1f2e
+    assert named["FragmentOffset"] == 0x0005  # low 13 bits of 0x2005
+
+
+def test_decode_sflow_v5_variants():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    vlan_udp = _eth_frame(vlan=True, proto=17, sport=53, dport=9999)
+    v6_icmp = _eth_frame(etype=0x86DD, proto=58, src=b"\x20\x01" + b"\x00" * 14,
+                         dst=b"\x20\x02" + b"\x00" * 14, icmp=(128, 0))
+    counter_sample = (2, b"\x00" * 20)  # must be skipped, not an error
+    dgram = _sflow_datagram([
+        counter_sample,
+        (1, _flow_sample([(1, _raw_header_record(vlan_udp))])),
+        (3, _flow_sample([(1, _raw_header_record(v6_icmp))], expanded=True,
+                         rate=2048)),
+    ], agent_v6=True)
+    rows = decode_datagram(dgram, bytes([10, 1, 1, 1]), now_s=1_700_000_000)
+    assert len(rows) == 2
+    names = [f.name for f in RAW_FLOW_SCHEMA.fields]
+    r_vlan = dict(zip(names, rows[0]))
+    assert r_vlan["Etype"] == 0x0800  # inner etype after the VLAN tag
+    assert r_vlan["Proto"] == 17
+    assert r_vlan["SrcPort"] == 53 and r_vlan["DstPort"] == 9999
+    r6 = dict(zip(names, rows[1]))
+    assert r6["Etype"] == 0x86DD and r6["Proto"] == 58
+    assert len(r6["SrcAddr"]) == 16 and r6["SrcAddr"][:2] == b"\x20\x01"
+    assert r6["IcmpType"] == 128 and r6["SamplingRate"] == 2048
+
+
+def test_decode_sflow_v5_malformed_and_unparseable():
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    good = _sflow_datagram(
+        [(1, _flow_sample([(1, _raw_header_record(_eth_frame()))]))])
+    assert decode_datagram(good[:20], b"\x00" * 4) is None  # short header
+    assert decode_datagram(good[:-6], b"\x00" * 4) is None  # truncated body
+    # non-ethernet header protocol: sample skipped, datagram still valid
+    ppp = _sflow_datagram(
+        [(1, _flow_sample([(1, _raw_header_record(b"\x00" * 20,
+                                                  hdr_proto=7))]))])
+    assert decode_datagram(ppp, b"\x00" * 4, now_s=1) == []
+    # non-IP ethernet frame keeps L2 fields, zeros elsewhere
+    arp = _sflow_datagram(
+        [(1, _flow_sample([(1, _raw_header_record(
+            _eth_frame(etype=0x0806, proto=0)))]))])
+    rows = decode_datagram(arp, b"\x00" * 4, now_s=1)
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["Etype"] == 0x0806 and named["Proto"] == 0
+    assert named["SrcAddr"] == b"\x00\x00\x00\x00"
 
 
 def test_reuseport_two_listeners_share_port():

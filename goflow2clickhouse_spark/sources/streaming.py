@@ -13,13 +13,14 @@ built-in UDP source, so the engine defines a pluggable seam:
   kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
   udp://<host>:<port>                 native UDP listener (Python
                                       DataSource, sources/udp.py):
-                                      binary sFlow v5, binary NetFlow
-                                      v5, or goflow2 JSON datagrams —
-                                      at-most-once like the reference
+                                      binary sFlow v5, NetFlow v5,
+                                      NetFlow v9 (per-listener template
+                                      cache), or goflow2 JSON datagrams
+                                      — at-most-once like the reference
   sflow://  (port 6343)               same listener, reference spelling
-  netflow:// nfl:// (port 2055)       same listener; v9/IPFIX datagrams
-                                      need a goflow2 relay in front
-                                      (template state) → kafka://
+  netflow:// nfl:// (port 2055)       same listener; IPFIX datagrams
+                                      still need a goflow2 relay in
+                                      front → kafka://
 
 Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
 `fan_in` + `flow_transform` apply uniformly downstream.
@@ -121,13 +122,12 @@ def open_stream(
 
     if spec.scheme in {"udp", "sflow", "netflow", "nfl"}:
         # native UDP listener (Spark 4 Python DataSource): binary sFlow
-        # v5 (main.go:226-229 parity) and binary NetFlow v5
-        # (main.go:236-240 parity) decoded in-process, goflow2-style
-        # JSON as the fallback framing; sources/udp.py. sflow:// and
-        # netflow://|nfl:// are the reference's listener spellings with
-        # their default ports — NetFlow v9/IPFIX datagrams still need a
-        # goflow2 relay (template state), everything else decodes
-        # natively.
+        # v5 (main.go:226-229 parity), NetFlow v5 (main.go:236-240) and
+        # NetFlow v9 with per-listener template state (main.go:231-235)
+        # decoded in-process, goflow2-style JSON as the fallback
+        # framing; sources/udp.py. sflow:// and netflow://|nfl:// are
+        # the reference's listener spellings with their default ports —
+        # only IPFIX still needs a goflow2 relay in front.
         from .udp import UdpFlowDataSource
 
         spark.dataSource.register(UdpFlowDataSource)

@@ -13,10 +13,13 @@ Wire formats (auto-dispatched per datagram, decode_datagram):
 - binary NetFlow v5 — fixed 24-byte header + 48-byte records, decoded
   in-process (main.go:236-240 parity; the format is fixed so no
   template state is needed);
+- binary NetFlow v9 — RFC 3954 template + data flowsets with a
+  per-listener template cache (main.go:231-235 parity); data that
+  arrives before its template is dropped-and-counted per the protocol;
 - one JSON object per datagram with the goflow2-style field names of
   the raw FlowMessage (Type, TimeReceived, SamplerAddress as a
   dotted/colon IP string, ...) — what a goflow2 -transport.udp relay
-  emits for the template-dependent protocols (NetFlow v9, IPFIX).
+  emits for anything else (IPFIX).
 
 Delivery semantics — deliberately the REFERENCE's, not Spark's usual:
 UDP is lossy and unreplayable, so `readBetweenOffsets` (the replay path
@@ -290,10 +293,124 @@ def decode_sflow_v5(
         return None
 
 
+# NetFlow v9 field types (RFC 3954 §8) → handling. Values parse as
+# big-endian unsigned ints except the address fields, kept as bytes.
+_V9_ADDR_FIELDS = {8, 12, 27, 28}  # IPv4 src/dst, IPv6 src/dst
+
+
+class NetflowV9Decoder:
+    """Stateful NetFlow v9 decode (RFC 3954; the template-dependent
+    protocol the reference handles via goflow, main.go:231-235).
+
+    Template flowsets (id 0) populate a per-(exporter, source_id)
+    template cache; data flowsets (id >= 256) parse against it. Data
+    arriving before its template is dropped-and-counted — the
+    protocol's defined behavior (exporters re-send templates
+    periodically). Options templates (id 1) are skipped. One decoder
+    instance lives on each listener's reader: template state is
+    per-socket, exactly like a collector."""
+
+    def __init__(self) -> None:
+        # (sampler, source_id, template_id) -> [(field_type, length), ...]
+        self._templates: dict[tuple, list[tuple[int, int]]] = {}
+        self.dropped_no_template = 0
+
+    def decode(self, payload: bytes, sampler: bytes) -> list[tuple] | None:
+        try:
+            if len(payload) < 20:
+                return None
+            version, _count, sys_uptime, unix_secs, seq, source_id = \
+                struct.unpack_from(">HHIIII", payload, 0)
+            if version != 9:
+                return None
+            rows: list[tuple] = []
+            off = 20
+            while off + 4 <= len(payload):
+                fs_id, fs_len = struct.unpack_from(">HH", payload, off)
+                if fs_len < 4 or off + fs_len > len(payload):
+                    return None  # malformed flowset length
+                body, body_end = off + 4, off + fs_len
+                off += fs_len
+                if fs_id == 0:
+                    self._ingest_templates(payload, body, body_end,
+                                           sampler, source_id)
+                elif fs_id == 1:
+                    continue  # options template: no flow rows
+                elif fs_id >= 256:
+                    tmpl = self._templates.get((sampler, source_id, fs_id))
+                    if tmpl is None:
+                        self.dropped_no_template += 1
+                        continue
+                    rows.extend(self._parse_data(
+                        payload, body, body_end, tmpl, sampler,
+                        sys_uptime, unix_secs, seq))
+            return rows
+        except struct.error:
+            return None
+
+    def _ingest_templates(self, payload, p, end, sampler, source_id) -> None:
+        while p + 4 <= end:
+            tid, n_fields = struct.unpack_from(">HH", payload, p)
+            p += 4
+            if p + n_fields * 4 > end:
+                return
+            fields = [
+                struct.unpack_from(">HH", payload, p + i * 4)
+                for i in range(n_fields)
+            ]
+            p += n_fields * 4
+            if tid >= 256 and fields:
+                self._templates[(sampler, source_id, tid)] = fields
+
+    def _parse_data(self, payload, p, end, tmpl, sampler,
+                    sys_uptime, unix_secs, seq) -> list[tuple]:
+        rec_len = sum(ln for _, ln in tmpl)
+        rows = []
+        while p + rec_len <= end:
+            f: dict[int, int | bytes] = {}
+            for ftype, ln in tmpl:
+                raw = payload[p:p + ln]
+                f[ftype] = raw if ftype in _V9_ADDR_FIELDS else \
+                    int.from_bytes(raw, "big")
+                p += ln
+            # sysuptime-ms clocks anchored at the header pair, as in v5
+            first, last = f.get(22), f.get(21)
+            t_start = (unix_secs - (sys_uptime - first) // 1000
+                       if first is not None else unix_secs)
+            t_end = (unix_secs - (sys_uptime - last) // 1000
+                     if last is not None else unix_secs)
+            v6 = 27 in f or 28 in f
+            icmp = f.get(32, 0)  # ICMP_TYPE: (type << 8) | code
+            rows.append((
+                3,                              # Type = NETFLOW_V9
+                unix_secs,                      # TimeReceived
+                seq,                            # SequenceNum
+                f.get(34, 0),                   # SamplingRate (if exported)
+                f.get(61, 0),                   # FlowDirection
+                sampler,                        # SamplerAddress
+                t_start, t_end,
+                f.get(1, 0),                    # Bytes
+                f.get(2, 0),                    # Packets
+                f.get(27 if v6 else 8, b"\x00" * (16 if v6 else 4)),
+                f.get(28 if v6 else 12, b"\x00" * (16 if v6 else 4)),
+                0x86DD if v6 else 0x0800,       # Etype
+                f.get(4, 0),                    # Proto
+                f.get(7, 0),                    # SrcPort
+                f.get(11, 0),                   # DstPort
+                f.get(89, 0),                   # ForwardingStatus
+                f.get(6, 0),                    # TCPFlags
+                icmp >> 8, icmp & 0xFF,         # IcmpType, IcmpCode
+                f.get(54, 0),                   # FragmentId
+                f.get(88, 0),                   # FragmentOffset
+            ))
+        return rows
+
+
 def decode_datagram(
     payload: bytes,
     sampler: bytes = b"\x00\x00\x00\x00",
     now_s: int | None = None,
+    v9: NetflowV9Decoder | None = None,
 ) -> list[tuple] | None:
     """Framing dispatch on the leading version tag: binary sFlow v5
     (uint32 5), binary NetFlow v5 (uint16 5), else one goflow2-style
@@ -307,6 +424,10 @@ def decode_datagram(
         )
     if len(payload) >= 2 and payload[0] == 0 and payload[1] == 5:
         return decode_netflow_v5(payload, sampler)
+    if len(payload) >= 2 and payload[0] == 0 and payload[1] == 9:
+        if v9 is None:
+            return None  # caller didn't provide template state
+        return v9.decode(payload, sampler)
     row = parse_datagram(payload)
     return None if row is None else [row]
 
@@ -325,6 +446,8 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
         self.rcvbuf = int(options.get("rcvbuf", "0"))
         self._sock: socket.socket | None = None
         self._dropped = 0
+        # per-listener NetFlow v9 template state (a collector's role)
+        self._v9 = NetflowV9Decoder()
 
     def _socket(self) -> socket.socket:
         if self._sock is None:
@@ -361,7 +484,7 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
                 except ValueError:
                     peer = b"\x00\x00\x00\x00"
                 peer_cache[addr[0]] = peer
-            decoded = decode_datagram(payload, peer)
+            decoded = decode_datagram(payload, peer, v9=self._v9)
             if decoded is None:
                 self._dropped += 1
                 continue

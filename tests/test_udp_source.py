@@ -332,6 +332,138 @@ def test_decode_sflow_v5_malformed_and_unparseable():
     assert named["SrcAddr"] == b"\x00\x00\x00\x00"
 
 
+def _v9_template(tid, fields, *, source_id=5, seq=900):
+    import struct
+
+    body = struct.pack(">HH", tid, len(fields))
+    for ftype, ln in fields:
+        body += struct.pack(">HH", ftype, ln)
+    fs = struct.pack(">HH", 0, 4 + len(body)) + body
+    head = struct.pack(">HHIIII", 9, 1, 100_000, 1_700_000_000, seq, source_id)
+    return head + fs
+
+
+_V9_FIELDS = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (6, 1),
+              (1, 4), (2, 4), (22, 4), (21, 4)]
+
+
+def _v9_data(tid, records, *, source_id=5, seq=901):
+    import struct
+
+    body = b""
+    for r in records:
+        body += (r["src"] + r["dst"]
+                 + struct.pack(">HHBB", r["sport"], r["dport"],
+                               r["proto"], r["flags"])
+                 + struct.pack(">IIII", r["bytes"], r["pkts"],
+                               r["first"], r["last"]))
+    fs = struct.pack(">HH", tid, 4 + len(body)) + body
+    head = struct.pack(">HHIIII", 9, len(records), 100_000, 1_700_000_000,
+                       seq, source_id)
+    return head + fs
+
+
+def test_netflow_v9_template_then_data():
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    v9 = NetflowV9Decoder()
+    sampler = bytes([192, 0, 2, 5])
+    rec = {"src": bytes([10, 1, 1, 1]), "dst": bytes([10, 2, 2, 2]),
+           "sport": 4321, "dport": 53, "proto": 17, "flags": 0,
+           "bytes": 7777, "pkts": 9, "first": 90_000, "last": 95_000}
+
+    # data before template: dropped-and-counted, not an error
+    assert decode_datagram(_v9_data(300, [rec]), sampler, v9=v9) == []
+    assert v9.dropped_no_template == 1
+
+    assert decode_datagram(_v9_template(300, _V9_FIELDS), sampler, v9=v9) == []
+    rows = decode_datagram(_v9_data(300, [rec, rec]), sampler, v9=v9)
+    assert len(rows) == 2
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["Type"] == 3  # NETFLOW_V9
+    assert named["TimeReceived"] == 1_700_000_000
+    assert named["SequenceNum"] == 901
+    assert named["SamplerAddress"] == sampler
+    assert named["TimeFlowStart"] == 1_700_000_000 - 10
+    assert named["TimeFlowEnd"] == 1_700_000_000 - 5
+    assert named["Bytes"] == 7777 and named["Packets"] == 9
+    assert named["SrcAddr"] == bytes([10, 1, 1, 1])
+    assert named["DstAddr"] == bytes([10, 2, 2, 2])
+    assert named["Etype"] == 0x0800 and named["Proto"] == 17
+    assert named["SrcPort"] == 4321 and named["DstPort"] == 53
+
+
+def test_netflow_v9_template_isolation_and_malformed():
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    v9 = NetflowV9Decoder()
+    a, b = bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2])
+    rec = {"src": b"\x01\x01\x01\x01", "dst": b"\x02\x02\x02\x02",
+           "sport": 1, "dport": 2, "proto": 6, "flags": 2,
+           "bytes": 10, "pkts": 1, "first": 0, "last": 0}
+    decode_datagram(_v9_template(300, _V9_FIELDS), a, v9=v9)
+    # same template id from a DIFFERENT exporter: still unknown there
+    assert decode_datagram(_v9_data(300, [rec]), b, v9=v9) == []
+    assert v9.dropped_no_template == 1
+    assert len(decode_datagram(_v9_data(300, [rec]), a, v9=v9)) == 1
+
+    # malformed flowset length → whole datagram rejected
+    bad = bytearray(_v9_data(300, [rec]))
+    bad[22] = 0xFF  # flowset length far beyond the payload
+    assert decode_datagram(bytes(bad), a, v9=v9) is None
+    # v9 datagram without a decoder instance: undecodable
+    assert decode_datagram(_v9_data(300, [rec]), a) is None
+
+
+def test_netflow_v9_ipv6_template():
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+    import struct
+
+    v9 = NetflowV9Decoder()
+    s = bytes([10, 0, 0, 3])
+    fields = [(27, 16), (28, 16), (4, 1), (1, 4)]
+    decode_datagram(_v9_template(301, fields), s, v9=v9)
+    src6 = b"\x20\x01" + b"\x00" * 14
+    dst6 = b"\x20\x02" + b"\x00" * 14
+    body = src6 + dst6 + struct.pack(">BI", 58, 123)
+    fs = struct.pack(">HH", 301, 4 + len(body)) + body
+    head = struct.pack(">HHIIII", 9, 1, 0, 1_700_000_000, 7, 5)
+    rows = decode_datagram(head + fs, s, v9=v9)
+    assert len(rows) == 1
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["Etype"] == 0x86DD
+    assert named["SrcAddr"] == src6 and named["DstAddr"] == dst6
+    assert named["Proto"] == 58 and named["Bytes"] == 123
+
+
+def test_netflow_v9_through_reader(reader):
+    """Template state lives on the reader: template datagram in one
+    drain, data in a later one."""
+    r, port = reader
+    _send(port, [_v9_template(300, _V9_FIELDS)])
+    time.sleep(0.2)
+    rows, off = r.read({"count": 0})
+    assert list(rows) == []
+    rec = {"src": bytes([1, 1, 1, 1]), "dst": bytes([2, 2, 2, 2]),
+           "sport": 80, "dport": 443, "proto": 6, "flags": 0x10,
+           "bytes": 64, "pkts": 1, "first": 0, "last": 0}
+    _send(port, [_v9_data(300, [rec])])
+    time.sleep(0.2)
+    rows, off = r.read(off)
+    rows = list(rows)
+    assert len(rows) == 1 and rows[0][0] == 3
+    assert r._dropped == 0
+
+
 def test_reuseport_two_listeners_share_port():
     """-workers parity: with reuseport=true two readers bind the SAME
     port and the kernel spreads datagrams between them; fan-in of both

@@ -14,13 +14,12 @@ built-in UDP source, so the engine defines a pluggable seam:
   udp://<host>:<port>                 native UDP listener (Python
                                       DataSource, sources/udp.py):
                                       binary sFlow v5, NetFlow v5,
-                                      NetFlow v9 (per-listener template
-                                      cache), or goflow2 JSON datagrams
-                                      — at-most-once like the reference
+                                      NetFlow v9, IPFIX (per-listener
+                                      template cache), or goflow2 JSON
+                                      datagrams — at-most-once like the
+                                      reference
   sflow://  (port 6343)               same listener, reference spelling
-  netflow:// nfl:// (port 2055)       same listener; IPFIX datagrams
-                                      still need a goflow2 relay in
-                                      front → kafka://
+  netflow:// nfl:// (port 2055)       same listener, reference spelling
 
 Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
 `fan_in` + `flow_transform` apply uniformly downstream.
@@ -122,12 +121,12 @@ def open_stream(
 
     if spec.scheme in {"udp", "sflow", "netflow", "nfl"}:
         # native UDP listener (Spark 4 Python DataSource): binary sFlow
-        # v5 (main.go:226-229 parity), NetFlow v5 (main.go:236-240) and
-        # NetFlow v9 with per-listener template state (main.go:231-235)
-        # decoded in-process, goflow2-style JSON as the fallback
-        # framing; sources/udp.py. sflow:// and netflow://|nfl:// are
-        # the reference's listener spellings with their default ports —
-        # only IPFIX still needs a goflow2 relay in front.
+        # v5 (main.go:226-229 parity), NetFlow v5 (main.go:236-240),
+        # and NetFlow v9 + IPFIX with per-listener template state
+        # (main.go:231-235) all decoded in-process, goflow2-style JSON
+        # as the fallback framing; sources/udp.py. sflow:// and
+        # netflow://|nfl:// are the reference's listener spellings
+        # with their default ports.
         from .udp import UdpFlowDataSource
 
         spark.dataSource.register(UdpFlowDataSource)

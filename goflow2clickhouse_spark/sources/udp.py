@@ -13,13 +13,13 @@ Wire formats (auto-dispatched per datagram, decode_datagram):
 - binary NetFlow v5 — fixed 24-byte header + 48-byte records, decoded
   in-process (main.go:236-240 parity; the format is fixed so no
   template state is needed);
-- binary NetFlow v9 — RFC 3954 template + data flowsets with a
-  per-listener template cache (main.go:231-235 parity); data that
-  arrives before its template is dropped-and-counted per the protocol;
+- binary NetFlow v9 (RFC 3954) and IPFIX (RFC 7011) — template + data
+  flowsets/sets with a per-listener template cache (main.go:231-235
+  parity); data that arrives before its template is dropped-and-counted
+  per the protocol;
 - one JSON object per datagram with the goflow2-style field names of
   the raw FlowMessage (Type, TimeReceived, SamplerAddress as a
-  dotted/colon IP string, ...) — what a goflow2 -transport.udp relay
-  emits for anything else (IPFIX).
+  dotted/colon IP string, ...) — the relay framing, kept as fallback.
 
 Delivery semantics — deliberately the REFERENCE's, not Spark's usual:
 UDP is lossy and unreplayable, so `readBetweenOffsets` (the replay path
@@ -54,6 +54,8 @@ _BINARY_FIELDS = {"SamplerAddress", "SrcAddr", "DstAddr"}
 # consumes these via the JSON transport).
 _TYPE_SFLOW_5 = 1
 _TYPE_NETFLOW_V5 = 2
+_TYPE_NETFLOW_V9 = 3
+_TYPE_IPFIX = 4
 
 _V5_HEADER = struct.Struct(">HHIIIIBBH")  # 24 bytes
 _V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")  # 48 bytes
@@ -370,8 +372,9 @@ class NetflowV9Decoder:
             f: dict[int, int | bytes] = {}
             for ftype, ln in tmpl:
                 raw = payload[p:p + ln]
-                f[ftype] = raw if ftype in _V9_ADDR_FIELDS else \
-                    int.from_bytes(raw, "big")
+                if ftype is not None:
+                    f[ftype] = raw if ftype in _V9_ADDR_FIELDS else \
+                        int.from_bytes(raw, "big")
                 p += ln
             # sysuptime-ms clocks anchored at the header pair, as in v5
             first, last = f.get(22), f.get(21)
@@ -379,30 +382,138 @@ class NetflowV9Decoder:
                        if first is not None else unix_secs)
             t_end = (unix_secs - (sys_uptime - last) // 1000
                      if last is not None else unix_secs)
-            v6 = 27 in f or 28 in f
-            icmp = f.get(32, 0)  # ICMP_TYPE: (type << 8) | code
-            rows.append((
-                3,                              # Type = NETFLOW_V9
-                unix_secs,                      # TimeReceived
-                seq,                            # SequenceNum
-                f.get(34, 0),                   # SamplingRate (if exported)
-                f.get(61, 0),                   # FlowDirection
-                sampler,                        # SamplerAddress
-                t_start, t_end,
-                f.get(1, 0),                    # Bytes
-                f.get(2, 0),                    # Packets
-                f.get(27 if v6 else 8, b"\x00" * (16 if v6 else 4)),
-                f.get(28 if v6 else 12, b"\x00" * (16 if v6 else 4)),
-                0x86DD if v6 else 0x0800,       # Etype
-                f.get(4, 0),                    # Proto
-                f.get(7, 0),                    # SrcPort
-                f.get(11, 0),                   # DstPort
-                f.get(89, 0),                   # ForwardingStatus
-                f.get(6, 0),                    # TCPFlags
-                icmp >> 8, icmp & 0xFF,         # IcmpType, IcmpCode
-                f.get(54, 0),                   # FragmentId
-                f.get(88, 0),                   # FragmentOffset
-            ))
+            rows.append(_fields_to_row(
+                f, _TYPE_NETFLOW_V9, unix_secs, seq, sampler, t_start, t_end))
+        return rows
+
+
+def _fields_to_row(f: dict, flow_type: int, time_received: int, seq: int,
+                   sampler: bytes, t_start: int, t_end: int) -> tuple:
+    """Shared v9/IPFIX field-id → RAW_FLOW_SCHEMA row mapping (the two
+    protocols share information-element numbering for ids < 128)."""
+    v6 = 27 in f or 28 in f
+    icmp = f.get(32, 0)  # ICMP_TYPE: (type << 8) | code
+    return (
+        flow_type,
+        time_received,
+        seq,                            # SequenceNum
+        f.get(34, 0),                   # SamplingRate (if exported)
+        f.get(61, 0),                   # FlowDirection
+        sampler,                        # SamplerAddress
+        t_start, t_end,
+        f.get(1, 0),                    # Bytes
+        f.get(2, 0),                    # Packets
+        f.get(27 if v6 else 8, b"\x00" * (16 if v6 else 4)),
+        f.get(28 if v6 else 12, b"\x00" * (16 if v6 else 4)),
+        0x86DD if v6 else 0x0800,       # Etype
+        f.get(4, 0),                    # Proto
+        f.get(7, 0),                    # SrcPort
+        f.get(11, 0),                   # DstPort
+        f.get(89, 0),                   # ForwardingStatus
+        f.get(6, 0),                    # TCPFlags
+        icmp >> 8, icmp & 0xFF,         # IcmpType, IcmpCode
+        f.get(54, 0),                   # FragmentId
+        f.get(88, 0),                   # FragmentOffset
+    )
+
+
+class IpfixDecoder:
+    """Stateful IPFIX decode (RFC 7011; version tag 10) — the v9
+    successor the reference also takes on its netflow:// listener
+    (goflow's NFv9/IPFIX routine, main.go:231-235).
+
+    Differences from v9 handled here: 16-byte header whose export time
+    is already epoch seconds (no sysuptime anchor), set ids 2/3 for
+    templates/options templates, enterprise-bit field specifiers
+    (skipped but correctly advanced over), and absolute-time elements
+    (flowStartSeconds 150/151, flowStartMilliseconds 152/153) taking
+    precedence for flow times. Variable-length elements (len 0xFFFF)
+    make a template unusable for fixed-stride parsing; its data sets
+    are dropped-and-counted."""
+
+    def __init__(self) -> None:
+        self._templates: dict[tuple, list[tuple[int | None, int]]] = {}
+        self.dropped_no_template = 0
+
+    def decode(self, payload: bytes, sampler: bytes) -> list[tuple] | None:
+        try:
+            if len(payload) < 16:
+                return None
+            version, total_len, export_secs, seq, domain = \
+                struct.unpack_from(">HHIII", payload, 0)
+            if version != 10:
+                return None
+            end_all = min(total_len, len(payload))
+            rows: list[tuple] = []
+            off = 16
+            while off + 4 <= end_all:
+                set_id, set_len = struct.unpack_from(">HH", payload, off)
+                if set_len < 4 or off + set_len > end_all:
+                    return None
+                body, body_end = off + 4, off + set_len
+                off += set_len
+                if set_id == 2:
+                    self._ingest_templates(payload, body, body_end,
+                                           sampler, domain)
+                elif set_id == 3:
+                    continue  # options templates: no flow rows
+                elif set_id >= 256:
+                    tmpl = self._templates.get((sampler, domain, set_id))
+                    if tmpl is None or any(ln == 0xFFFF for _, ln in tmpl):
+                        self.dropped_no_template += 1
+                        continue
+                    rows.extend(self._parse_data(
+                        payload, body, body_end, tmpl, sampler,
+                        export_secs, seq))
+            return rows
+        except struct.error:
+            return None
+
+    def _ingest_templates(self, payload, p, end, sampler, domain) -> None:
+        while p + 4 <= end:
+            tid, n_fields = struct.unpack_from(">HH", payload, p)
+            p += 4
+            fields: list[tuple[int | None, int]] = []
+            ok = True
+            for _ in range(n_fields):
+                if p + 4 > end:
+                    ok = False
+                    break
+                ie, ln = struct.unpack_from(">HH", payload, p)
+                p += 4
+                if ie & 0x8000:  # enterprise-specific: skip id, keep stride
+                    if p + 4 > end:
+                        ok = False
+                        break
+                    p += 4
+                    fields.append((None, ln))
+                else:
+                    fields.append((ie, ln))
+            if ok and tid >= 256 and fields:
+                self._templates[(sampler, domain, tid)] = fields
+
+    def _parse_data(self, payload, p, end, tmpl, sampler,
+                    export_secs, seq) -> list[tuple]:
+        rec_len = sum(ln for _, ln in tmpl)
+        rows = []
+        while rec_len > 0 and p + rec_len <= end:
+            f: dict[int, int | bytes] = {}
+            for ftype, ln in tmpl:
+                raw = payload[p:p + ln]
+                if ftype is not None:
+                    f[ftype] = raw if ftype in _V9_ADDR_FIELDS else \
+                        int.from_bytes(raw, "big")
+                p += ln
+            if 150 in f or 151 in f:      # flowStart/EndSeconds
+                t_start = f.get(150, export_secs)
+                t_end = f.get(151, t_start)
+            elif 152 in f or 153 in f:    # flowStart/EndMilliseconds
+                t_start = f.get(152, export_secs * 1000) // 1000
+                t_end = f.get(153, f.get(152, export_secs * 1000)) // 1000
+            else:
+                t_start = t_end = export_secs
+            rows.append(_fields_to_row(
+                f, _TYPE_IPFIX, export_secs, seq, sampler, t_start, t_end))
         return rows
 
 
@@ -411,12 +522,14 @@ def decode_datagram(
     sampler: bytes = b"\x00\x00\x00\x00",
     now_s: int | None = None,
     v9: NetflowV9Decoder | None = None,
+    ipfix: IpfixDecoder | None = None,
 ) -> list[tuple] | None:
     """Framing dispatch on the leading version tag: binary sFlow v5
-    (uint32 5), binary NetFlow v5 (uint16 5), else one goflow2-style
-    JSON object. Returns RAW_FLOW_SCHEMA rows, or None when undecodable
-    (caller counts the drop). JSON can never collide with the binary
-    tags: it starts with printable bytes ('{', whitespace), never 0x00.
+    (uint32 5), binary NetFlow v5 (uint16 5), NetFlow v9 (uint16 9),
+    IPFIX (uint16 10), else one goflow2-style JSON object. Returns
+    RAW_FLOW_SCHEMA rows, or None when undecodable (caller counts the
+    drop). JSON can never collide with the binary tags: it starts with
+    printable bytes ('{', whitespace), never 0x00.
     """
     if len(payload) >= 4 and payload[:3] == b"\x00\x00\x00" and payload[3] == 5:
         return decode_sflow_v5(
@@ -428,6 +541,10 @@ def decode_datagram(
         if v9 is None:
             return None  # caller didn't provide template state
         return v9.decode(payload, sampler)
+    if len(payload) >= 2 and payload[0] == 0 and payload[1] == 10:
+        if ipfix is None:
+            return None
+        return ipfix.decode(payload, sampler)
     row = parse_datagram(payload)
     return None if row is None else [row]
 
@@ -446,8 +563,10 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
         self.rcvbuf = int(options.get("rcvbuf", "0"))
         self._sock: socket.socket | None = None
         self._dropped = 0
-        # per-listener NetFlow v9 template state (a collector's role)
+        # per-listener NetFlow v9 / IPFIX template state (a collector's
+        # role)
         self._v9 = NetflowV9Decoder()
+        self._ipfix = IpfixDecoder()
 
     def _socket(self) -> socket.socket:
         if self._sock is None:
@@ -484,7 +603,8 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
                 except ValueError:
                     peer = b"\x00\x00\x00\x00"
                 peer_cache[addr[0]] = peer
-            decoded = decode_datagram(payload, peer, v9=self._v9)
+            decoded = decode_datagram(payload, peer, v9=self._v9,
+                                      ipfix=self._ipfix)
             if decoded is None:
                 self._dropped += 1
                 continue

@@ -445,6 +445,86 @@ def test_netflow_v9_ipv6_template():
     assert named["Proto"] == 58 and named["Bytes"] == 123
 
 
+def _ipfix_template(tid, fields, *, domain=9, seq=40, enterprise_at=None):
+    import struct
+
+    body = struct.pack(">HH", tid, len(fields) + (1 if enterprise_at is not None else 0))
+    for i, (ie, ln) in enumerate(fields):
+        if enterprise_at == i:
+            body += struct.pack(">HHI", 0x8000 | 999, 4, 12345)  # PEN field
+        body += struct.pack(">HH", ie, ln)
+    sets = struct.pack(">HH", 2, 4 + len(body)) + body
+    head = struct.pack(">HHIII", 10, 16 + len(sets), 1_700_000_100, seq, domain)
+    return head + sets
+
+
+def _ipfix_data(tid, payload_bytes, *, domain=9, seq=41):
+    import struct
+
+    sets = struct.pack(">HH", tid, 4 + len(payload_bytes)) + payload_bytes
+    head = struct.pack(">HHIII", 10, 16 + len(sets), 1_700_000_100, seq, domain)
+    return head + sets
+
+
+def test_ipfix_template_then_data_with_absolute_times():
+    import struct
+
+    from goflow2clickhouse_spark.sources.udp import (
+        IpfixDecoder,
+        decode_datagram,
+    )
+
+    ipx = IpfixDecoder()
+    s = bytes([203, 0, 113, 7])
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 8), (2, 8),
+              (150, 4), (151, 4)]
+    assert decode_datagram(_ipfix_template(400, fields), s, ipfix=ipx) == []
+    rec = (bytes([172, 16, 0, 1]) + bytes([172, 16, 0, 2])
+           + struct.pack(">HHB", 8080, 443, 6)
+           + struct.pack(">QQ", 123456, 42)
+           + struct.pack(">II", 1_699_999_000, 1_699_999_600))
+    rows = decode_datagram(_ipfix_data(400, rec * 2), s, ipfix=ipx)
+    assert len(rows) == 2
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["Type"] == 4  # IPFIX
+    assert named["TimeReceived"] == 1_700_000_100  # export time, epoch
+    assert named["TimeFlowStart"] == 1_699_999_000
+    assert named["TimeFlowEnd"] == 1_699_999_600
+    assert named["Bytes"] == 123456 and named["Packets"] == 42
+    assert named["SrcAddr"] == bytes([172, 16, 0, 1])
+    assert named["SrcPort"] == 8080 and named["DstPort"] == 443
+    assert named["Proto"] == 6
+
+
+def test_ipfix_enterprise_fields_and_varlen():
+    import struct
+
+    from goflow2clickhouse_spark.sources.udp import (
+        IpfixDecoder,
+        decode_datagram,
+    )
+
+    ipx = IpfixDecoder()
+    s = bytes([10, 0, 0, 8])
+    # enterprise field (4 bytes) injected before proto: must be skipped
+    # but its stride preserved
+    fields = [(8, 4), (4, 1)]
+    dg = _ipfix_template(401, fields, enterprise_at=1)
+    assert decode_datagram(dg, s, ipfix=ipx) == []
+    rec = bytes([9, 9, 9, 9]) + b"\xde\xad\xbe\xef" + struct.pack(">B", 17)
+    rows = decode_datagram(_ipfix_data(401, rec), s, ipfix=ipx)
+    assert len(rows) == 1
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["SrcAddr"] == bytes([9, 9, 9, 9]) and named["Proto"] == 17
+
+    # a variable-length template makes its data sets undecodable
+    varlen = _ipfix_template(402, [(8, 4), (95, 0xFFFF)])
+    decode_datagram(varlen, s, ipfix=ipx)
+    before = ipx.dropped_no_template
+    assert decode_datagram(_ipfix_data(402, b"\x00" * 12), s, ipfix=ipx) == []
+    assert ipx.dropped_no_template == before + 1
+
+
 def test_netflow_v9_through_reader(reader):
     """Template state lives on the reader: template datagram in one
     drain, data in a later one."""

@@ -1,0 +1,27 @@
+"""Scale-factor interleaving: one session, alternating sf_dir arguments.
+The flows queries register a temp view over lineitem per call — results
+must always track the sf_dir argument, never a stale registration."""
+
+from __future__ import annotations
+
+from goflow2clickhouse_spark.plans import registry
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+
+def _fingerprint(df):
+    rows = sorted(map(tuple, df.collect()))
+    return len(rows), hash(tuple(rows))
+
+
+def test_queries_track_sf_dir_across_interleaved_calls(spark):
+    specs = registry()
+    for name in ("flows_top_talkers", "q1_pricing_summary", "events_minutely"):
+        q = specs[name].spark
+        a1 = _fingerprint(q(spark, SF_A))
+        b1 = _fingerprint(q(spark, SF_B))
+        a2 = _fingerprint(q(spark, SF_A))
+        b2 = _fingerprint(q(spark, SF_B))
+        assert a1 == a2 and b1 == b2, f"{name}: unstable across interleave"
+        assert a1 != b1, f"{name}: sf0.001 and sf0.01 gave identical results"

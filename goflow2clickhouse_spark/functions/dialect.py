@@ -56,6 +56,31 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("minIf", "min(CASE WHEN {1} THEN {0} END)"),
     ("maxIf", "max(CASE WHEN {1} THEN {0} END)"),
     ("ifNull", "coalesce({0}, {1})"),
+    ("anyLast", "last({0})"),
+    ("any", "first({0})"),
+    ("argMax", "max_by({0}, {1})"),
+    ("argMin", "min_by({0}, {1})"),
+    ("medianExact", "percentile({0}, 0.5)"),
+    ("median", "percentile_approx({0}, 0.5)"),
+    ("toStartOfQuarter", "date_trunc('quarter', {0})"),
+    ("toStartOfMonth", "date_trunc('month', {0})"),
+    ("toStartOfYear", "date_trunc('year', {0})"),
+    ("toUnixTimestamp", "unix_timestamp({0})"),
+    ("fromUnixTimestamp", "timestamp_seconds({0})"),
+    ("toSecond", "second({0})"),
+    # ClickHouse toDayOfWeek is ISO (Mon=1..Sun=7); Spark dayofweek is
+    # Sun=1..Sat=7 — shift accordingly
+    ("toDayOfWeek", "(((dayofweek({0}) + 5) % 7) + 1)"),
+    ("toDayOfMonth", "dayofmonth({0})"),
+    ("toMonth", "month({0})"),
+    ("toYear", "year({0})"),
+    # dateDiff('unit', start, end): unit arrives quoted — strip for
+    # Spark's timestampdiff keyword argument
+    ("dateDiff",
+     lambda a: f"timestampdiff({a[0].strip().strip(chr(39))}, {a[1]}, {a[2]})"),
+    ("position", "instr({0}, {1})"),
+    ("empty", "(length({0}) = 0)"),
+    ("notEmpty", "(length({0}) > 0)"),
     ("toUInt32", "cast({0} as bigint)"),
     ("toUInt64", "cast({0} as bigint)"),
     ("toInt32", "cast({0} as int)"),
@@ -166,4 +191,11 @@ CLICKHOUSE_COLUMN_FNS: dict[str, Callable[..., Column]] = {
     "IPv4StringToNum": ipv4_string_to_num,
     "quantile": lambda c, p: F.percentile_approx(c, p),
     "quantileExact": lambda c, p: F.percentile(c, p),
+    "any": lambda c: F.first(c),
+    "anyLast": lambda c: F.last(c),
+    "argMax": lambda a, b: F.max_by(a, b),
+    "argMin": lambda a, b: F.min_by(a, b),
+    "median": lambda c: F.percentile_approx(c, 0.5),
+    "toStartOfMonth": lambda c: F.date_trunc("month", c),
+    "toUnixTimestamp": lambda c: F.unix_timestamp(c),
 }

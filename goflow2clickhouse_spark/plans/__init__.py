@@ -28,6 +28,7 @@ promote([
     "similarity_lsh_ann",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "ch_dialect_sampler_profile",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

@@ -415,6 +415,42 @@ def flows_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_sampler_profile",
+    oracle=FLOWS_WITH + """
+    SELECT sampler_address,
+           ROUND(MEDIAN(bytes), 1)                            AS median_bytes,
+           MAX_BY(dst_port, bytes * 65536 + dst_port)         AS busiest_port,
+           CAST(MIN(time_received) AS BIGINT)                 AS first_seen,
+           CAST(COUNT(*) AS BIGINT)                           AS n_flows
+    FROM flows
+    GROUP BY sampler_address
+    ORDER BY sampler_address
+    """,
+)
+def ch_dialect_sampler_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-combinator family of the dialect shim (medianExact,
+    argMax, min, count) — a ClickHouse per-exporter profile run
+    verbatim through translate(). The DuckDB oracle replays with its
+    own spellings: exact median interpolates identically on both
+    engines (rounded to kill ulps), and the argMax payload carries a
+    unique tie-breaker so MAX_BY agrees."""
+    from ..functions.dialect import translate
+
+    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    ch_sql = """
+    SELECT sampler_address,
+           round(medianExact(bytes), 1)                 AS median_bytes,
+           argMax(dst_port, bytes * 65536 + dst_port)   AS busiest_port,
+           toUInt64(min(time_received))                 AS first_seen,
+           count(*)                                     AS n_flows
+    FROM flows
+    GROUP BY sampler_address
+    ORDER BY sampler_address
+    """
+    return spark.sql(translate(ch_sql))
+
+
+@query(
     "ch_dialect_port_profile",
     oracle=FLOWS_WITH + """
     SELECT dst_port,

@@ -69,6 +69,39 @@ def test_halfmd5_value_parity(spark):
         assert got[v] == want, f"halfMD5({v!r})"
 
 
+def test_translate_aggregate_combinators():
+    assert translate("argMax(a, b)") == "max_by(a, b)"
+    assert translate("argMin(a, b)") == "min_by(a, b)"
+    assert translate("any(x)") == "first(x)"
+    assert translate("anyLast(x)") == "last(x)"
+    assert translate("medianExact(x)") == "percentile(x, 0.5)"
+    assert translate("median(x)") == "percentile_approx(x, 0.5)"
+
+
+def test_translate_date_family():
+    assert translate("toStartOfMonth(d)") == "date_trunc('month', d)"
+    assert translate("toUnixTimestamp(t)") == "unix_timestamp(t)"
+    assert translate("fromUnixTimestamp(s)") == "timestamp_seconds(s)"
+    assert translate("toDayOfWeek(d)") == "(((dayofweek(d) + 5) % 7) + 1)"
+    assert translate("dateDiff('day', a, b)") == "timestampdiff(day, a, b)"
+    assert translate("toYear(d)") == "year(d)"
+
+
+def test_translate_string_predicates():
+    assert translate("position(h, n)") == "instr(h, n)"
+    assert translate("empty(s)") == "(length(s) = 0)"
+    assert translate("notEmpty(s)") == "(length(s) > 0)"
+
+
+def test_iso_day_of_week_executes(spark):
+    # 2023-11-13 was a Monday: ClickHouse toDayOfWeek = 1
+    row = spark.sql(
+        "SELECT " + translate("toDayOfWeek(DATE'2023-11-13')") + " AS dow"
+        + ", " + translate("toDayOfWeek(DATE'2023-11-19')") + " AS sun"
+    ).first()
+    assert row.dow == 1 and row.sun == 7
+
+
 def test_translate_conditional_aggregates():
     assert translate("countIf(proto = 6)") == "sum(CASE WHEN proto = 6 THEN 1 ELSE 0 END)"
     assert translate("sumIf(bytes, d = 0)") == "sum(CASE WHEN d = 0 THEN bytes ELSE 0 END)"

@@ -28,8 +28,3 @@ def test_centroids_column_vs_pandas_parity(spark):
         assert col_c[k] == pytest.approx(pd_c[k], abs=1e-9)
 
 
-def test_udp_binary_schemes_raise(spark):
-    from goflow2clickhouse_spark.sources.streaming import SourceSpec, open_stream
-
-    with pytest.raises(NotImplementedError, match="goflow2"):
-        open_stream(spark, SourceSpec(scheme="sflow", target=":6343"))

@@ -29,6 +29,7 @@ promote([
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "ch_dialect_sampler_profile",
+    "flows_protocol_pivot",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

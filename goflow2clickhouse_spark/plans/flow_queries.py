@@ -415,6 +415,38 @@ def flows_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flows_protocol_pivot",
+    oracle=FLOWS_WITH + """
+    SELECT flow_direction,
+           CAST(COALESCE(SUM(CASE WHEN proto = 6  THEN bytes END), 0) AS BIGINT) AS tcp_bytes,
+           CAST(COALESCE(SUM(CASE WHEN proto = 17 THEN bytes END), 0) AS BIGINT) AS udp_bytes,
+           CAST(COALESCE(SUM(CASE WHEN proto = 1  THEN bytes END), 0) AS BIGINT) AS icmp_bytes
+    FROM flows
+    GROUP BY flow_direction
+    ORDER BY flow_direction
+    """,
+)
+def flows_protocol_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: per-direction traffic spread across protocol
+    columns via Spark SQL's native PIVOT clause (the oracle replays it
+    as conditional aggregation — PIVOT's relational definition). Plan:
+    single hash aggregate keyed on flow_direction with pivoted partial
+    aggregates — one shuffle, identical shape to the CASE formulation,
+    so the sugar costs nothing at scale."""
+    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    return spark.sql("""
+        SELECT flow_direction,
+               coalesce(tcp_bytes, 0)  AS tcp_bytes,
+               coalesce(udp_bytes, 0)  AS udp_bytes,
+               coalesce(icmp_bytes, 0) AS icmp_bytes
+        FROM (SELECT flow_direction, proto, bytes FROM flows)
+        PIVOT (SUM(bytes) FOR proto IN (6 AS tcp_bytes, 17 AS udp_bytes,
+                                        1 AS icmp_bytes))
+        ORDER BY flow_direction
+    """)
+
+
+@query(
     "ch_dialect_sampler_profile",
     oracle=FLOWS_WITH + """
     SELECT sampler_address,

@@ -616,6 +616,29 @@ def test_udp_drain_rate_floor(reader):
     assert rate >= 2_000, f"drain rate {rate:,.0f} rows/s below floor"
 
 
+def test_v9_decode_rate_floor():
+    """Template-based decode is pure-Python per field — keep it above
+    the reference's implied ingest floor with headroom."""
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    v9 = NetflowV9Decoder()
+    s = bytes([10, 0, 0, 1])
+    rec = {"src": bytes([1, 1, 1, 1]), "dst": bytes([2, 2, 2, 2]),
+           "sport": 80, "dport": 443, "proto": 6, "flags": 0x10,
+           "bytes": 64, "pkts": 1, "first": 0, "last": 0}
+    decode_datagram(_v9_template(300, _V9_FIELDS), s, v9=v9)
+    dgram = _v9_data(300, [rec] * 20)
+    n_iter = 500
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        decode_datagram(dgram, s, v9=v9)
+    rate = n_iter * 20 / (time.perf_counter() - t0)
+    assert rate >= 50_000, f"v9 decode {rate:,.0f} rows/s below floor"
+
+
 def test_v5_decode_rate_floor():
     """Binary v5 decode is the hot loop for netflow:// — keep it fast
     enough that a single driver socket can absorb a busy exporter."""

@@ -544,6 +544,54 @@ def test_netflow_v9_through_reader(reader):
     assert r._dropped == 0
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HYPOTHESIS = False
+
+
+if _HYPOTHESIS:
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=300, deadline=None)
+    def test_decode_datagram_never_raises(payload):
+        """The log-and-drop contract, adversarially: NO datagram —
+        random bytes, truncated headers, lying length fields — may
+        crash the source. Every outcome is rows or None."""
+        from goflow2clickhouse_spark.sources.udp import (
+            IpfixDecoder,
+            NetflowV9Decoder,
+            decode_datagram,
+        )
+
+        out = decode_datagram(payload, b"\x7f\x00\x00\x01", now_s=1,
+                              v9=NetflowV9Decoder(), ipfix=IpfixDecoder())
+        assert out is None or isinstance(out, list)
+        for row in out or []:
+            assert len(row) == len(RAW_FLOW_SCHEMA.fields)
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_decode_binary_prefixed_never_raises(payload):
+        """Same, but steered into the binary decoders: valid version
+        tags followed by arbitrary bytes."""
+        from goflow2clickhouse_spark.sources.udp import (
+            IpfixDecoder,
+            NetflowV9Decoder,
+            decode_datagram,
+        )
+
+        for tag in (b"\x00\x05", b"\x00\x09", b"\x00\x0a",
+                    b"\x00\x00\x00\x05"):
+            out = decode_datagram(tag + payload, b"\x0a\x00\x00\x01",
+                                  now_s=1, v9=NetflowV9Decoder(),
+                                  ipfix=IpfixDecoder())
+            assert out is None or isinstance(out, list)
+
+
 def test_reuseport_two_listeners_share_port():
     """-workers parity: with reuseport=true two readers bind the SAME
     port and the kernel spreads datagrams between them; fan-in of both

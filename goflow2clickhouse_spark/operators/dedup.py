@@ -284,6 +284,39 @@ def _safe_unpersist(df: DataFrame) -> None:
         pass
 
 
+def flag_contaminated(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one n-word shingle with the benchmark set (the standard
+    pre-training hygiene step — n=8..13 word overlaps with eval sets).
+
+    Scale shape: the benchmark shingle set is benchmark-sized (tiny
+    next to the corpus) and broadcast; the corpus side is an exploded
+    (doc, shingle) relation semi-joined against it — an inverted-index
+    probe, never a doc x benchmark comparison. Output is `corpus_df`
+    plus a boolean `contaminated` column."""
+    c_sh = word_shingles(corpus_df, text_col, id_col, n)
+    b_sh = (
+        word_shingles(benchmark_df, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hit_ids = (
+        c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus_df.join(hit_ids, id_col, "left").fillna(
+        False, ["contaminated"]
+    )
+
+
 def pin(df: DataFrame, *handles) -> DataFrame:
     """Keep `handles` (DataFrames whose caches/checkpoints are tied to
     their Python lifetime via weakref.finalize) alive for as long as

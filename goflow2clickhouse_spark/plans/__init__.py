@@ -30,6 +30,8 @@ promote([
     "embedding_neardup_lsh",
     "ch_dialect_sampler_profile",
     "flows_protocol_pivot",
+    "decontamination_stats",
+    "text_word_entropy",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

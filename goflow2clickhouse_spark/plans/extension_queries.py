@@ -607,6 +607,118 @@ def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontamination_stats",
+    oracle="""
+    WITH docs AS (SELECT doc_id, source, text FROM documents),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+    csh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM cw WHERE len(w) >= 3
+    ),
+    bw AS (SELECT string_split(text, ' ') AS w FROM docs WHERE doc_id % 50 = 0),
+    bsh AS (
+        SELECT DISTINCT
+               UNNEST(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM bw WHERE len(w) >= 3
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id FROM csh
+        WHERE shingle IN (SELECT shingle FROM bsh)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM docs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.flag_contaminated):
+    every 50th document stands in for an eval set; corpus documents
+    sharing any 3-word shingle with it are flagged, reported per
+    source. At production n (8-13 words) and scale the shape is
+    unchanged: broadcast benchmark shingles, inverted-index semi-join
+    on the corpus side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    flagged = D.flag_contaminated(docs, bench, n=3)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH words AS (
+        SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT source, doc_id, word, COUNT(*) AS n
+        FROM words GROUP BY source, doc_id, word
+    ),
+    tot AS (
+        SELECT source, doc_id, SUM(n) AS total FROM wc
+        GROUP BY source, doc_id
+    ),
+    ent AS (
+        SELECT wc.source, wc.doc_id,
+               ROUND(-SUM((n * 1.0 / total) * log2(n * 1.0 / total)), 4)
+                   AS h
+        FROM wc JOIN tot USING (source, doc_id)
+        GROUP BY wc.source, wc.doc_id
+    )
+    SELECT source,
+           ROUND(AVG(h), 4) AS avg_entropy,
+           ROUND(MIN(h), 4) AS min_entropy,
+           ROUND(MAX(h), 4) AS max_entropy
+    FROM ent
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution Shannon entropy per document, summarized per
+    source — the lexical-diversity quality signal (low entropy =
+    repetitive/boilerplate). Two aggregations: per-(doc, word) counts,
+    then the entropy fold; both shuffle on doc-prefixed keys so the
+    plan is two map-side-combined hash aggregates, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = words.groupBy("source", "doc_id", "word").agg(
+        F.count("*").alias("n"))
+    tot = wc.groupBy("source", "doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    ent = (
+        wc.join(tot, ["source", "doc_id"])
+        .groupBy("source", "doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("h"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -670,16 +670,12 @@ def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, doc_id, word, COUNT(*) AS n
         FROM words GROUP BY source, doc_id, word
     ),
-    tot AS (
-        SELECT source, doc_id, SUM(n) AS total FROM wc
-        GROUP BY source, doc_id
-    ),
     ent AS (
-        SELECT wc.source, wc.doc_id,
-               ROUND(-SUM((n * 1.0 / total) * log2(n * 1.0 / total)), 4)
-                   AS h
-        FROM wc JOIN tot USING (source, doc_id)
-        GROUP BY wc.source, wc.doc_id
+        SELECT source, doc_id,
+               ROUND(log2(SUM(n) * 1.0)
+                     - SUM(n * log2(n * 1.0)) / SUM(n), 4) AS h
+        FROM wc
+        GROUP BY source, doc_id
     )
     SELECT source,
            ROUND(AVG(h), 4) AS avg_entropy,
@@ -693,20 +689,24 @@ def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-distribution Shannon entropy per document, summarized per
     source — the lexical-diversity quality signal (low entropy =
-    repetitive/boilerplate). Two aggregations: per-(doc, word) counts,
-    then the entropy fold; both shuffle on doc-prefixed keys so the
-    plan is two map-side-combined hash aggregates, no window."""
+    repetitive/boilerplate). Uses the join-free identity
+    H = log2(N) - sum(n*log2 n)/N, so the plan is just two
+    map-side-combined hash aggregates on doc-prefixed keys — no
+    doc-count-sized join anywhere (the naive p*log2 p formulation
+    needs a per-doc total joined back onto the counts)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("source", "doc_id", "word").agg(
         F.count("*").alias("n"))
-    tot = wc.groupBy("source", "doc_id").agg(F.sum("n").alias("total"))
-    p = F.col("n") / F.col("total")
+    n = F.col("n")
     ent = (
-        wc.join(tot, ["source", "doc_id"])
-        .groupBy("source", "doc_id")
-        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("h"))
+        wc.groupBy("source", "doc_id")
+        .agg(
+            F.round(
+                F.log2(F.sum(n)) - F.sum(n * F.log2(n)) / F.sum(n), 4
+            ).alias("h")
+        )
     )
     return (
         ent.groupBy("source")

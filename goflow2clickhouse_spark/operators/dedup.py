@@ -429,9 +429,13 @@ def cluster_pairs(
     partition (near-dup graphs are dup-fraction-sized, overwhelmingly
     this case — shuffle-stage overhead would dominate otherwise); a
     bigger graph falls back to plain shuffle joins, the scale-correct
-    path. Lifecycle: the checkpoint blocks are released when the
-    returned labels handle is dropped, same contract as
-    minhash_lsh_dedup_pairs."""
+    path. Lifecycle: localCheckpoint blocks are released when the
+    returned labels handle is dropped (same contract as
+    minhash_lsh_dedup_pairs). Reliable checkpoint FILES are not
+    registered as persistent RDDs and are owned by the checkpoint dir:
+    set spark.cleaner.referenceTracking.cleanCheckpoints=true (or
+    clean the dir) on cluster deployments — the handle-drop release
+    cannot reach them."""
     sc = pairs.sparkSession.sparkContext
     edges_raw = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -475,11 +479,12 @@ def cluster_pairs(
 
 
 def _release_rdds(sc, rdd_ids: list[int]) -> None:
-    """Best-effort release of checkpoint RDD blocks once the result
+    """Best-effort release of localCheckpoint RDD blocks once the result
     handle is gone (df.unpersist does not reach localCheckpoint
-    storage; SparkContext.unpersistRDD does)."""
+    storage; SparkContext.unpersistRDD does). Per-id best effort: one
+    failure must not leak the remaining ids."""
     for i in rdd_ids:
         try:
             sc._jsc.sc().unpersistRDD(i, False)
         except Exception:
-            return
+            continue

@@ -32,6 +32,7 @@ promote([
     "flows_protocol_pivot",
     "decontamination_stats",
     "text_word_entropy",
+    "flows_protocol_unpivot",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

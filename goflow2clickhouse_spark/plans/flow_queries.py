@@ -447,6 +447,41 @@ def flows_protocol_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flows_protocol_unpivot",
+    oracle=FLOWS_WITH + """
+    , wide AS (
+        SELECT flow_direction,
+               CAST(COALESCE(SUM(CASE WHEN proto = 6  THEN bytes END), 0) AS BIGINT) AS tcp,
+               CAST(COALESCE(SUM(CASE WHEN proto = 17 THEN bytes END), 0) AS BIGINT) AS udp
+        FROM flows GROUP BY flow_direction
+    )
+    SELECT flow_direction, 'tcp' AS protocol, tcp AS proto_bytes FROM wide
+    UNION ALL
+    SELECT flow_direction, 'udp' AS protocol, udp AS proto_bytes FROM wide
+    ORDER BY flow_direction, protocol
+    """,
+)
+def flows_protocol_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (the inverse of flows_protocol_pivot): a wide
+    per-direction protocol aggregate melted back to long form via Spark
+    SQL's native UNPIVOT clause; the oracle replays it as the UNION ALL
+    it desugars to. Plan: one aggregate + an Expand node — no join, no
+    extra shuffle."""
+    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    return spark.sql("""
+        WITH wide AS (
+            SELECT flow_direction,
+                   coalesce(sum(CASE WHEN proto = 6  THEN bytes END), 0) AS tcp,
+                   coalesce(sum(CASE WHEN proto = 17 THEN bytes END), 0) AS udp
+            FROM flows GROUP BY flow_direction
+        )
+        SELECT flow_direction, protocol, proto_bytes
+        FROM wide UNPIVOT (proto_bytes FOR protocol IN (tcp, udp))
+        ORDER BY flow_direction, protocol
+    """)
+
+
+@query(
     "ch_dialect_sampler_profile",
     oracle=FLOWS_WITH + """
     SELECT sampler_address,

@@ -361,14 +361,16 @@ class NetflowV9Decoder:
                 for i in range(n_fields)
             ]
             p += n_fields * 4
-            if tid >= 256 and fields:
+            # reject zero-stride templates: a data set parsed against
+            # one would never advance (crafted-datagram hang)
+            if tid >= 256 and fields and sum(ln for _, ln in fields) > 0:
                 self._templates[(sampler, source_id, tid)] = fields
 
     def _parse_data(self, payload, p, end, tmpl, sampler,
                     sys_uptime, unix_secs, seq) -> list[tuple]:
         rec_len = sum(ln for _, ln in tmpl)
         rows = []
-        while p + rec_len <= end:
+        while rec_len > 0 and p + rec_len <= end:
             f: dict[int, int | bytes] = {}
             for ftype, ln in tmpl:
                 raw = payload[p:p + ln]
@@ -489,7 +491,8 @@ class IpfixDecoder:
                     fields.append((None, ln))
                 else:
                     fields.append((ie, ln))
-            if ok and tid >= 256 and fields:
+            # zero-stride templates rejected, as in the v9 decoder
+            if ok and tid >= 256 and fields and sum(ln for _, ln in fields) > 0:
                 self._templates[(sampler, domain, tid)] = fields
 
     def _parse_data(self, payload, p, end, tmpl, sampler,

@@ -70,7 +70,7 @@ class IngestPipeline:
         raws: list[DataFrame] = []
         for s in self._specs:
             workers = int(s.options.get("workers", "1"))
-            if workers > 1 and s.scheme in {"udp", "netflow", "nfl"}:
+            if workers > 1 and s.scheme in {"udp", "sflow", "netflow", "nfl"}:
                 opts = {k: v for k, v in s.options.items() if k != "workers"}
                 opts["reuseport"] = "true"
                 spec_n = replace(s, options=opts)

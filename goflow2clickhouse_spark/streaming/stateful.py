@@ -108,25 +108,40 @@ def _make_tracker(key_cols: list[str], gap_s: int):
             .reset_index()
         )
 
-        sessions: list[tuple[int, int, int, int]] = []
+        # Interval fold over the carried session + this batch's instants,
+        # sorted by interval start. A later micro-batch can deliver an
+        # in-watermark late event ANYWHERE relative to the carried
+        # session: inside it (must not regress end_ms — early
+        # EventTimeTimeout — nor miss lowering start_ms), or before it
+        # by more than the gap (must become its own earlier session, not
+        # be glued on). Treating state as one interval item in the same
+        # sorted fold handles every ordering with the batch twin's
+        # semantics. Residual divergence (inherent to append-mode
+        # emission): a session closed by a same-batch gap is emitted
+        # immediately; an extremely late future event could have bridged
+        # it while the watermark still allowed — the watermark delay is
+        # the knob that bounds this window.
+        items: list[list[int]] = []
         if state.exists:
-            cur = list(state.get)
-        else:
-            cur = None
-        for t, n, b in per_t.itertuples(index=False):
+            items.append(list(state.get))
+        items.extend(
+            [int(t), int(t), int(n), int(b)]
+            for t, n, b in per_t.itertuples(index=False)
+        )
+        items.sort(key=lambda x: (x[0], x[1]))
+
+        sessions: list[tuple[int, int, int, int]] = []
+        cur = None
+        for it in items:
             if cur is None:
-                cur = [int(t), int(t), int(n), int(b)]
-            elif t - cur[1] > gap_ms:
+                cur = it[:]
+            elif it[0] - cur[1] > gap_ms:
                 sessions.append(tuple(cur))
-                cur = [int(t), int(t), int(n), int(b)]
+                cur = it[:]
             else:
-                # max, not assignment: a later micro-batch can deliver an
-                # in-watermark late event with t < the carried session end;
-                # regressing end_ms would fire EventTimeTimeout early and
-                # emit a session_end below the batch twin's max(ts).
-                cur[1] = max(cur[1], int(t))
-                cur[2] += int(n)
-                cur[3] += int(b)
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
 
         wm = state.getCurrentWatermarkMs()
         if cur is not None and cur[1] + gap_ms <= wm:

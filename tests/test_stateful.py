@@ -56,14 +56,14 @@ def session_chunks(spark, tmp_path):
     return d
 
 
-def _run_stream(spark, path, ckpt, gap_s=30):
+def _run_stream(spark, path, ckpt, gap_s=30, watermark="10 seconds"):
     raw = (
         spark.readStream.schema(RAW_FLOW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(path))
     )
     out = conversation_tracker(
-        flow_transform(raw), key_cols=KEY, gap_s=gap_s, watermark="10 seconds"
+        flow_transform(raw), key_cols=KEY, gap_s=gap_s, watermark=watermark
     )
     q = (
         out.writeStream.format("memory")
@@ -151,6 +151,47 @@ def test_late_event_cannot_regress_session_end(spark, tmp_path):
     assert len(t) == 1
     assert int(t[0].session_end.timestamp()) == BASE + 20
     assert t[0].n_flows == 6 and t[0].total_bytes == 509
+
+
+def test_late_event_before_session_start(spark, tmp_path):
+    """A late in-watermark event BEFORE the carried session start must
+    lower session_start when within the gap, matching the batch twin."""
+    d = tmp_path / "late_pre"
+    # batch 0: 3 flows BASE+20..BASE+30 → state [BASE+20, BASE+30]
+    c0 = _rows(BASE + 20, 3, 0)
+    # batch 1: late event at BASE+12 — within gap (30s) of the carried
+    # start BASE+20, and above the 60s watermark (wm = BASE+30-60)
+    c1 = [_raw_row(TimeReceived=BASE + 12, SequenceNum=50, Bytes=9)]
+    c2 = [
+        _raw_row(
+            TimeReceived=BASE + 100_000,
+            SequenceNum=5000,
+            SrcAddr=bytes([10, 9, 9, 9]),
+        )
+    ]
+    for chunk in (c0, c1, c2):
+        spark.createDataFrame(chunk, RAW_FLOW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    streamed = _run_stream(spark, d, tmp_path / "ck_late_pre",
+                           watermark="60 seconds")
+    rows = [r for r in streamed.collect() if r.src_addr != "10.9.9.9"]
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(d))
+    twin = conversations_batch(flow_transform(batch_raw), key_cols=KEY, gap_s=30)
+    want = sorted(
+        (int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+         r.n_flows, r.total_bytes)
+        for r in twin.filter(F.col("src_addr") != "10.9.9.9").collect()
+    )
+    got = sorted(
+        (int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+         r.n_flows, r.total_bytes)
+        for r in rows
+    )
+    assert got == want
+    assert got[0][0] == BASE + 12  # start lowered by the late event
 
 
 def test_batch_twin_tie_determinism(spark):

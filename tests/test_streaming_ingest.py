@@ -118,12 +118,13 @@ def test_udp_workers_fan_in(spark):
     port = probe.getsockname()[1]
     probe.close()
 
-    cfg = IngestConfig(listen=f"udp://127.0.0.1:{port}?workers=2")
-    pipe = IngestPipeline(spark, cfg, lambda df, bid: None)
-    df = pipe.stream()
-    plan = df._jdf.queryExecution().analyzed().toString()
-    assert plan.count("udp_flows") == 2, plan
-    assert "Union" in plan
+    for scheme in ("udp", "sflow"):
+        cfg = IngestConfig(listen=f"{scheme}://127.0.0.1:{port}?workers=2")
+        pipe = IngestPipeline(spark, cfg, lambda df, bid: None)
+        df = pipe.stream()
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert plan.count("udp_flows") == 2, (scheme, plan)
+        assert "Union" in plan
 
 
 def test_parse_listen_dispatch():

@@ -421,6 +421,22 @@ def test_netflow_v9_template_isolation_and_malformed():
     assert decode_datagram(_v9_data(300, [rec]), a) is None
 
 
+def test_netflow_v9_zero_stride_template_rejected():
+    """A template whose field lengths sum to 0 must be rejected at
+    ingest — parsing data against it would loop forever on one crafted
+    datagram pair."""
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    v9 = NetflowV9Decoder()
+    s = bytes([10, 0, 0, 4])
+    decode_datagram(_v9_template(300, [(8, 0), (4, 0)]), s, v9=v9)
+    assert decode_datagram(_v9_data(300, []), s, v9=v9) == []
+    assert v9.dropped_no_template == 1  # template was never stored
+
+
 def test_netflow_v9_ipv6_template():
     from goflow2clickhouse_spark.sources.udp import (
         NetflowV9Decoder,

@@ -69,3 +69,28 @@ def ipv4_string_to_num(col: Column | str) -> Column:
         + parts.getItem(2).cast("long") * 256
         + parts.getItem(3).cast("long")
     )
+
+
+def ipv4_in_cidr(col: Column | str, cidr: str) -> Column:
+    """True iff the dotted-quad IPv4 string is inside `cidr`
+    ("10.0.0.0/8"). Pure column arithmetic — the network address and
+    mask fold to literals at plan time, so the predicate is a single
+    codegen'd compare: (ip_num & mask) == network. Portable: the DuckDB
+    oracle replays the identical arithmetic."""
+    net = ipaddress.ip_network(cidr, strict=True)
+    mask = int(net.netmask)
+    network = int(net.network_address)
+    return (ipv4_string_to_num(col).bitwiseAND(F.lit(mask))) == F.lit(network)
+
+
+#: RFC 1918 private ranges — the classifier every flow deployment needs
+RFC1918 = ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
+
+
+def ipv4_is_private(col: Column | str) -> Column:
+    """True iff the address is in any RFC 1918 range."""
+    preds = [ipv4_in_cidr(col, c) for c in RFC1918]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out

@@ -33,6 +33,7 @@ promote([
     "decontamination_stats",
     "text_word_entropy",
     "flows_protocol_unpivot",
+    "flows_private_traffic_matrix",
     "text_quality_stats",
     "text_langid",
     "text_token_counts",

@@ -447,6 +447,62 @@ def flows_protocol_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flows_private_traffic_matrix",
+    oracle=FLOWS_WITH + """
+    , num AS (
+        SELECT bytes,
+               (CAST(string_split(src_addr, '.')[1] AS BIGINT) * 16777216
+                + CAST(string_split(src_addr, '.')[2] AS BIGINT) * 65536
+                + CAST(string_split(src_addr, '.')[3] AS BIGINT) * 256
+                + CAST(string_split(src_addr, '.')[4] AS BIGINT)) AS s,
+               (CAST(string_split(dst_addr, '.')[1] AS BIGINT) * 16777216
+                + CAST(string_split(dst_addr, '.')[2] AS BIGINT) * 65536
+                + CAST(string_split(dst_addr, '.')[3] AS BIGINT) * 256
+                + CAST(string_split(dst_addr, '.')[4] AS BIGINT)) AS d
+        FROM flows
+    ),
+    cls AS (
+        SELECT bytes,
+               ((s & 4278190080) = 167772160 OR (s & 4293918720) = 2886729728
+                OR (s & 4294901760) = 3232235520) AS src_private,
+               ((d & 4278190080) = 167772160 OR (d & 4293918720) = 2886729728
+                OR (d & 4294901760) = 3232235520) AS dst_private
+        FROM num
+    )
+    SELECT src_private, dst_private,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM cls
+    GROUP BY src_private, dst_private
+    ORDER BY src_private, dst_private
+    """,
+)
+def flows_private_traffic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR classification (functions/ip.ipv4_in_cidr): every flow
+    bucketed by whether src/dst fall in RFC 1918 space — the
+    internal/external traffic matrix every flow deployment wants. The
+    network/mask fold to literals at plan time so each membership test
+    is one codegen'd AND+compare; no join, no UDF. The oracle replays
+    the identical mask arithmetic."""
+    from ..functions.ip import ipv4_is_private
+
+    f = flows_df(spark, sf_dir)
+    return (
+        f.select(
+            ipv4_is_private("src_addr").alias("src_private"),
+            ipv4_is_private("dst_addr").alias("dst_private"),
+            "bytes",
+        )
+        .groupBy("src_private", "dst_private")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .orderBy("src_private", "dst_private")
+    )
+
+
+@query(
     "flows_protocol_unpivot",
     oracle=FLOWS_WITH + """
     , wide AS (

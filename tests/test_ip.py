@@ -88,3 +88,39 @@ def test_ip_to_string_udf(spark):
     got = [r.s for r in df.select(ip_to_string("addr").alias("s")).collect()]
     expected = [exp for raw, exp in GOLDEN if raw is not None]
     assert got == expected
+
+
+def test_ipv4_in_cidr_boundaries(spark):
+    """CIDR membership at the exact range edges, against the stdlib."""
+    import ipaddress as ipa
+
+    from goflow2clickhouse_spark.functions.ip import (
+        ipv4_in_cidr,
+        ipv4_is_private,
+    )
+
+    cases = [
+        "9.255.255.255", "10.0.0.0", "10.255.255.255", "11.0.0.0",
+        "172.15.255.255", "172.16.0.0", "172.31.255.255", "172.32.0.0",
+        "192.167.255.255", "192.168.0.0", "192.168.255.255", "192.169.0.0",
+        "8.8.8.8", "127.0.0.1",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {
+        r.ip: (r.in10, r.priv)
+        for r in df.select(
+            "ip",
+            ipv4_in_cidr("ip", "10.0.0.0/8").alias("in10"),
+            ipv4_is_private("ip").alias("priv"),
+        ).collect()
+    }
+    for c in cases:
+        a = ipa.ip_address(c)
+        assert got[c][0] == (a in ipa.ip_network("10.0.0.0/8")), c
+        # note: RFC 1918 only — loopback is "private" to the stdlib but
+        # not an RFC 1918 range
+        want_priv = any(
+            a in ipa.ip_network(n)
+            for n in ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
+        )
+        assert got[c][1] == want_priv, c

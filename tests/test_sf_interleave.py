@@ -25,3 +25,27 @@ def test_queries_track_sf_dir_across_interleaved_calls(spark):
         b2 = _fingerprint(q(spark, SF_B))
         assert a1 == a2 and b1 == b2, f"{name}: unstable across interleave"
         assert a1 != b1, f"{name}: sf0.001 and sf0.01 gave identical results"
+
+
+def test_promoted_names_all_exist():
+    """The driver-coverage rotation list in plans/__init__ must contain
+    only real registry names — a typo there silently drops a query from
+    the verified window."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path(
+        "goflow2clickhouse_spark/plans/__init__.py").read_text()
+    tree = ast.parse(src)
+    promoted = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and getattr(node.func, "id", "") == "promote"):
+            promoted = [ast.literal_eval(e) for e in node.args[0].elts]
+    assert promoted, "promote() call not found"
+    missing = [n for n in promoted if n not in registry()]
+    assert not missing, f"promoted names not in registry: {missing}"
+    # the 30 round-1-unproven names must sit inside the 50-entry window
+    order = list(registry())
+    for n in promoted:
+        assert order.index(n) < 50, f"{n} fell outside the driver window"

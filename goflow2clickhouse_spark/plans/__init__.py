@@ -25,6 +25,9 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 promote([
     # round-2 additions (no driver row yet) first
     "matview_flows_rollup",
+    "text_repetition_stats",
+    "text_denylist_scrub",
+    "text_bigram_logprob",
     "similarity_topk_bruteforce",
     "similarity_ivf_ann",
     "similarity_lsh_ann",

@@ -1082,3 +1082,173 @@ def kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: repetition, deny-list scrubbing, bigram language model
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS (SELECT doc_id, UNNEST(w) AS word FROM w),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    tw AS (
+        SELECT doc_id,
+               ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4)
+                   AS top_word_ratio
+        FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> concat_ws(' ', w[i], w[i+1])) AS b
+        FROM w
+    ),
+    br AS (
+        SELECT doc_id,
+               ROUND(1 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4)
+                   AS dup_bigram_ratio
+        FROM bg WHERE len(b) > 0
+    )
+    SELECT tw.doc_id, top_word_ratio, dup_bigram_ratio
+    FROM tw JOIN br USING (doc_id)
+    ORDER BY top_word_ratio DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition scoring: the 15 most repetitive documents
+    by top-word concentration, with the repeated-bigram ratio alongside
+    — the two standard signals a corpus-cleaning pass thresholds on.
+
+    Scale: top_word_ratio is explode → two map-side-combined hash aggs
+    on doc-prefixed keys; dup_bigram_ratio never explodes (pure column
+    expression over the bigram array); the only join is doc-keyed
+    between two doc-count-sized relations, and the final top-k is a
+    TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    tw = wc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_word_ratio")
+    )
+    br = docs.select(
+        "doc_id", T.dup_bigram_ratio("text").alias("dup_bigram_ratio")
+    ).filter(F.col("dup_bigram_ratio").isNotNull())
+    return (
+        tw.join(br, "doc_id")
+        .select("doc_id", "top_word_ratio", "dup_bigram_ratio")
+        .orderBy(F.desc("top_word_ratio"), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "text_denylist_scrub",
+    oracle=rf"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{T.DENYLIST_RE}'))) AS BIGINT)
+               AS total_redactions,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+           CAST(SUM(length(regexp_replace(text, '{T.DENYLIST_RE}', '[X]', 'g'))) AS BIGINT)
+               AS chars_after
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list redaction (the PII/bad-term masking pass of a training
+    pipeline): per source, how many term occurrences were masked and
+    the byte delta of the scrubbed corpus. Word-bounded regex, one
+    codegen'd projection + one map-side-combined aggregate — no Python,
+    no join, no second pass over the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "source",
+        T.denylist_hits("text").alias("hits"),
+        F.length("text").alias("len_before"),
+        F.length(T.denylist_scrub("text")).alias("len_after"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("hits").alias("total_redactions"),
+            F.sum("len_before").alias("chars_before"),
+            F.sum("len_after").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 1),
+                      i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+        FROM w WHERE len(w) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
+    uc AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               CAST(SUM(c_bg) AS BIGINT) AS c_w1
+        FROM bc GROUP BY 1
+    ),
+    lp AS (
+        SELECT bigram,
+               log2(CAST(c_bg AS DOUBLE) / c_w1) AS logp
+        FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1
+    )
+    SELECT doc_id,
+           ROUND(AVG(logp), 4) AS lm_score,
+           COUNT(*) AS n_bigrams
+    FROM bg JOIN lp USING (bigram)
+    GROUP BY doc_id
+    ORDER BY lm_score, doc_id
+    LIMIT 15
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (KenLM-style, corpus-
+    self-trained): score each document by mean log2 P(w2|w1) under the
+    corpus bigram distribution and surface the 15 most surprising
+    (lowest-probability) documents — the perplexity-ish filter a
+    pretraining pipeline uses to drop gibberish.
+
+    Scale: the model (bigram → conditional logprob) is vocabulary²-
+    bounded — broadcast — so scoring is explode + broadcast hash join +
+    one map-side-combined re-agg by doc_id; the corpus itself is never
+    shuffled. The unigram table derives from the bigram counts (sum
+    over w2), not a second corpus pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = docs.select(
+        "doc_id", F.explode(T.bigrams("text")).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    uc = bc.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_w1"))
+    lp = (
+        bc.join(uc, F.substring_index(bc.bigram, " ", 1) == uc.w1)
+        .select("bigram", F.log2(F.col("c_bg") / F.col("c_w1")).alias("logp"))
+    )
+    return (
+        bg.join(F.broadcast(lp), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("logp"), 4).alias("lm_score"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .orderBy("lm_score", "doc_id")
+        .limit(15)
+    )

@@ -2,39 +2,40 @@
 
 Spark has no native as-of join. Two formulations exist:
 
-1. equi-join on key + row_number over ts DESC — simple, but it
-   materializes every (probe row × candidate row) pair per key before
-   the filter: quadratic in per-key density.
+1. equi-join on key + row_number over ts — simple, but it materializes
+   every (probe row × candidate row) pair per key before the filter:
+   quadratic in per-key density (kept only as the reference
+   implementation in tests/test_asof.py).
 2. **union-timeline** (this module): tag probe and reference rows,
-   union them into one per-key timeline, sort once, and carry the most
-   recent reference value forward with last(..., ignorenulls) over an
+   union them into one per-key timeline, sort once, and carry the
+   nearest reference value across with last(..., ignorenulls) over an
    unbounded-preceding frame. One shuffle on the key, linear work in
    |probes| + |references| per key — the 100 TB shape.
 
-Semantics match ClickHouse/DuckDB ASOF LEFT JOIN (backward): for each
-probe row, the reference row with the greatest ts <= probe ts; ties on
-ts resolved toward the largest tie-break value; probes with no earlier
-reference get NULL.
+Directions (both match ClickHouse/DuckDB ASOF LEFT JOIN semantics):
+- backward: greatest ref ts <= probe ts; ties on ts resolved toward
+  the LARGEST tie-break value;
+- forward: smallest ref ts >= probe ts; ties resolved toward the
+  SMALLEST tie-break value (the mirror).
+Probes with no qualifying reference get NULL.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
+def _asof_join(
     probes: DataFrame,
     refs: DataFrame,
     key: str,
     probe_ts: str,
     ref_ts: str,
     value_cols: list[str],
-    tie_break: str | None = None,
+    tie_break: str | None,
+    order: list[Column],
 ) -> DataFrame:
-    """For each probe row: the value_cols of the latest refs row with
-    ref_ts <= probe_ts on the same key (NULL when none). Output: all
-    probe columns + value_cols."""
     probe_cols = probes.columns
     clash = set(probe_cols) & set(value_cols)
     if clash:
@@ -69,12 +70,9 @@ def asof_join_backward(
         *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_cols],
         val_struct.alias("_v"),
     )
-    # references sort before probes at equal _ts (ASOF is <=); among
-    # reference ties the largest tie-break sorts last, and
-    # last(ignorenulls) carries the latest non-null struct forward
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_is_probe", F.asc_nulls_first("_tb"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = p.unionByName(r).select(
@@ -85,4 +83,53 @@ def asof_join_backward(
     return (
         carried.filter(F.col("_is_probe") == 1)
         .select(*probe_cols, *[F.col(f"_m.{c}").alias(c) for c in value_cols])
+    )
+
+
+def asof_join_backward(
+    probes: DataFrame,
+    refs: DataFrame,
+    key: str,
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each probe row: the value_cols of the latest refs row with
+    ref_ts <= probe_ts on the same key (NULL when none). Output: all
+    probe columns + value_cols.
+
+    Timeline order: ts ascending; references sort before probes at
+    equal ts (ASOF is <=); among reference ties the largest tie-break
+    sorts last, and last(ignorenulls) carries the latest non-null
+    struct forward."""
+    return _asof_join(
+        probes, refs, key, probe_ts, ref_ts, value_cols, tie_break,
+        order=[F.col("_ts").asc(), F.col("_is_probe").asc(),
+               F.asc_nulls_first("_tb")],
+    )
+
+
+def asof_join_forward(
+    probes: DataFrame,
+    refs: DataFrame,
+    key: str,
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each probe row: the value_cols of the EARLIEST refs row with
+    ref_ts >= probe_ts on the same key (NULL when none) — the mirror
+    of asof_join_backward, same single-shuffle linear plan.
+
+    Timeline order: ts DESCENDING, so walking the frame forward moves
+    backward in time and the last reference seen before a probe is the
+    smallest ts >= probe. References still sort before probes at equal
+    ts (>= includes equality); among reference ties the SMALLEST
+    tie-break sorts last and wins."""
+    return _asof_join(
+        probes, refs, key, probe_ts, ref_ts, value_cols, tie_break,
+        order=[F.col("_ts").desc(), F.col("_is_probe").asc(),
+               F.desc_nulls_first("_tb")],
     )

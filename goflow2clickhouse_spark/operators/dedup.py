@@ -437,45 +437,96 @@ def cluster_pairs(
     clean the dir) on cluster deployments — the handle-drop release
     cannot reach them."""
     sc = pairs.sparkSession.sparkContext
-    edges_raw = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
     ids_before = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet()}
     try:
         reliable = sc.getCheckpointDir() is not None
     except Exception:
         reliable = False
-    cached = (
-        edges_raw.checkpoint(eager=True) if reliable
-        else edges_raw.localCheckpoint(eager=True)
+    # checkpoint the PAIRS, then mirror — mirroring first would union
+    # two selects over the same un-materialized subtree and execute the
+    # whole upstream pipeline (e.g. MinHash) twice in the checkpoint job
+    base = (
+        pairs.checkpoint(eager=True) if reliable
+        else pairs.localCheckpoint(eager=True)
+    )
+    cached = base.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        base.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     ckpt_ids = [
         i for k in sc._jsc.getPersistentRDDs().keySet()
         if (i := int(str(k))) not in ids_before
     ]
-    small = cached.count() <= broadcast_max_edges
-    edges = cached.coalesce(1) if small else cached
-    hint = F.broadcast if small else (lambda df: df)
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "lbl", F.col("id")
-    )
-    for _ in range(iterations):
-        neigh = (
-            edges.join(
-                hint(labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"})),
-                "dst",
+    small = base.count() <= broadcast_max_edges
+    if small:
+        result = _cc_single_task(cached)
+    else:
+        labels = cached.select(F.col("src").alias("id")).distinct().withColumn(
+            "lbl", F.col("id")
+        )
+        for _ in range(iterations):
+            neigh = (
+                cached.join(
+                    labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nlbl").alias("mn"))
             )
-            .groupBy("src")
-            .agg(F.min("nlbl").alias("mn"))
-        )
-        labels = labels.join(hint(neigh), labels.id == neigh.src).select(
-            "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
-        )
-    result = labels.select("id", F.col("lbl").alias("cluster_id"))
+            labels = labels.join(neigh, labels.id == neigh.src).select(
+                "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
+            )
+        result = labels.select("id", F.col("lbl").alias("cluster_id"))
     weakref.finalize(result, _release_rdds, sc, ckpt_ids)
     return result
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a graph that fits one task:
+    coalesce the edge relation to a single partition and run union-find
+    (path halving + union-by-label) inside it — ONE job, converged to
+    fixpoint, vs one broadcast-collect job per propagation round. The
+    cluster label is the component's min id, the same representative
+    the propagation path approaches; on dense near-dup components
+    (diameter ≤ 2·iterations) the two paths agree exactly, and this
+    path is also correct for the long chains k rounds would miss."""
+    id_t = edges.schema["src"].dataType.simpleString()
+
+    def cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union toward the smaller label so the final root
+                    # IS the component min — no second relabel pass
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"id": nodes, "cluster_id": [find(x) for x in nodes]}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        cc, f"id {id_t}, cluster_id {id_t}"
+    )
 
 
 def _release_rdds(sc, rdd_ids: list[int]) -> None:

@@ -28,6 +28,7 @@ promote([
     "text_repetition_stats",
     "text_denylist_scrub",
     "text_bigram_logprob",
+    "orders_asof_next_event",
     "similarity_topk_bruteforce",
     "similarity_ivf_ann",
     "similarity_lsh_ann",

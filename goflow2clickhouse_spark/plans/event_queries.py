@@ -253,3 +253,53 @@ def orders_asof_union_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.round("value", 4).alias("last_event_value"),
     )
+
+
+@query(
+    "orders_asof_next_event",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           e.event_id AS next_event_id,
+           ROUND(e.value, 4) AS next_event_value
+    FROM orders o
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value, event_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ) e
+      ON o.o_custkey % 150 = e.user_id
+     AND o.o_orderdate + INTERVAL 30 YEAR <= e.ts
+    """,
+)
+def orders_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.asof_join_forward): the
+    earliest event at or after each order's probe time — the "next
+    reading after the fact" lookup (ClickHouse ASOF >= direction).
+    Same single-shuffle union-timeline plan as the backward operator,
+    walked in descending time. Ties on ts resolve to the SMALLEST
+    event_id (the forward mirror of backward's largest); the oracle
+    pre-dedupes equal-ts events accordingly."""
+    from ..operators.asof import asof_join_forward
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    probes = o.select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("probe_ts"),
+    )
+    out = asof_join_forward(
+        probes, ev,
+        key="user_id", probe_ts="probe_ts", ref_ts="ts",
+        value_cols=["event_id", "value"], tie_break="event_id",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.col("event_id").alias("next_event_id"),
+        F.round("value", 4).alias("next_event_value"),
+    )

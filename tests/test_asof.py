@@ -83,3 +83,64 @@ def test_asof_rejects_column_collision(spark):
     refs = spark.createDataFrame([(1, 5, 2)], "k long, rts long, pid long")
     with _pytest.raises(ValueError, match="collide"):
         asof_join_backward(probes, refs, "k", "pts", "rts", ["pid"])
+
+
+def test_asof_forward_basic_miss_and_ties(spark):
+    from goflow2clickhouse_spark.operators.asof import asof_join_forward
+
+    probes = spark.createDataFrame(
+        [(1, 10, 40), (2, 10, 120), (3, 20, 70), (4, 10, 50)],
+        "pid long, k long, pts long",
+    )
+    refs = spark.createDataFrame(
+        [(10, 50, 7, 0.5), (10, 50, 8, 0.8), (10, 99, 9, 0.9),
+         (20, 60, 1, 0.1)],
+        "k long, rts long, rid long, rv double",
+    )
+    out = {
+        r.pid: (r.rid, r.rv)
+        for r in asof_join_forward(
+            probes, refs, "k", "pts", "rts", ["rid", "rv"], "rid"
+        ).collect()
+    }
+    assert out[1] == (7, 0.5)      # earliest ref >= 40 is ts 50; tie -> MIN rid
+    assert out[2] == (None, None)  # no ref at or after 120
+    assert out[3] == (None, None)  # ref at 60 < probe 70? no: 60 <= 70 fails >=
+    assert out[4] == (7, 0.5)      # equal ts IS eligible (>=)
+
+
+def test_asof_forward_agrees_with_quadratic_reference(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.asof import asof_join_forward
+
+    probes = spark.createDataFrame(
+        [(i, i % 3, 10 * i) for i in range(1, 20)],
+        "pid long, k long, pts long",
+    )
+    refs = spark.createDataFrame(
+        [(k, 7 * j, 100 * k + j) for k in range(3) for j in range(25)],
+        "k long, rts long, rid long",
+    )
+    linear = {
+        r.pid: r.rid
+        for r in asof_join_forward(
+            probes, refs, "k", "pts", "rts", ["rid"], "rid"
+        ).collect()
+    }
+    joined = probes.join(refs, "k", "left")
+    w = Window.partitionBy("pid").orderBy(
+        F.asc_nulls_last("rts"), F.asc_nulls_last("rid"))
+    quadratic = {
+        r.pid: r.rid
+        for r in joined.filter((F.col("rts") >= F.col("pts")) | F.col("rts").isNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    # probes whose refs ALL fail the >= filter vanish from the quadratic
+    # formulation entirely (the left join had matches, so no null-rts row
+    # survives either); the operator correctly reports them as NULL
+    assert linear == {pid: quadratic.get(pid) for pid in linear}
+    assert any(v is None for v in linear.values())  # misses exercised

@@ -13,7 +13,7 @@ scale-out, and reruns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import MERSENNE_31, hash31
@@ -34,6 +34,34 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     across engines, partitionings, and reruns; composable (a 1% sample
     is a subset of the 10% sample)."""
     return df.filter(sample_bucket(id_col) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """EXACT per-stratum quotas (the dataset-mixing primitive: "20% of
+    every source", not "each row kept with p=.2"): rank rows within
+    each stratum by identity hash and keep the first ceil(fraction·n).
+    Deterministic — same rows on any engine/partitioning/rerun — and
+    exact where `deterministic_sample` is only exact in expectation.
+
+    Scale: one shuffle on the strata key (the window). A pathologically
+    hot stratum serializes into one reducer — when strata are that
+    skewed and exactness isn't required, use `deterministic_sample`
+    filtered per stratum (narrow, no window) instead; quota-exactness
+    inherently needs per-stratum ranking."""
+    h = hash31(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
+    n = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(n))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )
 
 
 def split_by_hash(

@@ -106,6 +106,30 @@ def signrp_lsh_topk(
     )
 
 
+def quantize_int8_error(
+    vec_col: Column | str,
+) -> tuple[Column, Column, Column]:
+    """Symmetric per-vector int8 quantization (the standard embedding
+    compression: scale = max|x|/127, q = round(x/scale)) evaluated by
+    its reconstruction error. Returns (scale, rmse, max_abs_err) as
+    pure column expressions — no Python, no UDF; the quantized form
+    itself is `transform(v, x -> round(x/scale))`.
+
+    Zero vectors quantize to themselves (error 0, scale 0)."""
+    v = as_double(vec_col)
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    err = F.transform(v, lambda x: x - F.round(x / scale) * scale)
+    sq_sum = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x)
+    rmse = F.sqrt(sq_sum / F.size(v))
+    max_abs = F.array_max(F.transform(err, F.abs))
+    zero = F.lit(0.0)
+    return (
+        scale,
+        F.when(scale > 0, rmse).otherwise(zero),
+        F.when(scale > 0, max_abs).otherwise(zero),
+    )
+
+
 def neardup_pairs_blocked(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -29,6 +29,8 @@ promote([
     "text_denylist_scrub",
     "text_bigram_logprob",
     "orders_asof_next_event",
+    "stratified_sample_per_source",
+    "embedding_quantize_error",
     "similarity_topk_bruteforce",
     "similarity_ivf_ann",
     "similarity_lsh_ann",

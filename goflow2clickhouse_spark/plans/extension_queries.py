@@ -1252,3 +1252,112 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lm_score", "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset mixing: exact stratified quotas; embedding compression
+# ---------------------------------------------------------------------------
+
+_STRAT_H31 = _H31.format(x="concat('strat:', CAST(doc_id AS VARCHAR))")
+
+@query(
+    "stratified_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_STRAT_H31}, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM ranked
+    WHERE rn <= CEIL(n * 0.2)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling (operators/sampling.stratified_sample):
+    keep precisely ceil(20%) of every source — the dataset-mixing
+    primitive where per-stratum proportions are the contract, not an
+    expectation. Identity-hash ranking makes the selected rows
+    reproducible across engines and reruns (the oracle replays the
+    identical ranking)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, ["source"], "doc_id", 0.2)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ),
+    err AS (
+        SELECT label, scale,
+               CASE WHEN scale > 0 THEN
+                   sqrt(list_aggregate(
+                       list_transform(v, x ->
+                           (x - round(x/scale)*scale) * (x - round(x/scale)*scale)),
+                       'sum') / len(v))
+               ELSE 0.0 END AS rmse,
+               CASE WHEN scale > 0 THEN
+                   list_max(list_transform(v, x -> abs(x - round(x/scale)*scale)))
+               ELSE 0.0 END AS max_abs
+        FROM q
+    )
+    SELECT label,
+           ROUND(AVG(rmse), 6) AS avg_rmse,
+           ROUND(MAX(max_abs), 6) AS max_abs_err,
+           ROUND(AVG(scale), 6) AS avg_scale
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization evaluated by reconstruction error,
+    per label (operators/similarity.quantize_int8_error) — the vector-
+    compression hygiene check before shipping embeddings to an ANN
+    index. Pure column expressions over array<float>: one narrow
+    projection + one aggregate, the corpus is never shuffled except by
+    the label groupBy."""
+    from ..operators.similarity import quantize_int8_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, rmse, max_abs = quantize_int8_error("embedding")
+    per = emb.select(
+        "label",
+        scale.alias("scale"),
+        rmse.alias("rmse"),
+        max_abs.alias("max_abs"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+            F.round(F.max("max_abs"), 6).alias("max_abs_err"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )

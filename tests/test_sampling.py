@@ -46,3 +46,28 @@ def test_split_disjoint_exhaustive(spark, docs):
 def test_split_bad_weights(spark, docs):
     with pytest.raises(ValueError, match="sum to 1"):
         split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_exact_quota(spark):
+    from goflow2clickhouse_spark.operators.sampling import stratified_sample
+
+    rows = [(f"s{g}", i) for g in range(3) for i in range(10 * (g + 1))]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    kept = stratified_sample(df, ["grp"], "id", 0.25)
+    counts = {r.grp: r.c for r in kept.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+    ).collect()}
+    # exact ceil(0.25 * n) per stratum: 10->3, 20->5, 30->8
+    assert counts == {"s0": 3, "s1": 5, "s2": 8}
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    from goflow2clickhouse_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)], "grp string, id long")
+    k1 = sorted(r.id for r in stratified_sample(df, ["grp"], "id", 0.1).collect())
+    k2 = sorted(
+        r.id for r in stratified_sample(
+            df.repartition(13), ["grp"], "id", 0.1).collect())
+    assert k1 == k2 and len(k1) == 10

@@ -28,3 +28,24 @@ def test_centroids_column_vs_pandas_parity(spark):
         assert col_c[k] == pytest.approx(pd_c[k], abs=1e-9)
 
 
+
+
+def test_quantize_int8_error_zero_vector_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.similarity import quantize_int8_error
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -127.0]), (3, [0.5, 0.25, -0.125])],
+        "vec_id long, embedding array<double>",
+    )
+    scale, rmse, max_abs = quantize_int8_error("embedding")
+    out = {r.vec_id: r for r in df.select(
+        "vec_id", scale.alias("s"), rmse.alias("r"), max_abs.alias("m")
+    ).collect()}
+    assert out[1].s == 0.0 and out[1].r == 0.0 and out[1].m == 0.0
+    # max|x| = 127 -> scale exactly 1.0 -> integers quantize losslessly
+    assert out[2].s == 1.0 and out[2].r == 0.0 and out[2].m == 0.0
+    # reconstruction error bounded by scale/2 per element
+    assert out[3].m <= out[3].s / 2 + 1e-12
+    assert 0 < out[3].r <= out[3].m

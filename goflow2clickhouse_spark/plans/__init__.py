@@ -14,6 +14,7 @@ from .queries import (
 from . import flow_queries as _flow_queries  # noqa: F401, E402
 from . import event_queries as _event_queries  # noqa: F401, E402
 from . import extension_queries as _extension_queries  # noqa: F401, E402
+from . import corpus_queries as _corpus_queries  # noqa: F401, E402
 from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 # Driver-coverage rotation: the correctness driver verifies only the first
@@ -24,6 +25,11 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # filling the remainder.
 promote([
     # round-2 additions (no driver row yet) first
+    "text_dupngram_fraction",
+    "pii_scan_stats",
+    "corpus_vocab_topk",
+    "doc_length_deciles",
+    "bigram_pmi_top",
     "matview_flows_rollup",
     "text_repetition_stats",
     "text_denylist_scrub",

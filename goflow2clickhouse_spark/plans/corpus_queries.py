@@ -1,0 +1,349 @@
+"""Corpus-level text-pipeline queries (SURVEY.md §2.C extensions):
+duplicate-n-gram fraction (RefinedWeb-style), PII scan + redaction,
+vocabulary Zipf top-k, document-length deciles, bigram PMI collocations.
+
+Each query is a pure-DataFrame plan with a DuckDB oracle replaying the
+identical arithmetic. All text math stays in JVM column expressions
+(split/transform/aggregate — whole-stage codegen); the only joins are
+inverted-index (shingle-keyed) or vocabulary-sized (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..schema import load_table
+from .extension_queries import CORPUS_SQL, _SHINGLES_SQL, corpus
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# duplicate-n-gram fraction (the RefinedWeb / MassiveText repetition gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_dupngram_fraction",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    freq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN freq USING (shingle)
+        GROUP BY sh.doc_id
+    )
+    SELECT CAST(FLOOR(CAST(n_dup AS DOUBLE) / n_sh * 10) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS total_shingles
+    FROM per_doc GROUP BY 1
+    """,
+)
+def text_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 3-gram shingles that also occur in some
+    other document, bucketed into deciles — the corpus-wide duplicate-
+    n-gram filter LLM pipelines run before training (high fraction =
+    boilerplate / near-copy).
+
+    Scale shape: distinct (doc, shingle) → shingle-keyed doc-frequency
+    aggregate → one inverted-index join back on shingle → per-doc
+    aggregate. Shuffle keys are shingles and doc ids, never text; no
+    all-pairs anywhere. At 100 TB, hash the shingle to 8 bytes first so
+    the shuffle carries fixed-width keys."""
+    sh = D.word_shingles(corpus(spark, sf_dir))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.select(
+            F.floor(F.col("n_dup").cast("double") / F.col("n_sh") * 10)
+            .cast("int")
+            .alias("bucket"),
+            "n_sh",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("total_shingles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction accounting
+# ---------------------------------------------------------------------------
+
+# Planted deterministically in BOTH engines (the fixture corpus is
+# synthetic words with no real PII): every 5th doc gains an email, every
+# 7th an IPv4. Regexes are RE2-and-Java-compatible.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+_PII_CORPUS_SQL = """
+SELECT doc_id, source,
+       CASE
+         WHEN doc_id % 5 = 0 THEN
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                  '@example.com now')
+         WHEN doc_id % 7 = 0 THEN
+           concat(text, ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                  '.0.', CAST(doc_id % 100 AS VARCHAR), ' logged')
+         ELSE text
+       END AS text
+FROM documents
+"""
+
+
+@query(
+    "pii_scan_stats",
+    oracle=f"""
+    WITH pii AS ({_PII_CORPUS_SQL}),
+    scanned AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ipv4,
+               length(text)
+                 - length(regexp_replace(regexp_replace(text,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}', '<IP>', 'g')) AS delta
+        FROM pii
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+           CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_ipv4,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(SUM(delta) AS BIGINT) AS chars_delta
+    FROM scanned GROUP BY source
+    """,
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting per source: email / IPv4
+    hit counts and the net character delta after masking — the audit
+    table a pipeline emits before releasing a training set.
+
+    Pure regexp column expressions (JVM codegen), one aggregate, zero
+    joins; embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    text = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"), F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    scanned = d.select(
+        "source",
+        F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(text, F.lit(_IPV4_RE)).alias("n_ipv4"),
+        (F.length(text) - F.length(redacted)).alias("delta"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("long")).alias("docs_with_email"),
+        F.sum((F.col("n_ipv4") > 0).cast("long")).alias("docs_with_ipv4"),
+        F.sum("n_email").cast("long").alias("total_emails"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.sum("delta").cast("long").alias("chars_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary Zipf top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_vocab_topk",
+    oracle="""
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ) w
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 25
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 vocabulary terms by corpus frequency with document
+    frequency — the Zipf head a tokenizer-training step inspects.
+
+    explode → two-phase hash aggregate → TakeOrderedAndProject: the
+    map-side partial aggregate collapses each partition to its local
+    vocabulary, so the shuffle carries |vocab| rows per partition, not
+    |tokens|; top-k never materializes a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# document-length deciles (ntile window)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_length_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ntile(10) OVER (PARTITION BY lang
+                               ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT lang, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM ranked GROUP BY lang, decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile boundaries per language — the histogram a curation
+    pipeline uses to pick truncation / packing thresholds.
+
+    ntile needs a per-language total order: one shuffle by lang, sort
+    within partition. Languages are the natural parallel unit; a single
+    100 TB language would need the two-pass quantile variant
+    (approx_percentile boundaries + bucket join) instead."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_pmi_top",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ),
+    uni AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT UNNEST(w) AS word FROM toks
+        ) u GROUP BY word
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM (
+            SELECT UNNEST(list_transform(generate_series(1, len(w) - 1),
+                          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+            FROM toks
+        ) t, LATERAL (SELECT s.w1 AS w1, s.w2 AS w2)
+        GROUP BY w1, w2
+    ),
+    tot AS (
+        SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_uni,
+               (SELECT CAST(SUM(c_xy) AS DOUBLE) FROM bi) AS n_bi
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           ROUND(LOG2(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                      / ((n_bi * ux.c) * uy.c)), 4) AS pmi
+    FROM bi, tot
+    JOIN uni ux ON bi.w1 = ux.word
+    JOIN uni uy ON bi.w2 = uy.word
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations by pointwise mutual information —
+    phrase mining over the corpus (the classic PMI = log2 p(xy) /
+    (p(x)p(y)) with a min-support gate).
+
+    Bigram and unigram counts are two-phase aggregates; the unigram
+    relation is vocabulary-sized at any corpus scale, so both PMI joins
+    broadcast. Arithmetic order is parenthesized identically in the
+    oracle so both engines produce bit-equal doubles."""
+    c = corpus(spark, sf_dir)
+    toks = c.select("doc_id", F.split("text", " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = F.col("w")
+    pairs = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        toks.filter(F.size(w) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    ux = uni.select(F.col("word").alias("w1"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("word").alias("w2"), F.col("c").alias("cy"))
+    return (
+        bi.filter(F.col("c_xy") >= 5)
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .join(F.broadcast(ux), "w1")
+        .join(F.broadcast(uy), "w2")
+        .select(
+            "w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log2(
+                    ((F.col("c_xy").cast("double") * F.col("n_uni"))
+                     * F.col("n_uni"))
+                    / ((F.col("n_bi") * F.col("cx")) * F.col("cy"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )

@@ -83,6 +83,13 @@ def ipv4_in_cidr(col: Column | str, cidr: str) -> Column:
     return (ipv4_string_to_num(col).bitwiseAND(F.lit(mask))) == F.lit(network)
 
 
+def cidr_bounds(cidr: str) -> tuple[int, int]:
+    """(lo, hi) uint32 bounds of a CIDR block — the row format for a
+    range-joinable site/prefix dimension table."""
+    net = ipaddress.ip_network(cidr, strict=True)
+    return int(net.network_address), int(net.broadcast_address)
+
+
 #: RFC 1918 private ranges — the classifier every flow deployment needs
 RFC1918 = ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
 

@@ -30,6 +30,8 @@ promote([
     "corpus_vocab_topk",
     "doc_length_deciles",
     "bigram_pmi_top",
+    "doc_packing_stats",
+    "flows_site_traffic",
     "matview_flows_rollup",
     "text_repetition_stats",
     "text_denylist_scrub",

@@ -256,6 +256,78 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk dataset assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 256
+
+
+@query(
+    "doc_packing_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+        FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / {_PACK_WINDOW}) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN FLOOR(start_off / {_PACK_WINDOW})
+                      <> FLOOR((start_off + n_tok - 1) / {_PACK_WINDOW})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers
+    FROM placed
+    GROUP BY source, 2
+    """,
+)
+def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style dataset
+    assembly step): per source shard, documents are laid head-to-tail
+    in doc_id order and cut into fixed 256-token packs; reports
+    docs per pack, token mass, and boundary-crossing documents.
+
+    The running sum is a partitioned window — each source shard packs
+    independently, which is exactly how a 100 TB corpus is packed in
+    practice (per input shard, not one global order). One shuffle by
+    source, sort within partition, then a hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "source", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long").alias("start_off"),
+    )
+    win = F.lit(_PACK_WINDOW)
+    return (
+        placed.select(
+            "source", "n_tok", "start_off",
+            F.floor(F.col("start_off") / win).alias("pack_id"),
+            F.floor((F.col("start_off") + F.col("n_tok") - 1) / win).alias("end_pack"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum((F.col("pack_id") != F.col("end_pack")).cast("long"))
+            .alias("boundary_crossers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # bigram PMI collocations
 # ---------------------------------------------------------------------------
 

@@ -742,3 +742,69 @@ def matview_flows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_flow_bytes"
         ),
     )
+
+
+_SITES_SQL = """
+sites(site, net_lo, net_hi) AS (VALUES
+    ('dc-a', 3232235520, 3232239615),
+    ('dc-b', 3232239616, 3232243711),
+    ('dc-c', 3232243712, 3232247807))
+"""
+# dc-a = 192.168.0.0/20, dc-b = 192.168.16.0/20, dc-c = 192.168.32.0/20;
+# flows src pool is 192.168.{0-63}.x, so .48-.63 fall through to 'external'
+
+
+@query(
+    "flows_site_traffic",
+    oracle=FLOWS_WITH.rstrip() + f""",
+    {_SITES_SQL},
+    tagged AS (
+        SELECT COALESCE(s.site, 'external') AS site, f.proto, f.bytes
+        FROM flows f
+        LEFT JOIN sites s
+          ON (CAST(string_split(f.src_addr, '.')[1] AS BIGINT) * 16777216
+              + CAST(string_split(f.src_addr, '.')[2] AS BIGINT) * 65536
+              + CAST(string_split(f.src_addr, '.')[3] AS BIGINT) * 256
+              + CAST(string_split(f.src_addr, '.')[4] AS BIGINT))
+             BETWEEN s.net_lo AND s.net_hi
+    )
+    SELECT site, proto,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_flows
+    FROM tagged GROUP BY site, proto
+    """,
+)
+def flows_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension enrichment (batch twin of
+    streaming.windows.enriched_site_traffic): broadcast range join of
+    flows against a (site, net_lo, net_hi) CIDR table, then traffic per
+    site × proto. The enrichment the reference leaves to ClickHouse
+    dictionaries (ip_trie); in Spark the dimension broadcasts — prefix
+    tables stay O(1M) rows at any deployment scale — so the fact side
+    never shuffles for the join, only for the aggregate."""
+    from ..functions.ip import ipv4_string_to_num
+    from ..streaming.windows import sites_table
+
+    sites = sites_table(
+        spark,
+        {
+            "dc-a": "192.168.0.0/20",
+            "dc-b": "192.168.16.0/20",
+            "dc-c": "192.168.32.0/20",
+        },
+    )
+    f = flows_df(spark, sf_dir)
+    ip = ipv4_string_to_num("src_addr")
+    tagged = f.join(
+        F.broadcast(sites),
+        (ip >= sites["net_lo"]) & (ip <= sites["net_hi"]),
+        "left",
+    ).select(
+        F.coalesce(F.col("site"), F.lit("external")).alias("site"),
+        "proto",
+        "bytes",
+    )
+    return tagged.groupBy("site", "proto").agg(
+        F.sum("bytes").alias("total_bytes"),
+        F.count("*").alias("n_flows"),
+    )

@@ -153,6 +153,75 @@ def test_session_windows_streaming(spark, tmp_path):
     assert all(r.n_flows == 5 for r in rows)
 
 
+def test_stream_static_site_enrichment(spark, tmp_path):
+    """Stream-static broadcast range join: flows tagged with the site
+    owning their source prefix, aggregated per window+site; streaming
+    result equals the batch twin, unmatched sources land in
+    'external'."""
+    from goflow2clickhouse_spark.streaming.windows import (
+        enriched_site_traffic,
+        sites_table,
+    )
+
+    sites = sites_table(
+        spark, {"dc-east": "192.168.0.0/16", "dc-west": "172.16.0.0/12"}
+    )
+    d = tmp_path / "enrich"
+    rows = (
+        # 192.168.1.5 (default) → dc-east
+        [_raw_row(TimeReceived=BASE + i, SequenceNum=i) for i in range(4)]
+        # 172.16.0.9 → dc-west
+        + [
+            _raw_row(
+                TimeReceived=BASE + 10 + i,
+                SequenceNum=100 + i,
+                SrcAddr=bytes([172, 16, 0, 9]),
+            )
+            for i in range(3)
+        ]
+        # 8.8.8.8 → external
+        + [
+            _raw_row(
+                TimeReceived=BASE + 20,
+                SequenceNum=200,
+                SrcAddr=bytes([8, 8, 8, 8]),
+            )
+        ]
+    )
+    spark.createDataFrame(rows, RAW_FLOW_SCHEMA).coalesce(1).write.parquet(str(d))
+
+    raw_stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        enriched_site_traffic(flow_transform(raw_stream), sites, streaming=False)
+        .writeStream.format("memory")
+        .queryName("site_traffic")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("site_traffic").collect()))
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(d))
+    batch = sorted(
+        map(
+            tuple,
+            enriched_site_traffic(
+                flow_transform(batch_raw), sites, streaming=False
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    by_site = {t[1]: (t[2], t[3]) for t in streamed}
+    assert by_site["dc-east"] == (4 * 1234, 4)
+    assert by_site["dc-west"] == (3 * 1234, 3)
+    assert by_site["external"] == (1234, 1)
+
+
 def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     """Duplicate flow records across micro-batches (same identity key,
     within the watermark horizon) are emitted exactly once, and the

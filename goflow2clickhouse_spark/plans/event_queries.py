@@ -303,3 +303,54 @@ def orders_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("next_event_id"),
         F.round("value", 4).alias("next_event_value"),
     )
+
+
+@query(
+    "events_funnel_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS lead_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts AS follow_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.user_id,
+               epoch_us(p.follow_ts) - epoch_us(v.lead_ts) AS delay_us
+        FROM v JOIN p ON v.user_id = p.user_id
+         AND p.follow_ts > v.lead_ts
+         AND p.follow_ts <= v.lead_ts + INTERVAL '1 hour'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(delay_us) AS BIGINT) AS total_delay_us,
+           CAST(MIN(delay_us) AS BIGINT) AS min_delay_us,
+           CAST(MAX(delay_us) AS BIGINT) AS max_delay_us
+    FROM pairs GROUP BY user_id
+    """,
+)
+def events_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution: view → purchase pairs per user within one
+    hour (batch twin of streaming.joins.funnel_pairs — the IDENTICAL
+    join expression runs as a watermarked stream-stream join; parity
+    asserted in tests/test_stream_join.py).
+
+    Scale: the join shuffles both sides on user_id; per-key match
+    windows are time-bounded, so no key explodes beyond rate × horizon
+    — the same bound that caps streaming state."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.joins import funnel_pairs
+
+    pairs = funnel_pairs(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+        streaming=False,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("delay_us").alias("total_delay_us"),
+        F.min("delay_us").alias("min_delay_us"),
+        F.max("delay_us").alias("max_delay_us"),
+    )

@@ -24,6 +24,7 @@ from .queries import query
 
 @query(
     "text_dupngram_fraction",
+    bench=True,
     oracle=f"""
     WITH {_SHINGLES_SQL},
     freq AS (

@@ -307,6 +307,7 @@ def orders_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_pairs",
+    bench=True,
     oracle="""
     WITH v AS (
         SELECT user_id, ts AS lead_ts FROM events WHERE event_type = 'view'

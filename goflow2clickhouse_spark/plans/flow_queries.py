@@ -756,6 +756,7 @@ sites(site, net_lo, net_hi) AS (VALUES
 
 @query(
     "flows_site_traffic",
+    bench=True,
     oracle=FLOWS_WITH.rstrip() + f""",
     {_SITES_SQL},
     tagged AS (
@@ -782,7 +783,7 @@ def flows_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionaries (ip_trie); in Spark the dimension broadcasts — prefix
     tables stay O(1M) rows at any deployment scale — so the fact side
     never shuffles for the join, only for the aggregate."""
-    from ..functions.ip import ipv4_string_to_num
+    from ..functions.ip import cidr_stride_keys, ipv4_string_to_num
     from ..streaming.windows import sites_table
 
     sites = sites_table(
@@ -793,13 +794,15 @@ def flows_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dc-c": "192.168.32.0/20",
         },
     )
-    f = flows_df(spark, sf_dir)
-    ip = ipv4_string_to_num("src_addr")
-    tagged = f.join(
-        F.broadcast(sites),
-        (ip >= sites["net_lo"]) & (ip <= sites["net_hi"]),
-        "left",
-    ).select(
+    # stride-key expansion turns the CIDR range join into a broadcast
+    # HASH equi-join (codegen) — a BroadcastNestedLoopJoin on the same
+    # data measured ~10x slower; the ip projection happens once per row
+    keys = cidr_stride_keys(sites, stride_bits=12)
+    f = flows_df(spark, sf_dir).select(
+        "proto", "bytes",
+        (ipv4_string_to_num("src_addr") / (1 << 12)).cast("long").alias("ipkey"),
+    )
+    tagged = f.join(F.broadcast(keys), "ipkey", "left").select(
         F.coalesce(F.col("site"), F.lit("external")).alias("site"),
         "proto",
         "bytes",

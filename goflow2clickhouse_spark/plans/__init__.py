@@ -25,6 +25,7 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # filling the remainder.
 promote([
     # round-2 additions (no driver row yet) first
+    "corpus_curation_funnel",
     "text_dupngram_fraction",
     "pii_scan_stats",
     "corpus_vocab_topk",
@@ -74,8 +75,8 @@ promote([
     "q22_global_sales_opportunity",
     "q9_product_profit",
     "grouping_sets_revenue",
-    "q11_important_stock",
-    # q16_parts_supplier_relationship and q20_promotion_suppliers rotate
+    # q11_important_stock, q16_parts_supplier_relationship and
+    # q20_promotion_suppliers rotate
     # to the next round: the window holds 50 and the round-2 additions
     # above take precedence (both stay green in the local oracle rerun
     # meanwhile)

@@ -420,3 +420,146 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# the full curation funnel (flagship composition)
+# ---------------------------------------------------------------------------
+
+_ALL_MARKERS = "'the', 'a', 'and', 'der', 'die', 'und', 'le', 'la', 'et', 'el', 'y', '的', '是', '了'"
+
+
+def _funnel_oracle() -> str:
+    from .extension_queries import _minhash_oracle
+
+    sh8 = """
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 7),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                     w[i+4], w[i+5], w[i+6], w[i+7]))) AS shingle
+    """
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    flags AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) >= 10
+               AND len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) >= 0.2          AS q,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_ALL_MARKERS}))) > 0               AS l,
+               doc_id = MIN(doc_id) OVER (PARTITION BY text)      AS e
+        FROM corpus
+    ),
+    pairs AS ({_minhash_oracle()}),
+    dupb AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    csh8 AS (
+        {sh8} FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+        WHERE len(w) >= 8
+    ),
+    bsh8 AS (
+        SELECT DISTINCT shingle FROM (
+            {sh8} FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE doc_id % 50 = 0) t
+            WHERE len(w) >= 8
+        ) u
+    ),
+    cont AS (
+        SELECT DISTINCT doc_id FROM csh8
+        WHERE shingle IN (SELECT shingle FROM bsh8)
+    ),
+    gated AS (
+        SELECT f.q, f.l, f.e,
+               f.doc_id NOT IN (SELECT doc_id FROM dupb) AS nd,
+               f.doc_id NOT IN (SELECT doc_id FROM cont) AS nc
+        FROM flags f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_quality,
+           CAST(SUM(CASE WHEN q AND l THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_lang,
+           CAST(SUM(CASE WHEN q AND l AND e THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_exact,
+           CAST(SUM(CASE WHEN q AND l AND e AND nd THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_after_neardup,
+           CAST(SUM(CASE WHEN q AND l AND e AND nd AND nc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_after_decontam
+    FROM gated
+    """
+
+
+@query("corpus_curation_funnel", oracle=_funnel_oracle(), bench=True)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as one plan: quality
+    gate → language gate → exact dedup (min-id representative) →
+    MinHash-LSH near-dup (drop the larger id of every verified pair) →
+    8-gram benchmark decontamination; reports the survivor count after
+    each cumulative stage.
+
+    One-pass formulation: every gate is evaluated corpus-wide as a
+    boolean column (the dedup/decontamination gates arrive via id-keyed
+    joins against pair/hit sets), then a single aggregate folds the
+    cumulative conjunctions — the corpus is scanned once, never
+    re-materialized per stage. At 100 TB each gate relation stays
+    id-sized or benchmark-sized; the only corpus-wide shuffles are the
+    exact-dedup window (shuffle by text — pre-hash to sha256 at scale)
+    and MinHash's own bucket aggregates."""
+    from ..operators.text import LANG_MARKERS
+
+    c = corpus(spark, sf_dir)
+    w = F.split("text", " ")
+    markers = [m for ms in LANG_MARKERS.values() for m in ms]
+    nw = F.size(w)
+    flags = c.select(
+        "doc_id",
+        ((nw >= 10)
+         & (F.size(F.array_distinct(w)) / nw >= 0.2)).alias("q"),
+        (F.size(F.filter(w, lambda x: x.isin(*markers))) > 0).alias("l"),
+        (F.col("doc_id")
+         == F.min("doc_id").over(Window.partitionBy("text"))).alias("e"),
+    )
+    pairs = D.minhash_lsh_dedup_pairs(c, threshold=0.5)
+    dupb = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_isdup", F.lit(True))
+    )
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    b_sh8 = (
+        D.word_shingles(bench, n=8).select("shingle").distinct()
+    )
+    cont = (
+        D.word_shingles(c, n=8)
+        .join(F.broadcast(b_sh8), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_iscont", F.lit(True))
+    )
+    full = (
+        flags.join(dupb, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "q", "l", "e",
+            F.col("_isdup").isNull().alias("nd"),
+            F.col("_iscont").isNull().alias("nc"),
+        )
+    )
+
+    def cum(*cols):
+        pred = F.lit(True)
+        for x in cols:
+            pred = pred & F.col(x)
+        return F.sum(pred.cast("long"))
+
+    out = full.agg(
+        F.count("*").alias("n_corpus"),
+        cum("q").alias("n_after_quality"),
+        cum("q", "l").alias("n_after_lang"),
+        cum("q", "l", "e").alias("n_after_exact"),
+        cum("q", "l", "e", "nd").alias("n_after_neardup"),
+        cum("q", "l", "e", "nd", "nc").alias("n_after_decontam"),
+    )
+    # the MinHash shingle cache must outlive this composed plan
+    return D.pin(out, pairs)

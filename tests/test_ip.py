@@ -124,3 +124,53 @@ def test_ipv4_in_cidr_boundaries(spark):
             for n in ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
         )
         assert got[c][1] == want_priv, c
+
+
+def test_cidr_stride_keys_equiv_range_join(spark):
+    """The stride-key equi-join (flows_site_traffic's fast path) tags
+    every address identically to the reference range join, for CIDRs at
+    and wider than the stride, across range edges."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.ip import (
+        cidr_stride_keys,
+        ipv4_string_to_num,
+    )
+    from goflow2clickhouse_spark.streaming.windows import sites_table
+
+    mapping = {
+        "a": "192.168.0.0/20",    # == stride width
+        "b": "192.168.16.0/20",
+        "c": "10.0.0.0/8",        # much wider than stride
+    }
+    sites = sites_table(spark, mapping)
+    # probe: all CIDR edges ± 1 plus interior and far-outside points
+    import ipaddress as ipa
+
+    probes = set()
+    for c in mapping.values():
+        net = ipa.ip_network(c)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        for n in (lo - 1, lo, lo + 1, (lo + hi) // 2, hi - 1, hi, hi + 1):
+            probes.add(str(ipa.ip_address(n & 0xFFFFFFFF)))
+    probes |= {"8.8.8.8", "255.255.255.255", "0.0.0.0"}
+    df = spark.createDataFrame([(p,) for p in sorted(probes)], "ip string")
+    num = ipv4_string_to_num("ip")
+
+    ranged = {
+        r.ip: r.site
+        for r in df.join(
+            F.broadcast(sites),
+            (num >= sites["net_lo"]) & (num <= sites["net_hi"]),
+            "left",
+        ).select("ip", "site").collect()
+    }
+    keys = cidr_stride_keys(sites, stride_bits=12)
+    strided = {
+        r.ip: r.site
+        for r in df.withColumn("ipkey", (num / (1 << 12)).cast("long"))
+        .join(F.broadcast(keys), "ipkey", "left")
+        .select("ip", "site")
+        .collect()
+    }
+    assert strided == ranged

@@ -48,9 +48,28 @@ def _perm(h: Column, i: int) -> Column:
 # exact
 # ---------------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    prehash: bool = True,
+) -> DataFrame:
     """Keep one row per key: the one with the minimum id (deterministic,
-    unlike dropDuplicates' partition-order-dependent pick). One shuffle."""
+    unlike dropDuplicates' partition-order-dependent pick). One shuffle.
+
+    With ``prehash`` (the default) the shuffle key is sha2-256 of the
+    concatenated key columns — 64 fixed bytes instead of the document
+    itself, so at 100 TB the exchange carries hashes, not the corpus.
+    DuckDB replays it as sha256(...) identically; collisions at 2^-128
+    are below any hardware error rate. ``prehash=False`` keeps the raw
+    columns as the key (for short keys where the hash would be wider)."""
+    if prehash:
+        key = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+        tagged = df.withColumn("__dedup_sha", key)
+        keep = tagged.groupBy("__dedup_sha").agg(F.min(id_col).alias(id_col))
+        return tagged.join(
+            keep, on=["__dedup_sha", id_col], how="left_semi"
+        ).drop("__dedup_sha")
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
     return df.join(keep, on=key_cols + [id_col], how="left_semi")
 

@@ -502,8 +502,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative conjunctions — the corpus is scanned once, never
     re-materialized per stage. At 100 TB each gate relation stays
     id-sized or benchmark-sized; the only corpus-wide shuffles are the
-    exact-dedup window (shuffle by text — pre-hash to sha256 at scale)
-    and MinHash's own bucket aggregates."""
+    exact-dedup window (partitioned by sha2(text) — a 64-byte key, so
+    the exchange never carries the corpus) and MinHash's own bucket
+    aggregates."""
     from ..operators.text import LANG_MARKERS
 
     c = corpus(spark, sf_dir)
@@ -516,7 +517,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.size(F.array_distinct(w)) / nw >= 0.2)).alias("q"),
         (F.size(F.filter(w, lambda x: x.isin(*markers))) > 0).alias("l"),
         (F.col("doc_id")
-         == F.min("doc_id").over(Window.partitionBy("text"))).alias("e"),
+         == F.min("doc_id").over(
+             Window.partitionBy(F.sha2(F.col("text"), 256)))).alias("e"),
     )
     pairs = D.minhash_lsh_dedup_pairs(c, threshold=0.5)
     dupb = (

@@ -77,18 +77,20 @@ sh AS (
     "dedup_exact",
     oracle=f"""
     WITH corpus AS ({CORPUS_SQL})
-    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-    FROM corpus GROUP BY text HAVING COUNT(*) > 1
+    SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY sha256(text) HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups (the planted verbatim copies): deterministic
-    representative = min doc_id. One hash-aggregate shuffle; at 100 TB
-    pre-hash the text (sha2) so the shuffle key is 32 bytes, not the
-    document."""
+    representative = min doc_id. One hash-aggregate shuffle whose key is
+    sha2-256 of the text — 64 fixed bytes, so at 100 TB the exchange
+    carries hashes, never the corpus. DuckDB's sha256() emits the same
+    lowercase hex, so the oracle replays the key verbatim."""
     c = corpus(spark, sf_dir)
     return (
-        c.groupBy("text")
+        c.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
@@ -104,18 +106,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ' +', ' ', 'g')) AS ntext
         FROM corpus
     )
-    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT ntext) AS n_unique
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT sha256(ntext)) AS n_unique
     FROM norm
     """,
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup (lower/strip-punct/collapse-ws): corpus
-    size vs distinct canonical forms."""
+    size vs distinct canonical forms. The distinct runs on sha2 of the
+    canonical text so the shuffle key is fixed-width at any scale."""
     c = corpus(spark, sf_dir)
-    n = c.select(D.normalize_text("text").alias("ntext"))
+    n = c.select(F.sha2(D.normalize_text("text"), 256).alias("nsha"))
     return n.agg(
         F.count("*").alias("n_docs"),
-        F.count_distinct("ntext").alias("n_unique"),
+        F.count_distinct("nsha").alias("n_unique"),
     )
 
 

@@ -14,6 +14,7 @@ the utf-8 encoding of the source text).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,18 +54,95 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode requires an imaging library not present in
-    this container. The seam is here: swap in PIL/torchvision."""
-    raise NotImplementedError(
-        "image decode stub: no imaging library in this environment"
+# ---------------------------------------------------------------------------
+# real codecs: BMP (24-bpp BI_RGB) and WAV (16-bit PCM) — pure-Python
+# struct walks of the public wire formats, no imaging/audio library.
+# Formats beyond these still need a library; decode raises for them.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Build an uncompressed 24-bpp BMP from row-major top-down RGB
+    triplets (len == width*height*3): BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows stored bottom-up as BGR, padded to 4 bytes."""
+    row = width * 3
+    if len(pixels) != row * height:
+        raise ValueError("pixels must be width*height*3 bytes")
+    pad = (4 - row % 4) % 4
+    image_size = (row + pad) * height
+    out = bytearray(struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54))
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size,
+        2835, 2835, 0, 0,
     )
+    for y in range(height - 1, -1, -1):
+        r = pixels[y * row:(y + 1) * row]
+        bgr = bytearray(r)
+        bgr[0::3], bgr[2::3] = r[2::3], r[0::3]
+        out += bgr + b"\x00" * pad
+    return bytes(out)
 
 
-def decode_audio(payload: bytes) -> object:
-    raise NotImplementedError(
-        "audio decode stub: no audio library in this environment"
-    )
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bpp BI_RGB BMP: returns
+    {width, height, mode, pixels} with pixels as row-major top-down RGB
+    bytes (padding stripped, BGR→RGB, bottom-up or top-down handled).
+    Any other image format still needs a real imaging library."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height = struct.unpack_from("<Iii", payload, 14)
+    _, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bpp BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    row = width * 3
+    stride = (row + 3) & ~3
+    px = bytearray(row * height)
+    for y in range(height):
+        src = offset + (y if top_down else height - 1 - y) * stride
+        bgr = payload[src:src + row]
+        rgb = bytearray(bgr)
+        rgb[0::3], rgb[2::3] = bgr[2::3], bgr[0::3]
+        px[y * row:(y + 1) * row] = rgb
+    return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(px)}
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Build a 16-bit mono PCM WAV (RIFF/WAVE with fmt + data chunks)."""
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a PCM WAV by walking RIFF chunks: returns
+    {sample_rate, n_channels, bits, samples} with 16-bit samples as a
+    list of ints. Compressed/float formats still need a library."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = list(struct.unpack("<%dh" % (len(data) // 2), data))
+    return {"sample_rate": rate, "n_channels": n_ch, "bits": bits, "samples": samples}
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

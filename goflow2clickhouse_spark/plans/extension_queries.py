@@ -766,19 +766,129 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_blob_schema", oracle=None)
+@query(
+    "multimodal_blob_schema",
+    oracle="""
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS blob_md5
+    FROM documents
+    """,
+)
 def multimodal_blob_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the binary + metadata-struct layout itself
-    (BinaryType payload, struct<modality,byte_len>), metadata-only
-    projection (never touches blob bytes — at scale this is the
-    column-pruned fast path)."""
+    """The binary + metadata-struct layout itself (BinaryType payload,
+    struct<modality,byte_len>): metadata projection plus an md5 over the
+    actual blob bytes. The oracle reads the same parquet and replays
+    md5 over the source text (the corpus is ASCII, so utf-8 bytes ==
+    characters) — a digest mismatch would catch any corruption in the
+    binary column path. At scale, drop the md5 column and this is the
+    blob-untouched column-pruned metadata fast path."""
     d = load_table(spark, sf_dir, "documents")
     blobs = M.attach_blob(d)
     return blobs.select(
         "doc_id",
         F.col("meta.modality").alias("modality"),
         F.col("meta.byte_len").alias("byte_len"),
+        F.md5("blob").alias("blob_md5"),
     )
+
+
+_DECODE_IMG_SCHEMA = (
+    "doc_id long, width long, height long, pix_checksum long"
+)
+
+
+@query(
+    "multimodal_decode_image",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 3 + 2 AS width,
+           (doc_id // 3) % 2 + 2 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 3 + 2)
+                                        * ((doc_id // 3) % 2 + 2) * 3 AS INT)),
+                i -> ascii(substring(text, i, 1)))) AS BIGINT) AS pix_checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the BMP codec: per document, build a
+    (doc_id-derived) WxH 24-bpp BMP whose pixels are the leading text
+    bytes, then DECODE it and emit the decoded geometry + pixel
+    checksum. The oracle recomputes the checksum from the source text —
+    it matches only if decode(encode(px)) == px byte-for-byte (BGR swap,
+    bottom-up row order, and 4-byte row padding all exercised). Scale:
+    mapInPandas over Arrow batches, one Python worker per partition, no
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pix_checksum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = i % 3 + 2, (i // 3) % 2 + 2
+                px = text.encode("utf-8")[: w * h * 3]
+                dec = M.decode_image(M.encode_bmp(w, h, px))
+                out["doc_id"].append(i)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_checksum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_IMG_SCHEMA)
+
+
+_DECODE_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, sum_samples long"
+)
+
+
+@query(
+    "multimodal_decode_audio",
+    oracle="""
+    SELECT doc_id,
+           8000 + (doc_id % 3) * 4000 AS sample_rate,
+           doc_id % 10 + 5 AS n_samples,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST(doc_id % 10 + 5 AS INT)),
+                i -> ascii(substring(text, i, 1)) * 31 % 4096))
+                AS BIGINT) AS sum_samples
+    FROM documents
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode through the WAV codec: per document, synthesize
+    N 16-bit PCM samples from the leading text bytes, encode a RIFF/WAVE
+    container, DECODE it back and emit rate / count / sum of the decoded
+    samples. Oracle replays the sample synthesis in SQL — a mismatch
+    catches any chunk-walk or sample-width bug. Same no-shuffle
+    mapInPandas shape as the image twin."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [],
+                "n_samples": [], "sum_samples": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                n, rate = i % 10 + 5, 8000 + (i % 3) * 4000
+                samples = [b * 31 % 4096 for b in text.encode("utf-8")[:n]]
+                dec = M.decode_audio(M.encode_wav(samples, rate))
+                out["doc_id"].append(i)
+                out["sample_rate"].append(dec["sample_rate"])
+                out["n_samples"].append(len(dec["samples"]))
+                out["sum_samples"].append(sum(dec["samples"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_AUDIO_SCHEMA)
 
 
 @query(

@@ -1,6 +1,6 @@
 """Multimodal column plumbing: binary payloads + metadata, mapInPandas
-feature extraction, resize and frame-sample batch shapes (codecs are
-stubbed; the Spark-side schema/partitioning/batching is real)."""
+feature extraction, resize and frame-sample batch shapes, and the real
+pure-Python codecs (24-bpp BMP, 16-bit PCM WAV)."""
 
 from __future__ import annotations
 
@@ -10,6 +10,8 @@ from goflow2clickhouse_spark.operators.multimodal import (
     attach_blob,
     decode_audio,
     decode_image,
+    encode_bmp,
+    encode_wav,
     extract_features,
     resize_image,
     sample_frames,
@@ -62,8 +64,39 @@ def test_sample_frames_shape(blobs):
     assert 3 not in by_doc
 
 
-def test_decode_stubs_raise():
+@pytest.mark.parametrize("w,h", [(2, 2), (3, 2), (4, 3), (5, 1)])
+def test_bmp_roundtrip(w, h):
+    # w=3 / w=5 exercise the 4-byte row padding path
+    px = bytes(range(w * h * 3))
+    dec = decode_image(encode_bmp(w, h, px))
+    assert (dec["width"], dec["height"], dec["mode"]) == (w, h, "RGB")
+    assert dec["pixels"] == px
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # not a BMP
+    # valid header but 8-bpp: still needs a real imaging library
+    bad = bytearray(encode_bmp(2, 2, bytes(12)))
+    bad[28:30] = (8).to_bytes(2, "little")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_bmp(2, 2, bytes(11))  # wrong pixel-buffer length
+
+
+def test_wav_roundtrip():
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    dec = decode_audio(encode_wav(samples, 16000))
+    assert dec["samples"] == samples
+    assert dec["sample_rate"] == 16000
+    assert dec["n_channels"] == 1 and dec["bits"] == 16
+
+
+def test_wav_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS" + b"\x00" * 40)  # not RIFF/WAVE
+    bad = bytearray(encode_wav([1, 2, 3]))
+    bad[34:36] = (8).to_bytes(2, "little")  # claim 8-bit PCM
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(bytes(bad))

@@ -15,6 +15,15 @@ from ..schema import load_table
 from .queries import query
 
 
+def _epoch_seconds(c) -> "F.Column":
+    """Session-tz-independent epoch seconds of a TIMESTAMP_NTZ column.
+    A direct ntz→long cast interprets the wall-clock in the session
+    zone; ntz-minus-ntz interval arithmetic does not, matching DuckDB's
+    epoch() over naive timestamps under any session timezone."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (c - F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))).cast("long")
+
+
 @query(
     "events_minutely",
     oracle="""
@@ -32,9 +41,12 @@ def events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy runs unchanged on a streaming DataFrame with a watermark —
     see streaming/windows.py."""
     ev = load_table(spark, sf_dir, "events")
+    # F.window keeps TIMESTAMP_NTZ native (date_trunc would coerce it
+    # through the session zone — tz-dependent results)
     return (
-        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("minute"), "event_type", "n", "total_value")
     )
 
 
@@ -61,7 +73,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").cast("long").alias("window_start"), "n",
+        .select(_epoch_seconds(F.col("w.start")).alias("window_start"), "n",
                 "total_value")
     )
 
@@ -121,7 +133,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    gap = _epoch_seconds("ts") - _epoch_seconds(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),

@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 # ---------------------------------------------------------------------------
@@ -145,7 +145,9 @@ DOCUMENTS_SCHEMA = StructType(
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), False),
-        StructField("ts", TimestampType(), False),
+        # parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) → µs-floored
+        # NTZ on Spark ≥4.1 (see load_table)
+        StructField("ts", TimestampNTZType(), False),
         StructField("user_id", LongType(), False),
         StructField("event_type", StringType(), False),
         StructField("value", DoubleType(), False),
@@ -164,10 +166,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType as _Long
 
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if isinstance(df.schema["ts"].dataType, _Long):
+            # legacy conf honored (Spark ≤4.0): epoch-nanos long →
+            # floor to µs
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # Spark ≥4.1 reads TIMESTAMP(NANOS, isAdjustedToUTC=false)
+        # natively as a µs-floored TIMESTAMP_NTZ — the same naive
+        # wall-clock DuckDB produces, and the same type every other
+        # fixture timestamp reads as; keep it
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

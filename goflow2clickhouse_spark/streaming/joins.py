@@ -14,8 +14,32 @@ registers the batch twin `events_funnel_pairs`.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_INTERVAL_RE = re.compile(
+    r"^\s*\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+_UNIT_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _interval_seconds(spec: str) -> float:
+    """Parse a simple 'N unit' interval, rejecting anything else before
+    it reaches an F.expr interpolation."""
+    m = _INTERVAL_RE.match(spec)
+    if not m:
+        raise ValueError(
+            f"interval must be 'N unit' (unit in {sorted(_UNIT_SECONDS)}): "
+            f"{spec!r}"
+        )
+    return float(spec.split()[0]) * _UNIT_SECONDS[m.group(1).lower()]
 
 
 def funnel_pairs(
@@ -33,8 +57,15 @@ def funnel_pairs(
 
     Returns (key, lead_ts, follow_ts, delay_us). Streaming: both sides
     MUST carry the watermark so the state store can evict buffered
-    rows once no future match is possible; `watermark` should be ≥
-    `within` plus the allowed lateness."""
+    rows once no future match is possible; `watermark` must be ≥
+    `within` plus the allowed lateness — enforced here, because a
+    shorter watermark would silently drop valid pairs that the batch
+    twin still finds."""
+    if _interval_seconds(watermark) < _interval_seconds(within):
+        raise ValueError(
+            f"watermark ({watermark!r}) must be >= within ({within!r}): "
+            "a shorter watermark silently drops valid pairs in streaming"
+        )
     l = lead.select(F.col(key), F.col(ts_col).alias("lead_ts"))
     f = follow.select(
         F.col(key).alias("_fk"), F.col(ts_col).alias("follow_ts")
@@ -47,11 +78,15 @@ def funnel_pairs(
         & (F.col("follow_ts") > F.col("lead_ts"))
         & (F.expr(f"follow_ts <= lead_ts + INTERVAL '{within}'"))
     )
+    # interval arithmetic, not unix_micros: works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike and never routes through the session zone
+    delay_us = (
+        (F.col("follow_ts") - F.col("lead_ts")).cast("decimal(25,6)")
+        * F.lit(1_000_000)
+    ).cast("long")
     return l.join(f, cond).select(
         key,
         "lead_ts",
         "follow_ts",
-        (F.unix_micros("follow_ts") - F.unix_micros("lead_ts")).alias(
-            "delay_us"
-        ),
+        delay_us.alias("delay_us"),
     )

@@ -46,5 +46,8 @@ def test_register_views(spark, sf_dir):
     register_views(spark, sf_dir)
     for name in FIXTURE_TABLES:
         assert spark.table(name).count() > 0
-    # events view has the converted timestamp column
-    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+    # events ts is a µs-floored timestamp: NTZ on Spark ≥4.1 (native
+    # TIMESTAMP(NANOS) read), LTZ on older Spark via the legacy-conf path
+    assert dict(spark.table("events").dtypes)["ts"] in (
+        "timestamp_ntz", "timestamp"
+    )

@@ -118,11 +118,26 @@ def word_shingles(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    hash_key: bool = True,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold, via the
     inverted-index join (pairs sharing ≥1 shingle) — never all-pairs.
-    Returns (id_a, id_b, jaccard), id_a < id_b."""
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    With ``hash_key`` (the default) the inverted-index join and the
+    doc-frequency aggregate run on hash31 of the shingle — an 8-byte
+    shuffle key instead of the n-word string, so at 100 TB the
+    exchanges carry fixed-width keys, not corpus substrings. The
+    Jaccard is then over distinct shingle HASHES per document (31-bit
+    collisions merge shingles identically in any engine replaying the
+    same hash — the DuckDB oracles do)."""
+    if hash_key:
+        shingles = shingles.select(
+            F.col(id_col), hash31(F.col("shingle")).alias("shingle")
+        ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -165,17 +180,10 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (BANDS bands × ROWS_PER_BAND rows); documents
-    agreeing on any full band become candidates.
-
-    One shuffle total: explode each signature into BANDS
-    (band_no, band_key) rows, group into buckets, expand each bucket's
-    sorted id array into ordered pairs with pure array expressions —
-    no self-join, so BANDS× fewer shuffles than the join-per-band
-    formulation. A pathological bucket of k ids still expands to k²/2
-    pairs inside one task; that is inherent to LSH and the reason BANDS×
-    ROWS_PER_BAND is tuned so buckets stay small."""
+def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(band_no, band_key, ids) LSH buckets of ≥2 documents — the
+    shared first stage of candidate generation and the hot-bucket
+    monitor."""
     band_structs = []
     for j in range(BANDS):
         cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -184,11 +192,55 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band_no", "b.band_key")
-    buckets = (
+    return (
         exploded.groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def oversize_lsh_buckets(
+    sigs: DataFrame, max_bucket_size: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The buckets a `max_bucket_size` cap would drop:
+    (band_no, band_key, n_ids, n_pairs_avoided). Run this alongside a
+    capped dedup to COUNT what was skipped — a capped run that reports
+    nothing dropped is equivalent to the uncapped run."""
+    return _band_buckets(sigs, id_col).filter(
+        F.size("ids") > max_bucket_size
+    ).select(
+        "band_no",
+        "band_key",
+        F.size("ids").alias("n_ids"),
+        (F.size("ids").cast("long") * (F.size("ids") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs_avoided"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature (BANDS bands × ROWS_PER_BAND rows); documents
+    agreeing on any full band become candidates.
+
+    One shuffle total: explode each signature into BANDS
+    (band_no, band_key) rows, group into buckets, expand each bucket's
+    sorted id array into ordered pairs with pure array expressions —
+    no self-join, so BANDS× fewer shuffles than the join-per-band
+    formulation. A pathological bucket of k ids expands to k²/2 pairs
+    inside one task — inherent to LSH and the reason BANDS×
+    ROWS_PER_BAND is tuned so buckets stay small. `max_bucket_size`
+    guards against the degenerate case (boilerplate/empty documents
+    landing one giant bucket): oversize buckets are dropped — their
+    contents are near-identical to each other and almost always caught
+    by OTHER bands or the exact-dedup gate; audit what a cap skipped
+    with `oversize_lsh_buckets` before relying on that."""
+    buckets = _band_buckets(sigs, id_col)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -229,6 +281,7 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     candidates → exact-Jaccard verify ≥ threshold.
@@ -266,7 +319,7 @@ def minhash_lsh_dedup_pairs(
             for i in range(NUM_PERM)
         ],
     )
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))

@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators.text import LANG_MARKERS
 from ..schema import load_table
-from .extension_queries import CORPUS_SQL, _SHINGLES_SQL, corpus
+from .extension_queries import CORPUS_SQL, _H31, _SHINGLES_SQL, corpus
 from .queries import query
 
 # ---------------------------------------------------------------------------
@@ -27,15 +28,16 @@ from .queries import query
     bench=True,
     oracle=f"""
     WITH {_SHINGLES_SQL},
+    sh31 AS (SELECT DISTINCT doc_id, {_H31.format(x='shingle')} AS h FROM sh),
     freq AS (
-        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+        SELECT h, COUNT(*) AS df FROM sh31 GROUP BY h
     ),
     per_doc AS (
-        SELECT sh.doc_id,
+        SELECT sh31.doc_id,
                COUNT(*) AS n_sh,
                SUM(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS n_dup
-        FROM sh JOIN freq USING (shingle)
-        GROUP BY sh.doc_id
+        FROM sh31 JOIN freq USING (h)
+        GROUP BY sh31.doc_id
     )
     SELECT CAST(FLOOR(CAST(n_dup AS DOUBLE) / n_sh * 10) AS INT) AS bucket,
            COUNT(*) AS n_docs,
@@ -49,15 +51,20 @@ def text_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram filter LLM pipelines run before training (high fraction =
     boilerplate / near-copy).
 
-    Scale shape: distinct (doc, shingle) → shingle-keyed doc-frequency
-    aggregate → one inverted-index join back on shingle → per-doc
-    aggregate. Shuffle keys are shingles and doc ids, never text; no
-    all-pairs anywhere. At 100 TB, hash the shingle to 8 bytes first so
-    the shuffle carries fixed-width keys."""
-    sh = D.word_shingles(corpus(spark, sf_dir))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    Scale shape: distinct (doc, shingle-hash) → hash-keyed doc-
+    frequency aggregate → one inverted-index join back on the hash →
+    per-doc aggregate. Shuffle keys are 8-byte hash31 values and doc
+    ids, never text or shingle strings; no all-pairs anywhere. The
+    oracle replays the identical hash, so 31-bit collisions (which
+    merge shingles) cannot diverge the engines."""
+    sh = (
+        D.word_shingles(corpus(spark, sf_dir))
+        .select("doc_id", D.hash31(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     per_doc = (
-        sh.join(freq, "shingle")
+        sh.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),
@@ -426,7 +433,14 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full curation funnel (flagship composition)
 # ---------------------------------------------------------------------------
 
-_ALL_MARKERS = "'the', 'a', 'and', 'der', 'die', 'und', 'le', 'la', 'et', 'el', 'y', '的', '是', '了'"
+# derived from operators/text.LANG_MARKERS so the oracle's language
+# gate can never silently diverge from the Spark side's marker set
+_ALL_MARKERS = ", ".join(
+    f"'{m}'"
+    for m in dict.fromkeys(
+        m for markers in LANG_MARKERS.values() for m in markers
+    )
+)
 
 
 def _funnel_oracle() -> str:

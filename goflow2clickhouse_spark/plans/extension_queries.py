@@ -130,10 +130,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sh31 AS (SELECT DISTINCT doc_id, {_H31.format(x='shingle')} AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh31 GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh31 a JOIN sh31 b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -146,7 +147,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard ≥ 0.5 via the inverted-index join (only
-    pairs sharing a shingle are scored — never all-pairs)."""
+    pairs sharing a shingle are scored — never all-pairs). The index
+    key is hash31(shingle): fixed 8-byte shuffle keys at any scale,
+    replayed identically by the oracle."""
     sh = D.word_shingles(corpus(spark, sf_dir))
     return D.jaccard_pairs(sh, threshold=0.5)
 

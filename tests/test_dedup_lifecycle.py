@@ -60,3 +60,45 @@ def test_cluster_pairs_checkpoint_released_and_composition_safe(spark):
     assert _n_persistent(spark) == before, (
         "edge checkpoint still held after the final handle was dropped"
     )
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket cap (the documented k²/2 LSH hazard)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs → every band key equal)
+    must be droppable via max_bucket_size, with the skipped work
+    observable through oversize_lsh_buckets."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversize_lsh_buckets,
+        word_shingles,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    docs = [(i, boiler) for i in range(40)] + [
+        (100, "a unique document with its own words entirely"),
+        (101, "another unique document sharing nothing with others"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(word_shingles(df)).persist()
+
+    uncapped = lsh_candidate_pairs(sigs)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 40 * 39 // 2  # the degenerate k²/2 blow-up
+
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
+    assert capped.count() == 0  # every pair came from oversize buckets
+
+    audit = oversize_lsh_buckets(sigs, max_bucket_size=10).collect()
+    assert audit and all(r.n_ids == 40 for r in audit)
+    assert all(r.n_pairs_avoided == 40 * 39 // 2 for r in audit)
+
+    # a cap above the bucket size is a no-op
+    assert lsh_candidate_pairs(sigs, max_bucket_size=100).count() == n_uncapped
+    sigs.unpersist()

@@ -189,3 +189,19 @@ def test_quality_filter_fixed_width_shuffle_key(spark):
     assert any("__dedup_sha" in k for k in keys), keys
     for k in keys:
         assert not re.search(r"(?<![_\w])norm#", k), f"raw norm shuffle key: {k}"
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "text_dupngram_fraction"])
+def test_shingle_joins_hash_keyed(spark, name):
+    """Inverted-index shuffles must key on hash31 of the shingle (8-byte
+    long), never the raw n-word shingle string (VERDICT r2 #5)."""
+    p = plan_str(spark, SPECS[name].spark(spark, SF))
+    keys = _partition_keys(p)
+    assert keys, f"no exchange found:\n{p}"
+    for k in keys:
+        # a string-typed shingle key prints as `shingle#12`; the hashed
+        # long prints as `shingle#12L` (or is aliased `h`) — flag only
+        # the string form
+        assert not re.search(r"shingle#\d+(?![L\d])", k), (
+            f"raw shingle shuffle key: {k}"
+        )

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def _format_ip(b: bytes | None) -> str | None:
@@ -90,18 +90,41 @@ def cidr_bounds(cidr: str) -> tuple[int, int]:
     return int(net.network_address), int(net.broadcast_address)
 
 
-def cidr_stride_keys(sites: "DataFrame", stride_bits: int = 12) -> "DataFrame":
+def cidr_stride_keys(
+    sites: "DataFrame", stride_bits: int = 12, validate: bool = True
+) -> "DataFrame":
     """Expand a (site, net_lo, net_hi) range table into fixed-stride
     equi-join keys: every 2^stride_bits-aligned block overlapping the
     range contributes one (site, ipkey) row, ipkey = block >> stride.
 
     Turns the CIDR range join into a broadcast HASH join (whole-stage
     codegen) instead of a BroadcastNestedLoopJoin — measured ~10x on
-    the flows enrichment. Requires ranges aligned to (or wider than)
-    the stride so a block never splits across sites; prefixes narrower
-    than the stride would need the range fallback. A /16 table at
-    stride 12 expands 16x — prefix dimensions stay broadcastable."""
-    shift = F.lit(1 << stride_bits)
+    the flows enrichment. Requires ranges aligned to (and at least as
+    wide as) the stride so a block never splits across sites; prefixes
+    narrower than the stride need the range-join fallback. With
+    ``validate`` (default) the precondition is enforced with one tiny
+    job over the sites dim — it is broadcast-sized by contract, and a
+    misaligned site would otherwise silently tag a whole stride block
+    with the wrong label. A /16 table at stride 12 expands 16x —
+    prefix dimensions stay broadcastable."""
+    stride = 1 << stride_bits
+    if validate:
+        bad = (
+            sites.filter(
+                (F.col("net_lo") % stride != 0)
+                | ((F.col("net_hi") + 1) % stride != 0)
+            )
+            .select("site")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"site {bad[0].site!r} range is not aligned to the "
+                f"2^{stride_bits} stride; narrow/unaligned prefixes need "
+                "the range-join fallback"
+            )
+    shift = F.lit(stride)
     return sites.select(
         "site",
         F.explode(
@@ -124,3 +147,122 @@ def ipv4_is_private(col: Column | str) -> Column:
     for p in preds[1:]:
         out = out | p
     return out
+
+
+# ---------------------------------------------------------------------------
+# IPv6 — the reference emits v6 strings via the same net.IP.String()
+# (main.go:133,138,139); the analytics side represents a v6 address as
+# two signed 64-bit halves (hi, lo) so membership tests stay pure
+# column arithmetic (two's-complement bits are engine-portable).
+# ---------------------------------------------------------------------------
+
+_U64 = 1 << 64
+_S64_MAX = 1 << 63
+
+
+def signed64(v: int) -> int:
+    """Two's-complement signed view of an unsigned 64-bit value — the
+    form a BIGINT column carries in Spark and DuckDB alike."""
+    return v - _U64 if v >= _S64_MAX else v
+
+
+def ipv6_halves(addr: str) -> tuple[int, int]:
+    """(hi, lo) signed-64 halves of a v6 address literal."""
+    v = int(ipaddress.IPv6Address(addr))
+    return signed64(v >> 64), signed64(v & (_U64 - 1))
+
+
+@pandas_udf(StringType())
+def ipv6_bits_to_string(hi: pd.Series, lo: pd.Series) -> pd.Series:
+    """(hi, lo) signed halves → RFC 5952 compressed lowercase string
+    (Go net.IP.String() parity). Arrow-vectorized."""
+
+    def fmt(h, lo_) -> str | None:
+        if h is None or lo_ is None:
+            return None
+        v = ((int(h) % _U64) << 64) | (int(lo_) % _U64)
+        return str(ipaddress.IPv6Address(v))
+
+    return pd.Series([fmt(h, lo_) for h, lo_ in zip(hi, lo)])
+
+
+@pandas_udf(
+    StructType([StructField("hi", LongType()), StructField("lo", LongType())])
+)
+def ipv6_string_to_bits(addr: pd.Series) -> pd.DataFrame:
+    """v6 string (any RFC 4291 textual form) → (hi, lo) signed halves;
+    NULL row for unparseable input."""
+
+    def parse(s):
+        try:
+            v = int(ipaddress.IPv6Address(s))
+        except (ipaddress.AddressValueError, TypeError, ValueError):
+            return None, None
+        return signed64(v >> 64), signed64(v & (_U64 - 1))
+
+    pairs = [parse(s) for s in addr]
+    return pd.DataFrame({"hi": [p[0] for p in pairs], "lo": [p[1] for p in pairs]})
+
+
+def ip6_in_cidr(hi: Column | str, lo: Column | str, cidr: str) -> Column:
+    """True iff the (hi, lo) halves are inside the v6 `cidr`. Pure
+    column arithmetic: prefix comparison via unsigned right shifts
+    against plan-time literals — one codegen'd compare per half, no
+    UDF, portable to any engine with >> semantics."""
+    net = ipaddress.ip_network(cidr, strict=True)
+    if net.version != 6:
+        raise ValueError(f"not an IPv6 CIDR: {cidr}")
+    p = net.prefixlen
+    v = int(net.network_address)
+    hi_u, lo_u = v >> 64, v & (_U64 - 1)
+    hi_c = F.col(hi) if isinstance(hi, str) else hi
+    lo_c = F.col(lo) if isinstance(lo, str) else lo
+    if p == 0:
+        return F.lit(True)
+    if p < 64:
+        return F.shiftrightunsigned(hi_c, 64 - p) == F.lit(hi_u >> (64 - p))
+    hi_eq = hi_c == F.lit(signed64(hi_u))
+    if p == 64:
+        return hi_eq
+    if p == 128:
+        return hi_eq & (lo_c == F.lit(signed64(lo_u)))
+    return hi_eq & (
+        F.shiftrightunsigned(lo_c, 128 - p) == F.lit(lo_u >> (128 - p))
+    )
+
+
+def ipv6_classify(hi: Column | str, lo: Column | str) -> Column:
+    """Well-known-range classifier over (hi, lo) halves: unique-local
+    (fc00::/7), link-local (fe80::/10), multicast (ff00::/8),
+    documentation (2001:db8::/32), IPv4-mapped (::ffff:0:0/96), else
+    'global'. Specific ranges test first; all tests are literal
+    compares, so the whole CASE stays in whole-stage codegen."""
+    return (
+        F.when(ip6_in_cidr(hi, lo, "fc00::/7"), "ula")
+        .when(ip6_in_cidr(hi, lo, "fe80::/10"), "link_local")
+        .when(ip6_in_cidr(hi, lo, "ff00::/8"), "multicast")
+        .when(ip6_in_cidr(hi, lo, "2001:db8::/32"), "documentation")
+        .when(ip6_in_cidr(hi, lo, "::ffff:0:0/96"), "v4_mapped")
+        .otherwise("global")
+    )
+
+
+def ip_is_private(col: Column | str) -> Column:
+    """v4/v6-aware successor of ipv4_is_private over address STRINGS in
+    canonical form (what ip_to_string emits): RFC 1918 for dotted
+    quads; unique-local (fc00::/7) + link-local (fe80::/10) for v6.
+    The v6 test is a prefix check on the canonical lowercase string —
+    valid because RFC 5952 compression never elides leading hextet
+    digits (fc.., fd.., fe8..feb prefixes survive compression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    is6 = c.contains(":")
+    lower = F.lower(c)
+    v6_private = (
+        lower.startswith("fc")
+        | lower.startswith("fd")
+        | lower.startswith("fe8")
+        | lower.startswith("fe9")
+        | lower.startswith("fea")
+        | lower.startswith("feb")
+    )
+    return F.when(is6, v6_private).otherwise(ipv4_is_private(col))

@@ -503,6 +503,77 @@ def flows_private_traffic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ipv6_address_classes",
+    oracle="""
+    SELECT CASE event_id % 5
+                WHEN 0 THEN 'ula'
+                WHEN 1 THEN 'link_local'
+                WHEN 2 THEN 'documentation'
+                WHEN 3 THEN 'multicast'
+                ELSE 'global' END AS ip_class,
+           COUNT(*) AS n_addrs,
+           CAST(SUM(event_id % 997) AS BIGINT) AS id_checksum
+    FROM events
+    GROUP BY 1
+    ORDER BY ip_class
+    """,
+)
+def ipv6_address_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 analytics path (the reference formats v6 addresses with
+    net.IP.String() at main.go:133,138,139): plant one v6 address per
+    event in a well-known range chosen by event_id % 5, format it to an
+    RFC 5952 string (Arrow pandas UDF, Go parity), PARSE the string
+    back to (hi, lo) halves, and classify with pure-column
+    ip6_in_cidr prefix compares. The oracle replays only the planting
+    rule — the count/checksum per class match iff the full
+    format → parse → 128-bit CIDR classification pipeline is exact.
+    Scale: one projection chain, no shuffle before the 5-group agg."""
+    from ..functions.ip import (
+        ipv6_bits_to_string,
+        ipv6_classify,
+        ipv6_halves,
+        ipv6_string_to_bits,
+    )
+    from ..schema import load_table
+
+    h_ula, _ = ipv6_halves("fd00::")
+    h_ll, _ = ipv6_halves("fe80::")
+    h_doc, _ = ipv6_halves("2001:db8::")
+    h_mc, _ = ipv6_halves("ff02::")
+    h_gl, _ = ipv6_halves("2600::")
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    m = F.col("event_id") % 5
+    hi = (
+        F.when(m == 0, F.lit(h_ula) + F.col("event_id") % 65536)
+        .when(m == 1, F.lit(h_ll) + F.col("event_id") % 4096)
+        .when(m == 2, F.lit(h_doc) + F.col("event_id") % 100000)
+        .when(m == 3, F.lit(h_mc))
+        .otherwise(F.lit(h_gl) + F.col("event_id") % 65536)
+    ).cast("long")
+    planted = ev.select(
+        "event_id", hi.alias("hi"), F.col("event_id").alias("lo")
+    )
+    formatted = planted.select(
+        "event_id", ipv6_bits_to_string("hi", "lo").alias("addr")
+    )
+    parsed = formatted.select(
+        "event_id", ipv6_string_to_bits("addr").alias("b")
+    )
+    return (
+        parsed.select(
+            "event_id",
+            ipv6_classify(F.col("b.hi"), F.col("b.lo")).alias("ip_class"),
+        )
+        .groupBy("ip_class")
+        .agg(
+            F.count("*").alias("n_addrs"),
+            F.sum(F.col("event_id") % 997).alias("id_checksum"),
+        )
+        .orderBy("ip_class")
+    )
+
+
+@query(
     "flows_protocol_unpivot",
     oracle=FLOWS_WITH + """
     , wide AS (

@@ -15,6 +15,8 @@ addresses, zipf-ish src/dst pools via modular folding of TPC-H keys.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 # NOTE: portable subset only — every function here must behave identically
@@ -81,13 +83,15 @@ def flows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if sf_dir not in cache:
         # inline the scan (no view indirection) so the memoized plan is
-        # pinned to THIS sf_dir regardless of later view re-registration
+        # pinned to THIS sf_dir regardless of later view re-registration.
+        # The per-sf_dir view name derives from the PATH, not hash():
+        # hash randomization made names run-dependent, and two sf_dirs
+        # could collide — harmless under eager analysis, but silently
+        # wrong under a lazy-analysis runtime (Spark Connect).
+        view = "_flows_base_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
         rel = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        rel.createOrReplaceTempView(f"_flows_base_{abs(hash(sf_dir)) % 10**8}")
+        rel.createOrReplaceTempView(view)
         cache[sf_dir] = spark.sql(
-            FLOWS_CTE_SQL.replace(
-                "FROM lineitem",
-                f"FROM _flows_base_{abs(hash(sf_dir)) % 10**8}",
-            )
+            FLOWS_CTE_SQL.replace("FROM lineitem", f"FROM {view}")
         )
     return cache[sf_dir]

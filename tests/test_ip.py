@@ -174,3 +174,106 @@ def test_cidr_stride_keys_equiv_range_join(spark):
         .collect()
     }
     assert strided == ranged
+
+
+# ---- IPv6 (hi, lo) halves ---------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=(1 << 128) - 1))
+@settings(max_examples=300, deadline=None)
+def test_ipv6_halves_roundtrip_pure(v):
+    from goflow2clickhouse_spark.functions.ip import ipv6_halves, signed64
+
+    s = str(ipaddress.IPv6Address(v))
+    hi, lo = ipv6_halves(s)
+    assert hi == signed64(v >> 64) and lo == signed64(v & ((1 << 64) - 1))
+
+
+def test_ipv6_string_bits_roundtrip(spark):
+    """format → parse → format identity through the Arrow UDFs, over
+    addresses exercising compression, high-bit halves, and mapped v4."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.ip import (
+        ipv6_bits_to_string,
+        ipv6_halves,
+        ipv6_string_to_bits,
+    )
+
+    addrs = [
+        "::", "::1", "2001:db8::1", "fe80::1%0".replace("%0", ""),
+        "fd12:3456:789a:1::1", "ff02::fb", "2001:0:0:1::1",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "::ffff:10.0.0.1",
+        "8000::", "::8000:0:0:0", "1:2:3:4:5:6:7:8",
+    ]
+    rows = [ipv6_halves(a) for a in addrs]
+    df = spark.createDataFrame(rows, "hi long, lo long")
+    out = (
+        df.select("hi", "lo", ipv6_bits_to_string("hi", "lo").alias("s"))
+        .select("hi", "lo", "s", ipv6_string_to_bits("s").alias("b"))
+        .collect()
+    )
+    for r in out:
+        assert (r.b.hi, r.b.lo) == (r.hi, r.lo), r.s
+    got = {(r.hi, r.lo): r.s for r in out}
+    for a in addrs:
+        assert got[ipv6_halves(a)] == str(ipaddress.IPv6Address(a)), a
+
+
+def test_ip6_in_cidr_against_stdlib(spark):
+    """Membership at range edges for prefixes straddling the 64-bit
+    half boundary (p<64, p=64, 64<p<128, p=128), vs the stdlib."""
+    from goflow2clickhouse_spark.functions.ip import ip6_in_cidr, ipv6_halves
+
+    cidrs = [
+        "fc00::/7", "fe80::/10", "2001:db8::/32", "ff00::/8",
+        "2001:db8:1:2::/64", "2001:db8:1:2:3::/80", "::ffff:0:0/96",
+        "2001:db8::42/128",
+    ]
+    probes = set()
+    for c in cidrs:
+        net = ipaddress.ip_network(c)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        for v in (lo - 1, lo, lo + 1, (lo + hi) // 2, hi - 1, hi, hi + 1):
+            probes.add(str(ipaddress.IPv6Address(v % (1 << 128))))
+    df = spark.createDataFrame(
+        [ipv6_halves(p) + (p,) for p in sorted(probes)],
+        "hi long, lo long, addr string",
+    )
+    sel = df.select(
+        "addr",
+        *[
+            ip6_in_cidr("hi", "lo", c).alias(f"c{i}")
+            for i, c in enumerate(cidrs)
+        ],
+    )
+    for r in sel.collect():
+        a = ipaddress.ip_address(r.addr)
+        for i, c in enumerate(cidrs):
+            want = a in ipaddress.ip_network(c)
+            assert r[f"c{i}"] == want, (r.addr, c)
+
+
+def test_ip_is_private_mixed(spark):
+    from goflow2clickhouse_spark.functions.ip import ip_is_private
+
+    cases = {
+        "10.1.2.3": True, "8.8.8.8": False, "192.168.0.9": True,
+        "fd00::1": True, "fc00::": True, "fe80::1": True,
+        "feb0::1": True, "fec0::1": False, "2001:db8::1": False,
+        "::1": False,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "ip string")
+    got = {r.ip: r.p for r in df.select("ip", ip_is_private("ip").alias("p")).collect()}
+    assert got == cases
+
+
+def test_cidr_stride_keys_rejects_misaligned(spark):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.functions.ip import cidr_stride_keys
+    from goflow2clickhouse_spark.streaming.windows import sites_table
+
+    sites = sites_table(spark, {"narrow": "192.168.1.0/24"})
+    with _pytest.raises(ValueError, match="not aligned"):
+        cidr_stride_keys(sites, stride_bits=12).collect()

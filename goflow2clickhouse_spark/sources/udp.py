@@ -308,14 +308,46 @@ class NetflowV9Decoder:
     template cache; data flowsets (id >= 256) parse against it. Data
     arriving before its template is dropped-and-counted — the
     protocol's defined behavior (exporters re-send templates
-    periodically). Options templates (id 1) are skipped. One decoder
-    instance lives on each listener's reader: template state is
-    per-socket, exactly like a collector."""
+    periodically). One decoder instance lives on each listener's
+    reader: template state is per-socket, exactly like a collector.
 
-    def __init__(self) -> None:
-        # (sampler, source_id, template_id) -> [(field_type, length), ...]
-        self._templates: dict[tuple, list[tuple[int, int]]] = {}
+    Template lifecycle (RFC 3954 §9): every re-received template
+    REFRESHES (and may redefine) its cache slot; a template not
+    refreshed within `template_ttl` seconds is expired on next use and
+    its data dropped-and-counted until the exporter re-sends it. The
+    clock is the exporters' own header export time (unix_secs) — the
+    stream carries it, so restart/replay scenarios behave
+    deterministically and tests need no wall-clock control.
+
+    Options templates (flowset id 1) are cached too; their DATA sets
+    are consumed as collector metadata, not flow rows: records are
+    counted in `options_records` and a samplingInterval option (IE 34)
+    becomes the default SamplingRate for subsequent flow rows of that
+    (exporter, source_id) that do not export IE 34 themselves — the
+    observable behavior goflow's sampling-rate tracking gives the
+    reference."""
+
+    def __init__(self, template_ttl: int | None = 1800) -> None:
+        # (sampler, source_id, template_id) -> (fields, refreshed_at)
+        self._templates: dict[tuple, tuple[list[tuple[int, int]], int]] = {}
+        # options: (sampler, source_id, tid) -> (scope+option fields, at)
+        self._options: dict[tuple, tuple[list[tuple[int, int]], int]] = {}
+        self._sampling: dict[tuple, int] = {}
+        self._ttl = template_ttl
         self.dropped_no_template = 0
+        self.expired_templates = 0
+        self.options_records = 0
+
+    def _live(self, cache: dict, key: tuple, now: int):
+        ent = cache.get(key)
+        if ent is None:
+            return None
+        fields, at = ent
+        if self._ttl is not None and now - at > self._ttl:
+            del cache[key]
+            self.expired_templates += 1
+            return None
+        return fields
 
     def decode(self, payload: bytes, sampler: bytes) -> list[tuple] | None:
         try:
@@ -335,22 +367,30 @@ class NetflowV9Decoder:
                 off += fs_len
                 if fs_id == 0:
                     self._ingest_templates(payload, body, body_end,
-                                           sampler, source_id)
+                                           sampler, source_id, unix_secs)
                 elif fs_id == 1:
-                    continue  # options template: no flow rows
+                    self._ingest_options(payload, body, body_end,
+                                         sampler, source_id, unix_secs)
                 elif fs_id >= 256:
-                    tmpl = self._templates.get((sampler, source_id, fs_id))
+                    key = (sampler, source_id, fs_id)
+                    opt = self._live(self._options, key, unix_secs)
+                    if opt is not None:
+                        self._consume_options_data(
+                            payload, body, body_end, opt, sampler, source_id)
+                        continue
+                    tmpl = self._live(self._templates, key, unix_secs)
                     if tmpl is None:
                         self.dropped_no_template += 1
                         continue
                     rows.extend(self._parse_data(
-                        payload, body, body_end, tmpl, sampler,
+                        payload, body, body_end, tmpl, sampler, source_id,
                         sys_uptime, unix_secs, seq))
             return rows
         except struct.error:
             return None
 
-    def _ingest_templates(self, payload, p, end, sampler, source_id) -> None:
+    def _ingest_templates(self, payload, p, end, sampler, source_id,
+                          now) -> None:
         while p + 4 <= end:
             tid, n_fields = struct.unpack_from(">HH", payload, p)
             p += 4
@@ -364,11 +404,41 @@ class NetflowV9Decoder:
             # reject zero-stride templates: a data set parsed against
             # one would never advance (crafted-datagram hang)
             if tid >= 256 and fields and sum(ln for _, ln in fields) > 0:
-                self._templates[(sampler, source_id, tid)] = fields
+                self._templates[(sampler, source_id, tid)] = (fields, now)
 
-    def _parse_data(self, payload, p, end, tmpl, sampler,
+    def _ingest_options(self, payload, p, end, sampler, source_id,
+                        now) -> None:
+        # RFC 3954 §6.1: tid, scope LENGTH (bytes), option LENGTH (bytes)
+        while p + 6 <= end:
+            tid, scope_len, opt_len = struct.unpack_from(">HHH", payload, p)
+            p += 6
+            if scope_len % 4 or opt_len % 4 or p + scope_len + opt_len > end:
+                return
+            fields = [
+                struct.unpack_from(">HH", payload, p + i * 4)
+                for i in range((scope_len + opt_len) // 4)
+            ]
+            p += scope_len + opt_len
+            if tid >= 256 and fields and sum(ln for _, ln in fields) > 0:
+                self._options[(sampler, source_id, tid)] = (fields, now)
+
+    def _consume_options_data(self, payload, p, end, fields, sampler,
+                              source_id) -> None:
+        rec_len = sum(ln for _, ln in fields)
+        while rec_len > 0 and p + rec_len <= end:
+            f: dict[int, int] = {}
+            for ftype, ln in fields:
+                f[ftype] = int.from_bytes(payload[p:p + ln], "big")
+                p += ln
+            self.options_records += 1
+            rate = f.get(34) or f.get(305)
+            if rate:
+                self._sampling[(sampler, source_id)] = rate
+
+    def _parse_data(self, payload, p, end, tmpl, sampler, source_id,
                     sys_uptime, unix_secs, seq) -> list[tuple]:
         rec_len = sum(ln for _, ln in tmpl)
+        default_rate = self._sampling.get((sampler, source_id), 0)
         rows = []
         while rec_len > 0 and p + rec_len <= end:
             f: dict[int, int | bytes] = {}
@@ -385,21 +455,25 @@ class NetflowV9Decoder:
             t_end = (unix_secs - (sys_uptime - last) // 1000
                      if last is not None else unix_secs)
             rows.append(_fields_to_row(
-                f, _TYPE_NETFLOW_V9, unix_secs, seq, sampler, t_start, t_end))
+                f, _TYPE_NETFLOW_V9, unix_secs, seq, sampler, t_start, t_end,
+                default_rate))
         return rows
 
 
 def _fields_to_row(f: dict, flow_type: int, time_received: int, seq: int,
-                   sampler: bytes, t_start: int, t_end: int) -> tuple:
+                   sampler: bytes, t_start: int, t_end: int,
+                   default_sampling: int = 0) -> tuple:
     """Shared v9/IPFIX field-id → RAW_FLOW_SCHEMA row mapping (the two
-    protocols share information-element numbering for ids < 128)."""
+    protocols share information-element numbering for ids < 128).
+    `default_sampling` is the exporter's options-template-announced
+    rate, used when the data record does not export IE 34 itself."""
     v6 = 27 in f or 28 in f
     icmp = f.get(32, 0)  # ICMP_TYPE: (type << 8) | code
     return (
         flow_type,
         time_received,
         seq,                            # SequenceNum
-        f.get(34, 0),                   # SamplingRate (if exported)
+        f.get(34) or default_sampling,  # SamplingRate
         f.get(61, 0),                   # FlowDirection
         sampler,                        # SamplerAddress
         t_start, t_end,
@@ -431,11 +505,31 @@ class IpfixDecoder:
     (flowStartSeconds 150/151, flowStartMilliseconds 152/153) taking
     precedence for flow times. Variable-length elements (len 0xFFFF)
     make a template unusable for fixed-stride parsing; its data sets
-    are dropped-and-counted."""
+    are dropped-and-counted.
 
-    def __init__(self) -> None:
-        self._templates: dict[tuple, list[tuple[int | None, int]]] = {}
+    Template lifecycle mirrors the v9 decoder (for IPFIX-over-UDP,
+    RFC 7011 §8.4 prescribes exactly this timeout model — withdrawals
+    only exist on SCTP/TCP): re-received templates refresh their slot,
+    unrefreshed templates expire after `template_ttl` seconds of the
+    exporters' export-time clock. Options-template DATA sets are
+    consumed as metadata: counted, and samplingInterval (IE 34) /
+    samplingPacketInterval (IE 305) set the default SamplingRate for
+    the (exporter, domain)."""
+
+    def __init__(self, template_ttl: int | None = 1800) -> None:
+        self._templates: dict[
+            tuple, tuple[list[tuple[int | None, int]], int]
+        ] = {}
+        self._options: dict[
+            tuple, tuple[list[tuple[int | None, int]], int]
+        ] = {}
+        self._sampling: dict[tuple, int] = {}
+        self._ttl = template_ttl
         self.dropped_no_template = 0
+        self.expired_templates = 0
+        self.options_records = 0
+
+    _live = NetflowV9Decoder._live
 
     def decode(self, payload: bytes, sampler: bytes) -> list[tuple] | None:
         try:
@@ -456,25 +550,43 @@ class IpfixDecoder:
                 off += set_len
                 if set_id == 2:
                     self._ingest_templates(payload, body, body_end,
-                                           sampler, domain)
+                                           sampler, domain, export_secs,
+                                           options=False)
                 elif set_id == 3:
-                    continue  # options templates: no flow rows
+                    self._ingest_templates(payload, body, body_end,
+                                           sampler, domain, export_secs,
+                                           options=True)
                 elif set_id >= 256:
-                    tmpl = self._templates.get((sampler, domain, set_id))
+                    key = (sampler, domain, set_id)
+                    opt = self._live(self._options, key, export_secs)
+                    if opt is not None:
+                        if not any(ln == 0xFFFF for _, ln in opt):
+                            self._consume_options_data(
+                                payload, body, body_end, opt, sampler, domain)
+                        continue
+                    tmpl = self._live(self._templates, key, export_secs)
                     if tmpl is None or any(ln == 0xFFFF for _, ln in tmpl):
                         self.dropped_no_template += 1
                         continue
                     rows.extend(self._parse_data(
-                        payload, body, body_end, tmpl, sampler,
+                        payload, body, body_end, tmpl, sampler, domain,
                         export_secs, seq))
             return rows
         except struct.error:
             return None
 
-    def _ingest_templates(self, payload, p, end, sampler, domain) -> None:
-        while p + 4 <= end:
-            tid, n_fields = struct.unpack_from(">HH", payload, p)
-            p += 4
+    def _ingest_templates(self, payload, p, end, sampler, domain, now,
+                          options: bool = False) -> None:
+        # options-template sets (RFC 7011 §3.4.2.2) carry an extra
+        # scope-field-count halfword; the specifier wire format is the
+        # same, and scope fields parse like option fields here
+        head = 6 if options else 4
+        while p + head <= end:
+            if options:
+                tid, n_fields, _scope_n = struct.unpack_from(">HHH", payload, p)
+            else:
+                tid, n_fields = struct.unpack_from(">HH", payload, p)
+            p += head
             fields: list[tuple[int | None, int]] = []
             ok = True
             for _ in range(n_fields):
@@ -493,11 +605,27 @@ class IpfixDecoder:
                     fields.append((ie, ln))
             # zero-stride templates rejected, as in the v9 decoder
             if ok and tid >= 256 and fields and sum(ln for _, ln in fields) > 0:
-                self._templates[(sampler, domain, tid)] = fields
+                cache = self._options if options else self._templates
+                cache[(sampler, domain, tid)] = (fields, now)
 
-    def _parse_data(self, payload, p, end, tmpl, sampler,
+    def _consume_options_data(self, payload, p, end, fields, sampler,
+                              domain) -> None:
+        rec_len = sum(ln for _, ln in fields)
+        while rec_len > 0 and p + rec_len <= end:
+            f: dict[int, int] = {}
+            for ftype, ln in fields:
+                if ftype is not None:
+                    f[ftype] = int.from_bytes(payload[p:p + ln], "big")
+                p += ln
+            self.options_records += 1
+            rate = f.get(34) or f.get(305)
+            if rate:
+                self._sampling[(sampler, domain)] = rate
+
+    def _parse_data(self, payload, p, end, tmpl, sampler, domain,
                     export_secs, seq) -> list[tuple]:
         rec_len = sum(ln for _, ln in tmpl)
+        default_rate = self._sampling.get((sampler, domain), 0)
         rows = []
         while rec_len > 0 and p + rec_len <= end:
             f: dict[int, int | bytes] = {}
@@ -516,7 +644,8 @@ class IpfixDecoder:
             else:
                 t_start = t_end = export_secs
             rows.append(_fields_to_row(
-                f, _TYPE_IPFIX, export_secs, seq, sampler, t_start, t_end))
+                f, _TYPE_IPFIX, export_secs, seq, sampler, t_start, t_end,
+                default_rate))
         return rows
 
 

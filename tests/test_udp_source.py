@@ -332,14 +332,14 @@ def test_decode_sflow_v5_malformed_and_unparseable():
     assert named["SrcAddr"] == b"\x00\x00\x00\x00"
 
 
-def _v9_template(tid, fields, *, source_id=5, seq=900):
+def _v9_template(tid, fields, *, source_id=5, seq=900, ts=1_700_000_000):
     import struct
 
     body = struct.pack(">HH", tid, len(fields))
     for ftype, ln in fields:
         body += struct.pack(">HH", ftype, ln)
     fs = struct.pack(">HH", 0, 4 + len(body)) + body
-    head = struct.pack(">HHIIII", 9, 1, 100_000, 1_700_000_000, seq, source_id)
+    head = struct.pack(">HHIIII", 9, 1, 100_000, ts, seq, source_id)
     return head + fs
 
 
@@ -347,7 +347,7 @@ _V9_FIELDS = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (6, 1),
               (1, 4), (2, 4), (22, 4), (21, 4)]
 
 
-def _v9_data(tid, records, *, source_id=5, seq=901):
+def _v9_data(tid, records, *, source_id=5, seq=901, ts=1_700_000_000):
     import struct
 
     body = b""
@@ -358,7 +358,7 @@ def _v9_data(tid, records, *, source_id=5, seq=901):
                  + struct.pack(">IIII", r["bytes"], r["pkts"],
                                r["first"], r["last"]))
     fs = struct.pack(">HH", tid, 4 + len(body)) + body
-    head = struct.pack(">HHIIII", 9, len(records), 100_000, 1_700_000_000,
+    head = struct.pack(">HHIIII", 9, len(records), 100_000, ts,
                        seq, source_id)
     return head + fs
 
@@ -539,6 +539,121 @@ def test_ipfix_enterprise_fields_and_varlen():
     before = ipx.dropped_no_template
     assert decode_datagram(_ipfix_data(402, b"\x00" * 12), s, ipfix=ipx) == []
     assert ipx.dropped_no_template == before + 1
+
+
+def test_netflow_v9_template_expiry_and_refresh():
+    """RFC 3954 §9 lifecycle: an unrefreshed template expires after the
+    TTL (measured on the exporters' export clock) and its data drops
+    until the exporter re-sends the template."""
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    t0 = 1_700_000_000
+    v9 = NetflowV9Decoder(template_ttl=600)
+    s = bytes([192, 0, 2, 5])
+    rec = {"src": bytes([10, 1, 1, 1]), "dst": bytes([10, 2, 2, 2]),
+           "sport": 1, "dport": 2, "proto": 17, "flags": 0,
+           "bytes": 10, "pkts": 1, "first": 100_000, "last": 100_000}
+
+    decode_datagram(_v9_template(300, _V9_FIELDS, ts=t0), s, v9=v9)
+    assert len(decode_datagram(_v9_data(300, [rec], ts=t0), s, v9=v9)) == 1
+    # within TTL: still parses
+    assert len(decode_datagram(_v9_data(300, [rec], ts=t0 + 600), s, v9=v9)) == 1
+    # past TTL: expired → dropped-and-counted
+    assert decode_datagram(_v9_data(300, [rec], ts=t0 + 1201), s, v9=v9) == []
+    assert v9.expired_templates == 1 and v9.dropped_no_template == 1
+    # periodic re-send refreshes the slot
+    decode_datagram(_v9_template(300, _V9_FIELDS, ts=t0 + 1201), s, v9=v9)
+    assert len(decode_datagram(_v9_data(300, [rec], ts=t0 + 1202), s, v9=v9)) == 1
+
+
+def _v9_options_template(tid, *, source_id=5, seq=910, ts=1_700_000_000):
+    import struct
+
+    # RFC 3954 §6.1: tid, scope LENGTH in bytes, option LENGTH in bytes
+    body = struct.pack(">HHH", tid, 4, 4)
+    body += struct.pack(">HH", 1, 4)    # scope: System, 4 bytes
+    body += struct.pack(">HH", 34, 4)   # option: samplingInterval
+    fs = struct.pack(">HH", 1, 4 + len(body)) + body
+    head = struct.pack(">HHIIII", 9, 1, 100_000, ts, seq, source_id)
+    return head + fs
+
+
+def test_netflow_v9_options_sampling_rate():
+    """Options-template DATA is consumed as metadata: counted, never
+    emitted as flow rows, and its samplingInterval becomes the default
+    SamplingRate for flow records that do not export IE 34."""
+    import struct
+
+    from goflow2clickhouse_spark.sources.udp import (
+        NetflowV9Decoder,
+        decode_datagram,
+    )
+
+    v9 = NetflowV9Decoder()
+    s = bytes([192, 0, 2, 5])
+    decode_datagram(_v9_options_template(400), s, v9=v9)
+    # options data: scope value + rate 512 — produces NO flow rows
+    opt_data = struct.pack(">HHIIII", 9, 1, 100_000, 1_700_000_000, 911, 5)
+    opt_rec = struct.pack(">II", 1, 512)
+    opt_data += struct.pack(">HH", 400, 4 + len(opt_rec)) + opt_rec
+    assert decode_datagram(opt_data, s, v9=v9) == []
+    assert v9.options_records == 1 and v9.dropped_no_template == 0
+
+    decode_datagram(_v9_template(300, _V9_FIELDS), s, v9=v9)
+    rec = {"src": bytes([10, 1, 1, 1]), "dst": bytes([10, 2, 2, 2]),
+           "sport": 1, "dport": 2, "proto": 17, "flags": 0,
+           "bytes": 10, "pkts": 1, "first": 100_000, "last": 100_000}
+    rows = decode_datagram(_v9_data(300, [rec]), s, v9=v9)
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["SamplingRate"] == 512
+
+
+def test_ipfix_template_expiry_and_options_rate():
+    """IPFIX-over-UDP lifecycle (RFC 7011 §8.4): TTL expiry + options
+    sampling metadata, mirroring the v9 decoder."""
+    import struct
+
+    from goflow2clickhouse_spark.sources.udp import (
+        IpfixDecoder,
+        decode_datagram,
+    )
+
+    t0 = 1_700_000_100
+    ipx = IpfixDecoder(template_ttl=600)
+    s = bytes([203, 0, 113, 7])
+    fields = [(8, 4), (4, 1)]
+    rec = bytes([9, 9, 9, 9]) + struct.pack(">B", 17)
+
+    def ipfix_at(sets, ts):
+        return struct.pack(">HHIII", 10, 16 + len(sets), ts, 1, 9) + sets
+
+    tmpl_body = struct.pack(">HH", 500, 2) + struct.pack(">HHHH", 8, 4, 4, 1)
+    tmpl = struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
+    data = struct.pack(">HH", 500, 4 + len(rec)) + rec
+
+    decode_datagram(ipfix_at(tmpl, t0), s, ipfix=ipx)
+    assert len(decode_datagram(ipfix_at(data, t0), s, ipfix=ipx)) == 1
+    assert decode_datagram(ipfix_at(data, t0 + 601), s, ipfix=ipx) == []
+    assert ipx.expired_templates == 1 and ipx.dropped_no_template == 1
+    decode_datagram(ipfix_at(tmpl, t0 + 601), s, ipfix=ipx)
+    assert len(decode_datagram(ipfix_at(data, t0 + 602), s, ipfix=ipx)) == 1
+
+    # options template (set id 3): scope count 1, fields = scope IE 1
+    # + samplingPacketInterval IE 305
+    ot_body = struct.pack(">HHH", 600, 2, 1)
+    ot_body += struct.pack(">HH", 1, 4) + struct.pack(">HH", 305, 4)
+    ot = struct.pack(">HH", 3, 4 + len(ot_body)) + ot_body
+    od_rec = struct.pack(">II", 1, 1024)
+    od = struct.pack(">HH", 600, 4 + len(od_rec)) + od_rec
+    assert decode_datagram(ipfix_at(ot, t0 + 602), s, ipfix=ipx) == []
+    assert decode_datagram(ipfix_at(od, t0 + 602), s, ipfix=ipx) == []
+    assert ipx.options_records == 1
+    rows = decode_datagram(ipfix_at(data, t0 + 603), s, ipfix=ipx)
+    named = dict(zip([f.name for f in RAW_FLOW_SCHEMA.fields], rows[0]))
+    assert named["SamplingRate"] == 1024
 
 
 def test_netflow_v9_through_reader(reader):

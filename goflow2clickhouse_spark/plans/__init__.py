@@ -18,68 +18,71 @@ from . import corpus_queries as _corpus_queries  # noqa: F401, E402
 from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 # Driver-coverage rotation: the correctness driver verifies only the first
-# 50 registry entries each round.  Round 1 proved entries 1-50 (relational
-# core, flows, events, dedup); promote the 30 names that had no driver row
-# (similarity / text / multimodal / sampling / TF-IDF / k-means and TPC-H
-# q7-q22) so round 2's window covers them, with 20 already-proven names
-# filling the remainder.
+# 50 registry entries each round.  Rounds 1+2 proved 100 distinct rows.
+# Round 3's window: (a) the three TPC-H queries that have never had a
+# driver row; (b) everything whose implementation or oracle CHANGED this
+# round (sha2 dedup keys, hashed shingle keys, TIMESTAMP_NTZ event
+# handling on Spark 4.1, new multimodal codecs/oracles, new IPv6 query) —
+# a prior green row does not cover changed code; (c) rotating re-proof of
+# the oldest round-1 names to fill the remaining slots.
 promote([
-    # round-2 additions (no driver row yet) first
+    # (a) never driver-proven
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_promotion_suppliers",
+    # (b) new this round
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "ipv6_address_classes",
+    "multimodal_blob_schema",     # gained a real oracle (was rows-only)
+    # (b) changed this round: sha2 exact-dedup keys
+    "dedup_exact",
+    "dedup_exact_normalized",
     "corpus_curation_funnel",
-    "text_dupngram_fraction",
-    "pii_scan_stats",
-    "corpus_vocab_topk",
-    "doc_length_deciles",
-    "bigram_pmi_top",
-    "doc_packing_stats",
-    "flows_site_traffic",
-    "events_funnel_pairs",
-    "matview_flows_rollup",
-    "text_repetition_stats",
-    "text_denylist_scrub",
-    "text_bigram_logprob",
-    "orders_asof_next_event",
-    "stratified_sample_per_source",
-    "embedding_quantize_error",
-    "similarity_topk_bruteforce",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
-    "ch_dialect_sampler_profile",
-    "flows_protocol_pivot",
-    "decontamination_stats",
-    "text_word_entropy",
-    "flows_protocol_unpivot",
-    "flows_private_traffic_matrix",
-    "text_quality_stats",
-    "text_langid",
-    "text_token_counts",
-    "doc_fingerprint_dups",
-    "multimodal_features",
-    "multimodal_blob_schema",
     "corpus_quality_filter",
-    "dataset_split_counts",
-    "deterministic_sample_stats",
-    "top_terms_tfidf",
-    "embedding_label_centroids",
-    "kmeans_refined_cells",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "q9_product_profit",
-    "grouping_sets_revenue",
-    # q11_important_stock, q16_parts_supplier_relationship and
-    # q20_promotion_suppliers rotate
-    # to the next round: the window holds 50 and the round-2 additions
-    # above take precedence (both stay green in the local oracle rerun
-    # meanwhile)
+    # (b) changed this round: hash31 shingle join keys
+    "dedup_ngram_jaccard",
+    "text_dupngram_fraction",
+    "dedup_minhash_lsh",
+    "dedup_cluster_sizes",
+    # (b) changed this round: NTZ event-time handling
+    "events_minutely",
+    "events_sliding_windows",
+    "events_sessionization",
+    "events_funnel_pairs",
+    "events_json_extract",
+    "events_user_funnel",
+    "orders_asof_next_event",
+    "orders_asof_last_event",
+    "orders_asof_union_timeline",
+    # (b) changed this round: stride-key validation in the fast path
+    "flows_site_traffic",
+    # (c) rotating re-proof — oldest round-1 names
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "top_customer_per_nation",
+    "running_total_per_customer",
+    "customer_order_gaps",
+    "rollup_pricing",
+    "cube_order_counts",
+    "customers_without_orders",
+    "big_spender_customers_semi",
+    "nation_coverage_set_ops",
+    "orders_above_global_avg",
+    "priority_revenue_union",
+    "distinct_customers_per_priority",
+    "approx_distinct_customers",
+    "price_percentiles",
+    "order_value_buckets",
+    "part_brand_stats",
+    "customer_order_value_windows",
+    "nation_balance_full_outer",
+    "flows_top_talkers",
+    "flows_protocol_breakdown",
+    "flows_bitrate_timeseries",
 ])
 
 __all__ = [

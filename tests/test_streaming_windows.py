@@ -261,3 +261,55 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     ).dropDuplicates(["sampler_address", "sequence_num"])
     want = sorted(r.sequence_num for r in batch.collect())
     assert got == want == [0, 1, 2, 3, 4, 100]
+
+
+def test_stream_static_site_enrichment_watermarked_append(spark, tmp_path):
+    """The streaming=True branch (watermark + append mode): windows
+    sealed by the advancing watermark are emitted and match the batch
+    twin restricted to those windows; unsealed windows stay buffered."""
+    from goflow2clickhouse_spark.streaming.windows import (
+        enriched_site_traffic,
+        sites_table,
+    )
+
+    sites = sites_table(spark, {"dc-east": "192.168.0.0/16"})
+    d = tmp_path / "enrich_append"
+    # group A at BASE seals once group B (BASE + 20 min) advances the
+    # 10-min watermark past A's 5-min window end
+    rows = [
+        _raw_row(TimeReceived=BASE + i, SequenceNum=i) for i in range(4)
+    ] + [
+        _raw_row(
+            TimeReceived=BASE + 1200,
+            SequenceNum=200,
+            SrcAddr=bytes([8, 8, 8, 8]),
+        )
+    ]
+    spark.createDataFrame(rows, RAW_FLOW_SCHEMA).coalesce(1).write.parquet(str(d))
+
+    raw_stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        enriched_site_traffic(flow_transform(raw_stream), sites, streaming=True)
+        .writeStream.format("memory")
+        .queryName("site_traffic_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("site_traffic_append").collect()))
+
+    batch_raw = spark.read.schema(RAW_FLOW_SCHEMA).parquet(str(d))
+    full_batch = enriched_site_traffic(
+        flow_transform(batch_raw), sites, streaming=False
+    ).collect()
+    sealed = sorted(
+        tuple(r) for r in full_batch
+        if r.window_start.timestamp() + 300 <= BASE + 1200 - 600
+    )
+    assert streamed == sealed
+    assert len(streamed) == 1 and streamed[0][1] == "dc-east"

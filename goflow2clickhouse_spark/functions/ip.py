@@ -106,7 +106,14 @@ def cidr_stride_keys(
     job over the sites dim — it is broadcast-sized by contract, and a
     misaligned site would otherwise silently tag a whole stride block
     with the wrong label. A /16 table at stride 12 expands 16x —
-    prefix dimensions stay broadcastable."""
+    prefix dimensions stay broadcastable.
+
+    IPv6 note: the same construction works per-half — real v6
+    allocations are /48..(/64) prefixes, entirely inside the hi half,
+    so stride keys are `shiftrightunsigned(hi, 64 - p_stride)` with
+    the identical alignment precondition; prefixes crossing the half
+    boundary (longer than /64) fall back to the ip6_in_cidr range
+    predicate."""
     stride = 1 << stride_bits
     if validate:
         bad = (

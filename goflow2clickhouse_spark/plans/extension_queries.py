@@ -804,6 +804,7 @@ _DECODE_IMG_SCHEMA = (
 
 @query(
     "multimodal_decode_image",
+    bench=True,
     oracle="""
     SELECT doc_id,
            doc_id % 3 + 2 AS width,

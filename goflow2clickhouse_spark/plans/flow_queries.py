@@ -504,6 +504,7 @@ def flows_private_traffic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ipv6_address_classes",
+    bench=True,
     oracle="""
     SELECT CASE event_id % 5
                 WHEN 0 THEN 'ula'

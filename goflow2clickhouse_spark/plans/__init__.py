@@ -57,6 +57,8 @@ promote([
     "orders_asof_union_timeline",
     # (b) changed this round: stride-key validation in the fast path
     "flows_site_traffic",
+    # (b) new this round: ANN recall evaluation
+    "similarity_ann_recall",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -82,7 +84,6 @@ promote([
     "nation_balance_full_outer",
     "flows_top_talkers",
     "flows_protocol_breakdown",
-    "flows_bitrate_timeseries",
 ])
 
 __all__ = [

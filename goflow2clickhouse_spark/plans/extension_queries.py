@@ -424,6 +424,60 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.signrp_lsh_topk(e, q, k=5)
 
 
+def _ann_recall_oracle() -> str:
+    bf5 = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s
+        FROM e, q ORDER BY s DESC, vec_id LIMIT 5)
+    """
+    return f"""
+    SELECT method, k, hits, ROUND(hits * 1.0 / k, 6) AS recall FROM (
+        SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_IVF_ORACLE}) s
+                WHERE s.vec_id IN (SELECT vec_id FROM ({bf5}) b)) AS hits
+        UNION ALL
+        SELECT 'lsh', CAST(5 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_signrp_oracle()}) s
+                WHERE s.vec_id IN (SELECT vec_id FROM ({bf5}) b))
+    ) t ORDER BY method
+    """
+
+
+@query("similarity_ann_recall", oracle=_ann_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of each approximate index (sign-
+    RP LSH bucket probe, IVF 2-cell probe) against the exact brute-force
+    top-5 — the metric that decides bucket/probe tuning before an index
+    ships. All three result sets are k-sized, so the intersection joins
+    are trivially broadcast; the corpus is scanned once per index, same
+    as serving it. The oracle replays both index constructions and the
+    exact baseline in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    bf = S.topk_bruteforce(e, q, k=5).select("vec_id")
+
+    def one(method: str, ann: DataFrame) -> DataFrame:
+        hits = (
+            ann.select("vec_id")
+            .join(F.broadcast(bf), "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+        )
+        return hits.select(
+            F.lit(method).alias("method"),
+            F.lit(5).cast("long").alias("k"),
+            F.col("hits"),
+            F.round(F.col("hits") / F.lit(5.0), 6).alias("recall"),
+        )
+
+    ivf = S.ivf_topk(e, q, k=5, nprobe=2, n_cells=8)
+    lsh = S.signrp_lsh_topk(e, q, k=5)
+    return one("ivf", ivf).unionByName(one("lsh", lsh)).orderBy("method")
+
+
 @query(
     "embedding_neardup_pairs",
     oracle="""

@@ -866,7 +866,8 @@ _DECODE_IMG_SCHEMA = (
            CAST(list_sum(list_transform(
                 generate_series(1, CAST((doc_id % 3 + 2)
                                         * ((doc_id // 3) % 2 + 2) * 3 AS INT)),
-                i -> ascii(substring(text, i, 1)))) AS BIGINT) AS pix_checksum
+                i -> ascii(substring(text, CAST((i - 1) % length(text) AS INT) + 1,
+                                     1)))) AS BIGINT) AS pix_checksum
     FROM documents
     """,
 )
@@ -889,7 +890,9 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
                 w, h = i % 3 + 2, (i // 3) % 2 + 2
-                px = text.encode("utf-8")[: w * h * 3]
+                k = w * h * 3
+                raw = text.encode("utf-8")
+                px = (raw * (k // len(raw) + 1))[:k]  # cycle short docs
                 dec = M.decode_image(M.encode_bmp(w, h, px))
                 out["doc_id"].append(i)
                 out["width"].append(dec["width"])
@@ -913,7 +916,8 @@ _DECODE_AUDIO_SCHEMA = (
            doc_id % 10 + 5 AS n_samples,
            CAST(list_sum(list_transform(
                 generate_series(1, CAST(doc_id % 10 + 5 AS INT)),
-                i -> ascii(substring(text, i, 1)) * 31 % 4096))
+                i -> ascii(substring(text, CAST((i - 1) % length(text) AS INT) + 1,
+                                     1)) * 31 % 4096))
                 AS BIGINT) AS sum_samples
     FROM documents
     """,
@@ -938,7 +942,8 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
                 n, rate = i % 10 + 5, 8000 + (i % 3) * 4000
-                samples = [b * 31 % 4096 for b in text.encode("utf-8")[:n]]
+                raw = text.encode("utf-8")
+                samples = [raw[j % len(raw)] * 31 % 4096 for j in range(n)]
                 dec = M.decode_audio(M.encode_wav(samples, rate))
                 out["doc_id"].append(i)
                 out["sample_rate"].append(dec["sample_rate"])

@@ -254,6 +254,43 @@ def ipv6_classify(hi: Column | str, lo: Column | str) -> Column:
     )
 
 
+def ip6_stride_sites(
+    spark, mapping: dict[str, str], key_bits: int = 48
+) -> "DataFrame":
+    """Expand a {site: v6 CIDR} mapping into (site, ip6key) equi-join
+    rows — the IPv6 form of cidr_stride_keys. The key is the leading
+    `key_bits` of the address: build side enumerates each prefix's
+    blocks at plan time (driver-side Python over a broadcast-sized
+    dim), probe side is one `shiftrightunsigned(hi, 64-key_bits)` —
+    float-free, so the sign bit of the hi half can't corrupt keys the
+    way integer-division striding would. Prefixes must be ≤ key_bits
+    (and ≤ 64: inside the hi half); longer ones need the ip6_in_cidr
+    range predicate instead."""
+    rows: list[tuple[str, int]] = []
+    for site, cidr in mapping.items():
+        net = ipaddress.ip_network(cidr, strict=True)
+        if net.version != 6:
+            raise ValueError(f"not an IPv6 CIDR: {cidr}")
+        p = net.prefixlen
+        if p > key_bits or p > 64:
+            raise ValueError(
+                f"{site}: /{p} is narrower than the {key_bits}-bit key; "
+                "use the ip6_in_cidr range join for it"
+            )
+        base = (int(net.network_address) >> 64) >> (64 - key_bits)
+        rows.extend(
+            (site, base + i) for i in range(1 << (key_bits - p))
+        )
+    return spark.createDataFrame(rows, "site string, ip6key long")
+
+
+def ip6_stride_key(hi: Column | str, key_bits: int = 48) -> Column:
+    """Probe-side key matching ip6_stride_sites: unsigned shift of the
+    hi half — always non-negative, one codegen'd instruction."""
+    hi_c = F.col(hi) if isinstance(hi, str) else hi
+    return F.shiftrightunsigned(hi_c, 64 - key_bits)
+
+
 def ip_is_private(col: Column | str) -> Column:
     """v4/v6-aware successor of ipv4_is_private over address STRINGS in
     canonical form (what ip_to_string emits): RFC 1918 for dotted

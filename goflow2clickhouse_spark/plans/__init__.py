@@ -57,8 +57,9 @@ promote([
     "orders_asof_union_timeline",
     # (b) changed this round: stride-key validation in the fast path
     "flows_site_traffic",
-    # (b) new this round: ANN recall evaluation
+    # (b) new this round: ANN recall evaluation + v6 site enrichment
     "similarity_ann_recall",
+    "ipv6_site_traffic",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -83,7 +84,6 @@ promote([
     "customer_order_value_windows",
     "nation_balance_full_outer",
     "flows_top_talkers",
-    "flows_protocol_breakdown",
 ])
 
 __all__ = [

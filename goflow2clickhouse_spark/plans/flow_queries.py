@@ -575,6 +575,76 @@ def ipv6_address_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ipv6_site_traffic",
+    oracle="""
+    SELECT CASE event_id % 4
+                WHEN 0 THEN 'pod-a'
+                WHEN 1 THEN 'pod-b'
+                WHEN 2 THEN 'lab'
+                ELSE 'external' END AS site,
+           COUNT(*) AS n_flows,
+           CAST(SUM(event_id % 499) AS BIGINT) AS traffic_units
+    FROM events
+    GROUP BY 1
+    ORDER BY site
+    """,
+)
+def ipv6_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 site enrichment via the per-half stride fast path: the v6
+    twin of flows_site_traffic. Sites are /48 (and one /32) prefixes
+    expanded to 48-bit stride keys (ip6_stride_sites, driver-side over
+    the broadcast dim); the fact side's key is ONE unsigned shift of
+    the hi half — a broadcast HASH equi-join, no BroadcastNestedLoop,
+    no UDF on the hot path. Addresses are planted per event (one /48
+    pod each for m=0/1, a ULA lab /32 for m=2, global for m=3); the
+    oracle replays only the planting rule, so the stride expansion,
+    shift key, and join must all be exact for the per-site counts to
+    match."""
+    from ..functions.ip import (
+        ip6_stride_key,
+        ip6_stride_sites,
+        ipv6_halves,
+    )
+    from ..schema import load_table
+
+    sites = ip6_stride_sites(
+        spark,
+        {
+            "pod-a": "2001:db8:a::/48",
+            "pod-b": "2001:db8:b::/48",
+            "lab": "fd42:dead::/32",
+        },
+        key_bits=48,
+    )
+    h_a, _ = ipv6_halves("2001:db8:a::")
+    h_b, _ = ipv6_halves("2001:db8:b::")
+    h_lab, _ = ipv6_halves("fd42:dead::")
+    h_gl, _ = ipv6_halves("2620:1ec::")
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    m = F.col("event_id") % 4
+    # offsets stay below the /48 (resp. /32) boundary: the planted
+    # address lands inside its site's prefix
+    hi = (
+        F.when(m == 0, F.lit(h_a) + F.col("event_id") % 65536)
+        .when(m == 1, F.lit(h_b) + F.col("event_id") % 65536)
+        .when(m == 2, F.lit(h_lab) + F.col("event_id") % 4294967296)
+        .otherwise(F.lit(h_gl) + F.col("event_id") % 65536)
+    ).cast("long")
+    planted = ev.select("event_id", hi.alias("hi"))
+    return (
+        planted.withColumn("ip6key", ip6_stride_key("hi", 48))
+        .join(F.broadcast(sites), "ip6key", "left")
+        .withColumn("site", F.coalesce(F.col("site"), F.lit("external")))
+        .groupBy("site")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum(F.col("event_id") % 499).alias("traffic_units"),
+        )
+        .orderBy("site")
+    )
+
+
+@query(
     "flows_protocol_unpivot",
     oracle=FLOWS_WITH + """
     , wide AS (

@@ -277,3 +277,63 @@ def test_cidr_stride_keys_rejects_misaligned(spark):
     sites = sites_table(spark, {"narrow": "192.168.1.0/24"})
     with _pytest.raises(ValueError, match="not aligned"):
         cidr_stride_keys(sites, stride_bits=12).collect()
+
+
+def test_ip6_stride_sites_equiv_cidr_predicate(spark):
+    """Stride-key tagging must agree with the ip6_in_cidr range
+    predicate at prefix edges, including sign-bit (fc00::/7-space)
+    prefixes that integer-division striding would corrupt."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.ip import (
+        ip6_in_cidr,
+        ip6_stride_key,
+        ip6_stride_sites,
+        ipv6_halves,
+    )
+
+    mapping = {
+        "pod-a": "2001:db8:a::/48",
+        "lab": "fd42:dead::/32",
+    }
+    sites = ip6_stride_sites(spark, mapping, key_bits=48)
+    probes = set()
+    for c in mapping.values():
+        net = ipaddress.ip_network(c)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        # stay inside the hi half (stride keys ignore the lo half)
+        for v in (lo - (1 << 64), lo, lo + (1 << 70), hi - (1 << 70),
+                  hi - ((1 << 64) - 1), hi + 1):
+            probes.add(str(ipaddress.IPv6Address(v % (1 << 128))))
+    probes |= {"2620:1ec::1", "::1"}
+    df = spark.createDataFrame(
+        [ipv6_halves(p) + (p,) for p in sorted(probes)],
+        "hi long, lo long, addr string",
+    )
+    strided = {
+        r.addr: r.site
+        for r in df.withColumn("ip6key", ip6_stride_key("hi", 48))
+        .join(F.broadcast(sites), "ip6key", "left")
+        .select("addr", "site")
+        .collect()
+    }
+    pred = {
+        r.addr: ("pod-a" if r.a else "lab" if r.b else None)
+        for r in df.select(
+            "addr",
+            ip6_in_cidr("hi", "lo", mapping["pod-a"]).alias("a"),
+            ip6_in_cidr("hi", "lo", mapping["lab"]).alias("b"),
+        ).collect()
+    }
+    assert strided == pred
+
+
+def test_ip6_stride_sites_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.functions.ip import ip6_stride_sites
+
+    with _pytest.raises(ValueError, match="narrower"):
+        ip6_stride_sites(spark, {"x": "2001:db8::/64"}, key_bits=48)
+    with _pytest.raises(ValueError, match="IPv6"):
+        ip6_stride_sites(spark, {"x": "10.0.0.0/8"})

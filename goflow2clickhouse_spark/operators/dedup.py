@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime: permutation arithmetic stays < 2^36, safe in
@@ -160,6 +160,97 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Every n-word shingle WITH its 1-based start position:
+    (id, n_words, start, h) where h = hash31(shingle). Unlike
+    `word_shingles` this keeps repeats — position identity is the
+    point — and emits the hash instead of the string, so everything
+    downstream (doc-frequency aggregate, inverted-index join) shuffles
+    8-byte keys, never corpus substrings."""
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
+    )
+    w = F.col("_words")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (
+        words.filter(F.size(w) >= n)
+        .select(
+            F.col(id_col),
+            F.size(w).alias("n_words"),
+            F.posexplode(sh).alias("pos0", "shingle"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            (F.col("pos0") + 1).alias("start"),
+            hash31(F.col("shingle")).alias("h"),
+        )
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document (the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", re-expressed for Spark): a word
+    position is "duplicated" iff it is covered by some n-gram that
+    occurs ≥ `min_count` times anywhere in the corpus (same document
+    included — suffix-array semantics). Returns one row per document
+    with ≥ n words: (id, n_words, dup_tokens), dup_tokens = number of
+    word positions covered by at least one duplicated n-gram.
+
+    Plan, 100 TB lens: positional shingles (narrow projection) → one
+    hash-keyed doc-frequency aggregate (map-side combinable count on
+    the 8-byte hash31 key) → inverted-index semi-join of positions
+    against the duplicated-hash set (equi-join on the same 8-byte key,
+    never all-pairs) → per-document interval merge. The merge is the
+    gaps-and-islands window pair — running max of interval ends splits
+    islands, a running sum numbers them — partitioned by document id,
+    so state per task is one document's duplicated positions, and the
+    only corpus-wide exchanges carry (hash) or (id, int, int) rows.
+    No driver collect, no UDF."""
+    sh = positional_shingles(df, text_col, id_col, n)
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    iv = sh.join(dup_h, "h", "left_semi").select(
+        F.col(id_col), "n_words", "start",
+        (F.col("start") + (n - 1)).alias("fin"),
+    )
+    order = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("fin").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "brk",
+        (F.col("start") > F.coalesce(prev_end, F.lit(-2)) + 1).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy(id_col, "island").agg(
+        F.first("n_words").alias("n_words"),
+        (F.max("fin") - F.min("start") + 1).alias("span_len"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.sum("span_len").alias("dup_tokens"),
     )
 
 

@@ -89,6 +89,104 @@ def text_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-span coverage (suffix-array dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SPAN_H31 = _H31.format(
+    x="concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])"
+)
+
+@query(
+    "text_dup_span_coverage",
+    bench=True,
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    base AS (
+        SELECT doc_id, len(w) AS n_words, w
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+        WHERE len(w) >= 5
+    ),
+    pos AS (
+        SELECT doc_id, n_words, i, {_SPAN_H31} AS h
+        FROM (SELECT doc_id, n_words, w,
+                     UNNEST(generate_series(1, n_words - 4)) AS i
+              FROM base) u
+    ),
+    duph AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+    iv AS (
+        SELECT doc_id, start, fin FROM (
+            SELECT doc_id, i AS start, i + 4 AS fin, h FROM pos
+        ) v WHERE h IN (SELECT h FROM duph)
+    ),
+    isl AS (
+        SELECT doc_id, start, fin,
+               CASE WHEN start > COALESCE(MAX(fin) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1 THEN 1 ELSE 0 END AS brk
+        FROM iv
+    ),
+    grp AS (
+        SELECT doc_id, start, fin,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MAX(fin) - MIN(start) + 1 AS span_len
+        FROM grp GROUP BY doc_id, island
+    ),
+    cov AS (SELECT doc_id, SUM(span_len) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT CAST(FLOOR(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                      / n_words * 10) AS INT)      AS bucket,
+           COUNT(*)                                AS n_docs,
+           CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS total_dup_tokens
+    FROM base LEFT JOIN cov USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN coverage (operators/dedup.dup_span_coverage
+    — the suffix-array dedup of Lee et al. 2022, re-expressed as
+    positional shingles + interval merge): per document, the fraction
+    of word positions covered by any 5-gram occurring ≥2 times in the
+    corpus, bucketed into deciles. Unlike `text_dupngram_fraction`
+    (which counts duplicated shingles) this measures merged COVERAGE —
+    overlapping duplicated spans are not double-counted, which is the
+    quantity you need to decide whether to cut the spans out.
+
+    Scale shape: doc-frequency aggregate + inverted-index semi-join on
+    hash31 keys (8-byte shuffle), then the gaps-and-islands window
+    pair partitioned by doc_id — per-task state is one document's
+    duplicated positions. Docs with zero duplicated spans arrive via
+    the left join against the (id, n_words) relation, which carries
+    two ints per doc."""
+    c = corpus(spark, sf_dir)
+    cov = D.dup_span_coverage(c, n=5).select("doc_id", "dup_tokens")
+    docs = c.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    ).filter(F.col("n_words") >= 5)
+    full = docs.join(cov, "doc_id", "left").select(
+        "n_words", F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens")
+    )
+    return (
+        full.select(
+            F.floor(
+                F.col("dup_tokens").cast("double") / F.col("n_words") * 10
+            ).cast("int").alias("bucket"),
+            "dup_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup_tokens").alias("total_dup_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scan + redaction accounting
 # ---------------------------------------------------------------------------
 

@@ -45,3 +45,61 @@ def test_denylist_count_matches_scrub_delta(spark):
     after = _one(spark, s, F.length(T.denylist_scrub("text")))
     assert hits == 3
     assert after == len("[X] [X] [X]")
+
+
+# ---------------------------------------------------------------------------
+# dup_span_coverage: interval-merge edge cases the corpus oracle
+# can't isolate (operators/dedup.dup_span_coverage)
+# ---------------------------------------------------------------------------
+
+def _coverage(spark, docs, n=3):
+    from goflow2clickhouse_spark.operators.dedup import dup_span_coverage
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_words, r.dup_tokens)
+        for r in dup_span_coverage(df, n=n).collect()
+    }
+
+
+def test_dup_span_overlapping_merge(spark):
+    # "a b c d" shared by both docs: doc 1 has shingles (a b c) at 1 and
+    # (b c d) at 2 — both duplicated, overlapping → merged island
+    # covering positions 1..4 = 4 tokens, not 3+3.
+    cov = _coverage(spark, [
+        (1, "a b c d x y z"),
+        (2, "q a b c d r s"),
+    ])
+    assert cov[1] == (7, 4)
+    assert cov[2] == (7, 4)
+
+
+def test_dup_span_disjoint_islands(spark):
+    # two separate duplicated trigrams with a unique gap between them:
+    # coverage = 3 + 3, two islands, not one 8-wide span.
+    cov = _coverage(spark, [
+        (1, "a b c GAP1 d e f"),
+        (2, "a b c GAP2 d e f"),
+    ])
+    assert cov[1] == (7, 6)
+    assert cov[2] == (7, 6)
+
+
+def test_dup_span_within_doc_repeat(spark):
+    # suffix-array semantics: an n-gram repeated inside ONE document
+    # counts (total occurrences >= 2, not distinct-doc frequency).
+    cov = _coverage(spark, [(1, "a b c z a b c")])
+    assert cov[1] == (7, 6)
+
+
+def test_dup_span_no_duplicates_absent(spark):
+    # a doc with no duplicated n-gram yields no row (callers left-join).
+    cov = _coverage(spark, [(1, "a b c d e"), (2, "v w x y z")])
+    assert cov == {}
+
+
+def test_dup_span_full_coverage(spark):
+    # identical docs: every position covered → dup_tokens == n_words.
+    cov = _coverage(spark, [(1, "p q r s t"), (2, "p q r s t")])
+    assert cov[1] == (5, 5)
+    assert cov[2] == (5, 5)

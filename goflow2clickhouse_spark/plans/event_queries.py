@@ -367,3 +367,40 @@ def events_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_us").alias("min_delay_us"),
         F.max("delay_us").alias("max_delay_us"),
     )
+
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id % 997) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup (batch twin of
+    streaming.dedupe.stream_exact_dedup; streaming parity asserted in
+    tests/test_stream_dedup.py): every 4th event is planted AGAIN as an
+    exact copy — the re-sent-datagram / re-crawled-page case — then
+    deduped on event_id and aggregated per type. The oracle aggregates
+    the ORIGINAL table: count/checksum/total match iff dedup removed
+    exactly the planted copies and nothing else.
+
+    Scale: dedup is one hash aggregate on the key (map-side combine
+    drops same-partition copies before the exchange); the streaming
+    form replaces it with watermark-bounded state."""
+    from ..streaming.dedupe import stream_exact_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    planted = ev.unionByName(ev.filter(F.col("event_id") % 4 == 0))
+    deduped = stream_exact_dedup(planted, ["event_id"], streaming=False)
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("event_id") % 997).alias("id_checksum"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

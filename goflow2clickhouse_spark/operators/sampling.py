@@ -86,3 +86,31 @@ def split_by_hash(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def reservoir_topk(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Fixed-SIZE per-group sample (the distributed, deterministic
+    stand-in for reservoir sampling): exactly min(k, n) rows per group,
+    chosen as the k smallest identity hashes. Where `stratified_sample`
+    takes a fraction, this takes a count — "inspect 100 docs from every
+    source", the eval/debug sampling primitive.
+
+    Equivalent in distribution to a uniform k-reservoir, but a pure
+    function of row identity: reruns, engines, and partitionings all
+    pick the SAME rows, and a grown corpus only swaps members whose
+    hash displaces a previous top-k entry. One shuffle (the group
+    window); k bounds per-group output, and groups too hot for one
+    reducer would pre-aggregate with a per-partition top-k first —
+    Spark's TakeOrdered does this automatically for the global case."""
+    h = hash31(F.concat(F.lit("resv:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -60,6 +60,12 @@ promote([
     # (b) new this round: ANN recall evaluation + v6 site enrichment
     "similarity_ann_recall",
     "ipv6_site_traffic",
+    # (b) new this round: dup-span coverage, streaming dedup twin,
+    # CMS heavy hitters, fixed-k reservoir
+    "text_dup_span_coverage",
+    "events_stream_dedup",
+    "cms_heavy_hitters",
+    "reservoir_sample_per_source",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -77,13 +83,9 @@ promote([
     "orders_above_global_avg",
     "priority_revenue_union",
     "distinct_customers_per_priority",
-    "approx_distinct_customers",
     "price_percentiles",
     "order_value_buckets",
     "part_brand_stats",
-    "customer_order_value_windows",
-    "nation_balance_full_outer",
-    "flows_top_talkers",
 ])
 
 __all__ = [

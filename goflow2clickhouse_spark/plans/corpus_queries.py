@@ -679,3 +679,126 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the MinHash shingle cache must outlive this composed plan
     return D.pin(out, pairs)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (fixed-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+def _cms_oracle() -> str:
+    from ..operators.sketch import CMS_ROWS, CMS_WIDTH
+
+    h = _H31.format(x="token")
+    build = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS row,"
+        f" (({a} * h + {b}) % 2147483647) % {CMS_WIDTH} AS bucket FROM th"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    probe = "\n        UNION ALL\n".join(
+        f"        SELECT ch.token, cells.c FROM ch JOIN cells"
+        f" ON cells.row = {i}"
+        f" AND cells.bucket = (({a} * ch.h + {b}) % 2147483647) % {CMS_WIDTH}"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM corpus),
+    th AS (SELECT {h} AS h FROM tok),
+    cells AS (
+        SELECT row, bucket, COUNT(*) AS c FROM (
+{build}
+        ) rb GROUP BY row, bucket
+    ),
+    ch AS (SELECT token, {h} AS h FROM (SELECT DISTINCT token FROM tok) d),
+    est AS (
+        SELECT token, MIN(c) AS est FROM (
+{probe}
+        ) p GROUP BY token
+    ),
+    ex AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token)
+    SELECT est.token,
+           CAST(est.est AS BIGINT)              AS est_count,
+           CAST(ex.exact AS BIGINT)             AS exact_count,
+           CAST(est.est - ex.exact AS BIGINT)   AS overcount
+    FROM est JOIN ex USING (token)
+    ORDER BY est_count DESC, token
+    LIMIT 20
+    """
+
+
+@query("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketch.py): the
+    token stream folds into a depth×width cell relation (one hash
+    aggregate, map-side combine bounds every partition's exchange
+    contribution at depth × width rows), then candidate tokens are
+    point-estimated with a broadcast join against the sketch — min
+    over rows, the CMS upper-bound estimator. Top 20 by estimate, with
+    the exact count alongside so the differential test also verifies
+    est ≥ exact (the sketch guarantee) under identical collisions in
+    both engines.
+
+    At 100 TB the sketch is the only corpus-wide aggregate and it is
+    fixed-size; estimation is shuffle-free for any candidate set you
+    can enumerate (here: the fixture vocabulary; in production, the
+    watchlist you're tracking)."""
+    from ..operators import sketch as SK
+
+    tok = corpus(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cells = SK.cms_build(tok)
+    est = SK.cms_estimate(tok.distinct(), cells)
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    return (
+        est.join(exact, "token")
+        .select(
+            "token",
+            F.col("est").alias("est_count"),
+            F.col("exact").alias("exact_count"),
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-k per-group reservoir sample
+# ---------------------------------------------------------------------------
+
+_RESV_H31 = _H31.format(x="concat('resv:', CAST(doc_id AS VARCHAR))")
+
+@query(
+    "reservoir_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_RESV_H31}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id % 997) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM ranked WHERE rn <= 5
+    GROUP BY source
+    """,
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per source
+    (operators/sampling.reservoir_topk): exactly 5 docs per source,
+    picked by smallest identity hash — the "pull k examples of every
+    source for eval" primitive. The checksum columns pin the exact
+    member set, so the differential test fails if either engine picks
+    different rows."""
+    from ..operators.sampling import reservoir_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    s = reservoir_topk(d, ["source"], "doc_id", k=5)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("doc_id") % 997).alias("id_checksum"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )

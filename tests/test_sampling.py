@@ -71,3 +71,47 @@ def test_stratified_sample_deterministic_under_repartition(spark):
         r.id for r in stratified_sample(
             df.repartition(13), ["grp"], "id", 0.1).collect())
     assert k1 == k2 and len(k1) == 10
+
+
+def test_reservoir_topk_exact_k_and_partition_stable(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sampling import reservoir_topk
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    s1 = reservoir_topk(df, ["g"], "id", k=4)
+    per_group = {
+        r.g: r.n for r in s1.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group == {"g0": 4, "g1": 4, "g2": 4}
+    # min(k, n) when the group is smaller than k
+    tiny = reservoir_topk(df.filter(F.col("id") < 2), ["g"], "id", k=4)
+    assert tiny.count() == 2
+    # identical member set under a different partitioning
+    s2 = reservoir_topk(df.repartition(13, "id"), ["g"], "id", k=4)
+    assert {(r.g, r.id) for r in s1.collect()} == {
+        (r.g, r.id) for r in s2.collect()
+    }
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    toks = spark.createDataFrame(
+        [("w%d" % (i % 17),) for i in range(300)], "token string"
+    )
+    cells = SK.cms_build(toks, width=8)  # tiny width → forced collisions
+    est = {r.token: r.est for r in SK.cms_estimate(
+        toks.distinct(), cells, width=8).collect()}
+    exact = {
+        r.token: r.n
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # CMS never underestimates
+    # total cells bounded by depth x width
+    assert cells.count() <= len(SK.CMS_ROWS) * 8

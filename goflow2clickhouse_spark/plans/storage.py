@@ -51,3 +51,44 @@ def write_ivf_index(
     cents = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     assigned = ivf_assign(embeddings, cents, vec_col)
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partition_by: list[str] | None = None,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-on-write: range-partition by `cluster_cols`, sort within
+    each partition, write parquet — the Spark analog of a ClickHouse
+    MergeTree ORDER BY key (what the reference deployment's MV target
+    tables would declare; create_tables.sql:35 funnels into them).
+
+    Why it matters at 100 TB: parquet footers carry per-row-group
+    min/max for every column. After this layout each row group owns a
+    narrow, nearly disjoint range of the cluster key, so a point or
+    range predicate on it prunes almost every row group AT THE SCAN —
+    data-skipping without an index, the same mechanism MergeTree's
+    primary key provides (and Delta/Iceberg call clustering /
+    Z-ordering in the single-key case). Unclustered, every row group
+    spans the whole key domain and nothing prunes; the effectiveness
+    delta is asserted from the real footers in
+    tests/test_storage.py. `repartitionByRange` samples the key
+    distribution, so skewed keys still yield balanced files.
+
+    `n_files` pins the range-partition count (and thus file count);
+    leave None to let AQE size the exchange — but note AQE happily
+    coalesces a small relation into ONE file, which erases the
+    row-group disjointness this layout exists for, so pin it when
+    clustering small reference/dimension tables."""
+    if n_files is not None:
+        out = df.repartitionByRange(n_files, *cluster_cols)
+    else:
+        out = df.repartitionByRange(*cluster_cols)
+    out = out.sortWithinPartitions(*cluster_cols)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

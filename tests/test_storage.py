@@ -104,3 +104,54 @@ def test_streaming_into_partitioned_layout(spark, tmp_path):
     assert sorted(r.sequence_num for r in stored.collect()) == sorted(
         r.sequence_num for r in batch.collect()
     )
+
+
+def test_clustered_write_rowgroup_pruning(spark, tmp_path):
+    """write_clustered must produce parquet whose row-group min/max
+    stats make a point predicate prunable: for a probe value, the
+    number of row groups whose [min, max] contains it should be a
+    small fraction of the total (vs ~all of them unclustered)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from goflow2clickhouse_spark.plans.storage import write_clustered
+
+    df = (
+        spark.range(0, 100_000)
+        .select(
+            (F.col("id") * 2654435761 % 100_000).alias("key"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)  # scramble so the input arrives unsorted
+    )
+
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(df, clustered, ["key"], n_files=10)
+    df.write.parquet(plain)
+
+    def containing_fraction(path: str, probe: int) -> float:
+        total = hits = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "key"
+                total += 1
+                if col.statistics.min <= probe <= col.statistics.max:
+                    hits += 1
+        assert total > 0
+        return hits / total
+
+    for probe in (17, 50_000, 99_990):
+        assert containing_fraction(clustered, probe) <= 0.34
+        # the unclustered layout can skip (almost) nothing: every file
+        # spans ~the whole key domain (edge probes may just miss a
+        # file's sampled extremes, hence the 0.7 floor, not 1.0)
+        assert containing_fraction(plain, probe) >= 0.7
+
+    # layout preserves the data
+    back = spark.read.parquet(clustered)
+    assert back.count() == 100_000
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(100_000))

@@ -55,3 +55,44 @@ def salted_agg(
             for name, (fn, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_id_col: str,
+    factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted shuffle JOIN (the join-side sibling of `salted_agg`,
+    for when AQE's runtime skew split can't fire — e.g. stats miss the
+    skew, or the exchange is pinned by a downstream requirement): join
+    `fact` to `dim` on column `on`, spreading each join key over
+    `factor` reducers. Result columns = plain `fact.join(dim, on, how)`
+    — correctness is invariant by construction, proven differentially
+    by `salted_priority_revenue` (oracle replays the plain join).
+
+    The fact side gains a deterministic salt in [0, factor) from
+    hash31 of `fact_id_col` (rerun/partition-stable, unlike rand());
+    the dim side is exploded factor×, so every (key, salt) pair finds
+    its dim row. Cost: dim inflates factor× — use only for dims too
+    big to broadcast yet far smaller than the fact side; broadcast
+    beats salting whenever it fits.
+
+    Supported `how`: inner / left — the dim side is replicated, so
+    right/full-outer would duplicate unmatched dim rows per salt."""
+    from .dedup import hash31
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (
+        hash31(F.concat(F.lit("salt:"), F.col(fact_id_col).cast("string")))
+        % factor
+    )
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(factor)])),
+    )
+    return f.join(d, [on, "__salt"], how).drop("__salt")

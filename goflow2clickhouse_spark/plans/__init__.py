@@ -66,6 +66,7 @@ promote([
     "events_stream_dedup",
     "cms_heavy_hitters",
     "reservoir_sample_per_source",
+    "salted_priority_revenue",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,7 +86,6 @@ promote([
     "distinct_customers_per_priority",
     "price_percentiles",
     "order_value_buckets",
-    "part_brand_stats",
 ])
 
 __all__ = [

@@ -1537,3 +1537,53 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join (operators/skew.py) — result-identical to plain join
+# ---------------------------------------------------------------------------
+
+@query(
+    "salted_priority_revenue",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority,
+               CAST(substring(o_orderpriority, 1, 1) AS INT) AS weight
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice * d.weight), 2) AS weighted_revenue
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting pattern under differential proof: orders join a
+    5-row priority dimension on o_orderpriority — the degenerate-key
+    case where an unsalted shuffle join lands EVERYTHING in ≤5
+    reducers. `salted_join` spreads each key over 8 salt lanes (the
+    plan shows hashpartitioning on (key, __salt); asserted in
+    tests/test_plans.py), and the oracle replays the PLAIN join —
+    passing proves salting changes the schedule, never the result.
+    In production you'd broadcast a 5-row dim; salting is for dims too
+    big to broadcast — the 5-row fixture just makes the skew extreme
+    and the identity check cheap."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.select("o_orderpriority").distinct().withColumn(
+        "weight", F.substring("o_orderpriority", 1, 1).cast("int")
+    )
+    j = salted_join(o, dim, on="o_orderpriority",
+                    fact_id_col="o_orderkey", factor=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 2)
+            .alias("weighted_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

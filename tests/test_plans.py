@@ -205,3 +205,28 @@ def test_shingle_joins_hash_keyed(spark, name):
         assert not re.search(r"shingle#\d+(?![L\d])", k), (
             f"raw shingle shuffle key: {k}"
         )
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join must shuffle on (key, __salt), not the bare key
+    — the whole point is that a hot key spans `factor` reducers. At
+    fixture scale Spark rightly broadcasts the tiny dim (no exchange
+    at all — also asserted), so the shuffle-join shape salting exists
+    for is checked with broadcast disabled, as it would be when the
+    dim outgrows the threshold."""
+    # default plan: tiny dim broadcasts, salt never reaches an exchange
+    p = plan_str(spark, SPECS["salted_priority_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = SPECS["salted_priority_revenue"].spark(spark, SF)
+        p = plan_str(spark, df)
+        m = re.search(r"hashpartitioning\(o_orderpriority[^)]*__salt", p)
+        assert m, "join exchange does not include the salt in its key"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)

@@ -86,3 +86,80 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min("c").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a relation (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+# k=3 affine position hashes over the 31-bit key hash; distinct
+# constants from CMS_ROWS so the two sketches are independent.
+BLOOM_ROWS: tuple[tuple[int, int], ...] = ((37, 1299709), (257, 15485863), (641, 49979687))
+BLOOM_BITS = 4096
+
+
+def _bloom_positions(key_col: Column, bits: int) -> Column:
+    h = hash31(key_col)
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % MERSENNE_31) % bits
+            for a, b in BLOOM_ROWS
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "key", bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Build a Bloom filter over `keys` AS A RELATION: the distinct set
+    of occupied bit positions (≤ `bits` rows — broadcastable at any
+    corpus size). Where `df.stat.bloomFilter` returns a driver-side
+    object that only a UDF can probe, this form stays declarative:
+    membership tests are broadcast hash joins, deterministic across
+    engines (DuckDB oracles replay the identical position arithmetic),
+    and the filter itself is a DataFrame you can persist, union
+    (bitwise OR = plain union-distinct), and inspect."""
+    return (
+        keys.select(
+            F.explode(_bloom_positions(F.col(key_col), bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """For each candidate key: `might_contain` = all k positions
+    occupied (the Bloom guarantee: never a false negative, bounded
+    false positives). One explode + one broadcast semi-style join +
+    one count aggregate; candidates shuffle only on their own key.
+
+    A key's k positions can COLLIDE with each other, so membership
+    compares hit count against that key's own distinct-position count,
+    not against the constant k."""
+    pos_arr = F.array_distinct(_bloom_positions(F.col(key_col), bits))
+    cand = candidates.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.size(pos_arr).alias("_np"),
+        F.explode(pos_arr).alias("pos"),
+    )
+    hits = (
+        cand.join(F.broadcast(bloom), "pos")
+        .groupBy(key_col, "_np")
+        .agg(F.count("*").alias("_k_hits"))
+    )
+    return (
+        candidates.select(key_col)
+        .distinct()
+        .join(hits.withColumn("_m", F.col("_k_hits") == F.col("_np"))
+                  .select(key_col, "_m"),
+              key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("_m", F.lit(False)).alias("might_contain"),
+        )
+    )

@@ -67,6 +67,7 @@ promote([
     "cms_heavy_hitters",
     "reservoir_sample_per_source",
     "salted_priority_revenue",
+    "bloom_seen_filter",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,7 +86,6 @@ promote([
     "priority_revenue_union",
     "distinct_customers_per_priority",
     "price_percentiles",
-    "order_value_buckets",
 ])
 
 __all__ = [

@@ -802,3 +802,90 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("doc_id") % 997).alias("id_checksum"),
         F.sum("n_chars").alias("sampled_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (the URL-seen / already-crawled gate)
+# ---------------------------------------------------------------------------
+
+def _bloom_oracle() -> str:
+    from ..operators.sketch import BLOOM_BITS, BLOOM_ROWS
+
+    h = _H31.format(x="text")
+    pos_list = ", ".join(
+        f"(({a} * h + {b}) % 2147483647) % {BLOOM_BITS}"
+        for a, b in BLOOM_ROWS
+    )
+    return f"""
+    WITH seen AS (
+        SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0
+    ),
+    cand AS (SELECT DISTINCT text FROM documents),
+    spos AS (
+        SELECT DISTINCT p AS pos FROM (
+            SELECT UNNEST([{pos_list}]) AS p
+            FROM (SELECT {h} AS h FROM seen) t
+        ) u
+    ),
+    cpos AS (
+        SELECT text, len(ps) AS np, UNNEST(ps) AS pos FROM (
+            SELECT text, list_distinct([{pos_list}]) AS ps
+            FROM (SELECT text, {h} AS h FROM cand) t
+        ) u
+    ),
+    hits AS (
+        SELECT text, np, COUNT(*) AS kh
+        FROM cpos JOIN spos USING (pos)
+        GROUP BY text, np
+    ),
+    flag AS (
+        SELECT c.text, COALESCE(h.kh = h.np, FALSE) AS mc
+        FROM cand c LEFT JOIN hits h USING (text)
+    )
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN mc THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN text IN (SELECT text FROM seen)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_true,
+           CAST(SUM(CASE WHEN mc AND text NOT IN (SELECT text FROM seen)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM flag
+    """
+
+
+@query("bloom_seen_filter", oracle=_bloom_oracle())
+def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The already-crawled gate: a Bloom filter built over the "seen"
+    subset (every 7th doc's text), probed by the whole corpus
+    (operators/sketch.bloom_build / bloom_might_contain — the filter
+    is a ≤4096-row RELATION, so probing is a broadcast join, not a
+    driver-side object behind a UDF). Output pins the exact flagged /
+    true-seen / false-positive counts; the differential test therefore
+    verifies both Bloom guarantees under identical hashing: every seen
+    text flagged (no false negatives — n_flagged ≥ n_seen_true with
+    equality exactly when n_false_pos = 0) and the same bounded
+    false-positive set in both engines."""
+    from ..operators import sketch as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("text").alias("key"))
+        .distinct()
+    )
+    bloom = SK.bloom_build(seen)
+    cand = d.select(F.col("text").alias("key")).distinct()
+    mc = SK.bloom_might_contain(cand, bloom)
+    truth = seen.withColumn("_seen", F.lit(True))
+    return (
+        mc.join(truth, "key", "left")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_flagged"),
+            F.sum(F.col("_seen").isNotNull().cast("long"))
+            .alias("n_seen_true"),
+            F.sum(
+                (F.col("might_contain") & F.col("_seen").isNull())
+                .cast("long")
+            ).alias("n_false_pos"),
+        )
+    )

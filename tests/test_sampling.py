@@ -115,3 +115,33 @@ def test_cms_estimate_upper_bounds_exact(spark):
         assert est[t] >= n  # CMS never underestimates
     # total cells bounded by depth x width
     assert cells.count() <= len(SK.CMS_ROWS) * 8
+
+
+def test_bloom_no_false_negatives_under_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    seen = spark.createDataFrame(
+        [("k%d" % i,) for i in range(50)], "key string"
+    )
+    cand = spark.createDataFrame(
+        [("k%d" % i,) for i in range(200)], "key string"
+    )
+    # 64 bits for 50 keys → heavy collisions, many false positives
+    bloom = SK.bloom_build(seen, bits=64)
+    got = {
+        r.key: r.might_contain
+        for r in SK.bloom_might_contain(cand, bloom, bits=64).collect()
+    }
+    for i in range(50):  # the Bloom guarantee: every seen key flagged
+        assert got["k%d" % i] is True
+    # the filter relation is bounded by the bit width
+    assert bloom.count() <= 64
+    # union of blooms == bloom of union (bitwise-OR as union-distinct)
+    b2 = SK.bloom_build(cand, bits=64)
+    merged = bloom.unionByName(b2).distinct()
+    direct = SK.bloom_build(seen.unionByName(cand), bits=64)
+    assert {r.pos for r in merged.collect()} == {
+        r.pos for r in direct.collect()
+    }

@@ -68,6 +68,7 @@ promote([
     "reservoir_sample_per_source",
     "salted_priority_revenue",
     "bloom_seen_filter",
+    "flows_zorder_tiles",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,7 +86,6 @@ promote([
     "orders_above_global_avg",
     "priority_revenue_union",
     "distinct_customers_per_priority",
-    "price_percentiles",
 ])
 
 __all__ = [

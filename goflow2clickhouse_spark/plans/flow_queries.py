@@ -953,3 +953,60 @@ def flows_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").alias("total_bytes"),
         F.count("*").alias("n_flows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order tiles (plans/storage.zorder_value parity check)
+# ---------------------------------------------------------------------------
+
+def _zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The zorder_value expression as DuckDB SQL (identical bit
+    arithmetic, generated from the same parameters)."""
+    mask = (1 << bits) - 1
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"((({c} & {mask}) >> {i}) & 1) * {1 << (i * n + j)}"
+            )
+    return " + ".join(terms)
+
+
+@query(
+    "flows_zorder_tiles",
+    oracle=FLOWS_WITH + f"""
+    SELECT CAST(({_zorder_sql(['src_port', 'dst_port'])}) >> 26 AS BIGINT)
+               AS tile,
+           COUNT(*) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM flows
+    GROUP BY 1
+    ORDER BY tile
+    """,
+)
+def flows_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve tiling of the (src_port, dst_port) plane: the Morton
+    key that `plans/storage.write_zordered` sorts by, bucketed into 64
+    coarse tiles — histogramming it both exercises the interleave
+    arithmetic end-to-end against DuckDB (32 shift/mask terms, all
+    codegen) and shows the layout's balance before committing a
+    cluster-on-write job to it. Plan: narrow projection + 64-group
+    aggregate, one tiny shuffle."""
+    from .storage import zorder_value
+
+    f = flows_df(spark, sf_dir)
+    return (
+        f.select(
+            F.shiftright(
+                zorder_value(["src_port", "dst_port"]), 26
+            ).alias("tile"),
+            "bytes",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .orderBy("tile")
+    )

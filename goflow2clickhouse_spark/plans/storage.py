@@ -92,3 +92,56 @@ def write_clustered(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton/Z-order key: interleave the low `bits` bits of each
+    column into one long — the multi-column generalization of the
+    single-key sort in `write_clustered`. Sorting by the z-value gives
+    EVERY interleaved column locality in the file layout, so parquet
+    row-group min/max stats prune on predicates over any of them (the
+    mechanism behind Delta/Iceberg Z-ORDER BY, built here from plain
+    column arithmetic — shifts, masks, adds; whole-stage codegen, no
+    UDF). Inputs are masked to `bits` bits; callers scale/offset
+    beforehand (ports and /16 prefixes already fit 16 bits).
+
+    Deterministic + engine-portable: the DuckDB oracle for
+    `flows_zorder_tiles` replays the identical expression."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        c = (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit(mask)
+        )
+        for i in range(bits):
+            terms.append(
+                F.shiftright(c, i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * n + j)).cast("long")
+            )
+    return reduce(add, terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-on-write along a Z-curve over `zorder_cols`: compute the
+    interleaved key, range-partition + sort by it, drop it, write.
+    Use over `write_clustered` when queries filter on MORE THAN ONE
+    column and no single sort key serves them all."""
+    z = df.withColumn("__z", zorder_value(zorder_cols, bits))
+    if n_files is not None:
+        out = z.repartitionByRange(n_files, "__z")
+    else:
+        out = z.repartitionByRange("__z")
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

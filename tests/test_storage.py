@@ -155,3 +155,56 @@ def test_clustered_write_rowgroup_pruning(spark, tmp_path):
     back = spark.read.parquet(clustered)
     assert back.count() == 100_000
     assert back.agg(F.sum("payload")).first()[0] == sum(range(100_000))
+
+
+def test_zordered_write_prunes_both_dims(spark, tmp_path):
+    """Z-ordered layout must make row-group stats selective on BOTH
+    interleaved columns; a single-key sort only serves its leading
+    column (the classic index-prefix failure this layout fixes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from goflow2clickhouse_spark.plans.storage import (
+        write_clustered,
+        write_zordered,
+    )
+
+    df = (
+        spark.range(0, 65536)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.floor(F.col("id") / 256) % 256).alias("y"),
+        )
+        .repartition(8)
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=32)
+    write_clustered(df, spath, ["x"], n_files=32)
+
+    def frac(path, col_name, probe):
+        total = hits = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            ci = names[col_name]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st.min <= probe <= st.max:
+                    hits += 1
+        return hits / total
+
+    for probe in (3, 128, 250):
+        # z-order: BOTH dimensions are selective (range boundaries are
+        # sample-based, not tile-aligned, hence <= 0.5, not the ~0.25
+        # of perfectly aligned tiles)
+        assert frac(zpath, "x", probe) <= 0.5
+        assert frac(zpath, "y", probe) <= 0.5
+        # single-key sort: leading column prunes hard...
+        assert frac(spath, "x", probe) <= 0.2
+        # ...but the trailing column cannot prune at all
+        assert frac(spath, "y", probe) >= 0.9

@@ -52,6 +52,7 @@ promote([
     "events_funnel_pairs",
     "events_json_extract",
     "events_user_funnel",
+    "events_json_variant",
     "orders_asof_next_event",
     "orders_asof_last_event",
     "orders_asof_union_timeline",
@@ -85,7 +86,6 @@ promote([
     "nation_coverage_set_ops",
     "orders_above_global_avg",
     "priority_revenue_union",
-    "distinct_customers_per_priority",
 ])
 
 __all__ = [

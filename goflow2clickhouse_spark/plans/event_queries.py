@@ -404,3 +404,42 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("event_id") % 997).alias("id_checksum"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_json_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k7,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS k_sum,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k7
+    """,
+)
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path #2, the Spark-4 form: parse the JSON ONCE
+    into a VariantType column, then read fields with variant_get —
+    the parse cost is paid once per row regardless of how many paths
+    are read, unlike repeated get_json_object (each call re-parses the
+    string; `events_json_extract` keeps that form for comparison).
+    The oracle replays the same paths via DuckDB's JSON functions —
+    parity shows Variant is a storage/CPU optimization, not a
+    semantics change."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "value", F.parse_json("props").alias("p")
+    ).select(
+        F.variant_get("p", "$.k", "int").alias("k"), "value"
+    )
+    return (
+        v.groupBy((F.col("k") % 7).alias("k7"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k7")
+    )

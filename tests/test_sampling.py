@@ -145,3 +145,42 @@ def test_bloom_no_false_negatives_under_collisions(spark):
     assert {r.pos for r in merged.collect()} == {
         r.pos for r in direct.collect()
     }
+
+
+def test_cms_matches_python_reference(spark):
+    """The sketch cells and estimates must equal a brute-force Python
+    replay of the identical md5/affine arithmetic — the same parity
+    the DuckDB oracle checks, but over adversarial tiny widths."""
+    import hashlib
+    from collections import Counter
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+    from goflow2clickhouse_spark.operators.dedup import MERSENNE_31
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_31
+
+    toks = ["t%d" % (i % 23) for i in range(400)]
+    width = 16
+    ref_cells = Counter()
+    for t in toks:
+        for row, (a, b) in enumerate(SK.CMS_ROWS):
+            ref_cells[(row, (a * h31(t) + b) % MERSENNE_31 % width)] += 1
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    cells = SK.cms_build(df, width=width)
+    got_cells = {(r.row, r.bucket): r.c for r in cells.collect()}
+    assert got_cells == dict(ref_cells)
+
+    ref_est = {
+        t: min(
+            ref_cells[(row, (a * h31(t) + b) % MERSENNE_31 % width)]
+            for row, (a, b) in enumerate(SK.CMS_ROWS)
+        )
+        for t in set(toks)
+    }
+    got_est = {
+        r.token: r.est
+        for r in SK.cms_estimate(df.distinct(), cells, width=width).collect()
+    }
+    assert got_est == ref_est

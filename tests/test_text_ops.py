@@ -103,3 +103,49 @@ def test_dup_span_full_coverage(spark):
     cov = _coverage(spark, [(1, "p q r s t"), (2, "p q r s t")])
     assert cov[1] == (5, 5)
     assert cov[2] == (5, 5)
+
+
+def test_dup_span_coverage_matches_bruteforce_random(spark):
+    """Randomized (seeded) differential check of the distributed
+    interval-merge against a brute-force position-set reference."""
+    import random
+
+    from goflow2clickhouse_spark.operators.dedup import dup_span_coverage
+
+    rng = random.Random(20260813)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        for d in range(60)
+    }
+
+    n = 3
+    from collections import Counter
+
+    counts = Counter()
+    per_doc = {}
+    for d, t in docs.items():
+        w = t.split(" ")
+        ps = []
+        for i in range(len(w) - n + 1):
+            s = " ".join(w[i:i + n])
+            counts[s] += 1
+            ps.append((i + 1, s))
+        per_doc[d] = (len(w), ps)
+    want = {}
+    for d, (nw, ps) in per_doc.items():
+        covered = set()
+        for i, s in ps:
+            if counts[s] >= 2:
+                covered.update(range(i, i + n))
+        if covered:
+            want[d] = (nw, len(covered))
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.dup_tokens)
+        for r in dup_span_coverage(df, n=n).collect()
+    }
+    assert got == want

@@ -230,3 +230,15 @@ def test_salted_join_spreads_key(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         if prev_aqe is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
+def test_dup_span_fixed_width_shuffle_keys(spark):
+    """text_dup_span_coverage: every exchange keys on hash31 values or
+    doc ids — never shingle strings or raw text."""
+    p = plan_str(spark, SPECS["text_dup_span_coverage"].spark(spark, SF))
+    keys = _partition_keys(p)
+    assert keys, f"no exchange found:\n{p}"
+    for k in keys:
+        assert not re.search(r"(?<![_\w])(text|shingle)#", k), (
+            f"corpus-string shuffle key: {k}"
+        )

@@ -1,0 +1,153 @@
+"""Streaming near-duplicate detection: MinHash-LSH candidates over a
+document stream.
+
+Batch near-dup (operators/dedup.minhash_lsh_dedup_pairs) answers "which
+pairs in this corpus are near-dups"; the streaming form answers the
+ingest-time question — "is THIS arriving document a near-dup of
+anything seen so far" — without re-scanning history. Spark-first
+shape:
+
+- signature + band keys are STATELESS column expressions (identical to
+  the batch path: same shingles, same hash31 permutations, same bands),
+  so the stream and the batch twin can never disagree on bucketing;
+- state lives per (band_no, band_key) bucket via
+  `applyInPandasWithState`: the ids seen in that bucket. A new id
+  pairs with every id already there — exactly the pairs the batch
+  banding would emit, produced incrementally as documents arrive.
+
+State growth: near-dup-against-ALL-history inherently keeps every
+bucket's membership, like the batch pipeline keeps the whole corpus.
+Production deployments bound it the same way they bound the batch
+window — dedup within a horizon — by keying state per time bucket or
+restarting the query per epoch; `ttl_hours` hooks are deliberately NOT
+faked here. Per-bucket state is bounded by the same LSH tuning that
+bounds batch bucket sizes (see lsh_candidate_pairs on hot buckets).
+
+Parity with the batch banding is asserted in
+tests/test_stream_neardup.py across multi-micro-batch splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    _perm,
+    hash31,
+    shingle_arrays,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("band_no", LongType()),
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("ids", ArrayType(LongType()))])
+
+
+def band_keys(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Stateless doc → (id, band_no, band_key) rows; the same
+    signature arithmetic as the batch pipeline, usable on batch or
+    streaming DataFrames (no shuffle, no state)."""
+    sh = shingle_arrays(docs, text_col, id_col)
+    hs = sh.select(
+        F.col(id_col), F.transform("shs", lambda s: hash31(s)).alias("_hs")
+    )
+    sigs = hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("_hs", lambda h: _perm(h, i))).alias(f"mh{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+    bands = []
+    for j in range(BANDS):
+        cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        bands.append(
+            F.struct(
+                F.lit(j).cast("long").alias("band_no"),
+                key.alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band_no", "b.band_key")
+
+
+def _pair_emitter(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band_no = int(key[0])
+    seen: list[int] = list(state.get[0]) if state.exists else []
+    out_a, out_b = [], []
+    new_ids: list[int] = []
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            if doc_id in seen or doc_id in new_ids:
+                continue  # exact re-send: no self-pair
+            for old in seen + new_ids:
+                lo, hi = (old, doc_id) if old < doc_id else (doc_id, old)
+                out_a.append(lo)
+                out_b.append(hi)
+            new_ids.append(doc_id)
+    if new_ids:
+        state.update((seen + new_ids,))
+    if out_a:
+        yield pd.DataFrame(
+            {"band_no": band_no, "id_a": out_a, "id_b": out_b}
+        )
+
+
+def streaming_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    streaming: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs, incremental: (band_no, id_a, id_b) emitted
+    the moment the LATER document of the pair arrives. Downstream
+    takes `.select("id_a", "id_b").distinct()` (a pair found by two
+    bands emits twice, same as the batch bucket expansion before its
+    distinct). Batch form runs the identical band keys through the
+    grouped emitter semantics via a plain self-pairing."""
+    bk = band_keys(docs, text_col, id_col)
+    if streaming:
+        return bk.groupBy("band_no", "band_key").applyInPandasWithState(
+            _pair_emitter,
+            _OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    a = bk.select("band_no", "band_key", F.col(id_col).alias("id_a"))
+    b = bk.select("band_no", "band_key", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("band_no", "id_a", "id_b")
+        .distinct()
+    )

@@ -163,3 +163,64 @@ def bloom_might_contain(
             F.coalesce("_m", F.lit(False)).alias("might_contain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantiles (deterministic approximate percentiles)
+# ---------------------------------------------------------------------------
+
+def hist_bucket(col: Column, lo: float, hi: float, buckets: int) -> Column:
+    """Bucket index in [0, buckets) for a value in [lo, hi); values
+    outside clamp to the edge buckets."""
+    raw = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * buckets).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(buckets - 1), raw))
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram: one map-side-
+    combinable aggregate to ≤ `buckets` rows, then a cumulative-count
+    window over those rows. Error is bounded by the bin width
+    (hi-lo)/buckets — the estimate is the lower edge of the first
+    bucket whose cumulative count reaches ceil(q·n).
+
+    Why not exact `percentile` / `percentile_approx`: exact needs a
+    global sort of the column; percentile_approx's GK sketch is
+    Spark-internal (not replayable by another engine). This histogram
+    is the two-phase shape that scales — the shuffle carries at most
+    `buckets` partial counts per partition — AND every step is plain
+    arithmetic a DuckDB oracle reproduces bit-for-bit
+    (`price_quantile_sketch`). Returns (q, est) rows."""
+    counts = (
+        df.select(
+            hist_bucket(F.col(value_col), lo, hi, buckets).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    width = (hi - lo) / buckets
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("n"))
+        est = (
+            cum.filter(F.col("cum") >= need)
+            .agg(F.min("bucket").alias("b"))
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + F.col("b") * F.lit(width)).alias("est"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

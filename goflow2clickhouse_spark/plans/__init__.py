@@ -70,6 +70,8 @@ promote([
     "salted_priority_revenue",
     "bloom_seen_filter",
     "flows_zorder_tiles",
+    "price_quantile_sketch",
+    "documents_profile",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -84,8 +86,6 @@ promote([
     "customers_without_orders",
     "big_spender_customers_semi",
     "nation_coverage_set_ops",
-    "orders_above_global_avg",
-    "priority_revenue_union",
 ])
 
 __all__ = [

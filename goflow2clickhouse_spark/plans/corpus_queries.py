@@ -889,3 +889,118 @@ def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch (deterministic approximate percentiles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "price_quantile_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT GREATEST(0, LEAST(999,
+                   CAST(FLOOR(o_totalprice / 600000.0 * 1000) AS BIGINT)))
+               AS bucket
+        FROM orders
+    ),
+    counts AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+    cum AS (
+        SELECT bucket,
+               SUM(c) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM counts
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           ROUND(CAST(est AS DOUBLE), 2) AS est FROM (
+        SELECT 0.5 AS q,
+               (SELECT MIN(bucket) FROM cum WHERE cum >= CEIL(0.5 * n))
+               * 600.0 AS est
+        UNION ALL
+        SELECT 0.9, (SELECT MIN(bucket) FROM cum WHERE cum >= CEIL(0.9 * n))
+               * 600.0
+        UNION ALL
+        SELECT 0.99, (SELECT MIN(bucket) FROM cum WHERE cum >= CEIL(0.99 * n))
+               * 600.0
+    ) t
+    ORDER BY q
+    """,
+)
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order value via the fixed-bin histogram sketch
+    (operators/sketch.hist_quantiles, 1000 bins over [0, 600k) →
+    ±600 error bound): the percentile formulation that survives
+    100 TB — one combinable aggregate to ≤1000 rows, a window over
+    those 1000, no global sort of the column (contrast
+    `price_percentiles`, the exact form). Deterministic, so the oracle
+    replays the identical binning and cumulative rule."""
+    from ..operators.sketch import hist_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    out = hist_quantiles(
+        o, "o_totalprice", [0.5, 0.9, 0.99], lo=0.0, hi=600000.0,
+        buckets=1000,
+    )
+    return out.select("q", F.round("est", 2).alias("est")).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiler (the ANALYZE TABLE primitive)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+@query("documents_profile", oracle=_profile_oracle())
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan (the data-quality / ANALYZE TABLE
+    primitive every ingest pipeline runs before training): per column
+    — null count, exact distinct count, min, max — computed as a
+    single wide aggregate then unpivoted to long form. Spark plans the
+    multiple DISTINCT aggregates via one Expand (rows × n_cols), still
+    a single pass over the table; swap `countDistinct` for
+    `approx_count_distinct` at 100 TB when ±2% suffices and the Expand
+    must go."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = d.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.col", "r.n_nulls", "r.n_distinct",
+                "r.min_value", "r.max_value")
+        .orderBy("col")
+    )

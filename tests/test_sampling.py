@@ -184,3 +184,26 @@ def test_cms_matches_python_reference(spark):
         for r in SK.cms_estimate(df.distinct(), cells, width=width).collect()
     }
     assert got_est == ref_est
+
+
+def test_hist_quantiles_within_bin_width_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+    from goflow2clickhouse_spark.schema import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    est = {
+        r.q: r.est
+        for r in hist_quantiles(
+            o, "o_totalprice", [0.5, 0.9, 0.99], 0.0, 600000.0, 1000
+        ).collect()
+    }
+    exact = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+        ).alias("p")
+    ).first().p
+    width = 600.0
+    for q, ex in zip([0.5, 0.9, 0.99], exact):
+        assert abs(est[q] - ex) <= width, (q, est[q], ex)

@@ -23,8 +23,12 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # driver row; (b) everything whose implementation or oracle CHANGED this
 # round (sha2 dedup keys, hashed shingle keys, TIMESTAMP_NTZ event
 # handling on Spark 4.1, new multimodal codecs/oracles, new IPv6 query) —
-# a prior green row does not cover changed code; (c) rotating re-proof of
-# the oldest round-1 names to fill the remaining slots.
+# a prior green row does not cover changed code — plus the queries NEW
+# this round (dup-span coverage, streaming-dedup twin, CMS, reservoir,
+# salted join, bloom, z-order tiles, Variant JSON, quantile sketch,
+# profiler); (c) rotating re-proof of the oldest round-1 names in the
+# remaining slots. All 50 have oracles — no rows-only entries in the
+# window.
 promote([
     # (a) never driver-proven
     "q11_important_stock",

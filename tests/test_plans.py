@@ -242,3 +242,28 @@ def test_dup_span_fixed_width_shuffle_keys(spark):
         assert not re.search(r"(?<![_\w])(text|shingle)#", k), (
             f"corpus-string shuffle key: {k}"
         )
+
+
+def test_salted_join_left_semantics(spark):
+    """salted_join 'left' must keep unmatched fact rows exactly once
+    with NULL dim columns — replicating the dim per salt must never
+    duplicate or drop them."""
+    from goflow2clickhouse_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "zzz")],
+        "id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "k string, v long"
+    )
+    out = salted_join(fact, dim, on="k", fact_id_col="id",
+                      factor=4, how="left")
+    rows = {(r.id, r.v) for r in out.collect()}
+    assert rows == {(1, 10), (2, 10), (3, 20), (4, None)}
+    plain = {(r.id, r.v) for r in fact.join(dim, "k", "left").collect()}
+    assert rows == plain
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, on="k", fact_id_col="id", how="full")

@@ -726,7 +726,7 @@ def _cms_oracle() -> str:
     """
 
 
-@query("cms_heavy_hitters", oracle=_cms_oracle())
+@query("cms_heavy_hitters", oracle=_cms_oracle(), bench=True)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (operators/sketch.py): the
     token stream folds into a depth×width cell relation (one hash
@@ -852,7 +852,7 @@ def _bloom_oracle() -> str:
     """
 
 
-@query("bloom_seen_filter", oracle=_bloom_oracle())
+@query("bloom_seen_filter", oracle=_bloom_oracle(), bench=True)
 def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The already-crawled gate: a Bloom filter built over the "seen"
     subset (every 7th doc's text), probed by the whole corpus
@@ -897,6 +897,7 @@ def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "price_quantile_sketch",
+    bench=True,
     oracle="""
     WITH b AS (
         SELECT GREATEST(0, LEAST(999,

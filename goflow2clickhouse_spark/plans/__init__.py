@@ -76,6 +76,7 @@ promote([
     "flows_zorder_tiles",
     "price_quantile_sketch",
     "documents_profile",
+    "embedding_cluster_sizes",
     # (c) rotating re-proof — oldest round-1 names
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -89,7 +90,6 @@ promote([
     "cube_order_counts",
     "customers_without_orders",
     "big_spender_customers_semi",
-    "nation_coverage_set_ops",
 ])
 
 __all__ = [

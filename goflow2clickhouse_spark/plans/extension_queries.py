@@ -1587,3 +1587,58 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _embedding_cluster_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_neardup_lsh_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l1 AS (
+        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
+        FROM nodes n JOIN edges e ON e.src = n.id
+        GROUP BY n.id
+    ),
+    l2 AS (
+        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
+        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
+        GROUP BY a.id, a.lbl
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM l2 GROUP BY lbl
+    ) s
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+@query("embedding_cluster_sizes", oracle=_embedding_cluster_oracle())
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the LSH-bucketed cosine pairs
+    (embedding_neardup_lsh) fed through the same min-label propagation
+    as the text path (operators/dedup.cluster_pairs) — one dedup
+    decision per group of mutually-near vectors, the keep-one rule
+    being `id == cluster_id`. Completes the clustering row for the
+    embedding modality; the oracle replays the identical two
+    propagation rounds over the identically-replayed pair set."""
+    from ..operators import dedup as D
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", S.signrp_bucket("embedding")
+    )
+    pairs = S.neardup_pairs_blocked(e, block_col="bucket", threshold=0.35)
+    labels = D.cluster_pairs(pairs, iterations=2)
+    out = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+    return D.pin(out, labels)

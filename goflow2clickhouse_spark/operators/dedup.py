@@ -92,16 +92,23 @@ def normalize_text(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def word_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, distinct: bool = True,
 ) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle). Documents
-    shorter than n words yield no shingles.
+    """N-word shingles per document: (id, shingle), distinct per doc by
+    default. Documents shorter than n words yield no shingles.
 
     The words array is materialized in its own projection first: lambda
     bodies inside `transform` re-evaluate any outer *expression* per
     element, so deriving shingles directly from `split(text)` would
     re-split the whole document once per shingle — O(len²) per doc.
-    Against a bound column reference each `slice` is O(n)."""
+    Against a bound column reference each `slice` is O(n).
+
+    ``distinct=False`` skips the corpus-wide (id, shingle) distinct —
+    a shuffle keyed on raw n-gram STRINGS. Callers that immediately
+    semi-join the shingles against a small set (decontamination) or
+    re-aggregate them anyway must pass False: filtering first keeps
+    the corpus-substring shuffle out of the plan entirely."""
     words = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
     )
@@ -110,11 +117,11 @@ def word_shingles(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return (
+    out = (
         words.filter(F.size(w) >= n)
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -216,9 +223,13 @@ def dup_span_coverage(
     occurrence count as a COUNT window partitioned by the 8-byte
     hash31 key (ONE shuffle on h; measured 2× over the
     aggregate-then-semi-join formulation at sf0.1, same rows — the
-    same trade `text_dupngram_fraction` documents; per-hash window
-    groups are bounded by one shingle's duplicate count, so no group
-    degenerates) → per-document interval merge. The merge is the
+    same trade `text_dupngram_fraction` documents; note the caveat:
+    every occurrence of one shingle lands in a single window partition
+    on one task, so a corpus-frequent n-gram — boilerplate or
+    stop-word runs at web scale — IS a hot group here; when shingle
+    frequency can be adversarial, fall back to the groupBy-count +
+    semi-join shape, which pre-aggregates map-side) → per-document
+    interval merge. The merge is the
     gaps-and-islands window pair — running max of interval ends splits
     islands, a running sum numbers them — partitioned by document id,
     so state per task is one document's duplicated positions, and the
@@ -461,9 +472,13 @@ def flag_contaminated(
     Scale shape: the benchmark shingle set is benchmark-sized (tiny
     next to the corpus) and broadcast; the corpus side is an exploded
     (doc, shingle) relation semi-joined against it — an inverted-index
-    probe, never a doc x benchmark comparison. Output is `corpus_df`
-    plus a boolean `contaminated` column."""
-    c_sh = word_shingles(corpus_df, text_col, id_col, n)
+    probe, never a doc x benchmark comparison. The corpus shingles are
+    NOT deduplicated before the probe (distinct=False): the broadcast
+    semi-join filters to benchmark hits first, so the only corpus-wide
+    shuffle is the id-sized distinct AFTER filtering — never a
+    corpus-substring exchange. Output is `corpus_df` plus a boolean
+    `contaminated` column."""
+    c_sh = word_shingles(corpus_df, text_col, id_col, n, distinct=False)
     b_sh = (
         word_shingles(benchmark_df, text_col, id_col, n)
         .select("shingle")
@@ -478,6 +493,17 @@ def flag_contaminated(
     return corpus_df.join(hit_ids, id_col, "left").fillna(
         False, ["contaminated"]
     )
+
+
+def tie_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie persisted intermediates' lifetime to `result`: when the
+    caller drops the result handle, every `cached` DataFrame
+    unpersists (the same weakref contract minhash_lsh_dedup_pairs
+    uses). Recompute-after-release is safe — Spark falls back to
+    lineage."""
+    for c in cached:
+        weakref.finalize(result, _safe_unpersist, c)
+    return result
 
 
 def pin(df: DataFrame, *handles) -> DataFrame:
@@ -592,7 +618,15 @@ def cluster_pairs(
     partition (near-dup graphs are dup-fraction-sized, overwhelmingly
     this case — shuffle-stage overhead would dominate otherwise); a
     bigger graph falls back to plain shuffle joins, the scale-correct
-    path. Lifecycle: localCheckpoint blocks are released when the
+    path. The 1M-edge default is sized against executor task memory,
+    not guessed: the single-task path holds a Python dict of parent
+    pointers over ≤ 2M long ids — ~100 B/entry of dict + boxed-int
+    overhead in CPython ≈ 200 MB peak, comfortably inside the
+    standard `spark.executor.pyspark.memory` sandbox of 1 GB+, while
+    10x that would not be; raise it only in step with executor
+    memory. The `small=False` branch is exercised in CI
+    (test_dedup_lifecycle) so the fallback is never dead code.
+    Lifecycle: localCheckpoint blocks are released when the
     returned labels handle is dropped (same contract as
     minhash_lsh_dedup_pairs). Reliable checkpoint FILES are not
     registered as persistent RDDs and are owned by the checkpoint dir:

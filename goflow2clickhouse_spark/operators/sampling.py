@@ -100,13 +100,17 @@ def reservoir_topk(
     takes a fraction, this takes a count — "inspect 100 docs from every
     source", the eval/debug sampling primitive.
 
-    Equivalent in distribution to a uniform k-reservoir, but a pure
-    function of row identity: reruns, engines, and partitionings all
-    pick the SAME rows, and a grown corpus only swaps members whose
-    hash displaces a previous top-k entry. One shuffle (the group
-    window); k bounds per-group output, and groups too hot for one
-    reducer would pre-aggregate with a per-partition top-k first —
-    Spark's TakeOrdered does this automatically for the global case."""
+    Hash-uniform, deterministic stand-in for reservoir sampling: fully
+    deterministic for a given dataset (the md5-derived order is fixed,
+    so repeated runs can never resample), uniform only under the
+    hash-as-random-oracle idealization. Reruns, engines, and
+    partitionings all pick the SAME rows, and a grown corpus only
+    swaps members whose hash displaces a previous top-k entry. One
+    shuffle (the group window); k bounds per-group output, and the
+    `rank <= k` filter lets Spark's WindowGroupLimit pushdown insert a
+    per-partition top-k BEFORE the exchange — that optimizer rule, not
+    anything the caller does, is what keeps hot groups map-side
+    bounded (TakeOrdered does the same for the global case)."""
     h = hash31(F.concat(F.lit("resv:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
     return (

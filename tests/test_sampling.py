@@ -117,6 +117,49 @@ def test_cms_estimate_upper_bounds_exact(spark):
     assert cells.count() <= len(SK.CMS_ROWS) * 8
 
 
+def test_cms_estimate_unseen_watchlist_token_is_zero(spark):
+    """A candidate never fed to the build must estimate as 0 (empty
+    cell = count 0), not vanish or inflate — the watchlist use case."""
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    toks = spark.createDataFrame(
+        [("w%d" % (i % 5),) for i in range(100)], "token string"
+    )
+    cells = SK.cms_build(toks, width=64)
+    watch = spark.createDataFrame(
+        [("w0",), ("never-seen-a",), ("never-seen-b",)], "token string"
+    )
+    est = {
+        r.token: r.est
+        for r in SK.cms_estimate(watch, cells, width=64).collect()
+    }
+    assert set(est) == {"w0", "never-seen-a", "never-seen-b"}
+    assert est["w0"] >= 20
+    # wide sketch, 5 occupied buckets per row → the unseen tokens'
+    # cells are empty in at least one row, so the min is exactly 0
+    assert est["never-seen-a"] == 0
+    assert est["never-seen-b"] == 0
+
+
+def test_cms_weighted_build_equals_occurrence_build(spark):
+    """cms_build(weight_col=...) over pre-aggregated (token, count)
+    must produce the identical cell relation as the occurrence-stream
+    build — the tokenize-once contract cms_heavy_hitters relies on."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    toks = spark.createDataFrame(
+        [("w%d" % (i % 17),) for i in range(300)], "token string"
+    )
+    occ = SK.cms_build(toks, width=8)
+    agg = toks.groupBy("token").agg(F.count("*").alias("n"))
+    wgt = SK.cms_build(agg, width=8, weight_col="n")
+    assert {(r.row, r.bucket, r.c) for r in occ.collect()} == {
+        (r.row, r.bucket, r.c) for r in wgt.collect()
+    }
+
+
 def test_bloom_no_false_negatives_under_collisions(spark):
     from pyspark.sql import functions as F
 

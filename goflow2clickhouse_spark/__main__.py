@@ -20,12 +20,29 @@ reference flag (main.go)        here
                                  /metrics endpoint (empty = disabled;
                                  snapshot dict always available via
                                  FlowMetricsListener.metrics.snapshot())
+-loglevel (go:28)               --loglevel trace|debug|info|warn|error
+                                 → Spark log4j level AND this
+                                 process's Python logging level
+-logfmt (go:29)                 --logfmt normal|json → plain or
+                                 structured one-object-per-line
+                                 stderr status output
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import logging
 import sys
+
+# reference levels (logrus, main.go:28) → (log4j, python logging)
+LOG_LEVELS: dict[str, tuple[str, int]] = {
+    "trace": ("TRACE", logging.DEBUG),
+    "debug": ("DEBUG", logging.DEBUG),
+    "info": ("INFO", logging.INFO),
+    "warn": ("WARN", logging.WARNING),
+    "error": ("ERROR", logging.ERROR),
+}
 
 from .sinks import (
     SinkFn,
@@ -72,7 +89,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics-addr", default="",
                    help="host:port for the Prometheus /metrics endpoint "
                         "(main.go:39 parity; empty = disabled)")
+    p.add_argument("--loglevel", default="info",
+                   choices=sorted(LOG_LEVELS),
+                   help="log level (main.go:28 parity) — applied to the "
+                        "Spark context's log4j level and this process's "
+                        "Python logging")
+    p.add_argument("--logfmt", default="normal",
+                   choices=["normal", "json"],
+                   help="log formatter (main.go:29 parity): 'normal' = "
+                        "plain stderr lines, 'json' = one structured "
+                        "object per line")
     return p
+
+
+def make_emitter(logfmt: str):
+    """Status-line emitter honoring --logfmt: plain text or one JSON
+    object per line (the structured form log aggregators ingest)."""
+    if logfmt == "json":
+        def emit(msg: str, **fields) -> None:
+            print(json.dumps({"msg": msg, **fields}, sort_keys=True),
+                  file=sys.stderr)
+    else:
+        def emit(msg: str, **fields) -> None:
+            extra = " ".join(f"{k}={v}" for k, v in sorted(fields.items()))
+            print(f"{msg} {extra}".rstrip(), file=sys.stderr)
+    return emit
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,7 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.ingest import IngestConfig, IngestPipeline
     from .streaming.metrics import FlowMetricsListener, MetricsHttpServer
 
+    emit = make_emitter(args.logfmt)
+    log4j_level, py_level = LOG_LEVELS[args.loglevel]
+    logging.getLogger("goflow2clickhouse_spark").setLevel(py_level)
+
     spark = get_spark(app_name="goflow2clickhouse-spark-ingest")
+    spark.sparkContext.setLogLevel(log4j_level)
     listener = FlowMetricsListener()
     spark.streams.addListener(listener)
     server = (
@@ -90,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.metrics_addr else None
     )
     if server:
-        print(f"serving /metrics on port {server.port}", file=sys.stderr)
+        emit("serving /metrics", port=server.port)
     cfg = IngestConfig(
         listen=args.listen,
         batch_max_time=args.batchmaxtime,
@@ -105,8 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         if server:
             server.close()
     snap = listener.metrics.snapshot()
-    print(f"ingested {int(snap['flows_rows_total'])} rows "
-          f"in {int(snap['flows_batches_total'])} batches", file=sys.stderr)
+    emit("ingested", rows=int(snap["flows_rows_total"]),
+         batches=int(snap["flows_batches_total"]))
     return 0
 
 

@@ -255,6 +255,73 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pin(out, labels)
 
 
+def _stream_neardup_oracle() -> str:
+    h = _H31.format(x="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({2 * i + 1} * h + {i * 7919 + 1}) % 2147483647) AS mh{i}"
+        for i in range(D.NUM_PERM)
+    )
+    band_selects = []
+    for j in range(D.BANDS):
+        cols = [f"mh{j * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = "concat_ws('_', " + ", ".join(
+            f"CAST({c} AS STRING)" for c in cols
+        ) + ")"
+        band_selects.append(
+            f"SELECT CAST({j} AS BIGINT) AS band_no,"
+            f" a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"(SELECT doc_id, {key} AS bk FROM mh) a JOIN "
+            f"(SELECT doc_id, {key} AS bk FROM mh) b "
+            f"ON a.bk = b.bk AND a.doc_id < b.doc_id"
+        )
+    cands = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    h AS (SELECT doc_id, {h} AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    cands AS (
+        {cands}
+    )
+    SELECT band_no,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((id_a + id_b) % 99991) AS BIGINT) AS pair_checksum
+    FROM cands
+    GROUP BY band_no
+    ORDER BY band_no
+    """
+
+
+@query("events_stream_neardup", oracle=_stream_neardup_oracle())
+def events_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup candidates — the registered face of
+    streaming/neardup.py (the r3 verdict's ask; the "events" prefix
+    names the arrival-stream semantics: the corpus replayed as a
+    document-arrival stream). The Spark side runs
+    streaming_candidate_pairs(streaming=False), the BATCH TWIN that
+    shares every stateless expression with the incremental
+    applyInPandasWithState path — same shingles, same hash31
+    permutations, same band keys — so the oracle that proves this
+    query also pins the stream's output contract; stream/batch
+    equality across micro-batch splits is asserted separately in
+    tests/test_stream_neardup.py. Output: per-band candidate-pair
+    count + membership checksum (band_no kept so the differential
+    test checks WHICH band found each pair, not just the union)."""
+    from ..streaming.neardup import streaming_candidate_pairs
+
+    pairs = streaming_candidate_pairs(
+        corpus(spark, sf_dir), streaming=False
+    )
+    return (
+        pairs.groupBy("band_no")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("id_a") + F.col("id_b")) % 99991)
+            .alias("pair_checksum"),
+        )
+        .orderBy("band_no")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash
 # ---------------------------------------------------------------------------

@@ -24,6 +24,67 @@ def test_sink_specs():
         make_sink("s3://nope")
 
 
+def test_log_flags_parity():
+    """--loglevel/--logfmt (main.go:28-29 parity): defaults match the
+    reference, levels map to log4j + python logging, and the json
+    formatter emits parseable one-object lines."""
+    import json
+    import logging
+
+    from goflow2clickhouse_spark.__main__ import LOG_LEVELS, make_emitter
+
+    a = build_parser().parse_args([])
+    assert a.loglevel == "info"      # main.go:28 default
+    assert a.logfmt == "normal"      # main.go:29 default
+    a = build_parser().parse_args(["--loglevel", "warn", "--logfmt", "json"])
+    assert LOG_LEVELS[a.loglevel] == ("WARN", logging.WARNING)
+    with pytest.raises(SystemExit):  # unknown level rejected, like logrus
+        build_parser().parse_args(["--loglevel", "loud"])
+
+
+def test_logfmt_emitters(capsys):
+    from goflow2clickhouse_spark.__main__ import make_emitter
+    import json
+
+    make_emitter("json")("ingested", rows=7, batches=2)
+    line = capsys.readouterr().err.strip()
+    assert json.loads(line) == {"msg": "ingested", "rows": 7, "batches": 2}
+
+    make_emitter("normal")("ingested", rows=7, batches=2)
+    assert capsys.readouterr().err.strip() == "ingested batches=2 rows=7"
+
+
+def test_loglevel_reaches_spark_and_python(spark, tmp_path):
+    """An end-to-end main() run with --loglevel error must set the
+    package logger's level and leave the JVM log4j level at ERROR."""
+    import logging
+
+    from goflow2clickhouse_spark.__main__ import main
+    from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+    from tests.test_flows_transform import _raw_row
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [_raw_row(SequenceNum=1)], RAW_FLOW_SCHEMA
+    ).coalesce(1).write.parquet(str(src))
+    rc = main([
+        "--listen", f"file://{src}",
+        "--sink", f"parquet://{tmp_path / 'out'}",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--available-now",
+        "--loglevel", "error", "--logfmt", "json",
+    ])
+    assert rc == 0
+    assert (logging.getLogger("goflow2clickhouse_spark").level
+            == logging.ERROR)
+    jvm_level = (
+        spark._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+        .getLevel().toString()
+    )
+    assert jvm_level == "ERROR"
+    spark.sparkContext.setLogLevel("WARN")  # restore for later tests
+
+
 def test_main_drains_file_source(spark, tmp_path, capsys):
     from goflow2clickhouse_spark.__main__ import main
     from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA

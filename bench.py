@@ -90,6 +90,7 @@ def main() -> None:
         warm = time.perf_counter() - t0
         best = float("inf")
         for _ in range(3 if warm < 1.0 else 2):
+            gc.collect()  # release the previous run's operator caches
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -118,3 +118,37 @@ def reservoir_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement, k rows, via
+    the Efraimidis–Spirakis A-ES key (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir"): each row gets key
+    u^(1/w) — equivalently ln(u)/w, monotone-identical — with u drawn
+    from the row's identity hash; the k LARGEST keys win, so a row's
+    selection probability is proportional to its weight. Like
+    `reservoir_topk` this is the hash-uniform deterministic stand-in:
+    the same rows win on any engine, partitioning, or rerun.
+
+    Scale shape: one global top-k — Spark plans ORDER BY + LIMIT as
+    TakeOrderedAndProject (per-partition top-k before the single
+    merge), so no global sort materializes. Rows with weight <= 0
+    never win (key -inf)."""
+    u = (
+        hash31(F.concat(F.lit("wsample:"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(MERSENNE_31))  # (0, 1]
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("-inf")))
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )

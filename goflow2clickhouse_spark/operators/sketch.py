@@ -252,3 +252,71 @@ def hist_quantiles(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog as a relation (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+# m = 2^6 registers; alpha_64 per Flajolet et al. 2007 ("HyperLogLog:
+# the analysis of a near-optimal cardinality estimation algorithm").
+HLL_M = 64
+HLL_ALPHA = 0.709
+_HLL_W = 25  # hash31 yields 31 bits: 6 bucket bits + 25 rank bits
+
+
+def hll_rho(v: Column) -> Column:
+    """Rank of a 25-bit value: position of the highest set bit from
+    the top, i.e. W+1 - bit_length(v) (W+1 for v=0). Pure integer
+    comparisons — no log2-on-double edge cases — so any engine
+    replays it bit-for-bit as a sum of threshold CASEs."""
+    bit_length = sum(
+        [(v >= F.lit(1 << k)).cast("int") for k in range(_HLL_W)],
+        F.lit(0),
+    )
+    return F.lit(_HLL_W + 1) - bit_length
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str = "key", m: int = HLL_M
+) -> DataFrame:
+    """HyperLogLog register relation over `keys`: (bucket, rho) with at
+    most `m` rows — the mergeable, broadcastable form of
+    approx_count_distinct's sketch, but declarative: registers of two
+    datasets union+max to the registers of their union (testable), and
+    the whole build is ONE hash aggregate whose map-side combine
+    bounds every partition's exchange at m rows. Where Spark's
+    `approx_count_distinct` hides an opaque HLL++ blob in the
+    aggregation buffer, this relation is replayable by any engine
+    sharing the hash (the DuckDB oracle does)."""
+    h = hash31(F.col(key_col).cast("string"))
+    return (
+        keys.select(
+            (h % m).alias("bucket"),
+            hll_rho(F.floor(h / m).cast("long")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Cardinality estimate from a register relation: the harmonic-mean
+    raw estimate with Flajolet's small-range (linear-counting)
+    correction. Empty registers contribute 2^0 = 1 to the harmonic
+    sum. All arithmetic on ≤ m rows; the sum of powers of two is
+    EXACT in binary doubles, so both engines compute the identical
+    estimate. Returns one row: (n_used, est)."""
+    agg = registers.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    # empty registers: rho=0 → 2^0 = 1 each
+    full_sum = F.col("inv_sum") + zeros
+    raw = F.lit(HLL_ALPHA * m * m) / full_sum
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select("n_used", est.alias("est"))

@@ -21,13 +21,14 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # 50 registry entries each round.  The r1+r2+r3 windows together proved
 # all 119 then-registered names.  Round 4's window (per the r3 verdict's
 # staleness ask): (a) queries NEW this round (the four remaining TPC-H
-# shapes + the registered streaming near-dup twin) and queries whose
+# shapes, the registered streaming near-dup twin, HLL / BM25 /
+# token-budget / weighted-sample / mixture-weights) and queries whose
 # implementation CHANGED this round (tokenize-once CMS/Bloom, the
 # funnel's distinct-free decontamination branch, flag_contaminated) —
 # a prior green row does not cover changed code; (b) ALL 26 names whose
 # newest green row is still round 1 — after this window no query's most
 # recent driver proof is more than two rounds old; (c) the
-# alphabetically-first 15 of the 43 names last proven in round 2.
+# alphabetically-first 10 of the 43 names last proven in round 2.
 promote([
     # (a) new this round
     "q2_min_cost_supplier",
@@ -35,6 +36,11 @@ promote([
     "q12_shipmode_priority",
     "q21_suppliers_kept_waiting",
     "events_stream_neardup",
+    "hll_distinct_customers",
+    "bm25_topk",
+    "token_budget_selection",
+    "weighted_sample_orders",
+    "source_mixture_weights",
     # (a) changed this round
     "cms_heavy_hitters",
     "bloom_seen_filter",
@@ -67,7 +73,7 @@ promote([
     "part_brand_stats",
     "price_percentiles",
     "priority_revenue_union",
-    # (c) oldest round-2 names (first 15 alphabetically)
+    # (c) oldest round-2 names (first 10 alphabetically)
     "bigram_pmi_top",
     "ch_dialect_sampler_profile",
     "corpus_vocab_topk",
@@ -78,11 +84,6 @@ promote([
     "doc_packing_stats",
     "embedding_label_centroids",
     "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_quantize_error",
-    "flows_private_traffic_matrix",
-    "flows_protocol_pivot",
-    "flows_protocol_unpivot",
 ])
 
 __all__ = [

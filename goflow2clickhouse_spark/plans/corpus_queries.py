@@ -1035,3 +1035,256 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r.min_value", "r.max_value")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (cardinality estimation as a relation)
+# ---------------------------------------------------------------------------
+
+def _hll_oracle() -> str:
+    from ..operators.sketch import HLL_ALPHA, HLL_M, _HLL_W
+
+    h = _H31.format(x="CAST(o_custkey AS VARCHAR)")
+    bl = " + ".join(
+        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(_HLL_W)
+    )
+    return f"""
+    WITH hv AS (
+        SELECT h % {HLL_M} AS bucket,
+               CAST(FLOOR(h / {HLL_M}) AS BIGINT) AS v
+        FROM (SELECT {h} AS h FROM orders) t
+    ),
+    reg AS (
+        SELECT bucket, MAX({_HLL_W + 1} - ({bl})) AS rho
+        FROM hv GROUP BY bucket
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_used,
+               SUM(POWER(2.0, -rho)) AS inv_sum
+        FROM reg
+    ),
+    est AS (
+        SELECT n_used,
+               CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (inv_sum + ({HLL_M} - n_used)) <= {2.5 * HLL_M}
+                     AND {HLL_M} - n_used > 0
+                    THEN {float(HLL_M)} * LN({float(HLL_M)} / ({HLL_M} - n_used))
+                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (inv_sum + ({HLL_M} - n_used))
+               END AS est
+        FROM agg
+    )
+    SELECT CAST(n_used AS BIGINT) AS n_used,
+           ROUND(est, 1) AS est,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_exact
+    FROM est
+    """
+
+
+@query("hll_distinct_customers", oracle=_hll_oracle(), bench=True)
+def hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer cardinality via the HyperLogLog REGISTER
+    RELATION (operators/sketch.hll_registers / hll_estimate): the
+    declarative form of approx_count_distinct. Where Spark's built-in
+    hides an opaque HLL++ blob in its aggregation buffer, this sketch
+    is ≤ 64 rows any engine can replay — the DuckDB oracle recomputes
+    the identical registers (rank from pure integer threshold sums, no
+    float log2), the identical exact-in-binary harmonic sum, and the
+    identical linear-counting correction, so the differential test
+    pins the ESTIMATOR itself, not just row counts. The exact count
+    rides along to expose the sketch's error.
+
+    100 TB shape: the register build is one hash aggregate bounded at
+    m=64 rows per partition exchange; registers of disjoint datasets
+    merge by union + max — the mergeability the test suite checks."""
+    from ..operators.sketch import HLL_M, hll_estimate, hll_registers
+
+    o = load_table(spark, sf_dir, "orders")
+    reg = hll_registers(o.select(F.col("o_custkey").alias("key")))
+    est = hll_estimate(reg, HLL_M)
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        est.join(F.broadcast(exact))
+        .select("n_used", F.round("est", 1).alias("est"), "n_exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (r4)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               string_split(text, ' ') AS w
+        FROM corpus
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+    tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, UNNEST(w) AS token FROM docs) t
+        WHERE token IN ({terms})
+        GROUP BY doc_id, dl, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1}
+                      * (1 - {_BM25_B}
+                         + {_BM25_B} * tf.dl / stats.avgdl))) AS score
+        FROM tf JOIN df USING (token), stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle(), bench=True)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query term set — the
+    lexical-retrieval primitive of every RAG / dedup-adjacent search
+    stack (Robertson & Zaragoza 2009 parameterization, k1=1.2,
+    b=0.75). Plan: ONE corpus scan explodes only matching tokens
+    (the IN-list filters before the aggregate), per-(doc, term) TF is
+    a hash aggregate, document frequencies aggregate from the same
+    term-filtered relation (term-cardinality rows, broadcast back),
+    and N/avgdl ride along as a broadcast scalar. Top-10 with
+    doc_id tie-break; the score is rounded in BOTH engines before the
+    ORDER BY so an ulp of ln() divergence cannot flip the cutoff."""
+    c = corpus(spark, sf_dir)
+    docs = c.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select("doc_id", F.size("w").alias("dl"), "w")
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id", "dl", F.explode("w").alias("token")
+        )
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    part = (
+        idf
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (F.col("tf")
+           + _BM25_K1
+           * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "token")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("raw"))
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# token-budget greedy selection (r4)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 20_000
+
+@query(
+    "token_budget_selection",
+    bench=True,
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    d AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS quality
+        FROM corpus
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, quality,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM d
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET})
+    SELECT COUNT(*) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(MIN(quality), 6) AS worst_quality,
+           CAST(SUM(doc_id % 997) AS BIGINT) AS id_checksum
+    FROM kept
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked selection under a token budget — "take the
+    best documents until 100k tokens" (the data-selection step after
+    scoring, before training). Selection = every document whose
+    cumulative token count, in (quality DESC, doc_id) order, fits the
+    budget.
+
+    Scale shape — the global running sum WITHOUT a one-task global
+    window: quality quantizes to a bucket (floor(q*1000), monotone in
+    q), per-bucket token totals aggregate to ≤1001 rows, the
+    cumulative OFFSET of all better buckets is a window over that tiny
+    relation (broadcast back), and each document's global prefix sum =
+    its bucket's offset + a running sum WITHIN its bucket — the
+    per-bucket windows partition the corpus instead of serializing it.
+    The oracle replays the logically-identical single-window form;
+    both must select the same set (the checksum pins it)."""
+    c = corpus(spark, sf_dir)
+    w = F.split("text", " ")
+    d = c.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("quality"),
+    ).withColumn("bucket", F.floor(F.col("quality") * 1000))
+    per_bucket = d.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btot")
+    )
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(wb), F.lit(0))
+    ).select("bucket", "offset")
+    win = Window.partitionBy("bucket").orderBy(
+        F.desc("quality"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    kept = (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(win)
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+    )
+    return kept.agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.min("quality"), 6).alias("worst_quality"),
+        F.sum(F.col("doc_id") % 997).alias("id_checksum"),
+    )

@@ -1709,3 +1709,109 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster_size")
     )
     return D.pin(out, labels)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + source mixture weights (r4)
+# ---------------------------------------------------------------------------
+
+_WS_H31 = _H31.format(x="concat('wsample:', CAST(o_orderkey AS VARCHAR))")
+
+@query(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice > 0
+                    THEN LN(({_WS_H31} + 1) / 2147483647.0) / o_totalprice
+                    ELSE '-infinity'::DOUBLE END AS wkey
+        FROM orders
+    ),
+    top AS (
+        SELECT o_orderkey, o_totalprice
+        FROM keyed ORDER BY wkey DESC, o_orderkey LIMIT 200
+    )
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(o_orderkey % 997) AS BIGINT) AS id_checksum,
+           ROUND(SUM(o_totalprice), 2) AS sampled_value,
+           ROUND(MIN(o_totalprice), 2) AS min_value
+    FROM top
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted order sample (operators/sampling.weighted_topk —
+    the Efraimidis–Spirakis A-ES key over the identity hash): 200
+    orders drawn with probability proportional to o_totalprice,
+    deterministically. The checksum pins the exact member set, so the
+    differential test proves both engines select the SAME rows — the
+    reproducibility property that distinguishes this from
+    df.sample(weights). Spark plans the selection as
+    TakeOrderedAndProject: per-partition top-k before one merge, no
+    global sort, the same shape at any scale."""
+    from ..operators.sampling import weighted_topk
+
+    o = load_table(spark, sf_dir, "orders")
+    s = weighted_topk(o, "o_totalprice", "o_orderkey", k=200)
+    return s.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("o_orderkey") % 997).alias("id_checksum"),
+        F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
+        F.round(F.min("o_totalprice"), 2).alias("min_value"),
+    )
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n, COUNT(*) AS k FROM per),
+    w AS (
+        SELECT source, n_docs,
+               (1.0 / tot.k) / (CAST(n_docs AS DOUBLE) / tot.n) AS up
+        FROM per, tot
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(up / (SELECT MAX(up) FROM w), 4) AS keep_prob,
+           CAST(FLOOR(n_docs * up / (SELECT MAX(up) FROM w)) AS BIGINT)
+               AS expected_kept
+    FROM w
+    ORDER BY source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing weights (the static core of
+    DoReMi-style source reweighting): given a UNIFORM target mixture
+    across sources, compute each source's upweight factor
+    target_share / actual_share, normalize so the most
+    under-represented source keeps everything (keep_prob = 1), and
+    report the expected post-subsampling count. Downstream the
+    keep_prob feeds `deterministic_sample` per source — membership by
+    identity hash, so the realized mixture is reproducible.
+
+    Scale shape: one groupBy(source) — source-cardinality rows — then
+    pure arithmetic over that tiny relation (broadcast scalar for the
+    max); the corpus is scanned once and never re-shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n"), F.count("*").alias("k")
+    )
+    w = per.join(F.broadcast(tot)).select(
+        "source", "n_docs",
+        ((1.0 / F.col("k"))
+         / (F.col("n_docs").cast("double") / F.col("n"))).alias("up"),
+    )
+    mx = w.agg(F.max("up").alias("mx"))
+    return (
+        w.join(F.broadcast(mx))
+        .select(
+            "source", "n_docs",
+            F.round(F.col("up") / F.col("mx"), 4).alias("keep_prob"),
+            F.floor(F.col("n_docs") * F.col("up") / F.col("mx"))
+            .cast("long").alias("expected_kept"),
+        )
+        .orderBy("source")
+    )

@@ -250,3 +250,49 @@ def test_hist_quantiles_within_bin_width_of_exact(spark):
     width = 600.0
     for q, ex in zip([0.5, 0.9, 0.99], exact):
         assert abs(est[q] - ex) <= width, (q, est[q], ex)
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """HLL register relations must be mergeable (union+max == build of
+    union) and the estimator must land within the m=64 error envelope
+    on a known cardinality."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    a = spark.createDataFrame([("a%d" % i,) for i in range(400)], "key string")
+    b = spark.createDataFrame([("b%d" % i,) for i in range(300)], "key string")
+    ra, rb = SK.hll_registers(a), SK.hll_registers(b)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    direct = SK.hll_registers(a.unionByName(b))
+    assert {(r.bucket, r.rho) for r in merged.collect()} == {
+        (r.bucket, r.rho) for r in direct.collect()
+    }
+    est = SK.hll_estimate(direct).collect()[0].est
+    # 700 distinct; sigma ~= 1.04/sqrt(64) = 13% — allow 3 sigma
+    assert 700 * 0.6 < est < 700 * 1.4
+    assert direct.count() <= SK.HLL_M
+
+
+def test_weighted_topk_deterministic_and_weight_sensitive(spark):
+    """A-ES weighted sampling: same winners under repartitioning; a
+    heavily-upweighted row must enter the sample; zero/negative
+    weights never win."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sampling import weighted_topk
+
+    rows = [(i, 1.0) for i in range(200)] + [(500, 10000.0), (501, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = {r.id for r in weighted_topk(df, "w", "id", k=20).collect()}
+    s2 = {
+        r.id
+        for r in weighted_topk(df.repartition(13), "w", "id", k=20).collect()
+    }
+    assert s1 == s2 and len(s1) == 20
+    assert 500 in s1      # weight 10000x the rest: essentially certain
+    assert 501 not in s1  # zero weight can never win

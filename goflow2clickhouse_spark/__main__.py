@@ -10,7 +10,8 @@ reference flag (main.go)        here
 -listen  (go:31)                --listen (same comma-separated URL list;
                                  sflow:// netflow:// udp:// native with
                                  in-process binary sFlow-v5/NetFlow-v5
-                                 decode, file://, rate://, kafka://)
+                                 decode, file://, jsonl:// goflow2
+                                 JSON-lines replay, rate://, kafka://)
 -db      (go:33)                --sink  (parquet://<path>,
                                  partitioned://<path>, jdbc:<url>)
 -batchsize (go:36)              --batchsize (per-trigger source cap)

@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _format_ip(b: bytes | None) -> str | None:
@@ -44,6 +50,23 @@ def _format_ip(b: bytes | None) -> str | None:
 @pandas_udf(StringType())
 def ip_to_string(addr: pd.Series) -> pd.Series:
     return addr.map(_format_ip)
+
+
+def _parse_ip_string(s) -> bytes:
+    """Inverse of _format_ip for the JSON transport: dotted-quad or
+    RFC 5952 string → packed bytes (4 for v4, 16 for v6). Unparseable
+    or missing → 4 zero bytes — the identical fallback the UDP JSON
+    decoder uses (sources/udp.parse_datagram), so the two ingestion
+    paths can never disagree on a bad address."""
+    try:
+        return ipaddress.ip_address(s or "0.0.0.0").packed
+    except ValueError:
+        return b"\x00\x00\x00\x00"
+
+
+@pandas_udf(BinaryType())
+def ip_string_to_bytes(addr: pd.Series) -> pd.Series:
+    return addr.map(_parse_ip_string)
 
 
 def ipv4_num_to_string(col: Column | str) -> Column:

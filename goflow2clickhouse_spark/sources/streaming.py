@@ -9,6 +9,9 @@ listeners with protocol decode inside the goflow library. Spark has no
 built-in UDP source, so the engine defines a pluggable seam:
 
   file://<dir>?maxFilesPerTrigger=N   parquet drop-dir (tests, replay)
+  jsonl://<dir>?maxFilesPerTrigger=N  goflow2 JSON-lines drop-dir (the
+                                      `goflow2 -transport file` output
+                                      format, one FlowMessage per line)
   rate://?rowsPerSecond=N             synthetic raw flows (load tests)
   kafka://<broker>/<topic>            production: goflow2 → Kafka JSON
   udp://<host>:<port>                 native UDP listener (Python
@@ -32,10 +35,53 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..schema import RAW_FLOW_SCHEMA
 
 _UDP_SCHEMES = {"sflow", "netflow", "nfl"}
+
+# goflow2's JSON transport emits addresses as strings ("192.168.0.1",
+# RFC 5952 for v6); the parse schema reads them as strings and the
+# conversion to packed bytes happens column-side below.
+_JSON_ADDR_FIELDS = frozenset({"SamplerAddress", "SrcAddr", "DstAddr"})
+
+_JSON_FLOW_SCHEMA = StructType(
+    [
+        StructField(
+            f.name,
+            StringType() if f.name in _JSON_ADDR_FIELDS else f.dataType,
+            True,
+        )
+        for f in RAW_FLOW_SCHEMA.fields
+    ]
+)
+
+
+def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """One goflow2-JSON FlowMessage per record → RAW_FLOW_SCHEMA rows.
+
+    Shared by the kafka and jsonl sources (and semantically identical
+    to the UDP listener's JSON fallback, sources/udp.parse_datagram):
+    addresses parse from their string form to packed bytes via an
+    Arrow UDF with the same zero-bytes fallback for junk; missing
+    numeric fields coalesce to 0. from_json CANNOT parse the binary
+    address fields directly — BinaryType means base64 to Spark, and
+    goflow2 emits dotted-quad/RFC 5952 strings — hence the two-step
+    schema."""
+    from ..functions.ip import ip_string_to_bytes
+
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), _JSON_FLOW_SCHEMA)
+        .alias("m")
+    ).select("m.*")
+    cols = [
+        ip_string_to_bytes(F.col(f.name)).alias(f.name)
+        if f.name in _JSON_ADDR_FIELDS
+        else F.coalesce(F.col(f.name), F.lit(0)).alias(f.name)
+        for f in RAW_FLOW_SCHEMA.fields
+    ]
+    return parsed.select(*cols)
 
 
 @dataclass(frozen=True)
@@ -55,10 +101,12 @@ def parse_listen(listen: str) -> list[SourceSpec]:
             continue
         u = urlparse(part)
         scheme = u.scheme.lower()
-        if scheme not in _UDP_SCHEMES | {"file", "rate", "kafka", "udp"}:
+        if scheme not in _UDP_SCHEMES | {"file", "jsonl", "rate", "kafka", "udp"}:
             raise ValueError(f"unknown source scheme: {scheme!r} in {part!r}")
         options = {k: v[-1] for k, v in parse_qs(u.query).items()}
-        target = (u.netloc + u.path) if scheme != "file" else u.path
+        target = (
+            (u.netloc + u.path) if scheme not in {"file", "jsonl"} else u.path
+        )
         specs.append(SourceSpec(scheme=scheme, target=target, options=options))
     if not specs:
         raise ValueError("empty listen string")
@@ -96,6 +144,20 @@ def open_stream(
             reader = reader.option("maxFilesPerTrigger", str(files))
         return reader.parquet(spec.target)
 
+    if spec.scheme == "jsonl":
+        # goflow2 `-transport file` replay: one JSON FlowMessage per
+        # line. Same file-count batching as the parquet drop-dir.
+        reader = spark.readStream.format("text")
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        if "maxFilesPerTrigger" not in spec.options:
+            files = (
+                max(1, batch_size // _ROWS_PER_FILE_ESTIMATE)
+                if batch_size else 8
+            )
+            reader = reader.option("maxFilesPerTrigger", str(files))
+        return from_goflow2_json(reader.load(spec.target), "value")
+
     if spec.scheme == "rate":
         rate = spark.readStream.format("rate")
         for k, v in spec.options.items():
@@ -114,10 +176,11 @@ def open_stream(
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         raw = reader.load()
-        # goflow2's JSON output convention: one FlowMessage per record
-        return raw.select(
-            F.from_json(F.col("value").cast("string"), RAW_FLOW_SCHEMA).alias("m")
-        ).select("m.*")
+        # goflow2's JSON output convention: one FlowMessage per record.
+        # (r4 fix: previously from_json parsed the address fields as
+        # BinaryType — i.e. base64 — so goflow2's dotted-quad strings
+        # decoded to null; the shared converter parses them properly.)
+        return from_goflow2_json(raw, "value")
 
     if spec.scheme in {"udp", "sflow", "netflow", "nfl"}:
         # native UDP listener (Spark 4 Python DataSource): binary sFlow

@@ -272,3 +272,56 @@ def test_salted_join_left_semantics(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, on="k", fact_id_col="id", how="full")
+
+
+def test_weighted_sample_take_ordered(spark):
+    """weighted_topk's ORDER BY + LIMIT must plan as
+    TakeOrderedAndProject — per-partition top-k before one merge, no
+    global sort of the keyed relation."""
+    from goflow2clickhouse_spark.operators.sampling import weighted_topk
+    from goflow2clickhouse_spark.schema import load_table
+
+    o = load_table(spark, SF, "orders")
+    p = plan_str(spark, weighted_topk(o, "o_totalprice", "o_orderkey", 50))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_bm25_broadcasts_stats_and_filters_terms(spark):
+    """bm25_topk: the df/stats sides broadcast (term-cardinality /
+    1-row relations) and the query-term IN-filter runs BEFORE the
+    aggregate — no unfiltered token relation reaches an exchange."""
+    p = plan_str(spark, SPECS["bm25_topk"].spark(spark, SF))
+    assert p.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in p
+    # token IN-filter present as a pre-aggregate filter
+    assert re.search(r"token#\d+ IN \(", p), f"term filter missing:\n{p}"
+
+
+def test_hll_registers_single_aggregate(spark):
+    """hll_registers must be ONE hash aggregate pair (partial +
+    final) over the scan — no joins, no extra exchanges."""
+    from goflow2clickhouse_spark.operators.sketch import hll_registers
+    from goflow2clickhouse_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    p = plan_str(spark, hll_registers(o), "simple")
+    assert p.count("Exchange") == 1, f"expected one exchange:\n{p}"
+    assert "Join" not in p
+
+
+def test_token_budget_no_global_window(spark):
+    """token_budget_selection's prefix sum must never plan a window
+    over an EMPTY partitionBy on the corpus-sized relation: the only
+    unpartitioned window runs over the <=1001-row bucket relation,
+    after its own aggregate."""
+    p = plan_str(spark, SPECS["token_budget_selection"].spark(spark, SF))
+    # every Window over the corpus is partitioned by bucket; the
+    # bucket-offset window is over the aggregated per-bucket relation
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        part = m.group(1)
+        assert "bucket" in part or part == "", p
+    assert "HashAggregate" in p

@@ -41,6 +41,7 @@ promote([
     "token_budget_selection",
     "weighted_sample_orders",
     "source_mixture_weights",
+    "events_windowed_hll",
     # (a) changed this round
     "cms_heavy_hitters",
     "bloom_seen_filter",
@@ -83,7 +84,6 @@ promote([
     "doc_length_deciles",
     "doc_packing_stats",
     "embedding_label_centroids",
-    "embedding_neardup_lsh",
 ])
 
 __all__ = [

@@ -443,3 +443,114 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k7")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed HLL distinct users (r4) — the streamable cardinality sketch
+# ---------------------------------------------------------------------------
+
+def _windowed_hll_oracle() -> str:
+    from ..operators.sketch import HLL_ALPHA, HLL_M, _HLL_W
+    from .extension_queries import _H31
+
+    h = _H31.format(x="CAST(user_id AS VARCHAR)")
+    bl = " + ".join(
+        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(_HLL_W)
+    )
+    return f"""
+    WITH e AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse, user_id
+        FROM events
+    ),
+    hv AS (
+        SELECT tse - (tse % 3600) AS hour_epoch,
+               h % {HLL_M} AS bucket,
+               CAST(FLOOR(h / {HLL_M}) AS BIGINT) AS v
+        FROM (SELECT tse, {h} AS h FROM e) t
+    ),
+    reg AS (
+        SELECT hour_epoch, bucket, MAX({_HLL_W + 1} - ({bl})) AS rho
+        FROM hv GROUP BY hour_epoch, bucket
+    ),
+    agg AS (
+        SELECT hour_epoch, COUNT(*) AS n_used,
+               SUM(POWER(2.0, -rho)) AS inv_sum
+        FROM reg GROUP BY hour_epoch
+    ),
+    est AS (
+        SELECT hour_epoch, n_used,
+               CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (inv_sum + ({HLL_M} - n_used)) <= {2.5 * HLL_M}
+                     AND {HLL_M} - n_used > 0
+                    THEN {float(HLL_M)} * LN({float(HLL_M)}
+                                             / ({HLL_M} - n_used))
+                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (inv_sum + ({HLL_M} - n_used))
+               END AS est
+        FROM agg
+    ),
+    ex AS (
+        SELECT tse - (tse % 3600) AS hour_epoch,
+               COUNT(DISTINCT user_id) AS n_exact
+        FROM e GROUP BY 1
+    )
+    SELECT est.hour_epoch,
+           CAST(est.n_used AS BIGINT) AS n_used,
+           ROUND(est.est, 1) AS est,
+           ex.n_exact
+    FROM est JOIN ex USING (hour_epoch)
+    ORDER BY est.hour_epoch
+    """
+
+
+@query("events_windowed_hll", oracle=_windowed_hll_oracle())
+def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour via HLL registers — the STREAMABLE form
+    of windowed COUNT(DISTINCT): exact distinct is not an incremental
+    aggregate (streaming would buffer every user id per window), but
+    the register relation is a plain (window, bucket) → MAX(rho)
+    aggregate, which Structured Streaming runs under a watermark with
+    m-bounded state per window; registers also merge across restarts /
+    late partials by the same max. Streaming parity of the register
+    aggregation is asserted in tests/test_streaming_windows.py; here
+    the batch twin is differentially proven, estimator included, with
+    the exact count alongside (batch can afford it) to expose error.
+
+    Time bucketing uses ntz-interval epoch arithmetic (not date_trunc)
+    so results are session-timezone-independent — same convention as
+    events_sliding_windows. (The streaming form watermarks on a
+    tz-aware TIMESTAMP column — Spark rejects watermarks on
+    TIMESTAMP_NTZ — so an NTZ ingest column is cast at the stream
+    boundary; the parity test covers the tz-aware path.)"""
+    from ..operators.sketch import HLL_ALPHA, HLL_M, hll_rho
+    from ..operators.dedup import hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    tse = _epoch_seconds("ts")
+    h = hash31(F.col("user_id").cast("string"))
+    hv = ev.select(
+        (tse - tse % 3600).alias("hour_epoch"),
+        (h % HLL_M).alias("bucket"),
+        hll_rho(F.floor(h / HLL_M).cast("long")).alias("rho"),
+        "user_id",
+    )
+    reg = hv.groupBy("hour_epoch", "bucket").agg(F.max("rho").alias("rho"))
+    agg = reg.groupBy("hour_epoch").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_used")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("inv_sum") + zeros)
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    exact = hv.groupBy("hour_epoch").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        agg.select("hour_epoch", "n_used", F.round(est, 1).alias("est"))
+        .join(exact, "hour_epoch")
+        .orderBy("hour_epoch")
+    )

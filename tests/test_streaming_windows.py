@@ -313,3 +313,71 @@ def test_stream_static_site_enrichment_watermarked_append(spark, tmp_path):
     )
     assert streamed == sealed
     assert len(streamed) == 1 and streamed[0][1] == "dc-east"
+
+
+def test_windowed_hll_registers_stream_batch_parity(spark, tmp_path):
+    """The windowed-HLL register aggregation (events_windowed_hll's
+    core) is a plain (window, bucket) -> MAX(rho) — it must run as a
+    streaming aggregation with identical registers to the batch form,
+    across multi-micro-batch splits. Estimation is then a pure
+    function of the registers, so register parity IS estimator
+    parity."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from goflow2clickhouse_spark.operators.dedup import hash31
+    from goflow2clickhouse_spark.operators.sketch import HLL_M, hll_rho
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path / "ev"
+    for chunk in range(3):
+        rows = [
+            (base + datetime.timedelta(minutes=chunk * 60 + (i % 90)),
+             (chunk * 37 + i) % 25)
+            for i in range(60)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    def registers(df):
+        h = hash31(F.col("user_id").cast("string"))
+        return (
+            df.withWatermark("ts", "10 hours")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                (h % HLL_M).alias("bucket"),
+            )
+            .agg(F.max(hll_rho(F.floor(h / HLL_M).cast("long"))).alias("rho"))
+            .select(F.col("w.start").alias("hour"), "bucket", "rho")
+        )
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        registers(stream_in)
+        .writeStream.format("memory")
+        .queryName("hll_reg_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("hll_reg_stream").collect()))
+    batch = sorted(
+        map(tuple, registers(spark.read.parquet(str(d))).collect())
+    )
+    assert streamed == batch and len(batch) > 0

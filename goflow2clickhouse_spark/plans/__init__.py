@@ -42,6 +42,7 @@ promote([
     "weighted_sample_orders",
     "source_mixture_weights",
     "events_windowed_hll",
+    "leakage_free_split",
     # (a) changed this round
     "cms_heavy_hitters",
     "bloom_seen_filter",
@@ -83,7 +84,6 @@ promote([
     "doc_fingerprint_dups",
     "doc_length_deciles",
     "doc_packing_stats",
-    "embedding_label_centroids",
 ])
 
 __all__ = [

@@ -1815,3 +1815,109 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-free dataset split (cluster-aware train/val/test, r4)
+# ---------------------------------------------------------------------------
+
+def _leakage_free_split_oracle() -> str:
+    # the same two label-propagation rounds as _CLUSTER_ORACLE, then
+    # split by hash OF THE CLUSTER REPRESENTATIVE (split_by_hash
+    # arithmetic: 'sample:'-salted hash31 into 10000 buckets,
+    # train <9000, val <9500, else test)
+    h = _H31.format(x="concat('sample:', CAST(rep AS VARCHAR))")
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l1 AS (
+        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
+        FROM nodes n JOIN edges e ON e.src = n.id
+        GROUP BY n.id
+    ),
+    l2 AS (
+        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
+        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
+        GROUP BY a.id, a.lbl
+    ),
+    corpus AS ({CORPUS_SQL}),
+    reps AS (
+        SELECT c.doc_id, COALESCE(l2.lbl, c.doc_id) AS rep
+        FROM corpus c LEFT JOIN l2 ON l2.id = c.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, rep,
+               CASE WHEN {h} % 10000 < 9000 THEN 'train'
+                    WHEN {h} % 10000 < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM reps
+    ),
+    leaky AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT rep FROM assigned
+            GROUP BY rep HAVING COUNT(DISTINCT split) > 1
+        ) v
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT rep) AS n_clusters,
+           (SELECT CAST(n AS BIGINT) FROM leaky) AS n_leaky_clusters
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@query("leakage_free_split", oracle=_leakage_free_split_oracle())
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage guard every
+    dedup-aware training pipeline needs: a naive per-document hash
+    split puts near-duplicate documents on BOTH sides of the
+    train/eval boundary (eval contamination); here the split key is
+    the near-dup CLUSTER representative, so a whole cluster moves as
+    one unit. Composition: MinHash-LSH pairs → min-label clusters
+    (operators/dedup.cluster_pairs) → representative = cluster label
+    (own id for singletons) → split_by_hash on the representative.
+    Output pins per-split doc and cluster counts AND the
+    leaky-cluster count, which both engines must agree is ZERO — the
+    invariant itself is differentially proven.
+
+    100 TB shape: the label relation is pair-bounded (dup-fraction-
+    sized), the left join is id-keyed, and the split is a pure hash
+    of one column — no shuffle beyond the cluster step the pipeline
+    already ran."""
+    from ..operators.sampling import split_by_hash
+
+    c = corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup_pairs(c, threshold=0.5)
+    labels = D.cluster_pairs(pairs, iterations=2)
+    reps = c.select("doc_id").join(
+        labels.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("rep"),
+    )
+    assigned = split_by_hash(
+        reps, "rep", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    leaky = (
+        assigned.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky_clusters"))
+    )
+    out = (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .join(F.broadcast(leaky))
+        .orderBy("split")
+    )
+    return D.pin(out, labels)

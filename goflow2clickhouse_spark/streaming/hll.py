@@ -1,0 +1,170 @@
+"""Running per-key distinct-count sketch on a stream, built on
+Spark 4's transformWithState API (the typed-state successor to
+applyInPandasWithState): each key holds its HyperLogLog registers in a
+ValueState and emits an updated estimate every micro-batch.
+
+Where `events_windowed_hll` is the WINDOWED form (a plain streaming
+max-aggregate — no custom state), this is the RUNNING form: "how many
+distinct users has each event type seen so far", updated continuously,
+with state bounded at m integers per key forever. The bucket/rho
+columns are computed by the SAME stateless expressions as the batch
+register build (operators/sketch.hll_registers), so the stream and the
+batch twin can never disagree on a register value — the parity test
+asserts register-exact agreement across micro-batch splits.
+
+API notes (public Spark 4.1 surface): `StatefulProcessor.init`
+acquires typed state from the handle (`getValueState(name, schema)`),
+`handleInputRows(key, pandas_iter, timer_values)` yields pandas
+frames, and the query runs via
+`df.groupBy(key).transformWithStateInPandas(processor, output_schema,
+"Update", "None")`.
+
+Environment note: transformWithState's Python state server speaks a
+protobuf wire protocol — running the STREAMING path requires the
+`protobuf` package (`from google.protobuf import descriptor` inside
+pyspark's transform_with_state_driver_worker), which this container
+does not ship. `running_distinct_estimate(streaming=True)` raises a
+clear ImportError up front when protobuf is absent; the processor
+logic itself is pure Python over pandas batches and is covered by
+tests driving it against a fake state handle, and the batch twin is
+fully tested — on a cluster with protobuf installed the streaming
+path runs as written.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from ..operators.dedup import hash31
+from ..operators.sketch import HLL_ALPHA, HLL_M, hll_rho
+
+OUTPUT_SCHEMA = (
+    "key string, n_seen bigint, n_used int, est double"
+)
+
+
+def hll_bucket_rho(key_col: Column | str, id_col: Column | str) -> list[Column]:
+    """The stateless (bucket, rho) projection shared by this stream
+    and the batch register build — one source of truth for the
+    hashing, so parity is by construction."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = hash31(c.cast("string"))
+    return [
+        (F.col(key_col) if isinstance(key_col, str) else key_col)
+        .alias("key"),
+        (h % HLL_M).alias("bucket"),
+        hll_rho(F.floor(h / HLL_M).cast("long")).alias("rho"),
+    ]
+
+
+def hll_estimate_py(regs: list[int]) -> tuple[int, float]:
+    """Python replay of operators/sketch.hll_estimate over one
+    register vector: (n_used, est). Same alpha, same harmonic sum
+    (exact powers of two), same linear-counting correction."""
+    n_used = sum(1 for r in regs if r > 0)
+    inv_sum = sum(2.0 ** -r for r in regs if r > 0)
+    zeros = HLL_M - n_used
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / (inv_sum + zeros)
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return n_used, float(HLL_M) * math.log(float(HLL_M) / zeros)
+    return n_used, raw
+
+
+class HllRunningProcessor(StatefulProcessor):
+    """Per-key running HLL: ValueState of m register ints + a seen
+    counter; every batch folds the incoming (bucket, rho) rows with
+    max and emits (key, n_seen, n_used, est). State is EXACTLY m
+    integers + one long per key — never grows with cardinality, the
+    whole point of the sketch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._regs = handle.getValueState("regs", "rhos array<int>")
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        regs = (
+            list(self._regs.get()[0]) if self._regs.exists()
+            else [0] * HLL_M
+        )
+        seen = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            seen += len(pdf)
+            for b, r in zip(pdf["bucket"].tolist(), pdf["rho"].tolist()):
+                if r > regs[b]:
+                    regs[b] = r
+        self._regs.update((regs,))
+        self._seen.update((seen,))
+        n_used, est = hll_estimate_py(regs)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [seen],
+                "n_used": [n_used],
+                "est": [est],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_distinct_estimate(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-key running distinct estimate: streaming via
+    transformWithStateInPandas (Update mode, no timers), batch twin
+    via the identical stateless projection + groupBy max — the final
+    streaming emission per key must equal the batch result exactly
+    (registers are integers; the estimator is a pure function of
+    them)."""
+    proj = df.select(*hll_bucket_rho(key_col, id_col))
+    if streaming:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "transformWithState requires the protobuf package for "
+                "its state-server protocol; install protobuf or use "
+                "streaming=False (the batch twin)"
+            ) from exc
+        return proj.groupBy("key").transformWithStateInPandas(
+            statefulProcessor=HllRunningProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    reg = proj.groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    agg = reg.groupBy("key").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+    )
+    n_seen = proj.groupBy("key").agg(F.count("*").alias("n_seen"))
+    zeros = F.lit(HLL_M) - F.col("n_used")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("inv_sum") + zeros)
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        agg.join(n_seen, "key")
+        .select(
+            "key", "n_seen",
+            F.col("n_used").cast("int").alias("n_used"),
+            est.alias("est"),
+        )
+    )

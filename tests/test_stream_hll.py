@@ -1,0 +1,157 @@
+"""Running per-key HLL (streaming/hll.py, transformWithState typed
+state): the processor's state-fold logic must equal the batch twin
+register-exactly across micro-batch splits, and state stays m-bounded.
+
+The JVM streaming path needs the protobuf package (transformWithState
+state-server protocol), absent in this container — so the processor is
+driven directly against a fake typed-state handle with the SAME
+micro-batch splits a FileStreamSource would deliver, which exercises
+every line of the processor; the streaming entry point's guard is
+asserted separately.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from goflow2clickhouse_spark.operators.sketch import HLL_M
+from goflow2clickhouse_spark.streaming.hll import (
+    HllRunningProcessor,
+    hll_bucket_rho,
+    hll_estimate_py,
+    running_distinct_estimate,
+)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _rows(spark, n_chunks=3):
+    data = [
+        ("t%d" % (i % 2), (chunk * 61 + i * 7) % 400)
+        for chunk in range(n_chunks)
+        for i in range(80)
+    ]
+    return spark.createDataFrame(data, "etype string, uid long"), n_chunks
+
+
+def test_processor_matches_batch_twin_across_splits(spark):
+    df, n_chunks = _rows(spark)
+    proj = df.select(
+        *hll_bucket_rho("etype", "uid"),
+        F.monotonically_increasing_id().alias("_i"),
+    )
+    pdf = proj.toPandas()
+
+    # drive the processor per key with the same 3-way chunk split a
+    # maxFilesPerTrigger=1 stream would deliver
+    final = {}
+    for key in ("t0", "t1"):
+        proc = HllRunningProcessor()
+        proc.init(_FakeHandle())
+        kdf = pdf[pdf["key"] == key].reset_index(drop=True)
+        out = None
+        for chunk in range(n_chunks):
+            part = kdf.iloc[
+                [i for i in range(len(kdf)) if i % n_chunks == chunk]
+            ]
+            for emitted in proc.handleInputRows((key,), iter([part[["bucket", "rho"]]]), None):
+                out = emitted
+        proc.close()
+        final[key] = (
+            int(out["n_seen"][0]), int(out["n_used"][0]), float(out["est"][0])
+        )
+
+    batch = {
+        r.key: (r.n_seen, r.n_used, r.est)
+        for r in running_distinct_estimate(
+            df, "etype", "uid", streaming=False
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"t0", "t1"}
+    for k in batch:
+        assert final[k][0] == batch[k][0]              # rows seen
+        assert final[k][1] == batch[k][1]              # registers used
+        assert abs(final[k][2] - batch[k][2]) < 1e-9   # estimate
+
+    # estimate lands in the m=64 error envelope of the true count
+    truth = {
+        r.etype: r.n
+        for r in df.groupBy("etype")
+        .agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    for k, n in truth.items():
+        assert n * 0.55 < final[k][2] < n * 1.45
+
+
+def test_state_is_m_bounded(spark):
+    """After any number of rows, per-key state is exactly m register
+    ints + one counter — never grows with cardinality."""
+    proc = HllRunningProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    big = pd.DataFrame(
+        {"bucket": [i % HLL_M for i in range(5000)],
+         "rho": [(i * 13) % 20 + 1 for i in range(5000)]}
+    )
+    list(proc.handleInputRows(("k",), iter([big]), None))
+    regs = handle.states["regs"].get()[0]
+    assert len(regs) == HLL_M
+    assert handle.states["seen"].get()[0] == 5000
+
+
+def test_estimator_python_matches_column_side(spark):
+    """hll_estimate_py must equal operators/sketch.hll_estimate on the
+    same registers (same alpha, same exact harmonic sum, same
+    correction) — the cross-engine contract of the running form."""
+    from goflow2clickhouse_spark.operators.sketch import hll_estimate
+
+    regs = [0] * HLL_M
+    for i in range(0, HLL_M, 3):
+        regs[i] = (i * 7) % 12 + 1
+    reg_df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(regs) if r > 0],
+        "bucket long, rho long",
+    )
+    jvm = hll_estimate(reg_df).collect()[0]
+    n_used, est = hll_estimate_py(regs)
+    assert jvm.n_used == n_used
+    assert abs(jvm.est - est) < 1e-9
+
+
+@pytest.mark.skipif(
+    _has_protobuf(), reason="protobuf present: streaming path usable"
+)
+def test_streaming_entry_guard_without_protobuf(spark):
+    df, _ = _rows(spark)
+    with pytest.raises(ImportError, match="protobuf"):
+        running_distinct_estimate(df, "etype", "uid", streaming=True)

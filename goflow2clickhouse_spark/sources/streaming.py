@@ -55,6 +55,10 @@ _JSON_FLOW_SCHEMA = StructType(
         )
         for f in RAW_FLOW_SCHEMA.fields
     ]
+    # corrupt-record capture: non-null here ⇔ the UDP JSON decoder
+    # would have returned None (invalid JSON, non-object JSON, or a
+    # type-mismatched field) — verified case-by-case in tests
+    + [StructField("_corrupt", StringType(), True)]
 )
 
 
@@ -65,16 +69,27 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     to the UDP listener's JSON fallback, sources/udp.parse_datagram):
     addresses parse from their string form to packed bytes via an
     Arrow UDF with the same zero-bytes fallback for junk; missing
-    numeric fields coalesce to 0. from_json CANNOT parse the binary
-    address fields directly — BinaryType means base64 to Spark, and
-    goflow2 emits dotted-quad/RFC 5952 strings — hence the two-step
-    schema."""
+    numeric fields coalesce to 0; undecodable records (invalid JSON,
+    non-object JSON, type-mismatched fields) are DROPPED via the
+    corrupt-record column — the same log-and-drop contract as the UDP
+    decoder, where a naive from_json would emit a row of zeros.
+    from_json CANNOT parse the binary address fields directly —
+    BinaryType means base64 to Spark, and goflow2 emits
+    dotted-quad/RFC 5952 strings — hence the two-step schema."""
     from ..functions.ip import ip_string_to_bytes
 
-    parsed = df.select(
-        F.from_json(F.col(value_col).cast("string"), _JSON_FLOW_SCHEMA)
-        .alias("m")
-    ).select("m.*")
+    parsed = (
+        df.select(
+            F.from_json(
+                F.col(value_col).cast("string"),
+                _JSON_FLOW_SCHEMA,
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("m")
+        )
+        .filter(F.col("m._corrupt").isNull())
+        .select("m.*")
+        .drop("_corrupt")
+    )
     cols = [
         ip_string_to_bytes(F.col(f.name)).alias(f.name)
         if f.name in _JSON_ADDR_FIELDS

@@ -261,16 +261,25 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 5
 
-    # raw-level parity with the UDP JSON decoder on identical messages
+    # raw-level parity with the UDP JSON decoder on identical messages,
+    # INCLUDING the drop cases: invalid JSON, a JSON array, a JSON
+    # scalar, and a type-mismatched numeric field must all vanish from
+    # both paths (parse_datagram returns None; the stream filters the
+    # corrupt-record column)
     from goflow2clickhouse_spark.sources.streaming import from_goflow2_json
 
-    lines = spark.createDataFrame(
-        [(json.dumps(m),) for m in msgs], "value string"
-    )
+    bad = ["{not json", "[1, 2]", "5", '{"Type": 1, "Bytes": "abc"}']
+    payloads = [json.dumps(m) for m in msgs] + bad
+    for b in bad:
+        assert parse_datagram(b.encode()) is None
+    lines = spark.createDataFrame([(p,) for p in payloads], "value string")
     via_stream = sorted(
         map(tuple, from_goflow2_json(lines, "value").collect())
     )
-    via_udp = sorted(parse_datagram(json.dumps(m).encode()) for m in msgs)
+    via_udp = sorted(
+        t for p in payloads if (t := parse_datagram(p.encode())) is not None
+    )
+    assert len(via_stream) == len(msgs)
     assert via_stream == via_udp
 
 

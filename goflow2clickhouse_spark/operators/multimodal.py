@@ -4,12 +4,16 @@ functions over mapInPandas.
 
 The Spark-side plumbing is real — BinaryType columns, metadata structs,
 mapInPandas with a declared output schema, per-batch processing. The
-codec layer is stubbed (this container has no image/audio libraries):
-`decode_image`/`decode_audio` raise NotImplementedError; the
-deterministic `extract_features` fake computes features from the actual
-bytes (length + byte checksum) so the pipeline is testable end-to-end
-and oracle-checkable (the same arithmetic is expressible in SQL over
-the utf-8 encoding of the source text).
+codec layer is REAL for two formats (since r3): pure-Python
+uncompressed 24-bpp BMP and 16-bit PCM WAV encode/decode with
+oracle-checked round-trip queries (`multimodal_decode_image`/`_audio`);
+`decode_image`/`decode_audio` raise NotImplementedError only for OTHER
+variants (compressed BMP, non-PCM WAV, JPEG/PNG/MP3... — this
+container has no imaging/audio libraries). The deterministic
+`extract_features` fake computes features from the actual bytes
+(length + byte checksum) so the pipeline is testable end-to-end and
+oracle-checkable (the same arithmetic is expressible in SQL over the
+utf-8 encoding of the source text).
 """
 
 from __future__ import annotations

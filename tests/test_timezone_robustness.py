@@ -20,6 +20,11 @@ TZ_QUERIES = [
     "orders_asof_union_timeline",
     "flows_conversation_sessions",
     "q7_volume_shipping",   # year extraction from dates
+    # r4 additions
+    "events_windowed_hll",          # epoch-hour bucketing
+    "q4_order_priority",            # interval lateness comparison
+    "q12_shipmode_priority",        # year range filter
+    "q21_suppliers_kept_waiting",   # interval lateness comparison
 ]
 
 

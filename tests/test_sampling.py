@@ -296,3 +296,35 @@ def test_weighted_topk_deterministic_and_weight_sensitive(spark):
     assert s1 == s2 and len(s1) == 20
     assert 500 in s1      # weight 10000x the rest: essentially certain
     assert 501 not in s1  # zero weight can never win
+
+
+def test_hll_rho_matches_python_bit_length(spark):
+    """Property: the 25-term threshold-sum rank must equal
+    W+1 - bit_length(v) for random and boundary 25-bit values — the
+    integer formulation exists precisely so no engine ever disagrees
+    on a register."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from goflow2clickhouse_spark.operators.sketch import _HLL_W, hll_rho
+    from pyspark.sql import functions as F
+
+    boundary = [0, 1, 2, 3, (1 << 24), (1 << 25) - 1] + [
+        (1 << k) - 1 for k in range(1, 25)
+    ] + [1 << k for k in range(25)]
+
+    @settings(deadline=None, max_examples=5)
+    @given(st.lists(st.integers(0, (1 << _HLL_W) - 1),
+                    min_size=1, max_size=200))
+    def check(vals):
+        allv = sorted(set(vals + boundary))
+        df = spark.createDataFrame([(v,) for v in allv], "v long")
+        got = {
+            r.v: r.rho
+            for r in df.select("v", hll_rho(F.col("v")).alias("rho")).collect()
+        }
+        for v in allv:
+            expect = _HLL_W + 1 - v.bit_length()
+            assert got[v] == expect, (v, got[v], expect)
+
+    check()

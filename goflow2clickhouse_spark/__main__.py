@@ -22,8 +22,9 @@ reference flag (main.go)        here
                                  snapshot dict always available via
                                  FlowMetricsListener.metrics.snapshot())
 -loglevel (go:28)               --loglevel trace|debug|info|warn|error
-                                 → Spark log4j level AND this
-                                 process's Python logging level
+                                 → Spark log4j level AND the package
+                                 logger's stderr handler level (gates
+                                 the CLI's own status records)
 -logfmt (go:29)                 --logfmt normal|json → plain or
                                  structured one-object-per-line
                                  stderr status output
@@ -103,18 +104,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_emitter(logfmt: str):
-    """Status-line emitter honoring --logfmt: plain text or one JSON
-    object per line (the structured form log aggregators ingest)."""
-    if logfmt == "json":
-        def emit(msg: str, **fields) -> None:
-            print(json.dumps({"msg": msg, **fields}, sort_keys=True),
-                  file=sys.stderr)
-    else:
-        def emit(msg: str, **fields) -> None:
-            extra = " ".join(f"{k}={v}" for k, v in sorted(fields.items()))
-            print(f"{msg} {extra}".rstrip(), file=sys.stderr)
-    return emit
+class _JsonLogFormatter(logging.Formatter):
+    """One JSON object per line — the structured form log aggregators
+    ingest (the logrus-JSON analog of main.go:29's 'json' choice)."""
+
+    def format(self, rec: logging.LogRecord) -> str:
+        d = {"msg": rec.getMessage(), "level": rec.levelname.lower()}
+        d.update(getattr(rec, "fields", None) or {})
+        return json.dumps(d, sort_keys=True)
+
+
+class _PlainLogFormatter(logging.Formatter):
+    def format(self, rec: logging.LogRecord) -> str:
+        fields = getattr(rec, "fields", None) or {}
+        extra = " ".join(f"{k}={v}" for k, v in sorted(fields.items()))
+        return f"{rec.getMessage()} {extra}".rstrip()
+
+
+def configure_logging(loglevel: str, logfmt: str) -> logging.Logger:
+    """Wire the package logger to stderr at the mapped level with the
+    chosen formatter. This is what makes --loglevel OBSERVABLE on the
+    Python side: the CLI's own status records (serving /metrics,
+    ingested N rows) go through this logger, so `--loglevel error`
+    demonstrably silences them and `--logfmt json` demonstrably
+    restructures them."""
+    log = logging.getLogger("goflow2clickhouse_spark")
+    log.setLevel(LOG_LEVELS[loglevel][1])
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(
+        _JsonLogFormatter() if logfmt == "json" else _PlainLogFormatter()
+    )
+    log.handlers = [handler]
+    log.propagate = False
+    return log
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -124,9 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.ingest import IngestConfig, IngestPipeline
     from .streaming.metrics import FlowMetricsListener, MetricsHttpServer
 
-    emit = make_emitter(args.logfmt)
-    log4j_level, py_level = LOG_LEVELS[args.loglevel]
-    logging.getLogger("goflow2clickhouse_spark").setLevel(py_level)
+    log = configure_logging(args.loglevel, args.logfmt)
+    log4j_level, _ = LOG_LEVELS[args.loglevel]
 
     spark = get_spark(app_name="goflow2clickhouse-spark-ingest")
     spark.sparkContext.setLogLevel(log4j_level)
@@ -137,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.metrics_addr else None
     )
     if server:
-        emit("serving /metrics", port=server.port)
+        log.info("serving /metrics", extra={"fields": {"port": server.port}})
     cfg = IngestConfig(
         listen=args.listen,
         batch_max_time=args.batchmaxtime,
@@ -152,8 +173,14 @@ def main(argv: list[str] | None = None) -> int:
         if server:
             server.close()
     snap = listener.metrics.snapshot()
-    emit("ingested", rows=int(snap["flows_rows_total"]),
-         batches=int(snap["flows_batches_total"]))
+    log.info(
+        "ingested",
+        extra={"fields": {
+            "rows": int(snap["flows_rows_total"]),
+            "batches": int(snap["flows_batches_total"]),
+            "decode_dropped": int(snap["flows_decode_dropped_total"]),
+        }},
+    )
     return 0
 
 

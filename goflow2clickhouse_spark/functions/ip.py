@@ -57,7 +57,18 @@ def _parse_ip_string(s) -> bytes:
     RFC 5952 string → packed bytes (4 for v4, 16 for v6). Unparseable
     or missing → 4 zero bytes — the identical fallback the UDP JSON
     decoder uses (sources/udp.parse_datagram), so the two ingestion
-    paths can never disagree on a bad address."""
+    paths can never disagree on a bad address.
+
+    A digit-only string is treated as the INTEGER address form first:
+    from_json coerces a numeric JSON field ({"SamplerAddress": 5})
+    into this StringType column as "5", while the UDP decoder receives
+    the int and ip_address(5) yields 0.0.0.5 — without this branch the
+    two paths would decode the same message differently."""
+    if isinstance(s, str) and s.isdigit():
+        try:
+            return ipaddress.ip_address(int(s)).packed
+        except ValueError:
+            return b"\x00\x00\x00\x00"
     try:
         return ipaddress.ip_address(s or "0.0.0.0").packed
     except ValueError:

@@ -138,13 +138,21 @@ def weighted_topk(
     Scale shape: one global top-k — Spark plans ORDER BY + LIMIT as
     TakeOrderedAndProject (per-partition top-k before the single
     merge), so no global sort materializes. Rows with weight <= 0
-    never win (key -inf)."""
+    never win (key -inf).
+
+    The key is ROUNDED to 12 decimals before ordering (with the id as
+    tie-break): ln() may differ by an ulp between engines (JVM
+    Math.log vs libm), and an unrounded key lets two rows straddling
+    the rank-k cutoff swap between Spark and an oracle replay — the
+    same hazard bm25_topk rounds away. 12 dp keeps far more
+    resolution than distinct keys need while collapsing ulp noise;
+    any oracle must apply the identical ROUND(key, 12)."""
     u = (
         hash31(F.concat(F.lit("wsample:"), F.col(id_col).cast("string")))
         + F.lit(1)
     ) / F.lit(float(MERSENNE_31))  # (0, 1]
     key = F.when(
-        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+        F.col(weight_col) > 0, F.round(F.log(u) / F.col(weight_col), 12)
     ).otherwise(F.lit(float("-inf")))
     return (
         df.withColumn("_wkey", key)

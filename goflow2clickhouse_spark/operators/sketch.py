@@ -258,23 +258,44 @@ def hist_quantiles(
 # HyperLogLog as a relation (deterministic, engine-portable)
 # ---------------------------------------------------------------------------
 
-# m = 2^6 registers; alpha_64 per Flajolet et al. 2007 ("HyperLogLog:
-# the analysis of a near-optimal cardinality estimation algorithm").
+# Default m = 2^6 registers; alpha per Flajolet et al. 2007
+# ("HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm"). Every m-dependent constant (alpha, the
+# bucket/rank bit split of the 31-bit hash) is DERIVED from m below,
+# so non-default register counts stay correct.
 HLL_M = 64
-HLL_ALPHA = 0.709
-_HLL_W = 25  # hash31 yields 31 bits: 6 bucket bits + 25 rank bits
+HLL_ALPHA = 0.709  # alpha for the default m=64
+_HLL_W = 25  # rank bits for the default m=64 (31 hash bits - 6)
 
 
-def hll_rho(v: Column) -> Column:
-    """Rank of a 25-bit value: position of the highest set bit from
-    the top, i.e. W+1 - bit_length(v) (W+1 for v=0). Pure integer
+def _hll_params(m: int) -> tuple[float, int]:
+    """(alpha_m, rank_bits) for a power-of-two register count. Raises
+    on invalid m rather than silently producing a biased sketch."""
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"HLL register count must be a power of 2 >= 16, got {m}")
+    bucket_bits = m.bit_length() - 1
+    w = 31 - bucket_bits  # hash31 yields 31 bits
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = HLL_ALPHA
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha, w
+
+
+def hll_rho(v: Column, w: int = _HLL_W) -> Column:
+    """Rank of a w-bit value: position of the highest set bit from
+    the top, i.e. w+1 - bit_length(v) (w+1 for v=0). Pure integer
     comparisons — no log2-on-double edge cases — so any engine
     replays it bit-for-bit as a sum of threshold CASEs."""
     bit_length = sum(
-        [(v >= F.lit(1 << k)).cast("int") for k in range(_HLL_W)],
+        [(v >= F.lit(1 << k)).cast("int") for k in range(w)],
         F.lit(0),
     )
-    return F.lit(_HLL_W + 1) - bit_length
+    return F.lit(w + 1) - bit_length
 
 
 def hll_registers(
@@ -289,11 +310,12 @@ def hll_registers(
     `approx_count_distinct` hides an opaque HLL++ blob in the
     aggregation buffer, this relation is replayable by any engine
     sharing the hash (the DuckDB oracle does)."""
+    _, w = _hll_params(m)
     h = hash31(F.col(key_col).cast("string"))
     return (
         keys.select(
             (h % m).alias("bucket"),
-            hll_rho(F.floor(h / m).cast("long")).alias("rho"),
+            hll_rho(F.floor(h / m).cast("long"), w).alias("rho"),
         )
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
@@ -303,10 +325,11 @@ def hll_registers(
 def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     """Cardinality estimate from a register relation: the harmonic-mean
     raw estimate with Flajolet's small-range (linear-counting)
-    correction. Empty registers contribute 2^0 = 1 to the harmonic
-    sum. All arithmetic on ≤ m rows; the sum of powers of two is
-    EXACT in binary doubles, so both engines compute the identical
-    estimate. Returns one row: (n_used, est)."""
+    correction, with alpha derived from m. Empty registers contribute
+    2^0 = 1 to the harmonic sum. All arithmetic on ≤ m rows; the sum
+    of powers of two is EXACT in binary doubles, so both engines
+    compute the identical estimate. Returns one row: (n_used, est)."""
+    alpha, _ = _hll_params(m)
     agg = registers.agg(
         F.count("*").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
@@ -314,7 +337,7 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     zeros = F.lit(m) - F.col("n_used")
     # empty registers: rho=0 → 2^0 = 1 each
     full_sum = F.col("inv_sum") + zeros
-    raw = F.lit(HLL_ALPHA * m * m) / full_sum
+    raw = F.lit(alpha * m * m) / full_sum
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),

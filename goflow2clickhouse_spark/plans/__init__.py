@@ -28,7 +28,9 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # a prior green row does not cover changed code; (b) ALL 26 names whose
 # newest green row is still round 1 — after this window no query's most
 # recent driver proof is more than two rounds old; (c) the
-# alphabetically-first 10 of the 43 names last proven in round 2.
+# alphabetically-first 8 of the 43 names last proven in round 2 (the
+# remaining 35 r2-stale names are the priority pool for round 5's
+# window).
 promote([
     # (a) new this round
     "q2_min_cost_supplier",
@@ -75,7 +77,7 @@ promote([
     "part_brand_stats",
     "price_percentiles",
     "priority_revenue_union",
-    # (c) oldest round-2 names (first 10 alphabetically)
+    # (c) oldest round-2 names (first 8 alphabetically)
     "bigram_pmi_top",
     "ch_dialect_sampler_profile",
     "corpus_vocab_topk",

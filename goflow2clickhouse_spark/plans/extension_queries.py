@@ -1723,7 +1723,8 @@ _WS_H31 = _H31.format(x="concat('wsample:', CAST(o_orderkey AS VARCHAR))")
     WITH keyed AS (
         SELECT o_orderkey, o_totalprice,
                CASE WHEN o_totalprice > 0
-                    THEN LN(({_WS_H31} + 1) / 2147483647.0) / o_totalprice
+                    THEN ROUND(LN(({_WS_H31} + 1) / 2147483647.0)
+                               / o_totalprice, 12)
                     ELSE '-infinity'::DOUBLE END AS wkey
         FROM orders
     ),

@@ -68,25 +68,48 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     Shared by the kafka and jsonl sources (and semantically identical
     to the UDP listener's JSON fallback, sources/udp.parse_datagram):
     addresses parse from their string form to packed bytes via an
-    Arrow UDF with the same zero-bytes fallback for junk; missing
-    numeric fields coalesce to 0; undecodable records (invalid JSON,
-    non-object JSON, type-mismatched fields) are DROPPED via the
-    corrupt-record column — the same log-and-drop contract as the UDP
-    decoder, where a naive from_json would emit a row of zeros.
+    Arrow UDF with the same fallbacks as the UDP decoder; missing
+    numeric fields coalesce to 0; undecodable records are DROPPED AND
+    COUNTED — the UDP decoder's drop contract. Three drop guards,
+    each matching a parse_datagram None-return case:
+    (a) the corrupt-record column (invalid JSON, type-mismatched
+        fields — from_json marks both);
+    (b) a non-null parse result (empty lines, whitespace, and null
+        Kafka values — tombstones — produce a NULL struct that the
+        corrupt column does NOT mark);
+    (c) the trimmed payload must start with '{' (valid non-object
+        JSON — `null`, `5`, `[1,2]` — parses to an all-null struct
+        indistinguishable from `{}`, which the UDP decoder KEEPS;
+        the object-prefix test is exactly its isinstance(msg, dict)).
+    The drop count is published as a named observation
+    ("goflow2_json_decode": rows_in / rows_dropped), which
+    FlowMetricsListener folds into flows_decode_dropped_total — the
+    counted half of log-and-drop.
     from_json CANNOT parse the binary address fields directly —
     BinaryType means base64 to Spark, and goflow2 emits
     dotted-quad/RFC 5952 strings — hence the two-step schema."""
     from ..functions.ip import ip_string_to_bytes
 
+    raw = F.col(value_col).cast("string")
+    base = df.select(
+        F.from_json(
+            raw, _JSON_FLOW_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("m"),
+        F.trim(raw).alias("_raw"),
+    )
+    keep = (
+        F.col("m").isNotNull()
+        & F.col("m._corrupt").isNull()
+        & F.col("_raw").startswith("{")
+    )
+    observed = base.observe(
+        "goflow2_json_decode",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("rows_dropped"),
+    )
     parsed = (
-        df.select(
-            F.from_json(
-                F.col(value_col).cast("string"),
-                _JSON_FLOW_SCHEMA,
-                {"columnNameOfCorruptRecord": "_corrupt"},
-            ).alias("m")
-        )
-        .filter(F.col("m._corrupt").isNull())
+        observed.filter(keep)
         .select("m.*")
         .drop("_corrupt")
     )

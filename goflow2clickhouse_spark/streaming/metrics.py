@@ -19,6 +19,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 class IngestMetrics:
     batches: int = 0
     input_rows: int = 0
+    decode_dropped: int = 0
     last_input_rows_per_sec: float = 0.0
     last_processed_rows_per_sec: float = 0.0
     last_batch_duration_ms: float = 0.0
@@ -29,6 +30,7 @@ class IngestMetrics:
             return {
                 "flows_batches_total": float(self.batches),
                 "flows_rows_total": float(self.input_rows),
+                "flows_decode_dropped_total": float(self.decode_dropped),
                 "flows_input_rows_per_sec": self.last_input_rows_per_sec,
                 "flows_processed_rows_per_sec": self.last_processed_rows_per_sec,
                 "flows_batch_duration_ms": self.last_batch_duration_ms,
@@ -57,6 +59,18 @@ class FlowMetricsListener(StreamingQueryListener):
             self.metrics.last_batch_duration_ms = float(
                 (p.durationMs or {}).get("triggerExecution", 0)
             )
+            # the JSON transport's drop counter (sources/streaming.
+            # from_goflow2_json publishes a named observation per batch
+            # — the counted half of the decoder's log-and-drop contract)
+            try:
+                om = p.observedMetrics or {}
+                row = om.get("goflow2_json_decode")
+                if row is not None:
+                    self.metrics.decode_dropped += int(
+                        row["rows_dropped"] or 0
+                    )
+            except Exception:
+                pass  # observation shape is advisory, never fatal
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -26,12 +26,11 @@ def test_sink_specs():
 
 def test_log_flags_parity():
     """--loglevel/--logfmt (main.go:28-29 parity): defaults match the
-    reference, levels map to log4j + python logging, and the json
-    formatter emits parseable one-object lines."""
-    import json
+    reference, levels map to log4j + python logging, and unknown
+    levels are rejected like logrus would."""
     import logging
 
-    from goflow2clickhouse_spark.__main__ import LOG_LEVELS, make_emitter
+    from goflow2clickhouse_spark.__main__ import LOG_LEVELS
 
     a = build_parser().parse_args([])
     assert a.loglevel == "info"      # main.go:28 default
@@ -42,21 +41,37 @@ def test_log_flags_parity():
         build_parser().parse_args(["--loglevel", "loud"])
 
 
-def test_logfmt_emitters(capsys):
-    from goflow2clickhouse_spark.__main__ import make_emitter
+def test_logfmt_formatters_and_level_gating(capsys):
+    """configure_logging wires a real stderr handler: json/plain
+    formatting is observable, and the level GATES records — info is
+    silenced under --loglevel error (the previously-dead Python half
+    of the flag)."""
     import json
 
-    make_emitter("json")("ingested", rows=7, batches=2)
-    line = capsys.readouterr().err.strip()
-    assert json.loads(line) == {"msg": "ingested", "rows": 7, "batches": 2}
+    from goflow2clickhouse_spark.__main__ import configure_logging
 
-    make_emitter("normal")("ingested", rows=7, batches=2)
+    log = configure_logging("info", "json")
+    log.info("ingested", extra={"fields": {"rows": 7, "batches": 2}})
+    line = capsys.readouterr().err.strip()
+    assert json.loads(line) == {
+        "msg": "ingested", "level": "info", "rows": 7, "batches": 2,
+    }
+
+    log = configure_logging("info", "normal")
+    log.info("ingested", extra={"fields": {"rows": 7, "batches": 2}})
     assert capsys.readouterr().err.strip() == "ingested batches=2 rows=7"
 
+    log = configure_logging("error", "normal")
+    log.info("ingested", extra={"fields": {"rows": 7}})
+    assert capsys.readouterr().err.strip() == ""  # gated
+    log.error("boom")
+    assert capsys.readouterr().err.strip() == "boom"  # error passes
 
-def test_loglevel_reaches_spark_and_python(spark, tmp_path):
+
+def test_loglevel_reaches_spark_and_python(spark, tmp_path, capsys):
     """An end-to-end main() run with --loglevel error must set the
-    package logger's level and leave the JVM log4j level at ERROR."""
+    package logger's level, leave the JVM log4j level at ERROR, and
+    SUPPRESS the info-level 'ingested' status line."""
     import logging
 
     from goflow2clickhouse_spark.__main__ import main
@@ -77,6 +92,7 @@ def test_loglevel_reaches_spark_and_python(spark, tmp_path):
     assert rc == 0
     assert (logging.getLogger("goflow2clickhouse_spark").level
             == logging.ERROR)
+    assert "ingested" not in capsys.readouterr().err  # info gated
     jvm_level = (
         spark._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
         .getLevel().toString()

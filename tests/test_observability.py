@@ -120,3 +120,55 @@ def test_fanout_sink_feeds_all_sinks(spark, tmp_path):
     rb = spark.read.parquet(str(b))
     assert ra.count() == 25 and rb.count() == 25
     assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
+
+
+def test_decode_drop_counter_from_observation(spark, tmp_path):
+    """The JSON transport's drop counter: junk lines in a jsonl source
+    must surface as flows_decode_dropped_total via the named
+    observation ("goflow2_json_decode") that FlowMetricsListener folds
+    from each batch's observedMetrics — the counted half of the
+    decoder's log-and-drop contract."""
+    import json as _json
+
+    good = [
+        {"Type": 1, "TimeReceived": 1700000000 + i, "SequenceNum": i,
+         "SamplingRate": 1000, "FlowDirection": 0,
+         "SamplerAddress": "10.0.0.1",
+         "TimeFlowStart": 1700000000, "TimeFlowEnd": 1700000060,
+         "Bytes": 500, "Packets": 4, "SrcAddr": "192.168.1.1",
+         "DstAddr": "10.9.9.9", "Etype": 2048, "Proto": 6,
+         "SrcPort": 1000, "DstPort": 443, "ForwardingStatus": 64,
+         "TCPFlags": 16, "IcmpType": 0, "IcmpCode": 0,
+         "FragmentId": 0, "FragmentOffset": 0}
+        for i in range(5)
+    ]
+    junk = ["{broken", "null", "[1]", ""]
+    d = tmp_path / "jl"
+    d.mkdir()
+    (d / "f.jsonl").write_text(
+        "\n".join([_json.dumps(m) for m in good] + junk) + "\n"
+    )
+
+    listener = FlowMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = IngestConfig(
+            listen=f"jsonl://{d}", checkpoint=str(tmp_path / "ckj")
+        )
+        out = tmp_path / "outj"
+        q = IngestPipeline(spark, cfg, parquet_sink(str(out))).start(
+            query_name="decode_drop_run", available_now=True
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(str(out)).count() == 5
+        deadline = time.time() + 30
+        snap = listener.metrics.snapshot()
+        while (
+            time.time() < deadline
+            and snap["flows_decode_dropped_total"] < len(junk)
+        ):
+            time.sleep(0.5)
+            snap = listener.metrics.snapshot()
+        assert snap["flows_decode_dropped_total"] == len(junk)
+    finally:
+        spark.streams.removeListener(listener)

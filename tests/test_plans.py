@@ -319,9 +319,19 @@ def test_token_budget_no_global_window(spark):
     unpartitioned window runs over the <=1001-row bucket relation,
     after its own aggregate."""
     p = plan_str(spark, SPECS["token_budget_selection"].spark(spark, SF))
-    # every Window over the corpus is partitioned by bucket; the
-    # bucket-offset window is over the aggregated per-bucket relation
-    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
-        part = m.group(1)
-        assert "bucket" in part or part == "", p
+    # every Window over the corpus is partitioned by bucket; an
+    # UNPARTITIONED window is only allowed when its window expression
+    # reads the aggregated per-bucket total (btot) — i.e. it runs over
+    # the <=1001-row bucket relation, not the corpus. Formatted mode
+    # prints each Window's detail as "Arguments: [exprs], [partition],
+    # [order]" with the partition group OMITTED when empty.
+    wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: (.*)", p)
+    assert wins, f"no Window found:\n{p}"
+    for args in wins:
+        groups = re.findall(r"\[([^\]]*(?:\([^)]*\)[^\]]*)*)\]", args)
+        if len(groups) >= 3 and "bucket" in groups[1]:
+            continue  # bucket-partitioned corpus window
+        assert "btot" in groups[0], (
+            f"unpartitioned window over a non-bucket relation: {args}\n{p}"
+        )
     assert "HashAggregate" in p

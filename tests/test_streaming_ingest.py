@@ -268,10 +268,21 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
     # corrupt-record column)
     from goflow2clickhouse_spark.sources.streaming import from_goflow2_json
 
-    bad = ["{not json", "[1, 2]", "5", '{"Type": 1, "Bytes": "abc"}']
-    payloads = [json.dumps(m) for m in msgs] + bad
+    bad = [
+        "{not json", "[1, 2]", "5", '{"Type": 1, "Bytes": "abc"}',
+        "null",        # valid JSON, not an object → drop (ghost-row trap)
+        "",            # empty line → drop
+        "   ",         # whitespace line → drop
+    ]
+    kept_edge = [
+        "{}",                        # empty object → all-zero row (kept)
+        '{"SamplerAddress": 5}',     # numeric address → 0.0.0.5 both paths
+    ]
+    payloads = [json.dumps(m) for m in msgs] + bad + kept_edge
     for b in bad:
         assert parse_datagram(b.encode()) is None
+    for g in kept_edge:
+        assert parse_datagram(g.encode()) is not None
     lines = spark.createDataFrame([(p,) for p in payloads], "value string")
     via_stream = sorted(
         map(tuple, from_goflow2_json(lines, "value").collect())
@@ -279,7 +290,7 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
     via_udp = sorted(
         t for p in payloads if (t := parse_datagram(p.encode())) is not None
     )
-    assert len(via_stream) == len(msgs)
+    assert len(via_stream) == len(msgs) + len(kept_edge)
     assert via_stream == via_udp
 
 

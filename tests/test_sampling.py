@@ -328,3 +328,30 @@ def test_hll_rho_matches_python_bit_length(spark):
             assert got[v] == expect, (v, got[v], expect)
 
     check()
+
+
+def test_hll_params_derivation(spark):
+    """Non-default register counts must derive correct alpha and rank
+    bits; invalid counts raise instead of silently biasing."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    assert SK._hll_params(16) == (0.673, 27)
+    assert SK._hll_params(32) == (0.697, 26)
+    assert SK._hll_params(64) == (SK.HLL_ALPHA, 25)
+    alpha256, w256 = SK._hll_params(256)
+    assert abs(alpha256 - 0.7213 / (1 + 1.079 / 256)) < 1e-12
+    assert w256 == 23
+    for bad in (0, 8, 63, 100):
+        with _pytest.raises(ValueError, match="power of 2"):
+            SK._hll_params(bad)
+
+    # a non-default m produces a sane estimate end-to-end
+    keys = spark.createDataFrame(
+        [("k%d" % i,) for i in range(1000)], "key string"
+    )
+    reg = SK.hll_registers(keys, m=256)
+    assert reg.count() <= 256
+    est = SK.hll_estimate(reg, m=256).collect()[0].est
+    assert 1000 * 0.75 < est < 1000 * 1.3  # sigma ~= 6.5% at m=256

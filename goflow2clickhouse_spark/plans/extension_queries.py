@@ -207,28 +207,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
 
 
-_CLUSTER_ORACLE = f"""
-    WITH pairs AS ({_minhash_oracle()}),
+
+# Exact connected components over a `pairs` CTE, as SQL: undirected
+# edges -> transitive label closure via a RECURSIVE CTE (UNION dedup
+# gives the fixpoint) -> min reachable label per node. This replays
+# cluster_pairs' single-task union-find EXACTLY — unlike a fixed
+# k-round propagation replay, which the r4 sf0.1 soak caught
+# diverging on a >2k-hop-diameter embedding component. Closure size
+# is O(sum of component sizes squared) — bounded by near-dup family
+# sizes, never corpus-wide.
+_EXACT_CC_SQL = """
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM pairs
     ),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    l1 AS (
-        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
-        FROM nodes n JOIN edges e ON e.src = n.id
-        GROUP BY n.id
+    r(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN r ON r.id = e.dst
     ),
-    l2 AS (
-        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
-        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
-        GROUP BY a.id, a.lbl
-    )
+    conn AS (SELECT id, MIN(lbl) AS lbl FROM r GROUP BY id)
+"""
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    {_EXACT_CC_SQL}
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (
         SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        FROM l2 GROUP BY lbl
+        FROM conn GROUP BY lbl
     ) s
     GROUP BY cluster_size
     ORDER BY cluster_size
@@ -240,8 +248,10 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> clusters (2-step min-label propagation,
     operators/dedup.cluster_pairs) -> cluster-size histogram. The
     keep-one-per-cluster decision is `id == cluster_id`; this query
-    verifies the clustering itself against a SQL replay of the same
-    two propagation rounds."""
+    verifies the clustering against an EXACT connected-components
+    replay (recursive-CTE transitive closure → min reachable label),
+    the same fixpoint the single-task union-find computes — a fixed
+    2-round replay diverged on a deep component at sf0.1 (r4 soak)."""
     pairs = D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
     labels = D.cluster_pairs(pairs, iterations=2)
     out = (
@@ -1658,27 +1668,12 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_cluster_oracle() -> str:
     return f"""
-    WITH pairs AS ({_neardup_lsh_oracle()}),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    l1 AS (
-        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
-        FROM nodes n JOIN edges e ON e.src = n.id
-        GROUP BY n.id
-    ),
-    l2 AS (
-        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
-        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
-        GROUP BY a.id, a.lbl
-    )
+    WITH RECURSIVE pairs AS ({_neardup_lsh_oracle()}),
+    {_EXACT_CC_SQL}
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (
         SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        FROM l2 GROUP BY lbl
+        FROM conn GROUP BY lbl
     ) s
     GROUP BY cluster_size
     ORDER BY cluster_size
@@ -1692,8 +1687,11 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the text path (operators/dedup.cluster_pairs) — one dedup
     decision per group of mutually-near vectors, the keep-one rule
     being `id == cluster_id`. Completes the clustering row for the
-    embedding modality; the oracle replays the identical two
-    propagation rounds over the identically-replayed pair set."""
+    embedding modality; the oracle computes EXACT connected components
+    over the identically-replayed pair set via a recursive-CTE
+    transitive closure — the r4 sf0.1 soak caught a fixed 2-round
+    replay diverging on a component whose min-id node sits more than
+    4 hops from a member."""
     from ..operators import dedup as D
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -1823,33 +1821,18 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _leakage_free_split_oracle() -> str:
-    # the same two label-propagation rounds as _CLUSTER_ORACLE, then
-    # split by hash OF THE CLUSTER REPRESENTATIVE (split_by_hash
-    # arithmetic: 'sample:'-salted hash31 into 10000 buckets,
-    # train <9000, val <9500, else test)
+    # exact connected components (the same fixpoint cluster_pairs'
+    # union-find computes), then split by hash OF THE CLUSTER
+    # REPRESENTATIVE (split_by_hash arithmetic: 'sample:'-salted
+    # hash31 into 10000 buckets, train <9000, val <9500, else test)
     h = _H31.format(x="concat('sample:', CAST(rep AS VARCHAR))")
     return f"""
-    WITH pairs AS ({_minhash_oracle()}),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    l1 AS (
-        SELECT n.id, LEAST(n.id, MIN(e.dst)) AS lbl
-        FROM nodes n JOIN edges e ON e.src = n.id
-        GROUP BY n.id
-    ),
-    l2 AS (
-        SELECT a.id, LEAST(a.lbl, MIN(b.lbl)) AS lbl
-        FROM l1 a JOIN edges e ON e.src = a.id JOIN l1 b ON b.id = e.dst
-        GROUP BY a.id, a.lbl
-    ),
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    {_EXACT_CC_SQL},
     corpus AS ({CORPUS_SQL}),
     reps AS (
-        SELECT c.doc_id, COALESCE(l2.lbl, c.doc_id) AS rep
-        FROM corpus c LEFT JOIN l2 ON l2.id = c.doc_id
+        SELECT c.doc_id, COALESCE(conn.lbl, c.doc_id) AS rep
+        FROM corpus c LEFT JOIN conn ON conn.id = c.doc_id
     ),
     assigned AS (
         SELECT doc_id, rep,

@@ -28,8 +28,8 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # a prior green row does not cover changed code; (b) ALL 26 names whose
 # newest green row is still round 1 — after this window no query's most
 # recent driver proof is more than two rounds old; (c) the
-# alphabetically-first 8 of the 43 names last proven in round 2 (the
-# remaining 35 r2-stale names are the priority pool for round 5's
+# alphabetically-first 7 of the 43 names last proven in round 2 (the
+# remaining 36 r2-stale names are the priority pool for round 5's
 # window).
 promote([
     # (a) new this round
@@ -45,6 +45,7 @@ promote([
     "source_mixture_weights",
     "events_windowed_hll",
     "leakage_free_split",
+    "filtered_ann_topk",
     # (a) changed this round
     "cms_heavy_hitters",
     "bloom_seen_filter",
@@ -77,7 +78,7 @@ promote([
     "part_brand_stats",
     "price_percentiles",
     "priority_revenue_union",
-    # (c) oldest round-2 names (first 8 alphabetically)
+    # (c) oldest round-2 names (first 7 alphabetically)
     "bigram_pmi_top",
     "ch_dialect_sampler_profile",
     "corpus_vocab_topk",
@@ -85,7 +86,6 @@ promote([
     "deterministic_sample_stats",
     "doc_fingerprint_dups",
     "doc_length_deciles",
-    "doc_packing_stats",
 ])
 
 __all__ = [

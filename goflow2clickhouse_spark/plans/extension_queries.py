@@ -1905,3 +1905,65 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("split")
     )
     return D.pin(out, labels)
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search (metadata predicate + ANN, r4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filtered_ann_topk",
+    oracle="""
+    WITH ok AS (
+        SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ok)
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the retrieval pattern every production
+    vector store needs (pre-filter, not post-filter): a metadata
+    predicate over `documents` (length + language) gates WHICH vectors
+    are searchable, then exact cosine top-k runs over only the
+    survivors. Pre-filtering via LEFT SEMI join on the shared id
+    keyspace guarantees k results from the eligible set; post-filtering
+    a top-k would under-deliver whenever high-scoring vectors fail the
+    predicate.
+
+    Scale shape: the predicate pushes into the documents scan
+    (n_chars/lang are plain columns), the semi-join keys on 8-byte
+    ids, the query vector broadcasts, and the scored scan ends in
+    TakeOrderedAndProject — same plan family as
+    similarity_topk_bruteforce with one id-keyed semi-join ahead of
+    it. At 100 TB the eligible-id relation is the predicate's
+    selectivity times the corpus, and an IVF/LSH index over only
+    eligible vectors (partition-pruned layout) replaces the full
+    scan, same as the unfiltered path."""
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.filter(
+        (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+    ).select(F.col("doc_id").alias("vec_id"))
+    e = load_table(spark, sf_dir, "embeddings").join(
+        ok, "vec_id", "left_semi"
+    )
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == 0
+    )
+    return S.topk_bruteforce(e, q, k=10)

@@ -62,16 +62,43 @@ def exact_dedup(
     itself, so at 100 TB the exchange carries hashes, not the corpus.
     DuckDB replays it as sha256(...) identically; collisions at 2^-128
     are below any hardware error rate. ``prehash=False`` keeps the raw
-    columns as the key (for short keys where the hash would be wider)."""
+    columns as the key (for short keys where the hash would be wider).
+
+    NULL handling (both paths treat NULL as a real key value, matching
+    GROUP BY semantics): the prehash encodes each column via
+    coalesce(col, '\\x00') — a bare concat_ws SKIPS nulls, which would
+    collide ('x', NULL, 'y') with ('x', 'y', NULL) and delete a
+    non-duplicate (a value equal to the single '\\x00' sentinel byte
+    is the only remaining collision, and no text fixture or sane
+    corpus contains it); the raw path joins with null-SAFE equality —
+    plain `=` evaluates NULL=NULL to NULL, which made the semi-join
+    silently drop every null-keyed row."""
     if prehash:
-        key = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+        key = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in key_cols
+                ],
+            ),
+            256,
+        )
         tagged = df.withColumn("__dedup_sha", key)
         keep = tagged.groupBy("__dedup_sha").agg(F.min(id_col).alias(id_col))
         return tagged.join(
             keep, on=["__dedup_sha", id_col], how="left_semi"
         ).drop("__dedup_sha")
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+    left = df.alias("__l")
+    keep = (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .alias("__r")
+    )
+    cond = F.col(f"__l.{id_col}") == F.col(f"__r.{id_col}")
+    for c in key_cols:
+        cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+    return left.join(keep, cond, "left_semi")
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -90,6 +117,19 @@ def normalize_text(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 # shingling + n-gram Jaccard
 # ---------------------------------------------------------------------------
+
+def _shingle_expr(w: Column, n: int) -> Column:
+    """The n-word shingle window as one array expression over a BOUND
+    words-array column: positions 1..len-n+1, each concat_ws over an
+    n-slice. Single source of truth for word_shingles,
+    positional_shingles, and shingle_arrays — the construction must
+    stay identical across them AND across the DuckDB oracles that
+    replay it (_SHINGLES_SQL), so it lives in exactly one place."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
 
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -113,10 +153,7 @@ def word_shingles(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
     )
     w = F.col("_words")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    sh = _shingle_expr(w, n)
     out = (
         words.filter(F.size(w) >= n)
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -183,10 +220,7 @@ def positional_shingles(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
     )
     w = F.col("_words")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    sh = _shingle_expr(w, n)
     return (
         words.filter(F.size(w) >= n)
         .select(
@@ -216,8 +250,12 @@ def dup_span_coverage(
     position is "duplicated" iff it is covered by some n-gram that
     occurs ≥ `min_count` times anywhere in the corpus (same document
     included — suffix-array semantics). Returns one row per document
-    with ≥ n words: (id, n_words, dup_tokens), dup_tokens = number of
-    word positions covered by at least one duplicated n-gram.
+    that has AT LEAST ONE duplicated n-gram: (id, n_words,
+    dup_tokens), dup_tokens = number of word positions covered by a
+    duplicated n-gram. Documents with zero duplicated spans produce NO
+    row — recover them with a left join + coalesce(dup_tokens, 0)
+    against the (id, n_words) relation, as `text_dup_span_coverage`
+    does.
 
     Plan, 100 TB lens: positional shingles (narrow projection) → the
     occurrence count as a COUNT window partitioned by the 8-byte
@@ -368,12 +406,7 @@ def shingle_arrays(
     its own row."""
     words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
     w = F.col("_words")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
-    )
+    sh = F.array_distinct(_shingle_expr(w, n))
     return words.filter(F.size(w) >= n).select(F.col(id_col), sh.alias("shs"))
 
 
@@ -560,7 +593,17 @@ def simhash_near_pairs(
     """Pairs within Hamming distance ≤ max_hamming of the 16-bit
     signature. Candidates by the 4-nibble pigeonhole (distance ≤ 3 ⇒
     some nibble equal), then exact Hamming verify — both steps portable
-    modular arithmetic. Returns (id_a, id_b, hamming)."""
+    modular arithmetic. Returns (id_a, id_b, hamming).
+
+    max_hamming is capped at 3 BY THE CANDIDATE SCHEME: with 4 nibble
+    bands, 4 differing bits can land one per nibble and the pair never
+    becomes a candidate — so a larger bound would silently miss pairs.
+    Raises instead; a wider radius needs more/overlapping bands."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-nibble pigeonhole is only complete for max_hamming <= 3; "
+            f"got {max_hamming}"
+        )
     cands = None
     for j in range(4):
         lo, hi = 16 ** j, 16 ** (j + 1)
@@ -637,7 +680,13 @@ def cluster_pairs(
     (test_dedup_lifecycle) so the fallback is never dead code.
     Lifecycle: localCheckpoint blocks are released when the
     returned labels handle is dropped (same contract as
-    minhash_lsh_dedup_pairs). Reliable checkpoint FILES are not
+    minhash_lsh_dedup_pairs) — and unlike a plain cache,
+    localCheckpoint CANNOT recompute from lineage, so a derived
+    DataFrame built on the result FAILS (not: recomputes) if the
+    labels handle is GC'd before the derived action runs. Any caller
+    composing further plan on top MUST pin the handle:
+    `out = pin(docs.join(labels, ...), labels)` — every in-repo
+    caller does. Reliable checkpoint FILES are not
     registered as persistent RDDs and are owned by the checkpoint dir:
     set spark.cleaner.referenceTracking.cleanCheckpoints=true (or
     clean the dir) on cluster deployments — the handle-drop release

@@ -33,7 +33,9 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     """Keep ~fraction of rows, decided by identity hash: reproducible
     across engines, partitionings, and reruns; composable (a 1% sample
     is a subset of the 10% sample)."""
-    return df.filter(sample_bucket(id_col) < int(fraction * _BUCKETS))
+    # round, not int(): truncation biases non-representable fractions
+    # one bucket low (0.29 * 10000 -> 2899.9999... -> int 2899)
+    return df.filter(sample_bucket(id_col) < round(fraction * _BUCKETS))
 
 
 def stratified_sample(
@@ -59,7 +61,16 @@ def stratified_sample(
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(n))
-        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        # round before ceil: binary-float n*fraction overshoots the
+        # exact product for fractions like 0.2 (15*0.2 ->
+        # 3.0000000000000004, ceil -> 4 instead of the documented 3);
+        # 9dp rounding restores the mathematical ceil for any n the
+        # quota could meet. Oracles must apply the identical
+        # CEIL(ROUND(n * f, 9)).
+        .filter(
+            F.col("_rn")
+            <= F.ceil(F.round(F.col("_n") * F.lit(fraction), 9))
+        )
         .drop("_rn", "_n")
     )
 
@@ -82,7 +93,7 @@ def split_by_hash(
     names = list(weights)
     for name in names[:-1]:
         edge += weights[name]
-        cond = bucket < int(edge * _BUCKETS)
+        cond = bucket < round(edge * _BUCKETS)  # not int(): see above
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
@@ -137,8 +148,9 @@ def weighted_topk(
 
     Scale shape: one global top-k — Spark plans ORDER BY + LIMIT as
     TakeOrderedAndProject (per-partition top-k before the single
-    merge), so no global sort materializes. Rows with weight <= 0
-    never win (key -inf).
+    merge), so no global sort materializes. Rows with weight <= 0 are
+    excluded before ranking, so the sample holds min(k, n_positive)
+    rows.
 
     The key is ROUNDED to 12 decimals before ordering (with the id as
     tie-break): ln() may differ by an ulp between engines (JVM
@@ -151,11 +163,14 @@ def weighted_topk(
         hash31(F.concat(F.lit("wsample:"), F.col(id_col).cast("string")))
         + F.lit(1)
     ) / F.lit(float(MERSENNE_31))  # (0, 1]
-    key = F.when(
-        F.col(weight_col) > 0, F.round(F.log(u) / F.col(weight_col), 12)
-    ).otherwise(F.lit(float("-inf")))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
     return (
-        df.withColumn("_wkey", key)
+        # weight <= 0 rows are FILTERED, not just sorted last: with
+        # fewer than k positive-weight rows, a limit-only formulation
+        # would pad the sample with -inf-keyed rows the docstring
+        # promises can never win
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
         .orderBy(F.desc("_wkey"), F.col(id_col))
         .limit(k)
         .drop("_wkey")

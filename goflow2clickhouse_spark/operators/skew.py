@@ -10,8 +10,8 @@ AQE's skewedJoin/skewedPartition handling covers *joins* and post-hoc
 partition splitting; explicit salting is the declarative fix for
 aggregation skew and composes with any algebraic aggregate
 (sum/count/min/max; avg via sum+count). The salt must differ across
-rows of the SAME key — it derives from a hash of the whole row, never
-of the key."""
+rows of the SAME key — including byte-identical rows, so it cannot be
+a pure hash of the row's columns."""
 
 from __future__ import annotations
 
@@ -20,9 +20,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salt: int = 16) -> DataFrame:
-    """Deterministic per-row salt in [0, n_salt): hash of all columns
-    (xxhash64 — JVM-side, no Python)."""
-    return df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)))
+    """Per-row salt in [0, n_salt), JVM-side: row-content hash folded
+    with `monotonically_increasing_id()` so EXACT-DUPLICATE rows of a
+    hot key still spread across salts — a content-only hash sends
+    every byte-identical row (the common shape of a viral flow: same
+    addr/ports/bytes repeated millions of times) to ONE (key, salt)
+    reducer, recreating precisely the stall salting exists to fix.
+    The id term makes salt values partitioning-dependent, which is
+    irrelevant by construction: the salt only routes rows between the
+    two aggregation phases, and the combine phase is salt-agnostic
+    (differentially proven by flows_top_talkers_salted /
+    salted_priority_revenue)."""
+    return df.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*df.columns) + F.monotonically_increasing_id(),
+            F.lit(n_salt),
+        ),
+    )
 
 
 def salted_agg(

@@ -1527,7 +1527,7 @@ _STRAT_H31 = _H31.format(x="concat('strat:', CAST(doc_id AS VARCHAR))")
            COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM ranked
-    WHERE rn <= CEIL(n * 0.2)
+    WHERE rn <= CEIL(ROUND(n * 0.2, 9))
     GROUP BY source
     ORDER BY source
     """,

@@ -130,3 +130,35 @@ def test_lsh_hot_bucket_cap(spark):
     # a cap above the bucket size is a no-op
     assert lsh_candidate_pairs(sigs, max_bucket_size=100).count() == n_uncapped
     sigs.unpersist()
+
+
+def test_exact_dedup_null_keys(spark):
+    """NULL-keyed rows must dedup like GROUP BY treats them (NULL is a
+    key value), in BOTH paths: the raw path's null-safe join must not
+    drop them, and the prehash must not collide ('x', NULL) with
+    (NULL, 'x')."""
+    from goflow2clickhouse_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "x", None), (2, "x", None),      # same key → keep id 1
+        (3, None, "x"),                       # different key → kept
+        (4, None, None), (5, None, None),     # same key → keep id 4
+        (6, "y", "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    for prehash in (True, False):
+        got = sorted(
+            r.doc_id
+            for r in exact_dedup(df, ["a", "b"], prehash=prehash).collect()
+        )
+        assert got == [1, 3, 4, 6], (prehash, got)
+
+
+def test_simhash_radius_guard(spark):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.dedup import simhash_near_pairs
+
+    sigs = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=4)

@@ -355,3 +355,51 @@ def test_hll_params_derivation(spark):
     assert reg.count() <= 256
     est = SK.hll_estimate(reg, m=256).collect()[0].est
     assert 1000 * 0.75 < est < 1000 * 1.3  # sigma ~= 6.5% at m=256
+
+
+def test_stratified_quota_float_exactness(spark):
+    """15 rows at fraction 0.2 must keep exactly ceil(3.0)=3, not 4 —
+    binary-float 15*0.2 overshoots to 3.0000000000000004 and a naive
+    ceil inflates the documented EXACT quota."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(15)], "grp string, id long"
+    )
+    kept = stratified_sample(df, ["grp"], "id", 0.2)
+    assert kept.count() == 3
+
+
+def test_weighted_topk_underfull_excludes_nonpositive(spark):
+    """With fewer than k positive-weight rows the sample holds only
+    those rows — zero/negative weights are excluded, never padding."""
+    from goflow2clickhouse_spark.operators.sampling import weighted_topk
+
+    rows = [(1, 5.0), (2, 3.0), (3, 0.0), (4, -1.0), (5, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r.id for r in weighted_topk(df, "w", "id", k=5).collect())
+    assert got == [1, 2]
+
+
+def test_split_boundary_rounding(spark):
+    """A 0.7/0.3 split must cut at bucket 7000, not 6999 (int()
+    truncation of 6999.999... biased the boundary one bucket low)."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sampling import (
+        sample_bucket,
+        split_by_hash,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "id long")
+    out = split_by_hash(df, "id", {"train": 0.7, "test": 0.3}).withColumn(
+        "bucket", sample_bucket("id")
+    )
+    # every bucket < 7000 is train; >= 7000 is test — exact boundary
+    bad = out.filter(
+        ((F.col("bucket") < 7000) & (F.col("split") != "train"))
+        | ((F.col("bucket") >= 7000) & (F.col("split") != "test"))
+    ).count()
+    assert bad == 0

@@ -113,7 +113,47 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
 ]
 
 # quantile(p)(x) / quantileExact(p)(x) — curried ClickHouse spelling
-_QUANTILE = re.compile(r"quantile(Exact)?\(([^)]*)\)\(([^)]*)\)")
+# quantile(p)(x) spellings are found by a paren-balancing scanner, not
+# a regex — [^)]* on the value argument corrupted any nested call
+# (quantile(0.95)(toUInt64(x)) silently dropped the 0.95)
+_QUANTILE_HEAD = re.compile(r"\bquantile(Exact)?\s*\(")
+
+
+def _balance(sql: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at start-1."""
+    depth, j = 1, start
+    while depth and j < len(sql):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return j
+
+
+def _rewrite_quantiles(sql: str) -> str:
+    out, i = [], 0
+    while True:
+        m = _QUANTILE_HEAD.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        j = _balance(sql, m.end())
+        level = sql[m.end():j - 1]
+        k = j
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            # not the curried form — leave untouched
+            out.append(sql[i:j])
+            i = j
+            continue
+        k2 = _balance(sql, k + 1)
+        value = sql[k + 1:k2 - 1]
+        fn = "percentile" if m.group(1) else "percentile_approx"
+        out.append(sql[i:m.start()])
+        out.append(f"{fn}({value}, {level})")
+        i = k2
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -161,14 +201,7 @@ def _rewrite_calls(sql: str, name: str, template: str) -> str:
 
 def translate(sql: str) -> str:
     """ClickHouse SQL → Spark SQL for the supported function surface."""
-    sql = _QUANTILE.sub(
-        lambda m: (
-            f"percentile({m.group(3)}, {m.group(2)})"
-            if m.group(1)
-            else f"percentile_approx({m.group(3)}, {m.group(2)})"
-        ),
-        sql,
-    )
+    sql = _rewrite_quantiles(sql)
     for name, template in _TEXT_RULES:
         sql = _rewrite_calls(sql, name, template)
     return sql

@@ -312,8 +312,12 @@ def ip6_stride_sites(
                 "use the ip6_in_cidr range join for it"
             )
         base = (int(net.network_address) >> 64) >> (64 - key_bits)
+        # signed64: at key_bits=64 the unsigned hi half can exceed
+        # 2^63-1 (overflows LongType) and must agree with the probe
+        # side, whose shiftrightunsigned(hi, 0) returns the SIGNED hi;
+        # for key_bits < 64 the fold is the identity
         rows.extend(
-            (site, base + i) for i in range(1 << (key_bits - p))
+            (site, signed64(base + i)) for i in range(1 << (key_bits - p))
         )
     return spark.createDataFrame(rows, "site string, ip6key long")
 

@@ -313,7 +313,9 @@ def hll_registers(
     _, w = _hll_params(m)
     h = hash31(F.col(key_col).cast("string"))
     return (
-        keys.select(
+        # null keys are ignored — COUNT(DISTINCT) semantics; a null
+        # would otherwise occupy a phantom register row
+        keys.filter(F.col(key_col).isNotNull()).select(
             (h % m).alias("bucket"),
             hll_rho(F.floor(h / m).cast("long"), w).alias("rho"),
         )

@@ -46,6 +46,10 @@ _UDP_SCHEMES = {"sflow", "netflow", "nfl"}
 # conversion to packed bytes happens column-side below.
 _JSON_ADDR_FIELDS = frozenset({"SamplerAddress", "SrcAddr", "DstAddr"})
 
+# monotone suffix for observation names — two CollectMetrics nodes with
+# one name in a single plan (multi-source fan-in) is an AnalysisException
+_OBS_SEQ = 0
+
 _JSON_FLOW_SCHEMA = StructType(
     [
         StructField(
@@ -82,9 +86,12 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         indistinguishable from `{}`, which the UDP decoder KEEPS;
         the object-prefix test is exactly its isinstance(msg, dict)).
     The drop count is published as a named observation
-    ("goflow2_json_decode": rows_in / rows_dropped), which
-    FlowMetricsListener folds into flows_decode_dropped_total — the
-    counted half of log-and-drop.
+    ("goflow2_json_decode_<n>": rows_in / rows_dropped; the suffix is
+    a per-process counter because Spark rejects a plan with two
+    CollectMetrics nodes of the SAME name — a fan-in of two JSON
+    sources, e.g. listen="jsonl://a,kafka://b/flows", is exactly such
+    a plan), which FlowMetricsListener folds by prefix into
+    flows_decode_dropped_total — the counted half of log-and-drop.
     from_json CANNOT parse the binary address fields directly —
     BinaryType means base64 to Spark, and goflow2 emits
     dotted-quad/RFC 5952 strings — hence the two-step schema."""
@@ -103,8 +110,10 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         & F.col("m._corrupt").isNull()
         & F.col("_raw").startswith("{")
     )
+    global _OBS_SEQ
+    _OBS_SEQ += 1
     observed = base.observe(
-        "goflow2_json_decode",
+        f"goflow2_json_decode_{_OBS_SEQ}",
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(F.when(keep, 0).otherwise(1)).alias("rows_dropped"),
     )

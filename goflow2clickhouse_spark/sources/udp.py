@@ -39,6 +39,7 @@ import ipaddress
 import json
 import socket
 import struct
+import threading
 import time
 from collections.abc import Iterator
 
@@ -61,6 +62,27 @@ _V5_HEADER = struct.Struct(">HHIIIIBBH")  # 24 bytes
 _V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")  # 48 bytes
 
 _U32 = struct.Struct(">I")
+
+# Process-wide drop counters for the native listener (the counted half
+# of log-and-drop). NOTE the scope honestly: when the udp:// source
+# runs as a Spark streaming query, the reader executes in the Python
+# data-source WORKER process, so these counters are visible there, not
+# in the session process — IngestMetrics folds them on a best-effort
+# basis (complete for in-process/direct-reader embeddings and tests;
+# the JSON transport's observation-based counter is the
+# session-visible path).
+_DROP_LOCK = threading.Lock()
+_DROP_COUNTS: dict[str, int] = {}
+
+
+def record_drop(kind: str, n: int = 1) -> None:
+    with _DROP_LOCK:
+        _DROP_COUNTS[kind] = _DROP_COUNTS.get(kind, 0) + n
+
+
+def drop_counts() -> dict[str, int]:
+    with _DROP_LOCK:
+        return dict(_DROP_COUNTS)
 
 
 def parse_datagram(payload: bytes) -> tuple | None:
@@ -279,8 +301,14 @@ def decode_sflow_v5(
                     hdr = payload[p + 16:min(p + 16 + hdr_size, rec_end)]
                     if hdr_proto == 1:  # ethernet
                         fields = _parse_sampled_header(hdr, frame_len)
+                        # SamplerAddress = the datagram's AGENT address
+                        # (goflow semantics: sFlow carries the agent IP
+                        # in its header; the UDP peer may be a relay or
+                        # a different interface of a multi-homed
+                        # exporter). NetFlow v5/v9/IPFIX have no agent
+                        # field and keep the peer address.
                         rows.append((
-                            _TYPE_SFLOW_5, now_s, seq, rate, 0, sampler,
+                            _TYPE_SFLOW_5, now_s, seq, rate, 0, agent,
                             now_s, now_s, frame_len, 1,
                             fields["SrcAddr"], fields["DstAddr"],
                             fields["Etype"], fields["Proto"],
@@ -346,6 +374,7 @@ class NetflowV9Decoder:
         if self._ttl is not None and now - at > self._ttl:
             del cache[key]
             self.expired_templates += 1
+            record_drop("expired_templates")
             return None
         return fields
 
@@ -381,6 +410,7 @@ class NetflowV9Decoder:
                     tmpl = self._live(self._templates, key, unix_secs)
                     if tmpl is None:
                         self.dropped_no_template += 1
+                        record_drop("no_template")
                         continue
                     rows.extend(self._parse_data(
                         payload, body, body_end, tmpl, sampler, source_id,
@@ -567,6 +597,7 @@ class IpfixDecoder:
                     tmpl = self._live(self._templates, key, export_secs)
                     if tmpl is None or any(ln == 0xFFFF for _, ln in tmpl):
                         self.dropped_no_template += 1
+                        record_drop("no_template")
                         continue
                     rows.extend(self._parse_data(
                         payload, body, body_end, tmpl, sampler, domain,
@@ -739,6 +770,7 @@ class UdpFlowStreamReader(SimpleDataSourceStreamReader):
                                       ipfix=self._ipfix)
             if decoded is None:
                 self._dropped += 1
+                record_drop("undecodable")
                 continue
             rows.extend(decoded)
         return iter(rows), {"count": start["count"] + len(rows)}

@@ -132,7 +132,12 @@ def running_distinct_estimate(
     streaming emission per key must equal the batch result exactly
     (registers are integers; the estimator is a pure function of
     them)."""
-    proj = df.select(*hll_bucket_rho(key_col, id_col))
+    # null ids are dropped, matching COUNT(DISTINCT) semantics (which
+    # ignores NULL) — and a NULL would reach the processor as a NaN
+    # bucket index and crash list indexing
+    proj = df.filter(F.col(id_col).isNotNull()).select(
+        *hll_bucket_rho(key_col, id_col)
+    )
     if streaming:
         try:
             from google.protobuf import descriptor  # noqa: F401

@@ -27,7 +27,7 @@ class IngestMetrics:
 
     def snapshot(self) -> dict[str, float]:
         with self._lock:
-            return {
+            snap = {
                 "flows_batches_total": float(self.batches),
                 "flows_rows_total": float(self.input_rows),
                 "flows_decode_dropped_total": float(self.decode_dropped),
@@ -35,6 +35,19 @@ class IngestMetrics:
                 "flows_processed_rows_per_sec": self.last_processed_rows_per_sec,
                 "flows_batch_duration_ms": self.last_batch_duration_ms,
             }
+        # native-listener drop counters (best-effort: complete when the
+        # UDP reader runs in this process — direct embedding, tests; a
+        # Spark streaming query runs the reader in the data-source
+        # worker process, whose counters are not reachable here — see
+        # sources/udp.py registry note)
+        try:
+            from ..sources.udp import drop_counts
+
+            for kind, n in drop_counts().items():
+                snap[f"flows_udp_{kind}_total"] = float(n)
+        except Exception:
+            pass
+        return snap
 
 
 class FlowMetricsListener(StreamingQueryListener):
@@ -64,11 +77,13 @@ class FlowMetricsListener(StreamingQueryListener):
             # — the counted half of the decoder's log-and-drop contract)
             try:
                 om = p.observedMetrics or {}
-                row = om.get("goflow2_json_decode")
-                if row is not None:
-                    self.metrics.decode_dropped += int(
-                        row["rows_dropped"] or 0
-                    )
+                for name, row in om.items():
+                    # one observation per JSON-transport source in the
+                    # fan-in, disambiguated by a numeric suffix
+                    if str(name).startswith("goflow2_json_decode"):
+                        self.metrics.decode_dropped += int(
+                            row["rows_dropped"] or 0
+                        )
             except Exception:
                 pass  # observation shape is advisory, never fatal
 

@@ -68,8 +68,13 @@ def band_keys(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Stateless doc → (id, band_no, band_key) rows; the same
     signature arithmetic as the batch pipeline, usable on batch or
-    streaming DataFrames (no shuffle, no state)."""
-    sh = shingle_arrays(docs, text_col, id_col)
+    streaming DataFrames (no shuffle, no state). Null-id rows are
+    dropped up front: a NULL id would reach the stateful pair emitter
+    as a NaN float and crash int() — and a pair involving no identity
+    is meaningless anyway."""
+    sh = shingle_arrays(
+        docs.filter(F.col(id_col).isNotNull()), text_col, id_col
+    )
     hs = sh.select(
         F.col(id_col), F.transform("shs", lambda s: hash31(s)).alias("_hs")
     )
@@ -102,17 +107,22 @@ def _pair_emitter(
 ) -> Iterator[pd.DataFrame]:
     band_no = int(key[0])
     seen: list[int] = list(state.get[0]) if state.exists else []
+    # set for O(1) membership — a hot bucket accumulates thousands of
+    # ids, and list scans made each arrival O(bucket) even when
+    # nothing was emitted
+    member = set(seen)
     out_a, out_b = [], []
     new_ids: list[int] = []
     for pdf in pdfs:
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
-            if doc_id in seen or doc_id in new_ids:
+            if doc_id in member:
                 continue  # exact re-send: no self-pair
-            for old in seen + new_ids:
+            for old in member:
                 lo, hi = (old, doc_id) if old < doc_id else (doc_id, old)
                 out_a.append(lo)
                 out_b.append(hi)
+            member.add(doc_id)
             new_ids.append(doc_id)
     if new_ids:
         state.update((seen + new_ids,))

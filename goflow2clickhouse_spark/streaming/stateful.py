@@ -73,20 +73,32 @@ def _output_schema(key_cols: list[str], key_types: list[Any]) -> StructType:
 
 
 def _session_frames(
-    key: tuple, key_cols: list[str], sessions: list[tuple[int, int, int, int]]
+    key: tuple,
+    key_cols: list[str],
+    sessions: list[tuple[int, int, int, int]],
+    tz: str,
 ) -> pd.DataFrame:
     recs = []
     for start_ms, end_ms, n, b in sessions:
         rec = dict(zip(key_cols, key))
-        rec["session_start"] = pd.Timestamp(start_ms, unit="ms")
-        rec["session_end"] = pd.Timestamp(end_ms, unit="ms")
+        # instants are TRUE epoch ms; the output TimestampType column
+        # is interpreted naive-in-session-tz, so render each instant
+        # in the session zone (identity under UTC)
+        rec["session_start"] = (
+            pd.Timestamp(start_ms, unit="ms", tz="UTC")
+            .tz_convert(tz).tz_localize(None)
+        )
+        rec["session_end"] = (
+            pd.Timestamp(end_ms, unit="ms", tz="UTC")
+            .tz_convert(tz).tz_localize(None)
+        )
         rec["n_flows"] = n
         rec["total_bytes"] = b
         recs.append(rec)
     return pd.DataFrame(recs)
 
 
-def _make_tracker(key_cols: list[str], gap_s: int):
+def _make_tracker(key_cols: list[str], gap_s: int, tz: str):
     gap_ms = gap_s * 1000
 
     def track(
@@ -95,12 +107,19 @@ def _make_tracker(key_cols: list[str], gap_s: int):
         if state.hasTimedOut:
             start_ms, end_ms, n, b = state.get
             state.remove()
-            yield _session_frames(key, key_cols, [(start_ms, end_ms, n, b)])
+            yield _session_frames(
+                key, key_cols, [(start_ms, end_ms, n, b)], tz
+            )
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
-        # pre-aggregate per event-time instant: tie-safe sessionization
-        ts_ms = rows["ts"].astype("int64") // 1_000_000
+        # pre-aggregate per event-time instant: tie-safe sessionization.
+        # ts_ms is TRUE epoch millis computed JVM-side (unix_millis) —
+        # the pandas `ts` column arrives session-tz-naive, so deriving
+        # millis from it under a non-UTC session would shift the clock
+        # against getCurrentWatermarkMs()/setTimeoutTimestamp (both
+        # true epoch) and close sessions hours early/late
+        ts_ms = rows["ts_ms"]
         per_t = (
             pd.DataFrame({"t": ts_ms, "bytes": rows["bytes"]})
             .groupby("t", sort=True)
@@ -155,7 +174,7 @@ def _make_tracker(key_cols: list[str], gap_s: int):
             state.update(tuple(cur))
             state.setTimeoutTimestamp(cur[1] + gap_ms)
         if sessions:
-            yield _session_frames(key, key_cols, sessions)
+            yield _session_frames(key, key_cols, sessions, tz)
 
     return track
 
@@ -175,11 +194,15 @@ def conversation_tracker(
     key_cols = key_cols or _KEY_COLS
     df = with_event_time(flows, time_col).withWatermark("ts", watermark)
     key_types = [df.schema[c].dataType for c in key_cols]
+    tz = flows.sparkSession.conf.get("spark.sql.session.timeZone")
     return (
-        df.select(*key_cols, "ts", "bytes")
+        df.select(
+            *key_cols, "ts",
+            F.unix_millis("ts").alias("ts_ms"), "bytes",
+        )
         .groupBy(*key_cols)
         .applyInPandasWithState(
-            _make_tracker(key_cols, gap_s),
+            _make_tracker(key_cols, gap_s, tz),
             _output_schema(key_cols, key_types),
             _STATE_SCHEMA,
             "append",

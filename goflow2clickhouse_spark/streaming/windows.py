@@ -125,6 +125,7 @@ def enriched_site_traffic(
     width: str = "5 minutes",
     watermark: str = "10 minutes",
     streaming: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment: tag each flow with the site owning its
     source prefix (broadcast range join against the static dimension),
@@ -136,8 +137,38 @@ def enriched_site_traffic(
     stays broadcast (prefix tables are ≤ O(1M) rows at any deployment
     size), and the stream side never shuffles before the window
     aggregate. Stream-static joins need no watermark themselves; the
-    watermark here bounds the downstream window state."""
+    watermark here bounds the downstream window state.
+
+    Site ranges MUST be disjoint — a flow matching two ranges would be
+    emitted twice by the join and counted in BOTH sites' aggregates
+    (unlike the longest-prefix-match of a ClickHouse dictionary, which
+    a streaming plan cannot replicate: picking the best match needs a
+    per-row window, illegal before a streaming aggregate). `validate`
+    (default) enforces it with one tiny job over the broadcast-sized
+    dim, catching nested prefixes AND duplicated rows; deployments
+    with genuinely nested prefixes should split them into disjoint
+    ranges (or use the stride-key dictionary form) first."""
     from ..functions.ip import ipv4_string_to_num
+
+    if validate:
+        tagged = sites.withColumn("_i", F.monotonically_increasing_id())
+        a, b = tagged.alias("a"), tagged.alias("b")
+        clash = (
+            a.join(
+                b,
+                (F.col("a._i") < F.col("b._i"))
+                & (F.col("a.net_lo") <= F.col("b.net_hi"))
+                & (F.col("b.net_lo") <= F.col("a.net_hi")),
+            )
+            .select(F.col("a.site"), F.col("b.site"))
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"site ranges overlap ({clash[0][0]!r} vs {clash[0][1]!r})"
+                " — overlapping/nested prefixes would double-count flows"
+            )
 
     df = with_event_time(flows)
     if streaming:

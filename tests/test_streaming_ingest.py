@@ -297,3 +297,42 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
 def test_unknown_scheme_still_fatal():
     with pytest.raises(ValueError, match="unknown source scheme"):
         parse_listen("carrier-pigeon://:99")
+
+
+def test_multi_json_source_fan_in(spark, tmp_path):
+    """Two JSON-transport sources in one listen string must fan in —
+    the observation name is suffixed per source because two
+    CollectMetrics nodes with one name is an AnalysisException
+    (DUPLICATED_METRICS_NAME), which previously broke every
+    multi-listener config using more than one JSON source."""
+    import json
+
+    msg = {"Type": 1, "TimeReceived": 1700000000, "SequenceNum": 0,
+           "SamplingRate": 1000, "FlowDirection": 0,
+           "SamplerAddress": "10.0.0.1", "TimeFlowStart": 1700000000,
+           "TimeFlowEnd": 1700000060, "Bytes": 500, "Packets": 4,
+           "SrcAddr": "192.168.1.1", "DstAddr": "10.2.3.4",
+           "Etype": 2048, "Proto": 6, "SrcPort": 1000, "DstPort": 443,
+           "ForwardingStatus": 64, "TCPFlags": 16, "IcmpType": 0,
+           "IcmpCode": 0, "FragmentId": 0, "FragmentOffset": 0}
+    dirs = []
+    for i in range(2):
+        d = tmp_path / f"j{i}"
+        d.mkdir()
+        lines = [json.dumps({**msg, "SequenceNum": i * 10 + j})
+                 for j in range(3)]
+        (d / "f.jsonl").write_text("\n".join(lines) + "\n")
+        dirs.append(d)
+
+    out = tmp_path / "out-multi"
+    cfg = IngestConfig(
+        listen=f"jsonl://{dirs[0]},jsonl://{dirs[1]}",
+        checkpoint=str(tmp_path / "ck-multi"),
+    )
+    q = IngestPipeline(spark, cfg, parquet_sink(str(out))).start(
+        available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 6
+    assert sorted(r.sequence_num for r in got.collect()) == [0, 1, 2, 10, 11, 12]

@@ -181,7 +181,8 @@ def test_reader_drain_and_offsets(reader):
 
 def test_reader_mixed_binary_and_json(reader):
     """One drain handles interleaved v5 binary and JSON datagrams; the
-    binary rows carry the sender's address as SamplerAddress."""
+    v5 rows carry the sender's address as SamplerAddress; sFlow rows
+    carry the in-datagram agent address."""
     r, port = reader
     sflow = _sflow_datagram(
         [(1, _flow_sample([(1, _raw_header_record(_eth_frame()))]))])
@@ -197,7 +198,8 @@ def test_reader_mixed_binary_and_json(reader):
     assert v5_rows[0]["SamplerAddress"] == bytes([127, 0, 0, 1])
     sflow_rows = [dict(zip(names, t)) for t in rows if t[0] == 1]
     assert len(sflow_rows) == 1
-    assert sflow_rows[0]["SamplerAddress"] == bytes([127, 0, 0, 1])
+    # sFlow rows carry the datagram's agent address, not the UDP peer
+    assert sflow_rows[0]["SamplerAddress"] == bytes([192, 0, 2, 1])
     assert r._dropped == 1  # the [1,2] datagram
 
 
@@ -273,7 +275,10 @@ def test_decode_sflow_v5_flow_sample():
     assert named["TimeFlowStart"] == named["TimeFlowEnd"] == 1_700_000_000
     assert named["SequenceNum"] == 77
     assert named["SamplingRate"] == 512
-    assert named["SamplerAddress"] == bytes([10, 0, 0, 9])
+    # the sFlow AGENT address (192.0.2.1 in _sflow_datagram), not the
+    # UDP peer (10.0.0.9) — goflow parity for relayed/multi-homed
+    # exporters
+    assert named["SamplerAddress"] == bytes([192, 0, 2, 1])
     assert named["Bytes"] == 900 and named["Packets"] == 1
     assert named["SrcAddr"] == bytes([1, 2, 3, 4])
     assert named["DstAddr"] == bytes([5, 6, 7, 8])

@@ -45,6 +45,21 @@ def _asof_join(
         )
     tb = tie_break or value_cols[0]
 
+    # NULL semantics (ClickHouse/DuckDB ASOF LEFT JOIN, and the
+    # equi-join reference implementation): NULL never matches — a
+    # null-key or null-ts REFERENCE can never qualify (filtered out;
+    # Window.partitionBy would otherwise group null keys together and
+    # the ts sort would slot a null-ts ref at one end of the
+    # timeline, both producing phantom matches), and a null-key or
+    # null-ts PROBE keeps its row with NULL value columns (routed
+    # around the window entirely).
+    probe_ok = F.col(probe_ts).isNotNull() & F.col(key).isNotNull()
+    null_probes = probes.filter(~probe_ok)
+    probes = probes.filter(probe_ok)
+    refs = refs.filter(
+        F.col(ref_ts).isNotNull() & F.col(key).isNotNull()
+    )
+
     # the carried payload is ONE struct so a match is atomic — carrying
     # value columns independently could stitch together different
     # reference rows when some values are null
@@ -80,10 +95,18 @@ def _asof_join(
         *probe_cols,
         F.last("_v", ignorenulls=True).over(w).alias("_m"),
     )
-    return (
+    matched = (
         carried.filter(F.col("_is_probe") == 1)
         .select(*probe_cols, *[F.col(f"_m.{c}").alias(c) for c in value_cols])
     )
+    unmatched = null_probes.select(
+        *probe_cols,
+        *[
+            F.lit(None).cast(refs.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    return matched.unionByName(unmatched)
 
 
 def asof_join_backward(

@@ -8,8 +8,9 @@ same way (same key, same n) reads bucket i against bucket i with NO
 exchange — at 100 TB this converts every repeated fact join from a
 full-network shuffle into a local merge.
 
-Rules the helper enforces (Spark silently falls back to shuffling
-otherwise):
+Rules the CALLER must uphold (Spark silently falls back to shuffling
+when they don't hold — use `assert_cobucketed` to check a pair before
+relying on the exchange-free plan):
 - both sides bucketed on the join key with the same bucket count;
 - `sortBy` the key too, so the join is a zero-sort SortMergeJoin;
 - `spark.sql.sources.bucketing.enabled` (default true) and bucketed
@@ -40,3 +41,32 @@ def write_bucketed(
 
 def bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def assert_cobucketed(
+    spark: SparkSession, table_a: str, table_b: str, key: str
+) -> None:
+    """Raise unless both tables are bucketed on `key` with the same
+    bucket count — the preconditions for an exchange-free join. Spark
+    itself silently shuffles when they don't hold; this makes the
+    failure loud at plan time instead of a performance mystery at
+    run time."""
+    def spec(table: str) -> tuple[list[str], int]:
+        cat = spark.catalog
+        cols = [c.name for c in cat.listColumns(table) if c.isBucket]
+        n = -1
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row.col_name == "Num Buckets":
+                n = int(row.data_type)
+        return cols, n
+
+    for t in (table_a, table_b):
+        cols, n = spec(t)
+        if key not in cols:
+            raise ValueError(f"{t} is not bucketed on {key!r} (buckets: {cols})")
+    (_, na), (_, nb) = spec(table_a), spec(table_b)
+    if na != nb or na <= 0:
+        raise ValueError(
+            f"bucket counts differ: {table_a}={na}, {table_b}={nb} — "
+            "the join will silently shuffle"
+        )

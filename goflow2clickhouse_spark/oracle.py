@@ -37,7 +37,9 @@ def _canon_value(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        if abs(v) < 1e15 and v == int(v):
             return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, _dt.datetime):
@@ -104,9 +106,16 @@ def compare(
 
     sample: list[str] = []
     if h_s != h_o:
-        s_set, o_set = set(s_canon), set(o_canon)
-        sample = [f"spark-only: {r}" for r in sorted(s_set - o_set)[:3]] + [
-            f"oracle-only: {r}" for r in sorted(o_set - s_set)[:3]
+        # multiset difference, not set difference: a mismatch caused
+        # only by duplicate-row multiplicity must still produce a
+        # non-empty sample
+        from collections import Counter
+
+        s_ctr, o_ctr = Counter(s_canon), Counter(o_canon)
+        sample = [
+            f"spark-only: {r}" for r in sorted((s_ctr - o_ctr).elements())[:3]
+        ] + [
+            f"oracle-only: {r}" for r in sorted((o_ctr - s_ctr).elements())[:3]
         ]
     return DiffResult(
         name=name,

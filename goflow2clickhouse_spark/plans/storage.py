@@ -104,6 +104,9 @@ def zorder_value(cols: list, bits: int = 16):
     column arithmetic — shifts, masks, adds; whole-stage codegen, no
     UDF). Inputs are masked to `bits` bits; callers scale/offset
     beforehand (ports and /16 prefixes already fit 16 bits).
+    Constraint: len(cols) * bits <= 63 — the interleaved key must fit
+    a signed long without the sign bit (enforced; the DuckDB replay
+    would otherwise widen to hugeint and diverge).
 
     Deterministic + engine-portable: the DuckDB oracle for
     `flows_zorder_tiles` replays the identical expression."""
@@ -114,6 +117,12 @@ def zorder_value(cols: list, bits: int = 16):
 
     mask = (1 << bits) - 1
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"z-order key needs {n * bits} bits but a signed long holds "
+            "63 — lower `bits` (e.g. bits=15 for 4 columns) so the "
+            "interleaved key fits without touching the sign bit"
+        )
     terms = []
     for j, c in enumerate(cols):
         c = (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(

@@ -164,11 +164,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     — exactly DuckDB's internal µs truncation, so oracles agree.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # scoped to THIS read: on Spark <=4.0 the legacy conf is needed
+        # to read TIMESTAMP(NANOS); restore the previous value after
+        # planning so the flag doesn't leak legacy nanos-as-long
+        # semantics into every later parquet read in the session (on
+        # >=4.1 the conf is ignored and this is a no-op dance)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType as _Long
 
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            _prev = spark.conf.get(_key)
+        except Exception:
+            _prev = None
+        spark.conf.set(_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            df.schema  # force schema resolution while the conf holds
+        finally:
+            if _prev is None:
+                try:
+                    spark.conf.unset(_key)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(_key, _prev)
         if isinstance(df.schema["ts"].dataType, _Long):
             # legacy conf honored (Spark ≤4.0): epoch-nanos long →
             # floor to µs

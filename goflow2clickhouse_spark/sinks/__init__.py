@@ -19,9 +19,11 @@ SinkFn = Callable[[DataFrame, int], None]
 
 def parquet_sink(path: str, partition_by: Sequence[str] = ()) -> SinkFn:
     """Append each micro-batch to a parquet dataset. Idempotence note:
-    with a checkpoint, replays of a failed batch can duplicate rows in
-    plain append mode — at scale use partition_by=('ingest_batch',) so
-    a replay overwrites its own partition (exactly-once)."""
+    with a checkpoint, replays of a failed batch CAN DUPLICATE rows —
+    append mode never overwrites, whatever the partitioning. When
+    replays must be no-ops use `idempotent_parquet_sink`, which writes
+    each batch to its own batch_id-keyed directory in overwrite mode
+    (exactly-once); `partition_by` here is purely a layout choice."""
 
     def sink(df: DataFrame, batch_id: int) -> None:
         w = df.write.mode("append")
@@ -59,13 +61,21 @@ def clickhouse_jdbc_sink(
     props.update(properties or {})
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        if df.isEmpty():  # empty-batch elision (main.go:156)
-            return
-        (
-            df.write.mode("append")
-            .option("batchsize", str(batchsize))
-            .jdbc(url, table, properties=props)
-        )
+        # persist before the emptiness probe: isEmpty() runs a job, and
+        # without the cache the upstream transform would execute twice
+        # (once for the probe, once for the write) on every non-empty
+        # batch
+        df.persist()
+        try:
+            if df.isEmpty():  # empty-batch elision (main.go:156)
+                return
+            (
+                df.write.mode("append")
+                .option("batchsize", str(batchsize))
+                .jdbc(url, table, properties=props)
+            )
+        finally:
+            df.unpersist()
 
     return sink
 

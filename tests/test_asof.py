@@ -144,3 +144,40 @@ def test_asof_forward_agrees_with_quadratic_reference(spark):
     # survives either); the operator correctly reports them as NULL
     assert linear == {pid: quadratic.get(pid) for pid in linear}
     assert any(v is None for v in linear.values())  # misses exercised
+
+
+def test_asof_null_keys_and_timestamps_never_match(spark):
+    """ASOF semantics (ClickHouse/DuckDB): NULL never matches — a
+    null-key or null-ts probe keeps its row with NULL values, and a
+    null-key or null-ts reference can never be carried into any
+    probe."""
+    from goflow2clickhouse_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, 1, 100), (2, None, 100), (3, 1, None)],
+        "pid long, k long, pts long",
+    )
+    refs = spark.createDataFrame(
+        [(1, 50, 7), (None, 40, 8), (1, None, 9)],
+        "k long, rts long, rid long",
+    )
+    back = {
+        r.pid: r.rid
+        for r in asof_join_backward(
+            probes, refs, "k", "pts", "rts", ["rid"]
+        ).collect()
+    }
+    # pid 1: only the valid (k=1, rts=50) ref qualifies — never the
+    # null-key ref 8 or the null-ts ref 9
+    assert back == {1: 7, 2: None, 3: None}
+
+    fwd = {
+        r.pid: r.rid
+        for r in asof_join_forward(
+            probes, refs, "k", "pts", "rts", ["rid"]
+        ).collect()
+    }
+    assert fwd == {1: None, 2: None, 3: None}  # no ref with rts >= 100

@@ -208,3 +208,15 @@ def test_zordered_write_prunes_both_dims(spark, tmp_path):
         assert frac(spath, "x", probe) <= 0.2
         # ...but the trailing column cannot prune at all
         assert frac(spath, "y", probe) >= 0.9
+
+
+def test_zorder_bit_budget_guard():
+    """The interleaved key must fit a signed long: 4 columns at the
+    default 16 bits would need bit 63 (the sign bit) — rejected."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import zorder_value
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_value(["a", "b", "c", "d"], bits=16)
+    zorder_value(["a", "b", "c", "d"], bits=15)  # 60 bits: fine

@@ -643,18 +643,20 @@ def cluster_pairs(
     pairs: DataFrame, iterations: int = 2,
     broadcast_max_edges: int = 1_000_000,
 ) -> DataFrame:
-    """k-step min-label propagation over near-dup pairs: every node
-    adopts the smallest label in its k-hop neighborhood. Returns
-    (id, cluster_id) for every doc appearing in some pair; the
-    cluster representative (the id to KEEP) is the cluster_id itself.
+    """EXACT connected components over near-dup pairs: every node ends
+    with the smallest label in its component. Returns (id, cluster_id)
+    for every doc appearing in some pair; the cluster representative
+    (the id to KEEP) is the cluster_id itself.
 
-    k iterations converge every component whose min-id node is within
-    k hops of all members (labels move one hop per round). Near-dup
-    components are dense (copies pair with each other, not in chains),
-    so k=2 converges for dedup workloads; a general connected-
-    components need would iterate to fixpoint (same loop body). Each
-    iteration is one join + one aggregation on the (tiny, pair-sized)
-    edge relation — never touches the corpus.
+    BOTH physical paths converge to the exact fixpoint: the single-task
+    union-find by construction, and the shuffle-join propagation by
+    iterating until the label sum stops decreasing (labels move one
+    hop per round; `iterations` is only the minimum round count, kept
+    for API stability). This is what lets one recursive-CTE oracle
+    verify the operator regardless of which path ran. Each propagation
+    round is one join + one aggregation on the (pair-sized) edge
+    relation — never touches the corpus — and near-dup components are
+    dense, so the loop exits after ~2-3 rounds in practice.
 
     Like every iterative graph operator (GraphX does the same), this
     one has a deliberate materialization point: the edge relation is
@@ -717,10 +719,24 @@ def cluster_pairs(
     if small:
         result = _cc_single_task(cached)
     else:
+        # shuffle-join label propagation TO FIXPOINT: min labels are
+        # monotone non-increasing, so sum(lbl) strictly decreases each
+        # round that changes anything — an unchanged sum is exact
+        # convergence, checked with one cheap aggregate per round (no
+        # label-compare join). `iterations` is the FLOOR (kept for API
+        # stability); the loop always continues to the fixpoint, so
+        # this path produces the same exact components as the
+        # single-task union-find and the recursive-CTE oracles — a
+        # fixed k rounds diverged on components whose min-id node sits
+        # more than k hops from a member (r4 plans review). Each round
+        # materializes via localCheckpoint to keep the iterative
+        # lineage flat; blocks release with the result handle.
         labels = cached.select(F.col("src").alias("id")).distinct().withColumn(
             "lbl", F.col("id")
         )
-        for _ in range(iterations):
+        prev_sum = None
+        rounds = 0
+        while True:
             neigh = (
                 cached.join(
                     labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}),
@@ -731,7 +747,16 @@ def cluster_pairs(
             )
             labels = labels.join(neigh, labels.id == neigh.src).select(
                 "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
-            )
+            ).localCheckpoint(eager=True)
+            rounds += 1
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if rounds >= iterations and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        ckpt_ids = [
+            i for k in sc._jsc.getPersistentRDDs().keySet()
+            if (i := int(str(k))) not in ids_before
+        ]
         result = labels.select("id", F.col("lbl").alias("cluster_id"))
     weakref.finalize(result, _release_rdds, sc, ckpt_ids)
     return result

@@ -331,17 +331,50 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     2^0 = 1 to the harmonic sum. All arithmetic on ≤ m rows; the sum
     of powers of two is EXACT in binary doubles, so both engines
     compute the identical estimate. Returns one row: (n_used, est)."""
-    alpha, _ = _hll_params(m)
     agg = registers.agg(
         F.count("*").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
     )
-    zeros = F.lit(m) - F.col("n_used")
-    # empty registers: rho=0 → 2^0 = 1 each
-    full_sum = F.col("inv_sum") + zeros
-    raw = F.lit(alpha * m * m) / full_sum
-    est = F.when(
+    # empty registers: rho=0 → 2^0 = 1 each (inside hll_estimate_expr)
+    est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"), m)
+    return agg.select("n_used", est.alias("est"))
+
+
+def hll_estimate_expr(n_used: Column, inv_sum: Column, m: int = HLL_M) -> Column:
+    """The HLL estimator as a reusable column expression over
+    per-group (n_used, inv_sum) aggregates — ONE implementation shared
+    by hll_estimate, the windowed query, and the streaming batch twin,
+    so the estimator can never drift between them."""
+    alpha, _ = _hll_params(m)
+    zeros = F.lit(m) - n_used
+    raw = F.lit(alpha * m * m) / (inv_sum + zeros)
+    return F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    return agg.select("n_used", est.alias("est"))
+
+
+def hll_rho_sql(m: int = HLL_M) -> str:
+    """SQL replay of hll_rho over a column named `v` — the identical
+    integer threshold-sum rank, generated from the same m-derived
+    parameters. Shared by every HLL oracle so the rank arithmetic has
+    one source of truth on the SQL side too."""
+    _, w = _hll_params(m)
+    bl = " + ".join(
+        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)" for k in range(w)
+    )
+    return f"{w + 1} - ({bl})"
+
+
+def hll_estimate_sql(n_used: str, inv_sum: str, m: int = HLL_M) -> str:
+    """SQL replay of hll_estimate_expr over the given aggregate
+    expressions — same alpha, same correction, one generator for every
+    HLL oracle."""
+    alpha, _ = _hll_params(m)
+    zeros = f"({m} - {n_used})"
+    raw = f"(({alpha} * {m} * {m}) / ({inv_sum} + {zeros}))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * m} AND {zeros} > 0 "
+        f"THEN {float(m)} * LN({float(m)} / {zeros}) "
+        f"ELSE {raw} END"
+    )

@@ -632,7 +632,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches from it) was prototyped and measured SLOWER (4.3 s vs
     3.5 s): materializing the words array costs more than the 0.24 s
     corpus re-scan it saves, so the three independent scans stand."""
-    from ..operators.text import LANG_MARKERS
 
     c = corpus(spark, sf_dir)
     w = F.split("text", " ")
@@ -1042,13 +1041,9 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _hll_oracle() -> str:
-    from ..operators.sketch import HLL_ALPHA, HLL_M, _HLL_W
+    from ..operators.sketch import HLL_M, hll_estimate_sql, hll_rho_sql
 
     h = _H31.format(x="CAST(o_custkey AS VARCHAR)")
-    bl = " + ".join(
-        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)"
-        for k in range(_HLL_W)
-    )
     return f"""
     WITH hv AS (
         SELECT h % {HLL_M} AS bucket,
@@ -1056,7 +1051,7 @@ def _hll_oracle() -> str:
         FROM (SELECT {h} AS h FROM orders) t
     ),
     reg AS (
-        SELECT bucket, MAX({_HLL_W + 1} - ({bl})) AS rho
+        SELECT bucket, MAX({hll_rho_sql()}) AS rho
         FROM hv GROUP BY bucket
     ),
     agg AS (
@@ -1065,14 +1060,7 @@ def _hll_oracle() -> str:
         FROM reg
     ),
     est AS (
-        SELECT n_used,
-               CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
-                         / (inv_sum + ({HLL_M} - n_used)) <= {2.5 * HLL_M}
-                     AND {HLL_M} - n_used > 0
-                    THEN {float(HLL_M)} * LN({float(HLL_M)} / ({HLL_M} - n_used))
-                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
-                         / (inv_sum + ({HLL_M} - n_used))
-               END AS est
+        SELECT n_used, {hll_estimate_sql("n_used", "inv_sum")} AS est
         FROM agg
     )
     SELECT CAST(n_used AS BIGINT) AS n_used,

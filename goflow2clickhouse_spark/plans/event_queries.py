@@ -181,7 +181,16 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, e.event_id AS last_event_id
     FROM orders o
-    ASOF LEFT JOIN events e
+    ASOF LEFT JOIN (
+        -- pre-dedupe equal-ts events to max event_id: DuckDB ASOF
+        -- picks an UNSPECIFIED tied row, the operator picks max
+        -- event_id (same guard the sibling asof oracles carry)
+        SELECT user_id, ts, event_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events
+        ) d WHERE rn = 1
+    ) e
       ON o.o_custkey % 150 = e.user_id
      AND e.ts <= o.o_orderdate + INTERVAL 30 YEAR
     """,
@@ -450,14 +459,10 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _windowed_hll_oracle() -> str:
-    from ..operators.sketch import HLL_ALPHA, HLL_M, _HLL_W
+    from ..operators.sketch import HLL_M, hll_estimate_sql, hll_rho_sql
     from .extension_queries import _H31
 
     h = _H31.format(x="CAST(user_id AS VARCHAR)")
-    bl = " + ".join(
-        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)"
-        for k in range(_HLL_W)
-    )
     return f"""
     WITH e AS (
         SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse, user_id
@@ -470,7 +475,7 @@ def _windowed_hll_oracle() -> str:
         FROM (SELECT tse, {h} AS h FROM e) t
     ),
     reg AS (
-        SELECT hour_epoch, bucket, MAX({_HLL_W + 1} - ({bl})) AS rho
+        SELECT hour_epoch, bucket, MAX({hll_rho_sql()}) AS rho
         FROM hv GROUP BY hour_epoch, bucket
     ),
     agg AS (
@@ -480,14 +485,7 @@ def _windowed_hll_oracle() -> str:
     ),
     est AS (
         SELECT hour_epoch, n_used,
-               CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
-                         / (inv_sum + ({HLL_M} - n_used)) <= {2.5 * HLL_M}
-                     AND {HLL_M} - n_used > 0
-                    THEN {float(HLL_M)} * LN({float(HLL_M)}
-                                             / ({HLL_M} - n_used))
-                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
-                         / (inv_sum + ({HLL_M} - n_used))
-               END AS est
+               {hll_estimate_sql("n_used", "inv_sum")} AS est
         FROM agg
     ),
     ex AS (
@@ -523,7 +521,7 @@ def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     tz-aware TIMESTAMP column — Spark rejects watermarks on
     TIMESTAMP_NTZ — so an NTZ ingest column is cast at the stream
     boundary; the parity test covers the tz-aware path.)"""
-    from ..operators.sketch import HLL_ALPHA, HLL_M, hll_rho
+    from ..operators.sketch import HLL_M, hll_estimate_expr, hll_rho
     from ..operators.dedup import hash31
 
     ev = load_table(spark, sf_dir, "events")
@@ -540,12 +538,7 @@ def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
     )
-    zeros = F.lit(HLL_M) - F.col("n_used")
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("inv_sum") + zeros)
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
-    ).otherwise(raw)
+    est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"))
     exact = hv.groupBy("hour_epoch").agg(
         F.countDistinct("user_id").alias("n_exact")
     )

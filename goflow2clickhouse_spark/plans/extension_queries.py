@@ -1692,7 +1692,6 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — the r4 sf0.1 soak caught a fixed 2-round
     replay diverging on a component whose min-id node sits more than
     4 hops from a member."""
-    from ..operators import dedup as D
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", S.signrp_bucket("embedding")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .flows_view import FLOWS_WITH, flows_df
+from .flows_view import FLOWS_WITH, flows_df, register_sf_view
 from .queries import query
 
 
@@ -278,7 +278,7 @@ def ch_dialect_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ClickHouse query inventories (SURVEY.md §2.B shim row)."""
     from ..functions.dialect import translate
 
-    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    view = register_sf_view(flows_df(spark, sf_dir), "flows", sf_dir)
     ch_sql = """
     SELECT src_addr,
            toUInt64(SUM(bytes * sampling_rate)) AS est_bytes,
@@ -290,7 +290,7 @@ def ch_dialect_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY est_bytes DESC, src_addr
     LIMIT 10
     """
-    return spark.sql(translate(ch_sql))
+    return spark.sql(translate(ch_sql.replace("FROM flows", f"FROM {view}")))
 
 
 @query(
@@ -433,13 +433,13 @@ def flows_protocol_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     single hash aggregate keyed on flow_direction with pivoted partial
     aggregates — one shuffle, identical shape to the CASE formulation,
     so the sugar costs nothing at scale."""
-    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
-    return spark.sql("""
+    view = register_sf_view(flows_df(spark, sf_dir), "flows", sf_dir)
+    return spark.sql(f"""
         SELECT flow_direction,
                coalesce(tcp_bytes, 0)  AS tcp_bytes,
                coalesce(udp_bytes, 0)  AS udp_bytes,
                coalesce(icmp_bytes, 0) AS icmp_bytes
-        FROM (SELECT flow_direction, proto, bytes FROM flows)
+        FROM (SELECT flow_direction, proto, bytes FROM {view})
         PIVOT (SUM(bytes) FOR proto IN (6 AS tcp_bytes, 17 AS udp_bytes,
                                         1 AS icmp_bytes))
         ORDER BY flow_direction
@@ -665,13 +665,13 @@ def flows_protocol_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL's native UNPIVOT clause; the oracle replays it as the UNION ALL
     it desugars to. Plan: one aggregate + an Expand node — no join, no
     extra shuffle."""
-    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
-    return spark.sql("""
+    view = register_sf_view(flows_df(spark, sf_dir), "flows", sf_dir)
+    return spark.sql(f"""
         WITH wide AS (
             SELECT flow_direction,
                    coalesce(sum(CASE WHEN proto = 6  THEN bytes END), 0) AS tcp,
                    coalesce(sum(CASE WHEN proto = 17 THEN bytes END), 0) AS udp
-            FROM flows GROUP BY flow_direction
+            FROM {view} GROUP BY flow_direction
         )
         SELECT flow_direction, protocol, proto_bytes
         FROM wide UNPIVOT (proto_bytes FOR protocol IN (tcp, udp))
@@ -701,7 +701,7 @@ def ch_dialect_sampler_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique tie-breaker so MAX_BY agrees."""
     from ..functions.dialect import translate
 
-    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    view = register_sf_view(flows_df(spark, sf_dir), "flows", sf_dir)
     ch_sql = """
     SELECT sampler_address,
            round(medianExact(bytes), 1)                 AS median_bytes,
@@ -712,7 +712,7 @@ def ch_dialect_sampler_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY sampler_address
     ORDER BY sampler_address
     """
-    return spark.sql(translate(ch_sql))
+    return spark.sql(translate(ch_sql.replace("FROM flows", f"FROM {view}")))
 
 
 @query(
@@ -736,7 +736,7 @@ def ch_dialect_port_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-port traffic profile run verbatim through translate()."""
     from ..functions.dialect import translate
 
-    flows_df(spark, sf_dir).createOrReplaceTempView("flows")
+    view = register_sf_view(flows_df(spark, sf_dir), "flows", sf_dir)
     ch_sql = """
     SELECT dst_port,
            toUInt64(toStartOfInterval(toDateTime(time_received),
@@ -750,7 +750,7 @@ def ch_dialect_port_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY dst_port, bucket
     LIMIT 50
     """
-    return spark.sql(translate(ch_sql))
+    return spark.sql(translate(ch_sql.replace("FROM flows", f"FROM {view}")))
 
 
 @query(

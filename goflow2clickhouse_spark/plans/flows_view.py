@@ -95,3 +95,17 @@ def flows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             FLOWS_CTE_SQL.replace("FROM lineitem", f"FROM {view}")
         )
     return cache[sf_dir]
+
+
+def register_sf_view(df: "DataFrame", base: str, sf_dir: str) -> str:
+    """Register `df` under a PER-SF_DIR temp view name and return the
+    name. spark.sql-based queries must reference this name instead of
+    a fixed one: a fixed name re-registered per call is only safe
+    under eager analysis — a lazy-analysis runtime (Spark Connect)
+    resolves views at execution, so a plan built for sf_dir A would
+    silently read sf_dir B's data after any later call re-registered
+    the shared name (the hazard the flows_df cache already engineers
+    around)."""
+    name = f"_{base}_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    df.createOrReplaceTempView(name)
+    return name

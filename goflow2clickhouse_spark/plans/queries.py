@@ -613,11 +613,18 @@ def promote(names: list[str]) -> None:
     The correctness driver verifies only a prefix of the registry (50
     entries per round), so registration order is coverage policy: each
     round promotes the names with the least driver-side evidence to the
-    front of the dict.  Unknown names are ignored (keeps the call safe
-    if a query is renamed).
+    front of the dict. Unknown names RAISE — a renamed query must be
+    renamed in the rotation too, else the driver window would silently
+    shrink and the staleness bookkeeping would rot with no signal.
     """
     global _REGISTRY
-    front = {n: _REGISTRY[n] for n in names if n in _REGISTRY}
+    unknown = [n for n in names if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"promote() given unregistered names {unknown} — update the "
+            "rotation list in plans/__init__.py"
+        )
+    front = {n: _REGISTRY[n] for n in names}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     _REGISTRY = {**front, **rest}
 

@@ -500,13 +500,17 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() markers (SURVEY.md §2.B
     aggregations row) — the general form behind rollup/cube, via
     Spark SQL. One expand + one aggregation."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql("""
+    from .flows_view import register_sf_view
+
+    view = register_sf_view(
+        _t(spark, sf_dir, "lineitem"), "lineitem", sf_dir
+    )
+    return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_extendedprice), 2) AS total,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
                    AS grp_id
-        FROM lineitem
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY grp_id, l_returnflag, l_linestatus
     """)

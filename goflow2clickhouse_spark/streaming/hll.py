@@ -46,7 +46,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from ..operators.dedup import hash31
-from ..operators.sketch import HLL_ALPHA, HLL_M, hll_rho
+from ..operators.sketch import HLL_ALPHA, HLL_M, hll_estimate_expr, hll_rho
 
 OUTPUT_SCHEMA = (
     "key string, n_seen bigint, n_used int, est double"
@@ -159,12 +159,7 @@ def running_distinct_estimate(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
     )
     n_seen = proj.groupBy("key").agg(F.count("*").alias("n_seen"))
-    zeros = F.lit(HLL_M) - F.col("n_used")
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("inv_sum") + zeros)
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
-    ).otherwise(raw)
+    est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"))
     return (
         agg.join(n_seen, "key")
         .select(

@@ -36,9 +36,9 @@ def test_cluster_pairs_shuffle_join_fallback(spark):
     must produce the same clusters as the single-task union-find —
     forced here with broadcast_max_edges=0 so the scale path gets CI
     coverage instead of only running on >1M-edge graphs. Includes a
-    4-hop chain, which needs iterations=4 for the min label to reach
-    the far end (one hop per round) — the convergence contract the
-    docstring states."""
+    4-hop chain with iterations=2 — the fixpoint loop must keep
+    propagating PAST the requested floor until labels stop changing
+    (a fixed 2 rounds would leave the chain's far end mislabeled)."""
     from goflow2clickhouse_spark.operators.dedup import cluster_pairs
 
     edges = [
@@ -48,13 +48,13 @@ def test_cluster_pairs_shuffle_join_fallback(spark):
     ]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
 
-    shuffled = cluster_pairs(pairs, iterations=4, broadcast_max_edges=0)
+    shuffled = cluster_pairs(pairs, iterations=2, broadcast_max_edges=0)
     got = {r.id: r.cluster_id for r in shuffled.collect()}
     expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
               10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert got == expect
 
-    single = cluster_pairs(pairs, iterations=4)  # default: small path
+    single = cluster_pairs(pairs, iterations=2)  # default: small path
     assert {r.id: r.cluster_id for r in single.collect()} == expect
 
 

@@ -2,7 +2,8 @@
 JSON extraction, sessionization — the batch twins of the streaming
 windowed aggregations (SURVEY.md §2.B time-bucketing/streaming rows).
 Batch/stream parity for these shapes is asserted in
-tests/test_streaming.py.
+tests/test_streaming_windows.py, test_stream_join.py,
+test_stream_dedup.py, and test_stateful.py.
 """
 
 from __future__ import annotations

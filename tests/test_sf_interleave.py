@@ -11,13 +11,24 @@ SF_B = "/root/testdata/sf0.01"
 
 
 def _fingerprint(df):
-    rows = sorted(map(tuple, df.collect()))
+    # null-safe sort: grouping-sets rows carry NULL cells
+    rows = sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
     return len(rows), hash(tuple(rows))
 
 
 def test_queries_track_sf_dir_across_interleaved_calls(spark):
     specs = registry()
-    for name in ("flows_top_talkers", "q1_pricing_summary", "events_minutely"):
+    for name in (
+        "flows_top_talkers", "q1_pricing_summary", "events_minutely",
+        # spark.sql-over-temp-view queries: per-sf_dir view names (r4)
+        # keep these correct even under lazy analysis — interleaving is
+        # exactly the pattern a shared view name breaks
+        "ch_dialect_top_talkers", "flows_protocol_pivot",
+        "grouping_sets_revenue",
+    ):
         q = specs[name].spark
         a1 = _fingerprint(q(spark, SF_A))
         b1 = _fingerprint(q(spark, SF_B))

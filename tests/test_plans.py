@@ -335,3 +335,19 @@ def test_token_budget_no_global_window(spark):
             f"unpartitioned window over a non-bucket relation: {args}\n{p}"
         )
     assert "HashAggregate" in p
+
+
+def test_filtered_ann_prefilters_before_scoring(spark):
+    """filtered_ann_topk must PRE-filter via a semi join (guaranteeing
+    k results from the eligible set) and still end in
+    TakeOrderedAndProject — and the documents scan must push the
+    metadata predicates down."""
+    p = plan_str(spark, SPECS["filtered_ann_topk"].spark(spark, SF))
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    pushed_all = [
+        seg.split("\n")[0] for seg in p.split("PushedFilters")[1:]
+    ]
+    assert any(
+        "n_chars" in seg or "lang" in seg for seg in pushed_all
+    ), pushed_all

@@ -28,7 +28,7 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # a prior green row does not cover changed code; (b) ALL 26 names whose
 # newest green row is still round 1 — after this window no query's most
 # recent driver proof is more than two rounds old; (c) the
-# alphabetically-first 7 of the 43 names last proven in round 2 (the
+# alphabetically-first 6 of the 43 names last proven in round 2 (the
 # remaining 36 r2-stale names are the priority pool for round 5's
 # window).
 promote([
@@ -46,6 +46,7 @@ promote([
     "events_windowed_hll",
     "leakage_free_split",
     "filtered_ann_topk",
+    "events_windowed_cms",
     # (a) changed this round
     "cms_heavy_hitters",
     "bloom_seen_filter",
@@ -78,14 +79,13 @@ promote([
     "part_brand_stats",
     "price_percentiles",
     "priority_revenue_union",
-    # (c) oldest round-2 names (first 7 alphabetically)
+    # (c) oldest round-2 names (first 6 alphabetically)
     "bigram_pmi_top",
     "ch_dialect_sampler_profile",
     "corpus_vocab_topk",
     "dataset_split_counts",
     "deterministic_sample_stats",
     "doc_fingerprint_dups",
-    "doc_length_deciles",
 ])
 
 __all__ = [

@@ -548,3 +548,137 @@ def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "hour_epoch")
         .orderBy("hour_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed CMS heavy hitters (r4) — the streamable frequency sketch
+# ---------------------------------------------------------------------------
+
+def _windowed_cms_oracle() -> str:
+    from ..operators.sketch import CMS_ROWS, CMS_WIDTH
+    from .extension_queries import _H31
+
+    h = _H31.format(x="CAST(user_id AS VARCHAR)")
+    build = "\n            UNION ALL\n".join(
+        f"            SELECT hour_epoch, {i} AS row,"
+        f" (({a} * h + {b}) % 2147483647) % {CMS_WIDTH} AS bucket"
+        f" FROM hv"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    probe = "\n            UNION ALL\n".join(
+        f"            SELECT c.hour_epoch, c.user_id, cells.c FROM ch c"
+        f" JOIN cells ON cells.hour_epoch = c.hour_epoch"
+        f" AND cells.row = {i}"
+        f" AND cells.bucket = (({a} * c.h + {b}) % 2147483647) % {CMS_WIDTH}"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse, user_id
+        FROM events
+    ),
+    hv AS (
+        SELECT tse - (tse % 3600) AS hour_epoch, user_id, {h} AS h
+        FROM e
+    ),
+    cells AS (
+        SELECT hour_epoch, row, bucket, COUNT(*) AS c FROM (
+{build}
+        ) rb GROUP BY hour_epoch, row, bucket
+    ),
+    ch AS (
+        SELECT DISTINCT hour_epoch, user_id, h FROM hv
+    ),
+    est AS (
+        SELECT hour_epoch, user_id, MIN(c) AS est FROM (
+{probe}
+        ) p GROUP BY hour_epoch, user_id
+    ),
+    ex AS (
+        SELECT hour_epoch, user_id, COUNT(*) AS exact
+        FROM hv GROUP BY hour_epoch, user_id
+    ),
+    ranked AS (
+        SELECT est.hour_epoch, est.user_id,
+               CAST(est.est AS BIGINT) AS est_events,
+               CAST(ex.exact AS BIGINT) AS exact_events,
+               ROW_NUMBER() OVER (PARTITION BY est.hour_epoch
+                                  ORDER BY est.est DESC, est.user_id) AS rn
+        FROM est JOIN ex ON est.hour_epoch = ex.hour_epoch
+                        AND est.user_id = ex.user_id
+    )
+    SELECT hour_epoch, user_id, est_events, exact_events
+    FROM ranked WHERE rn <= 3
+    ORDER BY hour_epoch, est_events DESC, user_id
+    """
+
+
+@query("events_windowed_cms", oracle=_windowed_cms_oracle())
+def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour heavy hitters via a WINDOWED count-min sketch — the
+    streamable form of per-window top-k frequency: the cell build is a
+    plain (window, row, bucket) -> COUNT aggregate, which Structured
+    Streaming runs under a watermark with depth x width state per
+    window (a per-window exact top-k would buffer every key). Top-3
+    users per hour by CMS estimate, exact counts alongside so the
+    differential test verifies est >= exact per (window, user) under
+    identical hashing — same contract as cms_heavy_hitters, lifted to
+    event-time windows. Completes the streamable-sketch pair with
+    events_windowed_hll (distinct) — this one is frequency.
+
+    At 100 TB the sketch is the only per-window corpus aggregate and
+    it is fixed-size; candidates here are the in-window users (batch
+    can enumerate them), in production the watchlist you track."""
+    from ..operators.dedup import hash31
+    from ..operators.sketch import CMS_ROWS, CMS_WIDTH, cms_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    tse = _epoch_seconds("ts")
+    h = hash31(F.col("user_id").cast("string"))
+    hv = ev.select(
+        (tse - tse % 3600).alias("hour_epoch"),
+        "user_id",
+        h.alias("h"),
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(F.col("h"), a, b, CMS_WIDTH).alias("bucket"),
+                )
+                for i, (a, b) in enumerate(CMS_ROWS)
+            ]
+        )
+    ).alias("rb")
+    cells = (
+        hv.select("hour_epoch", rb)
+        .select("hour_epoch", "rb.row", "rb.bucket")
+        .groupBy("hour_epoch", "row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cand = hv.select("hour_epoch", "user_id", "h").distinct()
+    probe = (
+        cand.select("hour_epoch", "user_id", rb)
+        .select("hour_epoch", "user_id", "rb.row", "rb.bucket")
+        .join(F.broadcast(cells), ["hour_epoch", "row", "bucket"])
+        .groupBy("hour_epoch", "user_id")
+        .agg(F.min("c").alias("est"))
+    )
+    exact = hv.groupBy("hour_epoch", "user_id").agg(
+        F.count("*").alias("exact")
+    )
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.desc("est"), "user_id"
+    )
+    return (
+        probe.join(exact, ["hour_epoch", "user_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "hour_epoch", "user_id",
+            F.col("est").alias("est_events"),
+            F.col("exact").alias("exact_events"),
+        )
+        .orderBy("hour_epoch", F.desc("est_events"), "user_id")
+    )

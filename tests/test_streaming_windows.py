@@ -381,3 +381,77 @@ def test_windowed_hll_registers_stream_batch_parity(spark, tmp_path):
         map(tuple, registers(spark.read.parquet(str(d))).collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_windowed_cms_cells_stream_batch_parity(spark, tmp_path):
+    """The windowed-CMS cell build (events_windowed_cms's core) is a
+    plain (window, row, bucket) -> COUNT — it must run as a streaming
+    aggregation with identical cells to the batch form across
+    micro-batch splits. Estimation is a pure function of the cells,
+    so cell parity IS estimator parity."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from goflow2clickhouse_spark.operators.dedup import hash31
+    from goflow2clickhouse_spark.operators.sketch import (
+        CMS_ROWS,
+        CMS_WIDTH,
+        cms_bucket,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path / "evcms"
+    for chunk in range(3):
+        rows = [
+            (base + datetime.timedelta(minutes=chunk * 60 + (i % 90)),
+             (chunk * 31 + i) % 40)
+            for i in range(60)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    def cells(df):
+        h = hash31(F.col("user_id").cast("string"))
+        rb = F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms_bucket(h, a, b, CMS_WIDTH).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CMS_ROWS)
+        ])).alias("rb")
+        return (
+            df.withWatermark("ts", "10 hours")
+            .select(F.window("ts", "1 hour").alias("w"), rb)
+            .groupBy("w", "rb.row", "rb.bucket")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("w.start").alias("hour"), "row", "bucket", "c")
+        )
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        cells(stream_in)
+        .writeStream.format("memory")
+        .queryName("cms_cells_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("cms_cells_stream").collect()))
+    batch = sorted(map(tuple, cells(spark.read.parquet(str(d))).collect()))
+    assert streamed == batch and len(batch) > 0

@@ -39,6 +39,8 @@ def _to_start_of_interval(args: list[str]) -> str:
 # Order matters: longer names first so e.g. uniqExact isn't eaten by uniq.
 _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("uniqExact", "count(DISTINCT {0})"),
+    ("uniqCombined", "approx_count_distinct({0})"),
+    ("uniqHLL12", "approx_count_distinct({0})"),
     ("uniq", "approx_count_distinct({0})"),
     ("toStartOfFiveMinutes", "timestamp_seconds((unix_timestamp({0}) div 300) * 300)"),
     ("toStartOfInterval", _to_start_of_interval),
@@ -116,7 +118,7 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
 # quantile(p)(x) spellings are found by a paren-balancing scanner, not
 # a regex — [^)]* on the value argument corrupted any nested call
 # (quantile(0.95)(toUInt64(x)) silently dropped the 0.95)
-_QUANTILE_HEAD = re.compile(r"\bquantile(Exact)?\s*\(")
+_QUANTILE_HEAD = re.compile(r"\bquantiles?(Exact)?\s*\(")
 
 
 def _balance(sql: str, start: int) -> int:
@@ -151,6 +153,10 @@ def _rewrite_quantiles(sql: str) -> str:
         k2 = _balance(sql, k + 1)
         value = sql[k + 1:k2 - 1]
         fn = "percentile" if m.group(1) else "percentile_approx"
+        # plural spelling quantiles(p1,p2,...)(x) → array of levels
+        # (both Spark percentile fns accept an array and return one)
+        if sql[m.start():m.end()].lstrip().startswith("quantiles"):
+            level = f"array({level})"
         out.append(sql[i:m.start()])
         out.append(f"{fn}({value}, {level})")
         i = k2

@@ -161,3 +161,38 @@ def test_translate_nested_calls_inside_out(x):
     """Nested ClickHouse calls translate at every level."""
     out = translate(f"uniqExact(toStartOfMinute(toDateTime({x})))")
     assert out == f"count(DISTINCT date_trunc('minute', to_timestamp({x})))"
+
+
+def test_quantiles_plural_and_nested_args():
+    """quantiles(p1,p2,...)(x) — the plural combinator — maps to an
+    array of levels; nested calls inside either group survive the
+    paren-balancing scanner (the old regex corrupted them)."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    assert "percentile_approx(bytes, array(0.5, 0.9))" in translate(
+        "SELECT quantiles(0.5, 0.9)(bytes) FROM flows")
+    assert "percentile(length(name), array(0.25, 0.75))" in translate(
+        "SELECT quantilesExact(0.25, 0.75)(length(name)) FROM t")
+    assert "percentile_approx(cast(x as bigint), 0.95)" in translate(
+        "SELECT quantile(0.95)(toUInt64(x)) FROM t")
+
+
+def test_uniq_family_variants():
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    got = translate(
+        "SELECT uniqCombined(u), uniqHLL12(v), uniq(w), uniqExact(z) FROM t")
+    assert got.count("approx_count_distinct") == 3
+    assert "count(DISTINCT z)" in got
+
+
+def test_plural_quantiles_executes(spark):
+    """The rewritten plural form must actually run on Spark SQL and
+    return one array of the requested levels."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    spark.range(100).createOrReplaceTempView("_dialect_q")
+    row = spark.sql(
+        translate("SELECT quantilesExact(0.0, 1.0)(id) AS qs FROM _dialect_q")
+    ).collect()[0]
+    assert list(row.qs) == [0.0, 99.0]

@@ -527,7 +527,7 @@ def flag_contaminated(
         .distinct()
     )
     hit_ids = (
-        c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")
+        c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")  # bcast bound: benchmark-sized by contract (fixed eval set)
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))
@@ -736,7 +736,11 @@ def cluster_pairs(
         )
         prev_sum = None
         rounds = 0
+        prev_round_ids: list[int] = []
         while True:
+            ids_pre = {
+                int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet()
+            }
             neigh = (
                 cached.join(
                     labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}),
@@ -749,6 +753,17 @@ def cluster_pairs(
                 "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
             ).localCheckpoint(eager=True)
             rounds += 1
+            # This round's checkpoint is materialized (eager) and its
+            # lineage is truncated at the checkpoint, so the PREVIOUS
+            # round's blocks are dead right now — release them eagerly
+            # instead of holding O(rounds) copies of the label relation
+            # in executor storage until the result handle is GC'd (a
+            # real leak on high-diameter graphs).
+            _release_rdds(sc, prev_round_ids)
+            prev_round_ids = [
+                i for k in sc._jsc.getPersistentRDDs().keySet()
+                if (i := int(str(k))) not in ids_pre
+            ]
             cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
             if rounds >= iterations and cur_sum == prev_sum:
                 break

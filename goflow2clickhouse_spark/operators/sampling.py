@@ -29,13 +29,22 @@ def sample_bucket(id_col: Column | str) -> Column:
     return hash31(F.concat(F.lit("sample:"), c.cast("string"))) % _BUCKETS
 
 
+def _threshold(fraction: float) -> int:
+    """Half-up bucket threshold. NOT Python round(): that's banker's
+    rounding, so a fraction landing exactly on a .5 boundary (0.00005
+    with 10000 buckets -> round(0.5) = 0) rounds to even — diverging
+    from the documented ~fraction intent and from any oracle replaying
+    half-up. int(x + 0.5) is half-up and engine/replay-agnostic; it
+    also still fixes the truncation bias round() was chosen for
+    (0.29 * 10000 -> 2899.999... + 0.5 -> 2900)."""
+    return int(fraction * _BUCKETS + 0.5)
+
+
 def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Keep ~fraction of rows, decided by identity hash: reproducible
     across engines, partitionings, and reruns; composable (a 1% sample
     is a subset of the 10% sample)."""
-    # round, not int(): truncation biases non-representable fractions
-    # one bucket low (0.29 * 10000 -> 2899.9999... -> int 2899)
-    return df.filter(sample_bucket(id_col) < round(fraction * _BUCKETS))
+    return df.filter(sample_bucket(id_col) < _threshold(fraction))
 
 
 def stratified_sample(
@@ -93,7 +102,7 @@ def split_by_hash(
     names = list(weights)
     for name in names[:-1]:
         edge += weights[name]
-        cond = bucket < round(edge * _BUCKETS)  # not int(): see above
+        cond = bucket < _threshold(edge)  # half-up: see _threshold
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)

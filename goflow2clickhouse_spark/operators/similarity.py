@@ -57,7 +57,7 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine against a 1-row query DataFrame (broadcast
     crossJoin → score → TakeOrdered). Ties broken by id."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))  # bcast bound: 1 query row
     scored = embeddings.crossJoin(q).select(
         F.col(id_col),
         F.round(cosine(as_double(vec_col), as_double("_qvec")), 6).alias("cos_sim"),
@@ -88,7 +88,7 @@ def signrp_lsh_topk(
     At scale, write embeddings partitioned by bucket so the scan prunes
     to one partition (partition pruning on the bucket column)."""
     bucketed = embeddings.withColumn("bucket", signrp_bucket(vec_col))
-    q = F.broadcast(
+    q = F.broadcast(  # bcast bound: 1 query row (vec + bucket)
         query.select(
             F.col(vec_col).alias("_qvec"), signrp_bucket(vec_col).alias("_qbucket")
         )
@@ -199,7 +199,7 @@ def ivf_assign(
         )
     )
     return (
-        embeddings.join(F.broadcast(centroids_row))
+        embeddings.join(F.broadcast(centroids_row))  # bcast bound: 1 row, n_cells structs
         .withColumn("cell", (-best["ncid"]).cast("long"))
         .drop("_cents")
     )
@@ -222,7 +222,7 @@ def ivf_topk(
     cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     assigned = ivf_assign(embeddings, cents_row, vec_col)
     qcells = (
-        query.join(F.broadcast(cents_row))
+        query.join(F.broadcast(cents_row))  # bcast bound: 1 row, n_cells structs
         .select(F.col(vec_col).alias("_qv"), F.explode("_cents").alias("c"))
         .select(
             "_qv",
@@ -234,7 +234,7 @@ def ivf_topk(
     )
     return (
         assigned.join(
-            F.broadcast(qcells), F.col("cell") == F.col("probe_cell")
+            F.broadcast(qcells), F.col("cell") == F.col("probe_cell")  # bcast bound: nprobe rows
         )
         .select(
             F.col(id_col),

@@ -103,7 +103,7 @@ def cms_estimate(
         F.explode(_row_buckets(F.col(token_col), width)).alias("rb"),
     ).select(token_col, "rb.row", "rb.bucket")
     return (
-        cand.join(F.broadcast(cells), ["row", "bucket"], "left")
+        cand.join(F.broadcast(cells), ["row", "bucket"], "left")  # bcast bound: fixed depth*width <= 2048 cells
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
@@ -178,7 +178,7 @@ def bloom_might_contain(
         F.explode(pos_arr).alias("pos"),
     )
     hits = (
-        cand.join(F.broadcast(bloom), "pos")
+        cand.join(F.broadcast(bloom), "pos")  # bcast bound: <= n_bits rows, fixed by constructor
         .groupBy(key_col, "_np")
         .agg(F.count("*").alias("_k_hits"))
     )

@@ -30,11 +30,19 @@ def with_salt(df: DataFrame, n_salt: int = 16) -> DataFrame:
     irrelevant by construction: the salt only routes rows between the
     two aggregation phases, and the combine phase is salt-agnostic
     (differentially proven by flows_top_talkers_salted /
-    salted_priority_revenue)."""
+    salted_priority_revenue).
+
+    The fold is XOR, not `+`: xxhash64 is uniform over the full signed
+    64-bit range, so an additive fold can overflow a long, and Spark
+    4.x defaults to ANSI mode where overflow throws
+    ARITHMETIC_OVERFLOW instead of wrapping — ~id/2^64 per row,
+    invisible at test scale but an expected job-killer at 100 TB. XOR
+    is closed over int64 (no overflow path) and mixes the id bits just
+    as well for salt routing."""
     return df.withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(*df.columns) + F.monotonically_increasing_id(),
+            F.xxhash64(*df.columns).bitwiseXOR(F.monotonically_increasing_id()),
             F.lit(n_salt),
         ),
     )

@@ -479,10 +479,16 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase mining over the corpus (the classic PMI = log2 p(xy) /
     (p(x)p(y)) with a min-support gate).
 
-    Bigram and unigram counts are two-phase aggregates; the unigram
-    relation is vocabulary-sized at any corpus scale, so both PMI joins
-    broadcast. Arithmetic order is parenthesized identically in the
-    oracle so both engines produce bit-equal doubles."""
+    Bigram and unigram counts are two-phase aggregates. The unigram
+    marginal joins carry NO broadcast hint: vocabulary grows with the
+    corpus (Heaps' law — unboundedly once 100 TB of junk tokens are in
+    play), so the hint would eventually force an over-sized broadcast;
+    unhinted, AQE broadcasts while the vocab is actually small and
+    falls back to an 8-byte-string-keyed shuffle join when it is not
+    (r5 broadcast-bound audit). The two corpus-total scalars stay
+    hinted — 1 row each by construction. Arithmetic order is
+    parenthesized identically in the oracle so both engines produce
+    bit-equal doubles."""
     c = corpus(spark, sf_dir)
     toks = c.select("doc_id", F.split("text", " ").alias("w"))
     uni = (
@@ -509,10 +515,10 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     uy = uni.select(F.col("word").alias("w2"), F.col("c").alias("cy"))
     return (
         bi.filter(F.col("c_xy") >= 5)
-        .crossJoin(F.broadcast(n_uni))
-        .crossJoin(F.broadcast(n_bi))
-        .join(F.broadcast(ux), "w1")
-        .join(F.broadcast(uy), "w2")
+        .crossJoin(F.broadcast(n_uni))  # bcast bound: 1-row scalar
+        .crossJoin(F.broadcast(n_bi))  # bcast bound: 1-row scalar
+        .join(ux, "w1")  # bcast bound: vocab grows with corpus — no hint
+        .join(uy, "w2")  # bcast bound: vocab grows with corpus — no hint
         .select(
             "w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
             F.round(
@@ -619,9 +625,15 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup window (partitioned by sha2(text) — a 64-byte key, so
     the exchange never carries the corpus) and MinHash's own bucket
     aggregates. The decontamination branch explodes shingles WITHOUT a
-    distinct (word_shingles distinct=False): the broadcast semi-join
-    against the benchmark set filters first, so no raw-8-gram-string
-    exchange exists in the plan.
+    distinct (word_shingles distinct=False) and joins on the 8-byte
+    xxhash64 of each shingle. The semi-join carries NO broadcast hint:
+    THIS query's stand-in benchmark is a corpus slice (doc_id % 50),
+    which grows with the corpus — AQE broadcasts it while actually
+    small and falls back to a shuffle keyed on the 8-byte hash once it
+    isn't; either way no raw-8-gram-string exchange exists in the
+    plan. A production benchmark is a fixed eval set, where
+    `decontaminate`'s hinted broadcast is the right call (r5
+    broadcast-bound audit).
 
     r4 profile note (BENCH_r03's 1.51x flag): standalone at sf0.1 this
     plan runs 3.3–3.5 s — BELOW its r2 bench number — with the MinHash
@@ -655,12 +667,21 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 50 == 0
     )
+    # 8-byte xxhash64 join key: b_sh8 grows with the corpus here (2%
+    # slice), so the join is unhinted — and hash-keying makes BOTH AQE
+    # outcomes safe (broadcast while small, hash-keyed shuffle once it
+    # isn't — never a raw-8-gram-string exchange). Cross-string hash
+    # collisions add a false "contaminated" flag with p ≈
+    # n_bench·n_corpus/2^64 — negligible against MinHash's own error.
     b_sh8 = (
-        D.word_shingles(bench, n=8).select("shingle").distinct()
+        D.word_shingles(bench, n=8)
+        .select(F.xxhash64("shingle").alias("shash"))
+        .distinct()
     )
     cont = (
         D.word_shingles(c, n=8, distinct=False)
-        .join(F.broadcast(b_sh8), "shingle", "left_semi")
+        .select("doc_id", F.xxhash64("shingle").alias("shash"))
+        .join(b_sh8, "shash", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_iscont", F.lit(True))
@@ -1093,7 +1114,7 @@ def hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(reg, HLL_M)
     exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
     return (
-        est.join(F.broadcast(exact))
+        est.join(F.broadcast(exact))  # bcast bound: 1-row scalar
         .select("n_used", F.round("est", 1).alias("est"), "n_exact")
     )
 
@@ -1183,8 +1204,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(df_rel), "token")
-        .join(F.broadcast(stats))
+        tf.join(F.broadcast(df_rel), "token")  # bcast bound: |query terms| rows
+        .join(F.broadcast(stats))  # bcast bound: 1-row scalar
         .groupBy("doc_id")
         .agg(F.sum(part).alias("raw"))
         .select("doc_id", F.round("raw", 4).alias("score"))
@@ -1264,7 +1285,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("quality"), "doc_id"
     ).rowsBetween(Window.unboundedPreceding, 0)
     kept = (
-        d.join(F.broadcast(offsets), "bucket")
+        d.join(F.broadcast(offsets), "bucket")  # bcast bound: <= 1001 quality-bucket rows, fixed
         .withColumn(
             "cum_tokens", F.col("offset") + F.sum("n_tokens").over(win)
         )

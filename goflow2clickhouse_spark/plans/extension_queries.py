@@ -540,7 +540,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def one(method: str, ann: DataFrame) -> DataFrame:
         hits = (
             ann.select("vec_id")
-            .join(F.broadcast(bf), "vec_id", "left_semi")
+            .join(F.broadcast(bf), "vec_id", "left_semi")  # bcast bound: k rows
             .agg(F.count("*").alias("hits"))
         )
         return hits.select(
@@ -1196,10 +1196,11 @@ def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source characteristic terms by TF-IDF — explode, two
-    aggregations, broadcast of the tiny document-frequency and corpus
-    count sides, per-group top-k via row_number. Scale: the only big
+    aggregations, per-group top-k via row_number. Scale: the only big
     shuffles key on term and (source, term); document frequency is one
-    row per distinct term (vocabulary-sized, broadcastable)."""
+    row per distinct term — vocabulary-sized, which grows with the
+    corpus, so its join is unhinted (AQE broadcasts while small); the
+    corpus-count scalar broadcasts unconditionally."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -1211,8 +1212,11 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count("*").alias("n_docs"))
     tf_src = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
     scored = (
-        tf_src.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(n_docs))
+        # bcast bound: df_t is vocabulary-sized, which grows with the
+        # corpus (Heaps' law) — no hint; AQE broadcasts while small,
+        # shuffle join on the term key once it isn't (r5 audit)
+        tf_src.join(df_t, "term")
+        .join(F.broadcast(n_docs))  # bcast bound: 1-row scalar
         .withColumn(
             "tfidf",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
@@ -1496,7 +1500,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", F.log2(F.col("c_bg") / F.col("c_w1")).alias("logp"))
     )
     return (
-        bg.join(F.broadcast(lp), "bigram")
+        # bcast bound: lp is bigram-vocabulary-sized — grows with the
+        # corpus faster than the unigram vocab — no hint, AQE decides
+        bg.join(lp, "bigram")
         .groupBy("doc_id")
         .agg(
             F.round(F.avg("logp"), 4).alias("lm_score"),
@@ -1718,12 +1724,16 @@ _WS_H31 = _H31.format(x="concat('wsample:', CAST(o_orderkey AS VARCHAR))")
     "weighted_sample_orders",
     oracle=f"""
     WITH keyed AS (
+        -- WHERE mirrors weighted_topk's weight > 0 filter: the operator
+        -- drops non-positive weights entirely, so keeping them with a
+        -- -infinity key would let them into the top-k whenever fewer
+        -- than k positive-weight rows exist (silent on TPC-H only
+        -- because totalprice is always positive).
         SELECT o_orderkey, o_totalprice,
-               CASE WHEN o_totalprice > 0
-                    THEN ROUND(LN(({_WS_H31} + 1) / 2147483647.0)
-                               / o_totalprice, 12)
-                    ELSE '-infinity'::DOUBLE END AS wkey
+               ROUND(LN(({_WS_H31} + 1) / 2147483647.0)
+                     / o_totalprice, 12) AS wkey
         FROM orders
+        WHERE o_totalprice > 0
     ),
     top AS (
         SELECT o_orderkey, o_totalprice
@@ -1797,14 +1807,14 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("n_docs").alias("n"), F.count("*").alias("k")
     )
-    w = per.join(F.broadcast(tot)).select(
+    w = per.join(F.broadcast(tot)).select(  # bcast bound: 1-row scalar
         "source", "n_docs",
         ((1.0 / F.col("k"))
          / (F.col("n_docs").cast("double") / F.col("n"))).alias("up"),
     )
     mx = w.agg(F.max("up").alias("mx"))
     return (
-        w.join(F.broadcast(mx))
+        w.join(F.broadcast(mx))  # bcast bound: 1-row scalar
         .select(
             "source", "n_docs",
             F.round(F.col("up") / F.col("mx"), 4).alias("keep_prob"),
@@ -1900,7 +1910,7 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.countDistinct("rep").alias("n_clusters"),
         )
-        .join(F.broadcast(leaky))
+        .join(F.broadcast(leaky))  # bcast bound: 1-row invariant aggregate
         .orderBy("split")
     )
     return D.pin(out, labels)

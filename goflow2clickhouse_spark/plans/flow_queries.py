@@ -633,7 +633,7 @@ def ipv6_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = ev.select("event_id", hi.alias("hi"))
     return (
         planted.withColumn("ip6key", ip6_stride_key("hi", 48))
-        .join(F.broadcast(sites), "ip6key", "left")
+        .join(F.broadcast(sites), "ip6key", "left")  # bcast bound: config dim
         .withColumn("site", F.coalesce(F.col("site"), F.lit("external")))
         .groupBy("site")
         .agg(
@@ -779,7 +779,7 @@ def flows_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window list is tiny and broadcast, so the non-equi
     predicate evaluates as a BroadcastNestedLoopJoin over 3 rows — a
     narrow pass, never an all-pairs shuffle."""
-    wins = F.broadcast(
+    wins = F.broadcast(  # bcast bound: fixed 3-row window list
         spark.createDataFrame(
             [(1, 1_700_000_300, 1_700_000_600),
              (2, 1_700_001_500, 1_700_001_800),
@@ -944,7 +944,7 @@ def flows_site_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proto", "bytes",
         (ipv4_string_to_num("src_addr") / (1 << 12)).cast("long").alias("ipkey"),
     )
-    tagged = f.join(F.broadcast(keys), "ipkey", "left").select(
+    tagged = f.join(F.broadcast(keys), "ipkey", "left").select(  # bcast bound: stride-expanded config dim, <= O(1M) rows
         F.coalesce(F.col("site"), F.lit("external")).alias("site"),
         "proto",
         "bytes",

@@ -175,7 +175,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey))
+    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey))  # bcast bound: nation x region dim, <= 25 rows
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == o.o_orderkey)
@@ -243,7 +243,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))  # bcast bound: nation dim, 25 rows
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -284,7 +284,7 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort; one shuffle on the partition key)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))  # bcast bound: nation dim, 25 rows
     spend = (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_nationkey", "c_custkey", "c_name")
@@ -471,7 +471,7 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     avg_price = o.agg(F.avg("o_totalprice").alias("a"))
     return (
-        o.join(F.broadcast(avg_price))
+        o.join(F.broadcast(avg_price))  # bcast bound: 1-row scalar
         .filter(F.col("o_totalprice") > F.col("a"))
         .agg(F.count("*").alias("n_above"),
              F.round(F.max("o_totalprice"), 2).alias("max_price"))

@@ -79,12 +79,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    n1 = F.broadcast(
+    n1 = F.broadcast(  # bcast bound: nation dim, 25 rows
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
         )
     )
-    n2 = F.broadcast(
+    n2 = F.broadcast(  # bcast bound: nation dim, 25 rows
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
         )
@@ -149,12 +149,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n1 = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    cust_dim = F.broadcast(
+    cust_dim = F.broadcast(  # bcast bound: nation x region dim, <= 25 rows
         n1.join(r, n1.n_regionkey == r.r_regionkey).select(
             F.col("n_nationkey").alias("c_nk")
         )
     )
-    supp_dim = F.broadcast(
+    supp_dim = F.broadcast(  # bcast bound: nation dim, 25 rows
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
         )
@@ -273,7 +273,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("total_revenue_cents").alias("m"))
     return (
         s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(F.broadcast(top), F.col("total_revenue_cents") == F.col("m"))
+        .join(F.broadcast(top), F.col("total_revenue_cents") == F.col("m"))  # bcast bound: 1-row scalar max
         .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )
@@ -293,19 +293,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 adapted (no p_container in fixtures): revenue lost if
     small-quantity orders of one brand's parts were not filled. The
-    correlated per-part AVG decorrelates to a groupBy + join — at scale
-    that aggregate is tiny (one row per part) and broadcastable after
-    the brand filter."""
+    correlated per-part AVG decorrelates to a groupBy + join. Both the
+    brand-filtered part list and the per-part average are SF-LINEAR (a
+    fixed fraction of `part`), so neither carries a broadcast hint —
+    AQE broadcasts them while they are actually small and shuffles on
+    the 8-byte partkey once they are not (r5 broadcast-bound audit)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # bcast bound: grows with SF (part/25) — no hint, AQE decides
     brand_li = li.join(
-        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+        p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey")
     )
     avg_qty = brand_li.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     ).withColumnRenamed("l_partkey", "avg_pk")
+    # bcast bound: grows with SF (one row per brand part) — no hint
     return (
-        brand_li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("avg_pk"))
+        brand_li.join(avg_qty, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -421,7 +425,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("ab")
     )
     return (
-        c.join(F.broadcast(avg_bal))
+        c.join(F.broadcast(avg_bal))  # bcast bound: 1-row scalar avg
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(
             o.filter(F.col("o_orderdate") >= _ts("2000-01-01")),
@@ -468,7 +472,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))  # bcast bound: nation dim, 25 rows
     amount = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         p.join(li, F.col("p_partkey") == F.col("l_partkey"))
@@ -542,7 +546,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (same DataFrame object → one shuffle)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    n = F.broadcast(
+    n = F.broadcast(  # bcast bound: nation dim, <= 25 rows
         _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     )
     supply = (
@@ -553,7 +557,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = supply.agg((F.sum("value") * 0.001).alias("cut"))
     return (
-        supply.join(F.broadcast(total))
+        supply.join(F.broadcast(total))  # bcast bound: 1-row scalar total
         .filter(F.col("value") > F.col("cut"))
         .select("partkey", F.round("value", 2).alias("value"))
         .orderBy(F.desc("value"), "partkey")
@@ -633,14 +637,16 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     shipped = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        # bcast bound: `red` grows with SF (name-prefix fraction of
+        # part) — no hint, AQE broadcasts only while actually small
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
         .select("l_suppkey")
     )
     s = _t(spark, sf_dir, "supplier")
-    n = F.broadcast(
+    n = F.broadcast(  # bcast bound: nation dim, <= 25 rows
         _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     )
     return (
@@ -703,8 +709,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = _t(spark, sf_dir, "supplier")
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
-    r = F.broadcast(
+    n = F.broadcast(_t(spark, sf_dir, "nation"))  # bcast bound: nation dim, 25 rows
+    r = F.broadcast(  # bcast bound: region dim, 5 rows
         _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     )
     eur = (
@@ -895,7 +901,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = _t(spark, sf_dir, "supplier")
-    n = F.broadcast(
+    n = F.broadcast(  # bcast bound: nation dim, 25 rows
         _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     )
     return (

@@ -151,7 +151,18 @@ def enriched_site_traffic(
     from ..functions.ip import ipv4_string_to_num
 
     if validate:
-        tagged = sites.withColumn("_i", F.monotonically_increasing_id())
+        # Deterministic tag: monotonically_increasing_id() is
+        # partition-dependent, and a self-join executes the expression
+        # independently per branch — the same row could get different
+        # ids on each side and "overlap itself", raising a spurious
+        # error on disjoint sites. row_number() over the natural key is
+        # stable across both branches (dim is broadcast-sized, so the
+        # single-task window is fine here).
+        from pyspark.sql import Window
+
+        tagged = sites.withColumn(
+            "_i", F.row_number().over(Window.orderBy("net_lo", "net_hi", "site"))
+        )
         a, b = tagged.alias("a"), tagged.alias("b")
         clash = (
             a.join(
@@ -175,7 +186,7 @@ def enriched_site_traffic(
         df = df.withWatermark("ts", watermark)
     ip = ipv4_string_to_num("src_addr")
     joined = df.join(
-        F.broadcast(sites),
+        F.broadcast(sites),  # bcast bound: config dim <= O(1M) rows
         (ip >= sites["net_lo"]) & (ip <= sites["net_hi"]),
         "left",
     ).withColumn("site", F.coalesce(F.col("site"), F.lit("external")))

@@ -243,6 +243,7 @@ def dup_span_coverage(
     id_col: str = "doc_id",
     n: int = 5,
     min_count: int = 2,
+    semi_join: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring coverage per document (the
     suffix-array dedup of Lee et al., "Deduplicating Training Data
@@ -258,30 +259,52 @@ def dup_span_coverage(
     does.
 
     Plan, 100 TB lens: positional shingles (narrow projection) → the
-    occurrence count as a COUNT window partitioned by the 8-byte
-    hash31 key (ONE shuffle on h; measured 2× over the
-    aggregate-then-semi-join formulation at sf0.1, same rows — the
-    same trade `text_dupngram_fraction` documents; note the caveat:
-    every occurrence of one shingle lands in a single window partition
-    on one task, so a corpus-frequent n-gram — boilerplate or
-    stop-word runs at web scale — IS a hot group here; when shingle
-    frequency can be adversarial, fall back to the groupBy-count +
-    semi-join shape, which pre-aggregates map-side) → per-document
-    interval merge. The merge is the
+    occurrence count, in one of two physical shapes selected by
+    `semi_join` → per-document interval merge. The merge is the
     gaps-and-islands window pair — running max of interval ends splits
     islands, a running sum numbers them — partitioned by document id,
     so state per task is one document's duplicated positions, and the
     only corpus-wide exchanges carry (hash) or (id, int, int) rows.
-    No driver collect, no UDF."""
+    No driver collect, no UDF.
+
+    `semi_join=False` (default): occurrence count as a COUNT window
+    partitioned by the 8-byte hash31 key — ONE shuffle on h, measured
+    2× over the semi-join shape at sf0.1 on the benign fixture. The
+    caveat: every occurrence of one shingle lands in one window
+    partition on one task, so a corpus-frequent n-gram (boilerplate,
+    stop-word runs at web scale) IS a hot group — its task holds that
+    shingle's entire postings list.
+
+    `semi_join=True`: groupBy(h)-count → filter(cnt >= min_count) →
+    LEFT SEMI join back onto the positional shingles. Two shuffles on
+    h instead of one, but the aggregate PARTIAL-COMBINES MAP-SIDE: a
+    shingle at 10% corpus frequency contributes one partial row per
+    map task to the exchange, never a single-task postings list, and
+    the semi-join build side is only the ≥min_count hash set. Choose
+    this shape whenever shingle frequency can be adversarial — the
+    differential skew test (tests/test_dedup.py) pins both shapes
+    equal on a one-shingle-at-10%-frequency fixture."""
     sh = positional_shingles(df, text_col, id_col, n)
-    iv = (
-        sh.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
-        .filter(F.col("cnt") >= min_count)
-        .select(
+    if semi_join:
+        dup_h = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .select("h")
+        )
+        iv = sh.join(dup_h, "h", "left_semi").select(
             F.col(id_col), "n_words", "start",
             (F.col("start") + (n - 1)).alias("fin"),
         )
-    )
+    else:
+        iv = (
+            sh.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+            .filter(F.col("cnt") >= min_count)
+            .select(
+                F.col(id_col), "n_words", "start",
+                (F.col("start") + (n - 1)).alias("fin"),
+            )
+        )
     order = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max("fin").over(
         order.rowsBetween(Window.unboundedPreceding, -1)

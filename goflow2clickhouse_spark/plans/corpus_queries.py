@@ -435,6 +435,110 @@ def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 256
+
+
+@query(
+    "doc_packing_assign",
+    bench=True,
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok, rn,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS off,
+               CAST(n_tok AS BIGINT) AS used
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.doc_id, t.n_tok, t.rn,
+               CASE WHEN p.used + t.n_tok > {_PACK_BUDGET}
+                    THEN p.pack_id + 1 ELSE p.pack_id END,
+               CASE WHEN p.used + t.n_tok > {_PACK_BUDGET}
+                    THEN 0 ELSE p.used END,
+               CASE WHEN p.used + t.n_tok > {_PACK_BUDGET}
+                    THEN CAST(t.n_tok AS BIGINT)
+                    ELSE p.used + t.n_tok END
+        FROM packed p JOIN toks t
+          ON t.source = p.source AND t.rn = p.rn + 1
+    ),
+    pp AS (
+        SELECT source, pack_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS pack_tokens,
+               SUM((doc_id % 997) * (off + 1)) AS assign_checksum
+        FROM packed GROUP BY source, pack_id
+    ),
+    inv AS (
+        SELECT COUNT(*) AS n_over FROM pp
+        WHERE pack_tokens > {_PACK_BUDGET} AND n_docs > 1
+    )
+    SELECT source,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(pack_tokens AS BIGINT) AS pack_tokens,
+           ROUND(pack_tokens / CAST({_PACK_BUDGET} AS DOUBLE), 4)
+               AS fill_ratio,
+           CAST(assign_checksum AS BIGINT) AS assign_checksum,
+           CAST((SELECT n_over FROM inv) AS BIGINT) AS n_over_budget
+    FROM pp ORDER BY source, pack_id
+    """,
+)
+def doc_packing_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document packing ASSIGNMENTS
+    (operators/packing.pack_greedy): per source shard, documents fold
+    head-to-tail in doc_id order into 256-token packs; a doc that
+    doesn't fit closes the open pack. Where `doc_packing_stats`
+    reports the concat-and-chunk layout (docs may straddle packs),
+    this emits the structure a keep-docs-whole pipeline consumes.
+
+    The differential proof pins BOTH the assignment and the budget
+    invariant: the per-pack `assign_checksum` folds every document's
+    (id, offset) placement — the oracle replays the identical next-fit
+    recurrence as a recursive CTE, so any divergence in any placement
+    hash-mismatches — and `n_over_budget` (packs over budget with >1
+    doc) is differentially proven zero, the same pin style as
+    leakage_free_split's zero-leakage invariant.
+
+    Scale: one shuffle on the shard key into applyInPandas (O(1) fold
+    state, one row per doc), then a (shard, pack) aggregate; the
+    1-row invariant aggregate broadcasts back. The recursion lives in
+    the ORACLE only — depth = docs in the largest shard, fine for
+    DuckDB at test SFs; Spark's side stays a linear fold."""
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    a = pack_greedy(d, "source", "doc_id", "n_tok", _PACK_BUDGET)
+    pp = a.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.sum((F.col("doc_id") % 997) * (F.col("offset") + 1)).alias(
+            "assign_checksum"
+        ),
+    )
+    inv = pp.filter(
+        (F.col("pack_tokens") > _PACK_BUDGET) & (F.col("n_docs") > 1)
+    ).agg(F.count("*").alias("n_over_budget"))
+    return (
+        pp.join(F.broadcast(inv))  # bcast bound: 1-row invariant aggregate
+        .select(
+            "source", "pack_id", "n_docs", "pack_tokens",
+            F.round(
+                F.col("pack_tokens") / F.lit(float(_PACK_BUDGET)), 4
+            ).alias("fill_ratio"),
+            "assign_checksum", "n_over_budget",
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # bigram PMI collocations
 # ---------------------------------------------------------------------------

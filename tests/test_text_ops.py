@@ -149,3 +149,51 @@ def test_dup_span_coverage_matches_bruteforce_random(spark):
         for r in dup_span_coverage(df, n=n).collect()
     }
     assert got == want
+
+
+def test_dup_span_semi_join_shape_equal(spark):
+    """Both physical shapes must agree exactly — pinned on the edge
+    cases above AND on an adversarially skewed corpus."""
+    from goflow2clickhouse_spark.operators.dedup import dup_span_coverage
+
+    docs = [
+        (1, "a b c d x y z"),
+        (2, "q a b c d r s"),
+        (3, "a b c GAP d e f"),
+        (4, "v w x y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = sorted(map(tuple, dup_span_coverage(df, n=3).collect()))
+    alt = sorted(
+        map(tuple, dup_span_coverage(df, n=3, semi_join=True).collect())
+    )
+    assert base == alt and base
+
+
+def test_dup_span_adversarial_skew_both_shapes(spark):
+    """One shingle at ~10% corpus frequency — the hot-group case where
+    the window shape funnels a whole postings list into one task and
+    the semi-join shape is the right call. Both must still produce
+    identical coverage; the fixture also carries per-doc unique
+    content and a second, rarer duplicate so the answer is nontrivial."""
+    from goflow2clickhouse_spark.operators.dedup import dup_span_coverage
+
+    docs = []
+    for i in range(300):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d"
+        if i % 10 == 0:  # ~10% of docs carry the hot trigram
+            docs.append((i, f"HOT1 HOT2 HOT3 {uniq}"))
+        elif i % 97 == 0:
+            docs.append((i, f"{uniq} rare1 rare2 rare3"))
+        else:
+            docs.append((i, f"{uniq} u{i}e u{i}f u{i}g"))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    w = sorted(map(tuple, dup_span_coverage(df, n=3).collect()))
+    s = sorted(
+        map(tuple, dup_span_coverage(df, n=3, semi_join=True).collect())
+    )
+    assert w == s
+    by_id = dict((t[0], t[2]) for t in s)
+    assert by_id[0] == 3 and by_id[10] == 3  # hot trigram coverage
+    assert by_id[97] == 3  # rare duplicate still found
+    assert 1 not in by_id  # unique doc yields no row

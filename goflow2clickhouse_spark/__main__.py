@@ -172,7 +172,20 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if server:
             server.close()
+    # StreamingQueryListener events are delivered asynchronously —
+    # after a fast --available-now drain the progress events may still
+    # be in flight, so the final status line would under-report. Wait
+    # until the counters settle (two consecutive equal reads), bounded.
+    import time
+
+    deadline = time.time() + 15
     snap = listener.metrics.snapshot()
+    while time.time() < deadline:
+        time.sleep(0.3)
+        nxt = listener.metrics.snapshot()
+        if nxt == snap and snap["flows_batches_total"] > 0:
+            break
+        snap = nxt
     log.info(
         "ingested",
         extra={"fields": {

@@ -1965,14 +1965,139 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity times the corpus, and an IVF/LSH index over only
     eligible vectors (partition-pruned layout) replaces the full
     scan, same as the unfiltered path."""
-    d = load_table(spark, sf_dir, "documents")
-    ok = d.filter(
-        (F.col("n_chars") >= 200) & (F.col("lang") == "en")
-    ).select(F.col("doc_id").alias("vec_id"))
-    e = load_table(spark, sf_dir, "embeddings").join(
-        ok, "vec_id", "left_semi"
-    )
+    e = _filtered_eligible(spark, sf_dir)
     q = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") == 0
     )
     return S.topk_bruteforce(e, q, k=10)
+
+
+def _filtered_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings gated by the shared metadata predicate (length +
+    language over `documents`), via LEFT SEMI join on the id keyspace
+    — the pre-filter every filtered-search variant starts from."""
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.filter(
+        (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+    ).select(F.col("doc_id").alias("vec_id"))
+    return load_table(spark, sf_dir, "embeddings").join(
+        ok, "vec_id", "left_semi"
+    )
+
+
+_FILTERED_E_SQL = """
+    ok AS (
+        SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ok)
+    )"""
+
+
+def _filtered_ivf_oracle(limit: int) -> str:
+    """IVF replay over ONLY the eligible vectors: centroids are the 8
+    lowest-id ELIGIBLE vectors (the index is built on the filtered
+    set), assignment/probe/score identical to _IVF_ORACLE."""
+    return f"""
+    WITH {_FILTERED_E_SQL},
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cvec) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM scored) t
+        WHERE rn = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_dot_product(qv, c.cvec) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+                 DESC, c.cid
+        LIMIT 2)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, qv) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM assign a, q
+    WHERE a.cid IN (SELECT cid FROM qcells)
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT {limit}
+    """
+
+
+@query("filtered_ann_ivf", oracle=_filtered_ivf_oracle(10))
+def filtered_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at INDEX scale — the composition filtered_ann_topk's
+    docstring promises: the IVF index is built over ONLY the eligible
+    vectors (deterministic seed centroids drawn from the filtered set),
+    so probes touch eligible cells and nothing else. At 100 TB the
+    assigned+filtered table is written partitioned by cell and each
+    probe is a partition-pruned scan of eligible data — the pre-filter
+    pays once at index build, not per query; contrast with filtering
+    AFTER an unfiltered index probe, which under-delivers k whenever a
+    cell is dominated by ineligible vectors. Exactness caveat is the
+    usual IVF one (nprobe cells), which filtered_ann_recall
+    quantifies."""
+    e = _filtered_eligible(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == 0
+    )
+    return S.ivf_topk(e, q, k=10, nprobe=2, n_cells=8)
+
+
+def _filtered_recall_oracle() -> str:
+    exact10 = f"""
+    WITH {_FILTERED_E_SQL},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s
+        FROM e, q ORDER BY s DESC, vec_id LIMIT 10)
+    """
+    return f"""
+    SELECT 'ivf_filtered' AS method, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ({_filtered_ivf_oracle(10)}) s
+            WHERE s.vec_id IN (SELECT vec_id FROM ({exact10}) b)) AS hits,
+           ROUND((SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ({_filtered_ivf_oracle(10)}) s2
+            WHERE s2.vec_id IN (SELECT vec_id FROM ({exact10}) b2))
+            * 1.0 / 10, 6) AS recall
+    """
+
+
+@query("filtered_ann_recall", oracle=_filtered_recall_oracle())
+def filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the filtered IVF index against the exact filtered
+    top-10 (filtered_ann_topk) — the filtered analog of
+    similarity_ann_recall, and the metric that decides nprobe/n_cells
+    for a filtered index before it ships. Both sides draw from the
+    SAME eligible set, so the number isolates the index's approximation
+    error from the filter itself; both result sets are k-sized, so the
+    intersection join is trivially broadcast."""
+    e = _filtered_eligible(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == 0
+    )
+    exact = S.topk_bruteforce(e, q, k=10).select("vec_id")
+    approx = S.ivf_topk(e, q, k=10, nprobe=2, n_cells=8).select("vec_id")
+    hits = approx.join(
+        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
+    ).agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit("ivf_filtered").alias("method"),
+        F.lit(10).cast("long").alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
+    )

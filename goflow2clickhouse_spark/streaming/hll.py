@@ -29,6 +29,14 @@ logic itself is pure Python over pandas batches and is covered by
 tests driving it against a fake state handle, and the batch twin is
 fully tested — on a cluster with protobuf installed the streaming
 path runs as written.
+
+`running_distinct_foreach_batch` is the protobuf-LESS streaming form:
+foreachBatch folds each micro-batch's (key, bucket, rho) maxima into
+a versioned parquet register table (HllRegisterStore — the plain-
+parquet stand-in for a Delta MERGE on (key, bucket)), so the running-
+estimate contract is proven on a REAL stream in this container
+(tests/test_stream_hll.py streams N micro-batches and matches the
+batch twin after every one).
 """
 
 from __future__ import annotations
@@ -167,4 +175,165 @@ def running_distinct_estimate(
             F.col("n_used").cast("int").alias("n_used"),
             est.alias("est"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch twin — the protobuf-less streaming path
+# ---------------------------------------------------------------------------
+
+class HllRegisterStore:
+    """Versioned parquet register table backing the foreachBatch form
+    of the running per-key HLL — the streaming path that needs NO
+    state-server (and therefore no protobuf): each micro-batch folds
+    its (key, bucket, rho) maxima and per-key seen counts into the
+    store, and the running estimate is a pure read of the current
+    version.
+
+    Layout: `<path>/v{N}/regs` (key, bucket, rho) and
+    `<path>/v{N}/seen` (key, n_seen) parquet, plus `<path>/_CURRENT`
+    (JSON {version, epoch}) committed LAST via atomic rename — a crash
+    mid-fold leaves _CURRENT pointing at the previous complete
+    version. Folding batch epoch E is recorded in _CURRENT; a replayed
+    epoch (foreachBatch redelivers the last batch after restart) is
+    skipped, so n_seen never double-counts — exactly-once folds on an
+    at-least-once delivery. Register merge is idempotent anyway (max),
+    seen-counts are not; the epoch gate covers both.
+
+    Scale: state is ≤ m rows per key regardless of cardinality; the
+    per-batch fold shuffles (key, bucket) — sketch-sized, never
+    input-sized. On a real deployment the same fold is one Delta/
+    Iceberg MERGE on (key, bucket); plain versioned parquet keeps the
+    contract runnable anywhere. Old versions are pruned to
+    `keep_versions`."""
+
+    def __init__(self, path: str, keep_versions: int = 2) -> None:
+        import os
+
+        self.path = path
+        self.keep = max(1, keep_versions)
+        os.makedirs(path, exist_ok=True)
+
+    def _current(self) -> tuple[int, int]:
+        """(version, last folded epoch); (0, -1) when empty."""
+        import json
+        import os
+
+        f = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(f):
+            return 0, -1
+        with open(f) as fh:
+            cur = json.load(fh)
+        return int(cur["version"]), int(cur["epoch"])
+
+    def _write_current(self, version: int, epoch: int) -> None:
+        import json
+        import os
+
+        tmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "epoch": epoch}, fh)
+        os.replace(tmp, os.path.join(self.path, "_CURRENT"))
+
+    def fold(
+        self, batch_df: DataFrame, key_col: str, id_col: str, epoch_id: int
+    ) -> bool:
+        """Fold one micro-batch; returns False when the epoch was
+        already folded (restart replay)."""
+        import os
+        import shutil
+
+        ver, last_epoch = self._current()
+        if epoch_id <= last_epoch:
+            return False
+        spark = batch_df.sparkSession
+        proj = batch_df.filter(F.col(id_col).isNotNull()).select(
+            *hll_bucket_rho(key_col, id_col)
+        )
+        delta_regs = proj.groupBy("key", "bucket").agg(
+            F.max("rho").alias("rho")
+        )
+        delta_seen = proj.groupBy("key").agg(F.count("*").alias("n_seen"))
+        if ver > 0:
+            base = os.path.join(self.path, f"v{ver}")
+            old_regs = spark.read.parquet(os.path.join(base, "regs"))
+            old_seen = spark.read.parquet(os.path.join(base, "seen"))
+            new_regs = (
+                old_regs.unionByName(delta_regs)
+                .groupBy("key", "bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+            new_seen = (
+                old_seen.unionByName(delta_seen)
+                .groupBy("key")
+                .agg(F.sum("n_seen").cast("long").alias("n_seen"))
+            )
+        else:
+            new_regs = delta_regs
+            new_seen = delta_seen.select(
+                "key", F.col("n_seen").cast("long").alias("n_seen")
+            )
+        nxt = os.path.join(self.path, f"v{ver + 1}")
+        new_regs.write.mode("overwrite").parquet(os.path.join(nxt, "regs"))
+        new_seen.write.mode("overwrite").parquet(os.path.join(nxt, "seen"))
+        self._write_current(ver + 1, epoch_id)
+        # keep the newest `keep` versions: delete every v <= ver+1-keep
+        for stale in range(1, ver + 2 - self.keep):
+            old = os.path.join(self.path, f"v{stale}")
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+        return True
+
+    def estimates(self, spark) -> DataFrame:
+        """(key, n_seen, n_used, est) from the current version — the
+        identical estimator expression as the batch twin, so the
+        foreachBatch stream and `running_distinct_estimate(...,
+        streaming=False)` over the same prefix of rows agree exactly."""
+        import os
+
+        ver, _ = self._current()
+        if ver == 0:
+            raise FileNotFoundError(f"no folded registers under {self.path}")
+        base = os.path.join(self.path, f"v{ver}")
+        regs = spark.read.parquet(os.path.join(base, "regs"))
+        seen = spark.read.parquet(os.path.join(base, "seen"))
+        agg = regs.groupBy("key").agg(
+            F.count("*").alias("n_used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+        )
+        est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"))
+        return agg.join(seen, "key").select(
+            "key", "n_seen",
+            F.col("n_used").cast("int").alias("n_used"),
+            est.alias("est"),
+        )
+
+
+def running_distinct_foreach_batch(
+    stream_df: DataFrame,
+    key_col: str,
+    id_col: str,
+    registers_path: str,
+    checkpoint_dir: str,
+    keep_versions: int = 2,
+):
+    """Protobuf-less streaming form of the running per-key distinct
+    estimate: foreachBatch folds each micro-batch into an
+    HllRegisterStore — runs end-to-end in any container, no
+    transformWithState state server. Returns the started
+    StreamingQuery; read the running estimates at any time with
+    `HllRegisterStore(registers_path).estimates(spark)`.
+
+    Same stateless (bucket, rho) projection as both other forms, so
+    all three agree register-exactly on the same input prefix."""
+    store = HllRegisterStore(registers_path, keep_versions)
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        store.fold(batch_df, key_col, id_col, epoch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

@@ -118,3 +118,60 @@ def test_main_drains_file_source(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert spark.read.parquet(str(out)).count() == 7
+
+
+def test_main_jsonl_roundtrip(spark, tmp_path, capsys):
+    """Process-level round trip of the reference's actual usage shape
+    (main.go:207-262 — listen, decode, batch, insert) over the
+    jsonl:// replay source: goflow2 JSON lines WITH junk mixed in go
+    through main() to a parquet sink; good rows land, junk lines are
+    dropped AND counted in the final metrics log line."""
+    import json
+
+    from goflow2clickhouse_spark.__main__ import main
+
+    msgs = [
+        {"Type": 1, "TimeReceived": 1700000000 + i, "SequenceNum": i,
+         "SamplingRate": 1000, "FlowDirection": i % 2,
+         "SamplerAddress": "10.0.0.1",
+         "TimeFlowStart": 1700000000 + i, "TimeFlowEnd": 1700000060 + i,
+         "Bytes": 500 + i, "Packets": 4,
+         "SrcAddr": "192.168.1.%d" % (i + 1), "DstAddr": "10.1.0.1",
+         "Etype": 2048, "Proto": 6, "SrcPort": 1000 + i, "DstPort": 443,
+         "ForwardingStatus": 64, "TCPFlags": 16,
+         "IcmpType": 0, "IcmpCode": 0,
+         "FragmentId": 0, "FragmentOffset": 0}
+        for i in range(6)
+    ]
+    d = tmp_path / "drop"
+    d.mkdir()
+    lines = [json.dumps(m) for m in msgs[:3]] + ["{not json", "[7]"] + [
+        json.dumps(m) for m in msgs[3:]
+    ]
+    (d / "flows-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out"
+    rc = main([
+        "--listen", f"jsonl://{d}",
+        "--sink", f"parquet://{out}",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--available-now",
+        "--logfmt", "json",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == 6
+    assert {r["src_addr"] for r in got.select("src_addr").collect()} == {
+        "192.168.1.%d" % (i + 1) for i in range(6)
+    }
+    # the CLI's final status line reports the junk drop count
+    err = capsys.readouterr().err
+    status = [
+        json.loads(ln) for ln in err.splitlines()
+        if ln.startswith("{") and '"ingested"' in ln
+    ]
+    assert status, err
+    # rows = RAW source rows (flows_rows_total counts numInputRows,
+    # junk lines included); sink rows = rows - decode_dropped
+    assert status[-1]["rows"] == 8
+    assert status[-1]["decode_dropped"] == 2

@@ -155,3 +155,117 @@ def test_streaming_entry_guard_without_protobuf(spark):
     df, _ = _rows(spark)
     with pytest.raises(ImportError, match="protobuf"):
         running_distinct_estimate(df, "etype", "uid", streaming=True)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch twin: REAL streaming end-to-end, no protobuf needed
+# ---------------------------------------------------------------------------
+
+def test_foreach_batch_stream_matches_batch_twin_per_batch(spark, tmp_path):
+    """Stream 3 micro-batches (file source, one file per trigger) into
+    the register store; after EVERY batch the store's running estimate
+    must equal the batch twin over the prefix of rows delivered so
+    far — the running-estimate contract on a real stream."""
+    from goflow2clickhouse_spark.streaming.hll import (
+        HllRegisterStore,
+        running_distinct_foreach_batch,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunks = []
+    for chunk in range(3):
+        rows = [
+            ("t%d" % (i % 2), (chunk * 61 + i * 7) % 400)
+            for i in range(80)
+        ]
+        chunks.append(rows)
+
+    def write_chunk(n):
+        spark.createDataFrame(
+            chunks[n], "etype string, uid long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(indir / f"chunk{n}")
+        )
+        # file source watches a flat dir: link the part file in
+        import glob
+        import shutil
+
+        for f in glob.glob(str(indir / f"chunk{n}" / "part-*.parquet")):
+            shutil.copy(f, str(indir / f"batch{n}.parquet"))
+        shutil.rmtree(str(indir / f"chunk{n}"))
+
+    write_chunk(0)
+    stream = (
+        spark.readStream.schema("etype string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = running_distinct_foreach_batch(stream, "etype", "uid", regs, ckpt)
+    try:
+        store = HllRegisterStore(regs)
+        from goflow2clickhouse_spark.streaming.hll import (
+            running_distinct_estimate,
+        )
+
+        seen_rows = []
+        for n in range(3):
+            if n > 0:
+                write_chunk(n)
+            q.processAllAvailable()
+            seen_rows += chunks[n]
+            prefix = spark.createDataFrame(
+                seen_rows, "etype string, uid long"
+            )
+            want = {
+                r["key"]: (r["n_seen"], r["n_used"], round(r["est"], 9))
+                for r in running_distinct_estimate(
+                    prefix, "etype", "uid", streaming=False
+                ).collect()
+            }
+            got = {
+                r["key"]: (r["n_seen"], r["n_used"], round(r["est"], 9))
+                for r in store.estimates(spark).collect()
+            }
+            assert got == want, f"batch {n}: {got} != {want}"
+    finally:
+        q.stop()
+
+
+def test_register_store_epoch_replay_skipped(spark, tmp_path):
+    """A redelivered epoch (restart replay) must not double-count
+    n_seen: fold() returns False and leaves the store unchanged."""
+    from goflow2clickhouse_spark.streaming.hll import HllRegisterStore
+
+    store = HllRegisterStore(str(tmp_path / "regs"))
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, uid long"
+    )
+    assert store.fold(df, "k", "uid", epoch_id=0) is True
+    before = sorted(map(tuple, store.estimates(spark).collect()))
+    assert store.fold(df, "k", "uid", epoch_id=0) is False
+    after = sorted(map(tuple, store.estimates(spark).collect()))
+    assert before == after
+    assert store.fold(df, "k", "uid", epoch_id=1) is True
+    n_seen = {
+        r["key"]: r["n_seen"] for r in store.estimates(spark).collect()
+    }
+    assert n_seen == {"a": 4, "b": 2}  # registers idempotent, seen adds
+
+
+def test_register_store_prunes_old_versions(spark, tmp_path):
+    import os
+
+    from goflow2clickhouse_spark.streaming.hll import HllRegisterStore
+
+    store = HllRegisterStore(str(tmp_path / "regs"), keep_versions=2)
+    df = spark.createDataFrame([("a", 1)], "k string, uid long")
+    for e in range(4):
+        store.fold(df, "k", "uid", epoch_id=e)
+    vers = sorted(
+        d for d in os.listdir(str(tmp_path / "regs")) if d.startswith("v")
+    )
+    assert vers == ["v3", "v4"]

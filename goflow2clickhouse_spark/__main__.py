@@ -174,18 +174,22 @@ def main(argv: list[str] | None = None) -> int:
             server.close()
     # StreamingQueryListener events are delivered asynchronously —
     # after a fast --available-now drain the progress events may still
-    # be in flight, so the final status line would under-report. Wait
-    # until the counters settle (two consecutive equal reads), bounded.
+    # be in flight, so the final status line would under-report. The
+    # driver already holds the authoritative progress list
+    # (query.recentProgress), so wait — bounded — until the listener
+    # has seen that many batches; a zero-batch drain skips the wait
+    # entirely.
     import time
 
+    expected_batches = len(query.recentProgress)
     deadline = time.time() + 15
     snap = listener.metrics.snapshot()
-    while time.time() < deadline:
-        time.sleep(0.3)
-        nxt = listener.metrics.snapshot()
-        if nxt == snap and snap["flows_batches_total"] > 0:
-            break
-        snap = nxt
+    while (
+        snap["flows_batches_total"] < expected_batches
+        and time.time() < deadline
+    ):
+        time.sleep(0.2)
+        snap = listener.metrics.snapshot()
     log.info(
         "ingested",
         extra={"fields": {

@@ -282,8 +282,9 @@ def dup_span_coverage(
     map task to the exchange, never a single-task postings list, and
     the semi-join build side is only the ≥min_count hash set. Choose
     this shape whenever shingle frequency can be adversarial — the
-    differential skew test (tests/test_dedup.py) pins both shapes
-    equal on a one-shingle-at-10%-frequency fixture."""
+    differential skew test
+    (tests/test_text_ops.py::test_dup_span_adversarial_skew_both_shapes)
+    pins both shapes equal on a one-shingle-at-10%-frequency fixture."""
     sh = positional_shingles(df, text_col, id_col, n)
     if semi_join:
         dup_h = (

@@ -777,8 +777,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isn't — never a raw-8-gram-string exchange). Cross-string hash
     # collisions add a false "contaminated" flag with p ≈
     # n_bench·n_corpus/2^64 — negligible against MinHash's own error.
+    # distinct=False here too: the default path would run the
+    # slice-wide distinct keyed on RAW 8-gram strings before the hash
+    # projection — hash first, then dedupe 8-byte keys
     b_sh8 = (
-        D.word_shingles(bench, n=8)
+        D.word_shingles(bench, n=8, distinct=False)
         .select(F.xxhash64("shingle").alias("shash"))
         .distinct()
     )

@@ -503,7 +503,7 @@ def _windowed_hll_oracle() -> str:
     """
 
 
-@query("events_windowed_hll", oracle=_windowed_hll_oracle())
+@query("events_windowed_hll", bench=True, oracle=_windowed_hll_oracle())
 def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per hour via HLL registers — the STREAMABLE form
     of windowed COUNT(DISTINCT): exact distinct is not an incremental
@@ -613,7 +613,7 @@ def _windowed_cms_oracle() -> str:
     """
 
 
-@query("events_windowed_cms", oracle=_windowed_cms_oracle())
+@query("events_windowed_cms", bench=True, oracle=_windowed_cms_oracle())
 def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour heavy hitters via a WINDOWED count-min sketch — the
     streamable form of per-window top-k frequency: the cell build is a
@@ -634,9 +634,11 @@ def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint: AQE broadcasts it while small and shuffles once it isn't,
     which scales window-linearly; a forced broadcast would be a
     scale-killer as history accumulates (r4 verdict finding —
-    tests/test_plans.py asserts no BroadcastExchange on the cells
-    side). Candidates here are the in-window users (batch can
-    enumerate them), in production the watchlist you track."""
+    tests/test_plans.py asserts the optimized plan carries no
+    broadcast HINT; a stats/AQE-chosen broadcast while the relation
+    is genuinely small remains allowed and expected). Candidates here
+    are the in-window users (batch can enumerate them), in production
+    the watchlist you track."""
     from ..operators.dedup import hash31
     from ..operators.sketch import CMS_ROWS, CMS_WIDTH, cms_bucket
 

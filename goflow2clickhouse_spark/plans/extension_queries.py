@@ -1722,6 +1722,7 @@ _WS_H31 = _H31.format(x="concat('wsample:', CAST(o_orderkey AS VARCHAR))")
 
 @query(
     "weighted_sample_orders",
+    bench=True,
     oracle=f"""
     WITH keyed AS (
         -- WHERE mirrors weighted_topk's weight > 0 filter: the operator
@@ -1866,7 +1867,7 @@ def _leakage_free_split_oracle() -> str:
     """
 
 
-@query("leakage_free_split", oracle=_leakage_free_split_oracle())
+@query("leakage_free_split", bench=True, oracle=_leakage_free_split_oracle())
 def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split — the leakage guard every
     dedup-aware training pipeline needs: a naive per-document hash
@@ -1922,6 +1923,7 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filtered_ann_topk",
+    bench=True,
     oracle="""
     WITH ok AS (
         SELECT doc_id FROM documents

@@ -205,13 +205,20 @@ class HllRegisterStore:
     input-sized. On a real deployment the same fold is one Delta/
     Iceberg MERGE on (key, bucket); plain versioned parquet keeps the
     contract runnable anywhere. Old versions are pruned to
-    `keep_versions`."""
+    `keep_versions` (floor 2): a DataFrame returned by `estimates()`
+    reads its parquet LAZILY, so it stays valid only until
+    `keep_versions - 1` further folds land — consume (collect/write)
+    an estimate within that grace window, or raise `keep_versions` to
+    cover slower readers; a reader that outlives the window fails
+    loudly with FileNotFound rather than silently mixing versions."""
 
     def __init__(self, path: str, keep_versions: int = 2) -> None:
         import os
 
         self.path = path
-        self.keep = max(1, keep_versions)
+        # floor 2: keep_versions=1 would let the very next fold delete
+        # the version an estimates() reader is still lazily holding
+        self.keep = max(2, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     def _current(self) -> tuple[int, int]:
@@ -321,8 +328,10 @@ def running_distinct_foreach_batch(
     estimate: foreachBatch folds each micro-batch into an
     HllRegisterStore — runs end-to-end in any container, no
     transformWithState state server. Returns the started
-    StreamingQuery; read the running estimates at any time with
-    `HllRegisterStore(registers_path).estimates(spark)`.
+    StreamingQuery; read the running estimates with
+    `HllRegisterStore(registers_path).estimates(spark)`, consuming
+    each estimate within `keep_versions - 1` subsequent folds (see
+    HllRegisterStore's pruning contract).
 
     Same stateless (bucket, rho) projection as both other forms, so
     all three agree register-exactly on the same input prefix."""

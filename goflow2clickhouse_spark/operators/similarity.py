@@ -65,6 +65,49 @@ def topk_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k PER QUERY for a batch of query vectors — the shape
+    a retrieval pipeline serving Q queries needs (one corpus pass for
+    the whole batch, not Q passes): broadcast the query batch, score
+    every (row, query) pair, per-query row_number <= k.
+
+    Scale: the `rank <= k` filter over a row_number window lets
+    Spark's WindowGroupLimit rule insert a per-partition top-k heap
+    BEFORE the exchange (asserted in tests/test_plans.py), so the
+    shuffle carries at most Q x k rows per input partition — never the
+    Q x N scored relation; the scoring itself is a narrow projection
+    over the broadcast batch. Q is bounded by the caller's query batch
+    size (bcast bound: Q rows)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(  # bcast bound: Q query rows (caller's batch)
+        queries.select(
+            F.col(qid_col).alias("_qid"), as_double(qvec_col).alias("_qv")
+        )
+    )
+    scored = embeddings.crossJoin(q).select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(qid_col, id_col, "cos_sim", F.col("_rn").cast("int").alias("rank"))
+    )
+
+
 def signrp_bucket(vec_col: Column | str, bits: int = SIGNRP_BITS) -> Column:
     """LSH bucket id: bit j set iff dot(P_j, v) >= 0."""
     v = as_double(vec_col)

@@ -501,6 +501,44 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.signrp_lsh_topk(e, q, k=5)
 
 
+@query(
+    "similarity_batch_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND(list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 per query for a 3-query batch
+    (operators/similarity.batch_topk): ONE corpus pass serves the whole
+    batch — the retrieval-serving shape, vs topk_bruteforce's single
+    query. The per-query `row_number <= k` plans as WindowGroupLimit
+    (per-partition heap BEFORE the exchange, asserted in
+    tests/test_plans.py), so the shuffle carries at most Q x k rows
+    per partition at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.batch_topk(e, q, k=5).orderBy("qid", "rank")
+
+
 def _ann_recall_oracle() -> str:
     bf5 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -385,3 +385,12 @@ def test_windowed_cms_cells_not_hint_broadcast(spark):
     assert "broadcast" not in op.lower(), (
         f"windowed-CMS plan carries a forced broadcast hint:\n{op}"
     )
+
+
+def test_batch_topk_window_group_limit(spark):
+    """batch_topk's per-query rank filter must plan as WindowGroupLimit
+    (per-partition top-k heap before the exchange) — the property that
+    bounds the shuffle at Q x k rows per partition."""
+    p = plan_str(spark, SPECS["similarity_batch_topk"].spark(spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p

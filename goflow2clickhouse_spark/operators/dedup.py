@@ -718,7 +718,6 @@ def cluster_pairs(
     clean the dir) on cluster deployments — the handle-drop release
     cannot reach them."""
     sc = pairs.sparkSession.sparkContext
-    ids_before = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet()}
     try:
         reliable = sc.getCheckpointDir() is not None
     except Exception:
@@ -735,10 +734,13 @@ def cluster_pairs(
     ).unionByName(
         base.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    ckpt_ids = [
-        i for k in sc._jsc.getPersistentRDDs().keySet()
-        if (i := int(str(k))) not in ids_before
-    ]
+    # Identify each checkpoint's persisted RDD DIRECTLY from the
+    # checkpointed DataFrame (the LogicalRDD at its plan root) rather
+    # than by diffing the context-wide getPersistentRDDs map — the diff
+    # raced with ANY concurrent job persisting on the shared context and
+    # would force-unpersist that job's unrelated cached data (r5 review).
+    # Reliable checkpoints write files, not persistent blocks: no id.
+    ckpt_ids = [] if reliable else _ckpt_rdd_ids(base)
     small = base.count() <= broadcast_max_edges
     if small:
         result = _cc_single_task(cached)
@@ -762,9 +764,6 @@ def cluster_pairs(
         rounds = 0
         prev_round_ids: list[int] = []
         while True:
-            ids_pre = {
-                int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet()
-            }
             neigh = (
                 cached.join(
                     labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}),
@@ -784,18 +783,13 @@ def cluster_pairs(
             # in executor storage until the result handle is GC'd (a
             # real leak on high-diameter graphs).
             _release_rdds(sc, prev_round_ids)
-            prev_round_ids = [
-                i for k in sc._jsc.getPersistentRDDs().keySet()
-                if (i := int(str(k))) not in ids_pre
-            ]
+            prev_round_ids = _ckpt_rdd_ids(labels)
             cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
             if rounds >= iterations and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        ckpt_ids = [
-            i for k in sc._jsc.getPersistentRDDs().keySet()
-            if (i := int(str(k))) not in ids_before
-        ]
+        # the finalizer owns base's blocks plus the LAST round's labels
+        ckpt_ids = ckpt_ids + prev_round_ids
         result = labels.select("id", F.col("lbl").alias("cluster_id"))
     weakref.finalize(result, _release_rdds, sc, ckpt_ids)
     return result
@@ -846,6 +840,22 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
     return edges.coalesce(1).mapInPandas(
         cc, f"id {id_t}, cluster_id {id_t}"
     )
+
+
+def _ckpt_rdd_ids(df: DataFrame) -> list[int]:
+    """Persisted-RDD id(s) owned by a localCheckpoint'ed DataFrame,
+    read from the LogicalRDD at its optimized-plan root — the exact
+    block the checkpoint persisted, with no reference to the shared
+    context-wide persistent-RDD map (diffing that map raced with
+    concurrent jobs' caches). Best-effort: an unexpected plan shape
+    yields [] (leak-on-miss, never evict-someone-else's-cache)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return [int(plan.rdd().id())]
+    except Exception:
+        pass
+    return []
 
 
 def _release_rdds(sc, rdd_ids: list[int]) -> None:

@@ -52,6 +52,16 @@ def pack_greedy(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # the output schema appends these fixed names after (shard, id); a
+    # shard/id column with one of these names would duplicate a column
+    # in the applyInPandas schema string — fail clearly, not at runtime
+    emitted = {"n_tok", "pack_id", "offset"}
+    clash = {shard_col, id_col} & emitted
+    if clash:
+        raise ValueError(
+            f"shard_col/id_col must not be named {sorted(emitted)}; "
+            f"got colliding name(s) {sorted(clash)} — rename upstream"
+        )
     id_t = df.schema[id_col].dataType.simpleString()
     shard_t = df.schema[shard_col].dataType.simpleString()
 

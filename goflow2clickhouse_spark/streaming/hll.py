@@ -221,38 +221,66 @@ class HllRegisterStore:
         self.keep = max(2, keep_versions)
         os.makedirs(path, exist_ok=True)
 
-    def _current(self) -> tuple[int, int]:
-        """(version, last folded epoch); (0, -1) when empty."""
+    def _current(self) -> tuple[int, int, str | None]:
+        """(version, last folded epoch, run id); (0, -1, None) empty."""
         import json
         import os
 
         f = os.path.join(self.path, "_CURRENT")
         if not os.path.exists(f):
-            return 0, -1
+            return 0, -1, None
         with open(f) as fh:
             cur = json.load(fh)
-        return int(cur["version"]), int(cur["epoch"])
+        return int(cur["version"]), int(cur["epoch"]), cur.get("run_id")
 
-    def _write_current(self, version: int, epoch: int) -> None:
+    def _write_current(
+        self, version: int, epoch: int, run_id: str | None
+    ) -> None:
         import json
         import os
 
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "epoch": epoch}, fh)
+            json.dump(
+                {"version": version, "epoch": epoch, "run_id": run_id}, fh
+            )
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
     def fold(
-        self, batch_df: DataFrame, key_col: str, id_col: str, epoch_id: int
+        self,
+        batch_df: DataFrame,
+        key_col: str,
+        id_col: str,
+        epoch_id: int,
+        run_id: str | None = None,
     ) -> bool:
         """Fold one micro-batch; returns False when the epoch was
-        already folded (restart replay)."""
+        already folded (restart replay).
+
+        The replay gate keys on (run_id, epoch_id): foreachBatch epoch
+        numbering is monotonic only WITHIN one checkpoint lineage, so a
+        store reused under a FRESH checkpoint restarts epochs at 0 — on
+        the old epoch-only gate every batch hit `epoch <= last` and the
+        store silently froze (r5 review). `run_id` identifies the
+        checkpoint lineage (running_distinct_foreach_batch passes its
+        checkpoint dir); a changed run_id resets the gate. Callers that
+        fold manually without a run_id get a LOUD error on a
+        non-monotonic epoch instead of a silent skip."""
         import os
         import shutil
 
-        ver, last_epoch = self._current()
-        if epoch_id <= last_epoch:
-            return False
+        ver, last_epoch, last_run = self._current()
+        if run_id is not None and run_id == last_run:
+            if epoch_id <= last_epoch:
+                return False
+        elif run_id is None and epoch_id <= last_epoch:
+            raise ValueError(
+                f"non-monotonic epoch {epoch_id} <= last folded "
+                f"{last_epoch} with no run_id: pass the checkpoint "
+                "lineage's run_id to distinguish a restart replay "
+                "(skipped) from a new stream over a reused store "
+                "(folded under the new run_id)"
+            )
         spark = batch_df.sparkSession
         proj = batch_df.filter(F.col(id_col).isNotNull()).select(
             *hll_bucket_rho(key_col, id_col)
@@ -283,7 +311,7 @@ class HllRegisterStore:
         nxt = os.path.join(self.path, f"v{ver + 1}")
         new_regs.write.mode("overwrite").parquet(os.path.join(nxt, "regs"))
         new_seen.write.mode("overwrite").parquet(os.path.join(nxt, "seen"))
-        self._write_current(ver + 1, epoch_id)
+        self._write_current(ver + 1, epoch_id, run_id)
         # keep the newest `keep` versions: delete every v <= ver+1-keep
         for stale in range(1, ver + 2 - self.keep):
             old = os.path.join(self.path, f"v{stale}")
@@ -298,7 +326,7 @@ class HllRegisterStore:
         streaming=False)` over the same prefix of rows agree exactly."""
         import os
 
-        ver, _ = self._current()
+        ver, _, _ = self._current()
         if ver == 0:
             raise FileNotFoundError(f"no folded registers under {self.path}")
         base = os.path.join(self.path, f"v{ver}")
@@ -338,7 +366,11 @@ def running_distinct_foreach_batch(
     store = HllRegisterStore(registers_path, keep_versions)
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        store.fold(batch_df, key_col, id_col, epoch_id)
+        # run_id = the checkpoint dir: epoch numbering is monotonic per
+        # checkpoint lineage, and a restart from the SAME checkpoint
+        # (replay → skip) keeps the same dir while a fresh checkpoint
+        # over a reused store (new stream → fold) changes it
+        store.fold(batch_df, key_col, id_col, epoch_id, run_id=checkpoint_dir)
 
     return (
         stream_df.writeStream.foreachBatch(_fold)

@@ -90,3 +90,14 @@ def test_rejects_nonpositive_budget(spark):
     df = _docs(spark, [("a", 1, 1)])
     with pytest.raises(ValueError):
         pack_greedy(df, "shard", "id", "n", 0)
+
+
+def test_rejects_colliding_column_names(spark):
+    """shard/id columns named like the emitted (n_tok, pack_id, offset)
+    would duplicate a column in the output schema — clear error."""
+    df = spark.createDataFrame([("a", 1, 2)], "pack_id string, id long, n long")
+    with pytest.raises(ValueError, match="pack_id"):
+        pack_greedy(df, "pack_id", "id", "n", 10)
+    df2 = spark.createDataFrame([("a", 1, 2)], "shard string, offset long, n long")
+    with pytest.raises(ValueError, match="offset"):
+        pack_greedy(df2, "shard", "offset", "n", 10)

@@ -393,4 +393,7 @@ def test_batch_topk_window_group_limit(spark):
     bounds the shuffle at Q x k rows per partition."""
     p = plan_str(spark, SPECS["similarity_batch_topk"].spark(spark, SF))
     assert "WindowGroupLimit" in p, p
-    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+    # the Q-row query side must broadcast: the cross join plans as a
+    # broadcast nested-loop, and NEVER degrades to a cartesian product
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p

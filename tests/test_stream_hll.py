@@ -244,16 +244,52 @@ def test_register_store_epoch_replay_skipped(spark, tmp_path):
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3)], "k string, uid long"
     )
-    assert store.fold(df, "k", "uid", epoch_id=0) is True
+    assert store.fold(df, "k", "uid", epoch_id=0, run_id="ckpt-A") is True
     before = sorted(map(tuple, store.estimates(spark).collect()))
-    assert store.fold(df, "k", "uid", epoch_id=0) is False
+    assert store.fold(df, "k", "uid", epoch_id=0, run_id="ckpt-A") is False
     after = sorted(map(tuple, store.estimates(spark).collect()))
     assert before == after
-    assert store.fold(df, "k", "uid", epoch_id=1) is True
+    assert store.fold(df, "k", "uid", epoch_id=1, run_id="ckpt-A") is True
     n_seen = {
         r["key"]: r["n_seen"] for r in store.estimates(spark).collect()
     }
     assert n_seen == {"a": 4, "b": 2}  # registers idempotent, seen adds
+
+
+def test_register_store_fresh_run_id_resets_epoch_gate(spark, tmp_path):
+    """Reusing a register store under a FRESH checkpoint restarts
+    foreachBatch epochs at 0; the gate must key on (run_id, epoch), not
+    epoch alone — the old behavior silently dropped every fold of the
+    new stream and served stale estimates (r5 review)."""
+    from goflow2clickhouse_spark.streaming.hll import HllRegisterStore
+
+    store = HllRegisterStore(str(tmp_path / "regs"))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, uid long")
+    assert store.fold(df, "k", "uid", epoch_id=0, run_id="ckpt-A") is True
+    assert store.fold(df, "k", "uid", epoch_id=1, run_id="ckpt-A") is True
+    # new stream, fresh checkpoint, epochs restart at 0: must FOLD
+    df2 = spark.createDataFrame([("a", 9), ("c", 3)], "k string, uid long")
+    assert store.fold(df2, "k", "uid", epoch_id=0, run_id="ckpt-B") is True
+    n_seen = {
+        r["key"]: r["n_seen"] for r in store.estimates(spark).collect()
+    }
+    assert n_seen == {"a": 3, "b": 2, "c": 1}
+    # and the gate now guards the NEW lineage: replay of B's epoch skips
+    assert store.fold(df2, "k", "uid", epoch_id=0, run_id="ckpt-B") is False
+
+
+def test_register_store_manual_nonmonotonic_epoch_raises(spark, tmp_path):
+    """Without a run_id the store cannot tell restart-replay from a
+    reused-store new stream — it must fail loudly, never skip silently."""
+    import pytest
+
+    from goflow2clickhouse_spark.streaming.hll import HllRegisterStore
+
+    store = HllRegisterStore(str(tmp_path / "regs"))
+    df = spark.createDataFrame([("a", 1)], "k string, uid long")
+    assert store.fold(df, "k", "uid", epoch_id=5) is True
+    with pytest.raises(ValueError, match="non-monotonic epoch"):
+        store.fold(df, "k", "uid", epoch_id=5)
 
 
 def test_register_store_prunes_old_versions(spark, tmp_path):

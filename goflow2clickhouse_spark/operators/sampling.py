@@ -184,3 +184,32 @@ def weighted_topk(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle into `n_shards` training shards —
+    the dataset-assembly step that fixes example order before packing /
+    serving: shard = identity-hash % n_shards, position = dense 0-based
+    rank of the hash within the shard. Reproducible across engines,
+    partitionings, and reruns (the property `.orderBy(rand())` lacks),
+    and stable under corpus append: a doc's shard never changes, and
+    existing relative order within a shard is preserved (new docs
+    interleave by hash).
+
+    Scale (100 TB): ONE shuffle, keyed on `shard` (n_shards uniform
+    hash cells — no skew by construction), then a per-shard SORT within
+    the exchange partition; `position` is a row_number window per
+    shard, never a global one-task ordering. This is exactly the
+    "write each shard sorted by hash" materialization large pipelines
+    use; downstream readers stream shards independently."""
+    c = F.col(id_col)
+    h = hash31(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    out = df.withColumn("_gs_h", h).withColumn(
+        "shard", (F.col("_gs_h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_gs_h"), c)
+    return out.withColumn(
+        "position", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_gs_h")

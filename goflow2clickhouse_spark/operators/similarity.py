@@ -406,3 +406,61 @@ def kmeans_refine(
     return cents.join(sizes, "cell", "left").select(
         "cell", "centroid", F.coalesce("n_members", F.lit(0)).alias("n_members")
     )
+
+
+def knn_graph_blocked(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the whole corpus (every vector's
+    top-k neighbors — the substrate for semantic-dedup clustering and
+    kNN-retrieval eval), blocked to stay sub-quadratic: candidates are
+    pairs sharing a block key (default: the deterministic sign-RP LSH
+    bucket, so the DuckDB oracle can replay the identical blocking),
+    reranked by exact cosine, top-k per source via row_number.
+
+    Semantics are "top-k among same-block candidates" BY DESIGN — the
+    contract blocked kNN-graph builders ship at scale (recall is
+    LSH-limited and tunable via bits/multi-probe; similarity_ann_recall
+    is the companion metric). A vector whose block holds no other
+    member emits no rows.
+
+    Scale (100 TB): one shuffle on the block key (~2^bits balanced
+    cells), all-pairs only WITHIN a cell (O(sum cell²) work), then the
+    rank filter plans as WindowGroupLimit — a per-partition top-k heap
+    before the window exchange, so the second shuffle carries ≤ k rows
+    per source vector, never the full candidate set."""
+    from pyspark.sql import Window
+
+    blk = (
+        F.col(block_col)
+        if block_col is not None
+        else signrp_bucket(vec_col)
+    )
+    b = embeddings.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    a = b.select(
+        F.col(id_col).alias("_src"), F.col(vec_col).alias("_va"), "_blk"
+    )
+    c = b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"), "_blk"
+    )
+    pairs = (
+        a.join(c, "_blk")
+        .filter(F.col("_src") != F.col("neighbor_id"))
+        .select(
+            F.col("_src").alias(id_col),
+            "neighbor_id",
+            F.round(cosine(as_double("_va"), as_double("_vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return pairs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

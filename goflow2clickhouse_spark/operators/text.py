@@ -147,3 +147,28 @@ def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
         lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long") * i.cast("long"),
     )
     return F.aggregate(per_pos, F.lit(0).cast("long"), lambda acc, x: acc + x) % mod
+
+
+def hashed_classifier_raw(text: Column | str) -> Column:
+    """fastText-style hashed linear text classifier, the shape quality
+    classifiers take in LLM-curation pipelines (a bag of hashed token
+    features dotted with a weight vector): each whitespace token hashes
+    to a deterministic integer weight in [-1000, 1000] (the stand-in
+    for a trained weight table — swapping in real weights is a
+    broadcast join on the same hash key), and the document's raw score
+    is the exact INTEGER weight sum, computed as one in-row fold —
+    no explode, no shuffle, no UDF; the weight lookup is pure
+    arithmetic so any SQL engine replays it bit-for-bit.
+
+    Scale (100 TB): this is a narrow map-only projection — score every
+    document in a single scan with zero exchanges; the only shuffle in
+    a scoring job is whatever aggregation the caller adds on top."""
+    from .dedup import hash31
+
+    per_tok = F.transform(
+        words(text),
+        lambda t: (
+            hash31(F.concat(F.lit("qw:"), t)) % 2001 - 1000
+        ).cast("long"),
+    )
+    return F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -1404,3 +1404,71 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality"), 6).alias("worst_quality"),
         F.sum(F.col("doc_id") % 997).alias("id_checksum"),
     )
+
+
+@query(
+    "quality_classifier_scores",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> CAST(concat('0x', substring(md5(concat('qw:', t)), 1, 15))
+                             AS BIGINT) % 2147483647 % 2001 - 1000)) AS BIGINT)
+                   AS raw,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, source,
+           ROUND(raw / (1000.0 * n_tok), 6) AS score,
+           raw > 0 AS keep
+    FROM s
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-classifier scores from the hashed linear
+    model (operators/text.hashed_classifier_raw — the fastText-shaped
+    scorer curation pipelines run before filtering): score = mean token
+    weight in [-1, 1], keep = positive raw sum. The weight sum is exact
+    integer arithmetic folded in-row, so DuckDB replays it bit-for-bit;
+    the single float division rounds at 6 digits. Map-only: scoring
+    100 TB is one scan with zero shuffles."""
+    from ..operators.text import hashed_classifier_raw, word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = hashed_classifier_raw("text")
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(raw / (1000.0 * word_count("text")), 6).alias("score"),
+        (raw > 0).alias("keep"),
+    )
+
+
+@query(
+    "global_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(concat('shuffle:',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % 2147483647 AS gh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(gh % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY gh % 8 ORDER BY gh, doc_id) - 1 AS BIGINT)
+               AS position
+    FROM h
+    """,
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards
+    (operators/sampling.global_shuffle): the fixed example order a
+    training run consumes — reproducible across engines and reruns,
+    stable under append, one shuffle keyed on the uniform shard hash
+    plus a per-shard (never global) row_number."""
+    from ..operators.sampling import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", n_shards=8)

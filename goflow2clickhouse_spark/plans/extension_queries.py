@@ -651,6 +651,46 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs_blocked(e, block_col="bucket", threshold=0.35)
 
 
+def _knn_graph_oracle() -> str:
+    proj = S.projection_matrix()
+    arrays = ["[" + ", ".join(f"{x}.0" for x in row) + "]" for row in proj]
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j, arr in enumerate(arrays)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    p AS (
+        SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(a.v, c.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    r AS (
+        SELECT vec_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM p
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
+    """
+
+
+@query("embedding_knn_graph", oracle=_knn_graph_oracle())
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus kNN graph (every vector's top-3 same-bucket
+    neighbors by exact cosine) — the substrate semantic dedup and
+    retrieval eval build on. Blocked on the deterministic sign-RP LSH
+    bucket so the oracle replays the identical blocking; the rank
+    filter plans as WindowGroupLimit (pinned in tests/test_plans.py),
+    bounding the post-join exchange at k rows per vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph_blocked(e, k=3)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

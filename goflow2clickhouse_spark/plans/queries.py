@@ -526,14 +526,35 @@ def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("approx_distinct_customers", oracle=None)
+@query(
+    "approx_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse `uniq()` equivalent: HLL++ sketch, mergeable across
-    partitions — the 100 TB-safe distinct. No oracle: sketch estimates
-    are engine-specific (driver does the rows-only check)."""
+    partitions — the 100 TB-safe distinct. The raw sketch estimate is
+    engine-specific, so the ORACLE-CHECKED output is restructured to
+    facts both engines agree on deterministically (r5 verdict item 3):
+    the exact distinct plus a boolean pinning the HLL++ estimate (rsd
+    0.01, deterministic for fixed input+rsd) within 5% relative error
+    of it — DuckDB replays the exact count and the literal flag. A
+    regression in the sketch path (wrong column, wrong rsd, broken
+    merge) flips the flag and hash-mismatches."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01)
+                - F.count_distinct("o_custkey")
+            )
+            <= 0.05 * F.count_distinct("o_custkey")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -397,3 +397,31 @@ def test_batch_topk_window_group_limit(spark):
     # broadcast nested-loop, and NEVER degrades to a cartesian product
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_knn_graph_window_group_limit_no_cartesian(spark):
+    """The kNN-graph rank filter must plan as WindowGroupLimit (top-k
+    heap before the window exchange) and the candidate join must stay
+    an equi-join on the LSH bucket — never a cartesian product."""
+    p = plan_str(spark, SPECS["embedding_knn_graph"].spark(spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_global_shuffle_single_exchange_pruned_scan(spark):
+    """global_shuffle is ONE shuffle keyed on the shard hash; the scan
+    reads only the id column."""
+    df = SPECS["global_shuffle_shards"].spark(spark, SF)
+    assert plan_str(spark, df, "simple").count("Exchange") == 1
+    p = plan_str(spark, df)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert {c.split(":")[0] for c in read.split(",")} == {"doc_id"}, read
+
+
+def test_quality_classifier_map_only(spark):
+    """Scoring is a pure projection: zero exchanges, no Python UDF —
+    the whole 100 TB scoring job is one scan."""
+    p = plan_str(spark, SPECS["quality_classifier_scores"].spark(spark, SF))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

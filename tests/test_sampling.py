@@ -403,3 +403,48 @@ def test_split_boundary_rounding(spark):
         | ((F.col("bucket") >= 7000) & (F.col("split") != "test"))
     ).count()
     assert bad == 0
+
+
+def test_global_shuffle_stable_under_append(spark):
+    """Appending new docs must not move an existing doc's shard, and
+    must preserve existing docs' relative order within each shard."""
+    from goflow2clickhouse_spark.operators.sampling import global_shuffle
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    more = spark.createDataFrame([(i,) for i in range(200, 260)], "id long")
+    a = {r["id"]: (r["shard"], r["position"])
+         for r in global_shuffle(base, "id", 8).collect()}
+    b = {r["id"]: (r["shard"], r["position"])
+         for r in global_shuffle(base.union(more), "id", 8).collect()}
+    for i in range(200):
+        assert a[i][0] == b[i][0], f"doc {i} changed shard on append"
+    # relative order within each shard preserved (positions may slide)
+    for s in range(8):
+        olda = sorted((p, i) for i, (sh, p) in a.items() if sh == s)
+        oldb = sorted((p, i) for i, (sh, p) in b.items() if sh == s and i < 200)
+        assert [i for _, i in olda] == [i for _, i in oldb]
+
+
+def test_global_shuffle_positions_dense_per_shard(spark):
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = global_shuffle(df, "id", 4)
+    stats = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+    ).collect()
+    assert {r["shard"] for r in stats} == {0, 1, 2, 3}
+    for r in stats:
+        assert (r["lo"], r["hi"]) == (0, r["n"] - 1)
+
+
+def test_global_shuffle_partitioning_invariance(spark):
+    from goflow2clickhouse_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    a = sorted(map(tuple, global_shuffle(df, "id", 8).collect()))
+    b = sorted(map(tuple, global_shuffle(df.repartition(13), "id", 8).collect()))
+    assert a == b

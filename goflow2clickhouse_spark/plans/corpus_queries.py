@@ -1408,6 +1408,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_classifier_scores",
+    bench=True,
     oracle="""
     WITH s AS (
         SELECT doc_id, source,
@@ -1446,6 +1447,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "global_shuffle_shards",
+    bench=True,
     oracle="""
     WITH h AS (
         SELECT doc_id,

@@ -503,6 +503,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_batch_topk",
+    bench=True,
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
@@ -679,7 +680,7 @@ def _knn_graph_oracle() -> str:
     """
 
 
-@query("embedding_knn_graph", oracle=_knn_graph_oracle())
+@query("embedding_knn_graph", oracle=_knn_graph_oracle(), bench=True)
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus kNN graph (every vector's top-3 same-bucket
     neighbors by exact cosine) — the substrate semantic dedup and
@@ -2114,7 +2115,7 @@ def _filtered_ivf_oracle(limit: int) -> str:
     """
 
 
-@query("filtered_ann_ivf", oracle=_filtered_ivf_oracle(10))
+@query("filtered_ann_ivf", oracle=_filtered_ivf_oracle(10), bench=True)
 def filtered_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN at INDEX scale — the composition filtered_ann_topk's
     docstring promises: the IVF index is built over ONLY the eligible
@@ -2157,7 +2158,7 @@ def _filtered_recall_oracle() -> str:
     """
 
 
-@query("filtered_ann_recall", oracle=_filtered_recall_oracle())
+@query("filtered_ann_recall", oracle=_filtered_recall_oracle(), bench=True)
 def filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the filtered IVF index against the exact filtered
     top-10 (filtered_ann_topk) — the filtered analog of

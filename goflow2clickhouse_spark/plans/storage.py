@@ -154,3 +154,80 @@ def write_zordered(
     else:
         out = z.repartitionByRange("__z")
     out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def write_filtered_ivf_index(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    min_chars: int = 200,
+    lang: str = "en",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the FILTERED IVF index `filtered_ann_ivf` promises
+    (extension_queries.py): eligibility (metadata predicate over
+    `documents`) gates the vectors BEFORE the index is built — seed
+    centroids come from the eligible set, every written row is
+    eligible — and the assigned vectors land partitioned by cell, so a
+    probe is a partition-pruned scan of nprobe directories of eligible
+    data only. The 1-row centroid relation is stored alongside
+    (`<path>/centroids`) because probes must rank cells with exactly
+    the centroids the build used. The filter pays once at build, not
+    per query."""
+    from ..operators.similarity import ivf_assign, ivf_centroids
+
+    ok = documents.filter(
+        (F.col("n_chars") >= min_chars) & (F.col("lang") == lang)
+    ).select(F.col("doc_id").alias("vec_id"))
+    eligible = embeddings.join(ok, "vec_id", "left_semi")
+    cents = ivf_centroids(eligible, n_cells)
+    ivf_assign(eligible, cents, "embedding").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    cents.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve a top-k query from a persisted (filtered) IVF index: rank
+    the stored centroids against the query vector, then scan ONLY the
+    nprobe winning `cell=` directories (Catalyst partition-prunes the
+    isin filter — tests assert the executed scan's partition count).
+    The centroid read and cell ranking are O(n_cells); the data read
+    is nprobe/n_cells of the (already filtered) index."""
+    from ..operators.similarity import as_double, cosine
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    qcells = (
+        query.join(F.broadcast(cents))  # bcast bound: 1 row, n_cells structs
+        .select(F.col("embedding").alias("_qv"), F.explode("_cents").alias("c"))
+        .select(
+            "_qv",
+            F.col("c.cid").alias("probe_cell"),
+            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), "probe_cell")
+        .limit(nprobe)
+    )
+    probed = [int(r["probe_cell"]) for r in qcells.collect()]
+    qv = query.select(F.col("embedding").alias("_qv"))
+    idx = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    return (
+        idx.join(F.broadcast(qv))  # bcast bound: 1 query row
+        .select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), as_double("_qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -220,3 +220,93 @@ def test_zorder_bit_budget_guard():
     with _pytest.raises(ValueError, match="63"):
         zorder_value(["a", "b", "c", "d"], bits=16)
     zorder_value(["a", "b", "c", "d"], bits=15)  # 60 bits: fine
+
+
+def _scan_nodes(df):
+    """FileSourceScanExec nodes of an EXECUTED plan (run .collect()
+    first) — their metrics report the files/partitions actually read.
+    Descends through AQE wrappers (AdaptiveSparkPlanExec's final plan,
+    QueryStageExec's materialized stage, reused exchanges/subqueries)."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            out.append(node)
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+        elif "ReusedExchange" in name or "ReusedSubquery" in name:
+            walk(node.child())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_filtered_ivf_index_probe_reads_only_nprobe_cells(spark, tmp_path):
+    """The layout filtered_ann_ivf's docstring promises, proven from
+    real parquet/partition metadata (r5 verdict item 5): the persisted
+    index holds ONLY eligible vectors, and a probe's executed scan
+    reads exactly nprobe cell partitions — not the other cells'
+    files."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+
+    # (1) eligibility gate held at WRITE time: every stored vec_id
+    # satisfies the metadata predicate
+    ok_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+        ).select("doc_id").collect()
+    }
+    idx = spark.read.parquet(f"{path}/cells")
+    stored = {r["vec_id"] for r in idx.select("vec_id").collect()}
+    assert stored and stored <= ok_ids
+    n_cells_present = idx.select("cell").distinct().count()
+    assert n_cells_present > 2  # pruning claim below is non-vacuous
+
+    # (2) directory layout is hive-partitioned by cell
+    dirs = {d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")}
+    assert len(dirs) == n_cells_present
+
+    # (3) the probe's EXECUTED scan touched exactly nprobe partitions
+    q = emb.filter(F.col("vec_id") == 0)
+    res = ivf_index_probe(spark, path, q, k=10, nprobe=2)
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+    scans = [
+        s for s in _scan_nodes(res)
+        if "cells" in s.toString() or "cell" in str(s.metadata())
+    ]
+    idx_scans = [
+        s for s in scans if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans, "no partitioned file scan found in executed plan"
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == 2, f"probe read {read_parts} cell partitions, not 2"
+
+    # (4) and the result equals serving the same probe from the
+    # in-memory operator over the same eligible vectors
+    from goflow2clickhouse_spark.operators.similarity import ivf_topk
+
+    ok = docs.filter(
+        (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+    ).select(F.col("doc_id").alias("vec_id"))
+    eligible = emb.join(ok, "vec_id", "left_semi")
+    expect = ivf_topk(eligible, q, k=10, nprobe=2, n_cells=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expect.collect()))

@@ -166,6 +166,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # plan fingerprints hash optimizedPlan().toString(): with the
+    # default maxToStringFields=25 a wide node elides attributes as
+    # "... N more fields", so a plan change confined to elided fields
+    # would keep the fingerprint stable and mislabel a real regression
+    # as noise (r6 review) — print plans in full before hashing
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
 
     specs = bench_queries()
     timings: dict[str, float] = {}

@@ -204,6 +204,16 @@ def global_shuffle(
     shard, never a global one-task ordering. This is exactly the
     "write each shard sorted by hash" materialization large pipelines
     use; downstream readers stream shards independently."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # the emitted shard/position (and the internal hash) would silently
+    # clobber same-named input columns via withColumn — fail clearly
+    clash = {"shard", "position", "_gs_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with global_shuffle's "
+            "emitted shard/position columns — rename upstream"
+        )
     c = F.col(id_col)
     h = hash31(F.concat(F.lit(f"{salt}:"), c.cast("string")))
     out = df.withColumn("_gs_h", h).withColumn(

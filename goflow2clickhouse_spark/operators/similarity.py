@@ -248,6 +248,30 @@ def ivf_assign(
     )
 
 
+def rank_probe_cells(
+    query: DataFrame,
+    cents_row: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_qv, probe_cell, cscore): the nprobe cells whose centroids are
+    nearest the query vector — the cell-ranking step shared by the
+    in-memory probe (ivf_topk) and the persisted-index probe
+    (plans/storage.ivf_index_probe), so tie-breaks and scoring can
+    never drift between them."""
+    return (
+        query.join(F.broadcast(cents_row))  # bcast bound: 1 row, n_cells structs
+        .select(F.col(vec_col).alias("_qv"), F.explode("_cents").alias("c"))
+        .select(
+            "_qv",
+            F.col("c.cid").alias("probe_cell"),
+            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), "probe_cell")
+        .limit(nprobe)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -264,17 +288,7 @@ def ivf_topk(
     cell)."""
     cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     assigned = ivf_assign(embeddings, cents_row, vec_col)
-    qcells = (
-        query.join(F.broadcast(cents_row))  # bcast bound: 1 row, n_cells structs
-        .select(F.col(vec_col).alias("_qv"), F.explode("_cents").alias("c"))
-        .select(
-            "_qv",
-            F.col("c.cid").alias("probe_cell"),
-            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
-        )
-        .orderBy(F.desc("cscore"), "probe_cell")
-        .limit(nprobe)
-    )
+    qcells = rank_probe_cells(query, cents_row, nprobe, vec_col)
     return (
         assigned.join(
             F.broadcast(qcells), F.col("cell") == F.col("probe_cell")  # bcast bound: nprobe rows

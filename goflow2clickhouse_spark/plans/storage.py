@@ -43,14 +43,23 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
-) -> None:
+    centroids_row: DataFrame | None = None,
+) -> DataFrame:
     """Persist the IVF-assigned embeddings partitioned by cell; probes
-    then read only the probed cells' directories."""
+    then read only the probed cells' directories. Pass `centroids_row`
+    to build against precomputed (e.g. already-materialized) centroids;
+    returns the centroid row used, so callers can persist it alongside
+    (the filtered layout does)."""
     from ..operators.similarity import ivf_assign, ivf_centroids
 
-    cents = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    cents = (
+        centroids_row
+        if centroids_row is not None
+        else ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    )
     assigned = ivf_assign(embeddings, cents, vec_col)
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    return cents
 
 
 def write_clustered(
@@ -174,17 +183,24 @@ def write_filtered_ivf_index(
     data only. The 1-row centroid relation is stored alongside
     (`<path>/centroids`) because probes must rank cells with exactly
     the centroids the build used. The filter pays once at build, not
-    per query."""
-    from ..operators.similarity import ivf_assign, ivf_centroids
+    per query.
+
+    Build = the eligibility semi-join feeding the SAME write_ivf_index
+    path the unfiltered layout uses (one build implementation, r6
+    review); the 1-row centroid relation is localCheckpoint'ed so the
+    eligible-embeddings subtree runs once for the centroid build and
+    once for the assignment write — not a third time for the (tiny)
+    centroids write."""
+    from ..operators.similarity import ivf_centroids
 
     ok = documents.filter(
         (F.col("n_chars") >= min_chars) & (F.col("lang") == lang)
     ).select(F.col("doc_id").alias("vec_id"))
     eligible = embeddings.join(ok, "vec_id", "left_semi")
-    cents = ivf_centroids(eligible, n_cells)
-    ivf_assign(eligible, cents, "embedding").write.mode(mode).partitionBy(
-        "cell"
-    ).parquet(f"{path}/cells")
+    cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
+    write_ivf_index(
+        eligible, f"{path}/cells", n_cells, mode=mode, centroids_row=cents
+    )
     cents.write.mode(mode).parquet(f"{path}/centroids")
 
 
@@ -200,21 +216,13 @@ def ivf_index_probe(
     nprobe winning `cell=` directories (Catalyst partition-prunes the
     isin filter — tests assert the executed scan's partition count).
     The centroid read and cell ranking are O(n_cells); the data read
-    is nprobe/n_cells of the (already filtered) index."""
-    from ..operators.similarity import as_double, cosine
+    is nprobe/n_cells of the (already filtered) index. Cell ranking is
+    the shared `rank_probe_cells` — identical tie-breaks to the
+    in-memory ivf_topk, which the layout test pins result-equal."""
+    from ..operators.similarity import as_double, cosine, rank_probe_cells
 
     cents = spark.read.parquet(f"{path}/centroids")
-    qcells = (
-        query.join(F.broadcast(cents))  # bcast bound: 1 row, n_cells structs
-        .select(F.col("embedding").alias("_qv"), F.explode("_cents").alias("c"))
-        .select(
-            "_qv",
-            F.col("c.cid").alias("probe_cell"),
-            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
-        )
-        .orderBy(F.desc("cscore"), "probe_cell")
-        .limit(nprobe)
-    )
+    qcells = rank_probe_cells(query, cents, nprobe)
     probed = [int(r["probe_cell"]) for r in qcells.collect()]
     qv = query.select(F.col("embedding").alias("_qv"))
     idx = spark.read.parquet(f"{path}/cells").filter(

@@ -344,6 +344,23 @@ class HllRegisterStore:
         )
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Lineage identity of a streaming checkpoint: the query id Spark
+    persists in `<checkpoint>/metadata` at stream start (before the
+    first batch). Recreating the checkpoint dir regenerates the id, so
+    it distinguishes "same lineage, replayed epoch" from "new lineage
+    at the same path, epochs restarting at 0". Falls back to the path
+    if the metadata is unreadable (pre-start call in a unit test)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return checkpoint_dir
+
+
 def running_distinct_foreach_batch(
     stream_df: DataFrame,
     key_col: str,
@@ -366,11 +383,18 @@ def running_distinct_foreach_batch(
     store = HllRegisterStore(registers_path, keep_versions)
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        # run_id = the checkpoint dir: epoch numbering is monotonic per
-        # checkpoint lineage, and a restart from the SAME checkpoint
-        # (replay → skip) keeps the same dir while a fresh checkpoint
-        # over a reused store (new stream → fold) changes it
-        store.fold(batch_df, key_col, id_col, epoch_id, run_id=checkpoint_dir)
+        # run_id = the streaming query id from the checkpoint's metadata
+        # file: epoch numbering is monotonic per checkpoint LINEAGE, and
+        # the query id is regenerated whenever the checkpoint dir is
+        # recreated — unlike the dir PATH, which stays equal when the
+        # dir is wiped and remade at the same location (e.g. /tmp after
+        # reboot) and would freeze the gate exactly like the r5 bug
+        # (review finding). Restart from the SAME checkpoint keeps the
+        # id (replay → skip); any fresh checkpoint changes it (→ fold).
+        store.fold(
+            batch_df, key_col, id_col, epoch_id,
+            run_id=_checkpoint_run_id(checkpoint_dir),
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_fold)

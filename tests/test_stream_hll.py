@@ -305,3 +305,25 @@ def test_register_store_prunes_old_versions(spark, tmp_path):
         d for d in os.listdir(str(tmp_path / "regs")) if d.startswith("v")
     )
     assert vers == ["v3", "v4"]
+
+
+def test_checkpoint_run_id_tracks_lineage_not_path(tmp_path):
+    """A wiped-and-recreated checkpoint at the SAME path is a new
+    lineage: the run id must come from the checkpoint's metadata query
+    id (regenerated on recreate), not the directory path string."""
+    import json
+    import shutil
+
+    from goflow2clickhouse_spark.streaming.hll import _checkpoint_run_id
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "query-AAAA"}))
+    assert _checkpoint_run_id(str(ck)) == "query-AAAA"
+    shutil.rmtree(ck)
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "query-BBBB"}))
+    assert _checkpoint_run_id(str(ck)) == "query-BBBB"
+    # unreadable metadata (stream not started yet): path fallback
+    shutil.rmtree(ck)
+    assert _checkpoint_run_id(str(ck)) == str(ck)

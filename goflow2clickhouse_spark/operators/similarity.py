@@ -182,19 +182,28 @@ def neardup_pairs_blocked(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with blocking: only pairs
     sharing block_col are compared (equi-join on the block key — the
-    100 TB pattern; unblocked all-pairs is O(n²))."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"),
-        F.col(vec_col).alias("va"))
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"),
-        F.col(vec_col).alias("vb"))
+    100 TB pattern; unblocked all-pairs is O(n²)). Norms are computed
+    once per vector in the per-side projections, not per pair inside
+    cosine() — same arithmetic, a third of the per-pair fold work."""
+    src = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        as_double(vec_col).alias("_v"),
+    ).withColumn("_n", norm(F.col("_v")))
+    a = src.select(
+        F.col(id_col).alias("id_a"), "blk",
+        F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = src.select(
+        F.col(id_col).alias("id_b"), "blk",
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -446,7 +455,11 @@ def knn_graph_blocked(
     cells), all-pairs only WITHIN a cell (O(sum cell²) work), then the
     rank filter plans as WindowGroupLimit — a per-partition top-k heap
     before the window exchange, so the second shuffle carries ≤ k rows
-    per source vector, never the full candidate set."""
+    per source vector, never the full candidate set. Each vector's
+    norm is computed ONCE in the per-side projection (O(n) folds), not
+    per pair inside cosine() (O(pairs) folds — 3x the per-pair
+    higher-order-function work for the same bits): pair score =
+    dot/(na*nb), arithmetic identical to cosine()."""
     from pyspark.sql import Window
 
     blk = (
@@ -454,12 +467,18 @@ def knn_graph_blocked(
         if block_col is not None
         else signrp_bucket(vec_col)
     )
-    b = embeddings.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    b = embeddings.select(
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+        blk.alias("_blk"),
+    ).withColumn("_n", norm(F.col("_v")))
     a = b.select(
-        F.col(id_col).alias("_src"), F.col(vec_col).alias("_va"), "_blk"
+        F.col(id_col).alias("_src"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_blk",
     )
     c = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"), "_blk"
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_blk",
     )
     pairs = (
         a.join(c, "_blk")
@@ -467,9 +486,11 @@ def knn_graph_blocked(
         .select(
             F.col("_src").alias(id_col),
             "neighbor_id",
-            F.round(cosine(as_double("_va"), as_double("_vb")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

@@ -1420,7 +1420,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, source,
-           ROUND(raw / (1000.0 * n_tok), 6) AS score,
+           CAST(FLOOR(raw * 1000.0 / n_tok) AS BIGINT) AS score_micro,
            raw > 0 AS keep
     FROM s
     """,
@@ -1428,11 +1428,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality-classifier scores from the hashed linear
     model (operators/text.hashed_classifier_raw — the fastText-shaped
-    scorer curation pipelines run before filtering): score = mean token
-    weight in [-1, 1], keep = positive raw sum. The weight sum is exact
-    integer arithmetic folded in-row, so DuckDB replays it bit-for-bit;
-    the single float division rounds at 6 digits. Map-only: scoring
-    100 TB is one scan with zero shuffles."""
+    scorer curation pipelines run before filtering): score_micro =
+    mean token weight in millionths (range ±1e6), keep = positive raw
+    sum. The weight sum is exact integer arithmetic folded in-row, so
+    DuckDB replays it bit-for-bit; the score is emitted as
+    FLOOR(raw*1000/n_tok) — an exact integer in both engines
+    (raw*1000 ≤ 2e9 is double-exact and the quotient is ≥1e-4 from any
+    integer it doesn't equal) — instead of ROUND(x, 6) of the float
+    quotient, whose half-way ties in the 6th decimal broke the sf0.1
+    differential (half-up vs half-even across engines; caught by the
+    r6 scale soak). Map-only: scoring 100 TB is one scan with zero
+    shuffles."""
     from ..operators.text import hashed_classifier_raw, word_count
 
     d = load_table(spark, sf_dir, "documents")
@@ -1440,7 +1446,9 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "source",
-        F.round(raw / (1000.0 * word_count("text")), 6).alias("score"),
+        F.floor(raw * 1000.0 / word_count("text")).cast("long").alias(
+            "score_micro"
+        ),
         (raw > 0).alias("keep"),
     )
 

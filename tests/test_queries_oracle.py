@@ -36,10 +36,12 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert res.hash_match, f"{name}: value hash mismatch; diff={res.sample_diff}"
 
 
-@pytest.mark.parametrize("name", NO_ORACLE_NAMES)
-def test_query_runs_rows_only(spark, sf_dir, name):
-    """Queries without oracles (sketches/ML) must still run and return a
-    stable schema with ≥0 rows."""
-    df = SPECS[name].spark(spark, sf_dir)
-    assert df.columns
-    assert df.count() >= 0
+def test_every_registered_query_has_an_oracle():
+    """Since r6 (approx_distinct_customers restructured to an
+    error-bound-flag output) the registry carries ZERO no-oracle rows —
+    every query is value-hash-checked against DuckDB. A new query
+    without an oracle must be a deliberate, documented exception, not
+    an accident: this test makes the regression loud."""
+    assert NO_ORACLE_NAMES == [], (
+        f"queries registered without oracles: {NO_ORACLE_NAMES}"
+    )

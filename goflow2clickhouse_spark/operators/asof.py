@@ -62,7 +62,12 @@ def _asof_join(
 
     # the carried payload is ONE struct so a match is atomic — carrying
     # value columns independently could stitch together different
-    # reference rows when some values are null
+    # reference rows when some values are null. The struct is also the
+    # FINAL window-order term: two reference rows fully tied on
+    # (key, ts, tie_break) but differing in other value_cols would
+    # otherwise carry a partition-order-dependent winner (r6 review) —
+    # the struct's lexicographic field order makes the timeline total
+    # (value_cols must stay orderable types; every in-repo caller's are)
     val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
     null_struct = F.lit(None).cast(
         "struct<" + ",".join(
@@ -129,7 +134,7 @@ def asof_join_backward(
     return _asof_join(
         probes, refs, key, probe_ts, ref_ts, value_cols, tie_break,
         order=[F.col("_ts").asc(), F.col("_is_probe").asc(),
-               F.asc_nulls_first("_tb")],
+               F.asc_nulls_first("_tb"), F.asc_nulls_first("_v")],
     )
 
 
@@ -154,5 +159,5 @@ def asof_join_forward(
     return _asof_join(
         probes, refs, key, probe_ts, ref_ts, value_cols, tie_break,
         order=[F.col("_ts").desc(), F.col("_is_probe").asc(),
-               F.desc_nulls_first("_tb")],
+               F.desc_nulls_first("_tb"), F.desc_nulls_first("_v")],
     )

@@ -62,8 +62,16 @@ def assert_cobucketed(
 
     for t in (table_a, table_b):
         cols, n = spec(t)
-        if key not in cols:
-            raise ValueError(f"{t} is not bucketed on {key!r} (buckets: {cols})")
+        # EXACT spec match, not membership: HashPartitioning on
+        # (key, other) does NOT satisfy clustering on (key) — a table
+        # bucketed on a superset passed the old `key in cols` check
+        # and the join silently shuffled anyway, the precise failure
+        # this assert exists to make loud (r6 review)
+        if cols != [key]:
+            raise ValueError(
+                f"{t} is not bucketed on exactly [{key!r}] "
+                f"(bucket spec: {cols}) — the join will silently shuffle"
+            )
     (_, na), (_, nb) = spec(table_a), spec(table_b)
     if na != nb or na <= 0:
         raise ValueError(

@@ -57,48 +57,59 @@ def exact_dedup(
     """Keep one row per key: the one with the minimum id (deterministic,
     unlike dropDuplicates' partition-order-dependent pick). One shuffle.
 
-    With ``prehash`` (the default) the shuffle key is sha2-256 of the
-    concatenated key columns — 64 fixed bytes instead of the document
-    itself, so at 100 TB the exchange carries hashes, not the corpus.
-    DuckDB replays it as sha256(...) identically; collisions at 2^-128
-    are below any hardware error rate. ``prehash=False`` keeps the raw
-    columns as the key (for short keys where the hash would be wider).
+    With ``prehash`` (the default) the shuffle key is sha2-256 over the
+    key columns — 64 fixed bytes instead of the document itself, so at
+    100 TB the exchange carries hashes, not the corpus. Each column is
+    hashed SEPARATELY first and the fixed-width per-column digests are
+    concatenated before the outer hash: a raw concat_ws('\\x1f', ...)
+    was separator-injectable — ('a\\x1f', 'b') and ('a', '\\x1fb')
+    concatenated identically and one of two DISTINCT rows was silently
+    deleted (r6 review; per-column digests have no variable-width
+    boundary to shift). NULL encodes as a 1-char token, which can never
+    collide with a 64-char digest. DuckDB replays the construction as
+    sha256(concat(coalesce(sha256(c1), 'N'), ...)). Collisions at
+    2^-128 are below hardware error rates. ``prehash=False`` keeps the
+    raw columns as the key (short keys where the hash would be wider);
+    both paths treat NULL as a real key value, matching GROUP BY.
 
-    NULL handling (both paths treat NULL as a real key value, matching
-    GROUP BY semantics): the prehash encodes each column via
-    coalesce(col, '\\x00') — a bare concat_ws SKIPS nulls, which would
-    collide ('x', NULL, 'y') with ('x', 'y', NULL) and delete a
-    non-duplicate (a value equal to the single '\\x00' sentinel byte
-    is the only remaining collision, and no text fixture or sane
-    corpus contains it); the raw path joins with null-SAFE equality —
-    plain `=` evaluates NULL=NULL to NULL, which made the semi-join
-    silently drop every null-keyed row."""
+    Representative pick = row_number over (key) ordered by id ASC NULLS
+    LAST: one exchange of the corpus (the old aggregate+semi-join shape
+    paid that same full-row exchange PLUS a narrow aggregate shuffle),
+    and a group keeps exactly one row even when ids tie or are all NULL
+    — min(id) over an all-NULL group was NULL and the join-back dropped
+    the whole group (r6 review). With unique non-null ids (every
+    in-repo caller) the kept row is exactly the min-id one,
+    deterministic on any partitioning; among exactly-tied ids the pick
+    is arbitrary but still exactly one."""
+    from pyspark.sql import Window
+
     if prehash:
         key = F.sha2(
-            F.concat_ws(
-                "\x1f",
+            F.concat(
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    F.coalesce(
+                        F.sha2(F.col(c).cast("string"), 256), F.lit("N")
+                    )
                     for c in key_cols
-                ],
+                ]
             ),
             256,
         )
         tagged = df.withColumn("__dedup_sha", key)
-        keep = tagged.groupBy("__dedup_sha").agg(F.min(id_col).alias(id_col))
-        return tagged.join(
-            keep, on=["__dedup_sha", id_col], how="left_semi"
-        ).drop("__dedup_sha")
-    left = df.alias("__l")
-    keep = (
-        df.groupBy(*key_cols)
-        .agg(F.min(id_col).alias(id_col))
-        .alias("__r")
+        w = Window.partitionBy("__dedup_sha").orderBy(
+            F.col(id_col).asc_nulls_last()
+        )
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__dedup_sha", "__rn")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    cond = F.col(f"__l.{id_col}") == F.col(f"__r.{id_col}")
-    for c in key_cols:
-        cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
-    return left.join(keep, cond, "left_semi")
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -784,7 +795,13 @@ def cluster_pairs(
             # real leak on high-diameter graphs).
             _release_rdds(sc, prev_round_ids)
             prev_round_ids = _ckpt_rdd_ids(labels)
-            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            # decimal sum: with realistic 64-bit id magnitudes (~7e17
+            # snowflake ids) a long sum over the >1M labels this path
+            # implies overflows and throws under ANSI (r6 review);
+            # decimal(38,0) holds any practical corpus exactly
+            cur_sum = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).collect()[0][0]
             if rounds >= iterations and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum

@@ -21,6 +21,19 @@ from .dedup import MERSENNE_31, hash31
 _BUCKETS = 10_000
 
 
+def _no_clash(df: DataFrame, internal: set[str], op: str) -> None:
+    """Internal working columns would silently overwrite (and then
+    drop) same-named caller columns via withColumn — the defect class
+    pack_greedy/global_shuffle already guard; applied uniformly (r6
+    review)."""
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with {op}'s internal "
+            "working columns — rename upstream"
+        )
+
+
 def sample_bucket(id_col: Column | str) -> Column:
     """Stable bucket in [0, 10000) from the row id — the sampling /
     split domain. Uses hash31 of the id's string form (salted so
@@ -64,6 +77,7 @@ def stratified_sample(
     skewed and exactness isn't required, use `deterministic_sample`
     filtered per stratum (narrow, no window) instead; quota-exactness
     inherently needs per-stratum ranking."""
+    _no_clash(df, {"_rn", "_n"}, "stratified_sample")
     h = hash31(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
     n = Window.partitionBy(*strata_cols)
@@ -131,6 +145,7 @@ def reservoir_topk(
     per-partition top-k BEFORE the exchange — that optimizer rule, not
     anything the caller does, is what keeps hot groups map-side
     bounded (TakeOrdered does the same for the global case)."""
+    _no_clash(df, {"_rn"}, "reservoir_topk")
     h = hash31(F.concat(F.lit("resv:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
     return (
@@ -168,6 +183,7 @@ def weighted_topk(
     same hazard bm25_topk rounds away. 12 dp keeps far more
     resolution than distinct keys need while collapsing ulp noise;
     any oracle must apply the identical ROUND(key, 12)."""
+    _no_clash(df, {"_wkey"}, "weighted_topk")
     u = (
         hash31(F.concat(F.lit("wsample:"), F.col(id_col).cast("string")))
         + F.lit(1)

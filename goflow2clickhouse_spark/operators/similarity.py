@@ -45,7 +45,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """try_divide, not `/`: under Spark 4's default ANSI mode a single
+    all-zero vector (padded/failed embedding) in a 100 TB corpus would
+    throw DIVIDE_BY_ZERO and kill the whole job (r6 review, confirmed
+    empirically). NULL-on-zero-norm matches DuckDB, where float x/0.0
+    is NULL — so every oracle replays the same semantics: zero-norm
+    rows drop out of thresholds and sort last in top-k."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def topk_bruteforce(
@@ -201,7 +207,10 @@ def neardup_pairs_blocked(
         .select(
             "id_a", "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -418,7 +427,19 @@ def kmeans_refine(
                 ).alias("cvec")
             )
         )
-        cents_row = new_cents.select(
+        # a cell with zero assigned vectors this iteration keeps its
+        # PREVIOUS centroid (standard Lloyd empty-cluster handling):
+        # new_cents only has rows for assigned cells, so without the
+        # merge an emptied cell vanished from the index entirely and
+        # the documented n_members=0 case could never surface (r6
+        # review) — the relation must stay n_cells rows throughout
+        prev = cents_row.select(F.explode("_cents").alias("c")).select(
+            F.col("c.cid").alias("cell"), F.col("c.cvec").alias("pvec")
+        )
+        merged = prev.join(new_cents, "cell", "left").select(
+            "cell", F.coalesce("cvec", "pvec").alias("cvec")
+        )
+        cents_row = merged.select(
             F.struct(F.col("cell").alias("cid"), F.col("cvec")).alias("c")
         ).agg(F.sort_array(F.collect_list("c")).alias("_cents"))
     final = ivf_assign(embeddings, cents_row, vec_col)
@@ -487,8 +508,10 @@ def knn_graph_blocked(
             F.col("_src").alias(id_col),
             "neighbor_id",
             F.round(
-                dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
+                F.try_divide(
+                    dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ),
                 6,
             ).alias("cos_sim"),
         )

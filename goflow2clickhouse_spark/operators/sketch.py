@@ -226,7 +226,12 @@ def hist_quantiles(
     arithmetic a DuckDB oracle reproduces bit-for-bit
     (`price_quantile_sketch`). Returns (q, est) rows."""
     counts = (
-        df.select(
+        # NULLs are ignored, matching `percentile`: hist_bucket(NULL)
+        # is a NULL bucket that previously counted into n and skewed
+        # every estimate beyond the documented bin-width bound (r6
+        # review: 10 NULLs over values 1..10 put q=0.5 at 9.0 vs 5.5)
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             hist_bucket(F.col(value_col), lo, hi, buckets).alias("bucket")
         )
         .groupBy("bucket")
@@ -333,7 +338,13 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     compute the identical estimate. Returns one row: (n_used, est)."""
     agg = registers.agg(
         F.count("*").alias("n_used"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+        # coalesce: over an EMPTY register relation (zero keys seen)
+        # sum() is NULL and the estimator would return NULL instead of
+        # the correct m*ln(m/m) = 0 (r6 review); with 0.0 the
+        # linear-counting branch yields exactly 0
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("inv_sum"),
     )
     # empty registers: rho=0 → 2^0 = 1 each (inside hll_estimate_expr)
     est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"), m)

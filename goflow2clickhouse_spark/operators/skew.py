@@ -39,6 +39,12 @@ def with_salt(df: DataFrame, n_salt: int = 16) -> DataFrame:
     invisible at test scale but an expected job-killer at 100 TB. XOR
     is closed over int64 (no overflow path) and mixes the id bits just
     as well for salt routing."""
+    if "_salt" in df.columns:
+        raise ValueError(
+            "input column '_salt' collides with with_salt's internal "
+            "salt column — rename upstream (a silently replaced salt "
+            "would feed the caller's values into the routing key)"
+        )
     return df.withColumn(
         "_salt",
         F.pmod(

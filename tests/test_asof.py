@@ -181,3 +181,24 @@ def test_asof_null_keys_and_timestamps_never_match(spark):
         ).collect()
     }
     assert fwd == {1: None, 2: None, 3: None}  # no ref with rts >= 100
+
+
+def test_asof_full_tie_is_deterministic(spark):
+    """Two reference rows fully tied on (key, ts, tie_break) but
+    differing in another value column must carry a deterministic
+    winner on any partitioning (the struct is the final order term)."""
+    from goflow2clickhouse_spark.operators.asof import asof_join_backward
+
+    refs_rows = [("k", 10, 5.0, 1), ("k", 10, 5.0, 9)]
+    probes = spark.createDataFrame([("k", 20)], "key string, pts long")
+    for parts in (1, 7):
+        refs = spark.createDataFrame(
+            refs_rows, "key string, rts long, price double, qty long"
+        ).repartition(parts)
+        out = asof_join_backward(
+            probes, refs, "key", "pts", "rts", ["price", "qty"],
+            tie_break="price",
+        ).collect()
+        assert len(out) == 1
+        # struct order (price, qty): (5.0, 9) sorts last and is carried
+        assert (out[0]["price"], out[0]["qty"]) == (5.0, 9), out

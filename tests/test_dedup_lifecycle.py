@@ -162,3 +162,39 @@ def test_simhash_radius_guard(spark):
     sigs = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, simhash long")
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_near_pairs(sigs, max_hamming=4)
+
+
+def test_exact_dedup_null_ids_keep_one_per_group(spark):
+    """A key group whose ids are ALL NULL must keep exactly one row —
+    min(id)=NULL + join-back silently deleted the whole group (r6
+    review); non-null ids in a mixed group still win (NULLS LAST)."""
+    from goflow2clickhouse_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (None, "k1"), (None, "k1"),   # all-null ids: keep exactly 1
+        (None, "k2"), (7, "k2"),      # mixed: keep id 7
+        (3, "k3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    for prehash in (True, False):
+        out = exact_dedup(df, ["key"], prehash=prehash).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.key, []).append(r.doc_id)
+        assert {k: len(v) for k, v in by_key.items()} == {
+            "k1": 1, "k2": 1, "k3": 1,
+        }, (prehash, by_key)
+        assert by_key["k2"] == [7] and by_key["k3"] == [3], (prehash, by_key)
+
+
+def test_exact_dedup_prehash_not_separator_injectable(spark):
+    """('a\\x1f', 'b') and ('a', '\\x1fb') are DISTINCT keys: the old
+    concat_ws('\\x1f') prehash collided them and deleted one of the
+    two rows (r6 review); per-column digests have no boundary to
+    shift."""
+    from goflow2clickhouse_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "a\x1f", "b"), (2, "a", "\x1fb")]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    got = sorted(r.doc_id for r in exact_dedup(df, ["a", "b"]).collect())
+    assert got == [1, 2], got

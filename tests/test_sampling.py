@@ -448,3 +448,50 @@ def test_global_shuffle_partitioning_invariance(spark):
     a = sorted(map(tuple, global_shuffle(df, "id", 8).collect()))
     b = sorted(map(tuple, global_shuffle(df.repartition(13), "id", 8).collect()))
     assert a == b
+
+
+def test_hist_quantiles_ignore_nulls(spark):
+    """NULL values must not count into n (percentile parity): 10 reals
+    1..10 plus 10 NULLs, q=0.5 must estimate ~5, not ~9."""
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    rows = [(float(i),) for i in range(1, 11)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "v double")
+    est = {r["q"]: r["est"] for r in
+           hist_quantiles(df, "v", [0.5], 0.0, 10.0, buckets=10).collect()}
+    assert abs(est[0.5] - 5.0) <= 1.0
+
+
+def test_hll_estimate_empty_registers_is_zero_not_null(spark):
+    from goflow2clickhouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "k string, uid long")
+    row = hll_estimate(hll_registers(empty, "uid")).collect()[0]
+    assert row["n_used"] == 0
+    assert row["est"] == 0.0
+
+
+def test_internal_column_clash_guards(spark):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.sampling import (
+        reservoir_topk,
+        stratified_sample,
+        weighted_topk,
+    )
+    from goflow2clickhouse_spark.operators.skew import with_salt
+
+    df_rn = spark.createDataFrame([(1, "s", 2)], "id long, src string, _rn long")
+    with _pytest.raises(ValueError, match="_rn"):
+        stratified_sample(df_rn, ["src"], "id", 0.5)
+    with _pytest.raises(ValueError, match="_rn"):
+        reservoir_topk(df_rn, ["src"], "id", 1)
+    df_w = spark.createDataFrame([(1, 1.0, 2)], "id long, w double, _wkey long")
+    with _pytest.raises(ValueError, match="_wkey"):
+        weighted_topk(df_w, "w", "id", 1)
+    df_s = spark.createDataFrame([(1, 2)], "id long, _salt long")
+    with _pytest.raises(ValueError, match="_salt"):
+        with_salt(df_s)

@@ -93,3 +93,57 @@ def test_knn_graph_explicit_block_matches_bruteforce_in_block(spark):
         )
         for rank, (s, nj) in enumerate(sims[:2], 1):
             assert got[(i, rank)] == -nj
+
+
+def test_zero_norm_vector_yields_null_not_ansi_error(spark):
+    """One all-zero embedding (padded/failed encode) must not kill the
+    job under ANSI mode: cosine paths emit NULL (DuckDB x/0.0 parity),
+    zero-norm rows drop from thresholds and never outrank real ones."""
+    from goflow2clickhouse_spark.operators.similarity import (
+        knn_graph_blocked,
+        neardup_pairs_blocked,
+        topk_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0] * 8, 1),
+        (1, [0.0] * 8, 1),   # zero vector
+        (2, [1.0] * 8, 1),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = neardup_pairs_blocked(e, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 2)}
+    g = knn_graph_blocked(e, k=2, block_col="label").collect()
+    ranked = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in g}
+    assert ranked[(0, 1)] == 2 and ranked[(2, 1)] == 0
+    from pyspark.sql import functions as SF
+
+    q = e.filter(SF.col("vec_id") == 0)
+    top = topk_bruteforce(e, q, k=2).collect()
+    assert top[0]["vec_id"] in (0, 2)
+    # the zero vector itself queries to all-NULL sims without throwing
+    qz = e.filter(SF.col("vec_id") == 1)
+    assert all(
+        r["cos_sim"] is None for r in topk_bruteforce(e, qz, k=3).collect()
+    )
+
+
+def test_kmeans_refine_keeps_emptied_cells(spark):
+    """A cell that loses all members during refinement must stay in the
+    returned relation (previous centroid, n_members=0) — the index
+    arity is n_cells by contract."""
+    from goflow2clickhouse_spark.operators.similarity import kmeans_refine
+
+    # 2 tight groups far apart + 4 seed ids: some seeds end up owning
+    # nothing after one refinement step
+    rows = [(i, [1000.0 + i] + [0.0] * 7, 0) for i in range(4)] + [
+        (i, [-1000.0 - i] + [0.0] * 7, 0) for i in range(4, 8)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kmeans_refine(e, n_cells=4, iterations=2).collect()
+    assert len(out) == 4, out
+    assert sum(r["n_members"] for r in out) == 8

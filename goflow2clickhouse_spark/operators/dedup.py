@@ -355,20 +355,31 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
-def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
-    """(band_no, band_key, ids) LSH buckets of ≥2 documents — the
-    shared first stage of candidate generation and the hot-bucket
-    monitor."""
+def band_key_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_no, band_key) — THE banding projection, the single
+    source of truth for how mh columns fold into band keys. Shared by
+    the batch bucket builder below and streaming/neardup.band_keys, so
+    stream/batch banding can never drift (r6 review: the loop
+    previously existed token-for-token in both files)."""
     band_structs = []
     for j in range(BANDS):
         cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        band_structs.append(F.struct(F.lit(j).alias("band_no"), key.alias("band_key")))
-    exploded = sigs.select(
+        band_structs.append(
+            F.struct(F.lit(j).cast("long").alias("band_no"), key.alias("band_key"))
+        )
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band_no", "b.band_key")
+
+
+def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(band_no, band_key, ids) LSH buckets of ≥2 documents — the
+    shared first stage of candidate generation and the hot-bucket
+    monitor."""
     return (
-        exploded.groupBy("band_no", "band_key")
+        band_key_rows(sigs, id_col)
+        .groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )

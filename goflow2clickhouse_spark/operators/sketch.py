@@ -303,6 +303,21 @@ def hll_rho(v: Column, w: int = _HLL_W) -> Column:
     return F.lit(w + 1) - bit_length
 
 
+def hll_bucket_rho_exprs(
+    id_col: Column | str, m: int = HLL_M
+) -> tuple[Column, Column]:
+    """THE (bucket, rho) projection — the single source of truth for
+    how an id hashes into a register slot and rank. Shared by the
+    batch register build below and every streaming form
+    (streaming/hll.py), so stream/batch register parity holds by
+    construction instead of by keeping two hash layouts in sync
+    (r6 review)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    _, w = _hll_params(m)
+    h = hash31(c.cast("string"))
+    return (h % m), hll_rho(F.floor(h / m).cast("long"), w)
+
+
 def hll_registers(
     keys: DataFrame, key_col: str = "key", m: int = HLL_M
 ) -> DataFrame:
@@ -315,14 +330,12 @@ def hll_registers(
     `approx_count_distinct` hides an opaque HLL++ blob in the
     aggregation buffer, this relation is replayable by any engine
     sharing the hash (the DuckDB oracle does)."""
-    _, w = _hll_params(m)
-    h = hash31(F.col(key_col).cast("string"))
+    bucket, rho = hll_bucket_rho_exprs(key_col, m)
     return (
         # null keys are ignored — COUNT(DISTINCT) semantics; a null
         # would otherwise occupy a phantom register row
         keys.filter(F.col(key_col).isNotNull()).select(
-            (h % m).alias("bucket"),
-            hll_rho(F.floor(h / m).cast("long"), w).alias("rho"),
+            bucket.alias("bucket"), rho.alias("rho")
         )
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))

@@ -33,14 +33,30 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     pool drains, leaving nothing older than r4.
 # 1 + 3 + 1 + 3 + 42 = 50 exactly.
 #
-# Changed-but-NOT-windowed (named so the policy stays honest): the r6
-# cluster_pairs change (checkpoint RDD ids read from the checkpointed
-# DataFrame's own plan instead of diffing the shared persistent-RDD map)
-# is release-lifecycle-only — result-identical for its consumers
-# dedup_cluster_sizes / embedding_cluster_sizes / leakage_free_split (all
-# green r5); likewise pack_greedy only gained an input-name validation
-# (doc_packing_assign, green r5). All four re-proven this round in the
-# local differential suite and the sf0.01 pre-flight.
+# Changed-but-NOT-windowed (named so the policy stays honest; the stale
+# pool fills the window exactly, and draining it outranks re-windowing
+# r5-green names). The r6 operator-hardening pass touched code consumed
+# by queries last proven green in r5:
+#   - cosine → try_divide + per-side norm hoist (similarity.py): result-
+#     identical on every non-zero vector; consumers similarity_topk_
+#     bruteforce / similarity_ivf_ann / similarity_lsh_ann /
+#     embedding_neardup_pairs / embedding_neardup_lsh /
+#     embedding_cluster_sizes / kmeans_refined_cells (+ the windowed
+#     similarity_* / filtered_ann_* / embedding_knn_graph names).
+#   - kmeans_refine empty-cell retention: result-identical unless a cell
+#     empties mid-iteration (kmeans_refined_cells; unit-pinned).
+#   - cluster_pairs decimal fixpoint sum + plan-derived checkpoint ids:
+#     control-flow/lifecycle only (dedup_cluster_sizes /
+#     embedding_cluster_sizes / leakage_free_split).
+#   - exact_dedup window form (corpus_quality_filter — IN the window).
+#   - hist_quantiles NULL filter / hll_estimate empty-register zero:
+#     result-identical on null-free fixtures (price_quantile_sketch IN
+#     the window; hll_distinct_customers, events_windowed_hll r4-green).
+#   - sampling/skew clash guards: raise-only (stratified_sample_per_
+#     source, weighted_sample_orders, salted pair).
+# Every name above was re-proven this round by the FULL local
+# differential suite (sf0.001), the sf0.1 scale soak, and the sf0.01
+# vanilla-session pre-flight over window + changed names (round notes).
 promote([
     # (a) no driver row yet
     "similarity_batch_topk",

@@ -50,18 +50,18 @@ _JSON_ADDR_FIELDS = frozenset({"SamplerAddress", "SrcAddr", "DstAddr"})
 # one name in a single plan (multi-source fan-in) is an AnalysisException
 _OBS_SEQ = 0
 
+# EVERY field parses as a string, numerics included: protobuf-JSON
+# marshallers conventionally QUOTE 64-bit integers, and from_json with
+# a long-typed schema marks {"Bytes": "123"} corrupt while the UDP
+# decoder's int(v) accepts it — up to 100% of records dropped on one
+# transport and ingested on another (r6 review). String-schema parse +
+# per-field try_cast accepts both spellings; a present-but-non-numeric
+# value (int("abc") raises → UDP drops) fails its try_cast and drops.
 _JSON_FLOW_SCHEMA = StructType(
-    [
-        StructField(
-            f.name,
-            StringType() if f.name in _JSON_ADDR_FIELDS else f.dataType,
-            True,
-        )
-        for f in RAW_FLOW_SCHEMA.fields
-    ]
+    [StructField(f.name, StringType(), True) for f in RAW_FLOW_SCHEMA.fields]
     # corrupt-record capture: non-null here ⇔ the UDP JSON decoder
-    # would have returned None (invalid JSON, non-object JSON, or a
-    # type-mismatched field) — verified case-by-case in tests
+    # would have returned None (invalid JSON, malformed structure) —
+    # field-level type mismatches are the try_cast guard below
     + [StructField("_corrupt", StringType(), True)]
 )
 
@@ -74,10 +74,12 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     addresses parse from their string form to packed bytes via an
     Arrow UDF with the same fallbacks as the UDP decoder; missing
     numeric fields coalesce to 0; undecodable records are DROPPED AND
-    COUNTED — the UDP decoder's drop contract. Three drop guards,
+    COUNTED — the UDP decoder's drop contract. Four drop guards,
     each matching a parse_datagram None-return case:
-    (a) the corrupt-record column (invalid JSON, type-mismatched
-        fields — from_json marks both);
+    (a) the corrupt-record column (invalid JSON/malformed structure) +
+        a per-field try_cast guard for present-but-non-numeric values
+        (int("abc") raises in parse_datagram) — quoted numerics
+        ("Bytes": "123") are ACCEPTED, as int(v) accepts them;
     (b) a non-null parse result (empty lines, whitespace, and null
         Kafka values — tombstones — produce a NULL struct that the
         corrupt column does NOT mark);
@@ -110,6 +112,13 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         & F.col("m._corrupt").isNull()
         & F.col("_raw").startswith("{")
     )
+    # field-level numeric guard ≡ parse_datagram's int(v)-raises drop:
+    # a PRESENT value that does not cast to the field's type (e.g.
+    # "abc") drops the record; a missing/null field coalesces to 0
+    for f in RAW_FLOW_SCHEMA.fields:
+        if f.name not in _JSON_ADDR_FIELDS:
+            v = F.col(f"m.{f.name}")
+            keep = keep & (v.isNull() | v.try_cast(f.dataType).isNotNull())
     global _OBS_SEQ
     _OBS_SEQ += 1
     observed = base.observe(
@@ -125,7 +134,9 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     cols = [
         ip_string_to_bytes(F.col(f.name)).alias(f.name)
         if f.name in _JSON_ADDR_FIELDS
-        else F.coalesce(F.col(f.name), F.lit(0)).alias(f.name)
+        else F.coalesce(
+            F.col(f.name).try_cast(f.dataType), F.lit(0).cast(f.dataType)
+        ).alias(f.name)
         for f in RAW_FLOW_SCHEMA.fields
     ]
     return parsed.select(*cols)
@@ -178,31 +189,30 @@ def open_stream(
     file). Explicit URL options always win. The rate source is a load
     generator — its volume knob is rowsPerSecond, so batch_size does
     not apply."""
-    if spec.scheme == "file":
-        reader = spark.readStream.schema(RAW_FLOW_SCHEMA)
+    def _file_reader(reader):
+        """Shared drop-dir batching for the file/jsonl sources: apply
+        URL options, then derive the size-bound half of the reference's
+        size-OR-time batcher (maxFilesPerTrigger from the row-count
+        batch size) unless the URL pinned one — ONE copy, so the two
+        drop-dir sources can't drift (r6 review)."""
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         if "maxFilesPerTrigger" not in spec.options:
-            # size-bound half of the reference's size-OR-time batcher
             files = (
                 max(1, batch_size // _ROWS_PER_FILE_ESTIMATE)
                 if batch_size else 8
             )
             reader = reader.option("maxFilesPerTrigger", str(files))
+        return reader
+
+    if spec.scheme == "file":
+        reader = _file_reader(spark.readStream.schema(RAW_FLOW_SCHEMA))
         return reader.parquet(spec.target)
 
     if spec.scheme == "jsonl":
         # goflow2 `-transport file` replay: one JSON FlowMessage per
         # line. Same file-count batching as the parquet drop-dir.
-        reader = spark.readStream.format("text")
-        for k, v in spec.options.items():
-            reader = reader.option(k, v)
-        if "maxFilesPerTrigger" not in spec.options:
-            files = (
-                max(1, batch_size // _ROWS_PER_FILE_ESTIMATE)
-                if batch_size else 8
-            )
-            reader = reader.option("maxFilesPerTrigger", str(files))
+        reader = _file_reader(spark.readStream.format("text"))
         return from_goflow2_json(reader.load(spec.target), "value")
 
     if spec.scheme == "rate":

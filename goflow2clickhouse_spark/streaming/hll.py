@@ -53,25 +53,31 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from ..operators.dedup import hash31
-from ..operators.sketch import HLL_ALPHA, HLL_M, hll_estimate_expr, hll_rho
-
-OUTPUT_SCHEMA = (
-    "key string, n_seen bigint, n_used int, est double"
+from ..operators.sketch import (
+    HLL_ALPHA,
+    HLL_M,
+    hll_bucket_rho_exprs,
+    hll_estimate_expr,
 )
 
 
+def _output_schema(key_type: str) -> str:
+    """transformWithState output schema with the key's ACTUAL type —
+    a hardcoded `key string` failed (or silently diverged from the
+    batch twin) for any non-string key column (r6 review)."""
+    return f"key {key_type}, n_seen bigint, n_used int, est double"
+
+
 def hll_bucket_rho(key_col: Column | str, id_col: Column | str) -> list[Column]:
-    """The stateless (bucket, rho) projection shared by this stream
-    and the batch register build — one source of truth for the
-    hashing, so parity is by construction."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = hash31(c.cast("string"))
+    """The stateless (key, bucket, rho) projection: bucket/rho come
+    from operators/sketch.hll_bucket_rho_exprs — the SAME expressions
+    the batch register build uses, so parity is by construction."""
+    bucket, rho = hll_bucket_rho_exprs(id_col)
     return [
         (F.col(key_col) if isinstance(key_col, str) else key_col)
         .alias("key"),
-        (h % HLL_M).alias("bucket"),
-        hll_rho(F.floor(h / HLL_M).cast("long")).alias("rho"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
     ]
 
 
@@ -157,7 +163,9 @@ def running_distinct_estimate(
             ) from exc
         return proj.groupBy("key").transformWithStateInPandas(
             statefulProcessor=HllRunningProcessor(),
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=_output_schema(
+                df.schema[key_col].dataType.simpleString()
+            ),
             outputMode="Update",
             timeMode="None",
         )
@@ -312,8 +320,13 @@ class HllRegisterStore:
         new_regs.write.mode("overwrite").parquet(os.path.join(nxt, "regs"))
         new_seen.write.mode("overwrite").parquet(os.path.join(nxt, "seen"))
         self._write_current(ver + 1, epoch_id, run_id)
-        # keep the newest `keep` versions: delete every v <= ver+1-keep
-        for stale in range(1, ver + 2 - self.keep):
+        # keep the newest `keep` versions. Only the versions that JUST
+        # crossed the retention edge need checking (+2 slack for
+        # crash-recovery leftovers): rescanning from v1 every fold cost
+        # O(total folds) isdir stats per micro-batch — quadratic
+        # cumulative filesystem work on a long-running stream (r6
+        # review)
+        for stale in range(max(1, ver - self.keep - 1), ver + 2 - self.keep):
             old = os.path.join(self.path, f"v{stale}")
             if os.path.isdir(old):
                 shutil.rmtree(old, ignore_errors=True)

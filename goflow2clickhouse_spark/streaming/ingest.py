@@ -69,6 +69,11 @@ class IngestPipeline:
         FlowRoutine goroutines."""
         raws: list[DataFrame] = []
         for s in self._specs:
+            if self.config.options:
+                # config-level options apply to every source; per-URL
+                # options win on conflict (the field was previously
+                # declared but never read — a dead knob, r6 review)
+                s = replace(s, options={**self.config.options, **s.options})
             workers = int(s.options.get("workers", "1"))
             if workers > 1 and s.scheme in {"udp", "sflow", "netflow", "nfl"}:
                 opts = {k: v for k, v in s.options.items() if k != "workers"}

@@ -57,15 +57,17 @@ def funnel_pairs(
 
     Returns (key, lead_ts, follow_ts, delay_us). Streaming: both sides
     MUST carry the watermark so the state store can evict buffered
-    rows once no future match is possible; `watermark` must be ≥
-    `within` plus the allowed lateness — enforced here, because a
-    shorter watermark would silently drop valid pairs that the batch
-    twin still finds."""
-    if _interval_seconds(watermark) < _interval_seconds(within):
-        raise ValueError(
-            f"watermark ({watermark!r}) must be >= within ({within!r}): "
-            "a shorter watermark silently drops valid pairs in streaming"
-        )
+    rows once no future match is possible. `watermark` governs LATE-
+    ARRIVAL tolerance only — Spark derives each side's state retention
+    from the range condition itself (lead state is held for the full
+    `within` window past the event-time watermark), so
+    watermark < within is a VALID low-lateness/wide-window config and
+    is no longer rejected (r6 review; the old guard conflated the two
+    and blocked it — parity across that config is pinned in
+    tests/test_stream_join.py). Both intervals are still validated as
+    'N unit' before any F.expr interpolation."""
+    _interval_seconds(watermark)
+    _interval_seconds(within)
     l = lead.select(F.col(key), F.col(ts_col).alias("lead_ts"))
     f = follow.select(
         F.col(key).alias("_fk"), F.col(ts_col).alias("follow_ts")

@@ -39,29 +39,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
 from ..operators.dedup import (
-    BANDS,
     NUM_PERM,
-    ROWS_PER_BAND,
     _perm,
+    band_key_rows,
     hash31,
     shingle_arrays,
 )
 
-_OUT_SCHEMA = StructType(
-    [
-        StructField("band_no", LongType()),
-        StructField("id_a", LongType()),
-        StructField("id_b", LongType()),
-    ]
-)
 
-_STATE_SCHEMA = StructType([StructField("ids", ArrayType(LongType()))])
+def _out_schema(id_type) -> StructType:
+    """Output/state schemas derive from the ACTUAL id column type: the
+    old hardcoded LongType broke the documented id_col parameter for
+    any non-long id (string event ids crashed the emitter) while the
+    batch branch accepted them — the two modes silently disagreed on
+    the API contract (r6 review)."""
+    return StructType(
+        [
+            StructField("band_no", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+        ]
+    )
+
+
+def _state_schema(id_type) -> StructType:
+    return StructType([StructField("ids", ArrayType(id_type))])
 
 
 def band_keys(docs: DataFrame, text_col: str = "text",
@@ -85,19 +92,9 @@ def band_keys(docs: DataFrame, text_col: str = "text",
             for i in range(NUM_PERM)
         ],
     )
-    bands = []
-    for j in range(BANDS):
-        cols = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        bands.append(
-            F.struct(
-                F.lit(j).cast("long").alias("band_no"),
-                key.alias("band_key"),
-            )
-        )
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, "b.band_no", "b.band_key")
+    # banding itself is the SHARED batch projection (band_key_rows) —
+    # one source of truth, so stream/batch band keys cannot drift
+    return band_key_rows(sigs, id_col)
 
 
 def _pair_emitter(
@@ -106,16 +103,18 @@ def _pair_emitter(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     band_no = int(key[0])
-    seen: list[int] = list(state.get[0]) if state.exists else []
+    seen: list = list(state.get[0]) if state.exists else []
     # set for O(1) membership — a hot bucket accumulates thousands of
     # ids, and list scans made each arrival O(bucket) even when
     # nothing was emitted
     member = set(seen)
     out_a, out_b = [], []
-    new_ids: list[int] = []
+    new_ids: list = []
     for pdf in pdfs:
-        for doc_id in pdf["doc_id"]:
-            doc_id = int(doc_id)
+        for doc_id in pdf["_nd_id"]:
+            # unbox numpy scalars so state round-trips cleanly; string
+            # ids pass through as-is (ordering works for both)
+            doc_id = doc_id.item() if hasattr(doc_id, "item") else doc_id
             if doc_id in member:
                 continue  # exact re-send: no self-pair
             for old in member:
@@ -146,12 +145,17 @@ def streaming_candidate_pairs(
     grouped emitter semantics via a plain self-pairing."""
     bk = band_keys(docs, text_col, id_col)
     if streaming:
-        return bk.groupBy("band_no", "band_key").applyInPandasWithState(
-            _pair_emitter,
-            _OUT_SCHEMA,
-            _STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
+        id_type = docs.schema[id_col].dataType
+        return (
+            bk.withColumnRenamed(id_col, "_nd_id")
+            .groupBy("band_no", "band_key")
+            .applyInPandasWithState(
+                _pair_emitter,
+                _out_schema(id_type),
+                _state_schema(id_type),
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
         )
     a = bk.select("band_no", "band_key", F.col(id_col).alias("id_a"))
     b = bk.select("band_no", "band_key", F.col(id_col).alias("id_b"))

@@ -108,8 +108,15 @@ def sites_table(spark, mapping: dict[str, str]) -> DataFrame:
     broadcasts directly."""
     from ..functions.ip import cidr_bounds
 
+    def esc(s: str) -> str:
+        # Spark's parser processes backslash escapes inside string
+        # literals, so backslashes must double BEFORE quote-doubling —
+        # 'corp\hq' silently mutated and a trailing backslash escaped
+        # the closing quote (r6 review)
+        return s.replace("\\", "\\\\").replace("'", "''")
+
     rows = ", ".join(
-        "('{}', {}, {})".format(site.replace("'", "''"), *cidr_bounds(c))
+        "('{}', {}, {})".format(esc(site), *cidr_bounds(c))
         for site, c in sorted(mapping.items())
     )
     return spark.sql(

@@ -95,3 +95,45 @@ def test_funnel_stream_stream_parity(spark, tmp_path):
         for r in got
     )
     assert pairs == _expected_pairs()
+
+
+def test_funnel_watermark_shorter_than_within(spark, tmp_path):
+    """watermark < within is a valid low-lateness/wide-window config:
+    state retention comes from the range condition (Spark holds lead
+    state for the full `within` past the watermark), so on-time pairs
+    spanning micro-batches are still all found (r6 review — the old
+    guard rejected this)."""
+    d = tmp_path / "ev"
+    rows = _fixture_rows()
+    for chunk in (rows[:3], rows[3:6], rows[6:]):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    joined = funnel_pairs(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+        watermark="2 minutes",
+        streaming=True,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("funnel_short_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = sorted(
+        (r.user_id,
+         int((r.lead_ts - BASE).total_seconds() // 60),
+         int((r.follow_ts - BASE).total_seconds() // 60))
+        for r in spark.table("funnel_short_wm").collect()
+    )
+    assert pairs == _expected_pairs()

@@ -74,3 +74,37 @@ def test_streaming_resend_emits_no_self_pair(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("neardup_resend").count() == 0
+
+
+def test_streaming_string_ids_roundtrip(spark, tmp_path):
+    """The id_col contract covers non-long ids: string ids must flow
+    through the stateful emitter and back out typed as strings (the
+    hardcoded-long schema crashed this; r6 review)."""
+    docs = corpus(spark, SF).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("sid"),
+        "text",
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+
+    batch_pairs = _pairs(
+        streaming_candidate_pairs(docs, id_col="sid", streaming=False)
+    )
+    assert batch_pairs and all(
+        isinstance(a, str) and a.startswith("doc-") for a, _ in batch_pairs
+    )
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_candidate_pairs(stream_in, id_col="sid", streaming=True)
+        .writeStream.format("memory")
+        .queryName("neardup_sid_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _pairs(spark.table("neardup_sid_out")) == batch_pairs

@@ -277,6 +277,10 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
     kept_edge = [
         "{}",                        # empty object → all-zero row (kept)
         '{"SamplerAddress": 5}',     # numeric address → 0.0.0.5 both paths
+        # protobuf-JSON quoted 64-bit ints: int("123") accepts them on
+        # the UDP path, so the stream must too (r6 review — the
+        # long-typed from_json schema used to mark the row corrupt)
+        '{"Type": 1, "Bytes": "123", "SrcPort": 443}',
     ]
     payloads = [json.dumps(m) for m in msgs] + bad + kept_edge
     for b in bad:

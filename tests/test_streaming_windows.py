@@ -455,3 +455,16 @@ def test_windowed_cms_cells_stream_batch_parity(spark, tmp_path):
     streamed = sorted(map(tuple, spark.table("cms_cells_stream").collect()))
     batch = sorted(map(tuple, cells(spark.read.parquet(str(d))).collect()))
     assert streamed == batch and len(batch) > 0
+
+
+def test_sites_table_escapes_backslashes_and_quotes(spark):
+    from goflow2clickhouse_spark.streaming.windows import sites_table
+
+    t = sites_table(spark, {
+        "corp\\hq": "10.0.0.0/8",
+        "dmz\\": "192.168.0.0/16",
+        "o'brien": "172.16.0.0/12",
+    })
+    assert sorted(r["site"] for r in t.collect()) == [
+        "corp\\hq", "dmz\\", "o'brien",
+    ]

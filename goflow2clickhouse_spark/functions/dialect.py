@@ -52,7 +52,11 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("toDate", "to_date({0})"),
     ("toHour", "hour({0})"),
     ("toMinute", "minute({0})"),
-    ("countIf", "sum(CASE WHEN {0} THEN 1 ELSE 0 END)"),
+    # countIf(cond) counts matches; countIf(x, cond) (the -If
+    # combinator over count(x)) counts non-null x where cond
+    ("countIf",
+     lambda a: f"sum(CASE WHEN {a[0]} THEN 1 ELSE 0 END)" if len(a) == 1
+     else f"count(CASE WHEN {a[1]} THEN {a[0]} END)"),
     ("sumIf", "sum(CASE WHEN {1} THEN {0} ELSE 0 END)"),
     ("avgIf", "avg(CASE WHEN {1} THEN {0} END)"),
     ("minIf", "min(CASE WHEN {1} THEN {0} END)"),
@@ -105,12 +109,24 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
         " cast(shiftright({0},16)&255 as string),"
         " cast(shiftright({0},8)&255 as string), cast({0}&255 as string))",
     ),
+    # strict octet validation matching functions/ip.ipv4_string_to_num
+    # (OrZero convention on malformed input) — a callable because the
+    # regex's {1,3} quantifier would collide with str.format braces
     (
         "IPv4StringToNum",
-        "(cast(split({0},'[.]')[0] as bigint)*16777216"
-        " + cast(split({0},'[.]')[1] as bigint)*65536"
-        " + cast(split({0},'[.]')[2] as bigint)*256"
-        " + cast(split({0},'[.]')[3] as bigint))",
+        lambda a: (
+            "(CASE WHEN {x} RLIKE '^\\\\d{{1,3}}\\\\.\\\\d{{1,3}}"
+            "\\\\.\\\\d{{1,3}}\\\\.\\\\d{{1,3}}$'"
+            " AND cast(split({x},'[.]')[0] as bigint) <= 255"
+            " AND cast(split({x},'[.]')[1] as bigint) <= 255"
+            " AND cast(split({x},'[.]')[2] as bigint) <= 255"
+            " AND cast(split({x},'[.]')[3] as bigint) <= 255"
+            " THEN cast(split({x},'[.]')[0] as bigint)*16777216"
+            " + cast(split({x},'[.]')[1] as bigint)*65536"
+            " + cast(split({x},'[.]')[2] as bigint)*256"
+            " + cast(split({x},'[.]')[3] as bigint)"
+            " ELSE cast(0 as bigint) END)"
+        ).format(x=a[0]),
     ),
 ]
 
@@ -122,21 +138,44 @@ _QUANTILE_HEAD = re.compile(r"\bquantiles?(Exact)?\s*\(")
 
 
 def _balance(sql: str, start: int) -> int:
-    """Index just past the ')' matching the '(' at start-1."""
+    """Index just past the ')' matching the '(' at start-1.
+    QUOTE-AWARE: parens inside single-quoted literals ('' doubles a
+    quote) don't count — the blind scanner corrupted any query whose
+    literal contained '(' or ')' (r6 review, e.g. ifNull(x, '('))."""
     depth, j = 1, start
     while depth and j < len(sql):
-        if sql[j] == "(":
+        ch = sql[j]
+        if ch == "'":
+            j += 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2  # escaped '' stays inside the literal
+                        continue
+                    break
+                j += 1
+        elif ch == "(":
             depth += 1
-        elif sql[j] == ")":
+        elif ch == ")":
             depth -= 1
         j += 1
     return j
+
+
+def _in_literal(sql: str, pos: int) -> bool:
+    """True when pos falls inside a single-quoted literal: odd count of
+    preceding quotes ('' doubling self-cancels under parity)."""
+    return sql.count("'", 0, pos) % 2 == 1
 
 
 def _rewrite_quantiles(sql: str) -> str:
     out, i = [], 0
     while True:
         m = _QUANTILE_HEAD.search(sql, i)
+        if m and _in_literal(sql, m.start()):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
         if not m:
             out.append(sql[i:])
             return "".join(out)
@@ -163,9 +202,28 @@ def _rewrite_quantiles(sql: str) -> str:
 
 
 def _split_args(argstr: str) -> list[str]:
-    """Split a function argument list at top-level commas."""
+    """Split a function argument list at top-level commas — QUOTE-
+    AWARE: a comma inside a single-quoted literal (countIf(msg =
+    'a,b')) previously split the literal and silently corrupted the
+    translation (r6 review)."""
     args, depth, cur = [], 0, []
-    for ch in argstr:
+    i = 0
+    while i < len(argstr):
+        ch = argstr[i]
+        if ch == "'":
+            cur.append(ch)
+            i += 1
+            while i < len(argstr):
+                cur.append(argstr[i])
+                if argstr[i] == "'":
+                    if i + 1 < len(argstr) and argstr[i + 1] == "'":
+                        cur.append(argstr[i + 1])
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -175,13 +233,24 @@ def _split_args(argstr: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         args.append("".join(cur).strip())
     return args
 
 
+def _template_arity(template: str) -> int:
+    """Number of distinct {N} placeholders a rule consumes."""
+    idx = [int(n) for n in re.findall(r"\{(\d+)\}", template)]
+    return max(idx) + 1 if idx else 0
+
+
 def _rewrite_calls(sql: str, name: str, template: str) -> str:
-    """Rewrite every `name(args)` call, handling nested parens."""
+    """Rewrite every `name(args)` call, handling nested parens.
+    A call site inside a string literal is left untouched; a call with
+    the wrong arity RAISES — str.format silently discarded extra args,
+    so countIf(x, cond) translated to a wrong count with no error
+    (r6 review)."""
     out = []
     i = 0
     pat = re.compile(rf"\b{name}\s*\(")
@@ -190,17 +259,31 @@ def _rewrite_calls(sql: str, name: str, template: str) -> str:
         if not m:
             out.append(sql[i:])
             break
+        if _in_literal(sql, m.start()):
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
         out.append(sql[i : m.start()])
-        # find matching close paren
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
+        j = _balance(sql, m.end())
         args = _split_args(sql[m.end() : j - 1])
-        out.append(template(args) if callable(template) else template.format(*args))
+        if callable(template):
+            try:
+                out.append(template(args))
+            except IndexError:
+                raise ValueError(
+                    f"{name}: unsupported argument count {len(args)} "
+                    f"in {sql[m.start():j]!r}"
+                ) from None
+        else:
+            want = _template_arity(template)
+            if len(args) != want:
+                raise ValueError(
+                    f"{name}: expected {want} argument(s), got "
+                    f"{len(args)} in {sql[m.start():j]!r} — unsupported "
+                    "ClickHouse form (translate refuses rather than "
+                    "silently dropping arguments)"
+                )
+            out.append(template.format(*args))
         i = j
     return "".join(out)
 

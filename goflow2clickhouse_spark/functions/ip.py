@@ -94,15 +94,23 @@ def ipv4_num_to_string(col: Column | str) -> Column:
 
 
 def ipv4_string_to_num(col: Column | str) -> Column:
-    """ClickHouse IPv4StringToNum: dotted quad → uint32 (as LongType)."""
+    """ClickHouse IPv4StringToNum: dotted quad → uint32 (as LongType).
+    STRICT: exactly four octets, each 0-255 — out-of-range octets
+    ("1.2.3.300") and trailing garbage ("1.2.3.4.5") previously folded
+    into a wrong number (r6 review); ClickHouse throws on such input
+    (IPv4StringToNumOrZero → 0). Malformed input yields 0, the OrZero
+    convention — a throwing column would kill whole jobs on one dirty
+    row."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, r"\.")
-    return (
-        parts.getItem(0).cast("long") * 16777216
-        + parts.getItem(1).cast("long") * 65536
-        + parts.getItem(2).cast("long") * 256
-        + parts.getItem(3).cast("long")
+    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    valid = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    for o in octets:
+        valid = valid & (o <= 255)
+    num = (
+        octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3]
     )
+    return F.when(valid, num).otherwise(F.lit(0).cast("long"))
 
 
 def ipv4_in_cidr(col: Column | str, cidr: str) -> Column:
@@ -222,7 +230,14 @@ def ipv6_bits_to_string(hi: pd.Series, lo: pd.Series) -> pd.Series:
         if h is None or lo_ is None:
             return None
         v = ((int(h) % _U64) << 64) | (int(lo_) % _U64)
-        return str(ipaddress.IPv6Address(v))
+        a = ipaddress.IPv6Address(v)
+        # Go net.IP.String() runs To4() first: an IPv4-mapped address
+        # (::ffff:a.b.c.d) prints as the dotted quad — without this
+        # branch the hi/lo path diverged from ip_to_string's bytes
+        # path for the same address (r6 review), breaking joins
+        # between the two representations
+        m = a.ipv4_mapped
+        return str(m) if m is not None else str(a)
 
     return pd.Series([fmt(h, lo_) for h, lo_ in zip(hi, lo)])
 
@@ -238,7 +253,13 @@ def ipv6_string_to_bits(addr: pd.Series) -> pd.DataFrame:
         try:
             v = int(ipaddress.IPv6Address(s))
         except (ipaddress.AddressValueError, TypeError, ValueError):
-            return None, None
+            # dotted quad → IPv4-mapped halves, Go net.ParseIP().To16()
+            # parity: the formatter prints v4-mapped addresses as the
+            # quad (To4() branch), so the parser must round-trip it
+            try:
+                v = int(ipaddress.IPv6Address(f"::ffff:{s}"))
+            except (ipaddress.AddressValueError, TypeError, ValueError):
+                return None, None
         return signed64(v >> 64), signed64(v & (_U64 - 1))
 
     pairs = [parse(s) for s in addr]

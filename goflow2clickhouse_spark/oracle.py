@@ -51,10 +51,28 @@ def _canon_value(v: object) -> str:
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+        # inner values escape their own delimiters so ["a,b"] can
+        # never collide with ["a","b"] (the cell-level _esc then
+        # escapes again — injective both ways)
+        return "[" + ",".join(_esc(_canon_value(x)) for x in v) + "]"
     if isinstance(v, _dt.timedelta):
         return f"td:{v.total_seconds()}"
     return str(v)
+
+
+def _esc(canon: str) -> str:
+    """Escape the cell/list delimiters inside a canonicalized value:
+    un-escaped joins let different row shapes collide — ('x|y', 'z')
+    and ('x', 'y|z') both canonicalized to 'x|y|z', so a real engine
+    divergence that shifted delimiter-containing text between adjacent
+    columns hashed as a false PASS (r6 review). Backslash first, then
+    the structural characters."""
+    return (
+        canon.replace("\\", "\\\\")
+        .replace("|", "\\|")
+        .replace(",", "\\,")
+        .replace("[", "\\[")
+    )
 
 
 def _canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
@@ -62,7 +80,7 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols_sorted = [columns[i] for i in order]
     out = sorted(
-        "|".join(_canon_value(row[i]) for i in order) for row in rows
+        "|".join(_esc(_canon_value(row[i])) for i in order) for row in rows
     )
     return cols_sorted, out
 

@@ -164,34 +164,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     — exactly DuckDB's internal µs truncation, so oracles agree.
     """
     if name == "events":
-        # scoped to THIS read: on Spark <=4.0 the legacy conf is needed
-        # to read TIMESTAMP(NANOS); restore the previous value after
-        # planning so the flag doesn't leak legacy nanos-as-long
-        # semantics into every later parquet read in the session (on
-        # >=4.1 the conf is ignored and this is a no-op dance)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType as _Long
 
         _key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            _prev = spark.conf.get(_key)
-        except Exception:
-            _prev = None
         spark.conf.set(_key, "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/events.parquet")
-            df.schema  # force schema resolution while the conf holds
-        finally:
-            if _prev is None:
-                try:
-                    spark.conf.unset(_key)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(_key, _prev)
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if isinstance(df.schema["ts"].dataType, _Long):
-            # legacy conf honored (Spark ≤4.0): epoch-nanos long →
-            # floor to µs
+            # legacy conf honored (Spark <=4.0): epoch-nanos long ->
+            # floor to us. The conf stays SET on this branch: schema
+            # resolution only covers planning, and the per-file footer
+            # conversion re-reads the session conf at EXECUTION time —
+            # restoring it after planning made a later collect() on
+            # the returned DataFrame fail with 'Illegal Parquet type'
+            # (r6 review). Cost of leaving it: other nanos-parquet
+            # reads in the session also read nanos-as-long, which this
+            # same branch handles. On >=4.1 the conf is ignored.
             return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         # Spark ≥4.1 reads TIMESTAMP(NANOS, isAdjustedToUTC=false)
         # natively as a µs-floored TIMESTAMP_NTZ — the same naive

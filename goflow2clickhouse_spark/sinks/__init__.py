@@ -64,8 +64,13 @@ def clickhouse_jdbc_sink(
         # persist before the emptiness probe: isEmpty() runs a job, and
         # without the cache the upstream transform would execute twice
         # (once for the probe, once for the write) on every non-empty
-        # batch
-        df.persist()
+        # batch. Only unpersist what THIS sink persisted: persist/
+        # unpersist is not refcounted, so unconditionally unpersisting
+        # inside fanout() evicted the shared batch cache and every
+        # later sink recomputed the upstream transform (r6 review)
+        owned = not df.is_cached
+        if owned:
+            df.persist()
         try:
             if df.isEmpty():  # empty-batch elision (main.go:156)
                 return
@@ -75,7 +80,8 @@ def clickhouse_jdbc_sink(
                 .jdbc(url, table, properties=props)
             )
         finally:
-            df.unpersist()
+            if owned:
+                df.unpersist()
 
     return sink
 

@@ -100,6 +100,14 @@ def parse_datagram(payload: bytes) -> tuple | None:
         for f in RAW_FLOW_SCHEMA.fields:
             v = msg.get(f.name)
             if f.name in _BINARY_FIELDS:
+                # digit-only STRINGS take the integer-address form, the
+                # same rule as functions/ip._parse_ip_string: the
+                # stream's string-typed JSON schema cannot distinguish
+                # {"SamplerAddress": 5} from {"SamplerAddress": "5"},
+                # so this path must decode both spellings identically
+                # to stay transport-equivalent (r6 review)
+                if isinstance(v, str) and v.isdigit():
+                    v = int(v)
                 try:
                     v = ipaddress.ip_address(v or "0.0.0.0").packed
                 except ValueError:

@@ -196,3 +196,46 @@ def test_plural_quantiles_executes(spark):
         translate("SELECT quantilesExact(0.0, 1.0)(id) AS qs FROM _dialect_q")
     ).collect()[0]
     assert list(row.qs) == [0.0, 99.0]
+
+
+def test_translate_quote_aware_scanning():
+    """Literals containing commas/parens must pass through intact, and
+    function spellings INSIDE literals must not rewrite (r6 review —
+    the blind scanners corrupted both)."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    assert translate("SELECT countIf(msg = 'a,b') FROM t") == (
+        "SELECT sum(CASE WHEN msg = 'a,b' THEN 1 ELSE 0 END) FROM t"
+    )
+    assert translate("SELECT ifNull(x, '(') FROM t") == (
+        "SELECT coalesce(x, '(') FROM t"
+    )
+    assert translate("SELECT 'position(a,b)' FROM t") == (
+        "SELECT 'position(a,b)' FROM t"
+    )
+    assert translate("SELECT ifNull(x, 'it''s, ok') FROM t") == (
+        "SELECT coalesce(x, 'it''s, ok') FROM t"
+    )
+    assert translate(
+        "SELECT quantile(0.5)(x), 'quantile(0.9)(y)' FROM t"
+    ) == "SELECT percentile_approx(x, 0.5), 'quantile(0.9)(y)' FROM t"
+
+
+def test_translate_rejects_wrong_arity():
+    """str.format silently discarded extra args (countIf(x, cond)
+    dropped the condition); translate must refuse instead — except
+    forms with a real multi-arg meaning, which translate properly."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    # the -If combinator over count(x): counts non-null x where cond
+    assert translate("SELECT countIf(x, proto=6) FROM t") == (
+        "SELECT count(CASE WHEN proto=6 THEN x END) FROM t"
+    )
+    with _pytest.raises(ValueError, match="ifNull"):
+        translate("SELECT ifNull(x) FROM t")
+    with _pytest.raises(ValueError, match="uniq"):
+        translate("SELECT uniq(a, b) FROM t")
+    with _pytest.raises(ValueError, match="dateDiff"):
+        translate("SELECT dateDiff('day', a) FROM t")

@@ -217,7 +217,14 @@ def test_ipv6_string_bits_roundtrip(spark):
         assert (r.b.hi, r.b.lo) == (r.hi, r.lo), r.s
     got = {(r.hi, r.lo): r.s for r in out}
     for a in addrs:
-        assert got[ipv6_halves(a)] == str(ipaddress.IPv6Address(a)), a
+        # Go net.IP.String() parity: IPv4-mapped prints as the dotted
+        # quad (To4() branch), everything else as RFC 5952 (r6 review —
+        # the hi/lo path previously diverged from the bytes path here)
+        mapped = ipaddress.IPv6Address(a).ipv4_mapped
+        want = str(mapped) if mapped is not None else str(
+            ipaddress.IPv6Address(a)
+        )
+        assert got[ipv6_halves(a)] == want, a
 
 
 def test_ip6_in_cidr_against_stdlib(spark):

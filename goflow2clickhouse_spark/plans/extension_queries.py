@@ -2056,13 +2056,15 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _filtered_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings gated by the shared metadata predicate (length +
     language over `documents`), via LEFT SEMI join on the id keyspace
-    — the pre-filter every filtered-search variant starts from."""
-    d = load_table(spark, sf_dir, "documents")
-    ok = d.filter(
-        (F.col("n_chars") >= 200) & (F.col("lang") == "en")
-    ).select(F.col("doc_id").alias("vec_id"))
-    return load_table(spark, sf_dir, "embeddings").join(
-        ok, "vec_id", "left_semi"
+    — the pre-filter every filtered-search variant starts from. The
+    gate itself is plans/storage.eligible_embeddings, the SAME
+    implementation the persisted index build uses (one predicate, r6
+    review)."""
+    from .storage import eligible_embeddings
+
+    return eligible_embeddings(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
     )
 
 

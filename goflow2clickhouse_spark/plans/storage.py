@@ -165,6 +165,37 @@ def write_zordered(
     out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
 
 
+def eligible_embeddings(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    min_chars: int = 200,
+    lang: str = "en",
+) -> DataFrame:
+    """The filtered-search eligibility gate: metadata predicate over
+    `documents`, applied to the vectors via an id-keyed LEFT SEMI join.
+    ONE implementation — extension_queries._filtered_eligible and the
+    persisted index build both route here, so the index can never
+    silently hold a different eligible set than the query/oracle it
+    materializes (r6 review: the predicate was restated in three
+    places)."""
+    ok = documents.filter(
+        (F.col("n_chars") >= min_chars) & (F.col("lang") == lang)
+    ).select(F.col("doc_id").alias("vec_id"))
+    return embeddings.join(ok, "vec_id", "left_semi")
+
+
+def _ivf_current_version(path: str) -> int:
+    """Committed index version from `<path>/_CURRENT`; 0 when none."""
+    import json
+    import os
+
+    f = os.path.join(path, "_CURRENT")
+    if not os.path.exists(f):
+        return 0
+    with open(f) as fh:
+        return int(json.load(fh)["version"])
+
+
 def write_filtered_ivf_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -172,36 +203,65 @@ def write_filtered_ivf_index(
     n_cells: int = 8,
     min_chars: int = 200,
     lang: str = "en",
-    mode: str = "overwrite",
+    keep_versions: int = 2,
 ) -> None:
     """Persist the FILTERED IVF index `filtered_ann_ivf` promises
-    (extension_queries.py): eligibility (metadata predicate over
-    `documents`) gates the vectors BEFORE the index is built — seed
-    centroids come from the eligible set, every written row is
-    eligible — and the assigned vectors land partitioned by cell, so a
-    probe is a partition-pruned scan of nprobe directories of eligible
-    data only. The 1-row centroid relation is stored alongside
-    (`<path>/centroids`) because probes must rank cells with exactly
-    the centroids the build used. The filter pays once at build, not
-    per query.
+    (extension_queries.py): eligibility (eligible_embeddings — the
+    same gate the query uses) bounds the vectors BEFORE the index is
+    built — seed centroids come from the eligible set, every written
+    row is eligible — and the assigned vectors land partitioned by
+    cell, so a probe is a partition-pruned scan of nprobe directories
+    of eligible data only. The centroid relation is stored alongside
+    because probes must rank cells with exactly the centroids the
+    build used. The filter pays once at build, not per query.
 
-    Build = the eligibility semi-join feeding the SAME write_ivf_index
-    path the unfiltered layout uses (one build implementation, r6
-    review); the 1-row centroid relation is localCheckpoint'ed so the
-    eligible-embeddings subtree runs once for the centroid build and
-    once for the assignment write — not a third time for the (tiny)
-    centroids write."""
+    ATOMIC builds (r6 review): cells + centroids land under
+    `<path>/v{N}/` and `<path>/_CURRENT` commits LAST via atomic
+    rename — the HllRegisterStore pattern. A build that dies mid-write
+    leaves _CURRENT on the previous complete version, so a probe can
+    never pair one build's centroids with another build's cell
+    assignments (a torn index silently degrades recall: cells were
+    argmax-assigned against DIFFERENT centroids). This also removes
+    the append failure mode — every build is a full self-consistent
+    version; versions beyond `keep_versions` are pruned.
+
+    Build = eligibility gate feeding the SAME write_ivf_index path the
+    unfiltered layout uses; the 1-row centroid relation is
+    localCheckpoint'ed so the eligible subtree runs once for the
+    centroid build and once for the assignment write, and its blocks
+    are released deterministically after the writes."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.dedup import _ckpt_rdd_ids, _release_rdds
     from ..operators.similarity import ivf_centroids
 
-    ok = documents.filter(
-        (F.col("n_chars") >= min_chars) & (F.col("lang") == lang)
-    ).select(F.col("doc_id").alias("vec_id"))
-    eligible = embeddings.join(ok, "vec_id", "left_semi")
+    eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
+    ver = _ivf_current_version(path) + 1
+    base = os.path.join(path, f"v{ver}")
     cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
-    write_ivf_index(
-        eligible, f"{path}/cells", n_cells, mode=mode, centroids_row=cents
-    )
-    cents.write.mode(mode).parquet(f"{path}/centroids")
+    try:
+        write_ivf_index(
+            eligible, os.path.join(base, "cells"), n_cells,
+            centroids_row=cents,
+        )
+        cents.write.mode("overwrite").parquet(
+            os.path.join(base, "centroids")
+        )
+    finally:
+        _release_rdds(
+            documents.sparkSession.sparkContext, _ckpt_rdd_ids(cents)
+        )
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": ver}, fh)
+    os.replace(tmp, os.path.join(path, "_CURRENT"))
+    for stale in range(max(1, ver - keep_versions - 1), ver + 1 - keep_versions):
+        old = os.path.join(path, f"v{stale}")
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def ivf_index_probe(
@@ -213,19 +273,37 @@ def ivf_index_probe(
 ) -> DataFrame:
     """Serve a top-k query from a persisted (filtered) IVF index: rank
     the stored centroids against the query vector, then scan ONLY the
-    nprobe winning `cell=` directories (Catalyst partition-prunes the
-    isin filter — tests assert the executed scan's partition count).
-    The centroid read and cell ranking are O(n_cells); the data read
-    is nprobe/n_cells of the (already filtered) index. Cell ranking is
-    the shared `rank_probe_cells` — identical tie-breaks to the
-    in-memory ivf_topk, which the layout test pins result-equal."""
+    nprobe winning `cell=` directories of the CURRENT committed
+    version (Catalyst partition-prunes the isin filter — tests assert
+    the executed scan's partition count). The centroid read and cell
+    ranking are O(n_cells); the data read is nprobe/n_cells of the
+    (already filtered) index. Cell ranking is the shared
+    `rank_probe_cells` — identical tie-breaks to the in-memory
+    ivf_topk, which the layout test pins result-equal.
+
+    Single-query contract, enforced: with >1 query row the global
+    nprobe cell ranking and the unkeyed broadcast join would merge the
+    queries into one interleaved, wrong top-k with no error (r6
+    review) — batch serving is operators/similarity.batch_topk."""
+    import os
+
     from ..operators.similarity import as_double, cosine, rank_probe_cells
 
-    cents = spark.read.parquet(f"{path}/centroids")
+    n_q = query.count()
+    if n_q != 1:
+        raise ValueError(
+            f"ivf_index_probe serves exactly one query vector, got {n_q} "
+            "rows — use operators/similarity.batch_topk for query batches"
+        )
+    ver = _ivf_current_version(path)
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF index under {path}")
+    base = os.path.join(path, f"v{ver}")
+    cents = spark.read.parquet(os.path.join(base, "centroids"))
     qcells = rank_probe_cells(query, cents, nprobe)
     probed = [int(r["probe_cell"]) for r in qcells.collect()]
     qv = query.select(F.col("embedding").alias("_qv"))
-    idx = spark.read.parquet(f"{path}/cells").filter(
+    idx = spark.read.parquet(os.path.join(base, "cells")).filter(
         F.col("cell").isin(probed)
     )
     return (

@@ -272,14 +272,14 @@ def test_filtered_ivf_index_probe_reads_only_nprobe_cells(spark, tmp_path):
             (F.col("n_chars") >= 200) & (F.col("lang") == "en")
         ).select("doc_id").collect()
     }
-    idx = spark.read.parquet(f"{path}/cells")
+    idx = spark.read.parquet(f"{path}/v1/cells")
     stored = {r["vec_id"] for r in idx.select("vec_id").collect()}
     assert stored and stored <= ok_ids
     n_cells_present = idx.select("cell").distinct().count()
     assert n_cells_present > 2  # pruning claim below is non-vacuous
 
     # (2) directory layout is hive-partitioned by cell
-    dirs = {d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")}
+    dirs = {d for d in os.listdir(f"{path}/v1/cells") if d.startswith("cell=")}
     assert len(dirs) == n_cells_present
 
     # (3) the probe's EXECUTED scan touched exactly nprobe partitions
@@ -310,3 +310,59 @@ def test_filtered_ivf_index_probe_reads_only_nprobe_cells(spark, tmp_path):
     eligible = emb.join(ok, "vec_id", "left_semi")
     expect = ivf_topk(eligible, q, k=10, nprobe=2, n_cells=8)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expect.collect()))
+
+
+def test_filtered_ivf_rebuild_commits_atomically(spark, tmp_path):
+    """A rebuild lands as a NEW committed version (v2) and the probe
+    never mixes generations: _CURRENT moves only after both cells and
+    centroids are fully written, and old versions prune to
+    keep_versions."""
+    import json
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+    first = ivf_index_probe(
+        spark, path, emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    # rebuild over a SHRUNK corpus: new version, consistent end-to-end
+    write_filtered_ivf_index(
+        docs, emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=8
+    )
+    cur = json.load(open(os.path.join(path, "_CURRENT")))
+    assert cur["version"] == 2
+    second = ivf_index_probe(
+        spark, path, emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in second)
+    assert first  # v1 result was served before the rebuild
+    # a third build prunes v1 (keep_versions=2)
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    assert os.path.isdir(os.path.join(path, "v3"))
+
+
+def test_ivf_probe_rejects_multi_query(spark, tmp_path):
+    """>1 query row would merge queries into one interleaved top-k
+    with no qid — the probe must refuse loudly (batch serving is
+    batch_topk)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf2")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+    with _pytest.raises(ValueError, match="one query"):
+        ivf_index_probe(spark, path, emb.filter(F.col("vec_id") < 2), k=5)

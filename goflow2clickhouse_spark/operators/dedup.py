@@ -456,6 +456,90 @@ def shingle_arrays(
     return words.filter(F.size(w) >= n).select(F.col(id_col), sh.alias("shs"))
 
 
+def array_minhash_sigs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh15) from a packed (id, shs) shingle-array relation —
+    the array-native twin of `minhash_signatures` (no explode, no
+    corpus-wide distinct): the per-row hash array is computed once and
+    each signature slot is an array_min over a narrow transform of it.
+    The single source of the signature arithmetic for every array-path
+    consumer (full-corpus dedup below, incremental new-batch dedup)."""
+    hs = sh.select(
+        F.col(id_col),
+        F.transform("shs", lambda s: hash31(s)).alias("_hs"),
+    )
+    return hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("_hs", lambda h: _perm(h, i))).alias(f"mh{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+
+
+def incremental_neardup_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN an existing corpus and a newly arrived
+    batch — the incremental shape ongoing-crawl pipelines run daily:
+    is each new document a near-copy of something already ingested?
+    Returns (id_a, id_b, jaccard) with id_a from `old`, id_b from
+    `new`; old-vs-old and new-vs-new pairs are never generated or
+    verified (dedup WITHIN the batch is `minhash_lsh_dedup_pairs` on
+    `new` alone).
+
+    Same signature arithmetic as the full-corpus operator
+    (array_minhash_sigs — a drift would break the differential), but
+    candidates come from an old x new equi-join on (band_no, band_key)
+    instead of corpus-wide self-bucketing, so the work scales with the
+    BATCH: the old side contributes only band-key rows (production
+    materializes those once as the persisted index), the exchange
+    carries 16-byte keys, and verification fetches shingle sets for
+    candidate ids only via per-side semi-joins. AQE broadcasts the new
+    side's bands when the batch is small; no hint — batch size is
+    caller-controlled, not bounded."""
+    sh_old = shingle_arrays(old, text_col, id_col, n).persist()
+    sh_new = shingle_arrays(new, text_col, id_col, n).persist()
+    bk_old = band_key_rows(array_minhash_sigs(sh_old, id_col), id_col).select(
+        F.col(id_col).alias("id_a"), "band_no", "band_key"
+    )
+    bk_new = band_key_rows(array_minhash_sigs(sh_new, id_col), id_col).select(
+        F.col(id_col).alias("id_b"), "band_no", "band_key"
+    )
+    cands = (
+        bk_old.join(bk_new, ["band_no", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    sa = sh_old.join(
+        cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sh_new.join(
+        cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
+    result = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                shared / (F.size("shs_a") + F.size("shs_b") - shared), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    for handle in (sh_old, sh_new, cands):
+        weakref.finalize(result, _safe_unpersist, handle)
+    return result
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -493,19 +577,7 @@ def minhash_lsh_dedup_pairs(
     corpus-sized — there you'd materialize `shingle_arrays(df)` to
     storage once and share it across dedup runs."""
     sh = shingle_arrays(df, text_col, id_col, n).persist()
-    # per-row hash array computed once; each signature slot is an
-    # array_min over a narrow transform of it
-    hs = sh.select(
-        F.col(id_col),
-        F.transform("shs", lambda s: hash31(s)).alias("_hs"),
-    )
-    sigs = hs.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform("_hs", lambda h: _perm(h, i))).alias(f"mh{i}")
-            for i in range(NUM_PERM)
-        ],
-    )
+    sigs = array_minhash_sigs(sh, id_col)
     cands = lsh_candidate_pairs(
         sigs, id_col, max_bucket_size=max_bucket_size
     ).persist()

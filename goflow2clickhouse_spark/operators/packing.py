@@ -95,3 +95,60 @@ def pack_greedy(
         f"{shard_col} {shard_t}, {id_col} {id_t}, n_tok long, "
         "pack_id long, offset long",
     )
+
+
+def chunk_offsets(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunk assignments over each document's token
+    stream — the context-window prep step for training/RAG pipelines
+    that DO split documents (the complement of `pack_greedy`): chunk i
+    covers tokens [i*stride, min(i*stride + window, n)), so consecutive
+    chunks overlap by window - stride tokens and the final chunk is
+    allowed to run short. Emits one row per (doc, chunk):
+    (id, chunk_idx, tok_start, tok_end, n_tok) — offsets, not text, so
+    the exchange never carries document bodies and the caller slices
+    lazily at materialization time.
+
+    Chunk count: 1 if n <= window else 1 + ceil((n-window)/stride) —
+    every token is covered, no chunk starts at or past n. All-integer
+    arithmetic, so any engine replays it exactly.
+
+    Scale shape: a pure narrow projection + explode — no shuffle, no
+    UDF; at 100 TB this pipelines with the scan and parallelizes by
+    input split. Row expansion is ~n/stride per doc; cap `window`/
+    `stride` choices, not the operator.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would skip tokens"
+        )
+    n = F.size(F.split(F.col(text_col), " "))
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - window + stride - 1) / F.lit(stride))
+    )
+    start = F.col("chunk_idx") * stride
+    return (
+        df.select(
+            F.col(id_col),
+            n.cast("long").alias("_n"),
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("tok_start"),
+            F.least(start + window, F.col("_n")).cast("long").alias("tok_end"),
+            (F.least(start + window, F.col("_n")) - start)
+            .cast("long")
+            .alias("n_tok"),
+        )
+    )

@@ -522,3 +522,92 @@ def knn_graph_blocked(
     return pairs.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside coarse-quantizer cells
+# ---------------------------------------------------------------------------
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    tau: float,
+    n_cells: int = IVF_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) as a relational plan: cluster the
+    corpus with the deterministic IVF coarse quantizer, compare vectors
+    ONLY within their cell, and prune the redundant member of every
+    pair whose cosine exceeds tau — keeping, per SemDeDup's rule, the
+    example FARTHER from its cluster centroid (lower centroid cosine;
+    the outlier carries more signal). Returns one row per vector:
+    (id, cell, ccos, is_pruned).
+
+    Prune rule as a join, not an iteration: vector x is pruned iff some
+    same-cell neighbor y has cosine(x, y) > tau and y dominates x —
+    y.ccos < x.ccos, ties broken to the lower id. Total order => the
+    kept set is unique and both engines replay it exactly.
+
+    Scale shape: centroids travel by one broadcast row (bcast bound:
+    n_cells structs); assignment is a narrow projection; the pairwise
+    compare is an equi-join on cell whose blow-up is bounded by cell
+    size — at 100 TB n_cells grows ~sqrt(N) so cells stay ~constant,
+    and per-vector norms are hoisted out of the pair fold
+    (neardup_pairs_blocked's measured 3x saving). No corpus-wide
+    all-pairs anywhere.
+    """
+    cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    cellvecs = cents_row.select(F.explode("_cents").alias("c")).select(
+        F.col("c.cid").alias("cell"), F.col("c.cvec").alias("_cvec")
+    )
+    assigned = ivf_assign(embeddings, cents_row, vec_col)
+    m = (
+        assigned.join(F.broadcast(cellvecs), "cell")  # bcast bound: n_cells rows
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            as_double(vec_col).alias("_v"),
+            cosine(as_double(vec_col), F.col("_cvec")).alias("ccos"),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    a = m.select(
+        F.col(id_col).alias("id_a"), "cell",
+        F.col("ccos").alias("ccos_a"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = m.select(
+        F.col(id_col).alias("id_b"), "cell",
+        F.col("ccos").alias("ccos_b"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+    )
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            )
+            > tau
+        )
+    )
+    # y (the _b side) dominates x (the _a side): farther from the
+    # centroid, ties to the lower id => x is pruned
+    pruned = (
+        close.filter(
+            (F.col("ccos_b") < F.col("ccos_a"))
+            | (
+                (F.col("ccos_b") == F.col("ccos_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return m.join(pruned, id_col, "left").select(
+        id_col,
+        "cell",
+        "ccos",
+        F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
+    )

@@ -57,6 +57,15 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # Every name above was re-proven this round by the FULL local
 # differential suite (sf0.001), the sf0.1 scale soak, and the sf0.01
 # vanilla-session pre-flight over window + changed names (round notes).
+#
+# Registered AFTER the r6 window was sealed (the window is full with the
+# stale-pool drain; naming them here keeps the accounting honest, per the
+# r5 ADVICE standard for similarity_batch_topk). Each passed the local
+# DuckDB differential at sf0.001, sf0.01 AND the sf0.1 soak this round;
+# they take the first three r7 window slots:
+#   - doc_chunk_offsets        (r7 slot 1)
+#   - semdedup_prune           (r7 slot 2)
+#   - incremental_dedup_newbatch (r7 slot 3)
 promote([
     # (a) no driver row yet
     "similarity_batch_topk",

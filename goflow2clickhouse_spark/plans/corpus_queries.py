@@ -1482,3 +1482,60 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_shuffle(d, "doc_id", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (context-window prep, r6)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "doc_chunk_offsets",
+    bench=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    nc AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= {_CHUNK_W} THEN 1
+                    ELSE 1 + CAST(FLOOR((n - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                        / {_CHUNK_S}) AS BIGINT)
+               END AS n_chunks
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id, n,
+               UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM nc
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS tok_start,
+           CAST(LEAST(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n) AS BIGINT)
+               AS tok_end,
+           CAST(LEAST(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n)
+                - chunk_idx * {_CHUNK_S} AS BIGINT) AS n_tok
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk assignments
+    (operators/packing.chunk_offsets): every document split into
+    32-token windows at stride 24 (8-token overlap), one row per
+    chunk with [tok_start, tok_end) offsets — the context-window prep
+    step for pipelines that split documents (`doc_packing_assign` is
+    the keep-whole complement). All-integer arithmetic; the oracle
+    replays the chunk-count recurrence and every offset, so one
+    off-by-one in any chunk hash-mismatches. Scale: a narrow
+    projection + explode — no shuffle, no UDF; parallelizes with the
+    input splits and the exchange never carries document text."""
+    from ..operators.packing import chunk_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_offsets(d, window=_CHUNK_W, stride=_CHUNK_S).orderBy(
+        "doc_id", "chunk_idx"
+    )

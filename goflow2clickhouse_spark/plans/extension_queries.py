@@ -2184,3 +2184,268 @@ def filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits"),
         F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside coarse-quantizer cells (r6)
+# ---------------------------------------------------------------------------
+
+# The fixture embeddings are random synthetic vectors with no semantic
+# duplicates (within-cell pair cosine tops out ~0.49), so — exactly like
+# CORPUS_SQL plants text variants — the semantic-dedup corpus plants a
+# perturbed re-embedding (first component +0.25, id +1,000,000) for every
+# fifth vector: planted pairs land at cosine 0.968–0.976, a wide margin
+# from both the tau=0.9 gate and the natural distribution, so the
+# threshold can never sit on an engine-rounding boundary.
+EVEC_SQL = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(CAST(embedding AS DOUBLE[]),
+                      (x, i) -> CASE WHEN i = 1 THEN x + 0.25 ELSE x END) AS v
+FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def evec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of EVEC_SQL (DuckDB list_transform indexes from 1,
+    Spark from 0 — both expressions perturb the FIRST component)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double("embedding").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + 0.25).otherwise(x),
+        ).alias("embedding"),
+    )
+    return e.unionByName(planted)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS ({EVEC_SQL}),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               {_COS.format(a='e.v', b='c.cvec')} AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, v, cid, score AS ccos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM scored) t
+        WHERE rn = 1),
+    close AS (
+        SELECT a.vec_id AS id_a, a.ccos AS ccos_a,
+               b.vec_id AS id_b, b.ccos AS ccos_b
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        WHERE {_COS.format(a='a.v', b='b.v')} > 0.9),
+    pruned AS (
+        SELECT DISTINCT id_a AS vec_id FROM close
+        WHERE ccos_b < ccos_a OR (ccos_b = ccos_a AND id_b < id_a))
+    SELECT a.cid AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(COALESCE(SUM(CASE WHEN p.vec_id IS NOT NULL
+                                  THEN a.vec_id % 99991 END), 0)
+                AS BIGINT) AS pruned_checksum
+    FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    GROUP BY a.cid ORDER BY cell
+    """
+
+
+@query("semdedup_prune", oracle=_SEMDEDUP_ORACLE, bench=True)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semdedup_prune) over the planted
+    semantic-dup corpus: IVF cells (deterministic lowest-8-id seed
+    centroids), within-cell cosine > 0.9 pairs, prune the pair member
+    nearer its centroid (SemDeDup keeps the outlier; ties to the lower
+    id — a total order, so the kept set is unique and the oracle
+    replays every prune decision). Reported per cell: member count,
+    pruned count, and a membership checksum over the pruned ids so a
+    single wrong prune decision hash-mismatches.
+
+    Scale: the only corpus-wide ops are one broadcast-assign projection
+    and one equi-join on cell; pair blow-up is bounded by cell size
+    (n_cells grows ~sqrt(N) at 100 TB). Norms hoisted per side."""
+    e = evec_corpus(spark, sf_dir)
+    flags = S.semdedup_prune(e, tau=0.9, n_cells=8)
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_pruned"), F.col("vec_id") % 99991)),
+                F.lit(0),
+            ).alias("pruned_checksum"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (r6)
+# ---------------------------------------------------------------------------
+
+# The batch also carries genuinely NOVEL documents (every word suffixed
+# with '~q' — no shingle or sha can match the corpus; '~' is outside the
+# vocabulary alphabet), so all three statuses fire: exact (verbatim
+# plants), near (drop-first-word plants), unique (novel).
+_NOVEL_SQL = """
+SELECT doc_id + 3000000 AS doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+                                      w -> w || '~q'), ' ') AS text
+FROM documents WHERE doc_id % 10 = 5
+"""
+
+_ALLC_SHINGLES_SQL = f"""
+allc AS (
+    {CORPUS_SQL}
+    UNION ALL
+    {_NOVEL_SQL}
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM allc) t
+        WHERE len(w) >= 3
+    ) u
+)
+"""
+
+
+def _incremental_oracle() -> str:
+    h = _H31.format(x="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({2 * i + 1} * h + {i * 7919 + 1}) % 2147483647) AS mh{i}"
+        for i in range(D.NUM_PERM)
+    )
+    band_keys = []
+    for j in range(D.BANDS):
+        cols = [f"mh{j * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = "concat_ws('_', " + ", ".join(
+            f"CAST({c} AS STRING)" for c in cols
+        ) + ")"
+        band_keys.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"(SELECT doc_id, {key} AS bk FROM mh WHERE doc_id < 1000000) a "
+            f"JOIN (SELECT doc_id, {key} AS bk FROM mh "
+            f"WHERE doc_id >= 1000000) b ON a.bk = b.bk"
+        )
+    cands = "\n        UNION\n        ".join(band_keys)
+    return f"""
+    WITH {_ALLC_SHINGLES_SQL},
+    h AS (SELECT doc_id, {h} AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    cands AS (
+        {cands}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+         AND a.doc_id < 1000000 AND b.doc_id >= 1000000
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (id_a, id_b) FROM cands)
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+        SELECT DISTINCT id_b AS doc_id FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    ),
+    newdocs AS (SELECT doc_id, text FROM allc WHERE doc_id >= 1000000),
+    oldsha AS (SELECT DISTINCT sha256(text) AS sha FROM allc
+               WHERE doc_id < 1000000),
+    exact AS (
+        SELECT DISTINCT n.doc_id FROM newdocs n
+        JOIN oldsha o ON sha256(n.text) = o.sha
+    ),
+    st AS (
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near'
+                    ELSE 'unique' END AS status
+        FROM newdocs d
+          LEFT JOIN exact e ON e.doc_id = d.doc_id
+          LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id % 99991) AS BIGINT) AS id_checksum
+    FROM st GROUP BY status ORDER BY status
+    """
+
+
+@query("incremental_dedup_newbatch", oracle=_incremental_oracle(), bench=True)
+def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a newly arrived batch against the existing
+    corpus — the shape an ongoing-crawl pipeline runs per increment
+    (full-corpus re-dedup per day is the anti-pattern at 100 TB). The
+    planted corpus splits naturally: originals (id < 1e6) are "already
+    ingested", the planted variants (id >= 1e6) are "today's crawl".
+    Gate 1: exact — sha2-256 LEFT SEMI against the corpus hash set
+    (production: the persisted hash index; the exchange carries 64-byte
+    hashes). Gate 2: near — operators/dedup.incremental_neardup_pairs,
+    an old x new band-key join (work scales with the BATCH, old side
+    contributes only its persisted band index). Each new doc reports
+    one status — exact beats near beats unique — with per-status count
+    + id checksum so a single misclassification hash-mismatches."""
+    c = corpus(spark, sf_dir)
+    novel = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(w, F.lit("~q"))
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    old = c.filter(F.col("doc_id") < 1000000)
+    new = c.filter(F.col("doc_id") >= 1000000).unionByName(novel)
+    old_sha = old.select(F.sha2("text", 256).alias("_sha")).distinct()
+    exact_ids = (
+        new.select("doc_id", F.sha2("text", 256).alias("_sha"))
+        .join(old_sha, "_sha", "left_semi")
+        .select("doc_id")
+        .withColumn("_ex", F.lit(True))
+    )
+    near_ids = (
+        D.incremental_neardup_pairs(old, new, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ex"), F.lit("exact"))
+            .when(F.col("_nr"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("doc_id") % 99991).alias("id_checksum"),
+        )
+        .orderBy("status")
+    )

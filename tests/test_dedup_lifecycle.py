@@ -198,3 +198,60 @@ def test_exact_dedup_prehash_not_separator_injectable(spark):
     df = spark.createDataFrame(rows, "doc_id long, a string, b string")
     got = sorted(r.doc_id for r in exact_dedup(df, ["a", "b"]).collect())
     assert got == [1, 2], got
+
+
+# ---------------------------------------------------------------------------
+# incremental_neardup_pairs (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def test_incremental_neardup_old_x_new_only(spark):
+    from goflow2clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [
+            (1, base),
+            # near-identical PAIR inside the corpus: must never be
+            # emitted — incremental compares old x new only
+            (2, base + " lambda"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),  # verbatim copy of 1 (and near 2)
+            (102, " ".join(base.split()[1:])),  # drop-first-word near-dup
+            (103, "car boat plane train bike truck scooter ship sub rocket"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = incremental_neardup_pairs(old, new, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    # every pair crosses the boundary
+    assert all(a <= 3 and b >= 101 for a, b in got)
+    assert got[(1, 101)] == 1.0
+    assert got[(1, 102)] >= 0.5
+    # the old-old near pair (1,2) is absent by construction
+    assert not any(a == 1 and b == 2 for a, b in got)
+    # the novel doc matches nothing
+    assert not any(b == 103 for _, b in got)
+
+
+def test_incremental_neardup_batch_internal_dups_not_reported(spark):
+    from goflow2clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    dup = "red orange yellow green blue indigo violet"
+    new = spark.createDataFrame(
+        [(101, dup), (102, dup)], "doc_id long, text string"
+    )
+    pairs = incremental_neardup_pairs(old, new, threshold=0.5).collect()
+    assert pairs == []  # 101~102 is within-batch, not old x new

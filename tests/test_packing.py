@@ -101,3 +101,72 @@ def test_rejects_colliding_column_names(spark):
     df2 = spark.createDataFrame([("a", 1, 2)], "shard string, offset long, n long")
     with pytest.raises(ValueError, match="offset"):
         pack_greedy(df2, "shard", "offset", "n", 10)
+
+
+# ---------------------------------------------------------------------------
+# chunk_offsets
+# ---------------------------------------------------------------------------
+
+from goflow2clickhouse_spark.operators.packing import chunk_offsets  # noqa: E402
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _chunks(spark, text, window, stride):
+    out = chunk_offsets(
+        _texts(spark, [(1, text)]), window=window, stride=stride
+    )
+    return sorted(
+        (r.chunk_idx, r.tok_start, r.tok_end, r.n_tok) for r in out.collect()
+    )
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    # 3 tokens <= window: one chunk covering everything
+    assert _chunks(spark, "a b c", window=8, stride=4) == [(0, 0, 3, 3)]
+
+
+def test_chunk_exact_window_single_chunk(spark):
+    assert _chunks(spark, "a b c d", window=4, stride=2) == [(0, 0, 4, 4)]
+
+
+def test_chunk_overlap_and_short_tail(spark):
+    # n=7, window=4, stride=2 -> chunks at 0,2,4: last runs short
+    got = _chunks(spark, "a b c d e f g", window=4, stride=2)
+    assert got == [(0, 0, 4, 4), (1, 2, 6, 4), (2, 4, 7, 3)]
+    # consecutive chunks overlap by window - stride tokens
+    for (_, s0, e0, _), (_, s1, _, _) in zip(got, got[1:]):
+        assert e0 - s1 == 4 - 2
+    # full coverage, no chunk starts at/past n
+    assert got[-1][2] == 7 and all(s < 7 for _, s, _, _ in got)
+
+
+def test_chunk_coverage_property(spark):
+    # every token position of every doc is covered by >= 1 chunk and
+    # the chunk-count formula never emits a chunk starting past n
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate([1, 5, 16, 17, 31, 32, 33, 95])]
+    out = chunk_offsets(_texts(spark, rows), window=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = dict(enumerate([1, 5, 16, 17, 31, 32, 33, 95]))
+    for doc_id, chunks in by_doc.items():
+        n = lens[doc_id]
+        covered = set()
+        for c in chunks:
+            assert 0 <= c.tok_start < n
+            assert c.tok_end <= n and c.n_tok == c.tok_end - c.tok_start
+            covered |= set(range(c.tok_start, c.tok_end))
+        assert covered == set(range(n))
+    assert set(by_doc) == set(lens)
+
+
+def test_chunk_rejects_bad_params(spark):
+    d = _texts(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_offsets(d, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_offsets(d, window=0, stride=1)

@@ -425,3 +425,26 @@ def test_quality_classifier_map_only(spark):
     p = plan_str(spark, SPECS["quality_classifier_scores"].spark(spark, SF))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_chunk_offsets_is_narrow(spark):
+    """The chunker must stay a scan -> generate -> project pipeline:
+    the ONLY exchange allowed is the range partitioning for the
+    driver-contract output ordering — a hash shuffle appearing here
+    means the operator stopped being a narrow transformation."""
+    p = plan_str(spark, SPECS["doc_chunk_offsets"].spark(spark, SF))
+    assert "hashpartitioning" not in p
+    assert p.count("rangepartitioning") == 1
+    assert "Generate" in p and "CartesianProduct" not in p
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {"doc_id", "text"}, f"scan reads wrong columns: {cols}"
+
+
+def test_semdedup_no_cartesian_and_cell_equijoin(spark):
+    """SemDeDup's pairwise compare must be an equi-join on cell (the
+    blow-up bound), never a cartesian; the only nested-loop join is
+    the 1-row centroid broadcast."""
+    p = plan_str(spark, SPECS["semdedup_prune"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,200}cell", p, re.S)

@@ -147,3 +147,67 @@ def test_kmeans_refine_keeps_emptied_cells(spark):
     out = kmeans_refine(e, n_cells=4, iterations=2).collect()
     assert len(out) == 4, out
     assert sum(r["n_members"] for r in out) == 8
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune
+# ---------------------------------------------------------------------------
+
+def _evecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_prunes_nearer_to_centroid(spark):
+    from goflow2clickhouse_spark.operators.similarity import semdedup_prune
+
+    # seeds (lowest 2 ids): cell0 centroid [1,0], cell1 centroid [0,1].
+    # cell0 members: 0, 3=[.5,.5] (argmax tie -> lower cid), 4=2*v3
+    # (exact ccos tie with 3), 5=[.51,.49] (nearer centroid than 3).
+    # cell1 members: 1, 2=[.6,.8] (no >tau neighbor there).
+    e = _evecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.6, 0.8]),
+        (3, [0.5, 0.5]),
+        (4, [1.0, 1.0]),
+        (5, [0.51, 0.49]),
+    ])
+    out = {r.vec_id: r for r in semdedup_prune(e, tau=0.999, n_cells=2).collect()}
+    assert len(out) == 6
+    assert {i: out[i].cell for i in out} == {0: 0, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+    # pairs over tau: (3,4) cos==1 scaled copy, (3,5)/(4,5) ~0.9998.
+    # 4 loses the exact ccos tie with 3 (higher id); 5 is nearer the
+    # centroid than both 3 and 4; 3 is dominated by nobody.
+    assert {i for i in out if out[i].is_pruned} == {4, 5}
+    # kept outlier keeps its centroid-cosine reported
+    assert out[3].ccos == pytest.approx(0.5**0.5, abs=1e-12)
+
+
+def test_semdedup_no_close_pairs_prunes_nothing(spark):
+    from goflow2clickhouse_spark.operators.similarity import semdedup_prune
+
+    e = _evecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.7, 0.7]),
+    ])
+    out = semdedup_prune(e, tau=0.999, n_cells=2).collect()
+    assert len(out) == 3 and not any(r.is_pruned for r in out)
+
+
+def test_semdedup_never_compares_across_cells(spark):
+    from goflow2clickhouse_spark.operators.similarity import semdedup_prune
+
+    # 2 and 3 are near-identical but land in DIFFERENT cells (each is
+    # a seed's scaled copy): no within-cell neighbor -> nothing pruned
+    # except each seed-vs-copy pair, which IS within-cell. Use copies
+    # of distinct seeds only: 2=2*v0 (cell0), 3=2*v1 (cell1) -> the
+    # only >tau pairs are (0,2) and (1,3); ccos ties prune the copies.
+    e = _evecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]),
+        (3, [0.0, 2.0]),
+    ])
+    out = {r.vec_id: r for r in semdedup_prune(e, tau=0.999, n_cells=2).collect()}
+    assert {i for i in out if out[i].is_pruned} == {2, 3}

@@ -2278,7 +2278,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_cells grows ~sqrt(N) at 100 TB). Norms hoisted per side."""
     e = evec_corpus(spark, sf_dir)
     flags = S.semdedup_prune(e, tau=0.9, n_cells=8)
-    return (
+    out = (
         flags.groupBy("cell")
         .agg(
             F.count("*").alias("n_members"),
@@ -2290,6 +2290,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+    # the operator's assignment cache is finalizer-tied to `flags`
+    return D.pin(out, flags)
 
 
 # ---------------------------------------------------------------------------
@@ -2425,13 +2427,13 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_ex", F.lit(True))
     )
+    pairs = D.incremental_neardup_pairs(old, new, threshold=0.5)
     near_ids = (
-        D.incremental_neardup_pairs(old, new, threshold=0.5)
-        .select(F.col("id_b").alias("doc_id"))
+        pairs.select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("_nr", F.lit(True))
     )
-    return (
+    out = (
         new.select("doc_id")
         .join(exact_ids, "doc_id", "left")
         .join(near_ids, "doc_id", "left")
@@ -2449,3 +2451,6 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+    # the pair op's caches are finalizer-tied to `pairs`; keep them
+    # alive for the composed plan (see dedup_cluster_sizes)
+    return D.pin(out, pairs)

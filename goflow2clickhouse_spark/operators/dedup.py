@@ -476,6 +476,32 @@ def array_minhash_sigs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _verify_jaccard(
+    cands: DataFrame, sa: DataFrame, sb: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify shared by the full-corpus and incremental
+    near-dup operators: fetch-join candidate pairs to their per-side
+    shingle arrays (`sa`/`sb` carry (id_a, shs_a) / (id_b, shs_b)),
+    intersect, and keep pairs with round(jaccard, 6) >= threshold.
+    ONE definition because this arithmetic is parity-critical — both
+    operators' DuckDB oracles replay exactly the rounded comparison —
+    and a drift between call sites would break only one differential,
+    the hard-to-debug kind of mismatch."""
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                shared / (F.size("shs_a") + F.size("shs_b") - shared), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def incremental_neardup_pairs(
     old: DataFrame,
     new: DataFrame,
@@ -522,22 +548,8 @@ def incremental_neardup_pairs(
     sb = sh_new.join(
         cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    shared = F.size(F.array_intersect("shs_a", "shs_b"))
-    result = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                shared / (F.size("shs_a") + F.size("shs_b") - shared), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    for handle in (sh_old, sh_new, cands):
-        weakref.finalize(result, _safe_unpersist, handle)
-    return result
+    result = _verify_jaccard(cands, sa, sb, threshold)
+    return tie_cache(result, sh_old, sh_new, cands)
 
 
 def minhash_lsh_dedup_pairs(
@@ -589,24 +601,8 @@ def minhash_lsh_dedup_pairs(
     sets = sh.join(cand_ids, id_col, "left_semi").persist()
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    shared = F.size(F.array_intersect("shs_a", "shs_b"))
-    result = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                shared
-                / (F.size("shs_a") + F.size("shs_b") - shared),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    for handle in (sh, cands, sets):
-        weakref.finalize(result, _safe_unpersist, handle)
-    return result
+    result = _verify_jaccard(cands, sa, sb, threshold)
+    return tie_cache(result, sh, cands, sets)
 
 
 def _safe_unpersist(df: DataFrame) -> None:
@@ -658,9 +654,9 @@ def flag_contaminated(
 def tie_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie persisted intermediates' lifetime to `result`: when the
     caller drops the result handle, every `cached` DataFrame
-    unpersists (the same weakref contract minhash_lsh_dedup_pairs
-    uses). Recompute-after-release is safe — Spark falls back to
-    lineage."""
+    unpersists — the one cache-lifecycle contract every dedup/
+    similarity operator that persists intermediates goes through.
+    Recompute-after-release is safe — Spark falls back to lineage."""
     for c in cached:
         weakref.finalize(result, _safe_unpersist, c)
     return result

@@ -240,29 +240,61 @@ def ivf_centroids(
     return cents.agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("_cents"))
 
 
+def _cents_with_norms(centroids_row: DataFrame) -> DataFrame:
+    """(cid, cvec, cn) centroid structs: each centroid's norm folded
+    ONCE here, never per (vector, centroid) compare. Shared by every
+    assignment consumer so the hoisting exists in one place."""
+    return centroids_row.select(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                c["cid"].alias("cid"),
+                c["cvec"].alias("cvec"),
+                norm(c["cvec"]).alias("cn"),
+            ),
+        ).alias("_cents")
+    )
+
+
+def _best_centroid(v_col: str, n_col: str):
+    """argmax_centroid struct over (score, -cid): score is
+    dot(cvec, v) / (n * cn) via try_divide — the SAME arithmetic as
+    cosine() with both norms hoisted to columns, so the FP result (and
+    therefore every cell assignment) is identical to an unhoisted
+    cosine() fold. Ties go to the smaller cid. `best["score"]` is the
+    centroid cosine, `-best["ncid"]` the cell id. The ONE definition of
+    assignment arithmetic — ivf_assign and semdedup_prune both read it,
+    so index cells and SemDeDup cells can never drift."""
+    return F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.try_divide(
+                    dot(c["cvec"], F.col(v_col)), F.col(n_col) * c["cn"]
+                ).alias("score"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids_row: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
     """cell = argmax_centroid cosine(cvec, v): broadcast the 1-row
     centroid array, then a pure projection — array_max over
-    (score, -cid) structs, ties to the smaller cid. No shuffle; at
-    100 TB this is the narrow index-build pass you'd follow with
-    `write.partitionBy("cell")` so probes become partition-pruned
-    scans."""
-    v = as_double(vec_col)
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                cosine(c["cvec"], v).alias("score"),
-                (-c["cid"]).alias("ncid"),
-            ),
-        )
-    )
+    (score, -cid) structs (_best_centroid), ties to the smaller cid.
+    Vector and centroid norms are hoisted so each centroid compare is
+    one dot fold. No shuffle; at 100 TB this is the narrow index-build
+    pass you'd follow with `write.partitionBy("cell")` so probes become
+    partition-pruned scans."""
+    best = _best_centroid("__av", "__an")
     return (
-        embeddings.join(F.broadcast(centroids_row))  # bcast bound: 1 row, n_cells structs
+        embeddings.withColumn("__av", as_double(vec_col))
+        .withColumn("__an", norm(F.col("__av")))
+        .join(F.broadcast(_cents_with_norms(centroids_row)))  # bcast bound: 1 row, n_cells structs
         .withColumn("cell", (-best["ncid"]).cast("long"))
-        .drop("_cents")
+        .drop("_cents", "__av", "__an")
     )
 
 
@@ -553,50 +585,28 @@ def semdedup_prune(
     compare is an equi-join on cell whose blow-up is bounded by cell
     size — at 100 TB n_cells grows ~sqrt(N) so cells stay ~constant.
     The interpreted higher-order folds are the corpus-linear cost at
-    scale, so they are minimized three ways: the vector norm and every
-    centroid's norm are hoisted so each centroid compare is ONE dot
-    fold (same arithmetic as cosine(): dot/(nv*cn), identical FP
-    result); ccos comes straight from the argmax struct instead of a
-    second cosine pass; and `m` is persisted (weakref-tied to the
-    result) so its three consumers (both pair sides + the output join)
-    never recompute the assignment. (At the test SFs the wall clock is
-    stage-overhead-bound — profiled r6: the 2.4k-vector corpus scan
-    itself costs more than all folds — so these savings show at real
-    corpus sizes, not in bench deltas.)
+    scale, so they are minimized three ways: assignment goes through
+    the shared _best_centroid/_cents_with_norms helpers (vector and
+    centroid norms hoisted — each centroid compare is ONE dot fold,
+    FP-identical to cosine(), and the SAME definition ivf_assign
+    reads, so SemDeDup cells can never drift from IVF cells); ccos
+    comes straight from the argmax struct instead of a second cosine
+    pass; and `m` is persisted (lifetime tied to the result via
+    tie_cache) so its three consumers (both pair sides + the output
+    join) never recompute the assignment. (At the test SFs the wall
+    clock is stage-overhead-bound — profiled r6: the 2.4k-vector
+    corpus scan itself costs more than all folds — so these savings
+    show at real corpus sizes, not in bench deltas.)
     """
-    import weakref
-
-    from .dedup import _safe_unpersist
+    from .dedup import tie_cache
 
     cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
-    # (cid, cvec, cn): centroid norms folded once per centroid, not
-    # once per (vector, centroid) compare
-    cents_n = cents_row.select(
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                c["cid"].alias("cid"),
-                c["cvec"].alias("cvec"),
-                norm(c["cvec"]).alias("cn"),
-            ),
-        ).alias("_cents")
-    )
     src = embeddings.select(
         F.col(id_col), as_double(vec_col).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                F.try_divide(
-                    dot(c["cvec"], F.col("_v")), F.col("_n") * c["cn"]
-                ).alias("score"),
-                (-c["cid"]).alias("ncid"),
-            ),
-        )
-    )
+    best = _best_centroid("_v", "_n")
     m = (
-        src.join(F.broadcast(cents_n))  # bcast bound: 1 row, n_cells structs
+        src.join(F.broadcast(_cents_with_norms(cents_row)))  # bcast bound: 1 row, n_cells structs
         .select(
             F.col(id_col),
             (-best["ncid"]).cast("long").alias("cell"),
@@ -649,5 +659,4 @@ def semdedup_prune(
         "ccos",
         F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
     )
-    weakref.finalize(result, _safe_unpersist, m)
-    return result
+    return tie_cache(result, m)

@@ -142,7 +142,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +194,7 @@ def _minhash_oracle() -> str:
     FROM shared
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
     """
 
 
@@ -2365,7 +2365,7 @@ def _incremental_oracle() -> str:
         SELECT DISTINCT id_b AS doc_id FROM shared
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
-        WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+        WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
     ),
     newdocs AS (SELECT doc_id, text FROM allc WHERE doc_id >= 1000000),
     oldsha AS (SELECT DISTINCT sha256(text) AS sha FROM allc

@@ -2,8 +2,16 @@
 """Bench harness: time the headline query inventory at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints exactly one compact JSON line (the driver's contract — it keeps
+only the last 2,000 chars of output, so the line is kept under 1,600
+chars and printed after spark.stop() so no shutdown logs trail it):
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "ingest": {...}, "sf": ...}
+The full record — per-query plan fingerprints ("plan_fp"), deltas vs
+the previous round, 4-decimal timings — goes to a committed side file
+PLANFP_r{N}.json that the next round's regression guard reads back.
+(r6 lesson: the single-line payload grew to 4.2 KB and the driver
+recorded parsed=null, losing the round's perf numbers.)
 
 Each query is executed with a warm-up collect (JIT/codegen, file
 listing, broadcast build) then timed collects; the reported value is
@@ -56,29 +64,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _previous_round(sf_num: object) -> tuple[dict[str, float], dict[str, str]]:
     """(per-query seconds, per-query plan fingerprints) from the latest
-    BENCH_r{N}.json next to this script (the driver wraps the bench
-    JSON line under "parsed"); ({}, {}) if none readable or the
-    previous round ran at a different sf."""
+    readable round artifact next to this script, skipping rounds run at
+    a different sf. Sources, newest round first:
+
+      - PLANFP_r{N}.json — the side file THIS script writes (full
+        payload: queries + plan_fp + deltas + ingest). Preferred: the
+        r6 round proved the driver's BENCH capture truncates long
+        stdout (BENCH_r06 has parsed=null), so the side file is the
+        lossless channel for everything beyond the compact stdout line.
+      - BENCH_r{N}.json — the driver's capture (compact line under
+        "parsed"; carries queries but, from r7 on, no plan_fp).
+
+    Returns ({}, {}) if nothing readable."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best, best_fp = -1, {}, {}
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-            inner = data.get("parsed", data)
-            queries = inner.get("queries", {})
-            fps = inner.get("plan_fp", {})
-            prev_sf = inner.get("sf", data.get("sf"))
-        except (OSError, ValueError, AttributeError):
-            continue
-        n = int(m.group(1))
-        if n > best_n and isinstance(queries, dict) and prev_sf == sf_num:
-            best_n, best = n, queries
-            best_fp = fps if isinstance(fps, dict) else {}
+    candidates: list[tuple[int, int, dict, dict]] = []
+    for pattern, rank in (("PLANFP_r*.json", 1), ("BENCH_r*.json", 0)):
+        for path in glob.glob(os.path.join(here, pattern)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+                inner = data.get("parsed", data)
+                queries = inner.get("queries", {})
+                fps = inner.get("plan_fp", {})
+                prev_sf = inner.get("sf", data.get("sf"))
+            except (OSError, ValueError, AttributeError):
+                continue
+            if isinstance(queries, dict) and queries and prev_sf == sf_num:
+                candidates.append((
+                    int(m.group(1)), rank, queries,
+                    fps if isinstance(fps, dict) else {},
+                ))
+    if not candidates:
+        return {}, {}
+    _, _, best, best_fp = max(candidates, key=lambda t: (t[0], t[1]))
     return best, best_fp
+
+
+def _next_round_number() -> int:
+    """Round number for the side-file name: one past the newest
+    driver-recorded BENCH round (BENCH_r{N}.json is written by the
+    driver AFTER a round ends, so during round N+1 the max is N).
+    Deliberately ignores self-written PLANFP files — otherwise the
+    second bench run within a round would bump past its own side file.
+    Re-runs within a round overwrite the same side file (latest run
+    wins; the round's end-state gets committed)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 def _plan_fingerprint(df) -> str:
@@ -219,7 +258,17 @@ def main() -> None:
                 file=sys.stderr,
             )
     ingest = _ingest_rows_per_sec()
-    out = {
+
+    # Stdout contract (r6 verdict item 1): the driver keeps only the
+    # LAST 2,000 chars of bench output, and r6's single JSON line grew
+    # to 4,250 bytes (41-entry plan_fp map + deltas) — the driver
+    # recorded parsed=null and lost the round's perf signal. Split the
+    # payload: the full record (queries + plan_fp + deltas + ingest)
+    # goes to a committed side file PLANFP_r{N}.json that
+    # _previous_round reads back next round; stdout carries only the
+    # compact driver line. Timings are rounded to 3 decimals in the
+    # stdout line to keep it short (the side file keeps 4).
+    out_full = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -229,7 +278,41 @@ def main() -> None:
         "ingest": ingest,
         "sf": sf_num,
     }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    side_path = os.path.join(
+        here, f"PLANFP_r{_next_round_number():02d}.json"
+    )
+    with open(side_path, "w") as fh:
+        json.dump(out_full, fh, indent=1, sort_keys=True)
+    print(f"full bench record (plan_fp, deltas): {side_path}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "ingest": ingest,
+        "sf": sf_num,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1600:
+        # Self-check: the line must sit comfortably inside the
+        # driver's 2,000-char tail even with a stray shutdown message
+        # after it. Drop per-query detail before breaking the parse —
+        # the side file still has everything.
+        print(
+            f"WARN bench stdout line {len(line)} chars > 1600; "
+            "dropping 'queries' detail (see side file)", file=sys.stderr,
+        )
+        out.pop("queries")
+        line = json.dumps(out, separators=(",", ":"))
+
+    # Stop Spark BEFORE printing so JVM shutdown INFO logs cannot trail
+    # (and truncate) the JSON line in the driver's output tail.
+    spark.stop()
+    sys.stderr.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

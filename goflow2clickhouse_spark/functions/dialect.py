@@ -110,12 +110,15 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
         " cast(shiftright({0},8)&255 as string), cast({0}&255 as string))",
     ),
     # strict octet validation matching functions/ip.ipv4_string_to_num
-    # (OrZero convention on malformed input) — a callable because the
-    # regex's {1,3} quantifier would collide with str.format braces
+    # (OrZero convention on malformed input; NULL passes through as
+    # NULL, mirroring ClickHouse NULL propagation — r7 advice) — a
+    # callable because the regex's {1,3} quantifier would collide with
+    # str.format braces
     (
         "IPv4StringToNum",
         lambda a: (
-            "(CASE WHEN {x} RLIKE '^\\\\d{{1,3}}\\\\.\\\\d{{1,3}}"
+            "(CASE WHEN {x} IS NULL THEN cast(NULL as bigint)"
+            " WHEN {x} RLIKE '^\\\\d{{1,3}}\\\\.\\\\d{{1,3}}"
             "\\\\.\\\\d{{1,3}}\\\\.\\\\d{{1,3}}$'"
             " AND cast(split({x},'[.]')[0] as bigint) <= 255"
             " AND cast(split({x},'[.]')[1] as bigint) <= 255"
@@ -139,15 +142,22 @@ _QUANTILE_HEAD = re.compile(r"\bquantiles?(Exact)?\s*\(")
 
 def _balance(sql: str, start: int) -> int:
     """Index just past the ')' matching the '(' at start-1.
-    QUOTE-AWARE: parens inside single-quoted literals ('' doubles a
-    quote) don't count — the blind scanner corrupted any query whose
-    literal contained '(' or ')' (r6 review, e.g. ifNull(x, '('))."""
+    QUOTE-AWARE: parens inside single-quoted literals don't count — the
+    blind scanner corrupted any query whose literal contained '(' or
+    ')' (r6 review, e.g. ifNull(x, '(')). Both literal escape forms
+    ClickHouse accepts are honored: '' doubling AND backslash escapes
+    (\\' stays inside the literal) — the r6 version handled only
+    doubling, so a \\' flipped the literal state and desynced the scan
+    (r7 advice)."""
     depth, j = 1, start
     while depth and j < len(sql):
         ch = sql[j]
         if ch == "'":
             j += 1
             while j < len(sql):
+                if sql[j] == "\\":
+                    j += 2  # backslash consumes the next char
+                    continue
                 if sql[j] == "'":
                     if j + 1 < len(sql) and sql[j + 1] == "'":
                         j += 2  # escaped '' stays inside the literal
@@ -163,9 +173,25 @@ def _balance(sql: str, start: int) -> int:
 
 
 def _in_literal(sql: str, pos: int) -> bool:
-    """True when pos falls inside a single-quoted literal: odd count of
-    preceding quotes ('' doubling self-cancels under parity)."""
-    return sql.count("'", 0, pos) % 2 == 1
+    """True when pos falls inside a single-quoted literal. A forward
+    scan honoring both '' doubling and backslash escapes — the r6
+    quote-parity count desynced on \\' inside a literal (r7 advice)."""
+    in_lit, i = False, 0
+    while i < pos:
+        ch = sql[i]
+        if in_lit:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2  # '' doubling stays inside
+                    continue
+                in_lit = False
+        elif ch == "'":
+            in_lit = True
+        i += 1
+    return in_lit
 
 
 def _rewrite_quantiles(sql: str) -> str:
@@ -214,6 +240,13 @@ def _split_args(argstr: str) -> list[str]:
             cur.append(ch)
             i += 1
             while i < len(argstr):
+                if argstr[i] == "\\" and i + 1 < len(argstr):
+                    # backslash escape consumes the next char (r7
+                    # advice: \' must not close the literal)
+                    cur.append(argstr[i])
+                    cur.append(argstr[i + 1])
+                    i += 2
+                    continue
                 cur.append(argstr[i])
                 if argstr[i] == "'":
                     if i + 1 < len(argstr) and argstr[i + 1] == "'":

@@ -100,7 +100,10 @@ def ipv4_string_to_num(col: Column | str) -> Column:
     into a wrong number (r6 review); ClickHouse throws on such input
     (IPv4StringToNumOrZero → 0). Malformed input yields 0, the OrZero
     convention — a throwing column would kill whole jobs on one dirty
-    row."""
+    row. NULL input stays NULL (r7 advice): ClickHouse propagates NULL
+    through functions (even IPv4StringToNumOrZero(NULL) is NULL), and
+    rlike(NULL) made `valid` NULL so the otherwise-branch silently
+    turned a missing address into 0.0.0.0."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, r"\.")
     octets = [parts.getItem(i).cast("long") for i in range(4)]
@@ -110,7 +113,11 @@ def ipv4_string_to_num(col: Column | str) -> Column:
     num = (
         octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3]
     )
-    return F.when(valid, num).otherwise(F.lit(0).cast("long"))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("long"))
+        .when(valid, num)
+        .otherwise(F.lit(0).cast("long"))
+    )
 
 
 def ipv4_in_cidr(col: Column | str, cidr: str) -> Column:

@@ -57,6 +57,15 @@ def _canon_value(v: object) -> str:
         return "[" + ",".join(_esc(_canon_value(x)) for x in v) + "]"
     if isinstance(v, _dt.timedelta):
         return f"td:{v.total_seconds()}"
+    if isinstance(v, str):
+        # type tag (r7 advice): an untagged string whose TEXT is
+        # literally '[x]' / 'td:60.0' / '␀' / 'nan' canonicalized
+        # identically to the list ['x'] / a timedelta / NULL / NaN, so
+        # a string-vs-structured engine divergence could hash as a
+        # false PASS. The tag applies ONLY to str — numerics/Decimal
+        # still share the untagged space so int 2 ≡ Decimal 2 ≡ 2.0
+        # keeps matching across engines.
+        return "s:" + v
     return str(v)
 
 

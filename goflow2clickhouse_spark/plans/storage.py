@@ -184,16 +184,16 @@ def eligible_embeddings(
     return embeddings.join(ok, "vec_id", "left_semi")
 
 
-def _ivf_current_version(path: str) -> int:
-    """Committed index version from `<path>/_CURRENT`; 0 when none."""
-    import json
-    import os
+def _ivf_current_version(spark: SparkSession, path: str) -> int:
+    """Committed index version from `<path>/_CURRENT`; 0 when none.
+    Resolved through the Hadoop FileSystem API (versioned.py) so the
+    metadata lives on the SAME filesystem as the parquet cells — the
+    r6 version read/wrote _CURRENT with driver-local os.* calls, which
+    silently broke the atomicity contract on any non-local path
+    (r7 advice)."""
+    from ..versioned import current_version
 
-    f = os.path.join(path, "_CURRENT")
-    if not os.path.exists(f):
-        return 0
-    with open(f) as fh:
-        return int(json.load(fh)["version"])
+    return current_version(spark, path)
 
 
 def write_filtered_ivf_index(
@@ -217,51 +217,44 @@ def write_filtered_ivf_index(
 
     ATOMIC builds (r6 review): cells + centroids land under
     `<path>/v{N}/` and `<path>/_CURRENT` commits LAST via atomic
-    rename — the HllRegisterStore pattern. A build that dies mid-write
+    rename — the versioned.py pattern. A build that dies mid-write
     leaves _CURRENT on the previous complete version, so a probe can
     never pair one build's centroids with another build's cell
     assignments (a torn index silently degrades recall: cells were
     argmax-assigned against DIFFERENT centroids). This also removes
     the append failure mode — every build is a full self-consistent
-    version; versions beyond `keep_versions` are pruned.
+    version; versions beyond `keep_versions` are pruned. ALL metadata
+    I/O routes through the Hadoop FileSystem API (r7 advice): the
+    os.replace commit only worked when the index path was on the
+    driver's local disk.
 
     Build = eligibility gate feeding the SAME write_ivf_index path the
     unfiltered layout uses; the 1-row centroid relation is
     localCheckpoint'ed so the eligible subtree runs once for the
     centroid build and once for the assignment write, and its blocks
     are released deterministically after the writes."""
-    import json
-    import os
-    import shutil
+    import posixpath
 
     from ..operators.dedup import _ckpt_rdd_ids, _release_rdds
     from ..operators.similarity import ivf_centroids
+    from ..versioned import commit_version, version_dir
 
+    spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
-    ver = _ivf_current_version(path) + 1
-    base = os.path.join(path, f"v{ver}")
+    ver = _ivf_current_version(spark, path) + 1
+    base = version_dir(path, ver)
     cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
     try:
         write_ivf_index(
-            eligible, os.path.join(base, "cells"), n_cells,
+            eligible, posixpath.join(base, "cells"), n_cells,
             centroids_row=cents,
         )
         cents.write.mode("overwrite").parquet(
-            os.path.join(base, "centroids")
+            posixpath.join(base, "centroids")
         )
     finally:
-        _release_rdds(
-            documents.sparkSession.sparkContext, _ckpt_rdd_ids(cents)
-        )
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "_CURRENT.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": ver}, fh)
-    os.replace(tmp, os.path.join(path, "_CURRENT"))
-    for stale in range(max(1, ver - keep_versions - 1), ver + 1 - keep_versions):
-        old = os.path.join(path, f"v{stale}")
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        _release_rdds(spark.sparkContext, _ckpt_rdd_ids(cents))
+    commit_version(spark, path, ver, keep_versions=keep_versions)
 
 
 def ivf_index_probe(
@@ -285,9 +278,10 @@ def ivf_index_probe(
     nprobe cell ranking and the unkeyed broadcast join would merge the
     queries into one interleaved, wrong top-k with no error (r6
     review) — batch serving is operators/similarity.batch_topk."""
-    import os
+    import posixpath
 
     from ..operators.similarity import as_double, cosine, rank_probe_cells
+    from ..versioned import version_dir
 
     n_q = query.count()
     if n_q != 1:
@@ -295,15 +289,15 @@ def ivf_index_probe(
             f"ivf_index_probe serves exactly one query vector, got {n_q} "
             "rows — use operators/similarity.batch_topk for query batches"
         )
-    ver = _ivf_current_version(path)
+    ver = _ivf_current_version(spark, path)
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF index under {path}")
-    base = os.path.join(path, f"v{ver}")
-    cents = spark.read.parquet(os.path.join(base, "centroids"))
+    base = version_dir(path, ver)
+    cents = spark.read.parquet(posixpath.join(base, "centroids"))
     qcells = rank_probe_cells(query, cents, nprobe)
     probed = [int(r["probe_cell"]) for r in qcells.collect()]
     qv = query.select(F.col("embedding").alias("_qv"))
-    idx = spark.read.parquet(os.path.join(base, "cells")).filter(
+    idx = spark.read.parquet(posixpath.join(base, "cells")).filter(
         F.col("cell").isin(probed)
     )
     return (

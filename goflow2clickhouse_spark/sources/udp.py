@@ -114,6 +114,14 @@ def parse_datagram(payload: bytes) -> tuple | None:
                     v = b"\x00\x00\x00\x00"
             elif v is None:
                 v = 0
+            elif isinstance(v, (bool, float)):
+                # transport parity (r7 advice): the jsonl/Kafka path
+                # parses every field as a string and try_casts to the
+                # long type, so "1.5"/"true" become NULL and the record
+                # DROPS there; int(1.5) here silently truncated and
+                # ingested the same message on UDP. Non-integral JSON
+                # numerics and booleans now drop on BOTH transports.
+                return None
             else:
                 v = int(v)
             row.append(v)

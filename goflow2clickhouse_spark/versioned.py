@@ -1,0 +1,119 @@
+"""Versioned-atomic artifact layout, shared by every persisted index.
+
+Layout contract (the HllRegisterStore pattern, generalized):
+
+    <path>/v{N}/...        one fully self-consistent build per version
+    <path>/_CURRENT        tiny JSON {"version": N, ...} committed LAST
+
+A build that dies mid-write leaves ``_CURRENT`` on the previous
+complete version, so a reader can never pair one build's artifacts
+with another's (a torn index silently corrupts results — e.g. IVF
+cell assignments argmax'ed against different centroids).
+
+All metadata I/O goes through the Hadoop FileSystem API resolved from
+the path itself (r7 advice): the earlier implementation committed
+``_CURRENT`` with driver-local ``os.replace`` while the data parquet
+went through Spark's Hadoop FS, so on any non-local path (HDFS/S3) the
+data landed remotely but the version commit landed on the driver's
+local disk — silently breaking the atomicity contract. Here the commit
+is a ``FileContext.rename(..., Rename.OVERWRITE)``, which is atomic on
+HDFS and on the local filesystem (object stores without atomic rename
+keep the usual caveat: the commit is last-writer-wins but not torn —
+the JSON is a single small object PUT).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path`, resolved from the path's own
+    scheme against the session's Hadoop configuration — the SAME
+    resolution Spark's parquet writes use, so metadata and data can
+    never land on different filesystems."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    return fs, hpath
+
+
+def current_meta(spark: SparkSession, path: str) -> dict:
+    """Parsed ``<path>/_CURRENT`` JSON; ``{}`` when no committed
+    version exists."""
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm  # noqa: SLF001
+    cur = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_CURRENT"))
+    if not fs.exists(cur):
+        return {}
+    stream = fs.open(cur)
+    try:
+        buf = bytearray()
+        b = stream.read()
+        while b != -1:  # _CURRENT is a ~tens-of-bytes JSON object
+            buf.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return json.loads(bytes(buf).decode("utf-8"))
+
+
+def current_version(spark: SparkSession, path: str) -> int:
+    """Committed version number; 0 when none."""
+    meta = current_meta(spark, path)
+    return int(meta.get("version", 0))
+
+
+def version_dir(path: str, version: int) -> str:
+    return posixpath.join(path, f"v{version}")
+
+
+def commit_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    extra: dict | None = None,
+    keep_versions: int = 2,
+) -> None:
+    """Atomically point ``_CURRENT`` at ``v{version}`` (write tmp, then
+    an OVERWRITE rename), then prune versions older than
+    ``keep_versions``. Call ONLY after every artifact under the version
+    directory is fully written."""
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm  # noqa: SLF001
+    payload = dict(extra or {})
+    payload["version"] = version
+    data = json.dumps(payload, sort_keys=True).encode("utf-8")
+
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, f"_CURRENT.tmp.v{version}")
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+    cur = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_CURRENT"))
+    # FileContext.rename(OVERWRITE): atomic replace on HDFS/local — a
+    # plain FileSystem.rename refuses an existing destination, and
+    # delete-then-rename would open a window with NO committed version
+    gateway = spark.sparkContext._gateway  # noqa: SLF001
+    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    fc.rename(tmp, cur, opts)
+
+    for stale in range(max(1, version - keep_versions - 1),
+                       version + 1 - keep_versions):
+        old = jvm.org.apache.hadoop.fs.Path(version_dir(path, stale))
+        if fs.exists(old):
+            fs.delete(old, True)

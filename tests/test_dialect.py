@@ -239,3 +239,28 @@ def test_translate_rejects_wrong_arity():
         translate("SELECT uniq(a, b) FROM t")
     with _pytest.raises(ValueError, match="dateDiff"):
         translate("SELECT dateDiff('day', a) FROM t")
+
+
+def test_translate_backslash_escaped_quote_in_literal():
+    """ClickHouse literals also escape quotes as \\' — the r6 scanner
+    handled only '' doubling, so a \\' flipped the literal-parity state
+    and corrupted everything after it (r7 advice)."""
+    # the literal must pass through intact AND the call still rewrites
+    assert translate(r"SELECT ifNull(x, 'it\'s, ok') FROM t") == (
+        r"SELECT coalesce(x, 'it\'s, ok') FROM t"
+    )
+    # a function spelled AFTER a backslash-escaped literal still
+    # rewrites (the old parity count thought it was inside a literal)
+    assert translate(r"SELECT 'a\'b', uniq(x) FROM t") == (
+        r"SELECT 'a\'b', approx_count_distinct(x) FROM t"
+    )
+    # argument splitting: a comma inside a \'-escaped literal must not
+    # split countIf's single argument into two
+    assert translate(r"SELECT countIf(msg = 'a\',b') FROM t") == (
+        r"SELECT sum(CASE WHEN msg = 'a\',b' THEN 1 ELSE 0 END) FROM t"
+    )
+    # paren balancing: a ')' inside a \'-escaped literal must not close
+    # the call early
+    assert translate(r"SELECT ifNull(x, '\')') FROM t") == (
+        r"SELECT coalesce(x, '\')') FROM t"
+    )

@@ -344,3 +344,25 @@ def test_ip6_stride_sites_rejects_unsupported(spark):
         ip6_stride_sites(spark, {"x": "2001:db8::/64"}, key_bits=48)
     with _pytest.raises(ValueError, match="IPv6"):
         ip6_stride_sites(spark, {"x": "10.0.0.0/8"})
+
+
+def test_ipv4_string_to_num_null_passthrough(spark):
+    """NULL input stays NULL (r7 advice): ClickHouse propagates NULL —
+    even IPv4StringToNumOrZero(NULL) is NULL — but rlike(NULL) made the
+    guard NULL so the otherwise-branch returned 0, silently turning a
+    missing address into 0.0.0.0. The dialect SQL template mirrors it."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), (None,), ("garbage",)], ["ip"]
+    )
+    got = {
+        (r.ip or "<null>"): r.n
+        for r in df.select("ip", ipv4_string_to_num("ip").alias("n")).collect()
+    }
+    assert got == {"1.2.3.4": 16909060, "<null>": None, "garbage": 0}
+
+    df.createOrReplaceTempView("_ip_null_t")
+    sql = translate("SELECT ip, IPv4StringToNum(ip) AS n FROM _ip_null_t")
+    got_sql = {(r.ip or "<null>"): r.n for r in spark.sql(sql).collect()}
+    assert got_sql == got

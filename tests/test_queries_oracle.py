@@ -45,3 +45,28 @@ def test_every_registered_query_has_an_oracle():
     assert NO_ORACLE_NAMES == [], (
         f"queries registered without oracles: {NO_ORACLE_NAMES}"
     )
+
+
+def test_canonicalization_type_tags_strings():
+    """A string cell whose TEXT is literally '[x]' / 'td:60.0' / '␀' /
+    'nan' must never hash like the list ['x'] / a timedelta / NULL /
+    NaN (r7 advice: list canonicalization was not type-tagged, so a
+    string-vs-list engine divergence could hash as a false PASS).
+    Numerics stay untagged so int 2 ≡ Decimal('2') ≡ 2.0 still match
+    across engines."""
+    import datetime
+    from decimal import Decimal
+
+    from goflow2clickhouse_spark.oracle import _canon_value
+
+    assert _canon_value("[x]") != _canon_value(["x"])
+    assert _canon_value("td:60.0") != _canon_value(
+        datetime.timedelta(seconds=60)
+    )
+    assert _canon_value("␀") != _canon_value(None)
+    assert _canon_value("nan") != _canon_value(float("nan"))
+    assert _canon_value("deadbeef") != _canon_value(bytes.fromhex("deadbeef"))
+    # cross-engine numeric equivalence is preserved
+    assert _canon_value(2) == _canon_value(2.0) == _canon_value(Decimal("2"))
+    # and strings still equal strings
+    assert _canon_value("x") == _canon_value("x")

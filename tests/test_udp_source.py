@@ -878,3 +878,16 @@ def test_udp_stream_end_to_end(spark, tmp_path):
         assert rows[0].src_addr == "192.168.1.5"
     finally:
         q.stop()
+
+
+def test_parse_datagram_rejects_non_integral_numerics():
+    """Transport parity (r7 advice): the jsonl/Kafka path parses every
+    field as a string and try_casts to long, so "1.5"/"true" drop
+    there; int(1.5) here silently truncated and INGESTED the same
+    message on UDP. Both transports must drop identically."""
+    assert parse_datagram(_msg(Bytes=1.5)) is None
+    assert parse_datagram(_msg(Bytes=1.0)) is None  # "1.0" fails try_cast too
+    assert parse_datagram(_msg(Packets=True)) is None
+    # plain integers (and quoted integers) still ingest
+    assert parse_datagram(_msg(Bytes=7)) is not None
+    assert parse_datagram(_msg(Bytes="7")) is not None

@@ -523,7 +523,10 @@ def incremental_neardup_pairs(
     candidates come from an old x new equi-join on (band_no, band_key)
     instead of corpus-wide self-bucketing, so the work scales with the
     BATCH: the old side contributes only band-key rows (production
-    materializes those once as the persisted index), the exchange
+    materializes those once as the persisted index —
+    plans/storage.write_band_index + incremental_neardup_pairs_indexed
+    serve this exact relation without ever re-scanning old text), the
+    exchange
     carries 16-byte keys, and verification fetches shingle sets for
     candidate ids only via per-side semi-joins. AQE broadcasts the new
     side's bands when the batch is small; no hint — batch size is

@@ -598,24 +598,36 @@ def semdedup_prune(
     corpus scan itself costs more than all folds — so these savings
     show at real corpus sizes, not in bench deltas.)
     """
-    from .dedup import tie_cache
-
     cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     src = embeddings.select(
         F.col(id_col), as_double(vec_col).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
     best = _best_centroid("_v", "_n")
-    m = (
-        src.join(F.broadcast(_cents_with_norms(cents_row)))  # bcast bound: 1 row, n_cells structs
-        .select(
-            F.col(id_col),
-            (-best["ncid"]).cast("long").alias("cell"),
-            best["score"].alias("ccos"),
-            "_v",
-            "_n",
-        )
-        .persist()
+    m = src.join(
+        F.broadcast(_cents_with_norms(cents_row))  # bcast bound: 1 row, n_cells structs
+    ).select(
+        F.col(id_col),
+        (-best["ncid"]).cast("long").alias("cell"),
+        best["score"].alias("ccos"),
+        "_v",
+        "_n",
     )
+    return _semdedup_from_assignment(m, tau, id_col)
+
+
+def _semdedup_from_assignment(
+    m: DataFrame, tau: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """The prune itself, from an assignment relation
+    (id, cell, ccos, _v, _n) — ONE definition shared by the in-memory
+    form above and the persisted-layout form
+    (plans/storage.semdedup_prune_persisted), so the two can never
+    drift on pair arithmetic or tie-breaks. `m` is persisted here
+    (lifetime tied to the result) because it feeds three consumers:
+    both pair sides and the output join."""
+    from .dedup import tie_cache
+
+    m = m.persist()
     a = m.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("ccos").alias("ccos_a"),

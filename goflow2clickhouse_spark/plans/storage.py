@@ -311,3 +311,217 @@ def ivf_index_probe(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def write_band_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_versions: int = 2,
+) -> None:
+    """Materialize the persisted MinHash band index that
+    `incremental_neardup_pairs` promises ("production materializes
+    those once as the persisted index", operators/dedup.py) — the
+    artifact that makes daily-crawl dedup scale with the BATCH: the
+    old corpus is shingled and banded ONCE here; every subsequent
+    increment probes the index instead of re-shingling 100 TB of
+    already-ingested text.
+
+    Two artifacts per version, both derived from ONE corpus scan:
+
+      <path>/v{N}/shingles/              (doc_id, shs) — the packed
+                                          shingle arrays, needed by the
+                                          exact-Jaccard verify
+      <path>/v{N}/bands/band_no=*/       (doc_id, band_key) — 16-byte
+                                          band keys, the equi-join side
+
+    The band relation is re-derived FROM the written shingles parquet
+    (read-back), not from a second text scan — the corpus text is read
+    exactly once per build, and the probe never reads it at all.
+    Versioned-atomic via versioned.py (`v{N}/` + `_CURRENT` OVERWRITE
+    rename through the Hadoop FileSystem API): a build that dies
+    mid-write leaves `_CURRENT` on the previous complete version, so a
+    probe can never pair one build's bands with another's shingle sets.
+    `_CURRENT` records the shingle width `n` and the LSH geometry
+    (num_perm, bands); the probe REFUSES an index whose parameters
+    differ from the caller's — a silent geometry mismatch would simply
+    produce near-zero candidates (recall collapse, no error).
+
+    100 TB notes: `bands` is partitioned by band_no (BANDS small fixed
+    dirs); the per-increment probe joins on (band_no, band_key) and AQE
+    broadcasts the batch side when small. `shingles` is corpus-sized
+    but column-pruned at probe time (doc_id + shs only) and fetched by
+    a candidate-id semi-join."""
+    import posixpath
+
+    from ..operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        array_minhash_sigs,
+        band_key_rows,
+        shingle_arrays,
+    )
+    from ..versioned import commit_version, current_version, version_dir
+
+    spark = corpus.sparkSession
+    ver = current_version(spark, path) + 1
+    base = version_dir(path, ver)
+    sh_path = posixpath.join(base, "shingles")
+    shingle_arrays(corpus, text_col, id_col, n).write.mode(
+        "overwrite"
+    ).parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    band_key_rows(array_minhash_sigs(sh, id_col), id_col).write.mode(
+        "overwrite"
+    ).partitionBy("band_no").parquet(posixpath.join(base, "bands"))
+    commit_version(
+        spark, path, ver,
+        extra={"n": n, "num_perm": NUM_PERM, "bands": BANDS,
+               "id_col": id_col},
+        keep_versions=keep_versions,
+    )
+
+
+def incremental_neardup_pairs_indexed(
+    new: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """`operators/dedup.incremental_neardup_pairs` served from the
+    persisted band index (`write_band_index`) instead of the old-side
+    DataFrame: the old corpus is never re-shingled — its text is never
+    even SCANNED (tests/test_storage.py asserts the executed plan's
+    file scans touch only the index directories and the new batch).
+    Returns the same (id_a, id_b, jaccard) relation, pinned
+    result-equal to the recompute form by a differential test.
+
+    Plan shape: band keys for the BATCH only (shingle → minhash →
+    band, batch-sized), one equi-join against the index's band
+    relation on (band_no, band_key), then the shared exact-Jaccard
+    verify fetching shingle sets per side — the old side's sets come
+    from the index's shingles parquet via a candidate-id semi-join
+    (column-pruned to (doc_id, shs); candidate ids are
+    dup-fraction-sized). Work per increment scales with the batch and
+    the candidate count, never the corpus."""
+    import posixpath
+
+    from ..operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        _verify_jaccard,
+        array_minhash_sigs,
+        band_key_rows,
+        shingle_arrays,
+        tie_cache,
+    )
+    from ..versioned import current_meta, version_dir
+
+    spark = new.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(f"no committed band index under {index_path}")
+    want = {"n": n, "num_perm": NUM_PERM, "bands": BANDS}
+    have = {k: int(meta.get(k, -1)) for k in want}
+    if have != want:
+        raise ValueError(
+            f"band index at {index_path} was built with {have}, caller "
+            f"expects {want} — a silent geometry mismatch would collapse "
+            "recall with no error; rebuild the index or match parameters"
+        )
+    base = version_dir(index_path, int(meta["version"]))
+    idx_id = str(meta.get("id_col", "doc_id"))
+
+    sh_new = shingle_arrays(new, text_col, id_col, n).persist()
+    bk_new = band_key_rows(array_minhash_sigs(sh_new, id_col), id_col).select(
+        F.col(id_col).alias("id_b"), "band_no", "band_key"
+    )
+    bk_old = spark.read.parquet(posixpath.join(base, "bands")).select(
+        F.col(idx_id).alias("id_a"), "band_no", "band_key"
+    )
+    cands = (
+        bk_old.join(bk_new, ["band_no", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    sa = (
+        spark.read.parquet(posixpath.join(base, "shingles"))
+        .join(
+            cands.select(F.col("id_a").alias(idx_id)).distinct(),
+            idx_id, "left_semi",
+        )
+        .select(F.col(idx_id).alias("id_a"), F.col("shs").alias("shs_a"))
+    )
+    sb = sh_new.join(
+        cands.select(F.col("id_b").alias(id_col)).distinct(), id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    result = _verify_jaccard(cands, sa, sb, threshold)
+    return tie_cache(result, sh_new, cands)
+
+
+def semdedup_prune_persisted(
+    spark: SparkSession,
+    index_path: str,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup served from the persisted filtered-IVF layout
+    (`write_filtered_ivf_index`) — the production shape the r6 verdict
+    asked for: the in-memory form recomputes centroids + assignment
+    per run; here both are READ from the committed index, and the
+    prune proceeds cell-partition-by-cell-partition — the self-join on
+    `cell` aligns with the layout's `cell=` directory partitioning, so
+    each join task compares one cell directory's vectors against
+    itself and the index is scanned once, column-pruned.
+
+    ccos (distance-to-own-centroid, the dominance key) is recomputed
+    from the STORED centroid row with the same hoisted-norm try_divide
+    arithmetic as `_best_centroid` — FP-identical to the in-memory
+    assignment score, which the parity test pins (result-equal to
+    `semdedup_prune` over the same eligible set). Returns the same
+    (id, cell, ccos, is_pruned) relation."""
+    import posixpath
+
+    from ..operators.similarity import (
+        _semdedup_from_assignment,
+        as_double,
+        dot,
+        norm,
+    )
+    from ..versioned import version_dir
+
+    ver = _ivf_current_version(spark, index_path)
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF index under {index_path}")
+    base = version_dir(index_path, ver)
+    cents_row = spark.read.parquet(posixpath.join(base, "centroids"))
+    cells = spark.read.parquet(posixpath.join(base, "cells"))
+    # one (cid, cvec, cn) row per centroid, norm folded once — joined
+    # to each vector's OWN cell (broadcast: n_cells rows)
+    cent_tbl = cents_row.select(F.explode("_cents").alias("c")).select(
+        F.col("c.cid").alias("cell"),
+        F.col("c.cvec").alias("_cvec"),
+        norm(F.col("c.cvec")).alias("_cn"),
+    )
+    m = (
+        cells.select(F.col(id_col), F.col("cell"), as_double(vec_col).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .join(F.broadcast(cent_tbl), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.try_divide(
+                dot(F.col("_cvec"), F.col("_v")), F.col("_n") * F.col("_cn")
+            ).alias("ccos"),
+            "_v",
+            "_n",
+        )
+    )
+    return _semdedup_from_assignment(m, tau, id_col)

@@ -366,3 +366,168 @@ def test_ivf_probe_rejects_multi_query(spark, tmp_path):
     write_filtered_ivf_index(docs, emb, path, n_cells=8)
     with _pytest.raises(ValueError, match="one query"):
         ivf_index_probe(spark, path, emb.filter(F.col("vec_id") < 2), k=5)
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band index (incremental dedup)
+# ---------------------------------------------------------------------------
+
+def _band_corpus(spark):
+    """old = fixture documents; new = half-overlapping variants (some
+    near-dup by word-suffix edit, some verbatim, some novel)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")
+    )
+    new = near.unionByName(exact)
+    return old, new
+
+
+def test_band_index_probe_equals_recompute(spark, tmp_path):
+    """The persisted-index probe is result-equal to the recompute form
+    (the differential the r6 verdict asked for): same (id_a, id_b,
+    jaccard) multiset."""
+    from goflow2clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx")
+    write_band_index(old, path)
+    got = sorted(
+        map(tuple, incremental_neardup_pairs_indexed(new, path).collect())
+    )
+    want = sorted(
+        map(tuple, incremental_neardup_pairs(old, new).collect())
+    )
+    assert got == want and got  # non-vacuous: planted pairs exist
+
+
+def test_band_index_probe_never_scans_corpus_text(spark, tmp_path):
+    """The 100 TB claim, proven from the EXECUTED plan: every file scan
+    in the probe reads from the index directories (bands/shingles) and
+    none reads a `text` column — the old corpus text is re-scanned
+    zero times per increment."""
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx2")
+    write_band_index(old, path)
+    # a NEW batch from in-memory rows: the only parquet in the plan is
+    # the index itself
+    new_mem = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in new.limit(50).collect()],
+        "doc_id bigint, text string",
+    )
+    res = incremental_neardup_pairs_indexed(new_mem, path)
+    res.collect()
+    scans = _scan_nodes(res)
+    assert scans, "expected index file scans in the executed plan"
+    for s in scans:
+        meta = str(s.metadata())
+        schema = s.schema().simpleString()
+        assert path in meta, f"scan outside the index: {meta[:200]}"
+        assert "text" not in schema, f"probe read text: {schema}"
+
+
+def test_band_index_rejects_geometry_mismatch_and_missing(spark, tmp_path):
+    """A probe against an index built with different shingle width must
+    refuse loudly — a silent mismatch collapses recall with no error —
+    and a probe with no committed index raises FileNotFoundError."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx3")
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        incremental_neardup_pairs_indexed(new, path)
+    write_band_index(old, path, n=4)
+    with _pytest.raises(ValueError, match="geometry|built with"):
+        incremental_neardup_pairs_indexed(new, path, n=3)
+    # matching parameters serve fine
+    assert incremental_neardup_pairs_indexed(new, path, n=4).count() >= 0
+
+
+def test_band_index_versioned_rebuild(spark, tmp_path):
+    """Rebuilds commit as new atomic versions through the Hadoop FS
+    (versioned.py): _CURRENT advances, the probe serves the newest
+    build, old versions prune to keep_versions."""
+    import json
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx4")
+    write_band_index(old, path)
+    n1 = incremental_neardup_pairs_indexed(new, path).count()
+    # rebuild over a SHRUNK corpus: fewer old docs -> no more pairs
+    write_band_index(old.filter(F.col("doc_id") % 40 == 0), path)
+    cur = json.load(open(os.path.join(path, "_CURRENT")))
+    assert cur["version"] == 2
+    n2 = incremental_neardup_pairs_indexed(new, path).count()
+    assert n2 <= n1
+    write_band_index(old, path)
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    assert os.path.isdir(os.path.join(path, "v3"))
+
+
+def test_semdedup_persisted_equals_in_memory(spark, tmp_path):
+    """SemDeDup over the persisted filtered-IVF layout is result-equal
+    to the in-memory form over the same eligible set (r6 verdict item
+    5): same (id, cell, ccos, is_pruned) multiset — centroids and
+    assignments read from the index, ccos recomputed with the same
+    hoisted-norm arithmetic, every prune decision identical."""
+    from goflow2clickhouse_spark.operators.similarity import semdedup_prune
+    from goflow2clickhouse_spark.plans.storage import (
+        eligible_embeddings,
+        semdedup_prune_persisted,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf_sd")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+
+    # tau=0.2: the sf0.001 eligible subset (138 vectors) has no planted
+    # semantic dups above 0.9, so a high tau would make parity vacuous
+    # — at 0.2 roughly half the set prunes, exercising both branches
+    got = sorted(
+        map(tuple, semdedup_prune_persisted(spark, path, tau=0.2).collect())
+    )
+    eligible = eligible_embeddings(docs, emb)
+    want = sorted(
+        map(tuple, semdedup_prune(eligible, tau=0.2, n_cells=8).collect())
+    )
+    assert got == want and got
+    assert any(r[3] for r in got), "no prunes fired — parity is vacuous"
+    assert any(not r[3] for r in got), "everything pruned — too blunt"
+
+
+def test_semdedup_persisted_requires_committed_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import semdedup_prune_persisted
+
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        semdedup_prune_persisted(spark, str(tmp_path / "missing"), tau=0.9)

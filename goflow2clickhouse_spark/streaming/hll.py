@@ -221,38 +221,24 @@ class HllRegisterStore:
     loudly with FileNotFound rather than silently mixing versions."""
 
     def __init__(self, path: str, keep_versions: int = 2) -> None:
-        import os
-
         self.path = path
         # floor 2: keep_versions=1 would let the very next fold delete
         # the version an estimates() reader is still lazily holding
         self.keep = max(2, keep_versions)
-        os.makedirs(path, exist_ok=True)
 
-    def _current(self) -> tuple[int, int, str | None]:
-        """(version, last folded epoch, run id); (0, -1, None) empty."""
-        import json
-        import os
+    def _current(self, spark) -> tuple[int, int, str | None]:
+        """(version, last folded epoch, run id); (0, -1, None) empty.
+        Reads through the Hadoop FileSystem API (versioned.py) so the
+        gate lives on the SAME filesystem as the register parquet —
+        the prior os.* version silently pinned the store to the
+        driver's local disk (the r7-advice defect class, fixed here
+        alongside the IVF layout)."""
+        from ..versioned import current_meta
 
-        f = os.path.join(self.path, "_CURRENT")
-        if not os.path.exists(f):
+        cur = current_meta(spark, self.path)
+        if not cur:
             return 0, -1, None
-        with open(f) as fh:
-            cur = json.load(fh)
         return int(cur["version"]), int(cur["epoch"]), cur.get("run_id")
-
-    def _write_current(
-        self, version: int, epoch: int, run_id: str | None
-    ) -> None:
-        import json
-        import os
-
-        tmp = os.path.join(self.path, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"version": version, "epoch": epoch, "run_id": run_id}, fh
-            )
-        os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
     def fold(
         self,
@@ -274,10 +260,12 @@ class HllRegisterStore:
         checkpoint dir); a changed run_id resets the gate. Callers that
         fold manually without a run_id get a LOUD error on a
         non-monotonic epoch instead of a silent skip."""
-        import os
-        import shutil
+        import posixpath
 
-        ver, last_epoch, last_run = self._current()
+        from ..versioned import commit_version, version_dir
+
+        spark = batch_df.sparkSession
+        ver, last_epoch, last_run = self._current(spark)
         if run_id is not None and run_id == last_run:
             if epoch_id <= last_epoch:
                 return False
@@ -289,7 +277,6 @@ class HllRegisterStore:
                 "(skipped) from a new stream over a reused store "
                 "(folded under the new run_id)"
             )
-        spark = batch_df.sparkSession
         proj = batch_df.filter(F.col(id_col).isNotNull()).select(
             *hll_bucket_rho(key_col, id_col)
         )
@@ -298,9 +285,9 @@ class HllRegisterStore:
         )
         delta_seen = proj.groupBy("key").agg(F.count("*").alias("n_seen"))
         if ver > 0:
-            base = os.path.join(self.path, f"v{ver}")
-            old_regs = spark.read.parquet(os.path.join(base, "regs"))
-            old_seen = spark.read.parquet(os.path.join(base, "seen"))
+            base = version_dir(self.path, ver)
+            old_regs = spark.read.parquet(posixpath.join(base, "regs"))
+            old_seen = spark.read.parquet(posixpath.join(base, "seen"))
             new_regs = (
                 old_regs.unionByName(delta_regs)
                 .groupBy("key", "bucket")
@@ -316,20 +303,18 @@ class HllRegisterStore:
             new_seen = delta_seen.select(
                 "key", F.col("n_seen").cast("long").alias("n_seen")
             )
-        nxt = os.path.join(self.path, f"v{ver + 1}")
-        new_regs.write.mode("overwrite").parquet(os.path.join(nxt, "regs"))
-        new_seen.write.mode("overwrite").parquet(os.path.join(nxt, "seen"))
-        self._write_current(ver + 1, epoch_id, run_id)
-        # keep the newest `keep` versions. Only the versions that JUST
-        # crossed the retention edge need checking (+2 slack for
-        # crash-recovery leftovers): rescanning from v1 every fold cost
-        # O(total folds) isdir stats per micro-batch — quadratic
-        # cumulative filesystem work on a long-running stream (r6
-        # review)
-        for stale in range(max(1, ver - self.keep - 1), ver + 2 - self.keep):
-            old = os.path.join(self.path, f"v{stale}")
-            if os.path.isdir(old):
-                shutil.rmtree(old, ignore_errors=True)
+        nxt = version_dir(self.path, ver + 1)
+        new_regs.write.mode("overwrite").parquet(posixpath.join(nxt, "regs"))
+        new_seen.write.mode("overwrite").parquet(posixpath.join(nxt, "seen"))
+        # commit + prune through the shared versioned layout: only the
+        # versions at the retention edge are checked (+1 slack), so a
+        # long-running stream never rescans from v1 each fold (the r6
+        # quadratic-stat finding stays fixed inside commit_version)
+        commit_version(
+            spark, self.path, ver + 1,
+            extra={"epoch": epoch_id, "run_id": run_id},
+            keep_versions=self.keep,
+        )
         return True
 
     def estimates(self, spark) -> DataFrame:
@@ -337,14 +322,16 @@ class HllRegisterStore:
         identical estimator expression as the batch twin, so the
         foreachBatch stream and `running_distinct_estimate(...,
         streaming=False)` over the same prefix of rows agree exactly."""
-        import os
+        import posixpath
 
-        ver, _, _ = self._current()
+        from ..versioned import version_dir
+
+        ver, _, _ = self._current(spark)
         if ver == 0:
             raise FileNotFoundError(f"no folded registers under {self.path}")
-        base = os.path.join(self.path, f"v{ver}")
-        regs = spark.read.parquet(os.path.join(base, "regs"))
-        seen = spark.read.parquet(os.path.join(base, "seen"))
+        base = version_dir(self.path, ver)
+        regs = spark.read.parquet(posixpath.join(base, "regs"))
+        seen = spark.read.parquet(posixpath.join(base, "seen"))
         agg = regs.groupBy("key").agg(
             F.count("*").alias("n_used"),
             F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),

@@ -536,6 +536,29 @@ def incremental_neardup_pairs(
     bk_old = band_key_rows(array_minhash_sigs(sh_old, id_col), id_col).select(
         F.col(id_col).alias("id_a"), "band_no", "band_key"
     )
+    result, cands = _incremental_pairs(sh_new, bk_old, sh_old, id_col, threshold)
+    return tie_cache(result, sh_old, sh_new, cands)
+
+
+def _incremental_pairs(
+    sh_new: DataFrame,
+    bk_old: DataFrame,
+    old_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    old_id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tail of the two incremental near-dup forms (recompute
+    above / persisted-index, plans/storage.incremental_neardup_pairs_
+    indexed): batch banding, old x new band-key equi-join, distinct
+    candidates, per-side semi-join shingle fetch, exact-Jaccard
+    verify. ONE definition — parity-critical pipelines get one home
+    (r7 review: the indexed form had restated these lines, the drift
+    class _verify_jaccard exists to prevent). `bk_old` carries
+    (id_a, band_no, band_key); `old_sets` carries (<old_id_col>, shs).
+    Returns (pairs, cands); cands comes back persisted so callers tie
+    its lifetime to the result via tie_cache."""
+    oid = old_id_col or id_col
     bk_new = band_key_rows(array_minhash_sigs(sh_new, id_col), id_col).select(
         F.col(id_col).alias("id_b"), "band_no", "band_key"
     )
@@ -545,14 +568,13 @@ def incremental_neardup_pairs(
         .distinct()
         .persist()
     )
-    sa = sh_old.join(
-        cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    sa = old_sets.join(
+        cands.select(F.col("id_a").alias(oid)).distinct(), oid, "left_semi"
+    ).select(F.col(oid).alias("id_a"), F.col("shs").alias("shs_a"))
     sb = sh_new.join(
         cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    result = _verify_jaccard(cands, sa, sb, threshold)
-    return tie_cache(result, sh_old, sh_new, cands)
+    return _verify_jaccard(cands, sa, sb, threshold), cands
 
 
 def minhash_lsh_dedup_pairs(

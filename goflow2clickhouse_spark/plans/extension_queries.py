@@ -2541,4 +2541,8 @@ def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    return ivf_index_probe(spark, path, q, k=10, nprobe=2)
+    # expect pins the geometry/eligibility this query's ORACLE replays
+    return ivf_index_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
+    )

@@ -254,7 +254,15 @@ def write_filtered_ivf_index(
         )
     finally:
         _release_rdds(spark.sparkContext, _ckpt_rdd_ids(cents))
-    commit_version(spark, path, ver, keep_versions=keep_versions)
+    # record the build parameters so probes can refuse a mismatched
+    # index (r7 review: the band index had this gate, the IVF layout
+    # didn't — a rebuild with different n_cells/eligibility would
+    # silently serve a different geometry than the caller assumes)
+    commit_version(
+        spark, path, ver,
+        extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang},
+        keep_versions=keep_versions,
+    )
 
 
 def ivf_index_probe(
@@ -263,6 +271,7 @@ def ivf_index_probe(
     query: DataFrame,
     k: int = 10,
     nprobe: int = 2,
+    expect: dict | None = None,
 ) -> DataFrame:
     """Serve a top-k query from a persisted (filtered) IVF index: rank
     the stored centroids against the query vector, then scan ONLY the
@@ -281,7 +290,7 @@ def ivf_index_probe(
     import posixpath
 
     from ..operators.similarity import as_double, cosine, rank_probe_cells
-    from ..versioned import version_dir
+    from ..versioned import check_meta, current_meta, version_dir
 
     n_q = query.count()
     if n_q != 1:
@@ -289,9 +298,15 @@ def ivf_index_probe(
             f"ivf_index_probe serves exactly one query vector, got {n_q} "
             "rows — use operators/similarity.batch_topk for query batches"
         )
-    ver = _ivf_current_version(spark, path)
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF index under {path}")
+    if expect:
+        # refuse a mismatched build (r7 review): pass e.g.
+        # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
+        # this probe's caller (and its oracle) assume
+        check_meta(meta, expect, path)
     base = version_dir(path, ver)
     cents = spark.read.parquet(posixpath.join(base, "centroids"))
     qcells = rank_probe_cells(query, cents, nprobe)
@@ -413,55 +428,33 @@ def incremental_neardup_pairs_indexed(
     from ..operators.dedup import (
         BANDS,
         NUM_PERM,
-        _verify_jaccard,
-        array_minhash_sigs,
-        band_key_rows,
+        _incremental_pairs,
         shingle_arrays,
         tie_cache,
     )
-    from ..versioned import current_meta, version_dir
+    from ..versioned import check_meta, current_meta, version_dir
 
     spark = new.sparkSession
     meta = current_meta(spark, index_path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {index_path}")
-    want = {"n": n, "num_perm": NUM_PERM, "bands": BANDS}
-    have = {k: int(meta.get(k, -1)) for k in want}
-    if have != want:
-        raise ValueError(
-            f"band index at {index_path} was built with {have}, caller "
-            f"expects {want} — a silent geometry mismatch would collapse "
-            "recall with no error; rebuild the index or match parameters"
-        )
+    # a silent geometry mismatch would collapse recall with no error
+    check_meta(meta, {"n": n, "num_perm": NUM_PERM, "bands": BANDS},
+               index_path)
     base = version_dir(index_path, int(meta["version"]))
     idx_id = str(meta.get("id_col", "doc_id"))
 
+    # only the OLD sides differ from the recompute form — both route
+    # through the one shared pipeline (operators/dedup._incremental_
+    # pairs), so the two forms cannot drift (r7 review)
     sh_new = shingle_arrays(new, text_col, id_col, n).persist()
-    bk_new = band_key_rows(array_minhash_sigs(sh_new, id_col), id_col).select(
-        F.col(id_col).alias("id_b"), "band_no", "band_key"
-    )
     bk_old = spark.read.parquet(posixpath.join(base, "bands")).select(
         F.col(idx_id).alias("id_a"), "band_no", "band_key"
     )
-    cands = (
-        bk_old.join(bk_new, ["band_no", "band_key"])
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
+    old_sets = spark.read.parquet(posixpath.join(base, "shingles"))
+    result, cands = _incremental_pairs(
+        sh_new, bk_old, old_sets, id_col, threshold, old_id_col=idx_id
     )
-    sa = (
-        spark.read.parquet(posixpath.join(base, "shingles"))
-        .join(
-            cands.select(F.col("id_a").alias(idx_id)).distinct(),
-            idx_id, "left_semi",
-        )
-        .select(F.col(idx_id).alias("id_a"), F.col("shs").alias("shs_a"))
-    )
-    sb = sh_new.join(
-        cands.select(F.col("id_b").alias(id_col)).distinct(), id_col,
-        "left_semi",
-    ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    result = _verify_jaccard(cands, sa, sb, threshold)
     return tie_cache(result, sh_new, cands)
 
 
@@ -471,6 +464,7 @@ def semdedup_prune_persisted(
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    expect: dict | None = None,
 ) -> DataFrame:
     """SemDeDup served from the persisted filtered-IVF layout
     (`write_filtered_ivf_index`) — the production shape the r6 verdict
@@ -495,11 +489,14 @@ def semdedup_prune_persisted(
         dot,
         norm,
     )
-    from ..versioned import version_dir
+    from ..versioned import check_meta, current_meta, version_dir
 
-    ver = _ivf_current_version(spark, index_path)
+    meta = current_meta(spark, index_path)
+    ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF index under {index_path}")
+    if expect:
+        check_meta(meta, expect, index_path)
     base = version_dir(index_path, ver)
     cents_row = spark.read.parquet(posixpath.join(base, "centroids"))
     cells = spark.read.parquet(posixpath.join(base, "cells"))

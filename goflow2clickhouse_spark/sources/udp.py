@@ -108,6 +108,13 @@ def parse_datagram(payload: bytes) -> tuple | None:
                 # to stay transport-equivalent (r6 review)
                 if isinstance(v, str) and v.isdigit():
                     v = int(v)
+                elif isinstance(v, (bool, float)):
+                    # bool is an int subclass: ip_address(True) would
+                    # yield 0.0.0.1 here while the stream path's
+                    # _parse_ip_string("true") falls back to zeros —
+                    # same-message divergence (r7 review). Match the
+                    # stream: junk address → zero fallback, record kept.
+                    v = None
                 try:
                     v = ipaddress.ip_address(v or "0.0.0.0").packed
                 except ValueError:

@@ -53,14 +53,13 @@ def current_meta(spark: SparkSession, path: str) -> dict:
         return {}
     stream = fs.open(cur)
     try:
-        buf = bytearray()
-        b = stream.read()
-        while b != -1:  # _CURRENT is a ~tens-of-bytes JSON object
-            buf.append(b)
-            b = stream.read()
+        # one bulk readAllBytes (Java 9+): a byte-at-a-time Python loop
+        # costs one py4j gateway round-trip PER BYTE, and this read sits
+        # on HllRegisterStore's per-micro-batch fold path (r7 review)
+        data = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return json.loads(bytes(buf).decode("utf-8"))
+    return json.loads(data.decode("utf-8"))
 
 
 def current_version(spark: SparkSession, path: str) -> int:
@@ -112,8 +111,29 @@ def commit_version(
     )
     fc.rename(tmp, cur, opts)
 
-    for stale in range(max(1, version - keep_versions - 1),
+    # prune only the versions at the retention edge (+2 slack, not a
+    # rescan from v1 — a long-running stream folding per micro-batch
+    # would otherwise pay O(total versions) existence checks per fold).
+    # The +2 covers TWO consecutive commit-then-crash-before-prune
+    # cycles: with +1 slack a directory that survived two such crashes
+    # fell behind the checked window and leaked forever (r7 review,
+    # preserving the r6 HllRegisterStore slack when it migrated here).
+    for stale in range(max(1, version - keep_versions - 2),
                        version + 1 - keep_versions):
         old = jvm.org.apache.hadoop.fs.Path(version_dir(path, stale))
         if fs.exists(old):
             fs.delete(old, True)
+
+
+def check_meta(meta: dict, expect: dict, path: str) -> None:
+    """Refuse a committed artifact whose recorded build parameters
+    differ from what the caller assumes — a silent mismatch (different
+    cell geometry, different eligibility gate, different shingle width)
+    degrades results with no error, the failure mode every persisted
+    index here guards against."""
+    got = {k: meta.get(k) for k in expect}
+    if got != expect:
+        raise ValueError(
+            f"index at {path} was built with {got}, caller expects "
+            f"{expect} — rebuild the index or match parameters"
+        )

@@ -531,3 +531,31 @@ def test_semdedup_persisted_requires_committed_index(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no committed"):
         semdedup_prune_persisted(spark, str(tmp_path / "missing"), tau=0.9)
+
+
+def test_ivf_probe_rejects_mismatched_build_params(spark, tmp_path):
+    """The IVF probe now records+checks build parameters like the band
+    index (r7 review): a probe expecting a different geometry or
+    eligibility gate than the committed build refuses loudly instead
+    of silently serving a different cell layout than its oracle."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_index_probe,
+        semdedup_prune_persisted,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf_meta")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8, lang="en")
+    q = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(ValueError, match="built with"):
+        ivf_index_probe(spark, path, q, expect={"n_cells": 16})
+    with _pytest.raises(ValueError, match="built with"):
+        semdedup_prune_persisted(spark, path, tau=0.2, expect={"lang": "de"})
+    # matching expectations serve fine
+    assert ivf_index_probe(
+        spark, path, q, expect={"n_cells": 8, "min_chars": 200, "lang": "en"}
+    ).count() > 0

@@ -891,3 +891,16 @@ def test_parse_datagram_rejects_non_integral_numerics():
     # plain integers (and quoted integers) still ingest
     assert parse_datagram(_msg(Bytes=7)) is not None
     assert parse_datagram(_msg(Bytes="7")) is not None
+
+
+def test_parse_datagram_bool_address_matches_stream_fallback():
+    """bool is an int subclass, so ip_address(True) would yield 0.0.0.1
+    on UDP while the stream path's _parse_ip_string("true") falls back
+    to zeros — the same message must decode identically (r7 review)."""
+    from goflow2clickhouse_spark.functions.ip import _parse_ip_string
+    from goflow2clickhouse_spark.schema import RAW_FLOW_SCHEMA
+
+    i = [f.name for f in RAW_FLOW_SCHEMA.fields].index("SamplerAddress")
+    row = parse_datagram(_msg(SamplerAddress=True))
+    assert row is not None
+    assert row[i] == _parse_ip_string("true") == b"\x00\x00\x00\x00"

@@ -526,17 +526,17 @@ def incremental_neardup_pairs(
     materializes those once as the persisted index —
     plans/storage.write_band_index + incremental_neardup_pairs_indexed
     serve this exact relation without ever re-scanning old text), the
-    exchange
-    carries 16-byte keys, and verification fetches shingle sets for
-    candidate ids only via per-side semi-joins. AQE broadcasts the new
-    side's bands when the batch is small; no hint — batch size is
-    caller-controlled, not bounded."""
+    exchange carries 16-byte keys, and verification fetches shingle
+    sets for candidate ids only via per-side semi-joins. AQE broadcasts
+    the new side's bands when the batch is small; no hint — batch size
+    is caller-controlled, not bounded."""
     sh_old = shingle_arrays(old, text_col, id_col, n).persist()
     sh_new = shingle_arrays(new, text_col, id_col, n).persist()
     bk_old = band_key_rows(array_minhash_sigs(sh_old, id_col), id_col).select(
         F.col(id_col).alias("id_a"), "band_no", "band_key"
     )
-    result, cands = _incremental_pairs(sh_new, bk_old, sh_old, id_col, threshold)
+    old_sets = sh_old.select(F.col(id_col).alias("id_a"), "shs")
+    result, cands = _incremental_pairs(sh_new, bk_old, old_sets, id_col, threshold)
     return tie_cache(result, sh_old, sh_new, cands)
 
 
@@ -546,7 +546,6 @@ def _incremental_pairs(
     old_sets: DataFrame,
     id_col: str,
     threshold: float,
-    old_id_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared tail of the two incremental near-dup forms (recompute
     above / persisted-index, plans/storage.incremental_neardup_pairs_
@@ -554,11 +553,12 @@ def _incremental_pairs(
     candidates, per-side semi-join shingle fetch, exact-Jaccard
     verify. ONE definition — parity-critical pipelines get one home
     (r7 review: the indexed form had restated these lines, the drift
-    class _verify_jaccard exists to prevent). `bk_old` carries
-    (id_a, band_no, band_key); `old_sets` carries (<old_id_col>, shs).
+    class _verify_jaccard exists to prevent). Both old-side inputs
+    arrive pre-normalized to the pair keyspace — `bk_old` carries
+    (id_a, band_no, band_key), `old_sets` carries (id_a, shs) — one
+    convention, nothing for a third caller to get wrong.
     Returns (pairs, cands); cands comes back persisted so callers tie
     its lifetime to the result via tie_cache."""
-    oid = old_id_col or id_col
     bk_new = band_key_rows(array_minhash_sigs(sh_new, id_col), id_col).select(
         F.col(id_col).alias("id_b"), "band_no", "band_key"
     )
@@ -569,8 +569,8 @@ def _incremental_pairs(
         .persist()
     )
     sa = old_sets.join(
-        cands.select(F.col("id_a").alias(oid)).distinct(), oid, "left_semi"
-    ).select(F.col(oid).alias("id_a"), F.col("shs").alias("shs_a"))
+        cands.select("id_a").distinct(), "id_a", "left_semi"
+    ).select("id_a", F.col("shs").alias("shs_a"))
     sb = sh_new.join(
         cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))

@@ -256,21 +256,31 @@ def _cents_with_norms(centroids_row: DataFrame) -> DataFrame:
     )
 
 
+def centroid_score(cvec, v, n, cn):
+    """THE hoisted-norm centroid cosine: dot(cvec, v) / (n * cn) via
+    try_divide — the same arithmetic as cosine() with both norms
+    hoisted to columns, so the FP result is identical to an unhoisted
+    cosine() fold. One definition, three readers (_best_centroid's
+    argmax, and the persisted SemDeDup form's ccos recompute in
+    plans/storage.py) — a drift between them would flip prune/assign
+    decisions between the in-memory and persisted forms with only a
+    differential test to catch it (r7 review)."""
+    return F.try_divide(dot(cvec, v), n * cn)
+
+
 def _best_centroid(v_col: str, n_col: str):
     """argmax_centroid struct over (score, -cid): score is
-    dot(cvec, v) / (n * cn) via try_divide — the SAME arithmetic as
-    cosine() with both norms hoisted to columns, so the FP result (and
-    therefore every cell assignment) is identical to an unhoisted
-    cosine() fold. Ties go to the smaller cid. `best["score"]` is the
-    centroid cosine, `-best["ncid"]` the cell id. The ONE definition of
-    assignment arithmetic — ivf_assign and semdedup_prune both read it,
-    so index cells and SemDeDup cells can never drift."""
+    centroid_score (hoisted-norm cosine). Ties go to the smaller cid.
+    `best["score"]` is the centroid cosine, `-best["ncid"]` the cell
+    id. The ONE definition of assignment arithmetic — ivf_assign and
+    semdedup_prune both read it, so index cells and SemDeDup cells can
+    never drift."""
     return F.array_max(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                F.try_divide(
-                    dot(c["cvec"], F.col(v_col)), F.col(n_col) * c["cn"]
+                centroid_score(
+                    c["cvec"], F.col(v_col), F.col(n_col), c["cn"]
                 ).alias("score"),
                 (-c["cid"]).alias("ncid"),
             ),

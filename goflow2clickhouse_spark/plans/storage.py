@@ -451,10 +451,10 @@ def incremental_neardup_pairs_indexed(
     bk_old = spark.read.parquet(posixpath.join(base, "bands")).select(
         F.col(idx_id).alias("id_a"), "band_no", "band_key"
     )
-    old_sets = spark.read.parquet(posixpath.join(base, "shingles"))
-    result, cands = _incremental_pairs(
-        sh_new, bk_old, old_sets, id_col, threshold, old_id_col=idx_id
+    old_sets = spark.read.parquet(posixpath.join(base, "shingles")).select(
+        F.col(idx_id).alias("id_a"), "shs"
     )
+    result, cands = _incremental_pairs(sh_new, bk_old, old_sets, id_col, threshold)
     return tie_cache(result, sh_new, cands)
 
 
@@ -486,7 +486,7 @@ def semdedup_prune_persisted(
     from ..operators.similarity import (
         _semdedup_from_assignment,
         as_double,
-        dot,
+        centroid_score,
         norm,
     )
     from ..versioned import check_meta, current_meta, version_dir
@@ -513,9 +513,14 @@ def semdedup_prune_persisted(
         .join(F.broadcast(cent_tbl), "cell")
         .select(
             F.col(id_col),
-            F.col("cell"),
-            F.try_divide(
-                dot(F.col("_cvec"), F.col("_v")), F.col("_n") * F.col("_cn")
+            # parquet partition-column inference reads cell as int; the
+            # in-memory form emits long — pin the contract's schema
+            F.col("cell").cast("long").alias("cell"),
+            # ccos via the ONE shared score definition (similarity.
+            # centroid_score) — FP-identical to _best_centroid's
+            # assignment score by construction, not by coincidence
+            centroid_score(
+                F.col("_cvec"), F.col("_v"), F.col("_n"), F.col("_cn")
             ).alias("ccos"),
             "_v",
             "_n",

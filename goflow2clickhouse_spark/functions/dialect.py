@@ -172,33 +172,56 @@ def _balance(sql: str, start: int) -> int:
     return j
 
 
-def _in_literal(sql: str, pos: int) -> bool:
-    """True when pos falls inside a single-quoted literal. A forward
-    scan honoring both '' doubling and backslash escapes — the r6
-    quote-parity count desynced on \\' inside a literal (r7 advice)."""
-    in_lit, i = False, 0
-    while i < pos:
-        ch = sql[i]
-        if in_lit:
-            if ch == "\\":
-                i += 2
-                continue
-            if ch == "'":
-                if i + 1 < len(sql) and sql[i + 1] == "'":
-                    i += 2  # '' doubling stays inside
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) index spans of every single-quoted literal
+    (quotes included), honoring both '' doubling and backslash escapes
+    (the r6 quote-parity count desynced on \\' inside a literal, r7
+    advice). Computed ONCE per rewrite pass: the per-match forward
+    rescan it replaces cost O(rules x matches x len) interpreted char
+    steps on a long query (r7 review)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            start = i
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2  # backslash consumes the next char
                     continue
-                in_lit = False
-        elif ch == "'":
-            in_lit = True
-        i += 1
-    return in_lit
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2  # '' doubling stays inside
+                        continue
+                    break
+                i += 1
+            i = min(i + 1, n)  # past the closing quote (or EOF)
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
+def _in_literal(
+    sql: str, pos: int, spans: list[tuple[int, int]] | None = None
+) -> bool:
+    """True when pos falls inside a single-quoted literal. Pass the
+    precomputed `spans` (one _literal_spans call per rewrite pass) to
+    make this a binary search instead of a rescan."""
+    import bisect
+
+    if spans is None:
+        spans = _literal_spans(sql)
+    k = bisect.bisect_right(spans, (pos, len(sql) + 1)) - 1
+    return k >= 0 and spans[k][0] <= pos < spans[k][1]
 
 
 def _rewrite_quantiles(sql: str) -> str:
     out, i = [], 0
+    spans = _literal_spans(sql)  # once per pass; sql is fixed within it
     while True:
         m = _QUANTILE_HEAD.search(sql, i)
-        if m and _in_literal(sql, m.start()):
+        if m and _in_literal(sql, m.start(), spans):
             out.append(sql[i:m.end()])
             i = m.end()
             continue
@@ -278,6 +301,21 @@ def _template_arity(template: str) -> int:
     return max(idx) + 1 if idx else 0
 
 
+# Allowed argument counts for the CALLABLE rules. Template rules derive
+# arity from their {N} placeholders; callables can't, and a Python
+# lambda over args[:k] silently IGNORES extras — verified:
+# IPv4StringToNum(a, b) translated over `a` alone with no error, the
+# exact silent-drop the r6 template-arity fix removed (r7 review).
+# Every callable rule MUST be registered here; _rewrite_calls refuses
+# an unregistered one loudly.
+_CALLABLE_ARITY: dict[str, frozenset[int]] = {
+    "countIf": frozenset({1, 2}),  # countIf(cond) | countIf(x, cond)
+    "toStartOfInterval": frozenset({2}),
+    "dateDiff": frozenset({3}),
+    "IPv4StringToNum": frozenset({1}),
+}
+
+
 def _rewrite_calls(sql: str, name: str, template: str) -> str:
     """Rewrite every `name(args)` call, handling nested parens.
     A call site inside a string literal is left untouched; a call with
@@ -287,12 +325,13 @@ def _rewrite_calls(sql: str, name: str, template: str) -> str:
     out = []
     i = 0
     pat = re.compile(rf"\b{name}\s*\(")
+    spans = _literal_spans(sql)  # once per pass; sql is fixed within it
     while True:
         m = pat.search(sql, i)
         if not m:
             out.append(sql[i:])
             break
-        if _in_literal(sql, m.start()):
+        if _in_literal(sql, m.start(), spans):
             out.append(sql[i : m.end()])
             i = m.end()
             continue
@@ -300,6 +339,20 @@ def _rewrite_calls(sql: str, name: str, template: str) -> str:
         j = _balance(sql, m.end())
         args = _split_args(sql[m.end() : j - 1])
         if callable(template):
+            allowed = _CALLABLE_ARITY.get(name)
+            if allowed is None:
+                raise ValueError(
+                    f"callable rule {name!r} has no _CALLABLE_ARITY "
+                    "entry — register its allowed argument counts so "
+                    "extra arguments cannot be silently discarded"
+                )
+            if len(args) not in allowed:
+                raise ValueError(
+                    f"{name}: expected {sorted(allowed)} argument(s), "
+                    f"got {len(args)} in {sql[m.start():j]!r} — "
+                    "unsupported ClickHouse form (translate refuses "
+                    "rather than silently dropping arguments)"
+                )
             try:
                 out.append(template(args))
             except IndexError:

@@ -131,6 +131,13 @@ def parse_datagram(payload: bytes) -> tuple | None:
                 return None
             else:
                 v = int(v)
+                if not (-(1 << 63) <= v < (1 << 63)):
+                    # outside int64: the long-typed row would crash the
+                    # stream at Arrow conversion (breaking the never-
+                    # crash contract), and the jsonl/Kafka twin's
+                    # try_cast turns the same value into NULL → drop —
+                    # so drop here too (r7 review)
+                    return None
             row.append(v)
     except (ValueError, TypeError, AttributeError, OverflowError):
         # non-numeric field ({"Bytes": "abc"}) or other junk: the field

@@ -307,9 +307,10 @@ class HllRegisterStore:
         new_regs.write.mode("overwrite").parquet(posixpath.join(nxt, "regs"))
         new_seen.write.mode("overwrite").parquet(posixpath.join(nxt, "seen"))
         # commit + prune through the shared versioned layout: only the
-        # versions at the retention edge are checked (+1 slack), so a
-        # long-running stream never rescans from v1 each fold (the r6
-        # quadratic-stat finding stays fixed inside commit_version)
+        # versions at the retention edge are checked (+2 crash slack —
+        # see commit_version's comment), so a long-running stream never
+        # rescans from v1 each fold (the r6 quadratic-stat finding
+        # stays fixed inside commit_version)
         commit_version(
             spark, self.path, ver + 1,
             extra={"epoch": epoch_id, "run_id": run_id},
@@ -344,20 +345,34 @@ class HllRegisterStore:
         )
 
 
-def _checkpoint_run_id(checkpoint_dir: str) -> str:
+def _checkpoint_run_id(spark, checkpoint_dir: str) -> str:
     """Lineage identity of a streaming checkpoint: the query id Spark
     persists in `<checkpoint>/metadata` at stream start (before the
     first batch). Recreating the checkpoint dir regenerates the id, so
     it distinguishes "same lineage, replayed epoch" from "new lineage
     at the same path, epochs restarting at 0". Falls back to the path
-    if the metadata is unreadable (pre-start call in a unit test)."""
+    if the metadata is unreadable (pre-start call in a unit test).
+
+    Read through the checkpoint's OWN filesystem (r7 review): a
+    driver-local open() on an hdfs:// checkpoint always failed, so the
+    gate silently fell back to the PATH — which stays equal when the
+    dir is wiped and remade, re-freezing the store exactly like the r5
+    bug this id lookup exists to prevent."""
     import json
-    import os
+    import posixpath
+
+    from py4j.protocol import Py4JJavaError
+
+    from ..versioned import read_small_bytes
 
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-            return str(json.load(fh)["id"])
-    except (OSError, ValueError, KeyError):
+        data = read_small_bytes(
+            spark, posixpath.join(checkpoint_dir, "metadata")
+        )
+        if data is None:
+            return checkpoint_dir
+        return str(json.loads(data.decode("utf-8"))["id"])
+    except (ValueError, KeyError, Py4JJavaError):
         return checkpoint_dir
 
 
@@ -393,7 +408,7 @@ def running_distinct_foreach_batch(
         # id (replay → skip); any fresh checkpoint changes it (→ fold).
         store.fold(
             batch_df, key_col, id_col, epoch_id,
-            run_id=_checkpoint_run_id(checkpoint_dir),
+            run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
         )
 
     return (

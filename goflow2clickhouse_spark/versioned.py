@@ -43,22 +43,28 @@ def _fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def read_small_bytes(spark: SparkSession, path: str) -> bytes | None:
+    """Bulk-read a small file through the path's OWN filesystem (the
+    same resolution the parquet writes use); None when missing. One
+    readAllBytes call (Java 9+) — a byte-at-a-time Python loop costs
+    one py4j gateway round-trip PER BYTE, and this read sits on
+    HllRegisterStore's per-micro-batch fold path (r7 review)."""
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+
+
 def current_meta(spark: SparkSession, path: str) -> dict:
     """Parsed ``<path>/_CURRENT`` JSON; ``{}`` when no committed
     version exists."""
-    fs, _ = _fs(spark, path)
-    jvm = spark._jvm  # noqa: SLF001
-    cur = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_CURRENT"))
-    if not fs.exists(cur):
+    data = read_small_bytes(spark, posixpath.join(path, "_CURRENT"))
+    if data is None:
         return {}
-    stream = fs.open(cur)
-    try:
-        # one bulk readAllBytes (Java 9+): a byte-at-a-time Python loop
-        # costs one py4j gateway round-trip PER BYTE, and this read sits
-        # on HllRegisterStore's per-micro-batch fold path (r7 review)
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
     return json.loads(data.decode("utf-8"))
 
 

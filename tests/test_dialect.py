@@ -264,3 +264,18 @@ def test_translate_backslash_escaped_quote_in_literal():
     assert translate(r"SELECT ifNull(x, '\')') FROM t") == (
         r"SELECT coalesce(x, '\')') FROM t"
     )
+
+
+def test_callable_rules_reject_extra_arguments():
+    """Callable rules previously sliced args[:k] and silently ignored
+    extras — IPv4StringToNum(a, b) translated over `a` alone with no
+    error (r7 review). All callable rules now enforce registered
+    arities, like the template rules."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="argument"):
+        translate("SELECT IPv4StringToNum(a, b) FROM t")
+    with _pytest.raises(ValueError, match="argument"):
+        translate("SELECT dateDiff('minute', a, b, 'UTC') FROM t")
+    with _pytest.raises(ValueError, match="argument"):
+        translate("SELECT countIf(a, b, c) FROM t")

@@ -307,10 +307,13 @@ def test_register_store_prunes_old_versions(spark, tmp_path):
     assert vers == ["v3", "v4"]
 
 
-def test_checkpoint_run_id_tracks_lineage_not_path(tmp_path):
+def test_checkpoint_run_id_tracks_lineage_not_path(spark, tmp_path):
     """A wiped-and-recreated checkpoint at the SAME path is a new
     lineage: the run id must come from the checkpoint's metadata query
-    id (regenerated on recreate), not the directory path string."""
+    id (regenerated on recreate), not the directory path string. Read
+    through the checkpoint's OWN filesystem (r7 review: a driver-local
+    open() always failed on hdfs:// checkpoints, silently falling back
+    to the frozen-gate path behavior)."""
     import json
     import shutil
 
@@ -319,11 +322,11 @@ def test_checkpoint_run_id_tracks_lineage_not_path(tmp_path):
     ck = tmp_path / "ck"
     ck.mkdir()
     (ck / "metadata").write_text(json.dumps({"id": "query-AAAA"}))
-    assert _checkpoint_run_id(str(ck)) == "query-AAAA"
+    assert _checkpoint_run_id(spark, str(ck)) == "query-AAAA"
     shutil.rmtree(ck)
     ck.mkdir()
     (ck / "metadata").write_text(json.dumps({"id": "query-BBBB"}))
-    assert _checkpoint_run_id(str(ck)) == "query-BBBB"
+    assert _checkpoint_run_id(spark, str(ck)) == "query-BBBB"
     # unreadable metadata (stream not started yet): path fallback
     shutil.rmtree(ck)
-    assert _checkpoint_run_id(str(ck)) == str(ck)
+    assert _checkpoint_run_id(spark, str(ck)) == str(ck)

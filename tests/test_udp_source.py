@@ -904,3 +904,13 @@ def test_parse_datagram_bool_address_matches_stream_fallback():
     row = parse_datagram(_msg(SamplerAddress=True))
     assert row is not None
     assert row[i] == _parse_ip_string("true") == b"\x00\x00\x00\x00"
+
+
+def test_parse_datagram_rejects_out_of_int64_numerics():
+    """An int outside int64 would crash the stream at Arrow conversion
+    (never-crash contract) while the jsonl/Kafka twin try_casts it to
+    NULL and drops — both transports must drop (r7 review)."""
+    assert parse_datagram(_msg(Bytes=1 << 70)) is None
+    assert parse_datagram(_msg(Bytes=str(1 << 70))) is None
+    assert parse_datagram(_msg(Bytes=-(1 << 70))) is None
+    assert parse_datagram(_msg(Bytes=(1 << 63) - 1)) is not None

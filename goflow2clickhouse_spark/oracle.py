@@ -30,10 +30,19 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon_value(v: object) -> str:
     """Canonicalize one cell so Spark and DuckDB values hash alike."""
+    import decimal
+
     if v is None:
         return "␀"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, decimal.Decimal):
+        # route through the float path: str(Decimal('123.40')) is
+        # '123.40' / str(Decimal('1E+2')) is '1E+2', neither of which
+        # matches an equal double's canonical form — the numeric-
+        # equivalence contract (int 2 ≡ Decimal 2 ≡ 2.0) held only for
+        # trailing-zero-free decimals before (r7 review)
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -267,7 +267,7 @@ def flows_tumbling_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flows
     WHERE (tcp_flags & 16) != 0
     GROUP BY src_addr, (time_received - (time_received % 60))
-    ORDER BY est_bytes DESC, src_addr
+    ORDER BY est_bytes DESC, src_addr, minute_bucket
     LIMIT 10
     """,
 )
@@ -287,7 +287,7 @@ def ch_dialect_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flows
     WHERE bitAnd(tcp_flags, 16) != 0
     GROUP BY src_addr, (time_received - modulo(time_received, 60))
-    ORDER BY est_bytes DESC, src_addr
+    ORDER BY est_bytes DESC, src_addr, minute_bucket
     LIMIT 10
     """
     return spark.sql(translate(ch_sql.replace("FROM flows", f"FROM {view}")))

@@ -15,9 +15,21 @@ addresses, zipf-ish src/dst pools via modular folding of TPC-H keys.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _path_view_suffix(sf_dir: str) -> str:
+    """Injective view-name suffix for a path: readable sanitized form
+    PLUS a digest of the raw path. Sanitization alone is lossy —
+    '/data/sf0.1' and '/data/sf0_1' both collapse to 'data_sf0_1', and
+    a collision re-introduces the lazy-analysis wrong-data hazard the
+    per-path names exist to prevent (r7 review). The digest is of the
+    path STRING (stable across runs, unlike hash())."""
+    clean = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    return f"{clean}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
 
 # NOTE: portable subset only — every function here must behave identically
 # in Spark SQL and DuckDB 1.0 (verified by tests/test_flows_view.py).
@@ -88,7 +100,7 @@ def flows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash randomization made names run-dependent, and two sf_dirs
         # could collide — harmless under eager analysis, but silently
         # wrong under a lazy-analysis runtime (Spark Connect).
-        view = "_flows_base_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+        view = "_flows_base_" + _path_view_suffix(sf_dir)
         rel = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         rel.createOrReplaceTempView(view)
         cache[sf_dir] = spark.sql(
@@ -106,6 +118,6 @@ def register_sf_view(df: "DataFrame", base: str, sf_dir: str) -> str:
     silently read sf_dir B's data after any later call re-registered
     the shared name (the hazard the flows_df cache already engineers
     around)."""
-    name = f"_{base}_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    name = f"_{base}_" + _path_view_suffix(sf_dir)
     df.createOrReplaceTempView(name)
     return name

@@ -157,6 +157,14 @@ def write_zordered(
     interleaved key, range-partition + sort by it, drop it, write.
     Use over `write_clustered` when queries filter on MORE THAN ONE
     column and no single sort key serves them all."""
+    if "__z" in df.columns:
+        # withColumn would silently REPLACE (then drop) the caller's
+        # column — data loss with no error; the repo's clash-guard
+        # convention (operators/sampling._no_clash) is to refuse loudly
+        raise ValueError(
+            "write_zordered uses '__z' as its scratch key column but "
+            "the input already has one — rename it before clustering"
+        )
     z = df.withColumn("__z", zorder_value(zorder_cols, bits))
     if n_files is not None:
         out = z.repartitionByRange(n_files, "__z")
@@ -289,9 +297,16 @@ def ivf_index_probe(
     review) — batch serving is operators/similarity.batch_topk."""
     import posixpath
 
+    from ..operators.dedup import tie_cache
     from ..operators.similarity import as_double, cosine, rank_probe_cells
     from ..versioned import check_meta, current_meta, version_dir
 
+    # the 1-row query relation feeds THREE evaluations (the contract
+    # count, the cell ranking, the broadcast side of the top-k): cache
+    # it so a non-trivial query plan — a filter over a big table, a
+    # computed embedding — pays its subtree once per probe (r7 review);
+    # lifetime is tied to the returned DataFrame below
+    query = query.persist()
     n_q = query.count()
     if n_q != 1:
         raise ValueError(
@@ -315,7 +330,7 @@ def ivf_index_probe(
     idx = spark.read.parquet(posixpath.join(base, "cells")).filter(
         F.col("cell").isin(probed)
     )
-    return (
+    out = (
         idx.join(F.broadcast(qv))  # bcast bound: 1 query row
         .select(
             "vec_id",
@@ -326,6 +341,7 @@ def ivf_index_probe(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+    return tie_cache(out, query)
 
 
 def write_band_index(

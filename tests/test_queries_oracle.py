@@ -70,3 +70,15 @@ def test_canonicalization_type_tags_strings():
     assert _canon_value(2) == _canon_value(2.0) == _canon_value(Decimal("2"))
     # and strings still equal strings
     assert _canon_value("x") == _canon_value("x")
+
+
+def test_canonicalization_decimal_normalizes_like_float():
+    """Decimal('123.40') / Decimal('1E+2') must hash like the equal
+    double — str() kept trailing zeros and exponent forms (r7 review)."""
+    from decimal import Decimal
+
+    from goflow2clickhouse_spark.oracle import _canon_value
+
+    assert _canon_value(Decimal("123.40")) == _canon_value(123.4)
+    assert _canon_value(Decimal("1E+2")) == _canon_value(100.0) == "100"
+    assert _canon_value(Decimal("2")) == _canon_value(2) == "2"

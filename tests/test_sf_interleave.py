@@ -60,3 +60,15 @@ def test_promoted_names_all_exist():
     order = list(registry())
     for n in promoted:
         assert order.index(n) < 50, f"{n} fell outside the driver window"
+
+
+def test_path_view_suffix_injective_under_sanitization():
+    """'/x/sf0.1' and '/x/sf0_1' sanitize to the same string; the view
+    suffix must still differ (the digest half) or a lazy-analysis
+    runtime would silently read the wrong sf_dir's data (r7 review)."""
+    from goflow2clickhouse_spark.plans.flows_view import _path_view_suffix
+
+    a, b = _path_view_suffix("/x/sf0.1"), _path_view_suffix("/x/sf0_1")
+    assert a != b
+    # stable across calls (unlike hash() under PYTHONHASHSEED)
+    assert a == _path_view_suffix("/x/sf0.1")

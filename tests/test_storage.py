@@ -559,3 +559,18 @@ def test_ivf_probe_rejects_mismatched_build_params(spark, tmp_path):
     assert ivf_index_probe(
         spark, path, q, expect={"n_cells": 8, "min_chars": 200, "lang": "en"}
     ).count() > 0
+
+
+def test_write_zordered_rejects_scratch_column_clash(spark, tmp_path):
+    """A pre-existing '__z' input column was silently replaced and then
+    dropped (data loss, no error) — refuse loudly (r7 review)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import write_zordered
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("__z"),
+    )
+    with _pytest.raises(ValueError, match="__z"):
+        write_zordered(df, str(tmp_path / "z"), ["a", "b"], bits=8)

@@ -24,14 +24,15 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # reserved slots the r6 accounting promised).  Round 7's window, per the
 # r6 verdict item 2:
 # (a) the three reserved slots — the only names with no driver row;
-# (b) the two queries NEW this round (incremental_dedup_indexed,
-#     ivf_index_probe — the persisted band-index and filtered-IVF layouts
-#     behind the driver gate, r6 verdict items 3-4);
+# (b) the three queries NEW this round (incremental_dedup_indexed,
+#     ivf_index_probe, ivf_append_probe — the persisted band-index and
+#     filtered-IVF layouts and the incremental index-append behind the
+#     driver gate, r6 verdict items 3-4 + the r7 append extension);
 # (c) ALL 40 names whose newest green row is round 4 — the entire stale
 #     pool drains, leaving nothing older than r5;
 # (d) the oldest r5 names fill the remainder (equal staleness — the
-#     alphabetical first five, a deterministic tiebreak).
-# 3 + 2 + 40 + 5 = 50 exactly.
+#     alphabetical first four, a deterministic tiebreak).
+# 3 + 3 + 40 + 4 = 50 exactly.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r7
 # hardening pass touched code consumed by queries green in r5/r6:
@@ -55,6 +56,7 @@ promote([
     # (b) new this round — persisted index layouts through the gate
     "incremental_dedup_indexed",
     "ivf_index_probe",
+    "ivf_append_probe",
     # (c) the 40 r4-stale names — pool drained
     "bloom_seen_filter",
     "bm25_topk",
@@ -96,12 +98,11 @@ promote([
     "q4_order_priority",
     "source_mixture_weights",
     "token_budget_selection",
-    # (d) oldest-r5 fill (alphabetical-first five of the r5 pool)
+    # (d) oldest-r5 fill (alphabetical-first four of the r5 pool)
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
     "doc_length_deciles",
-    "doc_packing_assign",
 ])
 
 __all__ = [

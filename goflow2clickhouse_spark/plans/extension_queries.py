@@ -2080,13 +2080,17 @@ _FILTERED_E_SQL = """
     )"""
 
 
-def _filtered_ivf_oracle(limit: int) -> str:
+def _filtered_ivf_oracle(limit: int, cents_where: str = "") -> str:
     """IVF replay over ONLY the eligible vectors: centroids are the 8
     lowest-id ELIGIBLE vectors (the index is built on the filtered
-    set), assignment/probe/score identical to _IVF_ORACLE."""
+    set), assignment/probe/score identical to _IVF_ORACLE.
+    `cents_where` narrows the centroid SEED set only (the append-probe
+    query seeds from the original build's subset while assignment runs
+    over everything — exactly what an appended index serves)."""
     return f"""
     WITH {_FILTERED_E_SQL},
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e {cents_where}
+              ORDER BY vec_id LIMIT 8),
     scored AS (
         SELECT e.vec_id, e.v, c.cid,
                list_dot_product(e.v, c.cvec) /
@@ -2545,4 +2549,43 @@ def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_probe(
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
+    )
+
+
+@query(
+    "ivf_append_probe",
+    oracle=_filtered_ivf_oracle(10, cents_where="WHERE vec_id % 2 = 0"),
+    bench=True,
+)
+def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance through the driver gate
+    (plans/storage.append_to_ivf_index): the index is BUILT over the
+    even-id half of the eligible vectors, then the odd-id half arrives
+    as a later batch and is APPENDED — assigned against the stored
+    centroids, committed as an atomic `appends` delta, base cells
+    untouched. The probe unions base + delta (each leg partition-
+    pruned). The DuckDB oracle replays exactly that geometry: centroid
+    seeds from the even half only, assignment over everything — so a
+    wrong append (re-seeded centroids, missed eligibility gate, torn
+    delta visible) hash-mismatches. At 100 TB this is the daily-batch
+    shape: per-batch cost is one assignment scan of the BATCH plus a
+    metadata commit; the rebuild is the compaction."""
+    from .storage import (
+        append_to_ivf_index,
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    def build(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_filtered_ivf_index(
+            docs, emb.filter(F.col("vec_id") % 2 == 0), p, n_cells=8
+        )
+        append_to_ivf_index(docs, emb.filter(F.col("vec_id") % 2 == 1), p)
+
+    path = _persisted_index("fivf_app", sf_dir, build)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return ivf_index_probe(
+        spark, path, q, k=10, nprobe=2, expect={"n_cells": 8}
     )

@@ -273,6 +273,80 @@ def write_filtered_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+) -> None:
+    """Incremental index maintenance — the daily-embedding-batch shape:
+    assign a NEW batch of vectors against the STORED centroids and
+    commit it as an append delta under the current version, without
+    rebuilding (or even reading) the existing cells. At 100 TB a full
+    rebuild per batch is the same anti-pattern full-corpus re-dedup is;
+    this is the ivf analog of the persisted band index's incremental
+    contract.
+
+    Layout: batch j lands at `v{N}/appends/a{j}/cells/cell=*/` (same
+    partitioning as the base), and `_CURRENT` is atomically re-committed
+    with `appends: j` — readers scan base + a{1..j}, so a torn append
+    (a{j} written, commit lost) is simply invisible and the retried
+    append overwrites it. The eligibility gate and assignment use the
+    parameters RECORDED in `_CURRENT` (min_chars/lang/n_cells), not
+    caller arguments — an append can never silently apply a different
+    gate than the build. Approximation caveat: appended vectors join
+    cells seeded from the ORIGINAL build's centroid sample; after heavy
+    drift, rebuild (write_filtered_ivf_index bumps the version and
+    resets appends). Compaction story: each append adds one file set
+    per touched cell; the rebuild IS the compaction.
+
+    Dedup across batches is the caller's contract (same as any index
+    append); ids already present are served twice."""
+    import posixpath
+
+    from ..operators.similarity import ivf_assign
+    from ..versioned import commit_version, current_meta, version_dir
+
+    spark = documents.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF index under {path}")
+    base = version_dir(path, ver)
+    eligible = eligible_embeddings(
+        documents, embeddings,
+        int(meta["min_chars"]), str(meta["lang"]),
+    )
+    cents = spark.read.parquet(posixpath.join(base, "centroids"))
+    j = int(meta.get("appends", 0)) + 1
+    ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+    extra = {k: v for k, v in meta.items() if k != "version"}
+    extra["appends"] = j
+    commit_version(spark, path, ver, extra=extra)
+
+
+def _read_index_cells(spark: SparkSession, base: str, meta: dict) -> DataFrame:
+    """The committed version's full cell relation: base cells plus
+    every COMMITTED append delta (dirs beyond `meta['appends']` are
+    torn/uncommitted and deliberately ignored). Each leg is a
+    cell-partitioned parquet scan, so a `cell` filter partition-prunes
+    every leg of the union."""
+    import posixpath
+
+    legs = [spark.read.parquet(posixpath.join(base, "cells"))]
+    for j in range(1, int(meta.get("appends", 0)) + 1):
+        legs.append(
+            spark.read.parquet(
+                posixpath.join(base, "appends", f"a{j}", "cells")
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def ivf_index_probe(
     spark: SparkSession,
     path: str,
@@ -327,7 +401,7 @@ def ivf_index_probe(
     qcells = rank_probe_cells(query, cents, nprobe)
     probed = [int(r["probe_cell"]) for r in qcells.collect()]
     qv = query.select(F.col("embedding").alias("_qv"))
-    idx = spark.read.parquet(posixpath.join(base, "cells")).filter(
+    idx = _read_index_cells(spark, base, meta).filter(
         F.col("cell").isin(probed)
     )
     out = (
@@ -515,7 +589,7 @@ def semdedup_prune_persisted(
         check_meta(meta, expect, index_path)
     base = version_dir(index_path, ver)
     cents_row = spark.read.parquet(posixpath.join(base, "centroids"))
-    cells = spark.read.parquet(posixpath.join(base, "cells"))
+    cells = _read_index_cells(spark, base, meta)
     # one (cid, cvec, cn) row per centroid, norm folded once — joined
     # to each vector's OWN cell (broadcast: n_cells rows)
     cent_tbl = cents_row.select(F.explode("_cents").alias("c")).select(

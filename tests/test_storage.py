@@ -574,3 +574,73 @@ def test_write_zordered_rejects_scratch_column_clash(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="__z"):
         write_zordered(df, str(tmp_path / "z"), ["a", "b"], bits=8)
+
+
+def test_ivf_append_serves_union_and_ignores_torn_delta(spark, tmp_path):
+    """Appending a batch makes its (eligible) vectors servable without
+    touching base cells; an uncommitted delta directory (torn append)
+    is invisible; a rebuild resets the append counter."""
+    import json
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        _read_index_cells,
+        append_to_ivf_index,
+        eligible_embeddings,
+        write_filtered_ivf_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta, version_dir
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf_append")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    write_filtered_ivf_index(docs, even, path, n_cells=8)
+    append_to_ivf_index(docs, odd, path)
+
+    meta = current_meta(spark, path)
+    assert meta["appends"] == 1 and meta["version"] == 1
+    base = version_dir(path, 1)
+    stored = {
+        r["vec_id"]
+        for r in _read_index_cells(spark, base, meta).select("vec_id").collect()
+    }
+    want = {
+        r["vec_id"] for r in eligible_embeddings(docs, emb).select("vec_id").collect()
+    }
+    assert stored == want  # ineligible batch rows never written
+    # base cells untouched by the append: they hold exactly the evens
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(base, "cells"))
+        .select("vec_id").collect()
+    }
+    assert base_ids == {v for v in want if v % 2 == 0}
+
+    # torn delta: a2 exists on disk but _CURRENT still says appends=1
+    odd.limit(3).withColumn("cell", F.lit(0).cast("long")).write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(base, "appends", "a2", "cells"))
+    again = {
+        r["vec_id"]
+        for r in _read_index_cells(spark, base, current_meta(spark, path))
+        .select("vec_id").collect()
+    }
+    assert again == stored  # uncommitted delta invisible
+
+    # rebuild bumps the version and resets appends
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+    meta2 = current_meta(spark, path)
+    assert meta2["version"] == 2 and meta2.get("appends", 0) == 0
+
+
+def test_ivf_append_requires_committed_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import append_to_ivf_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        append_to_ivf_index(docs, emb, str(tmp_path / "missing"))

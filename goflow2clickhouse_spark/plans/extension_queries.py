@@ -2421,14 +2421,15 @@ def _incremental_split(
 
 
 def _incremental_status(
-    old: DataFrame, new: DataFrame, pairs: DataFrame
+    old_sha: DataFrame, new: DataFrame, pairs: DataFrame
 ) -> DataFrame:
     """Per-status (exact beats near beats unique) count + id checksum
     over the new batch, given the near-dup pair relation — the shared
     tail of both incremental-dedup queries. Gate 1 (exact) is a
-    sha2-256 LEFT SEMI against the corpus hash set (production: the
-    persisted hash index; the exchange carries 64-byte hashes)."""
-    old_sha = old.select(F.sha2("text", 256).alias("_sha")).distinct()
+    sha2-256 LEFT SEMI against `old_sha`, the corpus's DISTINCT hash
+    set (the recompute query derives it from old text; the indexed
+    query reads it straight from the persisted band index — 64-byte
+    keys on the exchange either way)."""
     exact_ids = (
         new.select("doc_id", F.sha2("text", 256).alias("_sha"))
         .join(old_sha, "_sha", "left_semi")
@@ -2474,7 +2475,8 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches."""
     old, new = _incremental_split(spark, sf_dir)
     pairs = D.incremental_neardup_pairs(old, new, threshold=0.5)
-    out = _incremental_status(old, new, pairs)
+    old_sha = old.select(F.sha2("text", 256).alias("_sha")).distinct()
+    out = _incremental_status(old_sha, new, pairs)
     # the pair op's caches are finalizer-tied to `pairs`; keep them
     # alive for the composed plan (see dedup_cluster_sizes)
     return D.pin(out, pairs)
@@ -2506,21 +2508,27 @@ def _persisted_index(kind: str, sf_dir: str, build) -> str:
 @query("incremental_dedup_indexed", oracle=_incremental_oracle(), bench=True)
 def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_dedup_newbatch` served from the PERSISTED band
-    index (plans/storage.write_band_index): the old corpus is shingled
-    and banded once at index-build time; the per-increment probe joins
-    the batch's band keys against the index and fetches old shingle
-    sets by candidate-id semi-join — old text is never re-scanned
-    (tests/test_storage.py pins the executed plan to index-only scans).
-    Same output, same oracle as the recompute form; the two queries
-    together put a driver-checked number on what the index saves."""
-    from .storage import incremental_neardup_pairs_indexed, write_band_index
+    index (plans/storage.write_band_index): the old corpus is shingled,
+    banded AND hashed once at index-build time; the per-increment probe
+    joins the batch's band keys against the index, fetches old shingle
+    sets by candidate-id semi-join, and runs the exact gate against the
+    index's stored sha set — old corpus text is never re-scanned by ANY
+    gate (tests/test_storage.py pins the pair probe's executed plan to
+    index-only scans). Same output, same oracle as the recompute form;
+    the two queries together put a driver-checked number on what the
+    index saves."""
+    from .storage import (
+        band_index_sha_set,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
 
     old, new = _incremental_split(spark, sf_dir)
     path = _persisted_index(
         "band", sf_dir, lambda p: write_band_index(old, p)
     )
     pairs = incremental_neardup_pairs_indexed(new, path, threshold=0.5)
-    out = _incremental_status(old, new, pairs)
+    out = _incremental_status(band_index_sha_set(spark, path), new, pairs)
     return D.pin(out, pairs)
 
 

@@ -441,10 +441,16 @@ def write_band_index(
                                           exact-Jaccard verify
       <path>/v{N}/bands/band_no=*/       (doc_id, band_key) — 16-byte
                                           band keys, the equi-join side
+      <path>/v{N}/shas/                  (_sha) — the DISTINCT sha2-256
+                                          set, the exact-dup gate's old
+                                          side (64-byte keys)
 
     The band relation is re-derived FROM the written shingles parquet
     (read-back), not from a second text scan — the corpus text is read
-    exactly once per build, and the probe never reads it at all.
+    at most twice per build (shingling + hashing), and the probe never
+    reads it at all: band keys, shingle sets AND the exact-hash set all
+    come from the index, so a full incremental-dedup increment (exact
+    gate + near gate) runs without touching old corpus text.
     Versioned-atomic via versioned.py (`v{N}/` + `_CURRENT` OVERWRITE
     rename through the Hadoop FileSystem API): a build that dies
     mid-write leaves `_CURRENT` on the previous complete version, so a
@@ -481,6 +487,8 @@ def write_band_index(
     band_key_rows(array_minhash_sigs(sh, id_col), id_col).write.mode(
         "overwrite"
     ).partitionBy("band_no").parquet(posixpath.join(base, "bands"))
+    corpus.select(F.sha2(F.col(text_col), 256).alias("_sha")).distinct(
+    ).write.mode("overwrite").parquet(posixpath.join(base, "shas"))
     commit_version(
         spark, path, ver,
         extra={"n": n, "num_perm": NUM_PERM, "bands": BANDS,
@@ -617,3 +625,19 @@ def semdedup_prune_persisted(
         )
     )
     return _semdedup_from_assignment(m, tau, id_col)
+
+
+def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
+    """The committed band index's distinct sha2-256 relation (`_sha`) —
+    the exact-dup gate's old side, served from the index so an
+    increment's exact gate never re-hashes (or even reads) old corpus
+    text. 64-byte keys; the gate is a LEFT SEMI join on them."""
+    import posixpath
+
+    from ..versioned import current_meta, version_dir
+
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(f"no committed band index under {index_path}")
+    base = version_dir(index_path, int(meta["version"]))
+    return spark.read.parquet(posixpath.join(base, "shas"))

@@ -644,3 +644,24 @@ def test_ivf_append_requires_committed_index(spark, tmp_path):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with _pytest.raises(FileNotFoundError, match="no committed"):
         append_to_ivf_index(docs, emb, str(tmp_path / "missing"))
+
+
+def test_band_index_sha_set_matches_corpus(spark, tmp_path):
+    """The index's stored sha set equals the distinct sha2-256 of the
+    indexed corpus — the exact-dup gate's old side, served without
+    re-reading old text (r7: completes the no-old-text-scan story for
+    the full incremental-dedup increment)."""
+    from goflow2clickhouse_spark.plans.storage import (
+        band_index_sha_set,
+        write_band_index,
+    )
+
+    old, _ = _band_corpus(spark)
+    path = str(tmp_path / "bandidx_sha")
+    write_band_index(old, path)
+    got = {r["_sha"] for r in band_index_sha_set(spark, path).collect()}
+    want = {
+        r["s"]
+        for r in old.select(F.sha2("text", 256).alias("s")).distinct().collect()
+    }
+    assert got == want and got

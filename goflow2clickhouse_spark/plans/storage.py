@@ -497,6 +497,81 @@ def write_band_index(
     )
 
 
+def append_to_band_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an ingested batch INTO the band index — the second half of
+    the daily-crawl loop: each increment first dedups against the index
+    (`incremental_neardup_pairs_indexed` + `band_index_sha_set`), then
+    the kept docs are appended here so TOMORROW'S batch dedups against
+    them too — without ever rebuilding (or reading) the existing
+    shingles/bands/shas. Same append contract as `append_to_ivf_index`:
+    batch j lands at `v{N}/appends/a{j}/{shingles,bands,shas}`,
+    `_CURRENT` is atomically re-committed with `appends: j`, a torn
+    append is invisible and the retry overwrites it, and a rebuild
+    (write_band_index) bumps the version and resets the counter —
+    rebuild IS the compaction. Shingle width and LSH geometry come from
+    the RECORDED metadata, never caller arguments."""
+    import posixpath
+
+    from ..operators.dedup import array_minhash_sigs, band_key_rows, shingle_arrays
+    from ..versioned import commit_version, current_meta, version_dir
+
+    spark = batch.sparkSession
+    meta = current_meta(spark, path)
+    if not meta:
+        raise FileNotFoundError(f"no committed band index under {path}")
+    base = version_dir(path, int(meta["version"]))
+    idx_id = str(meta.get("id_col", "doc_id"))
+    j = int(meta.get("appends", 0)) + 1
+    delta = posixpath.join(base, "appends", f"a{j}")
+    norm_batch = batch.select(
+        F.col(id_col).alias(idx_id), F.col(text_col).alias("text")
+    )
+    sh_path = posixpath.join(delta, "shingles")
+    shingle_arrays(norm_batch, "text", idx_id, int(meta["n"])).write.mode(
+        "overwrite"
+    ).parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    band_key_rows(array_minhash_sigs(sh, idx_id), idx_id).write.mode(
+        "overwrite"
+    ).partitionBy("band_no").parquet(posixpath.join(delta, "bands"))
+    norm_batch.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct(
+    ).write.mode("overwrite").parquet(posixpath.join(delta, "shas"))
+    extra = {k: v for k, v in meta.items() if k != "version"}
+    extra["appends"] = j
+    commit_version(spark, path, int(meta["version"]), extra=extra)
+
+
+def _band_index_parts(spark: SparkSession, index_path: str):
+    """(meta, [artifact dirs]) of the committed band index: the base
+    version directory plus every COMMITTED append delta (directories
+    beyond `meta['appends']` are torn/uncommitted and ignored)."""
+    import posixpath
+
+    from ..versioned import current_meta, version_dir
+
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(f"no committed band index under {index_path}")
+    base = version_dir(index_path, int(meta["version"]))
+    dirs = [base] + [
+        posixpath.join(base, "appends", f"a{j}")
+        for j in range(1, int(meta.get("appends", 0)) + 1)
+    ]
+    return meta, dirs
+
+
+def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
+
+
 def incremental_neardup_pairs_indexed(
     new: DataFrame,
     index_path: str,
@@ -530,28 +605,26 @@ def incremental_neardup_pairs_indexed(
         shingle_arrays,
         tie_cache,
     )
-    from ..versioned import check_meta, current_meta, version_dir
+    from ..versioned import check_meta
 
     spark = new.sparkSession
-    meta = current_meta(spark, index_path)
-    if not meta:
-        raise FileNotFoundError(f"no committed band index under {index_path}")
+    meta, dirs = _band_index_parts(spark, index_path)
     # a silent geometry mismatch would collapse recall with no error
     check_meta(meta, {"n": n, "num_perm": NUM_PERM, "bands": BANDS},
                index_path)
-    base = version_dir(index_path, int(meta["version"]))
     idx_id = str(meta.get("id_col", "doc_id"))
 
     # only the OLD sides differ from the recompute form — both route
     # through the one shared pipeline (operators/dedup._incremental_
-    # pairs), so the two forms cannot drift (r7 review)
+    # pairs), so the two forms cannot drift (r7 review). The old side
+    # is base + committed append deltas (append_to_band_index).
     sh_new = shingle_arrays(new, text_col, id_col, n).persist()
-    bk_old = spark.read.parquet(posixpath.join(base, "bands")).select(
-        F.col(idx_id).alias("id_a"), "band_no", "band_key"
-    )
-    old_sets = spark.read.parquet(posixpath.join(base, "shingles")).select(
-        F.col(idx_id).alias("id_a"), "shs"
-    )
+    bk_old = _union_parquet(
+        spark, [posixpath.join(d, "bands") for d in dirs]
+    ).select(F.col(idx_id).alias("id_a"), "band_no", "band_key")
+    old_sets = _union_parquet(
+        spark, [posixpath.join(d, "shingles") for d in dirs]
+    ).select(F.col(idx_id).alias("id_a"), "shs")
     result, cands = _incremental_pairs(sh_new, bk_old, old_sets, id_col, threshold)
     return tie_cache(result, sh_new, cands)
 
@@ -631,13 +704,13 @@ def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
     """The committed band index's distinct sha2-256 relation (`_sha`) —
     the exact-dup gate's old side, served from the index so an
     increment's exact gate never re-hashes (or even reads) old corpus
-    text. 64-byte keys; the gate is a LEFT SEMI join on them."""
+    text. 64-byte keys; the gate is a LEFT SEMI join on them. Includes
+    every committed append delta; the cross-delta distinct is cheap
+    (the relation is hash-sized) and only needed because a doc may
+    repeat verbatim across batches."""
     import posixpath
 
-    from ..versioned import current_meta, version_dir
-
-    meta = current_meta(spark, index_path)
-    if not meta:
-        raise FileNotFoundError(f"no committed band index under {index_path}")
-    base = version_dir(index_path, int(meta["version"]))
-    return spark.read.parquet(posixpath.join(base, "shas"))
+    _, dirs = _band_index_parts(spark, index_path)
+    return _union_parquet(
+        spark, [posixpath.join(d, "shas") for d in dirs]
+    ).distinct()

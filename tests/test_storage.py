@@ -665,3 +665,75 @@ def test_band_index_sha_set_matches_corpus(spark, tmp_path):
         for r in old.select(F.sha2("text", 256).alias("s")).distinct().collect()
     }
     assert got == want and got
+
+
+def test_band_index_append_two_batch_crawl_loop(spark, tmp_path):
+    """The daily-crawl loop: build on day-0 corpus, append day-1's
+    batch, then day-2's batch must dedup against BOTH — result-equal
+    to the recompute form over the accumulated corpus; the sha set
+    accumulates too; a torn append delta stays invisible."""
+    import os
+
+    from goflow2clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        band_index_sha_set,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta, version_dir
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    day0 = d.filter(F.col("doc_id") % 3 == 0)
+    day1 = d.filter(F.col("doc_id") % 3 == 1).unionByName(
+        # near-dups of day0 docs so cross-batch pairs exist
+        d.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    day2 = d.filter(F.col("doc_id") % 3 == 2).unionByName(
+        # near-dups of DAY1 docs — only visible if the append is served
+        d.filter(F.col("doc_id") % 30 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    path = str(tmp_path / "bandidx_crawl")
+    write_band_index(day0, path)
+    append_to_band_index(day1, path)
+    assert current_meta(spark, path)["appends"] == 1
+
+    got = sorted(
+        map(tuple, incremental_neardup_pairs_indexed(day2, path).collect())
+    )
+    accumulated = day0.unionByName(day1)
+    want = sorted(
+        map(tuple, incremental_neardup_pairs(accumulated, day2).collect())
+    )
+    assert got == want and got
+    # some pair must hit the APPENDED batch (id_a in day1's plant range
+    # or day1 originals) — otherwise the append leg proved nothing
+    day1_ids = {r["doc_id"] for r in day1.select("doc_id").collect()}
+    assert any(a in day1_ids for a, _, _ in got)
+
+    # sha set accumulates across base + delta
+    shas = {r["_sha"] for r in band_index_sha_set(spark, path).collect()}
+    want_shas = {
+        r["s"]
+        for r in accumulated.select(F.sha2("text", 256).alias("s"))
+        .distinct().collect()
+    }
+    assert shas == want_shas
+
+    # torn delta (a2 on disk, not committed) changes nothing
+    base = version_dir(path, 1)
+    day2.limit(2).select(F.col("doc_id"), F.col("text")).write.parquet(
+        os.path.join(base, "appends", "a2", "shingles")
+    )
+    again = sorted(
+        map(tuple, incremental_neardup_pairs_indexed(day2, path).collect())
+    )
+    assert again == got

@@ -502,6 +502,7 @@ def append_to_band_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra: dict | None = None,
 ) -> None:
     """Fold an ingested batch INTO the band index — the second half of
     the daily-crawl loop: each increment first dedups against the index
@@ -514,7 +515,10 @@ def append_to_band_index(
     append is invisible and the retry overwrites it, and a rebuild
     (write_band_index) bumps the version and resets the counter —
     rebuild IS the compaction. Shingle width and LSH geometry come from
-    the RECORDED metadata, never caller arguments."""
+    the RECORDED metadata, never caller arguments. `extra` entries are
+    merged into `_CURRENT` alongside the append counter — the streaming
+    crawl loop records its (run_id, epoch) replay gate there, so the
+    gate commits ATOMICALLY with the append it guards."""
     import posixpath
 
     from ..operators.dedup import array_minhash_sigs, band_key_rows, shingle_arrays
@@ -541,9 +545,10 @@ def append_to_band_index(
     ).partitionBy("band_no").parquet(posixpath.join(delta, "bands"))
     norm_batch.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct(
     ).write.mode("overwrite").parquet(posixpath.join(delta, "shas"))
-    extra = {k: v for k, v in meta.items() if k != "version"}
-    extra["appends"] = j
-    commit_version(spark, path, int(meta["version"]), extra=extra)
+    merged = {k: v for k, v in meta.items() if k != "version"}
+    merged.update(extra or {})
+    merged["appends"] = j
+    commit_version(spark, path, int(meta["version"]), extra=merged)
 
 
 def _band_index_parts(spark: SparkSession, index_path: str):

@@ -99,3 +99,176 @@ def test_stream_dedup_state_bounded_semantics(spark, tmp_path):
     # both occurrences of key 1 survive: state for it was evicted long
     # before the 3-hour-later duplicate arrived
     assert tags == ["a", "a-again", "b", "filler"]
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup: the crawl loop over the persisted band index
+# ---------------------------------------------------------------------------
+
+def _crawl_batches(spark):
+    """(day0 corpus, [batch1, batch2]): batch1 carries a near-dup and a
+    verbatim copy of day0 docs plus novel docs; batch2 near-dups a doc
+    KEPT from batch1 — only visible if the fold appended it."""
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    day0 = d.filter(F.col("doc_id") % 3 == 0)
+    novel1 = d.filter(F.col("doc_id") % 3 == 1)
+    b1 = (
+        novel1
+        .unionByName(d.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        ))
+        .unionByName(d.filter(F.col("doc_id") % 60 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text"),
+        ))
+    )
+    b2 = (
+        d.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(d.filter(F.col("doc_id") % 30 == 1).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        ))
+    )
+    return day0, [b1, b2]
+
+
+def _expected_statuses(old, batch):
+    """Batch-recompute twin of one fold: per-doc exact/near/unique of
+    `batch` against `old` (exact beats near)."""
+    from goflow2clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    old_sha = old.select(F.sha2("text", 256).alias("_sha")).distinct()
+    ex = {
+        r["doc_id"]
+        for r in batch.select("doc_id", F.sha2("text", 256).alias("_sha"))
+        .join(old_sha, "_sha", "left_semi").select("doc_id").collect()
+    }
+    pairs = incremental_neardup_pairs(old, batch)
+    nr = {r["id_b"] for r in pairs.select("id_b").collect()}
+    return {
+        r["doc_id"]: (
+            "exact" if r["doc_id"] in ex
+            else "near" if r["doc_id"] in nr else "unique"
+        )
+        for r in batch.select("doc_id").collect()
+    }
+
+
+def test_incremental_dedup_fold_matches_batch_recompute(spark, tmp_path):
+    """Two folds of the crawl loop: each batch's statuses equal the
+    batch-recompute twin against the ACCUMULATED kept corpus, and a
+    replayed epoch is skipped without touching output or index."""
+    from goflow2clickhouse_spark.plans.storage import write_band_index
+    from goflow2clickhouse_spark.streaming.dedupe import (
+        incremental_dedup_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    day0, (b1, b2) = _crawl_batches(spark)
+    idx = str(tmp_path / "bandidx")
+    out = str(tmp_path / "statuses")
+    write_band_index(day0, idx)
+
+    assert incremental_dedup_fold(b1, idx, out, 0, run_id="ck-A") is True
+    got1 = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want1 = _expected_statuses(day0, b1)
+    assert got1 == want1
+    assert {"exact", "near", "unique"} <= set(want1.values())
+
+    kept1 = b1.join(
+        spark.createDataFrame(
+            [(k,) for k, v in want1.items() if v == "unique"], "doc_id bigint"
+        ),
+        "doc_id", "left_semi",
+    )
+    assert incremental_dedup_fold(b2, idx, out, 1, run_id="ck-A") is True
+    got2 = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] in {x["doc_id"] for x in b2.select("doc_id").collect()}
+    }
+    want2 = _expected_statuses(day0.unionByName(kept1), b2)
+    assert got2 == want2
+    # batch2's planted near-dup targets a KEPT batch1 doc — the fold
+    # proof that appends are being served
+    assert any(
+        k >= 3000000 and v == "near" for k, v in want2.items()
+    )
+
+    # replayed epoch: skipped, nothing changes
+    n_rows = spark.read.parquet(out).count()
+    meta = current_meta(spark, idx)
+    assert incremental_dedup_fold(b2, idx, out, 1, run_id="ck-A") is False
+    assert spark.read.parquet(out).count() == n_rows
+    assert current_meta(spark, idx) == meta
+    # no run_id + non-monotonic epoch: loud error, never silent skip
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-monotonic"):
+        incremental_dedup_fold(b2, idx, out, 1)
+
+
+def test_streaming_incremental_dedup_end_to_end(spark, tmp_path):
+    """The crawl loop as a real stream: two parquet drops = two
+    micro-batches; statuses accumulate and match the two manual folds."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import write_band_index
+    from goflow2clickhouse_spark.streaming.dedupe import (
+        streaming_incremental_dedup,
+    )
+
+    day0, batches = _crawl_batches(spark)
+    idx = str(tmp_path / "bandidx")
+    out = str(tmp_path / "statuses")
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ck")
+    write_band_index(day0, idx)
+
+    def drop(n):
+        chunk = str(indir / f"chunk{n}")
+        batches[n].coalesce(1).write.mode("overwrite").parquet(chunk)
+        for f in glob.glob(chunk + "/part-*.parquet"):
+            shutil.copy(f, str(indir / f"batch{n}.parquet"))
+        shutil.rmtree(chunk)
+
+    drop(0)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = streaming_incremental_dedup(stream, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        want1 = _expected_statuses(day0, batches[0])
+        got = {
+            r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()
+        }
+        assert got == want1
+        drop(1)
+        q.processAllAvailable()
+        kept1 = batches[0].join(
+            spark.createDataFrame(
+                [(k,) for k, v in want1.items() if v == "unique"],
+                "doc_id bigint",
+            ),
+            "doc_id", "left_semi",
+        )
+        want = dict(want1)
+        want.update(_expected_statuses(day0.unionByName(kept1), batches[1]))
+        got = {
+            r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()

@@ -69,7 +69,8 @@ def incremental_dedup_fold(
     foreachBatch wrapper below calls): dedup `batch_df` against the
     persisted band index — exact gate = sha2 LEFT SEMI vs the index's
     stored hash set, near gate = `incremental_neardup_pairs_indexed` —
-    append one (doc_id, status) row per batch doc to `out_path`, then
+    write one (doc_id, status) row per batch doc into `out_path`'s
+    (run_id, epoch) partition, then
     FOLD the unique docs into the index (`append_to_band_index`) so
     the next batch dedups against them too. Old corpus text is never
     scanned: both gates and the fold run index-side + batch-side only.
@@ -81,6 +82,15 @@ def incremental_dedup_fold(
     gate a replayed batch would re-dedup against an index that already
     CONTAINS it and mislabel every kept doc an exact dup. A replayed
     epoch with no run_id raises, like HllRegisterStore.fold.
+
+    The status write is idempotent INDEPENDENTLY of that gate: rows
+    land in the hive partition (run_id, epoch) with dynamic partition
+    OVERWRITE, because the status write necessarily happens before the
+    index commit (two stores, one atomic commit) — a crash between the
+    two replays the whole fold, and an append-mode status write would
+    then double-emit the epoch's rows. Overwriting the epoch's own
+    partition makes the replay a byte-identical rewrite (the recompute
+    runs against an index the torn fold never changed).
 
     Within-batch duplicates are the batch's own concern — compose
     `stream_exact_dedup` upstream (ingest-time) or
@@ -142,7 +152,14 @@ def incremental_dedup_fold(
         )
     ).persist()
     try:
-        status.write.mode("append").parquet(out_path)
+        (
+            status.withColumn("run_id", F.lit(run_id if run_id is not None else "none"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "epoch")
+            .parquet(out_path)
+        )
         kept = batch.join(
             status.filter(F.col("status") == "unique").select(id_col),
             id_col, "left_semi",

@@ -272,3 +272,40 @@ def test_streaming_incremental_dedup_end_to_end(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_incremental_dedup_fold_torn_replay_is_idempotent(spark, tmp_path, monkeypatch):
+    """Crash between the status write and the index commit (the one
+    window the (run_id, epoch) gate cannot cover — two stores, one
+    atomic commit): the replayed fold must leave out_path with exactly
+    one status row per doc, not an appended duplicate set."""
+    from goflow2clickhouse_spark.plans import storage as storage_mod
+    from goflow2clickhouse_spark.streaming import dedupe as dedupe_mod
+    from goflow2clickhouse_spark.plans.storage import write_band_index
+    from goflow2clickhouse_spark.streaming.dedupe import incremental_dedup_fold
+
+    day0, (b1, _b2) = _crawl_batches(spark)
+    idx = str(tmp_path / "bandidx")
+    out = str(tmp_path / "statuses")
+    write_band_index(day0, idx)
+
+    real_append = storage_mod.append_to_band_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index commit")
+
+    monkeypatch.setattr(storage_mod, "append_to_band_index", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_dedup_fold(b1, idx, out, 0, run_id="ck-T")
+    torn_rows = spark.read.parquet(out).count()
+    assert torn_rows == b1.count()  # status landed, index commit did not
+
+    monkeypatch.setattr(storage_mod, "append_to_band_index", real_append)
+    assert incremental_dedup_fold(b1, idx, out, 0, run_id="ck-T") is True
+    got = {
+        (r["doc_id"]): r["status"] for r in spark.read.parquet(out).collect()
+    }
+    assert spark.read.parquet(out).count() == b1.count()  # no double-emit
+    assert got == _expected_statuses(day0, b1)

@@ -98,11 +98,15 @@ promote([
     "q4_order_priority",
     "source_mixture_weights",
     "token_budget_selection",
-    # (d) oldest-r5 fill (alphabetical-first four of the r5 pool)
+    # (e) late-r7 additions — new queries MUST take window slots
+    #     (the r6 lesson: a query registered outside the window has no
+    #     driver row until the next round); each displaces one (d) fill
+    "dsir_importance_topk",
+    # (d) oldest-r5 fill (alphabetical-first of the r5 pool; shrinks as
+    #     (e) grows)
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
-    "doc_length_deciles",
 ])
 
 __all__ = [

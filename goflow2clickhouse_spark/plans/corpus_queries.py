@@ -1539,3 +1539,139 @@ def doc_chunk_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_offsets(d, window=_CHUNK_W, stride=_CHUNK_S).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed importance weights (data selection, r7)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # feature-hash buckets
+_DSIR_TGT = "src0"  # the target domain (DSIR's "high-quality" side)
+
+
+@query(
+    "dsir_importance_topk",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               UNNEST(list_concat(
+                   list_transform(w, x -> concat('u:', x)),
+                   list_transform(generate_series(1, len(w) - 1),
+                                  i -> concat('b:', w[i], ' ', w[i+1]))
+               )) AS f
+        FROM toks
+    ),
+    dfb AS (
+        SELECT doc_id, source,
+               {_H31.format(x="concat('dsir:', f)")} % {_DSIR_B} AS bucket,
+               COUNT(*) AS cnt
+        FROM feats GROUP BY doc_id, source, bucket
+    ),
+    bt AS (
+        SELECT bucket,
+               CAST(SUM(cnt) AS BIGINT) AS r,
+               CAST(SUM(CASE WHEN source = '{_DSIR_TGT}' THEN cnt
+                             ELSE 0 END) AS BIGINT) AS t
+        FROM dfb GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(r) AS DOUBLE) AS rr, CAST(SUM(t) AS DOUBLE) AS tt
+        FROM bt
+    ),
+    lr AS (
+        SELECT bucket,
+               CAST(FLOOR((LN((t + 1.0) / (tt + {_DSIR_B}.0))
+                           - LN((r + 1.0) / (rr + {_DSIR_B}.0)))
+                          * 1000000.0) AS BIGINT) AS lr_micro
+        FROM bt, tot
+    )
+    SELECT dfb.doc_id, ANY_VALUE(dfb.source) AS source,
+           CAST(SUM(cnt * lr_micro) AS BIGINT) AS weight_micro
+    FROM dfb JOIN lr USING (bucket)
+    GROUP BY dfb.doc_id
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT 25
+    """,
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed n-gram features
+    are under the TARGET domain's distribution than the raw corpus's,
+    then keep the top-weighted docs. Features are unigrams + bigrams
+    hashed into 256 buckets; the per-bucket log-ratio
+    ln(p_tgt[b]) - ln(p_raw[b]) (add-one smoothed) is quantized ONCE
+    to integer micro-units, so every per-doc weight is an exact
+    integer dot product — sum-order-independent and reproducible
+    bit-for-bit in any engine (the rounding-tie lesson from the
+    quality classifier: never hash-compare an order-dependent float
+    sum).
+
+    Scale shape: one corpus scan → (doc, bucket) counts (the only
+    corpus-sized shuffle, 8-byte keys); the bucket table is 256 rows —
+    the distributions and log-ratios are a broadcast, and scoring is a
+    map-side join + aggregate already partitioned by doc. At 100 TB
+    the target distribution comes from a small curated set (compute
+    once, broadcast forever) and scoring stays one scan. The
+    reference has no data-selection surface (main.go ingests
+    everything); this is the §2.C training-data extension."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    feats = F.concat(
+        F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
+        ),
+    )
+    dfb = (
+        d.select("doc_id", "source", F.explode(feats).alias("f"))
+        .select(
+            "doc_id", "source",
+            (D.hash31(F.concat(F.lit("dsir:"), F.col("f"))) % _DSIR_B)
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    ).persist()  # three consumers (bt, tot, scoring) — one corpus scan
+    bt = dfb.groupBy("bucket").agg(
+        F.sum("cnt").alias("r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TGT, F.col("cnt")).otherwise(0)
+        ).alias("t"),
+    )
+    tot = bt.agg(
+        F.sum("r").cast("double").alias("rr"),
+        F.sum("t").cast("double").alias("tt"),
+    )
+    lr = (
+        bt.crossJoin(F.broadcast(tot))  # bcast bound: 1-row scalar
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log((F.col("t") + 1.0) / (F.col("tt") + float(_DSIR_B)))
+                    - F.log((F.col("r") + 1.0) / (F.col("rr") + float(_DSIR_B)))
+                )
+                * 1000000.0
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    out = (
+        dfb.join(F.broadcast(lr), "bucket")  # bcast bound: _DSIR_B rows
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(25)
+    )
+    return D.tie_cache(out, dfb)

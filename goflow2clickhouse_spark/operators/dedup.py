@@ -989,3 +989,114 @@ def _release_rdds(sc, rdd_ids: list[int]) -> None:
             sc._jsc.sc().unpersistRDD(i, False)
         except Exception:
             continue
+
+
+# ---------------------------------------------------------------------------
+# connected components, O(log n) rounds: large-star / small-star
+# ---------------------------------------------------------------------------
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star contraction (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): for every node v, connect
+    each STRICTLY LARGER neighbor to the minimum of v's closed
+    neighborhood. Input/output edges carry the src > dst invariant."""
+    sym = edges.select(
+        F.col("src"), F.col("dst")
+    ).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_m0")).select(
+        "src", F.least(F.col("_m0"), F.col("src")).alias("_m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star contraction: orient every edge toward its smaller
+    endpoint (already the src > dst invariant), then for every node v
+    re-attach v and all its smaller neighbors to the minimum of that
+    set. Preserves the src > dst invariant."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    reattach = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    selfedge = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    return (
+        reattach.unionByName(selfedge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def cluster_pairs_bigstar(
+    pairs: DataFrame, max_rounds: int = 50,
+) -> DataFrame:
+    """EXACT connected components via alternating large-star /
+    small-star contraction — the O(log n)-round scale path for HIGH-
+    DIAMETER graphs, where `cluster_pairs`' min-label propagation
+    needs O(diameter) rounds (a 10k-hop chain — real in embedding
+    near-dup graphs, where A≈B≈C chains drift — would take 10k joins
+    there and ~log²(n) here; Kiveris et al. 2014 prove the bound).
+    Returns the identical (id, cluster_id) relation: every node
+    labeled with its component's minimum id, so the two operators are
+    interchangeable and one recursive-CTE oracle verifies both.
+
+    Per round: two contractions, each a groupBy-min + equi-join on the
+    (pair-sized) edge relation — never the corpus. Rounds materialize
+    via localCheckpoint (same lifecycle contract as cluster_pairs:
+    blocks release when the result handle drops; callers composing
+    further plan must `pin`). Convergence = the round leaves the edge
+    set EXACTLY unchanged (star forests are the joint fixpoint of both
+    contractions), checked with a count + exceptAll emptiness probe on
+    the materialized rounds — never a checksum that could collide.
+    Raises after `max_rounds` (a cycle would mean a contraction bug;
+    both steps provably preserve connectivity and never increase the
+    min-reachable label)."""
+    sc = pairs.sparkSession.sparkContext
+    cur = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = cur.select(F.col("src").alias("id")).unionByName(
+        cur.select(F.col("dst").alias("id"))
+    ).distinct().localCheckpoint(eager=True)
+    owned = _ckpt_rdd_ids(cur) + _ckpt_rdd_ids(nodes)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt_ids = _ckpt_rdd_ids(nxt)
+        same = (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        )
+        if same:
+            _release_rdds(sc, nxt_ids)
+            break
+        _release_rdds(sc, [i for i in owned if i not in _ckpt_rdd_ids(nodes)])
+        owned = _ckpt_rdd_ids(nodes) + nxt_ids
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"cluster_pairs_bigstar did not converge in {max_rounds} rounds"
+        )
+    # star forest: every non-root points at its component's min; roots
+    # (no outgoing edge) label themselves
+    result = (
+        nodes.join(cur, nodes.id == cur.src, "left")
+        .select(
+            "id", F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id")
+        )
+    )
+    weakref.finalize(result, _release_rdds, sc, owned)
+    return result

@@ -102,11 +102,11 @@ promote([
     #     (the r6 lesson: a query registered outside the window has no
     #     driver row until the next round); each displaces one (d) fill
     "dsir_importance_topk",
+    "dedup_cluster_sizes_bigstar",
     # (d) oldest-r5 fill (alphabetical-first of the r5 pool; shrinks as
     #     (e) grows)
     "bigram_pmi_top",
     "corpus_curation_funnel",
-    "dedup_cluster_sizes",
 ])
 
 __all__ = [

@@ -265,6 +265,30 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pin(out, labels)
 
 
+@query("dedup_cluster_sizes_bigstar", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_sizes_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup cluster-size histogram computed through the
+    O(log n)-round scale path: alternating large-star/small-star
+    contraction (operators/dedup.cluster_pairs_bigstar, Kiveris et
+    al. 2014) instead of O(diameter)-round min-label propagation —
+    the component algorithm you want when near-dup chains run deep
+    (drifting boilerplate at crawl scale). Identical labels, so the
+    identical recursive-CTE oracle verifies it; sharing the oracle
+    with `dedup_cluster_sizes` is the differential proof that the
+    two physical strategies agree through the driver gate."""
+    pairs = D.minhash_lsh_dedup_pairs(corpus(spark, sf_dir), threshold=0.5)
+    labels = D.cluster_pairs_bigstar(pairs)
+    out = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+    # the star-forest checkpoints must outlive this composed plan
+    return D.pin(out, labels)
+
+
 def _stream_neardup_oracle() -> str:
     h = _H31.format(x="shingle")
     mins = ",\n           ".join(

@@ -255,3 +255,58 @@ def test_incremental_neardup_batch_internal_dups_not_reported(spark):
     )
     pairs = incremental_neardup_pairs(old, new, threshold=0.5).collect()
     assert pairs == []  # 101~102 is within-batch, not old x new
+
+
+def test_cluster_pairs_bigstar_matches_union_find(spark):
+    """Large-star/small-star contraction must produce the identical
+    (id, cluster_id) relation as the union-find path on chains (the
+    high-diameter case it exists for), triangles, pairs, and a
+    random graph."""
+    import random
+
+    from goflow2clickhouse_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_bigstar,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (10, 12), (11, 12),
+        (20, 21),
+    ]
+    # a 60-hop chain: min-label propagation would need 60 rounds;
+    # the contraction converges in O(log) rounds (max_rounds=12 is
+    # the proof — a propagation-shaped implementation would raise)
+    edges += [(100 + i, 101 + i) for i in range(60)]
+    rng = random.Random(7)
+    nodes = list(range(1000, 1080))
+    edges += [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    got = {
+        r.id: r.cluster_id
+        for r in cluster_pairs_bigstar(pairs, max_rounds=12).collect()
+    }
+    want = {
+        r.id: r.cluster_id for r in cluster_pairs(pairs).collect()
+    }
+    assert got == want
+
+
+def test_cluster_pairs_bigstar_releases_checkpoints(spark):
+    from goflow2clickhouse_spark.operators.dedup import cluster_pairs_bigstar
+
+    before = _n_persistent(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    labels = cluster_pairs_bigstar(pairs)
+    assert labels.count() == 5
+    del labels
+    gc.collect()
+    assert _n_persistent(spark) == before, (
+        "bigstar round checkpoints still cached after handle drop"
+    )

@@ -682,3 +682,160 @@ def _semdedup_from_assignment(
         F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
     )
     return tie_cache(result, m)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed codes + ADC probe
+# ---------------------------------------------------------------------------
+
+PQ_M = 8    # subvector blocks
+PQ_SUB = DIM // PQ_M
+PQ_K = 16   # codebook entries per block (4-bit codes)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length double arrays — explicit
+    squared-diff fold so the DuckDB oracle can replay the identical
+    arithmetic (list_sum over (a-b)^2 in the same element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codebook as ONE row: `_cb[j]` is block j's K entries, each a
+    (e, sub) struct with e the entry id (0..K-1) and sub the PQ_SUB-dim
+    subvector. Entries are the K lowest-id vectors' subvectors (the
+    ivf_centroids determinism pattern — replayable in any engine; a
+    real deployment plugs k-means-trained codebooks into the same
+    shape)."""
+    entries = (
+        embeddings.orderBy(id_col)
+        .limit(PQ_K)
+        .select(F.col(id_col).alias("_eid"), as_double(vec_col).alias("_v"))
+        .select(F.struct("_eid", "_v").alias("_en"))
+        .agg(F.sort_array(F.collect_list("_en")).alias("_entries"))
+    )
+
+    # NB: a one-parameter lambda per block — a two-parameter lambda
+    # would be treated by PySpark as (element, index) and shadow the
+    # bound block number
+    def _block(j: int) -> Column:
+        return F.transform(
+            "_entries",
+            lambda en: F.struct(
+                F.slice(en["_v"], j * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            ),
+        )
+
+    # entry order inside each block is the vec_id rank (sort_array on
+    # (_eid, _v) structs), so codes are dense 0..K-1 positions
+    blocks = F.array(*[_block(j) for j in range(PQ_M)])
+    return entries.select(blocks.alias("_cb"))
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook_row: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to PQ_M 4-bit codes: per block, the entry
+    with the smallest squared L2 to the vector's subvector (ties to
+    the smaller entry id via the (dist, e) struct min). Emits one
+    packed BIGINT (`pq_code`, 4 bits per block) per vector — the
+    32x-compressed representation ADC scans instead of the floats.
+    One broadcast (1-row codebook) + a map-only projection: the
+    encode pass is a single corpus scan, embarrassingly parallel."""
+    v = as_double(vec_col)
+
+    def _code(j: int) -> Column:
+        sv = F.slice(v, j * PQ_SUB + 1, PQ_SUB)
+        dists = F.transform(
+            F.col("_cb")[j], lambda en: _l2sq(sv, en["sub"])
+        )
+        # entry id = FIRST position of the minimum distance (1-based),
+        # so ties break to the smaller entry id — the same rule the
+        # oracle's list_position(dl, list_min(dl)) replays
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias(f"_c{j}")
+        )
+
+    code_cols = [_code(j) for j in range(PQ_M)]
+    enc = (
+        embeddings.join(F.broadcast(codebook_row))  # bcast bound: 1 row
+        .select(F.col(id_col), *code_cols)
+    )
+    packed = sum(
+        (F.col(f"_c{j}") * F.lit(1 << (4 * j)) for j in range(1, PQ_M)),
+        F.col("_c0"),
+    )
+    return enc.select(F.col(id_col), packed.alias("pq_code"))
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the query
+    builds one PQ_M x PQ_K lookup table of exact subvector distances,
+    and every database vector's approximate distance is PQ_M table
+    lookups on its packed code — the scan never touches the floats.
+    At 100 TB that is the point: the hot loop reads 8 bytes per
+    vector (32x less IO than the embedding column), the LUT is a
+    1-row broadcast, and the final top-k is a TakeOrdered reduction.
+    Returns (vec_id, pq_code, adist): code and rounded distance both
+    verifiable against an engine-independent replay."""
+    cb = pq_codebook(embeddings, vec_col, id_col)
+    codes = pq_encode(embeddings, cb, vec_col, id_col)
+    qv = as_double(vec_col)
+    def _lut(j: int) -> Column:
+        qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
+        return F.transform(
+            F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
+        )
+
+    luts = F.array(*[_lut(j) for j in range(PQ_M)])
+    lut_row = (
+        query.select(qv.alias("_qv"))
+        .join(F.broadcast(cb))  # bcast bound: 1 row
+        .select(luts.alias("_lut"))
+    )
+    adist = sum(
+        (
+            F.element_at(
+                F.col("_lut")[j],
+                (
+                    F.shiftrightunsigned(F.col("pq_code"), 4 * j)
+                    % F.lit(PQ_K)
+                ).cast("int") + 1,
+            )
+            for j in range(1, PQ_M)
+        ),
+        F.element_at(
+            F.col("_lut")[0],
+            (F.col("pq_code") % F.lit(PQ_K)).cast("int") + 1,
+        ),
+    )
+    return (
+        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+        .select(
+            F.col(id_col),
+            "pq_code",
+            F.round(adist, 6).alias("adist"),
+        )
+        .orderBy("adist", id_col)
+        .limit(k)
+    )

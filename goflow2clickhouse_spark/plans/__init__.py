@@ -103,10 +103,10 @@ promote([
     #     driver row until the next round); each displaces one (d) fill
     "dsir_importance_topk",
     "dedup_cluster_sizes_bigstar",
+    "pq_adc_topk",
     # (d) oldest-r5 fill (alphabetical-first of the r5 pool; shrinks as
     #     (e) grows)
     "bigram_pmi_top",
-    "corpus_curation_funnel",
 ])
 
 __all__ = [

@@ -2621,3 +2621,93 @@ def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_probe(
         spark, path, q, k=10, nprobe=2, expect={"n_cells": 8}
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization ADC (r7)
+# ---------------------------------------------------------------------------
+
+def _pq_oracle() -> str:
+    m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
+
+    def l2(av: str, bv: str, j: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+            f"({av}[{j * sub} + i] - {bv}[{j * sub} + i])"
+            f" * ({av}[{j * sub} + i] - {bv}[{j * sub} + i])))"
+        )
+
+    d_cols = ",\n           ".join(
+        f"{l2('e.v', 'cb.v', j)} AS d_{j}" for j in range(m)
+    )
+    dlists = ",\n           ".join(
+        f"list(d_{j} ORDER BY entry) AS dl_{j}" for j in range(m)
+    )
+    codes = ",\n           ".join(
+        f"CAST(list_position(dl_{j}, list_min(dl_{j})) - 1 AS BIGINT) AS c_{j}"
+        for j in range(m)
+    )
+    l_cols = ",\n           ".join(
+        f"{l2('q.qv', 'cb.v', j)} AS l_{j}" for j in range(m)
+    )
+    llists = ",\n           ".join(
+        f"list(l_{j} ORDER BY entry) AS L_{j}" for j in range(m)
+    )
+    packed = " + ".join(f"c_{j} * {1 << (4 * j)}" for j in range(m))
+    adist = " + ".join(f"L_{j}[CAST(c_{j} AS INT) + 1]" for j in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS entry, v
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {kk}) s
+    ),
+    dists AS (
+        SELECT e.vec_id, cb.entry,
+           {d_cols}
+        FROM e, cb
+    ),
+    dl AS (
+        SELECT vec_id,
+           {dlists}
+        FROM dists GROUP BY vec_id
+    ),
+    enc AS (
+        SELECT vec_id,
+           {codes}
+        FROM dl
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    lut AS (
+        SELECT cb.entry,
+           {l_cols}
+        FROM cb, q
+    ),
+    lutl AS (
+        SELECT {llists} FROM lut
+    )
+    SELECT vec_id,
+           CAST({packed} AS BIGINT) AS pq_code,
+           ROUND({adist}, 6) AS adist
+    FROM enc, lutl
+    ORDER BY adist, vec_id
+    LIMIT 10
+    """
+
+
+@query("pq_adc_topk", oracle=_pq_oracle(), bench=True)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    compressed to 8 packed 4-bit codes (32x), query scored by
+    asymmetric distance — one 8x16 lookup table built from the query,
+    each database vector costing 8 table lookups on its packed code.
+    The scan that matters at 100 TB reads ONLY the 8-byte code
+    column; the codebook and LUT are 1-row broadcasts; the top-k is a
+    TakeOrdered reduction. Codebook entries are deterministic (the 16
+    lowest-id vectors' subvectors — the ivf_centroids pattern), so
+    the oracle replays encode AND scoring: pq_code pins every 4-bit
+    assignment of the returned rows bit-for-bit, adist the ADC
+    arithmetic (operators/similarity.pq_codebook/pq_encode/
+    pq_adc_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.pq_adc_topk(e, q, k=10)

@@ -211,3 +211,37 @@ def test_semdedup_never_compares_across_cells(spark):
     ])
     out = {r.vec_id: r for r in semdedup_prune(e, tau=0.999, n_cells=2).collect()}
     assert {i for i in out if out[i].is_pruned} == {2, 3}
+
+
+def test_pq_codebook_entries_encode_to_themselves(spark):
+    """A vector that IS codebook entry e must get code e in every
+    block (its squared-L2 to itself is exactly 0.0) and ADC distance
+    exactly 0 against itself as the query — the identity contract
+    that pins subvector slicing, entry ordering, and packing."""
+    from goflow2clickhouse_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from goflow2clickhouse_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_codebook(e)
+    codes = {
+        r.vec_id: r.pq_code for r in pq_encode(e, cb).collect()
+    }
+    assert len(codes) == e.count()
+    assert all(0 <= c < (1 << (4 * PQ_M)) for c in codes.values())
+    # the 16 lowest vec_ids are the entries, in rank order
+    ids = sorted(codes)[:PQ_K]
+    for rank, vid in enumerate(ids):
+        expect = sum(rank << (4 * j) for j in range(PQ_M))
+        assert codes[vid] == expect, (vid, rank, codes[vid])
+
+    from pyspark.sql import functions as F
+
+    q = e.filter(F.col("vec_id") == ids[3])
+    top = pq_adc_topk(e, q, k=1).collect()[0]
+    assert top.vec_id == ids[3] and top.adist == 0.0

@@ -839,3 +839,31 @@ def pq_adc_topk(
         .orderBy("adist", id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def jl_matrix(out_dim: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic JL projection rows with integer entries in
+    [-8, 8]: P[r][d] = ((r*53 + d*29) % 17) - 8. Integer entries keep
+    the arithmetic portable so any engine replays the projection
+    exactly (the projection_matrix pattern); a real deployment swaps
+    in Gaussian/sparse-Rademacher rows of the same shape."""
+    return [
+        [((r * 53 + d * 29) % 17) - 8 for d in range(dim)]
+        for r in range(out_dim)
+    ]
+
+
+def jl_reduce(vec_col: Column | str, out_dim: int) -> Column:
+    """Project a DIM-dim vector to `out_dim` dims: element r is
+    dot(P_r, v). A map-only projection — at 100 TB this is the
+    shrink-before-ANN pass (4-8x less vector IO for every downstream
+    scan), one scan, no shuffle, no Python."""
+    v = as_double(vec_col)
+    return F.array(*[
+        dot(F.array(*[F.lit(float(x)) for x in row]), v)
+        for row in jl_matrix(out_dim)
+    ])

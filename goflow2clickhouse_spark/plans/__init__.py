@@ -30,8 +30,11 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     driver gate, r6 verdict items 3-4 + the r7 append extension);
 # (c) ALL 40 names whose newest green row is round 4 — the entire stale
 #     pool drains, leaving nothing older than r5;
-# (d) the oldest r5 names fill the remainder (equal staleness — the
-#     alphabetical first four, a deterministic tiebreak).
+# (e) the four late-r7 queries (dsir_importance_topk,
+#     dedup_cluster_sizes_bigstar, pq_adc_topk, jl_projection_recall) —
+#     each displaced one oldest-r5 fill name as it landed, so every
+#     NEW query has a window slot (the r6 lesson); the displaced r5
+#     fills keep their r5-green rows and rejoin the rotation in r8.
 # 3 + 3 + 40 + 4 = 50 exactly.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r7
@@ -104,10 +107,10 @@ promote([
     "dsir_importance_topk",
     "dedup_cluster_sizes_bigstar",
     "pq_adc_topk",
-    # (d) oldest-r5 fill (alphabetical-first of the r5 pool; shrinks as
-    #     (e) grows)
-    "bigram_pmi_top",
+    "jl_projection_recall",
 ])
+# (d) the r5 fill names were all displaced by (e) late-r7 additions —
+# they keep their r5-green rows and rejoin the rotation pool in r8
 
 __all__ = [
     "QuerySpec",

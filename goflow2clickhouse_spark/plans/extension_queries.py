@@ -2711,3 +2711,111 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     return S.pq_adc_topk(e, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection reduction + recall (r7)
+# ---------------------------------------------------------------------------
+
+_JL_DIMS = (8, 16)
+_JL_K = 10
+
+
+def _jl_oracle() -> str:
+    def reduced(src: str, out_dim: int) -> str:
+        rows = S.jl_matrix(out_dim)
+        els = ", ".join(
+            "list_dot_product({v}, [{row}])".format(
+                v=src, row=", ".join(f"{x}.0" for x in r)
+            )
+            for r in rows
+        )
+        return f"[{els}]"
+
+    red_ctes = ",\n    ".join(
+        f"""red{od} AS (
+        SELECT e.vec_id,
+               ROUND(list_dot_product({reduced('e.v', od)}, q.rq) /
+               (sqrt(list_dot_product({reduced('e.v', od)}, {reduced('e.v', od)}))
+                * sqrt(list_dot_product(q.rq, q.rq))), 6) AS rcos
+        FROM e, (SELECT {reduced('qv', od)} AS rq FROM q) q
+    )"""
+        for od in _JL_DIMS
+    )
+    legs = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({od} AS BIGINT) AS out_dim,
+           CAST({_JL_K} AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+               SELECT vec_id FROM red{od}
+               ORDER BY rcos DESC, vec_id LIMIT {_JL_K}
+           ) r JOIN exact USING (vec_id)) AS hits"""
+        for od in _JL_DIMS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    exact AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM e, q
+        ) s ORDER BY cos_sim DESC, vec_id LIMIT {_JL_K}
+    ),
+    {red_ctes}
+    SELECT out_dim, k, hits,
+           ROUND(hits / CAST({_JL_K} AS DOUBLE), 6) AS recall
+    FROM ({legs}) u
+    ORDER BY out_dim
+    """
+
+
+@query("jl_projection_recall", oracle=_jl_oracle())
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction evaluated by what it costs:
+    project 64-dim embeddings to 8 and 16 dims with a deterministic
+    integer projection (operators/similarity.jl_matrix — replayable
+    in any engine), run the same cosine top-10 in reduced space, and
+    report recall against the exact 64-dim top-10. This is the
+    shrink-before-ANN decision metric: at 100 TB the reduced column
+    is 4-8x less IO for every downstream scan, and this query is the
+    measurement that says what recall that buys. The projection is a
+    map-only scan (no shuffle, no Python); all three top-10s are
+    k-sized so the intersection joins broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = S.topk_bruteforce(e, q, k=_JL_K).select("vec_id")
+
+    def one(od: int) -> DataFrame:
+        red = e.select(
+            "vec_id", S.jl_reduce("embedding", od).alias("_rv")
+        )
+        rq = F.broadcast(  # bcast bound: 1 query row
+            q.select(S.jl_reduce("embedding", od).alias("_rq"))
+        )
+        top = (
+            red.crossJoin(rq)
+            .select(
+                "vec_id",
+                F.round(S.cosine(F.col("_rv"), F.col("_rq")), 6).alias("rcos"),
+            )
+            .orderBy(F.desc("rcos"), "vec_id")
+            .limit(_JL_K)
+        )
+        hits = (
+            top.select("vec_id")
+            .join(F.broadcast(exact), "vec_id", "left_semi")  # bcast bound: k rows
+            .agg(F.count("*").alias("hits"))
+        )
+        return hits.select(
+            F.lit(od).cast("long").alias("out_dim"),
+            F.lit(_JL_K).cast("long").alias("k"),
+            F.col("hits"),
+            F.round(F.col("hits") / F.lit(float(_JL_K)), 6).alias("recall"),
+        )
+
+    out = one(_JL_DIMS[0])
+    for od in _JL_DIMS[1:]:
+        out = out.unionByName(one(od))
+    return out.orderBy("out_dim")

@@ -797,7 +797,19 @@ def pq_adc_topk(
     vector (32x less IO than the embedding column), the LUT is a
     1-row broadcast, and the final top-k is a TakeOrdered reduction.
     Returns (vec_id, pq_code, adist): code and rounded distance both
-    verifiable against an engine-independent replay."""
+    verifiable against an engine-independent replay.
+
+    Single-query contract, enforced (r7 advice — the same failure
+    class ivf_index_probe guards): with >1 query row the unkeyed
+    broadcast join below would interleave several queries' LUT rows
+    into one silently-wrong top-k, and an empty query would silently
+    return an empty result."""
+    n_q = query.count()
+    if n_q != 1:
+        raise ValueError(
+            f"pq_adc_topk serves exactly one query vector, got {n_q} "
+            "rows — use batch_topk for query batches"
+        )
     cb = pq_codebook(embeddings, vec_col, id_col)
     codes = pq_encode(embeddings, cb, vec_col, id_col)
     qv = as_double(vec_col)

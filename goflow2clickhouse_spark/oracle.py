@@ -37,12 +37,28 @@ def _canon_value(v: object) -> str:
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, decimal.Decimal):
-        # route through the float path: str(Decimal('123.40')) is
-        # '123.40' / str(Decimal('1E+2')) is '1E+2', neither of which
-        # matches an equal double's canonical form — the numeric-
-        # equivalence contract (int 2 ≡ Decimal 2 ≡ 2.0) held only for
-        # trailing-zero-free decimals before (r7 review)
-        v = float(v)
+        # inside the float-exact range, route through the float path:
+        # str(Decimal('123.40')) is '123.40' / str(Decimal('1E+2')) is
+        # '1E+2', neither of which matches an equal double's canonical
+        # form — the numeric-equivalence contract (int 2 ≡ Decimal 2 ≡
+        # 2.0) held only for trailing-zero-free decimals before (r7
+        # review). ABOVE 2^53 float(v) is lossy, so two genuinely
+        # different big DECIMAL sums could collapse to one canonical
+        # string (false PASS — r7 advice): canonicalize those exactly
+        # instead — integral values as int strings (matching the int
+        # path's str(v), so a BIGINT on one engine still equals the
+        # same-valued DECIMAL on the other), the rest as plain
+        # positional decimal strings.
+        if v.is_nan():
+            return "nan"
+        if v.is_infinite():
+            return "inf" if v > 0 else "-inf"
+        if abs(v) < 2**53:
+            v = float(v)
+        elif v == v.to_integral_value():
+            return str(int(v))
+        else:
+            return format(v.normalize(), "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -300,7 +300,13 @@ def append_to_ivf_index(
     per touched cell; the rebuild IS the compaction.
 
     Dedup across batches is the caller's contract (same as any index
-    append); ids already present are served twice."""
+    append); ids already present are served twice.
+
+    An EMPTY eligible batch is a no-op: Spark writes only `_SUCCESS`
+    for an empty partitioned parquet write (no schema to infer on
+    read-back), so committing such a delta would poison every
+    subsequent `_read_index_cells` union until a rebuild (r7
+    advice)."""
     import posixpath
 
     from ..operators.similarity import ivf_assign
@@ -316,6 +322,8 @@ def append_to_ivf_index(
         documents, embeddings,
         int(meta["min_chars"]), str(meta["lang"]),
     )
+    if eligible.isEmpty():
+        return
     cents = spark.read.parquet(posixpath.join(base, "centroids"))
     j = int(meta.get("appends", 0)) + 1
     ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
@@ -334,17 +342,14 @@ def _read_index_cells(spark: SparkSession, base: str, meta: dict) -> DataFrame:
     every leg of the union."""
     import posixpath
 
-    legs = [spark.read.parquet(posixpath.join(base, "cells"))]
-    for j in range(1, int(meta.get("appends", 0)) + 1):
-        legs.append(
-            spark.read.parquet(
-                posixpath.join(base, "appends", f"a{j}", "cells")
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    return _union_parquet(
+        spark,
+        [posixpath.join(base, "cells")]
+        + [
+            posixpath.join(base, "appends", f"a{j}", "cells")
+            for j in range(1, int(meta.get("appends", 0)) + 1)
+        ],
+    )
 
 
 def ivf_index_probe(
@@ -377,29 +382,34 @@ def ivf_index_probe(
 
     # the 1-row query relation feeds THREE evaluations (the contract
     # count, the cell ranking, the broadcast side of the top-k): cache
-    # it so a non-trivial query plan — a filter over a big table, a
-    # computed embedding — pays its subtree once per probe (r7 review);
-    # lifetime is tied to the returned DataFrame below
-    query = query.persist()
-    n_q = query.count()
-    if n_q != 1:
-        raise ValueError(
-            f"ivf_index_probe serves exactly one query vector, got {n_q} "
-            "rows — use operators/similarity.batch_topk for query batches"
-        )
-    meta = current_meta(spark, path)
-    ver = int(meta.get("version", 0))
-    if ver == 0:
-        raise FileNotFoundError(f"no committed IVF index under {path}")
-    if expect:
-        # refuse a mismatched build (r7 review): pass e.g.
-        # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
-        # this probe's caller (and its oracle) assume
-        check_meta(meta, expect, path)
-    base = version_dir(path, ver)
-    cents = spark.read.parquet(posixpath.join(base, "centroids"))
-    qcells = rank_probe_cells(query, cents, nprobe)
-    probed = [int(r["probe_cell"]) for r in qcells.collect()]
+    # a PRIVATE projection of it — persisting the caller's DataFrame
+    # would leak the blocks on every early-raise path below (the
+    # tie_cache finalizer is only attached to the RESULT) and would
+    # unpersist a relation the caller may still be using (r7 advice)
+    query = query.select(F.col("embedding")).persist()
+    try:
+        n_q = query.count()
+        if n_q != 1:
+            raise ValueError(
+                f"ivf_index_probe serves exactly one query vector, got {n_q} "
+                "rows — use operators/similarity.batch_topk for query batches"
+            )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed IVF index under {path}")
+        if expect:
+            # refuse a mismatched build (r7 review): pass e.g.
+            # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
+            # this probe's caller (and its oracle) assume
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        qcells = rank_probe_cells(query, cents, nprobe)
+        probed = [int(r["probe_cell"]) for r in qcells.collect()]
+    except BaseException:
+        query.unpersist()
+        raise
     qv = query.select(F.col("embedding").alias("_qv"))
     idx = _read_index_cells(spark, base, meta).filter(
         F.col("cell").isin(probed)
@@ -484,6 +494,14 @@ def write_band_index(
         "overwrite"
     ).parquet(sh_path)
     sh = spark.read.parquet(sh_path)
+    if sh.isEmpty():
+        # an all-too-short (or empty) corpus would commit a base whose
+        # partitioned bands leg holds only _SUCCESS — unreadable without
+        # a schema and useless as an index; fail the BUILD loudly
+        raise ValueError(
+            f"band index build over {path}: corpus produced no shingles "
+            f"(every doc shorter than n={n} words?) — nothing to index"
+        )
     band_key_rows(array_minhash_sigs(sh, id_col), id_col).write.mode(
         "overwrite"
     ).partitionBy("band_no").parquet(posixpath.join(base, "bands"))
@@ -518,7 +536,17 @@ def append_to_band_index(
     the RECORDED metadata, never caller arguments. `extra` entries are
     merged into `_CURRENT` alongside the append counter — the streaming
     crawl loop records its (run_id, epoch) replay gate there, so the
-    gate commits ATOMICALLY with the append it guards."""
+    gate commits ATOMICALLY with the append it guards.
+
+    An EMPTY batch (a crawl micro-batch where every doc was an
+    exact/near dup — routine in steady state) writes NO delta but
+    still commits `extra`, so the replay gate advances: Spark writes
+    only `_SUCCESS` for an empty partitioned parquet write and the
+    read-back throws UNABLE_TO_INFER_SCHEMA, so committing an empty
+    `bands` delta would poison every subsequent probe until a rebuild
+    (r7 advice). The batch-may-still-band-empty edge (all docs shorter
+    than the shingle width) is handled on the READ side —
+    `_union_parquet` reads delta legs with the base leg's schema."""
     import posixpath
 
     from ..operators.dedup import array_minhash_sigs, band_key_rows, shingle_arrays
@@ -535,6 +563,12 @@ def append_to_band_index(
     norm_batch = batch.select(
         F.col(id_col).alias(idx_id), F.col(text_col).alias("text")
     )
+    if norm_batch.isEmpty():
+        if extra:
+            merged = {k: v for k, v in meta.items() if k != "version"}
+            merged.update(extra)
+            commit_version(spark, path, int(meta["version"]), extra=merged)
+        return
     sh_path = posixpath.join(delta, "shingles")
     shingle_arrays(norm_batch, "text", idx_id, int(meta["n"])).write.mode(
         "overwrite"
@@ -571,9 +605,16 @@ def _band_index_parts(spark: SparkSession, index_path: str):
 
 
 def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union the base leg with every delta leg, reading the deltas with
+    the BASE leg's schema: a committed delta whose partitioned relation
+    happens to be empty (e.g. a folded batch where every doc is shorter
+    than the shingle width — non-empty shas, empty bands) holds only
+    `_SUCCESS`, and a plain read of it throws UNABLE_TO_INFER_SCHEMA
+    (r7 advice; verified on this env). With an explicit schema the same
+    directory reads as a valid empty relation."""
     out = spark.read.parquet(paths[0])
     for p in paths[1:]:
-        out = out.unionByName(spark.read.parquet(p))
+        out = out.unionByName(spark.read.schema(out.schema).parquet(p))
     return out
 
 

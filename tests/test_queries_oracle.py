@@ -82,3 +82,32 @@ def test_canonicalization_decimal_normalizes_like_float():
     assert _canon_value(Decimal("123.40")) == _canon_value(123.4)
     assert _canon_value(Decimal("1E+2")) == _canon_value(100.0) == "100"
     assert _canon_value(Decimal("2")) == _canon_value(2) == "2"
+
+
+def test_canonicalization_decimal_exact_above_float_range():
+    """Above 2^53 float(Decimal) is lossy, so two genuinely different
+    big DECIMAL sums collapsed to one canonical string — a false PASS
+    (r7 advice). Exact canonicalization: distinct big decimals stay
+    distinct, an integral DECIMAL still equals the same-valued BIGINT,
+    and values inside the float-exact range keep the double parity."""
+    from decimal import Decimal
+
+    from goflow2clickhouse_spark.oracle import _canon_value
+
+    a = Decimal(2**53)
+    b = Decimal(2**53) + 1
+    assert float(a) == float(b)  # the collapse the old path suffered
+    assert _canon_value(a) != _canon_value(b)
+    # integral big decimal ≡ the same big int (cross-engine BIGINT/DECIMAL)
+    big = 10**20 + 7
+    assert _canon_value(Decimal(big)) == _canon_value(big)
+    assert _canon_value(Decimal("1E+20")) == _canon_value(10**20)
+    # non-integral big decimal: exact positional form, no exponent
+    assert _canon_value(Decimal("9007199254740993.5")) == "9007199254740993.5"
+    assert _canon_value(-a) != _canon_value(-b)
+    # inside the float-exact range nothing changed
+    assert _canon_value(Decimal("123.40")) == _canon_value(123.4)
+    # Decimal specials route like float specials
+    assert _canon_value(Decimal("NaN")) == _canon_value(float("nan"))
+    assert _canon_value(Decimal("Infinity")) == _canon_value(float("inf"))
+    assert _canon_value(Decimal("-Infinity")) == _canon_value(float("-inf"))

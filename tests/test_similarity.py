@@ -245,3 +245,19 @@ def test_pq_codebook_entries_encode_to_themselves(spark):
     q = e.filter(F.col("vec_id") == ids[3])
     top = pq_adc_topk(e, q, k=1).collect()[0]
     assert top.vec_id == ids[3] and top.adist == 0.0
+
+def test_pq_adc_topk_rejects_multi_or_empty_query(spark):
+    """>1 query row would interleave several queries' LUTs into one
+    silently-wrong top-k; an empty query would silently return empty
+    (r7 advice) — both must refuse loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.similarity import pq_adc_topk
+    from goflow2clickhouse_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="one query"):
+        pq_adc_topk(e, e.filter(F.col("vec_id") < 2))
+    with _pytest.raises(ValueError, match="one query"):
+        pq_adc_topk(e, e.filter(F.col("vec_id") < 0))

@@ -737,3 +737,152 @@ def test_band_index_append_two_batch_crawl_loop(spark, tmp_path):
         map(tuple, incremental_neardup_pairs_indexed(day2, path).collect())
     )
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# empty-batch append deltas (r7 advice: an empty partitioned parquet
+# write holds only _SUCCESS and poisons every subsequent union read)
+# ---------------------------------------------------------------------------
+
+def test_band_index_append_all_short_docs_delta_stays_readable(spark, tmp_path):
+    """A committed delta whose docs are all shorter than the shingle
+    width has an EMPTY bands leg (only _SUCCESS on disk) but a
+    non-empty shas leg — the exact gate must still serve the short
+    docs and the probe must not crash on the schema-less bands dir."""
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        band_index_sha_set,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx_short")
+    write_band_index(old, path)
+    short = spark.createDataFrame(
+        [(9000001, "tiny doc"), (9000002, "ok")], "doc_id bigint, text string"
+    )
+    append_to_band_index(short, path)
+    assert current_meta(spark, path)["appends"] == 1
+
+    # probe over the index (base + short-doc delta) still runs and
+    # still finds the base-side near-dups
+    pairs = incremental_neardup_pairs_indexed(new, path).collect()
+    assert pairs
+    # the short docs' hashes DID land (exact gate serves them)
+    shas = {r["_sha"] for r in band_index_sha_set(spark, path).collect()}
+    want_short = {
+        r["s"]
+        for r in short.select(F.sha2("text", 256).alias("s")).collect()
+    }
+    assert want_short <= shas
+
+
+def test_band_index_append_empty_batch_advances_gate_only(spark, tmp_path):
+    """An EMPTY kept batch (every doc in the micro-batch was a dup —
+    routine in crawl steady state) must not commit an unreadable
+    delta: no appends bump, but the caller's `extra` (the streaming
+    replay gate) still commits, and the index stays fully servable."""
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    old, new = _band_corpus(spark)
+    path = str(tmp_path / "bandidx_emptyappend")
+    write_band_index(old, path)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    append_to_band_index(empty, path, extra={"epoch": 7, "run_id": "ck-E"})
+    meta = current_meta(spark, path)
+    assert meta.get("appends", 0) == 0  # no delta committed
+    assert meta["epoch"] == 7 and meta["run_id"] == "ck-E"  # gate advanced
+    assert incremental_neardup_pairs_indexed(new, path).collect()
+    # without extra: complete no-op
+    append_to_band_index(empty, path)
+    assert current_meta(spark, path) == meta
+
+
+def test_ivf_append_empty_eligible_batch_is_noop(spark, tmp_path):
+    """An append whose batch has no ELIGIBLE vectors (all filtered by
+    the recorded min_chars/lang gate) must not commit an empty
+    partitioned cells delta — the probe after it must keep working."""
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivf_index,
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf_emptyappend")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+    before = current_meta(spark, path)
+    # batch of vectors whose ids match NO document → nothing eligible
+    ghost = emb.limit(3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(docs, ghost, path)
+    assert current_meta(spark, path) == before  # no commit
+    res = ivf_index_probe(
+        spark, path, emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    assert res
+
+
+def test_write_band_index_empty_corpus_raises(spark, tmp_path):
+    """A build over a corpus that yields zero shingles would commit an
+    unreadable base — must fail loudly instead."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import write_band_index
+
+    short = spark.createDataFrame(
+        [(1, "too short")], "doc_id bigint, text string"
+    )
+    with _pytest.raises(ValueError, match="no shingles"):
+        write_band_index(short, str(tmp_path / "bandidx_void"))
+
+
+def test_ivf_probe_early_raise_does_not_leak_cache(spark, tmp_path):
+    """Every early-raise path of ivf_index_probe must unpersist its
+    private query cache, and the caller's own persisted DataFrame must
+    never be unpersisted by the probe (r7 advice)."""
+    import pytest as _pytest
+    from pyspark import StorageLevel
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivf_leak")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+
+    def cached_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_count()
+    # multi-row query → ValueError; the probe's private cache must be gone
+    with _pytest.raises(ValueError, match="one query"):
+        ivf_index_probe(spark, path, emb.filter(F.col("vec_id") < 2), k=5)
+    assert cached_count() == base
+    # missing index → FileNotFoundError; same invariant
+    with _pytest.raises(FileNotFoundError):
+        ivf_index_probe(
+            spark, str(tmp_path / "nothere"),
+            emb.filter(F.col("vec_id") == 0), k=5,
+        )
+    assert cached_count() == base
+    # the CALLER's persisted query must remain cached after a raise
+    q = emb.filter(F.col("vec_id") < 2).persist(StorageLevel.MEMORY_ONLY)
+    q.count()
+    with _pytest.raises(ValueError, match="one query"):
+        ivf_index_probe(spark, path, q, k=5)
+    assert q.storageLevel.useMemory  # untouched
+    q.unpersist()

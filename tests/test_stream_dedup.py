@@ -309,3 +309,50 @@ def test_incremental_dedup_fold_torn_replay_is_idempotent(spark, tmp_path, monke
     }
     assert spark.read.parquet(out).count() == b1.count()  # no double-emit
     assert got == _expected_statuses(day0, b1)
+
+
+def test_incremental_dedup_fold_zero_kept_batch(spark, tmp_path):
+    """A micro-batch where EVERY doc is an exact dup (zero kept — the
+    realistic crawl steady state) must not poison the index: the fold
+    commits the replay gate without an unreadable empty bands delta,
+    and the NEXT batch still folds and probes normally (r7 advice)."""
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.streaming.dedupe import incremental_dedup_fold
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    day0, (b1, b2) = _crawl_batches(spark)
+    idx = str(tmp_path / "bandidx_zero")
+    out = str(tmp_path / "statuses_zero")
+    write_band_index(day0, idx)
+
+    # batch 0: verbatim copies of day0 docs → all "exact", zero kept
+    all_dups = day0.limit(5).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    assert incremental_dedup_fold(all_dups, idx, out, 0, run_id="ck-Z") is True
+    statuses = {
+        r["status"] for r in spark.read.parquet(out).collect()
+    }
+    assert statuses == {"exact"}
+    meta = current_meta(spark, idx)
+    assert meta.get("appends", 0) == 0          # no empty delta committed
+    assert meta["epoch"] == 0 and meta["run_id"] == "ck-Z"  # gate advanced
+
+    # replay of the zero-kept epoch: skipped by the gate
+    assert incremental_dedup_fold(all_dups, idx, out, 0, run_id="ck-Z") is False
+
+    # the index is still fully servable: batch 1 folds normally
+    assert incremental_dedup_fold(b1, idx, out, 1, run_id="ck-Z") is True
+    want1 = _expected_statuses(day0, b1)
+    got1 = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] < 5000000
+    }
+    assert got1 == want1
+    assert current_meta(spark, idx)["appends"] == 1
+    # and a direct probe over base+delta still runs
+    assert incremental_neardup_pairs_indexed(b2, idx).collect()

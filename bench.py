@@ -122,18 +122,39 @@ def _next_round_number() -> int:
 
 def _plan_fingerprint(df) -> str:
     """Stable hash of the optimized logical plan: expression ids
-    (#123, plan_id=456) and in-memory paths normalized away, so the
-    fingerprint changes exactly when the PLAN changes — separating
-    code/plan regressions from context noise (JIT warm-in, bench-
-    neighbor effects) mechanically. The r5 events_funnel_pairs "1.44x"
-    adjudication motivated this: identical sub-second queries measured
-    0.68→0.41 s across same-session repeats with zero code change."""
+    (#123, plan_id=456), in-memory paths AND higher-order-function
+    lambda variable names normalized away, so the fingerprint changes
+    exactly when the PLAN changes — separating code/plan regressions
+    from context noise (JIT warm-in, bench-neighbor effects)
+    mechanically. The r5 events_funnel_pairs "1.44x" adjudication
+    motivated this: identical sub-second queries measured 0.68→0.41 s
+    across same-session repeats with zero code change.
+
+    Lambda normalization (r8): PySpark names lambda variables from a
+    SESSION-GLOBAL counter (`lambda x_112#` vs `lambda x_75#` for the
+    same plan), so any change to which queries ran EARLIER in the
+    bench shifted the fingerprint of every later lambda-using query
+    with zero plan change. That is exactly what happened in r7: five
+    new bench entries landed, and the r7 verdict's two "plan CHANGED"
+    drift flags (incremental_dedup_newbatch b2a027→b9e377,
+    semdedup_prune 2ca8c9→dc3e1d) were this artifact — the r8 A/B
+    against the suspected refactor commits (930b2b2/acae66a, min-of-4
+    + fresh-process reps, dedup_minhash_lsh control at 2.77-2.97 s ≈
+    the r6/r7 2.78-2.82 s band) measured HEAD *faster* than
+    pre-refactor on both: incremental_dedup_newbatch 3.47-3.52 s vs
+    4.21 s pre, semdedup_prune 2.51-2.78 s vs 3.09 s pre — i.e. the
+    r6 numbers hold and the refactors carry no cost; the r7 driver's
+    4.56/2.84 s were context load, mislabeled actionable because the
+    un-normalized fingerprint APPEARED to change."""
     import hashlib
 
     p = df._jdf.queryExecution().optimizedPlan().toString()
     p = re.sub(r"#\d+", "#", p)
     p = re.sub(r"plan_id=\d+", "plan_id=", p)
     p = re.sub(r"file:[^\],\s]*", "file:", p)
+    # lambda variables are named from session-global counters in every
+    # position slot (x_N, y_N, z_N, ...) — normalize the whole name
+    p = re.sub(r"lambda [A-Za-z_][A-Za-z0-9_]*", "lambda v", p)
     return hashlib.sha256(p.encode()).hexdigest()[:16]
 
 
@@ -198,6 +219,39 @@ def _ingest_rows_per_sec(n_rows: int = 1_000_000) -> dict[str, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+STDOUT_QUERY_CAP = 40
+
+
+def _stdout_record(
+    timings: dict[str, float], ingest: dict, sf_num: object
+) -> dict:
+    """The compact stdout payload (the driver's 2,000-char-tail
+    contract). Headroom policy (r7 verdict item 6 — the line hit
+    1,453/1,600 chars at 46 entries, ~5 more entries from the
+    detail-dropping fallback): timings carry 2 decimals on stdout
+    (the side file keeps 4), and the per-query map is capped to the
+    STDOUT_QUERY_CAP most expensive queries with a
+    "queries_truncated": N marker — the cheap tail is the least
+    informative per char, and the FULL map is always in
+    PLANFP_r{N}.json."""
+    shown = dict(sorted(
+        sorted(timings.items()),  # name order breaks timing ties
+        key=lambda kv: kv[1], reverse=True,
+    )[:STDOUT_QUERY_CAP])
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in sorted(shown.items())},
+        "ingest": ingest,
+        "sf": sf_num,
+    }
+    dropped = len(timings) - len(shown)
+    if dropped > 0:
+        out["queries_truncated"] = dropped
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from goflow2clickhouse_spark.session import get_spark
@@ -211,6 +265,13 @@ def main() -> None:
     # would keep the fingerprint stable and mislabel a real regression
     # as noise (r6 review) — print plans in full before hashing
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    # FileScan metadata (DataFilters/PushedFilters/Location) truncates
+    # at maxMetadataStringLength (default 100) and the cut position
+    # shifts with the WIDTH of session-counter lambda names upstream of
+    # the normalization regex — untruncated metadata makes the
+    # fingerprint depend only on the plan (r8; the second half of the
+    # lambda-id artifact behind r7's false "plan CHANGED" flags)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
 
     specs = bench_queries()
     timings: dict[str, float] = {}
@@ -231,6 +292,11 @@ def main() -> None:
             spec.spark(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # fingerprint under the same isolation as the runs: a prior
+        # run's still-registered cache would substitute an
+        # InMemoryRelation into this plan and perturb the hash (r8)
+        gc.collect()
+        spark.catalog.clearCache()
         plan_fp[name] = _plan_fingerprint(spec.spark(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -286,15 +352,9 @@ def main() -> None:
         json.dump(out_full, fh, indent=1, sort_keys=True)
     print(f"full bench record (plan_fp, deltas): {side_path}", file=sys.stderr)
 
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "ingest": ingest,
-        "sf": sf_num,
-    }
-    line = json.dumps(out, separators=(",", ":"))
+    line = json.dumps(
+        _stdout_record(timings, ingest, sf_num), separators=(",", ":")
+    )
     if len(line) > 1600:
         # Self-check: the line must sit comfortably inside the
         # driver's 2,000-char tail even with a stray shutdown message
@@ -304,8 +364,10 @@ def main() -> None:
             f"WARN bench stdout line {len(line)} chars > 1600; "
             "dropping 'queries' detail (see side file)", file=sys.stderr,
         )
-        out.pop("queries")
-        line = json.dumps(out, separators=(",", ":"))
+        rec = _stdout_record(timings, ingest, sf_num)
+        rec.pop("queries", None)
+        rec.pop("queries_truncated", None)
+        line = json.dumps(rec, separators=(",", ":"))
 
     # Stop Spark BEFORE printing so JVM shutdown INFO logs cannot trail
     # (and truncate) the JSON line in the driver's output tail.

@@ -175,3 +175,94 @@ def test_main_jsonl_roundtrip(spark, tmp_path, capsys):
     # junk lines included); sink rows = rows - decode_dropped
     assert status[-1]["rows"] == 8
     assert status[-1]["decode_dropped"] == 2
+
+
+def test_bench_stdout_line_fits_at_sixty_entries():
+    """The driver keeps only the last 2,000 chars of bench output; the
+    compact line must stay under the 1,600-char self-check even as the
+    bench set grows (r7 verdict item 6: 1,453 chars at 46 entries).
+    Project a worst-case 60-entry registry through the stdout shaping
+    (2-decimal timings, top-40 cap + truncation marker) and pin the
+    length."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    from goflow2clickhouse_spark.plans import registry
+
+    # worst case from REALITY: the 60 longest names in the actual
+    # registry (a synthetic-name projection would pin the wrong
+    # constant), at 3-digit timings
+    names = sorted(registry(), key=len, reverse=True)[:60]
+    assert len(names) == 60
+    timings = {n: 100.0 + i / 100.0 for i, n in enumerate(names)}
+    ingest = {"rows": 1_000_000, "sec": 16.1234, "rows_per_sec": 62021.9}
+    rec = bench._stdout_record(timings, ingest, 0.1)
+    line = json.dumps(rec, separators=(",", ":"))
+    assert len(rec["queries"]) == bench.STDOUT_QUERY_CAP
+    assert rec["queries_truncated"] == 60 - bench.STDOUT_QUERY_CAP
+    assert len(line) < 1600, len(line)
+    # no truncation marker when everything fits
+    rec_small = bench._stdout_record(dict(list(timings.items())[:10]), ingest, 0.1)
+    assert "queries_truncated" not in rec_small
+    assert len(rec_small["queries"]) == 10
+    # the cap keeps the MOST EXPENSIVE queries (the informative ones)
+    kept = set(rec["queries"])
+    dropped = set(timings) - kept
+    assert max(timings[n] for n in dropped) <= min(timings[n] for n in kept)
+
+
+def test_plan_fingerprint_normalizes_lambda_ids():
+    """PySpark lambda variable names come from a session-global
+    counter, so the same plan printed later in a session carries
+    different x_NN names — the r7 'plan CHANGED' drift flags were this
+    artifact (r8 A/B). The fingerprint must treat them as equal."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import hashlib
+    import re
+
+    import bench
+
+    class _FakePlan:
+        def __init__(self, s):
+            self._s = s
+
+        def toString(self):
+            return self._s
+
+    class _FakeQE:
+        def __init__(self, s):
+            self._s = s
+
+        def optimizedPlan(self):
+            return _FakePlan(self._s)
+
+    class _FakeJdf:
+        def __init__(self, s):
+            self._s = s
+
+        def queryExecution(self):
+            return _FakeQE(self._s)
+
+    class _FakeDf:
+        def __init__(self, s):
+            self._jdf = _FakeJdf(s)
+
+    a = _FakeDf(
+        "Project [zip_with(xs#12, ys#4, lambdafunction((lambda x_112#7 * "
+        "lambda y_10#2), lambda x_112#7, lambda y_10#2, false))]"
+    )
+    b = _FakeDf(
+        "Project [zip_with(xs#99, ys#1, lambdafunction((lambda x_75#3 * "
+        "lambda y_120#9), lambda x_75#3, lambda y_120#9, false))]"
+    )
+    c = _FakeDf(
+        "Project [zip_with(xs#99, ys#1, lambdafunction((lambda x_75#3 + "
+        "lambda y_120#9), lambda x_75#3, lambda y_120#9, false))]"
+    )
+    assert bench._plan_fingerprint(a) == bench._plan_fingerprint(b)
+    assert bench._plan_fingerprint(a) != bench._plan_fingerprint(c)

@@ -781,6 +781,55 @@ def pq_encode(
     return enc.select(F.col(id_col), packed.alias("pq_code"))
 
 
+def pq_lut_row(
+    query: DataFrame,
+    codebook_row: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query's asymmetric-distance lookup table as ONE row:
+    `_lut[j][e+1]` is the exact squared L2 between the query's block-j
+    subvector and codebook entry e. THE shared LUT definition — the
+    in-query form (pq_adc_topk) and the persisted-index probe
+    (plans/storage.pq_index_probe) both build it here, so the scoring
+    arithmetic cannot drift between them."""
+    qv = as_double(vec_col)
+
+    def _lut(j: int) -> Column:
+        qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
+        return F.transform(
+            F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
+        )
+
+    luts = F.array(*[_lut(j) for j in range(PQ_M)])
+    return (
+        query.select(qv.alias("_qv"))
+        .join(F.broadcast(codebook_row))  # bcast bound: 1 row
+        .select(luts.alias("_lut"))
+    )
+
+
+def pq_adc_dist() -> Column:
+    """ADC distance of a packed `pq_code` against the broadcast `_lut`
+    row: PQ_M element_at lookups, 4-bit nibble per block. The one
+    scoring expression both PQ serving paths read."""
+    return sum(
+        (
+            F.element_at(
+                F.col("_lut")[j],
+                (
+                    F.shiftrightunsigned(F.col("pq_code"), 4 * j)
+                    % F.lit(PQ_K)
+                ).cast("int") + 1,
+            )
+            for j in range(1, PQ_M)
+        ),
+        F.element_at(
+            F.col("_lut")[0],
+            (F.col("pq_code") % F.lit(PQ_K)).cast("int") + 1,
+        ),
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -812,41 +861,13 @@ def pq_adc_topk(
         )
     cb = pq_codebook(embeddings, vec_col, id_col)
     codes = pq_encode(embeddings, cb, vec_col, id_col)
-    qv = as_double(vec_col)
-    def _lut(j: int) -> Column:
-        qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
-        return F.transform(
-            F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
-        )
-
-    luts = F.array(*[_lut(j) for j in range(PQ_M)])
-    lut_row = (
-        query.select(qv.alias("_qv"))
-        .join(F.broadcast(cb))  # bcast bound: 1 row
-        .select(luts.alias("_lut"))
-    )
-    adist = sum(
-        (
-            F.element_at(
-                F.col("_lut")[j],
-                (
-                    F.shiftrightunsigned(F.col("pq_code"), 4 * j)
-                    % F.lit(PQ_K)
-                ).cast("int") + 1,
-            )
-            for j in range(1, PQ_M)
-        ),
-        F.element_at(
-            F.col("_lut")[0],
-            (F.col("pq_code") % F.lit(PQ_K)).cast("int") + 1,
-        ),
-    )
+    lut_row = pq_lut_row(query, cb, vec_col)
     return (
         codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
         .select(
             F.col(id_col),
             "pq_code",
-            F.round(adist, 6).alias("adist"),
+            F.round(pq_adc_dist(), 6).alias("adist"),
         )
         .orderBy("adist", id_col)
         .limit(k)

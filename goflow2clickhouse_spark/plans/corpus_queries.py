@@ -1549,6 +1549,37 @@ _DSIR_B = 256  # feature-hash buckets
 _DSIR_TGT = "src0"  # the target domain (DSIR's "high-quality" side)
 
 
+def _dsir_doc_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bucket, cnt) — the hashed-feature bucket counts
+    every DSIR stage derives from (distributions, totals, scoring).
+    Extracted (r8) so the boundary-margin test below the query checks
+    the REAL pipeline's counts, not a restated copy that could drift
+    (tests/test_queries_oracle.py::test_dsir_quantization_boundary_margin)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    feats = F.concat(
+        F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
+        ),
+    )
+    return (
+        d.select("doc_id", "source", F.explode(feats).alias("f"))
+        .select(
+            "doc_id", "source",
+            (D.hash31(F.concat(F.lit("dsir:"), F.col("f"))) % _DSIR_B)
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+
 @query(
     "dsir_importance_topk",
     bench=True,
@@ -1619,28 +1650,8 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, broadcast forever) and scoring stays one scan. The
     reference has no data-selection surface (main.go ingests
     everything); this is the §2.C training-data extension."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("w")
-    )
-    w = F.col("w")
-    feats = F.concat(
-        F.transform(w, lambda x: F.concat(F.lit("u:"), x)),
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
-        ),
-    )
-    dfb = (
-        d.select("doc_id", "source", F.explode(feats).alias("f"))
-        .select(
-            "doc_id", "source",
-            (D.hash31(F.concat(F.lit("dsir:"), F.col("f"))) % _DSIR_B)
-            .alias("bucket"),
-        )
-        .groupBy("doc_id", "source", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    ).persist()  # three consumers (bt, tot, scoring) — one corpus scan
+    dfb = _dsir_doc_bucket_counts(spark, sf_dir).persist()
+    # ^ persisted: three consumers (bt, tot, scoring) — one corpus scan
     bt = dfb.groupBy("bucket").agg(
         F.sum("cnt").alias("r"),
         F.sum(

@@ -746,6 +746,128 @@ def semdedup_prune_persisted(
     return _semdedup_from_assignment(m, tau, id_col)
 
 
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_versions: int = 2,
+) -> None:
+    """Persist the product-quantization artifact pq_adc_topk's
+    docstring promises (operators/similarity.py, Jégou et al. 2011):
+    the corpus is encoded ONCE here — every subsequent probe reads the
+    8-byte packed codes, never the float vectors, so the per-query
+    scan is 32x less IO than the embedding column and the codebook
+    derivation + full-corpus encode pay at build time, not per query
+    (r7 verdict: the in-query form re-encodes the corpus per probe,
+    so its bench number measured the build, not the serving path).
+
+    Two artifacts per version:
+
+      <path>/v{N}/codebook/   ONE row, `_cb` — the PQ_M x PQ_K entry
+                              table (the broadcast side of every LUT)
+      <path>/v{N}/codes/      (id, pq_code) — one packed BIGINT per
+                              vector, the relation probes scan
+
+    Codes are derived from the READ-BACK codebook parquet, so a probe
+    can never pair one build's codes with another's entries.
+    Versioned-atomic via versioned.py; `_CURRENT` records PQ_M/PQ_SUB/
+    PQ_K and the id column, and the probe REFUSES a geometry mismatch
+    (wrong block count silently mis-unpacks every nibble — degraded
+    results, no error). Incremental maintenance: new batches can be
+    encoded against the stored codebook and appended (codes are
+    row-independent); rebuild = re-derived codebook = the compaction,
+    same contract as the IVF/band layouts."""
+    import posixpath
+
+    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, pq_codebook, pq_encode
+    from ..versioned import commit_version, current_version, version_dir
+
+    spark = embeddings.sparkSession
+    ver = current_version(spark, path) + 1
+    base = version_dir(path, ver)
+    cb_path = posixpath.join(base, "codebook")
+    pq_codebook(embeddings, vec_col, id_col).write.mode("overwrite").parquet(
+        cb_path
+    )
+    cb = spark.read.parquet(cb_path)
+    pq_encode(embeddings, cb, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(base, "codes"))
+    commit_version(
+        spark, path, ver,
+        extra={"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
+               "id_col": id_col},
+        keep_versions=keep_versions,
+    )
+
+
+def pq_index_probe(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve an ADC top-k from the persisted PQ index: the query
+    builds its PQ_M x PQ_K lookup table against the STORED codebook
+    (one broadcast row), and the timed scan reads ONLY the codes
+    parquet — 8 bytes per vector, the 100 TB serving shape
+    (tests/test_storage.py pins the executed plan's file scans to the
+    index directories). LUT construction and the nibble-unpack scoring
+    go through the SAME definitions as the in-memory form
+    (operators/similarity.pq_lut_row / pq_adc_dist), which the parity
+    test pins result-equal. Returns (id, pq_code, adist).
+
+    Single-query contract, enforced (the ivf_index_probe rule): >1
+    query row would interleave several queries' LUTs into one wrong
+    top-k with no error."""
+    import posixpath
+
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import pq_adc_dist, pq_lut_row
+    from ..versioned import check_meta, current_meta, version_dir
+
+    # private projection persisted for the two consumers (contract
+    # count + LUT build); unpersisted on every early-raise path —
+    # never the caller's DataFrame (r7 advice on ivf_index_probe)
+    query = query.select(F.col(vec_col)).persist()
+    try:
+        n_q = query.count()
+        if n_q != 1:
+            raise ValueError(
+                f"pq_index_probe serves exactly one query vector, got "
+                f"{n_q} rows — use operators/similarity.batch_topk for "
+                "query batches"
+            )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed PQ index under {path}")
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        codes = spark.read.parquet(posixpath.join(base, "codes"))
+    except BaseException:
+        query.unpersist()
+        raise
+    idx_id = str(meta.get("id_col", "vec_id"))
+    lut_row = pq_lut_row(query, cb, vec_col)
+    out = (
+        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+        .select(
+            F.col(idx_id),
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
+        )
+        .orderBy("adist", idx_id)
+        .limit(k)
+    )
+    return tie_cache(out, query)
+
+
 def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
     """The committed band index's distinct sha2-256 relation (`_sha`) —
     the exact-dup gate's old side, served from the index so an

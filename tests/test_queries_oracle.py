@@ -111,3 +111,59 @@ def test_canonicalization_decimal_exact_above_float_range():
     assert _canon_value(Decimal("NaN")) == _canon_value(float("nan"))
     assert _canon_value(Decimal("Infinity")) == _canon_value(float("inf"))
     assert _canon_value(Decimal("-Infinity")) == _canon_value(float("-inf"))
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+)
+def test_dsir_quantization_boundary_margin(spark, sf):
+    """DSIR's lr_micro is FLOOR(float-LN-ratio x 1e6): the per-doc
+    weights are exact integer dot products AFTER quantization, but the
+    256 bucket values themselves hinge on Spark's and DuckDB's LN
+    agreeing near an integer micro-boundary — the rounding-tie class
+    that flipped quality_classifier_scores at sf0.1 in r6 (r7 verdict
+    item 4). Assert every bucket's pre-floor value sits >= 1e-6 micro
+    (1e-12 relative — ~500x double ULP at this magnitude) from an
+    integer boundary at every fixture SF, so fixture or formula drift
+    fails LOUDLY here before an engine divergence can silently flip a
+    FLOOR in the driver differential."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.plans.corpus_queries import (
+        _DSIR_B,
+        _DSIR_TGT,
+        _dsir_doc_bucket_counts,
+    )
+
+    dfb = _dsir_doc_bucket_counts(spark, sf)
+    bt = (
+        dfb.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("r"),
+            F.sum(
+                F.when(F.col("source") == _DSIR_TGT, F.col("cnt")).otherwise(0)
+            ).alias("t"),
+        )
+        .collect()
+    )
+    # only populated buckets exist in EITHER engine's bt relation (the
+    # oracle groups over the same dfb); require enough for non-vacuity
+    assert len(bt) > 0.75 * _DSIR_B
+    rr = float(sum(row["r"] for row in bt))
+    tt = float(sum(row["t"] for row in bt))
+    worst = 1.0
+    for row in bt:
+        v = (
+            math.log((row["t"] + 1.0) / (tt + float(_DSIR_B)))
+            - math.log((row["r"] + 1.0) / (rr + float(_DSIR_B)))
+        ) * 1000000.0
+        margin = min(v - math.floor(v), math.ceil(v) - v)
+        worst = min(worst, margin)
+    assert worst >= 1e-6, (
+        f"bucket log-ratio within {worst} micro of an integer boundary "
+        f"at {sf} — engines may disagree on the FLOOR; reformulate or "
+        "adjust the quantization scale"
+    )

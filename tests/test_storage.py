@@ -886,3 +886,88 @@ def test_ivf_probe_early_raise_does_not_leak_cache(spark, tmp_path):
         ivf_index_probe(spark, path, q, k=5)
     assert q.storageLevel.useMemory  # untouched
     q.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# persisted PQ-code index (r8)
+# ---------------------------------------------------------------------------
+
+def test_pq_index_probe_equals_in_memory_and_scans_codes_only(spark, tmp_path):
+    """The persisted-PQ probe is result-equal to the in-memory ADC
+    form, and its executed plan reads ONLY the index directories —
+    the corpus float embedding column is scanned zero times per query
+    (the 32x-less-IO claim, pinned from real scan metadata)."""
+    from goflow2clickhouse_spark.operators.similarity import pq_adc_topk
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path)
+
+    # query from an IN-MEMORY row so the only parquet in the probe's
+    # plan is the index itself (the band-index test pattern)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = spark.createDataFrame(
+        [(list(qrow["embedding"]),)], "embedding array<double>"
+    )
+    res = pq_index_probe(spark, path, q, k=10)
+    rows = res.collect()
+    assert len(rows) == 10
+
+    want = pq_adc_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+    scans = _scan_nodes(res)
+    assert scans, "expected index file scans in the executed plan"
+    for s in scans:
+        meta = str(s.metadata())
+        schema = s.schema().simpleString()
+        assert path in meta, f"scan outside the index: {meta[:200]}"
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+    # and at least one scan read the packed codes
+    assert any("pq_code" in s.schema().simpleString() for s in scans)
+
+
+def test_pq_index_gates_and_versioning(spark, tmp_path):
+    """Geometry gate (a probe against a mismatched build refuses
+    loudly), missing-index error, single-query contract, no cache
+    leak on the raise paths, and rebuild-as-new-version."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q1 = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "pqidx2")
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        pq_index_probe(spark, path, q1)
+    write_pq_index(emb, path)
+
+    def cached_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_count()
+    with _pytest.raises(ValueError, match="built with"):
+        pq_index_probe(spark, path, q1, expect={"pq_m": 4})
+    assert cached_count() == base
+    with _pytest.raises(ValueError, match="one query"):
+        pq_index_probe(spark, path, emb.filter(F.col("vec_id") < 3))
+    assert cached_count() == base
+
+    first = pq_index_probe(spark, path, q1, k=3).collect()
+    # rebuild over a shrunk corpus: new version, codes follow
+    write_pq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    cur = json.load(open(os.path.join(path, "_CURRENT")))
+    assert cur["version"] == 2
+    second = pq_index_probe(spark, path, q1, k=3).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in second)
+    assert first and len(second) == 3

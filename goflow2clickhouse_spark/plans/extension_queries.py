@@ -2708,7 +2708,19 @@ def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product quantization ADC (r7)
 # ---------------------------------------------------------------------------
 
-def _pq_oracle() -> str:
+def _pq_oracle(
+    pre_ctes: str = "",
+    e_sql: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    post_ctes: str = "",
+    from_extra: str = "",
+    where: str = "",
+    limit: int = 10,
+    q_sql: str = "SELECT v AS qv FROM e WHERE vec_id = 0",
+) -> str:
+    """PQ encode + ADC replay. Parameterized (r8) so the IVF-PQ
+    composition reuses the SAME generated arithmetic over a different
+    corpus CTE (`e_sql`), with extra CTEs (coarse cells) and a cell
+    filter — one generator, zero restated L2/pack/LUT strings."""
     m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
 
     def l2(av: str, bv: str, j: int) -> str:
@@ -2737,7 +2749,7 @@ def _pq_oracle() -> str:
     packed = " + ".join(f"c_{j} * {1 << (4 * j)}" for j in range(m))
     adist = " + ".join(f"L_{j}[CAST(c_{j} AS INT) + 1]" for j in range(m))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {pre_ctes}e AS ({e_sql}),
     cb AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS entry, v
         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {kk}) s
@@ -2757,7 +2769,7 @@ def _pq_oracle() -> str:
            {codes}
         FROM dl
     ),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    q AS ({q_sql}),
     lut AS (
         SELECT cb.entry,
            {l_cols}
@@ -2765,13 +2777,14 @@ def _pq_oracle() -> str:
     ),
     lutl AS (
         SELECT {llists} FROM lut
-    )
-    SELECT vec_id,
+    ){post_ctes}
+    SELECT enc.vec_id,
            CAST({packed} AS BIGINT) AS pq_code,
            ROUND({adist}, 6) AS adist
-    FROM enc, lutl
-    ORDER BY adist, vec_id
-    LIMIT 10
+    FROM enc, lutl{from_extra}
+    {where}
+    ORDER BY adist, enc.vec_id
+    LIMIT {limit}
     """
 
 
@@ -2818,6 +2831,81 @@ def pq_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_probe(
         spark, path, q, k=10,
         expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
+
+
+def _ivfpq_oracle(limit: int = 10, nprobe: int = 2) -> str:
+    """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
+    corpus, composed with the coarse-quantizer CTEs — assignment over
+    eligible vectors, qcells ranking, and the cell filter on the final
+    scan. Everything the persisted layout stores is re-derived."""
+    post = f""",
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               {_COS.format(a='e.v', b='c.cvec')} AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM cscored) t
+        WHERE rn = 1),
+    qcells AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.cid
+        LIMIT {nprobe})"""
+    return _pq_oracle(
+        pre_ctes="""ok AS (
+        SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'
+    ),
+    """,
+        e_sql="""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ok)""",
+        post_ctes=post,
+        from_extra=", assign",
+        where=(
+            "WHERE assign.vec_id = enc.vec_id "
+            "AND assign.cid IN (SELECT cid FROM qcells)"
+        ),
+        limit=limit,
+        q_sql=(
+            "SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0"
+        ),
+    )
+
+
+@query("ivfpq_probe", oracle=_ivfpq_oracle(), bench=True)
+def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN serving shape (Jégou et
+    al. 2011 §V; plans/storage.write_ivfpq_index → ivfpq_probe): the
+    coarse quantizer decides WHICH cells are read (partition-pruned to
+    nprobe `cell=` directories) and product quantization decides WHAT
+    is read to score them (8-byte packed codes, never the floats) —
+    at 100 TB the two savings multiply to nprobe/n_cells x 1/32 of
+    the vector bytes per query. Codebook, centroids and codes all come
+    from one committed version; the oracle re-derives the eligible
+    set, the coarse assignment, the qcell ranking, every 4-bit code
+    AND the ADC arithmetic, so a drift in any stored artifact
+    hash-mismatches."""
+    from .storage import ivfpq_probe, write_ivfpq_index
+
+    path = _persisted_index(
+        "ivfpq", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8,
+        ),
+    )
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return ivfpq_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
     )
 
 

@@ -868,6 +868,143 @@ def pq_index_probe(
     return tie_cache(out, query)
 
 
+def write_ivfpq_index(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    min_chars: int = 200,
+    lang: str = "en",
+    keep_versions: int = 2,
+) -> None:
+    """IVF-PQ — the composed coarse-quantizer + product-quantization
+    layout (Jégou et al. 2011 §V: the inverted file prunes WHICH
+    vectors are scored, PQ compresses WHAT is read to score them).
+    This is the canonical billion-scale ANN serving shape: at 100 TB
+    the probe reads nprobe/n_cells of the corpus AND only 8 bytes per
+    vector in those cells — the two savings multiply.
+
+    Artifacts per version (one eligible-set scan feeds all three):
+
+      <path>/v{N}/centroids/            1 row — the coarse quantizer
+      <path>/v{N}/codebook/             1 row — the global PQ entries
+      <path>/v{N}/cells/cell=*/         (id, pq_code) — packed codes
+                                        hive-partitioned by cell
+
+    Eligibility (the filtered-IVF gate, eligible_embeddings) bounds
+    everything before the build; the PQ codebook is derived from the
+    ELIGIBLE set (lowest-PQ_K ids — the deterministic seed pattern)
+    and codes are encoded against the READ-BACK codebook so cells can
+    never pair with a different build's entries. `_CURRENT` records
+    both geometries (n_cells + pq_m/pq_sub/pq_k + the gate) and the
+    probe refuses any mismatch. Versioned-atomic via versioned.py;
+    rebuild = new version = compaction."""
+    import posixpath
+
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+    from ..versioned import commit_version, current_version, version_dir
+
+    spark = documents.sparkSession
+    eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
+    ver = current_version(spark, path) + 1
+    base = version_dir(path, ver)
+    cents = ivf_centroids(eligible, n_cells)
+    cents.write.mode("overwrite").parquet(posixpath.join(base, "centroids"))
+    cents = spark.read.parquet(posixpath.join(base, "centroids"))
+    cb_path = posixpath.join(base, "codebook")
+    pq_codebook(eligible).write.mode("overwrite").parquet(cb_path)
+    cb = spark.read.parquet(cb_path)
+    codes = pq_encode(eligible, cb)
+    assigned = ivf_assign(eligible, cents).select("vec_id", "cell")
+    (
+        codes.join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(posixpath.join(base, "cells"))
+    )
+    commit_version(
+        spark, path, ver,
+        extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
+               "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K},
+        keep_versions=keep_versions,
+    )
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve an ADC top-k from the IVF-PQ index: rank the stored
+    centroids against the query (rank_probe_cells — identical
+    tie-breaks to every other IVF consumer), partition-prune-scan the
+    nprobe winning `cell=` directories, and score ONLY their packed
+    codes via the query's LUT (pq_lut_row / pq_adc_dist — the shared
+    definitions, so scoring cannot drift from pq_index_probe or the
+    in-memory form). Returns (vec_id, pq_code, adist).
+
+    Plan shape at 100 TB: two 1-row broadcasts (LUT, implicit in the
+    join; centroid ranking is O(n_cells)), one pruned scan of
+    nprobe/n_cells x 8-byte-per-vector data, one TakeOrdered. The
+    executed-scan test pins both prunings (partition count AND
+    no-float-column) from real scan metadata."""
+    import posixpath
+
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import pq_adc_dist, pq_lut_row, rank_probe_cells
+    from ..versioned import check_meta, current_meta, version_dir
+
+    query = query.select(F.col("embedding")).persist()
+    try:
+        n_q = query.count()
+        if n_q != 1:
+            raise ValueError(
+                f"ivfpq_probe serves exactly one query vector, got {n_q} "
+                "rows — use operators/similarity.batch_topk for query "
+                "batches"
+            )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        qcells = rank_probe_cells(query, cents, nprobe)
+        probed = [int(r["probe_cell"]) for r in qcells.collect()]
+        codes = spark.read.parquet(posixpath.join(base, "cells")).filter(
+            F.col("cell").isin(probed)
+        )
+    except BaseException:
+        query.unpersist()
+        raise
+    lut_row = pq_lut_row(query, cb)
+    out = (
+        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+        .select(
+            "vec_id",
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
+        )
+        .orderBy("adist", "vec_id")
+        .limit(k)
+    )
+    return tie_cache(out, query)
+
+
 def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
     """The committed band index's distinct sha2-256 relation (`_sha`) —
     the exact-dup gate's old side, served from the index so an

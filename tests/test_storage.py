@@ -971,3 +971,70 @@ def test_pq_index_gates_and_versioning(spark, tmp_path):
     second = pq_index_probe(spark, path, q1, k=3).collect()
     assert all(r["vec_id"] % 2 == 0 for r in second)
     assert first and len(second) == 3
+
+
+# ---------------------------------------------------------------------------
+# composed IVF-PQ index (r8)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, tmp_path):
+    """The composed layout's double saving, pinned from real executed-
+    plan metadata: the probe scan touches exactly nprobe cell
+    partitions AND reads only the packed code column — never a float
+    embedding. Plus contract guards: geometry gate, missing index,
+    single query, no cache leak on raise."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    q1 = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        ivfpq_probe(spark, path, q1)
+    write_ivfpq_index(docs, emb, path, n_cells=8)
+
+    res = ivfpq_probe(spark, path, q1, k=10, nprobe=2)
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+
+    scans = [
+        s for s in _scan_nodes(res)
+        if "cells" in s.toString() or "cell" in str(s.metadata())
+    ]
+    idx_scans = [s for s in scans if s.metrics().contains("numPartitions")]
+    assert idx_scans, "no partitioned file scan in executed plan"
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == 2, f"probe read {read_parts} cell partitions"
+    for s in idx_scans:
+        schema = s.schema().simpleString()
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+        assert "pq_code" in schema
+
+    # stored codes hold only ELIGIBLE ids
+    ok_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+        ).select("doc_id").collect()
+    }
+    assert {r["vec_id"] for r in rows} <= ok_ids
+
+    import gc
+
+    def cached_count():
+        gc.collect()  # settle weakref-tied caches of dropped results
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_count()
+    with _pytest.raises(ValueError, match="built with"):
+        ivfpq_probe(spark, path, q1, expect={"pq_m": 4})
+    with _pytest.raises(ValueError, match="one query"):
+        ivfpq_probe(spark, path, emb.filter(F.col("vec_id") < 3))
+    assert cached_count() <= base  # raises never leak new caches

@@ -22,18 +22,19 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # driver-green and nothing is staler than r5 (newest-green histogram:
 # 50 r5 / 50 r6 / 50 r7, computed from the CORRECTNESS_r1-r7 union).
 # Round 8's window, per the r7 verdict item 2:
-# (a) the three queries NEW this round — the persisted-PQ probe
+# (a) the four queries NEW this round — the persisted-PQ probe
 #     (pq_index_probe, r7 verdict item 3), the driver-gated persisted
-#     SemDeDup (semdedup_persisted, item 5), and the composed IVF-PQ
-#     serving path (ivfpq_probe). New queries MUST take window slots
-#     (the r6 lesson: a query registered outside the window has no
-#     driver row until the next round);
-# (b) 47 of the 50 r5-green names — each (a) entry displaces one fill
+#     SemDeDup (semdedup_persisted, item 5), the composed IVF-PQ
+#     serving path (ivfpq_probe), and the incremental PQ append
+#     (pq_append_probe). New queries MUST take window slots (the r6
+#     lesson: a query registered outside the window has no driver row
+#     until the next round);
+# (b) 46 of the 50 r5-green names — each (a) entry displaces one fill
 #     (displaced: top_terms_tfidf, weighted_sample_orders,
-#     doc_length_deciles — they keep their r5-green rows and rejoin
-#     the rotation FIRST in r9).
-# 3 + 47 = 50 exactly; after r8 the stale pool for r9 is the 50
-# r6-green names plus the three displaced r5 names (they go FIRST).
+#     doc_length_deciles, doc_packing_stats — they keep their r5-green
+#     rows and rejoin the rotation FIRST in r9).
+# 4 + 46 = 50 exactly; after r8 the stale pool for r9 is the 50
+# r6-green names plus the four displaced r5 names (they go FIRST).
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r8
 # hardening pass touched code consumed by windowed/green queries:
@@ -56,13 +57,13 @@ promote([
     "semdedup_persisted",
     "pq_index_probe",
     "ivfpq_probe",
-    # (b) 47 of the 50 r5-stale names — pool drained minus the three
+    "pq_append_probe",
+    # (b) 46 of the 50 r5-stale names — pool drained minus the four
     #     displaced fills
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
     "doc_packing_assign",
-    "doc_packing_stats",
     "embedding_cluster_sizes",
     "embedding_label_centroids",
     "embedding_neardup_lsh",

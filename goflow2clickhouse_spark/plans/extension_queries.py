@@ -2716,6 +2716,7 @@ def _pq_oracle(
     where: str = "",
     limit: int = 10,
     q_sql: str = "SELECT v AS qv FROM e WHERE vec_id = 0",
+    cb_src: str = "e",
 ) -> str:
     """PQ encode + ADC replay. Parameterized (r8) so the IVF-PQ
     composition reuses the SAME generated arithmetic over a different
@@ -2752,7 +2753,7 @@ def _pq_oracle(
     WITH {pre_ctes}e AS ({e_sql}),
     cb AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS entry, v
-        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {kk}) s
+        FROM (SELECT * FROM {cb_src} ORDER BY vec_id LIMIT {kk}) s
     ),
     dists AS (
         SELECT e.vec_id, cb.entry,
@@ -2828,6 +2829,39 @@ def pq_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     # expect pins the code geometry this query's ORACLE replays
+    return pq_index_probe(
+        spark, path, q, k=10,
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
+
+
+@query(
+    "pq_append_probe",
+    oracle=_pq_oracle(cb_src="(SELECT * FROM e WHERE vec_id % 2 = 0)"),
+    bench=True,
+)
+def pq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ maintenance through the driver gate
+    (plans/storage.append_to_pq_index): the index is BUILT over the
+    even-id half of the corpus — so the codebook entries are the 16
+    lowest EVEN ids — then the odd half arrives as a later batch and
+    is APPENDED: encoded against the STORED codebook, committed as an
+    atomic `appends` delta, base codes untouched. The probe unions
+    base + delta codes. The oracle replays exactly that geometry
+    (codebook seeded from the even half only, encode over everything)
+    — a wrong append (re-derived codebook, torn delta visible)
+    hash-mismatches. At 100 TB this is the daily-batch shape: per
+    batch one encode scan of the BATCH + a metadata commit; rebuild
+    is the compaction."""
+    from .storage import append_to_pq_index, pq_index_probe, write_pq_index
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_pq_index(emb.filter(F.col("vec_id") % 2 == 0), p)
+        append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), p)
+
+    path = _persisted_index("pq_app", sf_dir, build)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     return pq_index_probe(
         spark, path, q, k=10,
         expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},

@@ -802,6 +802,46 @@ def write_pq_index(
     )
 
 
+def append_to_pq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new embedding batch into the PQ index: encode it against
+    the STORED codebook (read from the committed version — an append
+    can never silently use different entries than the build) and
+    commit the codes as an atomic `appends` delta, base codes
+    untouched. Same contract as `append_to_ivf_index` /
+    `append_to_band_index`: batch j lands at `v{N}/appends/a{j}/codes`,
+    `_CURRENT` re-commits with `appends: j`, torn deltas are invisible
+    and a rebuild (write_pq_index) bumps the version and resets the
+    counter — rebuild IS the compaction (and the moment to re-derive
+    the codebook after drift). An empty batch is a no-op. Dedup across
+    batches is the caller's contract."""
+    import posixpath
+
+    from ..operators.similarity import pq_encode
+    from ..versioned import commit_version, current_meta, version_dir
+
+    spark = batch.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed PQ index under {path}")
+    if batch.isEmpty():
+        return
+    base = version_dir(path, ver)
+    cb = spark.read.parquet(posixpath.join(base, "codebook"))
+    idx_id = str(meta.get("id_col", "vec_id"))
+    j = int(meta.get("appends", 0)) + 1
+    pq_encode(batch, cb, vec_col, idx_id).write.mode("overwrite").parquet(
+        posixpath.join(base, "appends", f"a{j}", "codes")
+    )
+    extra = {k: v for k, v in meta.items() if k != "version"}
+    extra["appends"] = j
+    commit_version(spark, path, ver, extra=extra)
+
+
 def pq_index_probe(
     spark: SparkSession,
     path: str,
@@ -849,7 +889,14 @@ def pq_index_probe(
             check_meta(meta, expect, path)
         base = version_dir(path, ver)
         cb = spark.read.parquet(posixpath.join(base, "codebook"))
-        codes = spark.read.parquet(posixpath.join(base, "codes"))
+        codes = _union_parquet(
+            spark,
+            [posixpath.join(base, "codes")]
+            + [
+                posixpath.join(base, "appends", f"a{j}", "codes")
+                for j in range(1, int(meta.get("appends", 0)) + 1)
+            ],
+        )
     except BaseException:
         query.unpersist()
         raise

@@ -1038,3 +1038,61 @@ def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, tmp_path):
     with _pytest.raises(ValueError, match="one query"):
         ivfpq_probe(spark, path, emb.filter(F.col("vec_id") < 3))
     assert cached_count() <= base  # raises never leak new caches
+
+
+def test_pq_append_serves_union_and_ignores_torn_delta(spark, tmp_path):
+    """Appending a batch makes it servable (encoded against the STORED
+    codebook — not a re-derived one), base codes untouched; an
+    uncommitted delta dir is invisible; an empty batch is a no-op; a
+    rebuild resets the counter."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_pq_index,
+        pq_index_probe,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta, version_dir
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq_append")
+    write_pq_index(even, path)
+    append_to_pq_index(odd, path)
+    meta = current_meta(spark, path)
+    assert meta["appends"] == 1 and meta["version"] == 1
+
+    q1 = emb.filter(F.col("vec_id") == 0)
+    rows = pq_index_probe(spark, path, q1, k=emb.count()).collect()
+    assert {r["vec_id"] for r in rows} == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+    # codes in the delta used the BASE build's codebook: re-encoding
+    # odd ids against a codebook derived from the FULL corpus would
+    # differ whenever the lowest-16 id sets differ
+    base_dir = version_dir(path, 1)
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(base_dir, "codes"))
+        .select("vec_id").collect()
+    }
+    assert base_ids == {r["vec_id"] for r in even.select("vec_id").collect()}
+
+    # empty batch: complete no-op
+    before = current_meta(spark, path)
+    append_to_pq_index(odd.filter(F.col("vec_id") < 0), path)
+    assert current_meta(spark, path) == before
+
+    # torn delta invisible
+    n_before = len(rows)
+    odd.limit(3).select("vec_id").withColumn(
+        "pq_code", F.lit(0).cast("long")
+    ).write.parquet(os.path.join(base_dir, "appends", "a2", "codes"))
+    again = pq_index_probe(spark, path, q1, k=emb.count()).collect()
+    assert len(again) == n_before
+
+    # rebuild bumps version, resets appends
+    write_pq_index(emb, path)
+    meta2 = current_meta(spark, path)
+    assert meta2["version"] == 2 and meta2.get("appends", 0) == 0

@@ -152,9 +152,12 @@ def _plan_fingerprint(df) -> str:
     p = re.sub(r"#\d+", "#", p)
     p = re.sub(r"plan_id=\d+", "plan_id=", p)
     p = re.sub(r"file:[^\],\s]*", "file:", p)
-    # lambda variables are named from session-global counters in every
-    # position slot (x_N, y_N, z_N, ...) — normalize the whole name
-    p = re.sub(r"lambda [A-Za-z_][A-Za-z0-9_]*", "lambda v", p)
+    # lambda variables are named <slot>_<counter> where the slot letter
+    # (x, y, z) is positional and session-stable but the counter is
+    # session-global — normalize ONLY the counter (r8 review: erasing
+    # the slot too collapsed 'x*x' and 'x*y' into the same fingerprint,
+    # the inverse mislabeling of the artifact this fixes)
+    p = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1", p)
     return hashlib.sha256(p.encode()).hexdigest()[:16]
 
 
@@ -332,8 +335,9 @@ def main() -> None:
     # payload: the full record (queries + plan_fp + deltas + ingest)
     # goes to a committed side file PLANFP_r{N}.json that
     # _previous_round reads back next round; stdout carries only the
-    # compact driver line. Timings are rounded to 3 decimals in the
-    # stdout line to keep it short (the side file keeps 4).
+    # compact driver line (_stdout_record: 2-decimal timings, top-40
+    # queries by time + a queries_truncated marker; the side file
+    # keeps all queries at 4 decimals).
     out_full = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),

@@ -53,10 +53,17 @@ def _canon_value(v: object) -> str:
             return "nan"
         if v.is_infinite():
             return "inf" if v > 0 else "-inf"
+        if v == v.to_integral_value():
+            # ONE rule for every integral numeric at every magnitude
+            # (shared with the int and float paths): a BIGINT on one
+            # engine always hashes like the same-valued DECIMAL/double
+            # on the other. The r8 review caught the misaligned first
+            # cut (int-string above 2^53, float below): integral
+            # BIGINT-vs-DECIMAL in [1e15, 2^53) hashed differently —
+            # a false-FAIL window.
+            return str(int(v))
         if abs(v) < 2**53:
             v = float(v)
-        elif v == v.to_integral_value():
-            return str(int(v))
         else:
             return format(v.normalize(), "f")
     if isinstance(v, float):
@@ -64,7 +71,10 @@ def _canon_value(v: object) -> str:
             return "nan"
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        if abs(v) < 1e15 and v == int(v):
+        if v == int(v):
+            # exact for the float's own value at any magnitude; keeps
+            # integral double ≡ BIGINT ≡ integral DECIMAL (the old
+            # 1e15 cutoff broke the equivalence above it)
             return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, _dt.datetime):

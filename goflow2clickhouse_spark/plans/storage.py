@@ -823,11 +823,18 @@ def append_to_pq_index(
     from ..operators.similarity import pq_encode
     from ..versioned import commit_version, current_meta, version_dir
 
+    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
+    from ..versioned import check_meta
+
     spark = batch.sparkSession
     meta = current_meta(spark, path)
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed PQ index under {path}")
+    # unconditional geometry gate (r8 review): pq_encode packs with
+    # the CURRENT module constants — encoding against an old-geometry
+    # codebook would commit permanently garbled codes with no error
+    check_meta(meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path)
     if batch.isEmpty():
         return
     base = version_dir(path, ver)
@@ -885,6 +892,15 @@ def pq_index_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed PQ index under {path}")
+        # the nibble-unpack scoring is built from the CURRENT module
+        # constants — a recorded-geometry mismatch silently mis-reads
+        # every code, so this gate is unconditional (r8 review);
+        # `expect` adds caller-specific pins on top
+        from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+        check_meta(
+            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+        )
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)
@@ -1025,6 +1041,13 @@ def ivfpq_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+        # unconditional PQ-geometry gate, same reason as pq_index_probe
+        # (r8 review); `expect` adds caller pins (n_cells, gate params)
+        from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+        check_meta(
+            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+        )
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)

@@ -266,3 +266,10 @@ def test_plan_fingerprint_normalizes_lambda_ids():
     )
     assert bench._plan_fingerprint(a) == bench._plan_fingerprint(b)
     assert bench._plan_fingerprint(a) != bench._plan_fingerprint(c)
+    # the slot letter must SURVIVE normalization: x*x and x*y are
+    # different plans (r8 review — erasing the slot collapsed them)
+    d = _FakeDf(
+        "Project [zip_with(xs#12, ys#4, lambdafunction((lambda x_112#7 * "
+        "lambda x_112#7), lambda x_112#7, lambda y_10#2, false))]"
+    )
+    assert bench._plan_fingerprint(a) != bench._plan_fingerprint(d)

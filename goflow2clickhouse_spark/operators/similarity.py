@@ -745,6 +745,7 @@ def pq_encode(
     codebook_row: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to PQ_M 4-bit codes: per block, the entry
     with the smallest squared L2 to the vector's subvector (ties to
@@ -752,7 +753,10 @@ def pq_encode(
     packed BIGINT (`pq_code`, 4 bits per block) per vector — the
     32x-compressed representation ADC scans instead of the floats.
     One broadcast (1-row codebook) + a map-only projection: the
-    encode pass is a single corpus scan, embarrassingly parallel."""
+    encode pass is a single corpus scan, embarrassingly parallel.
+    `keep` names extra input columns carried through unchanged (the
+    IVF-PQ build passes its cell assignment so codes + cells land in
+    ONE scan, no vec_id re-join)."""
     v = as_double(vec_col)
 
     def _code(j: int) -> Column:
@@ -772,13 +776,15 @@ def pq_encode(
     code_cols = [_code(j) for j in range(PQ_M)]
     enc = (
         embeddings.join(F.broadcast(codebook_row))  # bcast bound: 1 row
-        .select(F.col(id_col), *code_cols)
+        .select(F.col(id_col), *[F.col(c) for c in keep], *code_cols)
     )
     packed = sum(
         (F.col(f"_c{j}") * F.lit(1 << (4 * j)) for j in range(1, PQ_M)),
         F.col("_c0"),
     )
-    return enc.select(F.col(id_col), packed.alias("pq_code"))
+    return enc.select(
+        F.col(id_col), *[F.col(c) for c in keep], packed.alias("pq_code")
+    )
 
 
 def pq_lut_row(

@@ -249,6 +249,14 @@ def write_filtered_ivf_index(
 
     spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
+    if eligible.isEmpty():
+        # committing an empty build would write a cells/ dir holding
+        # only _SUCCESS — schema-less, poisoning every probe until a
+        # rebuild (r8 review; the write_band_index guard's twin)
+        raise ValueError(
+            f"filtered-IVF build over {path}: eligible set is empty "
+            f"(min_chars={min_chars}, lang={lang!r}) — nothing to index"
+        )
     ver = _ivf_current_version(spark, path) + 1
     base = version_dir(path, ver)
     cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
@@ -334,21 +342,29 @@ def append_to_ivf_index(
     commit_version(spark, path, ver, extra=extra)
 
 
+def _delta_dirs(base: str, meta: dict) -> list[str]:
+    """The committed version's artifact directories: the base dir plus
+    every COMMITTED append delta (`a{1..meta['appends']}`; dirs beyond
+    the counter are torn/uncommitted and deliberately ignored). THE
+    single statement of the append-visibility rule — it previously
+    lived restated in three readers (r8 review), where a future layout
+    change would have had to land three times or silently diverge."""
+    import posixpath
+
+    return [base] + [
+        posixpath.join(base, "appends", f"a{j}")
+        for j in range(1, int(meta.get("appends", 0)) + 1)
+    ]
+
+
 def _read_index_cells(spark: SparkSession, base: str, meta: dict) -> DataFrame:
-    """The committed version's full cell relation: base cells plus
-    every COMMITTED append delta (dirs beyond `meta['appends']` are
-    torn/uncommitted and deliberately ignored). Each leg is a
-    cell-partitioned parquet scan, so a `cell` filter partition-prunes
-    every leg of the union."""
+    """The committed version's full cell relation (base + committed
+    deltas). Each leg is a cell-partitioned parquet scan, so a `cell`
+    filter partition-prunes every leg of the union."""
     import posixpath
 
     return _union_parquet(
-        spark,
-        [posixpath.join(base, "cells")]
-        + [
-            posixpath.join(base, "appends", f"a{j}", "cells")
-            for j in range(1, int(meta.get("appends", 0)) + 1)
-        ],
+        spark, [posixpath.join(d, "cells") for d in _delta_dirs(base, meta)]
     )
 
 
@@ -407,25 +423,28 @@ def ivf_index_probe(
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         qcells = rank_probe_cells(query, cents, nprobe)
         probed = [int(r["probe_cell"]) for r in qcells.collect()]
+        qv = query.select(F.col("embedding").alias("_qv"))
+        # the delta-leg reads below also do eager file listing — they
+        # stay INSIDE the protected region (r8 review: a raise between
+        # the early block and tie_cache leaked the private cache)
+        idx = _read_index_cells(spark, base, meta).filter(
+            F.col("cell").isin(probed)
+        )
+        out = (
+            idx.join(F.broadcast(qv))  # bcast bound: 1 query row
+            .select(
+                "vec_id",
+                F.round(
+                    cosine(as_double("embedding"), as_double("_qv")), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(k)
+        )
+        return tie_cache(out, query)
     except BaseException:
         query.unpersist()
         raise
-    qv = query.select(F.col("embedding").alias("_qv"))
-    idx = _read_index_cells(spark, base, meta).filter(
-        F.col("cell").isin(probed)
-    )
-    out = (
-        idx.join(F.broadcast(qv))  # bcast bound: 1 query row
-        .select(
-            "vec_id",
-            F.round(cosine(as_double("embedding"), as_double("_qv")), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(k)
-    )
-    return tie_cache(out, query)
 
 
 def write_band_index(
@@ -549,13 +568,25 @@ def append_to_band_index(
     `_union_parquet` reads delta legs with the base leg's schema."""
     import posixpath
 
-    from ..operators.dedup import array_minhash_sigs, band_key_rows, shingle_arrays
-    from ..versioned import commit_version, current_meta, version_dir
+    from ..operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        array_minhash_sigs,
+        band_key_rows,
+        shingle_arrays,
+    )
+    from ..versioned import check_meta, commit_version, current_meta, version_dir
 
     spark = batch.sparkSession
     meta = current_meta(spark, path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {path}")
+    # unconditional LSH-geometry gate (r8 review, the PQ append's
+    # twin): banding below runs with the CURRENT module constants —
+    # folding a delta keyed with a different num_perm/bands than the
+    # index records would commit band keys that never again match any
+    # probe (silent recall loss for every doc in the delta)
+    check_meta(meta, {"num_perm": NUM_PERM, "bands": BANDS}, path)
     base = version_dir(path, int(meta["version"]))
     idx_id = str(meta.get("id_col", "doc_id"))
     j = int(meta.get("appends", 0)) + 1
@@ -589,19 +620,13 @@ def _band_index_parts(spark: SparkSession, index_path: str):
     """(meta, [artifact dirs]) of the committed band index: the base
     version directory plus every COMMITTED append delta (directories
     beyond `meta['appends']` are torn/uncommitted and ignored)."""
-    import posixpath
-
     from ..versioned import current_meta, version_dir
 
     meta = current_meta(spark, index_path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {index_path}")
     base = version_dir(index_path, int(meta["version"]))
-    dirs = [base] + [
-        posixpath.join(base, "appends", f"a{j}")
-        for j in range(1, int(meta.get("appends", 0)) + 1)
-    ]
-    return meta, dirs
+    return meta, _delta_dirs(base, meta)
 
 
 def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -784,6 +809,13 @@ def write_pq_index(
     from ..versioned import commit_version, current_version, version_dir
 
     spark = embeddings.sparkSession
+    if embeddings.isEmpty():
+        # an empty-corpus codebook would be a 1-row empty-entries
+        # relation that NaNs/nulls every future LUT — fail the build
+        # loudly (the write_band_index guard's twin, r8 review)
+        raise ValueError(
+            f"PQ index build over {path}: corpus is empty — nothing to index"
+        )
     ver = current_version(spark, path) + 1
     base = version_dir(path, ver)
     cb_path = posixpath.join(base, "codebook")
@@ -820,11 +852,13 @@ def append_to_pq_index(
     batches is the caller's contract."""
     import posixpath
 
-    from ..operators.similarity import pq_encode
-    from ..versioned import commit_version, current_meta, version_dir
-
-    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
-    from ..versioned import check_meta
+    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, pq_encode
+    from ..versioned import (
+        check_meta,
+        commit_version,
+        current_meta,
+        version_dir,
+    )
 
     spark = batch.sparkSession
     meta = current_meta(spark, path)
@@ -873,7 +907,13 @@ def pq_index_probe(
     import posixpath
 
     from ..operators.dedup import tie_cache
-    from ..operators.similarity import pq_adc_dist, pq_lut_row
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_adc_dist,
+        pq_lut_row,
+    )
     from ..versioned import check_meta, current_meta, version_dir
 
     # private projection persisted for the two consumers (contract
@@ -896,8 +936,6 @@ def pq_index_probe(
         # constants — a recorded-geometry mismatch silently mis-reads
         # every code, so this gate is unconditional (r8 review);
         # `expect` adds caller-specific pins on top
-        from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
-
         check_meta(
             meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
         )
@@ -907,28 +945,24 @@ def pq_index_probe(
         cb = spark.read.parquet(posixpath.join(base, "codebook"))
         codes = _union_parquet(
             spark,
-            [posixpath.join(base, "codes")]
-            + [
-                posixpath.join(base, "appends", f"a{j}", "codes")
-                for j in range(1, int(meta.get("appends", 0)) + 1)
-            ],
+            [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
         )
+        idx_id = str(meta.get("id_col", "vec_id"))
+        lut_row = pq_lut_row(query, cb, vec_col)
+        out = (
+            codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+            .select(
+                F.col(idx_id),
+                "pq_code",
+                F.round(pq_adc_dist(), 6).alias("adist"),
+            )
+            .orderBy("adist", idx_id)
+            .limit(k)
+        )
+        return tie_cache(out, query)
     except BaseException:
         query.unpersist()
         raise
-    idx_id = str(meta.get("id_col", "vec_id"))
-    lut_row = pq_lut_row(query, cb, vec_col)
-    out = (
-        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-        .select(
-            F.col(idx_id),
-            "pq_code",
-            F.round(pq_adc_dist(), 6).alias("adist"),
-        )
-        .orderBy("adist", idx_id)
-        .limit(k)
-    )
-    return tie_cache(out, query)
 
 
 def write_ivfpq_index(
@@ -961,9 +995,20 @@ def write_ivfpq_index(
     never pair with a different build's entries. `_CURRENT` records
     both geometries (n_cells + pq_m/pq_sub/pq_k + the gate) and the
     probe refuses any mismatch. Versioned-atomic via versioned.py;
-    rebuild = new version = compaction."""
+    rebuild = new version = compaction.
+
+    Build cost (r8 review): both seed relations (centroids, codebook)
+    derive from the LOWEST-id prefix of the eligible set, so one
+    TakeOrdered pass materializes a tiny localCheckpoint'ed prefix
+    that feeds both; codes and cell assignments are then computed in
+    ONE projection over one more eligible scan (pq_encode keep=cell —
+    no corpus-wide vec_id re-join). Two eligible scans total, zero
+    shuffles. An EMPTY eligible set (wrong lang / min_chars too high)
+    fails the build loudly — committing it would write a cells/ dir
+    holding only _SUCCESS, poisoning every probe until a rebuild."""
     import posixpath
 
+    from ..operators.dedup import _ckpt_rdd_ids, _release_rdds
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -977,22 +1022,34 @@ def write_ivfpq_index(
 
     spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
-    ver = current_version(spark, path) + 1
-    base = version_dir(path, ver)
-    cents = ivf_centroids(eligible, n_cells)
-    cents.write.mode("overwrite").parquet(posixpath.join(base, "centroids"))
-    cents = spark.read.parquet(posixpath.join(base, "centroids"))
-    cb_path = posixpath.join(base, "codebook")
-    pq_codebook(eligible).write.mode("overwrite").parquet(cb_path)
-    cb = spark.read.parquet(cb_path)
-    codes = pq_encode(eligible, cb)
-    assigned = ivf_assign(eligible, cents).select("vec_id", "cell")
-    (
-        codes.join(assigned, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(posixpath.join(base, "cells"))
+    low = (
+        eligible.orderBy("vec_id")
+        .limit(max(n_cells, PQ_K))
+        .localCheckpoint(eager=True)
     )
+    try:
+        if low.isEmpty():
+            raise ValueError(
+                f"IVF-PQ build over {path}: eligible set is empty "
+                f"(min_chars={min_chars}, lang={lang!r}) — nothing to index"
+            )
+        ver = current_version(spark, path) + 1
+        base = version_dir(path, ver)
+        ivf_centroids(low, n_cells).write.mode("overwrite").parquet(
+            posixpath.join(base, "centroids")
+        )
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        cb_path = posixpath.join(base, "codebook")
+        pq_codebook(low).write.mode("overwrite").parquet(cb_path)
+        cb = spark.read.parquet(cb_path)
+        (
+            pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(posixpath.join(base, "cells"))
+        )
+    finally:
+        _release_rdds(spark.sparkContext, _ckpt_rdd_ids(low))
     commit_version(
         spark, path, ver,
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
@@ -1025,7 +1082,14 @@ def ivfpq_probe(
     import posixpath
 
     from ..operators.dedup import tie_cache
-    from ..operators.similarity import pq_adc_dist, pq_lut_row, rank_probe_cells
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_adc_dist,
+        pq_lut_row,
+        rank_probe_cells,
+    )
     from ..versioned import check_meta, current_meta, version_dir
 
     query = query.select(F.col("embedding")).persist()
@@ -1043,8 +1107,6 @@ def ivfpq_probe(
             raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
         # unconditional PQ-geometry gate, same reason as pq_index_probe
         # (r8 review); `expect` adds caller pins (n_cells, gate params)
-        from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
-
         check_meta(
             meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
         )
@@ -1058,21 +1120,21 @@ def ivfpq_probe(
         codes = spark.read.parquet(posixpath.join(base, "cells")).filter(
             F.col("cell").isin(probed)
         )
+        lut_row = pq_lut_row(query, cb)
+        out = (
+            codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+            .select(
+                "vec_id",
+                "pq_code",
+                F.round(pq_adc_dist(), 6).alias("adist"),
+            )
+            .orderBy("adist", "vec_id")
+            .limit(k)
+        )
+        return tie_cache(out, query)
     except BaseException:
         query.unpersist()
         raise
-    lut_row = pq_lut_row(query, cb)
-    out = (
-        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-        .select(
-            "vec_id",
-            "pq_code",
-            F.round(pq_adc_dist(), 6).alias("adist"),
-        )
-        .orderBy("adist", "vec_id")
-        .limit(k)
-    )
-    return tie_cache(out, query)
 
 
 def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:

@@ -88,7 +88,15 @@ def commit_version(
     """Atomically point ``_CURRENT`` at ``v{version}`` (write tmp, then
     an OVERWRITE rename), then prune versions older than
     ``keep_versions``. Call ONLY after every artifact under the version
-    directory is fully written."""
+    directory is fully written. ``keep_versions`` must be >= 1: with 0
+    the prune range would include the version just committed, leaving
+    ``_CURRENT`` pointing at a deleted directory (r8 review — the
+    hazard HllRegisterStore floors its own parameter against)."""
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1, got {keep_versions} — 0 would "
+            "prune the version this very commit points at"
+        )
     fs, _ = _fs(spark, path)
     jvm = spark._jvm  # noqa: SLF001
     payload = dict(extra or {})

@@ -1096,3 +1096,51 @@ def test_pq_append_serves_union_and_ignores_torn_delta(spark, tmp_path):
     write_pq_index(emb, path)
     meta2 = current_meta(spark, path)
     assert meta2["version"] == 2 and meta2.get("appends", 0) == 0
+
+
+def test_r8_review_guards(spark, tmp_path):
+    """Round-8 review pass: (1) keep_versions<1 would prune the version
+    just committed; (2) an empty eligible set must fail the IVF/IVF-PQ/
+    PQ builds loudly instead of committing a schema-less cells dir;
+    (3) append_to_band_index refuses an index whose recorded LSH
+    geometry differs from the module constants."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        write_band_index,
+        write_filtered_ivf_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import commit_version
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    with _pytest.raises(ValueError, match="keep_versions"):
+        commit_version(spark, str(tmp_path / "kv"), 1, keep_versions=0)
+
+    for build in (write_filtered_ivf_index, write_ivfpq_index):
+        with _pytest.raises(ValueError, match="eligible set is empty"):
+            build(docs, emb, str(tmp_path / "void"), lang="zz")
+        assert not os.path.exists(str(tmp_path / "void" / "_CURRENT"))
+    with _pytest.raises(ValueError, match="corpus is empty"):
+        write_pq_index(emb.filter(F.col("vec_id") < 0), str(tmp_path / "pqv"))
+
+    # band-index geometry gate: doctor the recorded bands count
+    old, _ = _band_corpus(spark)
+    path = str(tmp_path / "bandidx_geom")
+    write_band_index(old, path)
+    cur = json.load(open(os.path.join(path, "_CURRENT")))
+    cur["bands"] = cur["bands"] + 1
+    with open(os.path.join(path, "_CURRENT"), "w") as fh:
+        json.dump(cur, fh)
+    crc = os.path.join(path, "._CURRENT.crc")
+    if os.path.exists(crc):  # hand-edit invalidates the local-FS checksum
+        os.remove(crc)
+    with _pytest.raises(ValueError, match="built with"):
+        append_to_band_index(old.limit(3), path)

@@ -709,9 +709,10 @@ def pq_codebook(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """PQ codebook as ONE row: `_cb[j]` is block j's K entries, each a
-    (e, sub) struct with e the entry id (0..K-1) and sub the PQ_SUB-dim
-    subvector. Entries are the K lowest-id vectors' subvectors (the
+    """PQ codebook as ONE row: `_cb[j]` is block j's K entries in
+    entry-id order, each a struct holding the PQ_SUB-dim subvector
+    `sub` — the entry id is the POSITION (0-based), not a stored
+    field. Entries are the K lowest-id vectors' subvectors (the
     ivf_centroids determinism pattern — replayable in any engine; a
     real deployment plugs k-means-trained codebooks into the same
     shape)."""
@@ -756,7 +757,17 @@ def pq_encode(
     encode pass is a single corpus scan, embarrassingly parallel.
     `keep` names extra input columns carried through unchanged (the
     IVF-PQ build passes its cell assignment so codes + cells land in
-    ONE scan, no vec_id re-join)."""
+    ONE scan, no vec_id re-join); names colliding with the encoder's
+    own columns are refused loudly — a duplicate pq_code/scratch
+    column would make downstream resolution ambiguous or silently
+    corrupt the packed sum (r8 review)."""
+    reserved = {id_col, "pq_code", *(f"_c{j}" for j in range(PQ_M))}
+    clash = sorted(set(keep) & reserved)
+    if clash:
+        raise ValueError(
+            f"pq_encode keep={clash} collides with the encoder's own "
+            "output/scratch columns — rename the carried columns"
+        )
     v = as_double(vec_col)
 
     def _code(j: int) -> Column:

@@ -249,18 +249,21 @@ def write_filtered_ivf_index(
 
     spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
-    if eligible.isEmpty():
-        # committing an empty build would write a cells/ dir holding
-        # only _SUCCESS — schema-less, poisoning every probe until a
-        # rebuild (r8 review; the write_band_index guard's twin)
-        raise ValueError(
-            f"filtered-IVF build over {path}: eligible set is empty "
-            f"(min_chars={min_chars}, lang={lang!r}) — nothing to index"
-        )
     ver = _ivf_current_version(spark, path) + 1
     base = version_dir(path, ver)
     cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
     try:
+        if not cents.first()["_cents"]:
+            # committing an empty build would write a cells/ dir
+            # holding only _SUCCESS — schema-less, poisoning every
+            # probe until a rebuild (r8 review; write_band_index's
+            # twin). Checked on the already-materialized checkpointed
+            # centroid row — a separate eligible.isEmpty() would cost
+            # one more full evaluation of the eligibility semi-join.
+            raise ValueError(
+                f"filtered-IVF build over {path}: eligible set is empty "
+                f"(min_chars={min_chars}, lang={lang!r}) — nothing to index"
+            )
         write_ivf_index(
             eligible, posixpath.join(base, "cells"), n_cells,
             centroids_row=cents,

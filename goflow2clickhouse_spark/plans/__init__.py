@@ -22,19 +22,19 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # driver-green and nothing is staler than r5 (newest-green histogram:
 # 50 r5 / 50 r6 / 50 r7, computed from the CORRECTNESS_r1-r7 union).
 # Round 8's window, per the r7 verdict item 2:
-# (a) the four queries NEW this round — the persisted-PQ probe
+# (a) the five queries NEW this round — the persisted-PQ probe
 #     (pq_index_probe, r7 verdict item 3), the driver-gated persisted
 #     SemDeDup (semdedup_persisted, item 5), the composed IVF-PQ
-#     serving path (ivfpq_probe), and the incremental PQ append
-#     (pq_append_probe). New queries MUST take window slots (the r6
-#     lesson: a query registered outside the window has no driver row
-#     until the next round);
-# (b) 46 of the 50 r5-green names — each (a) entry displaces one fill
+#     serving path (ivfpq_probe), and the incremental appends for both
+#     PQ layouts (pq_append_probe, ivfpq_append_probe). New queries
+#     MUST take window slots (the r6 lesson: a query registered
+#     outside the window has no driver row until the next round);
+# (b) 45 of the 50 r5-green names — each (a) entry displaces one fill
 #     (displaced: top_terms_tfidf, weighted_sample_orders,
-#     doc_length_deciles, doc_packing_stats — they keep their r5-green
-#     rows and rejoin the rotation FIRST in r9).
-# 4 + 46 = 50 exactly; after r8 the stale pool for r9 is the 50
-# r6-green names plus the four displaced r5 names (they go FIRST).
+#     doc_length_deciles, doc_packing_stats, text_word_entropy — they
+#     keep their r5-green rows and rejoin the rotation FIRST in r9).
+# 5 + 45 = 50 exactly; after r8 the stale pool for r9 is the 50
+# r6-green names plus the five displaced r5 names (they go FIRST).
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r8
 # hardening pass touched code consumed by windowed/green queries:
@@ -58,7 +58,8 @@ promote([
     "pq_index_probe",
     "ivfpq_probe",
     "pq_append_probe",
-    # (b) 46 of the 50 r5-stale names — pool drained minus the four
+    "ivfpq_append_probe",
+    # (b) 45 of the 50 r5-stale names — pool drained minus the five
     #     displaced fills
     "bigram_pmi_top",
     "corpus_curation_funnel",
@@ -105,7 +106,6 @@ promote([
     "text_quality_stats",
     "text_repetition_stats",
     "text_token_counts",
-    "text_word_entropy",
 ])
 
 __all__ = [

@@ -2868,13 +2868,20 @@ def pq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(limit: int = 10, nprobe: int = 2) -> str:
+def _ivfpq_oracle(
+    limit: int = 10, nprobe: int = 2, seed_where: str = ""
+) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
     eligible vectors, qcells ranking, and the cell filter on the final
-    scan. Everything the persisted layout stores is re-derived."""
+    scan. Everything the persisted layout stores is re-derived.
+    `seed_where` narrows BOTH quantizers' seed sets (centroids and
+    codebook) to the original build's subset while assignment and
+    encode run over everything — exactly what an appended index
+    serves (the append-probe geometry)."""
     post = f""",
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e {seed_where}
+              ORDER BY vec_id LIMIT 8),
     cscored AS (
         SELECT e.vec_id, c.cid,
                {_COS.format(a='e.v', b='c.cvec')} AS score
@@ -2909,6 +2916,10 @@ def _ivfpq_oracle(limit: int = 10, nprobe: int = 2) -> str:
             "SELECT CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id = 0"
         ),
+        cb_src=(
+            "e" if not seed_where
+            else f"(SELECT * FROM e {seed_where})"
+        ),
     )
 
 
@@ -2940,6 +2951,44 @@ def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
                 "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
+
+
+@query(
+    "ivfpq_append_probe",
+    oracle=_ivfpq_oracle(seed_where="WHERE vec_id % 2 = 0"),
+)
+def ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance through the driver gate
+    (plans/storage.append_to_ivfpq_index): the index is BUILT over the
+    even-id half of the eligible corpus — so BOTH quantizer seed sets
+    (centroids AND codebook) come from even ids only — then the odd
+    half arrives as a later batch and is APPENDED: gated with the
+    RECORDED eligibility, assigned against the stored centroids,
+    encoded against the stored codebook, committed as one atomic
+    cells delta. The probe unions base + delta, every leg partition-
+    pruned. The oracle replays exactly that geometry (both seed sets
+    from the even half, assignment + encode over everything) — a
+    re-derived quantizer, missed gate, or visible torn delta
+    hash-mismatches."""
+    from .storage import (
+        append_to_ivfpq_index,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    def build(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivfpq_index(
+            docs, emb.filter(F.col("vec_id") % 2 == 0), p, n_cells=8
+        )
+        append_to_ivfpq_index(docs, emb.filter(F.col("vec_id") % 2 == 1), p)
+
+    path = _persisted_index("ivfpq_app", sf_dir, build)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return ivfpq_probe(
+        spark, path, q, k=10, nprobe=2, expect={"n_cells": 8}
     )
 
 

@@ -1061,6 +1061,63 @@ def write_ivfpq_index(
     )
 
 
+def append_to_ivfpq_index(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+) -> None:
+    """Fold a new embedding batch into the IVF-PQ index: gate it with
+    the RECORDED eligibility parameters, assign against the STORED
+    centroids, encode against the STORED codebook — never re-derived
+    ones — and commit codes+cells as one atomic `appends` delta
+    (`v{N}/appends/a{j}/cells/cell=*/`), base untouched. Readers union
+    base + committed deltas with every leg partition-pruned
+    (`_read_index_cells` via `_delta_dirs`). Torn deltas invisible;
+    empty eligible batch = no-op (an empty partitioned write poisons
+    read-back — the r7-advice class); rebuild = compaction = the
+    moment to refresh both quantizers after drift. One batch scan +
+    a metadata commit per day at 100 TB."""
+    import posixpath
+
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        ivf_assign,
+        pq_encode,
+    )
+    from ..versioned import check_meta, commit_version, current_meta, version_dir
+
+    spark = documents.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    # both geometries are unconditional: encode runs with the CURRENT
+    # module constants (the PQ-append gate) and assignment/eligibility
+    # use the RECORDED build parameters
+    check_meta(meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path)
+    eligible = eligible_embeddings(
+        documents, embeddings,
+        int(meta["min_chars"]), str(meta["lang"]),
+    )
+    if eligible.isEmpty():
+        return
+    base = version_dir(path, ver)
+    cents = spark.read.parquet(posixpath.join(base, "centroids"))
+    cb = spark.read.parquet(posixpath.join(base, "codebook"))
+    j = int(meta.get("appends", 0)) + 1
+    (
+        pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+    )
+    extra = {k: v for k, v in meta.items() if k != "version"}
+    extra["appends"] = j
+    commit_version(spark, path, ver, extra=extra)
+
+
 def ivfpq_probe(
     spark: SparkSession,
     path: str,
@@ -1120,7 +1177,8 @@ def ivfpq_probe(
         cb = spark.read.parquet(posixpath.join(base, "codebook"))
         qcells = rank_probe_cells(query, cents, nprobe)
         probed = [int(r["probe_cell"]) for r in qcells.collect()]
-        codes = spark.read.parquet(posixpath.join(base, "cells")).filter(
+        # base + committed append deltas, every leg partition-pruned
+        codes = _read_index_cells(spark, base, meta).filter(
             F.col("cell").isin(probed)
         )
         lut_row = pq_lut_row(query, cb)

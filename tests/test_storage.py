@@ -1144,3 +1144,67 @@ def test_r8_review_guards(spark, tmp_path):
         os.remove(crc)
     with _pytest.raises(ValueError, match="built with"):
         append_to_band_index(old.limit(3), path)
+
+
+def test_ivfpq_append_serves_union_with_stored_quantizers(spark, tmp_path):
+    """Appended IVF-PQ batches are gated/assigned/encoded with the
+    STORED artifacts, readers union base + committed deltas (both
+    partition-pruned), torn deltas invisible, empty eligible batch a
+    no-op, rebuild resets the counter."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfpq_index,
+        eligible_embeddings,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta, version_dir
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_app")
+    write_ivfpq_index(docs, even, path, n_cells=8)
+    append_to_ivfpq_index(docs, odd, path)
+    meta = current_meta(spark, path)
+    assert meta["appends"] == 1 and meta["version"] == 1
+
+    q1 = emb.filter(F.col("vec_id") == 0)
+    want_ids = {
+        r["vec_id"]
+        for r in eligible_embeddings(docs, emb).select("vec_id").collect()
+    }
+    rows = ivfpq_probe(spark, path, q1, k=len(want_ids), nprobe=8).collect()
+    assert {r["vec_id"] for r in rows} == want_ids  # base + delta served
+    # base cells untouched: they hold exactly the eligible evens
+    base = version_dir(path, 1)
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(base, "cells"))
+        .select("vec_id").collect()
+    }
+    assert base_ids == {v for v in want_ids if v % 2 == 0}
+
+    # ineligible-only batch: complete no-op
+    before = current_meta(spark, path)
+    ghost = odd.limit(3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivfpq_index(docs, ghost, path)
+    assert current_meta(spark, path) == before
+
+    # torn delta (a2 on disk, uncommitted) invisible
+    odd.limit(2).select("vec_id").withColumn(
+        "pq_code", F.lit(0).cast("long")
+    ).withColumn("cell", F.lit(0).cast("long")).write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(base, "appends", "a2", "cells"))
+    again = ivfpq_probe(spark, path, q1, k=len(want_ids), nprobe=8).collect()
+    assert {r["vec_id"] for r in again} == want_ids
+
+    # rebuild bumps version, resets appends
+    write_ivfpq_index(docs, emb, path, n_cells=8)
+    meta2 = current_meta(spark, path)
+    assert meta2["version"] == 2 and meta2.get("appends", 0) == 0

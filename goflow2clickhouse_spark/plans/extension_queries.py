@@ -2256,8 +2256,18 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
-_SEMDEDUP_ORACLE = f"""
-    WITH e AS ({EVEC_SQL}),
+def _semdedup_oracle(
+    tau: float,
+    pre_ctes: str = "",
+    e_sql: str = EVEC_SQL,
+) -> str:
+    """SemDeDup replay generator — ONE statement of the prune-replay
+    arithmetic (assignment, ccos, dominance rule, per-cell checksum)
+    shared by the in-memory and persisted-layout differentials (r8
+    review: the two were restated string literals, the drift class
+    the parameterized _pq_oracle exists to prevent)."""
+    return f"""
+    WITH {pre_ctes}e AS ({e_sql}),
     cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
     scored AS (
         SELECT e.vec_id, e.v, c.cid,
@@ -2274,7 +2284,7 @@ _SEMDEDUP_ORACLE = f"""
                b.vec_id AS id_b, b.ccos AS ccos_b
         FROM assign a JOIN assign b
           ON a.cid = b.cid AND a.vec_id <> b.vec_id
-        WHERE {_COS.format(a='a.v', b='b.v')} > 0.9),
+        WHERE {_COS.format(a='a.v', b='b.v')} > {tau}),
     pruned AS (
         SELECT DISTINCT id_a AS vec_id FROM close
         WHERE ccos_b < ccos_a OR (ccos_b = ccos_a AND id_b < id_a))
@@ -2288,6 +2298,28 @@ _SEMDEDUP_ORACLE = f"""
     FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
     GROUP BY a.cid ORDER BY cell
     """
+
+
+def _semdedup_cell_agg(flags: DataFrame) -> DataFrame:
+    """The per-cell output contract (member count, pruned count,
+    pruned-id checksum) — one definition for both SemDeDup queries so
+    a single wrong prune decision hash-mismatches identically in
+    either form."""
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_pruned"), F.col("vec_id") % 99991)),
+                F.lit(0),
+            ).alias("pruned_checksum"),
+        )
+        .orderBy("cell")
+    )
+
+
+_SEMDEDUP_ORACLE = _semdedup_oracle(tau=0.9)
 
 
 @query("semdedup_prune", oracle=_SEMDEDUP_ORACLE, bench=True)
@@ -2306,54 +2338,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_cells grows ~sqrt(N) at 100 TB). Norms hoisted per side."""
     e = evec_corpus(spark, sf_dir)
     flags = S.semdedup_prune(e, tau=0.9, n_cells=8)
-    out = (
-        flags.groupBy("cell")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_pruned"), F.col("vec_id") % 99991)),
-                F.lit(0),
-            ).alias("pruned_checksum"),
-        )
-        .orderBy("cell")
-    )
     # the operator's assignment cache is finalizer-tied to `flags`
-    return D.pin(out, flags)
+    return D.pin(_semdedup_cell_agg(flags), flags)
 
 
-_SEMDEDUP_PERSISTED_ORACLE = f"""
-    WITH {_FILTERED_E_SQL},
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
-    scored AS (
-        SELECT e.vec_id, e.v, c.cid,
-               {_COS.format(a='e.v', b='c.cvec')} AS score
-        FROM e CROSS JOIN cents c),
-    assign AS (
-        SELECT vec_id, v, cid, score AS ccos FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY score DESC, cid) AS rn
-            FROM scored) t
-        WHERE rn = 1),
-    close AS (
-        SELECT a.vec_id AS id_a, a.ccos AS ccos_a,
-               b.vec_id AS id_b, b.ccos AS ccos_b
-        FROM assign a JOIN assign b
-          ON a.cid = b.cid AND a.vec_id <> b.vec_id
-        WHERE {_COS.format(a='a.v', b='b.v')} > 0.2),
-    pruned AS (
-        SELECT DISTINCT id_a AS vec_id FROM close
-        WHERE ccos_b < ccos_a OR (ccos_b = ccos_a AND id_b < id_a))
-    SELECT a.cid AS cell,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_pruned,
-           CAST(COALESCE(SUM(CASE WHEN p.vec_id IS NOT NULL
-                                  THEN a.vec_id % 99991 END), 0)
-                AS BIGINT) AS pruned_checksum
-    FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
-    GROUP BY a.cid ORDER BY cell
-    """
+_SEMDEDUP_PERSISTED_ORACLE = _semdedup_oracle(
+    tau=0.2,
+    pre_ctes="""ok AS (
+        SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'
+    ),
+    """,
+    e_sql="""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ok)""",
+)
 
 
 @query("semdedup_persisted", oracle=_SEMDEDUP_PERSISTED_ORACLE)
@@ -2388,19 +2387,7 @@ def semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, tau=0.2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
     )
-    out = (
-        flags.groupBy("cell")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_pruned"), F.col("vec_id") % 99991)),
-                F.lit(0),
-            ).alias("pruned_checksum"),
-        )
-        .orderBy("cell")
-    )
-    return D.pin(out, flags)
+    return D.pin(_semdedup_cell_agg(flags), flags)
 
 
 # ---------------------------------------------------------------------------
@@ -2957,6 +2944,7 @@ def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivfpq_append_probe",
     oracle=_ivfpq_oracle(seed_where="WHERE vec_id % 2 = 0"),
+    bench=True,
 )
 def ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ maintenance through the driver gate
@@ -2987,8 +2975,12 @@ def ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _persisted_index("ivfpq_app", sf_dir, build)
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    # min_chars/lang pinned too: the oracle hardcodes the gate, so a
+    # changed build default must raise here, not surface as a driver
+    # hash mismatch (r8 review)
     return ivfpq_probe(
-        spark, path, q, k=10, nprobe=2, expect={"n_cells": 8}
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
     )
 
 

@@ -145,7 +145,14 @@ def _plan_fingerprint(df) -> str:
     4.21 s pre, semdedup_prune 2.51-2.78 s vs 3.09 s pre — i.e. the
     r6 numbers hold and the refactors carry no cost; the r7 driver's
     4.56/2.84 s were context load, mislabeled actionable because the
-    un-normalized fingerprint APPEARED to change."""
+    un-normalized fingerprint APPEARED to change. Corroborating
+    timeline: incremental_dedup_newbatch's in-bench number jumped in
+    the exact round (r7) that added `incremental_dedup_indexed` — its
+    new alphabetical PREDECESSOR, whose warm-up builds the persisted
+    band index — and the r8 full-bench run reproduces the split
+    (in-bench 4.51 s, standalone 3.47-3.52 s, control steady at
+    2.78-2.80 s in both contexts): a bench-neighbor effect on the
+    measurement, not a plan or code regression."""
     import hashlib
 
     p = df._jdf.queryExecution().optimizedPlan().toString()

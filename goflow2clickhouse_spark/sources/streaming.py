@@ -30,6 +30,7 @@ Every source yields a streaming DataFrame in RAW_FLOW_SCHEMA, so
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 from urllib.parse import parse_qs, urlparse
 
@@ -47,8 +48,12 @@ _UDP_SCHEMES = {"sflow", "netflow", "nfl"}
 _JSON_ADDR_FIELDS = frozenset({"SamplerAddress", "SrcAddr", "DstAddr"})
 
 # monotone suffix for observation names — two CollectMetrics nodes with
-# one name in a single plan (multi-source fan-in) is an AnalysisException
-_OBS_SEQ = 0
+# one name in a single plan (multi-source fan-in) is an AnalysisException.
+# itertools.count: next() is atomic in CPython, so two driver threads
+# building JSON sources concurrently can never mint the same name (r8
+# review — a bare `global += 1` raced to exactly the duplicate-name
+# failure the suffix exists to prevent)
+_OBS_SEQ = itertools.count(1)
 
 # EVERY field parses as a string, numerics included: protobuf-JSON
 # marshallers conventionally QUOTE 64-bit integers, and from_json with
@@ -57,12 +62,18 @@ _OBS_SEQ = 0
 # transport and ingested on another (r6 review). String-schema parse +
 # per-field try_cast accepts both spellings; a present-but-non-numeric
 # value (int("abc") raises → UDP drops) fails its try_cast and drops.
+# corrupt-record capture column: non-null ⇔ the UDP JSON decoder would
+# have returned None (invalid JSON, malformed structure) — field-level
+# type mismatches are the try_cast guard below. The name is engine-
+# private: from_json fills a schema field by NAME, so a record that
+# legitimately carried a member called "_corrupt" was marked corrupt on
+# the jsonl/kafka transport while the UDP decoder (which ignores
+# unknown members) kept it — a transport-parity split (r8 review).
+_CORRUPT_COL = "_corrupt_g2cs_capture"
+
 _JSON_FLOW_SCHEMA = StructType(
     [StructField(f.name, StringType(), True) for f in RAW_FLOW_SCHEMA.fields]
-    # corrupt-record capture: non-null here ⇔ the UDP JSON decoder
-    # would have returned None (invalid JSON, malformed structure) —
-    # field-level type mismatches are the try_cast guard below
-    + [StructField("_corrupt", StringType(), True)]
+    + [StructField(_CORRUPT_COL, StringType(), True)]
 )
 
 
@@ -103,13 +114,13 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     base = df.select(
         F.from_json(
             raw, _JSON_FLOW_SCHEMA,
-            {"columnNameOfCorruptRecord": "_corrupt"},
+            {"columnNameOfCorruptRecord": _CORRUPT_COL},
         ).alias("m"),
         F.trim(raw).alias("_raw"),
     )
     keep = (
         F.col("m").isNotNull()
-        & F.col("m._corrupt").isNull()
+        & F.col(f"m.{_CORRUPT_COL}").isNull()
         & F.col("_raw").startswith("{")
     )
     # field-level numeric guard ≡ parse_datagram's int(v)-raises drop:
@@ -119,17 +130,15 @@ def from_goflow2_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         if f.name not in _JSON_ADDR_FIELDS:
             v = F.col(f"m.{f.name}")
             keep = keep & (v.isNull() | v.try_cast(f.dataType).isNotNull())
-    global _OBS_SEQ
-    _OBS_SEQ += 1
     observed = base.observe(
-        f"goflow2_json_decode_{_OBS_SEQ}",
+        f"goflow2_json_decode_{next(_OBS_SEQ)}",
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(F.when(keep, 0).otherwise(1)).alias("rows_dropped"),
     )
     parsed = (
         observed.filter(keep)
         .select("m.*")
-        .drop("_corrupt")
+        .drop(_CORRUPT_COL)
     )
     cols = [
         ip_string_to_bytes(F.col(f.name)).alias(f.name)
@@ -247,6 +256,16 @@ def open_stream(
         # as the fallback framing; sources/udp.py. sflow:// and
         # netflow://|nfl:// are the reference's listener spellings
         # with their default ports.
+        if spec.target.startswith("[") or spec.target.count(":") > 1:
+            # `[::1]:2055` split at the FIRST colon yielded port
+            # ":1]:2055" and an unintelligible int() failure deep in
+            # the data-source worker (r8 review); the listener socket
+            # is AF_INET-only, so refuse loudly and early instead
+            raise ValueError(
+                f"IPv6 listener address {spec.target!r} is not "
+                "supported — the UDP listener binds AF_INET; use an "
+                "IPv4 host or 0.0.0.0"
+            )
         from .udp import UdpFlowDataSource
 
         spark.dataSource.register(UdpFlowDataSource)

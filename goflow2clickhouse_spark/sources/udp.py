@@ -180,8 +180,13 @@ def decode_netflow_v5(payload: bytes, sampler: bytes) -> list[tuple] | None:
             _V5_RECORD.unpack_from(payload, _V5_HEADER.size + i * _V5_RECORD.size)
         # first/last are on the router's sys_uptime clock (ms); anchor
         # them to wall time via the header pair (uptime, unix_secs).
-        t_start = unix_secs - (sys_uptime - first) // 1000
-        t_end = unix_secs - (sys_uptime - last) // 1000
+        # The uptime counter is 32-bit and wraps every ~49.7 days: a
+        # record whose first/last predate the wrap while the header
+        # postdates it makes the raw delta negative, which anchored the
+        # flow ~49.7 days in the FUTURE (r8 review) — the delta is an
+        # unsigned mod-2^32 difference.
+        t_start = unix_secs - ((sys_uptime - first) % 2**32) // 1000
+        t_end = unix_secs - ((sys_uptime - last) % 2**32) // 1000
         icmp_type, icmp_code = (dstport >> 8, dstport & 0xFF) if proto == 1 else (0, 0)
         rows.append((
             _TYPE_NETFLOW_V5,      # Type
@@ -210,12 +215,12 @@ def decode_netflow_v5(payload: bytes, sampler: bytes) -> list[tuple] | None:
     return rows
 
 
-def _parse_sampled_header(hdr: bytes, frame_len: int) -> dict | None:
+def _parse_sampled_header(hdr: bytes) -> dict:
     """Walk an ethernet frame header sampled by sFlow: ethernet
     [+802.1Q VLAN] → IPv4/IPv6 → TCP/UDP ports+flags or ICMP type/code.
-    Returns the RAW_FLOW_SCHEMA-relevant fields, or None if the frame
-    isn't parseable IP (the reference inserts zeros in that case too —
-    goflow keeps the sample with L2 info only)."""
+    Always returns the RAW_FLOW_SCHEMA-relevant field dict; a frame
+    that isn't parseable IP keeps the zero defaults (the reference
+    behaves the same — goflow keeps the sample with L2 info only)."""
     out = {
         "Etype": 0, "Proto": 0, "SrcAddr": b"\x00" * 4, "DstAddr": b"\x00" * 4,
         "SrcPort": 0, "DstPort": 0, "TCPFlags": 0, "IcmpType": 0,
@@ -330,7 +335,7 @@ def decode_sflow_v5(
                         struct.unpack_from(">IIII", payload, p)
                     hdr = payload[p + 16:min(p + 16 + hdr_size, rec_end)]
                     if hdr_proto == 1:  # ethernet
-                        fields = _parse_sampled_header(hdr, frame_len)
+                        fields = _parse_sampled_header(hdr)
                         # SamplerAddress = the datagram's AGENT address
                         # (goflow semantics: sFlow carries the agent IP
                         # in its header; the UDP peer may be a relay or
@@ -508,11 +513,13 @@ class NetflowV9Decoder:
                     f[ftype] = raw if ftype in _V9_ADDR_FIELDS else \
                         int.from_bytes(raw, "big")
                 p += ln
-            # sysuptime-ms clocks anchored at the header pair, as in v5
+            # sysuptime-ms clocks anchored at the header pair, as in
+            # v5 — including the unsigned mod-2^32 wrap handling (the
+            # 32-bit uptime counter wraps every ~49.7 days, r8 review)
             first, last = f.get(22), f.get(21)
-            t_start = (unix_secs - (sys_uptime - first) // 1000
+            t_start = (unix_secs - ((sys_uptime - first) % 2**32) // 1000
                        if first is not None else unix_secs)
-            t_end = (unix_secs - (sys_uptime - last) // 1000
+            t_end = (unix_secs - ((sys_uptime - last) % 2**32) // 1000
                      if last is not None else unix_secs)
             rows.append(_fields_to_row(
                 f, _TYPE_NETFLOW_V9, unix_secs, seq, sampler, t_start, t_end,

@@ -176,10 +176,15 @@ def running_distinct_estimate(
     )
     n_seen = proj.groupBy("key").agg(F.count("*").alias("n_seen"))
     est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"))
+    # null-SAFE key join (r8 review): groupBy keeps a NULL-key group
+    # and the stateful processor emits it, but the plain inner join
+    # here rejected null=null — the batch twin silently lost the group
+    # and the module's stream/batch-agreement contract broke on it
     return (
-        agg.join(n_seen, "key")
+        agg.join(n_seen, agg["key"].eqNullSafe(n_seen["key"]))
         .select(
-            "key", "n_seen",
+            agg["key"].alias("key"),
+            "n_seen",
             F.col("n_used").cast("int").alias("n_used"),
             est.alias("est"),
         )
@@ -338,8 +343,12 @@ class HllRegisterStore:
             F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
         )
         est = hll_estimate_expr(F.col("n_used"), F.col("inv_sum"))
-        return agg.join(seen, "key").select(
-            "key", "n_seen",
+        # null-safe: fold() stores a NULL-key group (groupBy keeps it);
+        # a plain inner join here could never surface it again — state
+        # paid for, result silently missing (r8 review)
+        return agg.join(seen, agg["key"].eqNullSafe(seen["key"])).select(
+            agg["key"].alias("key"),
+            "n_seen",
             F.col("n_used").cast("int").alias("n_used"),
             est.alias("est"),
         )

@@ -44,10 +44,8 @@ from pyspark.sql.types import (
 )
 
 from ..operators.dedup import (
-    NUM_PERM,
-    _perm,
+    array_minhash_sigs,
     band_key_rows,
-    hash31,
     shingle_arrays,
 )
 
@@ -82,19 +80,12 @@ def band_keys(docs: DataFrame, text_col: str = "text",
     sh = shingle_arrays(
         docs.filter(F.col(id_col).isNotNull()), text_col, id_col
     )
-    hs = sh.select(
-        F.col(id_col), F.transform("shs", lambda s: hash31(s)).alias("_hs")
-    )
-    sigs = hs.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform("_hs", lambda h: _perm(h, i))).alias(f"mh{i}")
-            for i in range(NUM_PERM)
-        ],
-    )
-    # banding itself is the SHARED batch projection (band_key_rows) —
-    # one source of truth, so stream/batch band keys cannot drift
-    return band_key_rows(sigs, id_col)
+    # signatures AND banding are the SHARED batch projections
+    # (array_minhash_sigs + band_key_rows) — one source of truth, so
+    # stream/batch bucketing cannot drift (r8 review: the signature
+    # loop was a token-for-token restatement of array_minhash_sigs,
+    # the exact drift class the r6 band_key_rows unification removed)
+    return band_key_rows(array_minhash_sigs(sh, id_col), id_col)
 
 
 def _pair_emitter(

@@ -330,3 +330,33 @@ def test_checkpoint_run_id_tracks_lineage_not_path(spark, tmp_path):
     # unreadable metadata (stream not started yet): path fallback
     shutil.rmtree(ck)
     assert _checkpoint_run_id(spark, str(ck)) == str(ck)
+
+
+def test_null_key_group_survives_batch_twin_and_store(spark, tmp_path):
+    """GROUP BY keeps a NULL-key group and the stateful processor
+    emits it, but the batch twin's plain inner join rejected null=null
+    — the group silently vanished from the batch side (r8 review).
+    Both the batch twin and the register store must now surface it."""
+    from goflow2clickhouse_spark.streaming.hll import HllRegisterStore
+
+    df = spark.createDataFrame(
+        [("t0", 1), ("t0", 2), (None, 3), (None, 4), (None, 3)],
+        "etype string, uid long",
+    )
+    batch = {
+        r.key: (r.n_seen, r.n_used)
+        for r in running_distinct_estimate(
+            df, "etype", "uid", streaming=False
+        ).collect()
+    }
+    assert set(batch) == {"t0", None}
+    assert batch[None][0] == 3  # rows seen under the null key
+    assert batch["t0"][0] == 2
+
+    store = HllRegisterStore(str(tmp_path / "hll_null"))
+    assert store.fold(df, "etype", "uid", 0, run_id="ck-N") is True
+    est = {
+        r.key: (r.n_seen, r.n_used)
+        for r in store.estimates(spark).collect()
+    }
+    assert est == batch  # store round-trips the null group identically

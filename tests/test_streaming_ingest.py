@@ -281,6 +281,12 @@ def test_jsonl_source_goflow2_transport(spark, tmp_path):
         # the UDP path, so the stream must too (r6 review — the
         # long-typed from_json schema used to mark the row corrupt)
         '{"Type": 1, "Bytes": "123", "SrcPort": 443}',
+        # a record legitimately carrying a "_corrupt" member: the UDP
+        # decoder ignores unknown fields, and the stream's corrupt-
+        # capture column is engine-private so from_json no longer
+        # fills it from the record's own member (r8 review — the
+        # jsonl/kafka path used to drop this row, a transport split)
+        '{"_corrupt": "x", "Type": 1, "Bytes": 5}',
     ]
     payloads = [json.dumps(m) for m in msgs] + bad + kept_edge
     for b in bad:

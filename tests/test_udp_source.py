@@ -914,3 +914,44 @@ def test_parse_datagram_rejects_out_of_int64_numerics():
     assert parse_datagram(_msg(Bytes=str(1 << 70))) is None
     assert parse_datagram(_msg(Bytes=-(1 << 70))) is None
     assert parse_datagram(_msg(Bytes=(1 << 63) - 1)) is not None
+
+
+def test_decode_netflow_v5_uptime_wraparound():
+    """The 32-bit sys_uptime counter wraps every ~49.7 days: a record
+    whose first/last timestamps predate the wrap while the header
+    postdates it must still anchor the flow in the PAST — the unsigned
+    raw subtraction placed it ~49.7 days in the future (r8 review)."""
+    from goflow2clickhouse_spark.sources.udp import decode_datagram
+
+    # header uptime just past the wrap; flow started 100s before it
+    # (i.e. pre-wrap, at 2^32 - 80000 ms)
+    wrap = 2**32
+    rows = decode_datagram(
+        _v5_datagram(
+            [{"first": wrap - 80_000, "last": wrap - 75_000}],
+            sys_uptime=20_000, unix_secs=1_700_000_000,
+        ),
+        bytes([192, 0, 2, 9]),
+    )
+    names = [f.name for f in RAW_FLOW_SCHEMA.fields]
+    r = dict(zip(names, rows[0]))
+    assert r["TimeFlowStart"] == 1_700_000_000 - 100
+    assert r["TimeFlowEnd"] == 1_700_000_000 - 95
+    # and both stay in the past, never ~49.7 days in the future
+    assert r["TimeFlowStart"] <= r["TimeReceived"]
+
+
+def test_udp_listener_rejects_ipv6_spec():
+    """`[::1]:2055` used to split at the FIRST colon and die with an
+    opaque int() failure in the data-source worker; the AF_INET-only
+    listener must refuse IPv6 loudly and early (r8 review)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.sources.streaming import (
+        SourceSpec,
+        open_stream,
+    )
+
+    for target in ("[::1]:2055", "::1:2055"):
+        with _pytest.raises(ValueError, match="IPv6"):
+            open_stream(None, SourceSpec("udp", target))

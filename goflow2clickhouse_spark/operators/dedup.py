@@ -81,15 +81,24 @@ def exact_dedup(
     in-repo caller) the kept row is exactly the min-id one,
     deterministic on any partitioning; among exactly-tied ids the pick
     is arbitrary but still exactly one."""
-    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _canon(c: str) -> Column:
+        # cast-to-string is NOT injective for nested types: Spark joins
+        # array elements with ', ' and no quoting, so ['a, b'] and
+        # ['a','b'] rendered identically and one of two DISTINCT rows
+        # was silently deleted (r8 review — the r6 separator fix's
+        # nested-type sibling). to_json quotes and escapes, so it is
+        # delimiter-safe for arrays/structs/maps.
+        if isinstance(df.schema[c].dataType, (ArrayType, MapType, StructType)):
+            return F.to_json(F.col(c))
+        return F.col(c).cast("string")
 
     if prehash:
         key = F.sha2(
             F.concat(
                 *[
-                    F.coalesce(
-                        F.sha2(F.col(c).cast("string"), 256), F.lit("N")
-                    )
+                    F.coalesce(F.sha2(_canon(c), 256), F.lit("N"))
                     for c in key_cols
                 ]
             ),
@@ -875,20 +884,32 @@ def cluster_pairs(
         labels = cached.select(F.col("src").alias("id")).distinct().withColumn(
             "lbl", F.col("id")
         )
-        prev_sum = None
         rounds = 0
         prev_round_ids: list[int] = []
         while True:
             neigh = (
                 cached.join(
-                    labels.withColumnsRenamed({"id": "dst", "lbl": "nlbl"}),
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("lbl").alias("nlbl")
+                    ),
                     "dst",
                 )
                 .groupBy("src")
                 .agg(F.min("nlbl").alias("mn"))
             )
+            # `_chg` is computed against the INPUT row's lbl, so one
+            # count over the checkpointed relation is an EXACT
+            # type-agnostic convergence probe: zero changes ⇔ fixpoint.
+            # The earlier sum(lbl cast decimal(38,0)) probe silently
+            # broke for string ids — the non-ANSI cast nulled out, the
+            # sum collected as None, None == None tripped the break at
+            # exactly `iterations` rounds, reintroducing the fixed-k
+            # divergence this loop exists to prevent (r8 review; under
+            # ANSI the cast threw instead).
             labels = labels.join(neigh, labels.id == neigh.src).select(
-                "id", F.least(F.col("lbl"), F.col("mn")).alias("lbl")
+                "id",
+                F.least(F.col("lbl"), F.col("mn")).alias("lbl"),
+                (F.col("mn") < F.col("lbl")).cast("long").alias("_chg"),
             ).localCheckpoint(eager=True)
             rounds += 1
             # This round's checkpoint is materialized (eager) and its
@@ -899,16 +920,10 @@ def cluster_pairs(
             # real leak on high-diameter graphs).
             _release_rdds(sc, prev_round_ids)
             prev_round_ids = _ckpt_rdd_ids(labels)
-            # decimal sum: with realistic 64-bit id magnitudes (~7e17
-            # snowflake ids) a long sum over the >1M labels this path
-            # implies overflows and throws under ANSI (r6 review);
-            # decimal(38,0) holds any practical corpus exactly
-            cur_sum = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)"))
-            ).collect()[0][0]
-            if rounds >= iterations and cur_sum == prev_sum:
+            changed = labels.agg(F.sum("_chg")).collect()[0][0]
+            labels = labels.drop("_chg")
+            if rounds >= iterations and not changed:
                 break
-            prev_sum = cur_sum
         # the finalizer owns base's blocks plus the LAST round's labels
         ckpt_ids = ckpt_ids + prev_round_ids
         result = labels.select("id", F.col("lbl").alias("cluster_id"))
@@ -1069,8 +1084,13 @@ def cluster_pairs_bigstar(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = cur.select(F.col("src").alias("id")).unionByName(
-        cur.select(F.col("dst").alias("id"))
+    # nodes come from the UNFILTERED pairs: a node whose only pair is
+    # the self-pair (x, x) — routine when an id reappears verbatim —
+    # has no surviving edge in `cur`, but cluster_pairs still emits
+    # (x, x) for it, and "identical relation" means this path must too
+    # (r8 review: deriving nodes from `cur` silently dropped it)
+    nodes = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
     ).distinct().localCheckpoint(eager=True)
     owned = _ckpt_rdd_ids(cur) + _ckpt_rdd_ids(nodes)
     for _ in range(max_rounds):
@@ -1087,6 +1107,11 @@ def cluster_pairs_bigstar(
         owned = _ckpt_rdd_ids(nodes) + nxt_ids
         cur = nxt
     else:
+        # release every block this call owns before propagating — the
+        # raise path otherwise held the edge and node checkpoints in
+        # executor storage for the session lifetime (r8 review; every
+        # other exit routes release through the result finalizer)
+        _release_rdds(sc, owned)
         raise RuntimeError(
             f"cluster_pairs_bigstar did not converge in {max_rounds} rounds"
         )

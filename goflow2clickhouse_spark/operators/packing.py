@@ -72,6 +72,15 @@ def pack_greedy(
         pack_ids, offsets = [], []
         pack, used = 0, 0
         for n in pdf[token_col].tolist():
+            if n is None or pd.isna(n):
+                # the long cast keeps NULLs, Arrow delivers them as
+                # NaN, and int(NaN) died as an opaque whole-stage task
+                # failure (r8 review) — name the actual defect instead
+                raise ValueError(
+                    f"pack_greedy: NULL {token_col!r} in shard "
+                    f"{pdf[shard_col].iloc[0]!r} — token counts must be "
+                    "non-null; filter or impute upstream"
+                )
             n = int(n)
             if used > 0 and used + n > budget:
                 pack += 1

@@ -182,6 +182,17 @@ def bloom_might_contain(
         .groupBy(key_col, "_np")
         .agg(F.count("*").alias("_k_hits"))
     )
+    # clash guard (the sampling._no_clash convention, r8 review):
+    # withColumn would silently REPLACE a caller's existing
+    # `might_contain` (data loss, e.g. a prior probe's output fed back
+    # in), and a caller `_m` column makes the post-join coalesce
+    # ambiguous — refuse both loudly
+    for reserved in ("might_contain", "_m"):
+        if reserved in candidates.columns:
+            raise ValueError(
+                f"bloom_might_contain writes column {reserved!r} but the "
+                "candidates input already has one — rename it first"
+            )
     flags = (
         hits.withColumn("_m", F.col("_k_hits") == F.col("_np"))
         .select(key_col, "_m")
@@ -246,7 +257,12 @@ def hist_quantiles(
     width = (hi - lo) / buckets
     out = None
     for q in qs:
-        need = F.ceil(F.lit(q) * F.col("n"))
+        # round before ceil (the stratified_sample r6 guard): binary
+        # doubles overshoot exact products — 0.017*3000 is
+        # 51.00000000000001 in double, so a bare CEIL gave 52 where
+        # DuckDB's decimal CEIL gives 51, jumping the estimate one
+        # bucket past the documented rank (r8 review)
+        need = F.ceil(F.round(F.lit(q) * F.col("n"), 9))
         est = (
             cum.filter(F.col("cum") >= need)
             .agg(F.min("bucket").alias("b"))

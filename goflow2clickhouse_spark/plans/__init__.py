@@ -52,6 +52,17 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #   - dsir_importance_topk: bucket-count pipeline extracted to
 #     _dsir_doc_bucket_counts for the boundary-margin test —
 #     plan-identical (same expressions), r7-green, re-proven locally.
+#   - late-r8 operator review pass (dedup/sketch/sampling/packing/
+#     streaming): hist_quantiles round-before-ceil rank guard
+#     (price_quantile_sketch, r6-green), cluster_pairs type-agnostic
+#     change-count convergence probe (dedup_cluster_sizes IS windowed;
+#     embedding_cluster_sizes r5→windowed too), bigstar self-pair-node
+#     fix (dedup_cluster_sizes_bigstar, r7-green), exact_dedup nested-
+#     key canonicalization (no registry query uses nested keys), HLL
+#     null-safe key joins (events_windowed_hll windowed,
+#     hll_distinct_customers uses the sketch relation, unaffected).
+#     Every named consumer re-proven on the vanilla sf0.01 contract
+#     after the pass; sf0.1 targeted re-soak in the round notes.
 promote([
     # (a) new this round — persisted-index serving paths through the gate
     "semdedup_persisted",

@@ -310,3 +310,60 @@ def test_cluster_pairs_bigstar_releases_checkpoints(spark):
     assert _n_persistent(spark) == before, (
         "bigstar round checkpoints still cached after handle drop"
     )
+
+
+def test_cluster_pairs_shuffle_path_string_ids_converge(spark):
+    """The shuffle path's old convergence probe summed lbl cast to
+    decimal — NULL for string ids, so the loop silently stopped at
+    exactly `iterations` rounds and far-chain nodes kept wrong labels
+    (r8 review). The change-count probe must converge string-id chains
+    past the floor."""
+    from goflow2clickhouse_spark.operators.dedup import cluster_pairs
+
+    # chain d00-d01-...-d09: min label d00 is 9 hops from d09
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in cluster_pairs(
+            pairs, iterations=2, broadcast_max_edges=0
+        ).collect()
+    }
+    assert got == {f"d{i:02d}": "d00" for i in range(10)}
+
+
+def test_cluster_pairs_bigstar_keeps_self_pair_only_nodes(spark):
+    """A node whose ONLY pair is the self-pair must appear in the
+    output labeled with itself — cluster_pairs emits it, and the
+    operators' documented contract is an identical relation (r8
+    review: bigstar derived nodes after the self-edge filter and
+    dropped it)."""
+    from goflow2clickhouse_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_bigstar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a long, id_b long"
+    )
+    big = sorted(map(tuple, cluster_pairs_bigstar(pairs).collect()))
+    uf = sorted(map(tuple, cluster_pairs(pairs).collect()))
+    assert big == uf == [(1, 1), (2, 1), (7, 7)]
+
+
+def test_exact_dedup_array_keys_not_mergeable(spark):
+    """cast-to-string renders ['a, b'] and ['a','b'] identically
+    (', ' join, no quoting) — the prehash key must not merge distinct
+    nested-type rows (r8 review; the r6 separator fix's sibling)."""
+    from goflow2clickhouse_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, ["a, b"]), (2, ["a", "b"]), (3, ["a", "b"])],
+        "doc_id long, tags array<string>",
+    )
+    kept = sorted(
+        r.doc_id for r in exact_dedup(df, ["tags"], "doc_id").collect()
+    )
+    assert kept == [1, 2]  # 3 is a true dup of 2; 1 stays distinct

@@ -170,3 +170,17 @@ def test_chunk_rejects_bad_params(spark):
         chunk_offsets(d, window=4, stride=5)
     with pytest.raises(ValueError):
         chunk_offsets(d, window=0, stride=1)
+
+
+def test_pack_greedy_null_token_count_raises_clearly(spark):
+    """A NULL token count used to die as int(NaN) deep in the executor
+    fold — the error must name the defect (r8 review)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, None)], "shard string, doc_id long, n_tok_in int"
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        pack_greedy(df, "shard", "doc_id", "n_tok_in", budget=100).collect()

@@ -495,3 +495,37 @@ def test_internal_column_clash_guards(spark):
     df_s = spark.createDataFrame([(1, 2)], "id long, _salt long")
     with _pytest.raises(ValueError, match="_salt"):
         with_salt(df_s)
+
+
+def test_hist_quantiles_rank_not_inflated_by_double_ceil(spark):
+    """ceil(0.017 * 3000) must be 51 (the exact decimal value), not 52
+    (the binary-double overshoot 51.00000000000001 → CEIL) — the
+    round-before-ceil guard stratified_sample got in r6, applied to
+    the histogram rank (r8 review)."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    df = spark.range(1, 3001).select(F.col("id").cast("double").alias("v"))
+    out = {
+        r.q: r.est
+        for r in hist_quantiles(
+            df, "v", [0.017], lo=0.0, hi=3000.0, buckets=3000
+        ).collect()
+    }
+    # value v lands in bucket v; cum reaches 51 at bucket 51
+    assert out[0.017] == 51.0
+
+
+def test_bloom_might_contain_rejects_reserved_columns(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators import sketch as SK
+
+    seen = spark.createDataFrame([("a",)], "key string")
+    bloom = SK.bloom_build(seen, bits=64)
+    for bad in ("might_contain", "_m"):
+        cand = seen.withColumn(bad, F.lit(True))
+        with _pytest.raises(ValueError, match="rename"):
+            SK.bloom_might_contain(cand, bloom, bits=64)

@@ -53,17 +53,22 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("toHour", "hour({0})"),
     ("toMinute", "minute({0})"),
     # countIf(cond) counts matches; countIf(x, cond) (the -If
-    # combinator over count(x)) counts non-null x where cond
+    # combinator over count(x)) counts non-null x where cond.
+    # count_if / count return 0 on an empty relation like ClickHouse;
+    # the earlier sum(CASE...) form returned NULL there (r8 review) —
+    # sumIf keeps the explicit coalesce for the same reason
     ("countIf",
-     lambda a: f"sum(CASE WHEN {a[0]} THEN 1 ELSE 0 END)" if len(a) == 1
+     lambda a: f"count_if({a[0]})" if len(a) == 1
      else f"count(CASE WHEN {a[1]} THEN {a[0]} END)"),
-    ("sumIf", "sum(CASE WHEN {1} THEN {0} ELSE 0 END)"),
+    ("sumIf", "coalesce(sum(CASE WHEN {1} THEN {0} END), 0)"),
     ("avgIf", "avg(CASE WHEN {1} THEN {0} END)"),
     ("minIf", "min(CASE WHEN {1} THEN {0} END)"),
     ("maxIf", "max(CASE WHEN {1} THEN {0} END)"),
     ("ifNull", "coalesce({0}, {1})"),
-    ("anyLast", "last({0})"),
-    ("any", "first({0})"),
+    # ClickHouse any/anyLast SKIP NULLs; Spark first/last default to
+    # ignoreNulls=false (r8 review)
+    ("anyLast", "last({0}, true)"),
+    ("any", "first({0}, true)"),
     ("argMax", "max_by({0}, {1})"),
     ("argMin", "min_by({0}, {1})"),
     ("medianExact", "percentile({0}, 0.5)"),
@@ -81,9 +86,16 @@ _TEXT_RULES: list[tuple[str, str | Callable[[list[str]], str]]] = [
     ("toMonth", "month({0})"),
     ("toYear", "year({0})"),
     # dateDiff('unit', start, end): unit arrives quoted — strip for
-    # Spark's timestampdiff keyword argument
+    # Spark's timestampdiff keyword. ClickHouse dateDiff counts unit-
+    # BOUNDARY CROSSINGS, Spark timestampdiff counts complete elapsed
+    # units (23:00→01:00 next day is 1 CH day, 0 Spark days) —
+    # truncating both operands to the unit first makes timestampdiff
+    # count exactly the crossings (r8 review)
     ("dateDiff",
-     lambda a: f"timestampdiff({a[0].strip().strip(chr(39))}, {a[1]}, {a[2]})"),
+     lambda a: (
+         lambda u: f"timestampdiff({u}, date_trunc('{u}', {a[1]}), "
+                   f"date_trunc('{u}', {a[2]}))"
+     )(a[0].strip().strip(chr(39)))),
     ("position", "instr({0}, {1})"),
     ("empty", "(length({0}) = 0)"),
     ("notEmpty", "(length({0}) > 0)"),
@@ -242,7 +254,11 @@ def _rewrite_quantiles(sql: str) -> str:
             i = j
             continue
         k2 = _balance(sql, k + 1)
-        value = sql[k + 1:k2 - 1]
+        # the captured VALUE argument may itself contain a curried
+        # quantile (quantileExact(0.9)(x - quantile(0.5)(x))) — rescan
+        # it so nested forms translate instead of passing through
+        # verbatim into an AnalysisException (r8 review)
+        value = _rewrite_quantiles(sql[k + 1:k2 - 1])
         fn = "percentile" if m.group(1) else "percentile_approx"
         # plural spelling quantiles(p1,p2,...)(x) → array of levels
         # (both Spark percentile fns accept an array and return one)
@@ -392,9 +408,11 @@ CLICKHOUSE_COLUMN_FNS: dict[str, Callable[..., Column]] = {
     "toStartOfHour": lambda c: F.date_trunc("hour", c),
     "toDateTime": lambda c: F.to_timestamp(c),
     "toDate": lambda c: F.to_date(c),
-    # double-divide then cast truncates toward zero (ClickHouse intDiv
-    # semantics); exact for |quotient| < 2^52 — the SQL path uses `div`
-    "intDiv": lambda a, b: (a.cast("double") / b.cast("double")).cast("long"),
+    # exact integer division via the same SQL `div` the textual rule
+    # emits — the earlier double-divide rounded operands beyond 2^53
+    # (UInt64-scale counters) to a silently wrong quotient, so the two
+    # advertised-equivalent surfaces disagreed (r8 review)
+    "intDiv": lambda a, b: F.call_function("div", a, b),
     "bitAnd": lambda a, b: a.bitwiseAND(b),
     "bitOr": lambda a, b: a.bitwiseOR(b),
     "bitXor": lambda a, b: a.bitwiseXOR(b),
@@ -402,8 +420,10 @@ CLICKHOUSE_COLUMN_FNS: dict[str, Callable[..., Column]] = {
     "IPv4StringToNum": ipv4_string_to_num,
     "quantile": lambda c, p: F.percentile_approx(c, p),
     "quantileExact": lambda c, p: F.percentile(c, p),
-    "any": lambda c: F.first(c),
-    "anyLast": lambda c: F.last(c),
+    # ClickHouse any/anyLast skip NULLs (r8 review; matches the
+    # textual rules' first({0}, true) / last({0}, true))
+    "any": lambda c: F.first(c, ignorenulls=True),
+    "anyLast": lambda c: F.last(c, ignorenulls=True),
     "argMax": lambda a, b: F.max_by(a, b),
     "argMin": lambda a, b: F.min_by(a, b),
     "median": lambda c: F.percentile_approx(c, 0.5),

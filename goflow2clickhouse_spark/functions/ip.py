@@ -232,9 +232,9 @@ def ipv6_halves(addr: str) -> tuple[int, int]:
 
 
 @pandas_udf(StringType())
-def ipv6_bits_to_string(hi: pd.Series, lo: pd.Series) -> pd.Series:
-    """(hi, lo) signed halves → RFC 5952 compressed lowercase string
-    (Go net.IP.String() parity). Arrow-vectorized."""
+def _ipv6_bits_to_string_udf(hi: pd.Series, lo: pd.Series) -> pd.Series:
+    """Implementation over STRING-cast halves — see the wrapper below
+    for why the longs never reach pandas directly."""
 
     def fmt(h, lo_) -> str | None:
         if h is None or lo_ is None:
@@ -250,6 +250,21 @@ def ipv6_bits_to_string(hi: pd.Series, lo: pd.Series) -> pd.Series:
         return str(m) if m is not None else str(a)
 
     return pd.Series([fmt(h, lo_) for h, lo_ in zip(hi, lo)])
+
+
+def ipv6_bits_to_string(hi: Column | str, lo: Column | str) -> Column:
+    """(hi, lo) signed halves → RFC 5952 compressed lowercase string
+    (Go net.IP.String() parity). Arrow-vectorized.
+
+    The halves are cast to STRING column-side before the pandas UDF
+    (exact for any BIGINT, NULL-preserving): a null-bearing long batch
+    reaches pandas as float64 — the NaN crashed int() and, worse,
+    every OTHER row's half got rounded through float64, silently
+    corrupting any address with a half beyond 2^53 (most real v6
+    addresses) whenever one NULL shared its batch (r8 review)."""
+    h = F.col(hi) if isinstance(hi, str) else hi
+    lo_ = F.col(lo) if isinstance(lo, str) else lo
+    return _ipv6_bits_to_string_udf(h.cast("string"), lo_.cast("string"))
 
 
 @pandas_udf(

@@ -28,6 +28,12 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _is_row(v: object) -> bool:
+    """Spark Row without importing it at call frequency: Row is the
+    only tuple subclass with asDict in these results."""
+    return isinstance(v, tuple) and hasattr(v, "asDict")
+
+
 def _canon_value(v: object) -> str:
     """Canonicalize one cell so Spark and DuckDB values hash alike."""
     import decimal
@@ -85,6 +91,23 @@ def _canon_value(v: object) -> str:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if _is_row(v):
+        # Spark STRUCT cells arrive as Row (a tuple subclass) while
+        # DuckDB returns dict — Row fell into the list branch and the
+        # dict into str(v), a guaranteed false FAIL on equal structs
+        # (r8 review); canonicalize both through the dict form
+        v = v.asDict()
+    if isinstance(v, dict):
+        # key order is engine/row-dependent (Python dicts preserve
+        # insertion order) — sort by canonical key; ':' is escaped in
+        # both halves so key/value boundaries can never be re-split
+        # ambiguously ({'a': 'b:s:c'} vs {'a:s:b': 'c'})
+        items = sorted(
+            (_esc(_canon_value(k)).replace(":", "\\:"),
+             _esc(_canon_value(val)).replace(":", "\\:"))
+            for k, val in v.items()
+        )
+        return "{" + ",".join(f"{k}:{val}" for k, val in items) + "}"
     if isinstance(v, (list, tuple)):
         # inner values escape their own delimiters so ["a,b"] can
         # never collide with ["a","b"] (the cell-level _esc then

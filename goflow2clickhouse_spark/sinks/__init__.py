@@ -88,15 +88,22 @@ def clickhouse_jdbc_sink(
 
 def fanout(*sinks: SinkFn) -> SinkFn:
     """Send each micro-batch to several sinks (materialized-view
-    pattern). The batch is persisted once so sinks don't recompute."""
+    pattern). The batch is persisted once so sinks don't recompute.
+    Only unpersists what it persisted (the clickhouse_jdbc_sink owned
+    guard, r8 review): a nested fanout / caller-persisted batch would
+    otherwise lose its cache after the inner group's first pass and
+    every later sink would recompute the upstream transform."""
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        df.persist()
+        owned = not df.is_cached
+        if owned:
+            df.persist()
         try:
             for s in sinks:
                 s(df, batch_id)
         finally:
-            df.unpersist()
+            if owned:
+                df.unpersist()
 
     return sink
 

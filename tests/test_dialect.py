@@ -72,8 +72,8 @@ def test_halfmd5_value_parity(spark):
 def test_translate_aggregate_combinators():
     assert translate("argMax(a, b)") == "max_by(a, b)"
     assert translate("argMin(a, b)") == "min_by(a, b)"
-    assert translate("any(x)") == "first(x)"
-    assert translate("anyLast(x)") == "last(x)"
+    assert translate("any(x)") == "first(x, true)"  # CH any skips NULLs
+    assert translate("anyLast(x)") == "last(x, true)"
     assert translate("medianExact(x)") == "percentile(x, 0.5)"
     assert translate("median(x)") == "percentile_approx(x, 0.5)"
 
@@ -83,7 +83,9 @@ def test_translate_date_family():
     assert translate("toUnixTimestamp(t)") == "unix_timestamp(t)"
     assert translate("fromUnixTimestamp(s)") == "timestamp_seconds(s)"
     assert translate("toDayOfWeek(d)") == "(((dayofweek(d) + 5) % 7) + 1)"
-    assert translate("dateDiff('day', a, b)") == "timestampdiff(day, a, b)"
+    assert translate("dateDiff('day', a, b)") == (
+        "timestampdiff(day, date_trunc('day', a), date_trunc('day', b))"
+    )  # boundary crossings, not elapsed units
     assert translate("toYear(d)") == "year(d)"
 
 
@@ -103,8 +105,10 @@ def test_iso_day_of_week_executes(spark):
 
 
 def test_translate_conditional_aggregates():
-    assert translate("countIf(proto = 6)") == "sum(CASE WHEN proto = 6 THEN 1 ELSE 0 END)"
-    assert translate("sumIf(bytes, d = 0)") == "sum(CASE WHEN d = 0 THEN bytes ELSE 0 END)"
+    assert translate("countIf(proto = 6)") == "count_if(proto = 6)"
+    assert translate("sumIf(bytes, d = 0)") == (
+        "coalesce(sum(CASE WHEN d = 0 THEN bytes END), 0)"
+    )  # 0 on an empty relation, like ClickHouse
     assert translate("avgIf(x, y > 1)") == "avg(CASE WHEN y > 1 THEN x END)"
     assert translate("ifNull(a, 0)") == "coalesce(a, 0)"
 
@@ -205,7 +209,7 @@ def test_translate_quote_aware_scanning():
     from goflow2clickhouse_spark.functions.dialect import translate
 
     assert translate("SELECT countIf(msg = 'a,b') FROM t") == (
-        "SELECT sum(CASE WHEN msg = 'a,b' THEN 1 ELSE 0 END) FROM t"
+        "SELECT count_if(msg = 'a,b') FROM t"
     )
     assert translate("SELECT ifNull(x, '(') FROM t") == (
         "SELECT coalesce(x, '(') FROM t"
@@ -257,7 +261,7 @@ def test_translate_backslash_escaped_quote_in_literal():
     # argument splitting: a comma inside a \'-escaped literal must not
     # split countIf's single argument into two
     assert translate(r"SELECT countIf(msg = 'a\',b') FROM t") == (
-        r"SELECT sum(CASE WHEN msg = 'a\',b' THEN 1 ELSE 0 END) FROM t"
+        r"SELECT count_if(msg = 'a\',b') FROM t"
     )
     # paren balancing: a ')' inside a \'-escaped literal must not close
     # the call early
@@ -279,3 +283,104 @@ def test_callable_rules_reject_extra_arguments():
         translate("SELECT dateDiff('minute', a, b, 'UTC') FROM t")
     with _pytest.raises(ValueError, match="argument"):
         translate("SELECT countIf(a, b, c) FROM t")
+
+
+def test_datediff_counts_boundary_crossings(spark):
+    """ClickHouse dateDiff counts unit-boundary crossings; Spark
+    timestampdiff counts complete elapsed units — 23:00 to 01:00 next
+    day must be 1 day, not 0 (r8 review)."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    sql = translate(
+        "SELECT dateDiff('day', t1, t2) AS d, dateDiff('hour', t1, t3) AS h "
+        "FROM tdd"
+    )
+    spark.createDataFrame(
+        [("2024-01-01 23:00:00", "2024-01-02 01:00:00",
+          "2024-01-01 23:59:00")],
+        "t1s string, t2s string, t3s string",
+    ).selectExpr(
+        "cast(t1s as timestamp) t1", "cast(t2s as timestamp) t2",
+        "cast(t3s as timestamp) t3",
+    ).createOrReplaceTempView("tdd")
+    row = spark.sql(sql).collect()[0]
+    assert row["d"] == 1   # one midnight crossed, 2h elapsed
+    assert row["h"] == 0   # same hour bucket, 59min elapsed
+
+
+def test_aggregate_if_and_any_null_semantics(spark):
+    """countIf/sumIf return 0 on an empty relation (ClickHouse), and
+    any/anyLast skip NULLs (r8 review)."""
+    from goflow2clickhouse_spark.functions.dialect import (
+        CLICKHOUSE_COLUMN_FNS,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [(None, 1), ("x", 2), ("y", 3)], "s string, n long"
+    ).createOrReplaceTempView("tany")
+    row = spark.sql(translate(
+        "SELECT any(s) AS a, anyLast(s) AS al, "
+        "countIf(n > 99) AS c0, sumIf(n, n > 99) AS s0 FROM tany "
+        "WHERE n > 0"
+    )).collect()[0]
+    assert row["a"] == "x"          # NULL skipped
+    assert row["al"] == "y"
+    empty = spark.sql(translate(
+        "SELECT countIf(n > 0) AS c, sumIf(n, n > 0) AS s FROM tany "
+        "WHERE n < 0"
+    )).collect()[0]
+    assert empty["c"] == 0 and empty["s"] == 0  # not NULL
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(None,), ("z",)], "s string")
+    got = df.agg(
+        CLICKHOUSE_COLUMN_FNS["any"](F.col("s")).alias("a")
+    ).collect()[0]
+    assert got["a"] == "z"
+
+
+def test_intdiv_column_fn_exact_above_2_53(spark):
+    """The column-side intDiv must match the textual rule's exact
+    `div` — the double-divide form rounded 2^53+1 (r8 review)."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.dialect import (
+        CLICKHOUSE_COLUMN_FNS,
+        translate,
+    )
+
+    big = 2**53 + 1
+    df = spark.createDataFrame([(big, 1), (-7, 2)], "a long, b long")
+    col_fn = [
+        r["q"] for r in df.select(
+            CLICKHOUSE_COLUMN_FNS["intDiv"](F.col("a"), F.col("b")).alias("q")
+        ).collect()
+    ]
+    df.createOrReplaceTempView("tdiv")
+    sql_path = [
+        r["q"] for r in spark.sql(
+            translate("SELECT intDiv(a, b) AS q FROM tdiv")
+        ).collect()
+    ]
+    assert col_fn == sql_path == [big, -3]
+
+
+def test_nested_curried_quantile_translates(spark):
+    """A curried quantile nested inside another's value argument must
+    translate too, not pass through verbatim (r8 review)."""
+    from goflow2clickhouse_spark.functions.dialect import translate
+
+    sql = translate(
+        "SELECT quantileExact(0.9)(n - quantileExact(0.5)(n) * 0) AS q "
+        "FROM tq"
+    )
+    assert "quantileExact" not in sql
+    assert sql == (
+        "SELECT percentile(n - percentile(n, 0.5) * 0, 0.9) AS q FROM tq"
+    )
+    # the un-nested form still executes (nested AGGREGATES are invalid
+    # SQL in any engine — the translator's job is the rewrite)
+    spark.range(1, 101).selectExpr("id AS n").createOrReplaceTempView("tq")
+    flat = translate("SELECT quantileExact(0.9)(n) AS q FROM tq")
+    assert abs(spark.sql(flat).collect()[0]["q"] - 90.1) < 1e-9

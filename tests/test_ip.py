@@ -366,3 +366,29 @@ def test_ipv4_string_to_num_null_passthrough(spark):
     sql = translate("SELECT ip, IPv4StringToNum(ip) AS n FROM _ip_null_t")
     got_sql = {(r.ip or "<null>"): r.n for r in spark.sql(sql).collect()}
     assert got_sql == got
+
+
+def test_ipv6_bits_to_string_null_half_in_batch(spark):
+    """A NULL half sharing a batch with real addresses: the long
+    columns used to reach pandas as float64 — int(NaN) crashed the
+    task AND every other row's half got rounded through float64,
+    corrupting any address beyond 2^53 (r8 review; halves now travel
+    as strings)."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.functions.ip import (
+        ipv6_bits_to_string,
+        ipv6_halves,
+    )
+
+    hi, lo = ipv6_halves("2001:db8::1")  # hi is far beyond 2^53
+    df = spark.createDataFrame(
+        [(1, hi, lo), (2, None, None), (3, None, lo)],
+        "i long, hi long, lo long",
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", ipv6_bits_to_string("hi", "lo").alias("s"))
+        .collect()
+    }
+    assert got == {1: "2001:db8::1", 2: None, 3: None}

@@ -74,3 +74,26 @@ def test_jdbc_sink_default_driver_is_clickhouse():
     sink = clickhouse_jdbc_sink("jdbc:ch://localhost:8123/default")
     props = inspect.getclosurevars(sink).nonlocals["props"]
     assert props["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+def test_fanout_does_not_evict_caller_cache(spark):
+    """Nested fanout / caller-persisted batch: the inner group must
+    not unpersist a cache it didn't create (r8 review — the
+    clickhouse_jdbc_sink owned-guard, applied to fanout)."""
+    from goflow2clickhouse_spark.sinks import fanout
+
+    df = spark.createDataFrame([(1,), (2,)], "x long").persist()
+    df.count()
+    states = []
+
+    def probe(batch, _bid):
+        states.append(batch.is_cached)
+
+    inner = fanout(probe, probe)
+    outer = fanout(inner, probe)
+    outer(df, 0)
+    # every sink — including the one AFTER the nested group — saw the
+    # batch still cached
+    assert states == [True, True, True]
+    assert df.is_cached  # caller's persist untouched
+    df.unpersist()

@@ -167,3 +167,22 @@ def test_dsir_quantization_boundary_margin(spark, sf):
         f"at {sf} — engines may disagree on the FLOOR; reformulate or "
         "adjust the quantization scale"
     )
+
+
+def test_canonicalization_struct_and_map_cells():
+    """Spark returns STRUCT cells as Row, DuckDB as dict — they must
+    canonicalize identically (key-order-insensitively), stay distinct
+    from strings/lists, and keep key/value boundaries injective (r8
+    review: Row fell into the list branch, dict into str(v))."""
+    from pyspark.sql import Row
+
+    from goflow2clickhouse_spark.oracle import _canon_value
+
+    assert _canon_value(Row(a=1, b="x")) == _canon_value({"a": 1, "b": "x"})
+    assert _canon_value({"b": "x", "a": 1}) == _canon_value({"a": 1, "b": "x"})
+    assert _canon_value({"a": 1}) != _canon_value(["a", 1])
+    assert _canon_value({"a": 1}) != _canon_value("{'a': 1}")
+    # boundary injectivity: a ':' inside a value can't re-split
+    assert _canon_value({"a": "b:s:c"}) != _canon_value({"a:s:b": "c"})
+    # nested structs recurse
+    assert _canon_value(Row(o=Row(p=2))) == _canon_value({"o": {"p": 2}})

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _asof_join(
@@ -42,6 +43,21 @@ def _asof_join(
         raise ValueError(
             f"value_cols {sorted(clash)} collide with probe columns — "
             "alias one side before the as-of join"
+        )
+    if not value_cols:
+        # a dynamically-computed empty list used to die as an opaque
+        # IndexError below (r8 review)
+        raise ValueError("value_cols must name at least one column")
+    reserved = {"_k", "_ts", "_is_probe", "_tb", "_v", "_m"}
+    res_clash = reserved & set(probe_cols)
+    if res_clash:
+        # internal scratch names — a probe column with one of them
+        # duplicated columns deep inside the union with a baffling
+        # AnalysisException (r8 review; value_cols got the clear error,
+        # probe columns didn't)
+        raise ValueError(
+            f"probe columns {sorted(res_clash)} collide with the as-of "
+            "join's internal scratch names — rename upstream"
         )
     tb = tie_break or value_cols[0]
 
@@ -69,10 +85,12 @@ def _asof_join(
     # the struct's lexicographic field order makes the timeline total
     # (value_cols must stay orderable types; every in-repo caller's are)
     val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    # a StructType OBJECT, not an assembled DDL string: names needing
+    # quoting (spaces, colons) failed the string's parse path (r8)
     null_struct = F.lit(None).cast(
-        "struct<" + ",".join(
-            f"{c}:{refs.schema[c].dataType.simpleString()}" for c in value_cols
-        ) + ">"
+        StructType(
+            [StructField(c, refs.schema[c].dataType) for c in value_cols]
+        )
     )
     p = probes.select(
         F.col(key).alias("_k"),

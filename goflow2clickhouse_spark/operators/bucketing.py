@@ -60,8 +60,8 @@ def assert_cobucketed(
                 n = int(row.data_type)
         return cols, n
 
-    for t in (table_a, table_b):
-        cols, n = spec(t)
+    specs = {t: spec(t) for t in (table_a, table_b)}
+    for t, (cols, _n) in specs.items():
         # EXACT spec match, not membership: HashPartitioning on
         # (key, other) does NOT satisfy clustering on (key) — a table
         # bucketed on a superset passed the old `key in cols` check
@@ -72,7 +72,8 @@ def assert_cobucketed(
                 f"{t} is not bucketed on exactly [{key!r}] "
                 f"(bucket spec: {cols}) — the join will silently shuffle"
             )
-    (_, na), (_, nb) = spec(table_a), spec(table_b)
+    # one DESCRIBE + listColumns per table (r8 review: spec() ran twice)
+    (_, na), (_, nb) = specs[table_a], specs[table_b]
     if na != nb or na <= 0:
         raise ValueError(
             f"bucket counts differ: {table_a}={na}, {table_b}={nb} — "

@@ -103,6 +103,14 @@ def decode_image(payload: bytes) -> dict:
     height = abs(height)
     row = width * 3
     stride = (row + 3) & ~3
+    if height > 0 and len(payload) < offset + (height - 1) * stride + row:
+        # a truncated payload used to shrink px SILENTLY (bytearray
+        # slice assignment accepts short rows) and hand the caller
+        # corrupt pixels with the full claimed geometry (r8 review)
+        raise ValueError(
+            f"BMP payload truncated: header claims {width}x{height} "
+            f"({offset + height * stride} bytes needed), got {len(payload)}"
+        )
     px = bytearray(row * height)
     for y in range(height):
         src = offset + (y if top_down else height - 1 - y) * stride
@@ -161,7 +169,10 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = pdf["blob"]
+            # NULL blobs (attach_blob over NULL text emits them) are
+            # treated as zero-length payloads — len(None) killed the
+            # whole task with an opaque TypeError (r8 review)
+            blobs = pdf["blob"].map(lambda b: b if b is not None else b"")
             byte_len = blobs.map(len)
             checksum = blobs.map(lambda b: sum(b) % 65536)
             yield pd.DataFrame(
@@ -197,7 +208,9 @@ def resize_image(df: DataFrame, width: int, height: int, id_col: str = "doc_id")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def stub_resample(b: bytes) -> bytes:
+            def stub_resample(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None  # NULL payload passes through (r8)
                 if len(b) >= target:
                     return bytes(b[:target])
                 reps = target // max(len(b), 1) + 1
@@ -241,6 +254,8 @@ def sample_frames(
         for pdf in it:
             ids, nos, frames = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                if blob is None:
+                    continue  # NULL payload: no frames (r8)
                 n_frames = len(blob) // frame_bytes
                 for f in range(0, n_frames, every_n):
                     ids.append(doc_id)

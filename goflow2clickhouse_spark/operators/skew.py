@@ -115,9 +115,23 @@ def salted_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "__salt" in df.columns:
+            # with_salt's clash rule, applied here too (r8 review: the
+            # caller's column was silently replaced then dropped)
+            raise ValueError(
+                f"{side} input column '__salt' collides with "
+                "salted_join's routing column — rename upstream"
+            )
+    # NULL-safe salt (r8 review): concat is null-intolerant, so a NULL
+    # fact_id_col salted to NULL and the row could NEVER match an
+    # exploded dim salt — silently dropped (inner) or left unmatched
+    # (left), breaking the plain-join parity contract. NULL ids route
+    # to salt 0: no spread for them, but exact parity.
+    salt = F.coalesce(
         hash31(F.concat(F.lit("salt:"), F.col(fact_id_col).cast("string")))
-        % factor
+        % factor,
+        F.lit(0),
     )
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

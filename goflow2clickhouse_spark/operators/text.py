@@ -146,7 +146,16 @@ def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
         F.sequence(F.lit(1), F.length(c)),
         lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long") * i.cast("long"),
     )
-    return F.aggregate(per_pos, F.lit(0).cast("long"), lambda acc, x: acc + x) % mod
+    # mod folded into EVERY step: the raw accumulator overflows int64
+    # around ~30M-char CJK documents (codepoint x position sums past
+    # 2^63) and Spark 4's default ANSI mode throws instead of wrapping
+    # (r8 review — the with_salt XOR rationale's aggregate sibling).
+    # Value-identical to a final mod: terms are non-negative and
+    # (acc % m + x) stays far below 2^63. DuckDB oracles keep the
+    # single final mod (HUGEINT never overflows) — same result.
+    return F.aggregate(
+        per_pos, F.lit(0).cast("long"), lambda acc, x: (acc + x) % mod
+    )
 
 
 def hashed_classifier_raw(text: Column | str) -> Column:

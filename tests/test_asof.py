@@ -202,3 +202,21 @@ def test_asof_full_tie_is_deterministic(spark):
         assert len(out) == 1
         # struct order (price, qty): (5.0, 9) sorts last and is carried
         assert (out[0]["price"], out[0]["qty"]) == (5.0, 9), out
+
+
+def test_asof_guards_reserved_and_empty(spark):
+    """Probe columns colliding with internal scratch names, and an
+    empty value_cols, must fail with clear errors (r8 review)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.asof import asof_join_backward
+
+    probes = spark.createDataFrame(
+        [(1, 10, "x")], "k long, t long, _ts string"
+    )
+    refs = spark.createDataFrame([(1, 5, 2.0)], "k long, t long, v double")
+    with _pytest.raises(ValueError, match="scratch"):
+        asof_join_backward(probes, refs, "k", "t", "t", ["v"])
+    ok_probes = probes.drop("_ts")
+    with _pytest.raises(ValueError, match="at least one"):
+        asof_join_backward(ok_probes, refs, "k", "t", "t", [])

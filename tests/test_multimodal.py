@@ -100,3 +100,33 @@ def test_wav_rejects_unsupported():
     bad[34:36] = (8).to_bytes(2, "little")  # claim 8-bit PCM
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(bad))
+
+
+def test_multimodal_null_blobs_and_truncated_bmp(spark):
+    """NULL blobs must not kill the feature/resize/frame tasks, and a
+    BMP whose payload is shorter than its header claims must raise,
+    not emit silently corrupt pixels (r8 review)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        extract_features,
+        resize_image,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef" * 50), (2, None)], "doc_id long, blob binary"
+    )
+    feats = {r.doc_id: r.byte_len for r in extract_features(df).collect()}
+    assert feats == {1: 300, 2: 0}
+    rz = {r.doc_id: r.blob for r in resize_image(df, 4, 4).collect()}
+    assert len(rz[1]) == 16 and rz[2] is None
+    frames = sample_frames(df, frame_bytes=64, every_n=1).collect()
+    assert {r.doc_id for r in frames} == {1}
+
+    good = encode_bmp(4, 3, bytes([1, 2, 3]) * 12)
+    assert decode_image(good)["width"] == 4
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(good[:-5])

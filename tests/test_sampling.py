@@ -529,3 +529,33 @@ def test_bloom_might_contain_rejects_reserved_columns(spark):
         cand = seen.withColumn(bad, F.lit(True))
         with _pytest.raises(ValueError, match="rename"):
             SK.bloom_might_contain(cand, bloom, bits=64)
+
+
+def test_salted_join_null_fact_key_matches_plain_join(spark):
+    """A NULL fact_id_col salted to NULL and could never match an
+    exploded dim salt — silently dropped/unmatched rows, breaking the
+    plain-join parity contract (r8 review)."""
+    from goflow2clickhouse_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 3)], "k string, oid long"
+    )
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], "k string, lab string")
+    def key(r):
+        return tuple((x is None, x) for x in r)
+
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(fact, dim, "k", "oid", 4, how).collect()),
+            key=key,
+        )
+        want = sorted(
+            map(tuple, fact.join(dim, "k", how).collect()), key=key
+        )
+        assert got == want, how
+    # and the clash guard is loud
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(fact.withColumn("__salt", F.lit(1)), dim, "k", "oid")

@@ -869,26 +869,38 @@ def pq_adc_topk(
     class ivf_index_probe guards): with >1 query row the unkeyed
     broadcast join below would interleave several queries' LUT rows
     into one silently-wrong top-k, and an empty query would silently
-    return an empty result."""
-    n_q = query.count()
-    if n_q != 1:
-        raise ValueError(
-            f"pq_adc_topk serves exactly one query vector, got {n_q} "
-            "rows — use batch_topk for query batches"
+    return an empty result. The query subtree is persisted as a
+    private projection for its two consumers (the contract count and
+    the LUT build) — a filter-over-a-big-table query would otherwise
+    evaluate twice (r8 advice; the pq_index_probe pattern), with
+    unpersist-on-raise and the cache's lifetime tied to the result."""
+    from .dedup import tie_cache
+
+    query = query.select(F.col(vec_col)).persist()
+    try:
+        n_q = query.count()
+        if n_q != 1:
+            raise ValueError(
+                f"pq_adc_topk serves exactly one query vector, got {n_q} "
+                "rows — use batch_topk for query batches"
+            )
+        cb = pq_codebook(embeddings, vec_col, id_col)
+        codes = pq_encode(embeddings, cb, vec_col, id_col)
+        lut_row = pq_lut_row(query, cb, vec_col)
+        out = (
+            codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+            .select(
+                F.col(id_col),
+                "pq_code",
+                F.round(pq_adc_dist(), 6).alias("adist"),
+            )
+            .orderBy("adist", id_col)
+            .limit(k)
         )
-    cb = pq_codebook(embeddings, vec_col, id_col)
-    codes = pq_encode(embeddings, cb, vec_col, id_col)
-    lut_row = pq_lut_row(query, cb, vec_col)
-    return (
-        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-        .select(
-            F.col(id_col),
-            "pq_code",
-            F.round(pq_adc_dist(), 6).alias("adist"),
-        )
-        .orderBy("adist", id_col)
-        .limit(k)
-    )
+        return tie_cache(out, query)
+    except BaseException:
+        query.unpersist()
+        raise
 
 
 # ---------------------------------------------------------------------------

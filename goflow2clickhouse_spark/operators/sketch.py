@@ -18,6 +18,8 @@ what the differential test checks).
 
 from __future__ import annotations
 
+import decimal as _dec
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -257,14 +259,24 @@ def hist_quantiles(
     width = (hi - lo) / buckets
     out = None
     for q in qs:
-        # round before ceil (the stratified_sample r6 guard): binary
-        # doubles overshoot exact products — 0.017*3000 is
-        # 51.00000000000001 in double, so a bare CEIL gave 52 where
-        # DuckDB's decimal CEIL gives 51, jumping the estimate one
-        # bucket past the documented rank (r8 review)
-        need = F.ceil(F.round(F.lit(q) * F.col("n"), 9))
+        # integer-exact rank predicate (r8 advice — the earlier
+        # round(q*n, 9)-before-CEIL only absorbed double error below
+        # ~5e-10 absolute, so n beyond ~1e9 could still land one
+        # bucket off the decimal oracle): for integer cum,
+        # cum >= CEIL(q*n)  <=>  cum >= q*n  <=>  cum*den >= num*n
+        # with q = num/den taken exactly from its decimal literal —
+        # no float product, no ceil, no rounding at any n. The
+        # decimal(38,0) casts keep both products exact to 1e38
+        # (n*den < 1e38; den <= 1e18 for any float repr, so n up to
+        # ~1e20 — far past any corpus row count).
+        num, den = _dec.Decimal(str(q)).as_integer_ratio()
+        d38 = "decimal(38,0)"
+        hit = (
+            F.col("cum").cast(d38) * F.lit(den)
+            >= F.lit(num) * F.col("n").cast(d38)
+        )
         est = (
-            cum.filter(F.col("cum") >= need)
+            cum.filter(hit)
             .agg(F.min("bucket").alias("b"))
             .select(
                 F.lit(q).alias("q"),

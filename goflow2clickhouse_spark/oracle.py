@@ -42,6 +42,11 @@ def _canon_value(v: object) -> str:
         return "␀"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, int):
+        # explicit branch (ints rode the untyped fallback before it
+        # grew its "o:" tag): digit strings stay the shared untagged
+        # numeric space (int 2 ≡ Decimal 2 ≡ 2.0)
+        return str(v)
     if isinstance(v, decimal.Decimal):
         # inside the float-exact range, route through the float path:
         # str(Decimal('123.40')) is '123.40' / str(Decimal('1E+2')) is
@@ -90,7 +95,10 @@ def _canon_value(v: object) -> str:
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        # tagged like the containers below (r8 advice class): a bare
+        # hex rendering is all digits for e.g. b'\x12\x34', colliding
+        # with the BIGINT 1234's canonical form
+        return "b:" + v.hex()
     if _is_row(v):
         # Spark STRUCT cells arrive as Row (a tuple subclass) while
         # DuckDB returns dict — Row fell into the list branch and the
@@ -107,12 +115,21 @@ def _canon_value(v: object) -> str:
              _esc(_canon_value(val)).replace(":", "\\:"))
             for k, val in v.items()
         )
-        return "{" + ",".join(f"{k}:{val}" for k, val in items) + "}"
+        # container renderings carry type tags (r8 advice): '{'/'}'
+        # are not escaped by _esc, so an untagged dict form could be
+        # imitated by a fallback-branch object whose str() happened to
+        # read "{a:1}" — a theoretical false PASS. With every branch
+        # tagged ("s:" str, "m:" map, "l:" list, "b:" bytes, "td:"
+        # timedelta, "o:" fallback) and numerics confined to
+        # digit/inf/nan spellings, no two branches can render
+        # identically.
+        return "m:{" + ",".join(f"{k}:{val}" for k, val in items) + "}"
     if isinstance(v, (list, tuple)):
         # inner values escape their own delimiters so ["a,b"] can
         # never collide with ["a","b"] (the cell-level _esc then
-        # escapes again — injective both ways)
-        return "[" + ",".join(_esc(_canon_value(x)) for x in v) + "]"
+        # escapes again — injective both ways); "l:" tag per the dict
+        # branch's rule
+        return "l:[" + ",".join(_esc(_canon_value(x)) for x in v) + "]"
     if isinstance(v, _dt.timedelta):
         return f"td:{v.total_seconds()}"
     if isinstance(v, str):
@@ -124,7 +141,10 @@ def _canon_value(v: object) -> str:
         # still share the untagged space so int 2 ≡ Decimal 2 ≡ 2.0
         # keeps matching across engines.
         return "s:" + v
-    return str(v)
+    # fallback for types with no branch of their own: tagged so an
+    # arbitrary str(v) can never imitate a tagged string, container,
+    # or numeric rendering (r8 advice)
+    return "o:" + str(v)
 
 
 def _esc(canon: str) -> str:

@@ -186,3 +186,31 @@ def test_canonicalization_struct_and_map_cells():
     assert _canon_value({"a": "b:s:c"}) != _canon_value({"a:s:b": "c"})
     # nested structs recurse
     assert _canon_value(Row(o=Row(p=2))) == _canon_value({"o": {"p": 2}})
+
+
+def test_canonicalization_branch_renderings_are_disjoint():
+    """Every _canon_value branch carries a distinguishing tag (r8
+    advice): without one, a fallback-branch object whose str() reads
+    "{a:1}" hashed identically to the genuine struct {'a': 1}, and a
+    bytes cell's bare hex collided with a BIGINT of the same digits —
+    theoretical false PASSes."""
+    from goflow2clickhouse_spark.oracle import _canon_value
+
+    class _Oddball:
+        def __init__(self, s):
+            self._s = s
+
+        def __str__(self):
+            return self._s
+
+    # fallback str(v) can't imitate a struct, list, string, or numeric
+    assert _canon_value(_Oddball("{a:1}")) != _canon_value({"a": 1})
+    assert _canon_value(_Oddball("l:[1]")) != _canon_value([1])
+    assert _canon_value(_Oddball("s:x")) != _canon_value("x")
+    assert _canon_value(_Oddball("7")) != _canon_value(7)
+    # bytes vs same-digit integer (hex '1234' == str(1234))
+    assert _canon_value(bytes.fromhex("1234")) != _canon_value(1234)
+    # numerics still share the untagged space across engines
+    from decimal import Decimal
+
+    assert _canon_value(7) == _canon_value(7.0) == _canon_value(Decimal(7))

@@ -517,6 +517,38 @@ def test_hist_quantiles_rank_not_inflated_by_double_ceil(spark):
     assert out[0.017] == 51.0
 
 
+def test_hist_quantiles_rank_is_integer_exact_ceil(spark):
+    """The rank predicate must select exactly the ceil(q*n)-th value
+    for ANY decimal q — the r8-advice class: the earlier
+    round(q*n, 9)-before-CEIL only absorbed double error below 5e-10
+    absolute, so huge n could still land one bucket off. The fix
+    compares cum*den >= num*n in integer/decimal arithmetic (q =
+    num/den exactly), which this sweep pins against Python's exact
+    Fraction ceil on boundary-heavy q values, including q=1.0 and a
+    17-digit repr float (1/3)."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    n = 12
+    qs = [0.25, 1 / 3, 0.5, 0.75, 0.9, 0.99, 1.0]
+    df = spark.range(1, n + 1).select(F.col("id").cast("double").alias("v"))
+    out = {
+        r.q: r.est
+        for r in hist_quantiles(
+            df, "v", qs, lo=0.0, hi=float(n), buckets=n
+        ).collect()
+    }
+    for q in qs:
+        rank = math.ceil(Fraction(str(q)) * n)
+        # value v lands in bucket v (v < n) and n clamps into the last
+        # bucket n-1, so the selected bucket is min(rank, n-1)
+        assert out[q] == float(min(rank, n - 1)), (q, rank, out[q])
+
+
 def test_bloom_might_contain_rejects_reserved_columns(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F

@@ -257,7 +257,16 @@ def test_pq_adc_topk_rejects_multi_or_empty_query(spark):
     from goflow2clickhouse_spark.schema import load_table
 
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def cached_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_count()
     with _pytest.raises(ValueError, match="one query"):
         pq_adc_topk(e, e.filter(F.col("vec_id") < 2))
     with _pytest.raises(ValueError, match="one query"):
         pq_adc_topk(e, e.filter(F.col("vec_id") < 0))
+    # the private query projection (r8 advice: persisted so the
+    # contract count + LUT build share one evaluation) must not leak
+    # on either raise path
+    assert cached_count() == base

@@ -71,6 +71,30 @@ def topk_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def topk_l2_bruteforce(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 against a 1-row query — the ground
+    truth the PQ serving paths are measured against (r8 verdict: ADC
+    approximates the L2 distance, so its recall must be pinned to the
+    L2-exact answer, not the cosine one). Same plan shape as
+    topk_bruteforce: broadcast crossJoin → score → TakeOrdered; the
+    distance is rounded to 6 places BEFORE ordering so the tie-break
+    (then id) replays identically in any engine."""
+    q = F.broadcast(  # bcast bound: 1 query row
+        query.select(as_double(vec_col).alias("_qvec"))
+    )
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        F.round(_l2sq(as_double(vec_col), F.col("_qvec")), 6).alias("l2sq"),
+    )
+    return scored.orderBy("l2sq", F.col(id_col)).limit(k)
+
+
 def batch_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -798,18 +822,15 @@ def pq_encode(
     )
 
 
-def pq_lut_row(
-    query: DataFrame,
-    codebook_row: DataFrame,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """The query's asymmetric-distance lookup table as ONE row:
+def _pq_lut_array() -> Column:
+    """The PQ_M x PQ_K asymmetric-distance lookup table over a
+    relation holding `_qv` (the query vector) and the broadcast `_cb`:
     `_lut[j][e+1]` is the exact squared L2 between the query's block-j
-    subvector and codebook entry e. THE shared LUT definition — the
-    in-query form (pq_adc_topk) and the persisted-index probe
-    (plans/storage.pq_index_probe) both build it here, so the scoring
-    arithmetic cannot drift between them."""
-    qv = as_double(vec_col)
+    subvector and codebook entry e. THE single LUT definition — the
+    in-query form (pq_adc_topk), the persisted-index probes
+    (plans/storage.pq_index_probe / ivfpq_probe) and the batch probe
+    all build it here, so the scoring arithmetic cannot drift between
+    serving paths."""
 
     def _lut(j: int) -> Column:
         qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
@@ -817,11 +838,40 @@ def pq_lut_row(
             F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
         )
 
-    luts = F.array(*[_lut(j) for j in range(PQ_M)])
+    return F.array(*[_lut(j) for j in range(PQ_M)])
+
+
+def pq_lut_row(
+    query: DataFrame,
+    codebook_row: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The single query's LUT as ONE row (`_lut`) — `_pq_lut_array`
+    over the 1-row query × 1-row codebook join."""
+    qv = as_double(vec_col)
     return (
         query.select(qv.alias("_qv"))
         .join(F.broadcast(codebook_row))  # bcast bound: 1 row
-        .select(luts.alias("_lut"))
+        .select(_pq_lut_array().alias("_lut"))
+    )
+
+
+def pq_lut_rows(
+    queries: DataFrame,
+    codebook_row: DataFrame,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Per-query LUT rows for a BATCH of query vectors: (qid, _lut),
+    one row per query, built by the same `_pq_lut_array` definition as
+    the single-query form. Q is bounded by the caller's batch size —
+    the relation is the broadcast side of the batch ADC scan (Q rows
+    of PQ_M x PQ_K doubles ≈ 1 KiB per query)."""
+    qv = as_double(qvec_col)
+    return (
+        queries.select(F.col(qid_col).alias("_qid"), qv.alias("_qv"))
+        .join(F.broadcast(codebook_row))  # bcast bound: 1 row
+        .select(F.col("_qid").alias(qid_col), _pq_lut_array().alias("_lut"))
     )
 
 

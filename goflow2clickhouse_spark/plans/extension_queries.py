@@ -2704,11 +2704,16 @@ def _pq_oracle(
     limit: int = 10,
     q_sql: str = "SELECT v AS qv FROM e WHERE vec_id = 0",
     cb_src: str = "e",
+    batch_k: int | None = None,
 ) -> str:
     """PQ encode + ADC replay. Parameterized (r8) so the IVF-PQ
     composition reuses the SAME generated arithmetic over a different
     corpus CTE (`e_sql`), with extra CTEs (coarse cells) and a cell
-    filter — one generator, zero restated L2/pack/LUT strings."""
+    filter — one generator, zero restated L2/pack/LUT strings.
+    `batch_k` (r9) switches to the BATCH serving shape: `q_sql` must
+    then yield (qid, qv) rows, the LUT is built per qid, and the
+    output is the per-query top-`batch_k` via ROW_NUMBER — the
+    pq_index_batch_probe replay, still zero restated arithmetic."""
     m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
 
     def l2(av: str, bv: str, j: int) -> str:
@@ -2736,6 +2741,49 @@ def _pq_oracle(
     )
     packed = " + ".join(f"c_{j} * {1 << (4 * j)}" for j in range(m))
     adist = " + ".join(f"L_{j}[CAST(c_{j} AS INT) + 1]" for j in range(m))
+    if batch_k is not None:
+        return f"""
+    WITH {pre_ctes}e AS ({e_sql}),
+    cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS entry, v
+        FROM (SELECT * FROM {cb_src} ORDER BY vec_id LIMIT {kk}) s
+    ),
+    dists AS (
+        SELECT e.vec_id, cb.entry,
+           {d_cols}
+        FROM e, cb
+    ),
+    dl AS (
+        SELECT vec_id,
+           {dlists}
+        FROM dists GROUP BY vec_id
+    ),
+    enc AS (
+        SELECT vec_id,
+           {codes}
+        FROM dl
+    ),
+    q AS ({q_sql}),
+    lut AS (
+        SELECT q.qid, cb.entry,
+           {l_cols}
+        FROM cb, q
+    ),
+    lutl AS (
+        SELECT qid, {llists} FROM lut GROUP BY qid
+    ){post_ctes}
+    SELECT qid, vec_id, pq_code, adist, CAST(rn AS INT) AS rank FROM (
+        SELECT lutl.qid, enc.vec_id,
+               CAST({packed} AS BIGINT) AS pq_code,
+               ROUND({adist}, 6) AS adist,
+               ROW_NUMBER() OVER (PARTITION BY lutl.qid
+                                  ORDER BY ROUND({adist}, 6), enc.vec_id
+                                 ) AS rn
+        FROM enc, lutl{from_extra}
+        {where}
+    ) t WHERE rn <= {batch_k}
+    ORDER BY qid, rank
+    """
     return f"""
     WITH {pre_ctes}e AS ({e_sql}),
     cb AS (
@@ -2851,6 +2899,43 @@ def pq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     return pq_index_probe(
         spark, path, q, k=10,
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
+
+
+@query(
+    "pq_batch_probe",
+    oracle=_pq_oracle(
+        batch_k=5,
+        q_sql="SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3",
+    ),
+    bench=True,
+)
+def pq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the persisted PQ codes
+    (plans/storage.pq_index_batch_probe, r8 verdict item 5): before
+    this, a query batch had to fall back to the in-memory batch_topk,
+    which scans the FLOAT embedding column — here the one corpus pass
+    for the whole batch reads only the stored 8-byte codes (code-only
+    scan pinned by the executed-plan test), the Q per-query LUTs ride
+    one broadcast, and the per-query top-k plans as WindowGroupLimit
+    so the shuffle carries at most Q x k rows per partition. The
+    oracle replays the shared PQ arithmetic per qid (same generator
+    as every other PQ query — zero restated strings) including each
+    row's rank."""
+    from .storage import pq_index_batch_probe, write_pq_index
+
+    path = _persisted_index(
+        "pq", sf_dir,
+        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+    )
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return pq_index_batch_probe(
+        spark, path, qs, k=5,
         expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
     )
 
@@ -2981,6 +3066,138 @@ def ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_probe(
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
+    )
+
+
+_L2_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _pq_recall_oracle() -> str:
+    """Recall@10 replay for the persisted PQ probe: the exact
+    squared-L2 top-10 (the metric ADC approximates — rounded to 6
+    before ordering, ties to vec_id, matching topk_l2_bruteforce)
+    intersected with the full PQ encode+ADC replay (_pq_oracle)."""
+    l2 = _L2_SQL.format(dim=S.DIM, a="e.v", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    exact AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, ROUND({l2}, 6) AS d
+            FROM e, q ORDER BY d, e.vec_id LIMIT 10) s
+    ),
+    approx AS (SELECT vec_id FROM ({_pq_oracle()}) a)
+    SELECT 'pq_adc' AS method, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM approx JOIN exact USING (vec_id)) AS hits,
+           ROUND((SELECT CAST(COUNT(*) AS BIGINT)
+            FROM approx a2 JOIN exact e2 USING (vec_id))
+            * 1.0 / 10, 6) AS recall
+    """
+
+
+@query("pq_index_recall", oracle=_pq_recall_oracle())
+def pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the persisted PQ index against the EXACT squared-L2
+    top-10 — the quality gate the r8 verdict flagged as missing: the
+    PQ paths are the repo's most aggressive compression (4-bit codes,
+    32x), and an index whose compression is the point needs its
+    accuracy measured, not just its arithmetic replayed. Mirrors
+    filtered_ann_recall / jl_projection_recall: both sides scan the
+    same corpus, both result sets are k-sized, so the intersection is
+    a broadcast semi-join. The exact side uses L2, not cosine, because
+    ADC approximates the L2 distance (Jégou et al. 2011 §III) —
+    measuring against cosine would confound metric disagreement with
+    quantization error."""
+    from .storage import pq_index_probe, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_index(
+        "pq", sf_dir,
+        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = pq_index_probe(
+        spark, path, q, k=10,
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    ).select("vec_id")
+    exact = S.topk_l2_bruteforce(emb, q, k=10).select("vec_id")
+    hits = approx.join(
+        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
+    ).agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit("pq_adc").alias("method"),
+        F.lit(10).cast("long").alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    """Recall@10 replay for the composed IVF-PQ probe: exact
+    squared-L2 top-10 over the ELIGIBLE set (the population the index
+    holds — isolating quantization + nprobe pruning error from the
+    metadata gate, the filtered_ann_recall rule) intersected with the
+    full IVF-PQ replay (_ivfpq_oracle)."""
+    l2 = _L2_SQL.format(dim=S.DIM, a="e.v", b="q.qv")
+    return f"""
+    WITH {_FILTERED_E_SQL},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, ROUND({l2}, 6) AS d
+            FROM e, q ORDER BY d, e.vec_id LIMIT 10) s
+    ),
+    approx AS (SELECT vec_id FROM ({_ivfpq_oracle()}) a)
+    SELECT 'ivfpq' AS method, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM approx JOIN exact USING (vec_id)) AS hits,
+           ROUND((SELECT CAST(COUNT(*) AS BIGINT)
+            FROM approx a2 JOIN exact e2 USING (vec_id))
+            * 1.0 / 10, 6) AS recall
+    """
+
+
+@query("ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the persisted IVF-PQ index against the exact
+    squared-L2 top-10 over the SAME eligible set — the quality gate
+    for the repo's most compressed serving path (r8 verdict): the two
+    approximations it composes (nprobe cell pruning × 4-bit ADC
+    scoring) multiply their errors exactly like their savings, and
+    this is the number that decides nprobe/n_cells before the index
+    ships. Both sides draw from the eligible population, so the
+    metric isolates index error from the metadata gate."""
+    from .storage import ivfpq_probe, write_ivfpq_index
+
+    path = _persisted_index(
+        "ivfpq", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8,
+        ),
+    )
+    e = _filtered_eligible(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    approx = ivfpq_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    ).select("vec_id")
+    exact = S.topk_l2_bruteforce(e, q, k=10).select("vec_id")
+    hits = approx.join(
+        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
+    ).agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit("ivfpq").alias("method"),
+        F.lit(10).cast("long").alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
     )
 
 

@@ -928,8 +928,9 @@ def pq_index_probe(
         if n_q != 1:
             raise ValueError(
                 f"pq_index_probe serves exactly one query vector, got "
-                f"{n_q} rows — use operators/similarity.batch_topk for "
-                "query batches"
+                f"{n_q} rows — use pq_index_batch_probe for query "
+                "batches (it serves the whole batch from the stored "
+                "codes; the in-memory batch_topk scans the floats)"
             )
         meta = current_meta(spark, path)
         ver = int(meta.get("version", 0))
@@ -965,6 +966,94 @@ def pq_index_probe(
         return tie_cache(out, query)
     except BaseException:
         query.unpersist()
+        raise
+
+
+def pq_index_batch_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve a Q-query ADC top-k batch from the persisted PQ index —
+    the serving shape the single-query probe's error message used to
+    point at the in-memory `batch_topk` for, which scans the FLOAT
+    embeddings (r8 verdict item 5): here the one corpus pass for the
+    whole batch still reads only the stored 8-byte codes. Per-query
+    LUT rows (operators/similarity.pq_lut_rows — the shared
+    `_pq_lut_array` definition) are broadcast against the codes scan;
+    the per-query top-k is a `row_number <= k` over (adist, id), which
+    Spark plans as WindowGroupLimit — a per-partition top-k heap
+    BEFORE the exchange, so the shuffle carries at most Q x k rows per
+    input partition, never the Q x N scored relation (the batch_topk
+    scale argument; both the code-only scan and the group-limit are
+    pinned by executed-plan tests). Returns (qid, id, pq_code, adist,
+    rank).
+
+    Q is bounded by the caller's batch (broadcast bound: Q LUT rows,
+    ~1 KiB each). An EMPTY batch raises — the single-probe rule:
+    silently returning nothing hides an upstream bug."""
+    import posixpath
+
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_adc_dist,
+        pq_lut_rows,
+    )
+    from ..versioned import check_meta, current_meta, version_dir
+    from pyspark.sql import Window
+
+    queries = queries.select(
+        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
+    ).persist()
+    try:
+        if queries.isEmpty():
+            raise ValueError(
+                "pq_index_batch_probe got an empty query batch — "
+                "nothing to serve"
+            )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed PQ index under {path}")
+        # unconditional geometry gate — same reason as pq_index_probe
+        check_meta(
+            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+        )
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        codes = _union_parquet(
+            spark,
+            [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
+        )
+        idx_id = str(meta.get("id_col", "vec_id"))
+        luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
+        scored = codes.join(F.broadcast(luts)).select(  # bcast: Q rows
+            F.col(qid_col),
+            F.col(idx_id),
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
+        )
+        w = Window.partitionBy(qid_col).orderBy("adist", idx_id)
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                qid_col, idx_id, "pq_code", "adist",
+                F.col("_rn").cast("int").alias("rank"),
+            )
+        )
+        return tie_cache(out, queries)
+    except BaseException:
+        queries.unpersist()
         raise
 
 

@@ -973,6 +973,81 @@ def test_pq_index_gates_and_versioning(spark, tmp_path):
     assert first and len(second) == 3
 
 
+def test_pq_batch_probe_matches_single_and_scans_codes_only(spark, tmp_path):
+    """The batch probe (r9) must serve each query of the batch exactly
+    as the single-query probe would (same codes, same LUT definition,
+    same tie-breaks), read ONLY the index directories — never a float
+    embedding column — and plan the per-query top-k as
+    WindowGroupLimit so the shuffle is bounded at Q x k rows per
+    partition. Plus the contract guards: empty batch raises, geometry
+    gate, no cache leak on raise."""
+    import gc
+
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_batch_probe,
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pqbatch")
+    write_pq_index(emb, path)
+
+    # queries from IN-MEMORY rows so the only parquet in the probe's
+    # plan is the index itself (the single-probe test pattern)
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    res = pq_index_batch_probe(spark, path, qs, k=5)
+    rows = res.collect()
+    assert len(rows) == 15  # 3 queries x k
+
+    for qid in (0, 1, 2):
+        got = sorted(
+            (r["rank"], r["vec_id"], r["pq_code"], r["adist"])
+            for r in rows if r["qid"] == qid
+        )
+        q1 = emb.filter(F.col("vec_id") == qid)
+        want = [
+            (i + 1, r["vec_id"], r["pq_code"], r["adist"])
+            for i, r in enumerate(pq_index_probe(spark, path, q1, k=5).collect())
+        ]
+        assert got == want, f"qid {qid} diverges from the single probe"
+
+    scans = _scan_nodes(res)
+    assert scans, "expected index file scans in the executed plan"
+    for s in scans:
+        meta = str(s.metadata())
+        schema = s.schema().simpleString()
+        assert path in meta, f"scan outside the index: {meta[:200]}"
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+    assert any("pq_code" in s.schema().simpleString() for s in scans)
+    assert "WindowGroupLimit" in (
+        res._jdf.queryExecution().executedPlan().toString()
+    )
+
+    def cached_count():
+        gc.collect()  # settle weakref-tied caches of dropped results
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_count()
+    with _pytest.raises(ValueError, match="empty query batch"):
+        pq_index_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    with _pytest.raises(ValueError, match="built with"):
+        pq_index_batch_probe(spark, path, qs, expect={"pq_m": 4})
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        pq_index_batch_probe(spark, str(tmp_path / "nothere"), qs)
+    assert cached_count() <= base  # raises never leak new caches
+
+
 # ---------------------------------------------------------------------------
 # composed IVF-PQ index (r8)
 # ---------------------------------------------------------------------------

@@ -1287,6 +1287,118 @@ def ivfpq_probe(
         raise
 
 
+# per-layout compaction spec: which meta keys identify the layout,
+# which artifact legs carry DATA (unioned base + deltas into the new
+# base; partition column preserved; "distinct" re-dedups the relation)
+# and which are QUANTIZER artifacts (copied from the current version,
+# never re-derived). One table, so a future layout adds one row.
+_COMPACT_SPECS = {
+    "band": {
+        "data": [("shingles", None, False), ("bands", "band_no", False),
+                 ("shas", None, True)],
+        "copy": [],
+    },
+    "ivf": {
+        "data": [("cells", "cell", False)],
+        "copy": ["centroids"],
+    },
+    "pq": {
+        "data": [("codes", None, False)],
+        "copy": ["codebook"],
+    },
+    "ivfpq": {
+        "data": [("cells", "cell", False)],
+        "copy": ["centroids", "codebook"],
+    },
+}
+
+
+def _index_kind(meta: dict) -> str:
+    """Layout inference from the committed metadata's geometry keys —
+    each layout records a distinct key set, so this is total and
+    unambiguous over the four shipped layouts."""
+    if "bands" in meta:
+        return "band"
+    if "pq_m" in meta:
+        return "ivfpq" if "n_cells" in meta else "pq"
+    if "n_cells" in meta:
+        return "ivf"
+    raise ValueError(
+        f"unrecognized index layout (meta keys {sorted(meta)}) — "
+        "compaction knows the band/IVF/PQ/IVF-PQ layouts"
+    )
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    min_appends: int = 1,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold the committed append deltas of a persisted index into a
+    new base version (r8 verdict item 3 — the maintenance operation
+    the append loops were missing): every reader unions base +
+    `a{1..j}` legs, so a year of daily appends is 365 parquet legs in
+    every probe plan; compaction rewrites them as ONE leg under
+    `v{N+1}/` and re-commits with the append counter reset. Works on
+    all four layouts (band / filtered-IVF / PQ / IVF-PQ), reading
+    ONLY the index itself — the corpus is never scanned (at 100 TB
+    that is the point: the index data legs are hash/code/assignment
+    relations, orders of magnitude smaller than the text/floats they
+    summarize). The band layout's sha set is re-deduped across legs
+    (a doc repeated verbatim across batches is stored once after
+    compaction — exactly what a fresh build would hold).
+
+    What compaction is NOT: a quantizer refresh. Centroids and PQ
+    codebooks are COPIED from the current version, never re-derived —
+    codes/assignments only make sense against the quantizers that
+    produced them, and re-deriving a codebook from codes is lossy by
+    construction. After heavy distribution drift the answer stays a
+    REBUILD from the corpus (write_* bumps the version and refreshes
+    the quantizers); compaction only restores probe-plan shape.
+
+    Gate metadata (the streaming loops' (run_id, epoch) replay gate,
+    geometry keys, id_col) is carried over verbatim, so a compaction
+    between two stream folds cannot reopen a replayed epoch.
+
+    No-ops (returns False) when fewer than `min_appends` deltas are
+    committed — call sites can run it unconditionally at a cadence
+    ("compact when appends > N") without paying a rewrite per batch.
+    Crash-safe like every build: the new version commits LAST via the
+    atomic `_CURRENT` rename; a compaction that dies mid-write leaves
+    the old version (base + deltas) fully served."""
+    import posixpath
+
+    from ..versioned import commit_version, current_meta, version_dir
+
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed index under {path}")
+    if int(meta.get("appends", 0)) < min_appends:
+        return False
+    spec = _COMPACT_SPECS[_index_kind(meta)]
+    base = version_dir(path, ver)
+    nbase = version_dir(path, ver + 1)
+    dirs = _delta_dirs(base, meta)
+    for leg, part_col, dedup in spec["data"]:
+        rel = _union_parquet(spark, [posixpath.join(d, leg) for d in dirs])
+        if dedup:
+            rel = rel.distinct()
+        w = rel.write.mode("overwrite")
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(posixpath.join(nbase, leg))
+    for leg in spec["copy"]:
+        spark.read.parquet(posixpath.join(base, leg)).write.mode(
+            "overwrite"
+        ).parquet(posixpath.join(nbase, leg))
+    extra = {k: v for k, v in meta.items() if k not in ("version", "appends")}
+    commit_version(spark, path, ver + 1, extra=extra,
+                   keep_versions=keep_versions)
+    return True
+
+
 def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
     """The committed band index's distinct sha2-256 relation (`_sha`) —
     the exact-dup gate's old side, served from the index so an

@@ -1283,3 +1283,184 @@ def test_ivfpq_append_serves_union_with_stored_quantizers(spark, tmp_path):
     write_ivfpq_index(docs, emb, path, n_cells=8)
     meta2 = current_meta(spark, path)
     assert meta2["version"] == 2 and meta2.get("appends", 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# append-delta compaction (r9)
+# ---------------------------------------------------------------------------
+
+def test_compact_pq_index_single_leg_same_results(spark, tmp_path):
+    """compact_index on the PQ layout: after K appends the probe plan
+    unions K+1 code legs; compaction must fold them into ONE leg under
+    a new version, pin probe results byte-identical, copy (never
+    re-derive) the codebook, and no-op below min_appends."""
+    import json
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_pq_index,
+        compact_index,
+        pq_index_probe,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pqc")
+    write_pq_index(emb.filter(F.col("vec_id") % 4 == 0), path)
+    append_to_pq_index(emb.filter(F.col("vec_id") % 4 == 1), path)
+    append_to_pq_index(emb.filter(F.col("vec_id") % 4 == 2), path)
+    assert current_meta(spark, path)["appends"] == 2
+
+    q = emb.filter(F.col("vec_id") == 0)
+    before = pq_index_probe(spark, path, q, k=10).collect()
+    cb_before = spark.read.parquet(
+        os.path.join(path, "v1", "codebook")
+    ).collect()
+
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    # geometry keys carried over verbatim
+    assert meta["pq_m"] == 8 and meta["id_col"] == "vec_id"
+
+    res = pq_index_probe(spark, path, q, k=10)
+    after = res.collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # single leg: every executed scan reads v2, none reads an append
+    paths = [str(s.metadata()) for s in _scan_nodes(res)]
+    assert paths and all("/appends/" not in m for m in paths), paths
+    assert all("v2" in m for m in paths), paths
+    # codebook copied, not re-derived
+    cb_after = spark.read.parquet(
+        os.path.join(path, "v2", "codebook")
+    ).collect()
+    assert cb_after == cb_before
+    # idempotence gate: nothing left to fold
+    assert compact_index(spark, path) is False
+    assert json.load(open(os.path.join(path, "_CURRENT")))["version"] == 2
+
+
+def test_compact_ivfpq_index_single_leg_same_results(spark, tmp_path):
+    """IVF-PQ compaction: cells from base + deltas fold into one
+    partitioned leg; centroids AND codebook are copies; the probe's
+    partition pruning still holds on the compacted layout."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfpq_index,
+        compact_index,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpqc")
+    write_ivfpq_index(docs, emb.filter(F.col("vec_id") % 2 == 0), path)
+    append_to_ivfpq_index(docs, emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    q = emb.filter(F.col("vec_id") == 0)
+    before = ivfpq_probe(spark, path, q, k=10, nprobe=2).collect()
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    assert meta["min_chars"] == 200 and meta["lang"] == "en"
+
+    res = ivfpq_probe(spark, path, q, k=10, nprobe=2)
+    after = res.collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    idx_scans = [
+        s for s in _scan_nodes(res)
+        if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans
+    # pruning survives compaction: nprobe cells read, one leg
+    assert max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    ) == 2
+    assert all("/appends/" not in str(s.metadata()) for s in _scan_nodes(res))
+    assert os.path.isdir(os.path.join(path, "v2", "cells"))
+
+
+def test_compact_band_index_dedups_shas_and_keeps_gate(spark, tmp_path):
+    """Band compaction: shingle/band/sha legs fold into one; the sha
+    set is re-deduped across legs (verbatim re-ingested docs stored
+    once, as a fresh build would); the streaming (run_id, epoch)
+    replay gate and geometry keys survive verbatim; probe pairs are
+    unchanged."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        band_index_sha_set,
+        compact_index,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "bandc")
+    write_band_index(old, path)
+    # batch 1 re-ingests some base docs VERBATIM (dup shas across legs)
+    b1 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    append_to_band_index(b1, path, extra={"epoch": 7, "run_id": "run-a"})
+    b2 = d.filter(F.col("doc_id") % 10 == 3)
+    append_to_band_index(b2, path)
+
+    probe = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    before_pairs = sorted(
+        map(tuple, incremental_neardup_pairs_indexed(probe, path).collect())
+    )
+    sha_count = band_index_sha_set(spark, path).count()
+
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    # the replay gate and geometry keys carried over verbatim
+    assert meta["epoch"] == 7 and meta["run_id"] == "run-a"
+    assert meta["n"] == 3 and meta["id_col"] == "doc_id"
+
+    after_pairs = sorted(
+        map(tuple, incremental_neardup_pairs_indexed(probe, path).collect())
+    )
+    assert after_pairs == before_pairs and after_pairs
+    # sha relation is stored DISTINCT: raw rows == distinct set size
+    stored = spark.read.parquet(os.path.join(path, "v2", "shas"))
+    assert stored.count() == sha_count
+    assert band_index_sha_set(spark, path).count() == sha_count
+
+
+def test_compact_filtered_ivf_index(spark, tmp_path):
+    """Filtered-IVF compaction: one cells leg, centroids copied,
+    probe results and partition pruning unchanged."""
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivf_index,
+        compact_index,
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fivfc")
+    write_filtered_ivf_index(docs, emb.filter(F.col("vec_id") % 2 == 0), path)
+    append_to_ivf_index(docs, emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    q = emb.filter(F.col("vec_id") == 0)
+    before = ivf_index_probe(spark, path, q, k=10, nprobe=2).collect()
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    res = ivf_index_probe(spark, path, q, k=10, nprobe=2)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, before))
+    assert all("/appends/" not in str(s.metadata()) for s in _scan_nodes(res))

@@ -1154,6 +1154,7 @@ def append_to_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,
     path: str,
+    extra: dict | None = None,
 ) -> None:
     """Fold a new embedding batch into the IVF-PQ index: gate it with
     the RECORDED eligibility parameters, assign against the STORED
@@ -1162,10 +1163,16 @@ def append_to_ivfpq_index(
     (`v{N}/appends/a{j}/cells/cell=*/`), base untouched. Readers union
     base + committed deltas with every leg partition-pruned
     (`_read_index_cells` via `_delta_dirs`). Torn deltas invisible;
-    empty eligible batch = no-op (an empty partitioned write poisons
-    read-back — the r7-advice class); rebuild = compaction = the
-    moment to refresh both quantizers after drift. One batch scan +
-    a metadata commit per day at 100 TB."""
+    empty eligible batch writes NO delta (an empty partitioned write
+    poisons read-back — the r7-advice class) but still commits
+    `extra`, so a streaming fold's replay gate advances (the
+    append_to_band_index rule, r9). `extra` entries merge into
+    `_CURRENT` alongside the counter — the streaming maintenance loop
+    records its (run_id, epoch) gate there, committed ATOMICALLY with
+    the delta it guards. Rebuild = the moment to refresh both
+    quantizers after drift; compact_index folds deltas without
+    touching them. One batch scan + a metadata commit per day at
+    100 TB."""
     import posixpath
 
     from ..operators.similarity import (
@@ -1191,6 +1198,10 @@ def append_to_ivfpq_index(
         int(meta["min_chars"]), str(meta["lang"]),
     )
     if eligible.isEmpty():
+        if extra:
+            merged = {k: v for k, v in meta.items() if k != "version"}
+            merged.update(extra)
+            commit_version(spark, path, ver, extra=merged)
         return
     base = version_dir(path, ver)
     cents = spark.read.parquet(posixpath.join(base, "centroids"))
@@ -1202,9 +1213,10 @@ def append_to_ivfpq_index(
         .partitionBy("cell")
         .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
     )
-    extra = {k: v for k, v in meta.items() if k != "version"}
-    extra["appends"] = j
-    commit_version(spark, path, ver, extra=extra)
+    merged = {k: v for k, v in meta.items() if k != "version"}
+    merged.update(extra or {})
+    merged["appends"] = j
+    commit_version(spark, path, ver, extra=merged)
 
 
 def ivfpq_probe(

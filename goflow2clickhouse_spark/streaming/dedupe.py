@@ -103,24 +103,14 @@ def incremental_dedup_fold(
         band_index_sha_set,
         incremental_neardup_pairs_indexed,
     )
-    from ..versioned import current_meta
+    from ..versioned import current_meta, epoch_replayed
 
     spark = batch_df.sparkSession
     meta = current_meta(spark, index_path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {index_path}")
-    last_epoch = int(meta.get("epoch", -1))
-    last_run = meta.get("run_id")
-    if run_id is not None and run_id == last_run:
-        if epoch_id <= last_epoch:
-            return False
-    elif run_id is None and epoch_id <= last_epoch:
-        raise ValueError(
-            f"non-monotonic epoch {epoch_id} <= last folded {last_epoch} "
-            "with no run_id: pass the checkpoint lineage's run_id to "
-            "distinguish a restart replay (skipped) from a new stream "
-            "over a reused index"
-        )
+    if epoch_replayed(meta, epoch_id, run_id):
+        return False
 
     batch = batch_df.select(
         F.col(id_col), F.col(text_col).alias(text_col)

@@ -1,0 +1,100 @@
+"""Streaming maintenance of the persisted ANN index — the embedding
+side of the crawl loop (r8 verdict item 4): where
+`streaming_incremental_dedup` folds each micro-batch of DOCUMENTS into
+the band index, this folds each micro-batch of EMBEDDINGS into the
+persisted IVF-PQ index (`plans/storage.write_ivfpq_index`), so a
+vector-serving index tracks the corpus continuously instead of waiting
+for rebuilds.
+
+Spark-first shape: foreachBatch over a Structured Streaming source —
+each batch is ONE `append_to_ivfpq_index` call (gate with the RECORDED
+eligibility, assign against the STORED centroids, encode against the
+STORED codebook, one atomic cells delta), so the per-batch cost is a
+single batch-sized scan + a metadata commit, never an index rebuild.
+Exactly-once on at-least-once delivery via the shared (run_id, epoch)
+replay gate (`versioned.epoch_replayed`) committed atomically with the
+delta inside `_CURRENT`. Delta count is bounded operationally by
+`plans/storage.compact_index` (fold deltas into a new base), and a
+full rebuild remains the quantizer-refresh path after drift — the
+docstring contract the r8 append operators promised.
+
+Reference parity note: the reference ships no vector layer at all
+(/root/reference/ is a flow-ingest bridge); this module is part of the
+training-data-pipeline extension surface (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ivfpq_maintenance_fold(
+    batch_df: DataFrame,
+    documents: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+) -> bool:
+    """One turn of the embedding-maintenance loop (the testable unit
+    the foreachBatch wrapper below calls): fold `batch_df` — new
+    (vec_id, embedding) rows — into the persisted IVF-PQ index.
+    `documents` is the static metadata side of the recorded
+    eligibility gate (stream-static join semantics: the batch is
+    gated exactly as the build was).
+
+    Returns False (and touches nothing) when the (run_id, epoch) gate
+    says this epoch already folded — the shared `epoch_replayed`
+    contract: without it a restart replay would append the same batch
+    twice and every probe would serve its vectors twice. The gate
+    commits ATOMICALLY with the delta (both ride the same `_CURRENT`
+    rename inside append_to_ivfpq_index), so there is no torn window
+    between "delta visible" and "epoch recorded". An eligible-empty
+    batch advances the gate without writing a delta. Within-batch /
+    cross-batch id dedup is the caller's contract, same as every
+    index append."""
+    from ..plans.storage import append_to_ivfpq_index
+    from ..versioned import current_meta, epoch_replayed
+
+    spark = batch_df.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(
+            f"no committed IVF-PQ index under {index_path}"
+        )
+    if epoch_replayed(meta, epoch_id, run_id):
+        return False
+    append_to_ivfpq_index(
+        documents, batch_df, index_path,
+        extra={"epoch": int(epoch_id), "run_id": run_id},
+    )
+    return True
+
+
+def streaming_ivfpq_maintenance(
+    stream_df: DataFrame,
+    documents: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """The embedding-maintenance loop as a running stream: each
+    micro-batch of (vec_id, embedding) rows folds into the persisted
+    IVF-PQ index (ivfpq_maintenance_fold above). Returns the started
+    StreamingQuery. run_id = the checkpoint lineage's query id
+    (streaming/hll._checkpoint_run_id), so restart replays skip and a
+    fresh checkpoint over a reused index folds — the
+    streaming_incremental_dedup twin, differentially pinned equal to
+    the same batches applied via plain append_to_ivfpq_index calls."""
+    from .hll import _checkpoint_run_id
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        ivfpq_maintenance_fold(
+            batch_df, documents, index_path, epoch_id,
+            run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -151,3 +151,28 @@ def check_meta(meta: dict, expect: dict, path: str) -> None:
             f"index at {path} was built with {got}, caller expects "
             f"{expect} — rebuild the index or match parameters"
         )
+
+
+def epoch_replayed(meta: dict, epoch_id: int, run_id: str | None) -> bool:
+    """THE (run_id, epoch) replay gate every streaming index-fold
+    shares (extracted r9 from the crawl loop's fold so the embedding-
+    maintenance twin cannot restate-and-drift it): the gate lives in
+    the index's ``_CURRENT`` — committed atomically with the fold it
+    guards — so on at-least-once micro-batch delivery a replayed epoch
+    after restart is detected here and skipped (returns True). A
+    replayed epoch with NO run_id raises instead of guessing: the
+    epoch counter alone cannot distinguish a restart replay (skip)
+    from a brand-new stream over a reused index (fold) — the caller
+    must pass the checkpoint lineage's run_id."""
+    last_epoch = int(meta.get("epoch", -1))
+    last_run = meta.get("run_id")
+    if run_id is not None and run_id == last_run:
+        return epoch_id <= last_epoch
+    if run_id is None and epoch_id <= last_epoch:
+        raise ValueError(
+            f"non-monotonic epoch {epoch_id} <= last folded {last_epoch} "
+            "with no run_id: pass the checkpoint lineage's run_id to "
+            "distinguish a restart replay (skipped) from a new stream "
+            "over a reused index"
+        )
+    return False

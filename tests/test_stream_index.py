@@ -1,0 +1,154 @@
+"""Streaming IVF-PQ maintenance (streaming/indexing.py): the
+embedding-side crawl loop — per-epoch folds through the shared
+(run_id, epoch) replay gate, differentially equal to the same batches
+applied as plain appends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _parts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    return docs, emb, base, b1, b2
+
+
+def _probe_ids(spark, path, emb, k=10):
+    from goflow2clickhouse_spark.plans.storage import ivfpq_probe
+
+    q = emb.filter(F.col("vec_id") == 0)
+    return [
+        (r["vec_id"], r["pq_code"], r["adist"])
+        for r in ivfpq_probe(spark, path, q, k=k, nprobe=8).collect()
+    ]
+
+
+def test_ivfpq_maintenance_fold_replay_gate(spark, tmp_path):
+    """The fold must skip a replayed (run_id, epoch), raise on a
+    gateless non-monotonic epoch, advance the gate on an
+    eligible-empty batch WITHOUT writing a delta, and fold a new
+    lineage over a reused index."""
+    from goflow2clickhouse_spark.plans.storage import write_ivfpq_index
+    from goflow2clickhouse_spark.streaming.indexing import (
+        ivfpq_maintenance_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs, emb, base, b1, b2 = _parts(spark)
+    path = str(tmp_path / "ivfpq_m")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        ivfpq_maintenance_fold(b1, docs, path, 0, run_id="A")
+    write_ivfpq_index(docs, base, path, n_cells=8)
+
+    assert ivfpq_maintenance_fold(b1, docs, path, 0, run_id="A") is True
+    meta = current_meta(spark, path)
+    assert meta["epoch"] == 0 and meta["run_id"] == "A"
+    assert meta["appends"] == 1
+
+    # restart replay of the same epoch: skipped, index untouched
+    assert ivfpq_maintenance_fold(b1, docs, path, 0, run_id="A") is False
+    assert current_meta(spark, path) == meta
+
+    # next epoch folds
+    assert ivfpq_maintenance_fold(b2, docs, path, 1, run_id="A") is True
+    assert current_meta(spark, path)["appends"] == 2
+
+    # no run_id + non-monotonic epoch must refuse, not guess
+    with pytest.raises(ValueError, match="non-monotonic epoch"):
+        ivfpq_maintenance_fold(b1, docs, path, 0, run_id=None)
+
+    # eligible-empty batch (ids with no eligible doc): gate advances,
+    # no delta is written
+    ghost = b1.limit(2).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    before = current_meta(spark, path)
+    assert ivfpq_maintenance_fold(ghost, docs, path, 2, run_id="A") is True
+    after = current_meta(spark, path)
+    assert after["epoch"] == 2 and after["appends"] == before["appends"]
+
+    # a NEW lineage over the reused index folds even at epoch 0
+    assert ivfpq_maintenance_fold(ghost, docs, path, 0, run_id="B") is True
+    assert current_meta(spark, path)["run_id"] == "B"
+
+
+def test_streaming_ivfpq_maintenance_equals_batch_appends(spark, tmp_path):
+    """End-to-end stream twin: two parquet drops = two micro-batches
+    folded into the index; the probe over the streamed index must
+    equal the probe over a twin index maintained by plain
+    append_to_ivfpq_index calls on the same batches."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        streaming_ivfpq_maintenance,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs, emb, base, b1, b2 = _parts(spark)
+    stream_idx = str(tmp_path / "ivfpq_stream")
+    twin_idx = str(tmp_path / "ivfpq_twin")
+    write_ivfpq_index(docs, base, stream_idx, n_cells=8)
+    write_ivfpq_index(docs, base, twin_idx, n_cells=8)
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def drop(df, n):
+        chunk = str(indir / f"chunk{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        for f in glob.glob(chunk + "/part-*.parquet"):
+            shutil.copy(f, str(indir / f"batch{n}.parquet"))
+        shutil.rmtree(chunk)
+
+    drop(b1.select("vec_id", "embedding"), 0)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = streaming_ivfpq_maintenance(stream, docs, stream_idx, ckpt)
+    try:
+        q.processAllAvailable()
+        append_to_ivfpq_index(docs, b1, twin_idx)
+        assert _probe_ids(spark, stream_idx, emb) == _probe_ids(
+            spark, twin_idx, emb
+        )
+        drop(b2.select("vec_id", "embedding"), 1)
+        q.processAllAvailable()
+        append_to_ivfpq_index(docs, b2, twin_idx)
+        assert _probe_ids(spark, stream_idx, emb) == _probe_ids(
+            spark, twin_idx, emb
+        )
+    finally:
+        q.stop()
+
+    meta = current_meta(spark, stream_idx)
+    assert meta["appends"] == 2 and meta["epoch"] == 1
+    assert meta["run_id"]  # checkpoint lineage id recorded
+
+    # restart from the SAME checkpoint with no new files: nothing
+    # re-folds (the replay-safe restart the gate exists for)
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q2 = streaming_ivfpq_maintenance(stream2, docs, stream_idx, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert current_meta(spark, stream_idx) == meta

@@ -75,6 +75,14 @@ def _previous_round(sf_num: object) -> tuple[dict[str, float], dict[str, str]]:
       - BENCH_r{N}.json — the driver's capture (compact line under
         "parsed"; carries queries but, from r7 on, no plan_fp).
 
+    Caveat (r8 judge note): the round driver OVERWRITES the builder's
+    committed PLANFP_r{N}.json with its own re-run at round end — the
+    fingerprints stay byte-identical, but the TIMINGS become
+    driver-context numbers (~1.3x noisier per this repo's calibration;
+    the builder's settled-run record survives only in git history).
+    So within-round A/Bs against "last round" should re-baseline
+    standalone before calling a delta real.
+
     Returns ({}, {}) if nothing readable."""
     here = os.path.dirname(os.path.abspath(__file__))
     candidates: list[tuple[int, int, dict, dict]] = []
@@ -361,6 +369,16 @@ def main() -> None:
     )
     with open(side_path, "w") as fh:
         json.dump(out_full, fh, indent=1, sort_keys=True)
+    # Twin record under a name the driver never writes (r8 judge note:
+    # the round driver re-runs bench.py at round end and replaces
+    # PLANFP_r{N}.json, so the builder's settled-run timings survived
+    # only in git history). Opt-in via SPARK_GRAFT_BUILDER=1 — set on
+    # the builder's settled runs, never by the driver — and the
+    # ".builder" infix keeps it invisible to _previous_round's
+    # `_r{N}.json$` match: an archival record, not a baseline.
+    if os.environ.get("SPARK_GRAFT_BUILDER") == "1":
+        with open(side_path.replace(".json", ".builder.json"), "w") as fh:
+            json.dump(out_full, fh, indent=1, sort_keys=True)
     print(f"full bench record (plan_fp, deltas): {side_path}", file=sys.stderr)
 
     line = json.dumps(

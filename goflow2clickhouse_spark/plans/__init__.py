@@ -18,105 +18,98 @@ from . import corpus_queries as _corpus_queries  # noqa: F401, E402
 from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 # Driver-coverage rotation: the correctness driver verifies only the first
-# 50 registry entries each round.  After round 7 every registered name is
-# driver-green and nothing is staler than r5 (newest-green histogram:
-# 50 r5 / 50 r6 / 50 r7, computed from the CORRECTNESS_r1-r7 union).
-# Round 8's window, per the r7 verdict item 2:
-# (a) the five queries NEW this round — the persisted-PQ probe
-#     (pq_index_probe, r7 verdict item 3), the driver-gated persisted
-#     SemDeDup (semdedup_persisted, item 5), the composed IVF-PQ
-#     serving path (ivfpq_probe), and the incremental appends for both
-#     PQ layouts (pq_append_probe, ivfpq_append_probe). New queries
-#     MUST take window slots (the r6 lesson: a query registered
-#     outside the window has no driver row until the next round);
-# (b) 45 of the 50 r5-green names — each (a) entry displaces one fill
-#     (displaced: top_terms_tfidf, weighted_sample_orders,
-#     doc_length_deciles, doc_packing_stats, text_word_entropy — they
-#     keep their r5-green rows and rejoin the rotation FIRST in r9).
-# 5 + 45 = 50 exactly; after r8 the stale pool for r9 is the 50
-# r6-green names plus the five displaced r5 names (they go FIRST).
+# 50 registry entries each round.  After round 8 every registered name is
+# driver-green (newest-green histogram: 5 r5 / 50 r6 / 50 r7 / 50 r8,
+# computed from the CORRECTNESS_r1-r8 union; the 5 r5 names are the fills
+# r8's new queries displaced).  Round 9's window, per the r8 verdict
+# items 1/2/5:
+# (a) the three queries NEW this round — the recall@k gates for the two
+#     newest (and most compressed) approximate indexes (pq_index_recall,
+#     ivfpq_recall — r8 verdict item 2) and the batch probe served from
+#     stored PQ codes (pq_batch_probe, item 5). New queries MUST take
+#     window slots (the r6 lesson: a query registered outside the
+#     window has no driver row until the next round);
+# (b) the five r5-displaced names FIRST (item 1: top_terms_tfidf,
+#     weighted_sample_orders, doc_length_deciles, doc_packing_stats,
+#     text_word_entropy — r5-green is 4 rounds old, the stalest rows);
+# (c) 42 of the 50 r6-green names, alphabetical — each (a) entry
+#     displaces one fill (spilled to r10, FIRST there:
+#     quality_classifier_scores, reservoir_sample_per_source,
+#     rollup_pricing, running_total_per_customer, similarity_ann_recall,
+#     similarity_batch_topk, text_dupngram_fraction,
+#     top_customer_per_nation).
+# 3 + 5 + 42 = 50 exactly; after r9 the stale pool for r10 is those 8
+# spilled r6 names plus the 50 r7-green names.
 #
-# Changed-but-NOT-windowed (named so the policy stays honest). The r8
-# hardening pass touched code consumed by windowed/green queries:
-#   - oracle.py exact big-Decimal canonicalization (r7 advice): affects
-#     the COMPARISON of every query; re-proven by the full local
-#     differential after the change.
-#   - ivf_index_probe private query persist + empty-append guards
-#     (plans/storage.py): consumers ivf_index_probe / ivf_append_probe /
-#     incremental_dedup_indexed are r7-green and result-identical
-#     (probe parity + crawl-loop differentials re-proven locally);
-#     their next window is r9 by rotation order.
-#   - pq_adc_topk single-query guard + shared pq_lut_row/pq_adc_dist
-#     extraction: result-identical (oracle differential re-proven at
-#     sf0.001/0.01); pq_index_probe (same arithmetic) IS windowed.
-#   - dsir_importance_topk: bucket-count pipeline extracted to
-#     _dsir_doc_bucket_counts for the boundary-margin test —
-#     plan-identical (same expressions), r7-green, re-proven locally.
-#   - late-r8 operator review pass (dedup/sketch/sampling/packing/
-#     streaming): hist_quantiles round-before-ceil rank guard
-#     (price_quantile_sketch, r6-green), cluster_pairs type-agnostic
-#     change-count convergence probe (dedup_cluster_sizes IS windowed;
-#     embedding_cluster_sizes r5→windowed too), bigstar self-pair-node
-#     fix (dedup_cluster_sizes_bigstar, r7-green), exact_dedup nested-
-#     key canonicalization (no registry query uses nested keys), HLL
-#     null-safe key joins (events_windowed_hll windowed,
-#     hll_distinct_customers uses the sketch relation, unaffected).
-#     Every named consumer re-proven on the vanilla sf0.01 contract
-#     after the pass; sf0.1 targeted re-soak in the round notes.
+# Changed-but-NOT-windowed (named so the policy stays honest). The r9
+# round touched code consumed by green queries:
+#   - oracle.py branch type tags (r8 advice): affect the COMPARISON of
+#     every query; re-proven by the full local differential after the
+#     change.
+#   - hist_quantiles integer-exact rank predicate (r8 advice):
+#     consumer price_quantile_sketch IS windowed (r6 fill).
+#   - pq_adc_topk private-projection persist (r8 advice): result-
+#     identical (oracle differential re-proven); pq_index_recall
+#     (same arithmetic through the persisted probe) IS windowed.
+#   - append_to_ivfpq_index `extra` + empty-batch gate advance (the
+#     streaming maintenance twin): consumers ivfpq_probe /
+#     ivfpq_append_probe are r8-green and result-identical (append
+#     parity re-proven by tests + the local differential); their next
+#     window is r10+ by rotation order.
 promote([
-    # (a) new this round — persisted-index serving paths through the gate
-    "semdedup_persisted",
-    "pq_index_probe",
-    "ivfpq_probe",
-    "pq_append_probe",
-    "ivfpq_append_probe",
-    # (b) 45 of the 50 r5-stale names — pool drained minus the five
-    #     displaced fills
-    "bigram_pmi_top",
-    "corpus_curation_funnel",
-    "dedup_cluster_sizes",
-    "doc_packing_assign",
-    "embedding_cluster_sizes",
-    "embedding_label_centroids",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_quantize_error",
-    "events_windowed_cms",
-    "filtered_ann_ivf",
-    "filtered_ann_recall",
-    "flows_private_traffic_matrix",
-    "flows_protocol_pivot",
-    "flows_protocol_unpivot",
-    "flows_top_talkers_salted",
-    "grouping_sets_revenue",
-    "kmeans_refined_cells",
-    "leakage_free_split",
-    "matview_flows_rollup",
-    "multimodal_features",
-    "pii_scan_stats",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "salted_priority_revenue",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "similarity_topk_bruteforce",
-    "stratified_sample_per_source",
-    "text_bigram_logprob",
-    "text_denylist_scrub",
-    "text_dup_span_coverage",
-    "text_langid",
-    "text_quality_stats",
-    "text_repetition_stats",
-    "text_token_counts",
+    # (a) new this round — index quality gates + the batch code probe
+    "pq_index_recall",
+    "ivfpq_recall",
+    "pq_batch_probe",
+    # (b) the five r5-displaced fills, stalest first
+    "top_terms_tfidf",
+    "weighted_sample_orders",
+    "doc_length_deciles",
+    "doc_packing_stats",
+    "text_word_entropy",
+    # (c) 42 of the 50 r6-green names
+    "approx_distinct_customers",
+    "big_spender_customers_semi",
+    "corpus_quality_filter",
+    "cube_order_counts",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dataset_split_counts",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_stats",
+    "documents_profile",
+    "embedding_knn_graph",
+    "events_funnel_pairs",
+    "events_json_extract",
+    "events_json_variant",
+    "events_minutely",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_stream_dedup",
+    "events_user_funnel",
+    "filtered_ann_topk",
+    "flows_site_traffic",
+    "flows_zorder_tiles",
+    "global_shuffle_shards",
+    "ipv6_address_classes",
+    "ipv6_site_traffic",
+    "multimodal_blob_schema",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
+    "orders_asof_last_event",
+    "orders_asof_next_event",
+    "orders_asof_union_timeline",
+    "price_quantile_sketch",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
 ])
 
 __all__ = [

@@ -264,16 +264,20 @@ def hist_quantiles(
         # ~5e-10 absolute, so n beyond ~1e9 could still land one
         # bucket off the decimal oracle): for integer cum,
         # cum >= CEIL(q*n)  <=>  cum >= q*n  <=>  cum*den >= num*n
-        # with q = num/den taken exactly from its decimal literal —
-        # no float product, no ceil, no rounding at any n. The
-        # decimal(38,0) casts keep both products exact to 1e38
-        # (n*den < 1e38; den <= 1e18 for any float repr, so n up to
-        # ~1e20 — far past any corpus row count).
+        # cross-multiplied, with q = num/den taken exactly from its
+        # decimal repr — no float product, no ceil, no rounding at
+        # any n. num/den ride DECIMAL literals (a plain long literal
+        # capped den at 2^63, crashing for q below 1e-18 — r9
+        # review); products are exact while cum*den and num*n stay
+        # under 1e38 (den = 10^frac_digits of q's shortest repr, so
+        # any q a user types is fine at any corpus size; a
+        # pathological sub-1e-28 quantile fails LOUDLY with a decimal
+        # overflow under ANSI, never one bucket off).
         num, den = _dec.Decimal(str(q)).as_integer_ratio()
         d38 = "decimal(38,0)"
         hit = (
-            F.col("cum").cast(d38) * F.lit(den)
-            >= F.lit(num) * F.col("n").cast(d38)
+            F.col("cum").cast(d38) * F.lit(_dec.Decimal(den))
+            >= F.lit(_dec.Decimal(num)) * F.col("n").cast(d38)
         )
         est = (
             cum.filter(hit)

@@ -587,6 +587,27 @@ def _ann_recall_oracle() -> str:
     """
 
 
+def _recall_result(
+    approx: DataFrame, exact: DataFrame, method: str, k: int
+) -> DataFrame:
+    """THE (method, k, hits, recall) output contract every recall@k
+    query shares (r9 review: it existed restated at five sites — a
+    change to the contract had to land everywhere or silently
+    diverge): |approx ∩ exact| via a broadcast semi-join on vec_id
+    (both sides are k-sized), recall = hits/k rounded to 6."""
+    hits = (
+        approx.select("vec_id")
+        .join(F.broadcast(exact.select("vec_id")), "vec_id", "left_semi")
+        .agg(F.count("*").alias("hits"))  # bcast bound: k rows
+    )
+    return hits.select(
+        F.lit(method).alias("method"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+    )
+
+
 @query("similarity_ann_recall", oracle=_ann_recall_oracle())
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@5 of each approximate index (sign-
@@ -599,23 +620,13 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     bf = S.topk_bruteforce(e, q, k=5).select("vec_id")
-
-    def one(method: str, ann: DataFrame) -> DataFrame:
-        hits = (
-            ann.select("vec_id")
-            .join(F.broadcast(bf), "vec_id", "left_semi")  # bcast bound: k rows
-            .agg(F.count("*").alias("hits"))
-        )
-        return hits.select(
-            F.lit(method).alias("method"),
-            F.lit(5).cast("long").alias("k"),
-            F.col("hits"),
-            F.round(F.col("hits") / F.lit(5.0), 6).alias("recall"),
-        )
-
     ivf = S.ivf_topk(e, q, k=5, nprobe=2, n_cells=8)
     lsh = S.signrp_lsh_topk(e, q, k=5)
-    return one("ivf", ivf).unionByName(one("lsh", lsh)).orderBy("method")
+    return (
+        _recall_result(ivf, bf, "ivf", k=5)
+        .unionByName(_recall_result(lsh, bf, "lsh", k=5))
+        .orderBy("method")
+    )
 
 
 @query(
@@ -2201,17 +2212,9 @@ def filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") == 0
     )
-    exact = S.topk_bruteforce(e, q, k=10).select("vec_id")
-    approx = S.ivf_topk(e, q, k=10, nprobe=2, n_cells=8).select("vec_id")
-    hits = approx.join(
-        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
-    ).agg(F.count("*").alias("hits"))
-    return hits.select(
-        F.lit("ivf_filtered").alias("method"),
-        F.lit(10).cast("long").alias("k"),
-        F.col("hits"),
-        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
-    )
+    exact = S.topk_bruteforce(e, q, k=10)
+    approx = S.ivf_topk(e, q, k=10, nprobe=2, n_cells=8)
+    return _recall_result(approx, exact, "ivf_filtered", k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -3075,28 +3078,45 @@ _L2_SQL = (
 )
 
 
-def _pq_recall_oracle() -> str:
-    """Recall@10 replay for the persisted PQ probe: the exact
-    squared-L2 top-10 (the metric ADC approximates — rounded to 6
-    before ordering, ties to vec_id, matching topk_l2_bruteforce)
-    intersected with the full PQ encode+ADC replay (_pq_oracle)."""
+def _l2_recall_oracle(
+    method: str, e_ctes: str, approx_sql: str, k: int = 10
+) -> str:
+    """ONE recall-replay skeleton for the L2-baselined index gates (r9
+    review: the PQ and IVF-PQ versions restated it): exact = the
+    squared-L2 top-k over the `e` CTE (rounded to 6 before ordering,
+    ties to vec_id — matching topk_l2_bruteforce), approx = the full
+    index replay, output = the shared (method, k, hits, recall)
+    contract."""
     l2 = _L2_SQL.format(dim=S.DIM, a="e.v", b="q.qv")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    WITH {e_ctes},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
     exact AS (
         SELECT vec_id FROM (
             SELECT e.vec_id, ROUND({l2}, 6) AS d
-            FROM e, q ORDER BY d, e.vec_id LIMIT 10) s
+            FROM e, q ORDER BY d, e.vec_id LIMIT {k}) s
     ),
-    approx AS (SELECT vec_id FROM ({_pq_oracle()}) a)
-    SELECT 'pq_adc' AS method, CAST(10 AS BIGINT) AS k,
+    approx AS (SELECT vec_id FROM ({approx_sql}) a)
+    SELECT '{method}' AS method, CAST({k} AS BIGINT) AS k,
            (SELECT CAST(COUNT(*) AS BIGINT)
             FROM approx JOIN exact USING (vec_id)) AS hits,
            ROUND((SELECT CAST(COUNT(*) AS BIGINT)
             FROM approx a2 JOIN exact e2 USING (vec_id))
-            * 1.0 / 10, 6) AS recall
+            * 1.0 / {k}, 6) AS recall
     """
+
+
+def _pq_recall_oracle() -> str:
+    """Recall@10 replay for the persisted PQ probe: the exact
+    squared-L2 top-10 (the metric ADC approximates) intersected with
+    the full PQ encode+ADC replay (_pq_oracle)."""
+    return _l2_recall_oracle(
+        "pq_adc",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        _pq_oracle(),
+    )
 
 
 @query("pq_index_recall", oracle=_pq_recall_oracle())
@@ -3123,17 +3143,9 @@ def pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_index_probe(
         spark, path, q, k=10,
         expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
-    ).select("vec_id")
-    exact = S.topk_l2_bruteforce(emb, q, k=10).select("vec_id")
-    hits = approx.join(
-        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
-    ).agg(F.count("*").alias("hits"))
-    return hits.select(
-        F.lit("pq_adc").alias("method"),
-        F.lit(10).cast("long").alias("k"),
-        F.col("hits"),
-        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
     )
+    exact = S.topk_l2_bruteforce(emb, q, k=10)
+    return _recall_result(approx, exact, "pq_adc", k=10)
 
 
 def _ivfpq_recall_oracle() -> str:
@@ -3142,24 +3154,7 @@ def _ivfpq_recall_oracle() -> str:
     holds — isolating quantization + nprobe pruning error from the
     metadata gate, the filtered_ann_recall rule) intersected with the
     full IVF-PQ replay (_ivfpq_oracle)."""
-    l2 = _L2_SQL.format(dim=S.DIM, a="e.v", b="q.qv")
-    return f"""
-    WITH {_FILTERED_E_SQL},
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id = 0),
-    exact AS (
-        SELECT vec_id FROM (
-            SELECT e.vec_id, ROUND({l2}, 6) AS d
-            FROM e, q ORDER BY d, e.vec_id LIMIT 10) s
-    ),
-    approx AS (SELECT vec_id FROM ({_ivfpq_oracle()}) a)
-    SELECT 'ivfpq' AS method, CAST(10 AS BIGINT) AS k,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM approx JOIN exact USING (vec_id)) AS hits,
-           ROUND((SELECT CAST(COUNT(*) AS BIGINT)
-            FROM approx a2 JOIN exact e2 USING (vec_id))
-            * 1.0 / 10, 6) AS recall
-    """
+    return _l2_recall_oracle("ivfpq", _FILTERED_E_SQL, _ivfpq_oracle())
 
 
 @query("ivfpq_recall", oracle=_ivfpq_recall_oracle())
@@ -3188,17 +3183,9 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
                 "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
-    ).select("vec_id")
-    exact = S.topk_l2_bruteforce(e, q, k=10).select("vec_id")
-    hits = approx.join(
-        F.broadcast(exact), "vec_id", "left_semi"  # bcast bound: k rows
-    ).agg(F.count("*").alias("hits"))
-    return hits.select(
-        F.lit("ivfpq").alias("method"),
-        F.lit(10).cast("long").alias("k"),
-        F.col("hits"),
-        F.round(F.col("hits") / F.lit(10.0), 6).alias("recall"),
     )
+    exact = S.topk_l2_bruteforce(e, q, k=10)
+    return _recall_result(approx, exact, "ivfpq", k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -1013,10 +1013,27 @@ def pq_index_batch_probe(
         F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
     ).persist()
     try:
-        if queries.isEmpty():
+        counts = queries.agg(
+            F.count("*").alias("_n"),
+            F.count_distinct(F.col(qid_col)).alias("_nd"),
+        ).first()
+        if counts["_n"] == 0:
             raise ValueError(
                 "pq_index_batch_probe got an empty query batch — "
                 "nothing to serve"
+            )
+        if counts["_n"] != counts["_nd"]:
+            # the single-probe n!=1 rule, batch form: a duplicated qid
+            # (an at-least-once upstream redelivering a query row, or
+            # two vectors colliding on one id) emits two LUT rows for
+            # one qid — the unkeyed broadcast join then scores every
+            # code twice and the 'top-k' silently interleaves
+            # duplicate ranks (review r9: reproduced — 5 rows, 3
+            # distinct neighbors, no error)
+            raise ValueError(
+                f"pq_index_batch_probe requires unique {qid_col} per "
+                f"query row, got {counts['_n']} rows over "
+                f"{counts['_nd']} distinct ids"
             )
         meta = current_meta(spark, path)
         ver = int(meta.get("version", 0))

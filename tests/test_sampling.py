@@ -527,6 +527,7 @@ def test_hist_quantiles_rank_is_integer_exact_ceil(spark):
     Fraction ceil on boundary-heavy q values, including q=1.0 and a
     17-digit repr float (1/3)."""
     import math
+    from decimal import Decimal
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -534,7 +535,9 @@ def test_hist_quantiles_rank_is_integer_exact_ceil(spark):
     from goflow2clickhouse_spark.operators.sketch import hist_quantiles
 
     n = 12
-    qs = [0.25, 1 / 3, 0.5, 0.75, 0.9, 0.99, 1.0]
+    # 1e-19 pins the r9 review fix: its exact denominator (10^19)
+    # overflows a long literal, so num/den must ride DECIMAL literals
+    qs = [1e-19, 0.25, 1 / 3, 0.5, 0.75, 0.9, 0.99, 1.0]
     df = spark.range(1, n + 1).select(F.col("id").cast("double").alias("v"))
     out = {
         r.q: r.est
@@ -543,7 +546,7 @@ def test_hist_quantiles_rank_is_integer_exact_ceil(spark):
         ).collect()
     }
     for q in qs:
-        rank = math.ceil(Fraction(str(q)) * n)
+        rank = math.ceil(Fraction(Decimal(str(q))) * n)
         # value v lands in bucket v (v < n) and n clamps into the last
         # bucket n-1, so the selected bucket is min(rank, n-1)
         assert out[q] == float(min(rank, n - 1)), (q, rank, out[q])

@@ -1041,6 +1041,11 @@ def test_pq_batch_probe_matches_single_and_scans_codes_only(spark, tmp_path):
     base = cached_count()
     with _pytest.raises(ValueError, match="empty query batch"):
         pq_index_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    # duplicated qid (an at-least-once upstream redelivering a query
+    # row): two LUT rows for one qid would silently interleave ranks
+    # in the unkeyed broadcast join — must refuse loudly (r9 review)
+    with _pytest.raises(ValueError, match="unique qid"):
+        pq_index_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
     with _pytest.raises(ValueError, match="built with"):
         pq_index_batch_probe(spark, path, qs, expect={"pq_m": 4})
     with _pytest.raises(FileNotFoundError, match="no committed"):

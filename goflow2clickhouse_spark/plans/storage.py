@@ -321,28 +321,35 @@ def append_to_ivf_index(
     import posixpath
 
     from ..operators.similarity import ivf_assign
-    from ..versioned import commit_version, current_meta, version_dir
+    from ..versioned import current_meta, recommit_meta, version_dir
 
     spark = documents.sparkSession
     meta = current_meta(spark, path)
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF index under {path}")
+    _require_kind(meta, "ivf", path)
     base = version_dir(path, ver)
+    # persisted: the emptiness probe and the delta write would
+    # otherwise evaluate the eligibility semi-join twice per batch —
+    # the per-micro-batch hot path of the streaming maintenance loop
+    # (r9 review; the same cost write_filtered_ivf_index engineered
+    # around at build time)
     eligible = eligible_embeddings(
         documents, embeddings,
         int(meta["min_chars"]), str(meta["lang"]),
-    )
-    if eligible.isEmpty():
-        return
-    cents = spark.read.parquet(posixpath.join(base, "centroids"))
-    j = int(meta.get("appends", 0)) + 1
-    ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
-    extra = {k: v for k, v in meta.items() if k != "version"}
-    extra["appends"] = j
-    commit_version(spark, path, ver, extra=extra)
+    ).persist()
+    try:
+        if eligible.isEmpty():
+            return
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        j = int(meta.get("appends", 0)) + 1
+        ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+        recommit_meta(spark, path, meta, appends=j)
+    finally:
+        eligible.unpersist()
 
 
 def _delta_dirs(base: str, meta: dict) -> list[str]:
@@ -417,6 +424,7 @@ def ivf_index_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed IVF index under {path}")
+        _require_kind(meta, "ivf", path)
         if expect:
             # refuse a mismatched build (r7 review): pass e.g.
             # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
@@ -578,12 +586,13 @@ def append_to_band_index(
         band_key_rows,
         shingle_arrays,
     )
-    from ..versioned import check_meta, commit_version, current_meta, version_dir
+    from ..versioned import check_meta, current_meta, recommit_meta, version_dir
 
     spark = batch.sparkSession
     meta = current_meta(spark, path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {path}")
+    _require_kind(meta, "band", path)
     # unconditional LSH-geometry gate (r8 review, the PQ append's
     # twin): banding below runs with the CURRENT module constants —
     # folding a delta keyed with a different num_perm/bands than the
@@ -594,29 +603,32 @@ def append_to_band_index(
     idx_id = str(meta.get("id_col", "doc_id"))
     j = int(meta.get("appends", 0)) + 1
     delta = posixpath.join(base, "appends", f"a{j}")
+    # persisted: the emptiness probe and the shas write would
+    # otherwise re-scan the batch source (the shingles leg reads the
+    # written parquet back, so it costs one scan either way) — this
+    # fold is the streaming crawl loop's per-micro-batch hot path
+    # (r9 review)
     norm_batch = batch.select(
         F.col(id_col).alias(idx_id), F.col(text_col).alias("text")
-    )
-    if norm_batch.isEmpty():
-        if extra:
-            merged = {k: v for k, v in meta.items() if k != "version"}
-            merged.update(extra)
-            commit_version(spark, path, int(meta["version"]), extra=merged)
-        return
-    sh_path = posixpath.join(delta, "shingles")
-    shingle_arrays(norm_batch, "text", idx_id, int(meta["n"])).write.mode(
-        "overwrite"
-    ).parquet(sh_path)
-    sh = spark.read.parquet(sh_path)
-    band_key_rows(array_minhash_sigs(sh, idx_id), idx_id).write.mode(
-        "overwrite"
-    ).partitionBy("band_no").parquet(posixpath.join(delta, "bands"))
-    norm_batch.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct(
-    ).write.mode("overwrite").parquet(posixpath.join(delta, "shas"))
-    merged = {k: v for k, v in meta.items() if k != "version"}
-    merged.update(extra or {})
-    merged["appends"] = j
-    commit_version(spark, path, int(meta["version"]), extra=merged)
+    ).persist()
+    try:
+        if norm_batch.isEmpty():
+            if extra:
+                recommit_meta(spark, path, meta, extra=extra)
+            return
+        sh_path = posixpath.join(delta, "shingles")
+        shingle_arrays(norm_batch, "text", idx_id, int(meta["n"])).write.mode(
+            "overwrite"
+        ).parquet(sh_path)
+        sh = spark.read.parquet(sh_path)
+        band_key_rows(array_minhash_sigs(sh, idx_id), idx_id).write.mode(
+            "overwrite"
+        ).partitionBy("band_no").parquet(posixpath.join(delta, "bands"))
+        norm_batch.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct(
+        ).write.mode("overwrite").parquet(posixpath.join(delta, "shas"))
+        recommit_meta(spark, path, meta, extra=extra, appends=j)
+    finally:
+        norm_batch.unpersist()
 
 
 def _band_index_parts(spark: SparkSession, index_path: str):
@@ -628,6 +640,7 @@ def _band_index_parts(spark: SparkSession, index_path: str):
     meta = current_meta(spark, index_path)
     if not meta:
         raise FileNotFoundError(f"no committed band index under {index_path}")
+    _require_kind(meta, "band", index_path)
     base = version_dir(index_path, int(meta["version"]))
     return meta, _delta_dirs(base, meta)
 
@@ -693,14 +706,24 @@ def incremental_neardup_pairs_indexed(
     # pairs), so the two forms cannot drift (r7 review). The old side
     # is base + committed append deltas (append_to_band_index).
     sh_new = shingle_arrays(new, text_col, id_col, n).persist()
-    bk_old = _union_parquet(
-        spark, [posixpath.join(d, "bands") for d in dirs]
-    ).select(F.col(idx_id).alias("id_a"), "band_no", "band_key")
-    old_sets = _union_parquet(
-        spark, [posixpath.join(d, "shingles") for d in dirs]
-    ).select(F.col(idx_id).alias("id_a"), "shs")
-    result, cands = _incremental_pairs(sh_new, bk_old, old_sets, id_col, threshold)
-    return tie_cache(result, sh_new, cands)
+    try:
+        # the delta-leg reads do eager file listing, so they stay
+        # INSIDE the protected region (r9 review — the ivf_index_probe
+        # r8 rule): a leg read raising between persist and tie_cache
+        # would orphan the cache with no owner to unpersist it
+        bk_old = _union_parquet(
+            spark, [posixpath.join(d, "bands") for d in dirs]
+        ).select(F.col(idx_id).alias("id_a"), "band_no", "band_key")
+        old_sets = _union_parquet(
+            spark, [posixpath.join(d, "shingles") for d in dirs]
+        ).select(F.col(idx_id).alias("id_a"), "shs")
+        result, cands = _incremental_pairs(
+            sh_new, bk_old, old_sets, id_col, threshold
+        )
+        return tie_cache(result, sh_new, cands)
+    except BaseException:
+        sh_new.unpersist()
+        raise
 
 
 def semdedup_prune_persisted(
@@ -740,6 +763,7 @@ def semdedup_prune_persisted(
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF index under {index_path}")
+    _require_kind(meta, "ivf", index_path)
     if expect:
         check_meta(meta, expect, index_path)
     base = version_dir(index_path, ver)
@@ -858,8 +882,8 @@ def append_to_pq_index(
     from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, pq_encode
     from ..versioned import (
         check_meta,
-        commit_version,
         current_meta,
+        recommit_meta,
         version_dir,
     )
 
@@ -868,6 +892,11 @@ def append_to_pq_index(
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed PQ index under {path}")
+    # the layout gate must come first (r9 review): an IVF-PQ index
+    # records the same pq_m/pq_sub/pq_k, so the geometry gate alone
+    # would wave a mistaken PQ append through — committing a
+    # codes-only delta whose a{j}/cells read then breaks every probe
+    _require_kind(meta, "pq", path)
     # unconditional geometry gate (r8 review): pq_encode packs with
     # the CURRENT module constants — encoding against an old-geometry
     # codebook would commit permanently garbled codes with no error
@@ -881,9 +910,7 @@ def append_to_pq_index(
     pq_encode(batch, cb, vec_col, idx_id).write.mode("overwrite").parquet(
         posixpath.join(base, "appends", f"a{j}", "codes")
     )
-    extra = {k: v for k, v in meta.items() if k != "version"}
-    extra["appends"] = j
-    commit_version(spark, path, ver, extra=extra)
+    recommit_meta(spark, path, meta, appends=j)
 
 
 def pq_index_probe(
@@ -936,6 +963,7 @@ def pq_index_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed PQ index under {path}")
+        _require_kind(meta, "pq", path)
         # the nibble-unpack scoring is built from the CURRENT module
         # constants — a recorded-geometry mismatch silently mis-reads
         # every code, so this gate is unconditional (r8 review);
@@ -1039,6 +1067,7 @@ def pq_index_batch_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed PQ index under {path}")
+        _require_kind(meta, "pq", path)
         # unconditional geometry gate — same reason as pq_index_probe
         check_meta(
             meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
@@ -1199,41 +1228,44 @@ def append_to_ivfpq_index(
         ivf_assign,
         pq_encode,
     )
-    from ..versioned import check_meta, commit_version, current_meta, version_dir
+    from ..versioned import check_meta, current_meta, recommit_meta, version_dir
 
     spark = documents.sparkSession
     meta = current_meta(spark, path)
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    _require_kind(meta, "ivfpq", path)
     # both geometries are unconditional: encode runs with the CURRENT
     # module constants (the PQ-append gate) and assignment/eligibility
     # use the RECORDED build parameters
     check_meta(meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path)
+    # persisted: the emptiness probe and the delta write would
+    # otherwise evaluate the eligibility semi-join twice per batch —
+    # the streaming maintenance loop's per-micro-batch hot path
+    # (r9 review)
     eligible = eligible_embeddings(
         documents, embeddings,
         int(meta["min_chars"]), str(meta["lang"]),
-    )
-    if eligible.isEmpty():
-        if extra:
-            merged = {k: v for k, v in meta.items() if k != "version"}
-            merged.update(extra)
-            commit_version(spark, path, ver, extra=merged)
-        return
-    base = version_dir(path, ver)
-    cents = spark.read.parquet(posixpath.join(base, "centroids"))
-    cb = spark.read.parquet(posixpath.join(base, "codebook"))
-    j = int(meta.get("appends", 0)) + 1
-    (
-        pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
-    )
-    merged = {k: v for k, v in meta.items() if k != "version"}
-    merged.update(extra or {})
-    merged["appends"] = j
-    commit_version(spark, path, ver, extra=merged)
+    ).persist()
+    try:
+        if eligible.isEmpty():
+            if extra:
+                recommit_meta(spark, path, meta, extra=extra)
+            return
+        base = version_dir(path, ver)
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        j = int(meta.get("appends", 0)) + 1
+        (
+            pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+        )
+        recommit_meta(spark, path, meta, extra=extra, appends=j)
+    finally:
+        eligible.unpersist()
 
 
 def ivfpq_probe(
@@ -1283,6 +1315,7 @@ def ivfpq_probe(
         ver = int(meta.get("version", 0))
         if ver == 0:
             raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+        _require_kind(meta, "ivfpq", path)
         # unconditional PQ-geometry gate, same reason as pq_index_probe
         # (r8 review); `expect` adds caller pins (n_cells, gate params)
         check_meta(
@@ -1358,11 +1391,27 @@ def _index_kind(meta: dict) -> str:
     )
 
 
+def _require_kind(meta: dict, kind: str, path: str) -> None:
+    """Refuse an operation aimed at the wrong index layout (r9
+    review): the four builders share call signatures, and a mistaken
+    append could PASS its geometry gate on a sibling layout — e.g.
+    append_to_ivf_index against an IVF-PQ index (whose meta also has
+    min_chars/lang/centroids) committed a raw-embedding cells delta
+    whose pq_code read back NULL, silently filling every probe's
+    top-k with null-distance rows."""
+    got = _index_kind(meta)
+    if got != kind:
+        raise ValueError(
+            f"index at {path} is a '{got}' layout; this operation "
+            f"serves '{kind}' — wrong path or wrong operator"
+        )
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
     min_appends: int = 1,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> bool:
     """Fold the committed append deltas of a persisted index into a
     new base version (r8 verdict item 3 — the maintenance operation
@@ -1406,6 +1455,10 @@ def compact_index(
         raise FileNotFoundError(f"no committed index under {path}")
     if int(meta.get("appends", 0)) < min_appends:
         return False
+    if keep_versions is None:
+        # honor the retention the BUILD chose (recorded in _CURRENT
+        # since r9) unless the caller overrides explicitly
+        keep_versions = int(meta.get("keep_versions", 2))
     spec = _COMPACT_SPECS[_index_kind(meta)]
     base = version_dir(path, ver)
     nbase = version_dir(path, ver + 1)

@@ -101,6 +101,11 @@ def commit_version(
     jvm = spark._jvm  # noqa: SLF001
     payload = dict(extra or {})
     payload["version"] = version
+    # the retention choice is part of the committed state (r9 review):
+    # appends/compactions re-commit through recommit_meta, which reads
+    # it back — without this, the first append after a
+    # keep_versions=5 build silently re-pruned with the default 2
+    payload["keep_versions"] = keep_versions
     data = json.dumps(payload, sort_keys=True).encode("utf-8")
 
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
@@ -151,6 +156,31 @@ def check_meta(meta: dict, expect: dict, path: str) -> None:
             f"index at {path} was built with {got}, caller expects "
             f"{expect} — rebuild the index or match parameters"
         )
+
+
+def recommit_meta(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    extra: dict | None = None,
+    appends: int | None = None,
+) -> None:
+    """Re-commit the CURRENT version's metadata with updates — THE
+    append/fold re-commit rule, extracted (r9 review) from six
+    restated sites across the four index append paths: strip the
+    version key, merge `extra`, optionally set the append counter,
+    and commit at the SAME version honoring the retention the build
+    recorded (`keep_versions` rides the payload since r9 — before
+    that, the first append after a keep_versions=5 build silently
+    re-pruned old versions with the default 2)."""
+    merged = {k: v for k, v in meta.items() if k != "version"}
+    merged.update(extra or {})
+    if appends is not None:
+        merged["appends"] = appends
+    commit_version(
+        spark, path, int(meta["version"]), extra=merged,
+        keep_versions=int(meta.get("keep_versions", 2)),
+    )
 
 
 def epoch_replayed(meta: dict, epoch_id: int, run_id: str | None) -> bool:

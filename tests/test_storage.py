@@ -1469,3 +1469,64 @@ def test_compact_filtered_ivf_index(spark, tmp_path):
     res = ivf_index_probe(spark, path, q, k=10, nprobe=2)
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, before))
     assert all("/appends/" not in str(s.metadata()) for s in _scan_nodes(res))
+
+
+def test_append_refuses_wrong_layout_kind(spark, tmp_path):
+    """Every append/probe must refuse a sibling layout (r9 review):
+    append_to_ivf_index aimed at an IVF-PQ index passed every existing
+    check (same builder signature, min_chars/lang/centroids all
+    present) and committed a raw-embedding cells delta whose pq_code
+    read back NULL — null-distance rows silently topping every probe."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivf_index,
+        append_to_pq_index,
+        ivf_index_probe,
+        pq_index_probe,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ivfpq_path = str(tmp_path / "kind_ivfpq")
+    pq_path = str(tmp_path / "kind_pq")
+    write_ivfpq_index(docs, emb, ivfpq_path, n_cells=8)
+    write_pq_index(emb, pq_path)
+
+    q1 = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(ValueError, match="'ivfpq' layout"):
+        append_to_ivf_index(docs, emb, ivfpq_path)
+    with _pytest.raises(ValueError, match="'ivfpq' layout"):
+        append_to_pq_index(emb, ivfpq_path)
+    with _pytest.raises(ValueError, match="'pq' layout"):
+        ivf_index_probe(spark, pq_path, q1)
+    with _pytest.raises(ValueError, match="'ivfpq' layout"):
+        pq_index_probe(spark, ivfpq_path, q1)
+
+
+def test_append_honors_build_retention(spark, tmp_path):
+    """keep_versions is part of the committed state (r9 review): the
+    first append used to re-commit with the DEFAULT retention (2),
+    silently pruning versions a keep_versions=3 build promised to
+    keep."""
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_pq_index,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "keepvers")
+    for _ in range(3):  # v1, v2, v3 — all retained at keep_versions=3
+        write_pq_index(emb, path, keep_versions=3)
+    assert current_meta(spark, path)["keep_versions"] == 3
+    assert os.path.isdir(os.path.join(path, "v1"))
+
+    append_to_pq_index(emb.limit(5), path)
+    # the re-commit honored the recorded retention: v1 survives
+    assert os.path.isdir(os.path.join(path, "v1"))
+    assert current_meta(spark, path)["keep_versions"] == 3

@@ -54,6 +54,45 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _single_query(query: DataFrame, op: str, **cols: Column) -> DataFrame:
+    """Enforce the single-query contract every unkeyed top-k shares
+    (r9 review — pq_adc_topk and the persisted probes had the guard,
+    their four in-memory siblings didn't): with >1 query row the
+    unkeyed broadcast/cross join silently interleaves several queries
+    into ONE wrong top-k, and an empty query silently returns empty.
+
+    Enforced IN-PLAN, not by an eager count(): the projection is
+    aggregated to exactly one row carrying first(col) per column plus
+    the row count, and every output column asserts count == 1 — any
+    action over the top-k raises loudly on a violated contract while
+    a correct call costs ZERO extra jobs (the one-row aggregate folds
+    into the broadcast build; an eager count() guard measured ~1.3x
+    on every benched ANN query at sf0.1, re-evaluating the query
+    subtree as its own job). The persisted probes keep their eager
+    guards — their serving cost budgets already include it."""
+    names = list(cols)
+    agged = query.select(
+        *[c.alias(n) for n, c in cols.items()]
+    ).agg(
+        *[F.first(F.col(n)).alias(n) for n in names],
+        F.count("*").alias("_nq"),
+    )
+    msg = F.concat(
+        F.lit(f"{op} serves exactly one query vector, got "),
+        F.col("_nq").cast("string"),
+        F.lit(" rows — use batch_topk for query batches"),
+    )
+    # when(assert.isNull(), col): assert_true returns NULL on success,
+    # raises on failure; wrapping every output column keeps the assert
+    # unprunable (a bare dropped assert column would be optimized out)
+    return agged.select(*[
+        F.when(
+            F.assert_true(F.col("_nq") == 1, msg).isNull(), F.col(n)
+        ).alias(n)
+        for n in names
+    ])
+
+
 def topk_bruteforce(
     embeddings: DataFrame,
     query: DataFrame,
@@ -62,9 +101,10 @@ def topk_bruteforce(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine against a 1-row query DataFrame (broadcast
-    crossJoin → score → TakeOrdered). Ties broken by id."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))  # bcast bound: 1 query row
-    scored = embeddings.crossJoin(q).select(
+    crossJoin → score → TakeOrdered). Ties broken by id. Single-query
+    contract enforced in-plan (_single_query)."""
+    q = _single_query(query, "topk_bruteforce", _qvec=F.col(vec_col))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(  # bcast: 1 row
         F.col(id_col),
         F.round(cosine(as_double(vec_col), as_double("_qvec")), 6).alias("cos_sim"),
     )
@@ -84,15 +124,19 @@ def topk_l2_bruteforce(
     L2-exact answer, not the cosine one). Same plan shape as
     topk_bruteforce: broadcast crossJoin → score → TakeOrdered; the
     distance is rounded to 6 places BEFORE ordering so the tie-break
-    (then id) replays identically in any engine."""
-    q = F.broadcast(  # bcast bound: 1 query row
-        query.select(as_double(vec_col).alias("_qvec"))
-    )
-    scored = embeddings.crossJoin(q).select(
+    (then id) replays identically in any engine. Single-query contract
+    enforced in-plan (_single_query)."""
+    q = _single_query(query, "topk_l2_bruteforce", _qvec=as_double(vec_col))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(  # bcast: 1 row
         F.col(id_col),
         F.round(_l2sq(as_double(vec_col), F.col("_qvec")), 6).alias("l2sq"),
     )
-    return scored.orderBy("l2sq", F.col(id_col)).limit(k)
+    # asc_nulls_last (r9 review): a degenerate row (NULL element /
+    # length-mismatched vector) folds to a NULL distance, which
+    # Spark's asc default sorts FIRST — garbage topping the ground
+    # truth — while DuckDB sorts it LAST; the desc cosine paths get
+    # this for free (desc = NULLS LAST, see cosine()).
+    return scored.orderBy(F.asc_nulls_last("l2sq"), F.col(id_col)).limit(k)
 
 
 def batch_topk(
@@ -159,15 +203,18 @@ def signrp_lsh_topk(
 ) -> DataFrame:
     """ANN: restrict the exact cosine scan to the query's LSH bucket.
     At scale, write embeddings partitioned by bucket so the scan prunes
-    to one partition (partition pruning on the bucket column)."""
+    to one partition (partition pruning on the bucket column).
+    Single-query contract enforced in-plan (_single_query)."""
     bucketed = embeddings.withColumn("bucket", signrp_bucket(vec_col))
-    q = F.broadcast(  # bcast bound: 1 query row (vec + bucket)
-        query.select(
-            F.col(vec_col).alias("_qvec"), signrp_bucket(vec_col).alias("_qbucket")
-        )
+    q = _single_query(
+        query, "signrp_lsh_topk",
+        _qvec=F.col(vec_col),
+        _qbucket=signrp_bucket(vec_col),
     )
     return (
-        bucketed.join(q, F.col("bucket") == F.col("_qbucket"))
+        bucketed.join(  # bcast bound: 1 query row (vec + bucket)
+            F.broadcast(q), F.col("bucket") == F.col("_qbucket")
+        )
         .select(
             F.col(id_col),
             F.round(cosine(as_double(vec_col), as_double("_qvec")), 6).alias(
@@ -369,10 +416,14 @@ def ivf_topk(
     Probe set and assignments both derive from the same broadcast
     centroid row; the candidate scan is an equi-join on cell id
     (→ partition pruning when the index is written partitioned by
-    cell)."""
+    cell). Single-query contract enforced in-plan (_single_query —
+    with >1 query row the GLOBAL nprobe cell ranking would mix both
+    queries' cells and each candidate would score against whichever
+    _qv rode its probe row)."""
+    q = _single_query(query, "ivf_topk", **{vec_col: F.col(vec_col)})
     cents_row = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     assigned = ivf_assign(embeddings, cents_row, vec_col)
-    qcells = rank_probe_cells(query, cents_row, nprobe, vec_col)
+    qcells = rank_probe_cells(q, cents_row, nprobe, vec_col)
     return (
         assigned.join(
             F.broadcast(qcells), F.col("cell") == F.col("probe_cell")  # bcast bound: nprobe rows
@@ -944,7 +995,8 @@ def pq_adc_topk(
                 "pq_code",
                 F.round(pq_adc_dist(), 6).alias("adist"),
             )
-            .orderBy("adist", id_col)
+            # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+            .orderBy(F.asc_nulls_last("adist"), id_col)
             .limit(k)
         )
         return tie_cache(out, query)

@@ -72,6 +72,12 @@ def cms_build(
     cols = ["rb.row", "rb.bucket"] + (
         [] if weight_col is None else [weight_col]
     )
+    # NULL tokens are dropped, the hll_registers rule (r9 review):
+    # hash31(NULL) is NULL, so they piled into phantom (row, NULL)
+    # cells that no estimate's equi-join ever reached — a NULL
+    # candidate probed est=0 while its occurrences HAD been counted,
+    # violating the est >= true contract
+    tokens = tokens.filter(F.col(token_col).isNotNull())
     return (
         tokens.select(
             F.explode(_row_buckets(F.col(token_col), width)).alias("rb"),
@@ -242,8 +248,15 @@ def hist_quantiles(
         # NULLs are ignored, matching `percentile`: hist_bucket(NULL)
         # is a NULL bucket that previously counted into n and skewed
         # every estimate beyond the documented bin-width bound (r6
-        # review: 10 NULLs over values 1..10 put q=0.5 at 9.0 vs 5.5)
-        df.filter(F.col(value_col).isNotNull())
+        # review: 10 NULLs over values 1..10 put q=0.5 at 9.0 vs 5.5).
+        # NaN is the same class (r9 review): floor(NaN)->0 clamped
+        # into bucket 0, silently counting into both the histogram
+        # and n — a replay over NaN-bearing data must filter
+        # `NOT isnan(x)` too.
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(
             hist_bucket(F.col(value_col), lo, hi, buckets).alias("bucket")
         )

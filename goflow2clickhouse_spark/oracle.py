@@ -21,9 +21,13 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with every fixture registered as a view, the
     same names the driver pre-registers."""
     con = duckdb.connect()
+    # SQL-escape the path (r9 review): an unescaped single quote in
+    # sf_dir (legal in directory names) broke every CREATE VIEW
+    safe_dir = sf_dir.replace("'", "''")
     for name in FIXTURE_TABLES:
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{safe_dir}/{name}.parquet')"
         )
     return con
 
@@ -82,12 +86,19 @@ def _canon_value(v: object) -> str:
             return "nan"
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        if v == int(v):
-            # exact for the float's own value at any magnitude; keeps
-            # integral double ≡ BIGINT ≡ integral DECIMAL (the old
-            # 1e15 cutoff broke the equivalence above it)
-            return str(int(v))
-        return repr(round(v, 9))
+        # round FIRST, then test integrality on the rounded value (r9
+        # review): testing the raw float put values within the 1e-9
+        # tolerance of an integer on the WRONG side of the integral
+        # collapse — engine A's exact 1.0 hashed "1" while engine B's
+        # 0.99999999999 hashed "1.0", a false FAIL at exactly the
+        # values the tolerance exists to absorb (and 1e-12 / -1e-12 /
+        # 0.0 rendered three different ways). int() also normalizes
+        # -0.0. Integral doubles stay ≡ BIGINT ≡ integral DECIMAL at
+        # any magnitude (round is identity once ulp > 1e-9).
+        r = round(v, 9)
+        if r == int(r):
+            return str(int(r))
+        return repr(r)
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)

@@ -988,7 +988,8 @@ def pq_index_probe(
                 "pq_code",
                 F.round(pq_adc_dist(), 6).alias("adist"),
             )
-            .orderBy("adist", idx_id)
+            # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+            .orderBy(F.asc_nulls_last("adist"), idx_id)
             .limit(k)
         )
         return tie_cache(out, query)
@@ -1088,7 +1089,10 @@ def pq_index_batch_probe(
             "pq_code",
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
-        w = Window.partitionBy(qid_col).orderBy("adist", idx_id)
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        w = Window.partitionBy(qid_col).orderBy(
+            F.asc_nulls_last("adist"), idx_id
+        )
         out = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
@@ -1340,7 +1344,8 @@ def ivfpq_probe(
                 "pq_code",
                 F.round(pq_adc_dist(), 6).alias("adist"),
             )
-            .orderBy("adist", "vec_id")
+            # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+            .orderBy(F.asc_nulls_last("adist"), "vec_id")
             .limit(k)
         )
         return tie_cache(out, query)

@@ -594,3 +594,36 @@ def test_salted_join_null_fact_key_matches_plain_join(spark):
 
     with _pytest.raises(ValueError, match="__salt"):
         salted_join(fact.withColumn("__salt", F.lit(1)), dim, "k", "oid")
+
+
+def test_hist_quantiles_ignore_nan(spark):
+    """NaN is the NULL class (r9 review): floor(NaN) clamped into
+    bucket 0 and counted into n, shifting every estimate. 10 reals
+    1..10 plus 10 NaNs: q=0.5 must still estimate ~5."""
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    rows = [(float(i),) for i in range(1, 11)] + [(float("nan"),)] * 10
+    df = spark.createDataFrame(rows, "v double")
+    est = {r["q"]: r["est"] for r in
+           hist_quantiles(df, "v", [0.5], 0.0, 10.0, buckets=10).collect()}
+    assert abs(est[0.5] - 5.0) <= 1.0
+
+
+def test_cms_build_drops_null_tokens(spark):
+    """NULL tokens must not occupy phantom (row, NULL) cells (r9
+    review, the hll_registers rule): hash31(NULL) is NULL, the cells
+    never equi-join, and a NULL candidate probed est=0 below its true
+    count — violating the est >= true CMS contract."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import cms_build
+
+    rows = [("a",)] * 3 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "token string")
+    cells = cms_build(df, "token").collect()
+    assert all(r["bucket"] is not None for r in cells)
+    # total mass = the 3 non-null occurrences per row of the sketch
+    per_row = {}
+    for r in cells:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["c"]
+    assert set(per_row.values()) == {3}

@@ -270,3 +270,55 @@ def test_pq_adc_topk_rejects_multi_or_empty_query(spark):
     # contract count + LUT build share one evaluation) must not leak
     # on either raise path
     assert cached_count() == base
+
+
+def test_in_memory_topk_ops_enforce_single_query(spark):
+    """The four in-memory single-query top-k ops must refuse multi-row
+    and empty query relations (r9 review — the pq_adc_topk rule): an
+    unkeyed broadcast/cross join would otherwise interleave several
+    queries into one silently-wrong top-k. The guard is IN-PLAN
+    (aggregate + assert, zero extra jobs), so the refusal surfaces on
+    the first action, not at plan-build time — and a legal 1-row call
+    must still work."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        ivf_topk,
+        signrp_lsh_topk,
+        topk_bruteforce,
+        topk_l2_bruteforce,
+    )
+    from goflow2clickhouse_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for op in (topk_bruteforce, topk_l2_bruteforce, signrp_lsh_topk, ivf_topk):
+        with _pytest.raises(Exception, match="one query"):
+            op(e, e.filter(F.col("vec_id") < 2)).collect()
+        with _pytest.raises(Exception, match="one query"):
+            op(e, e.filter(F.col("vec_id") < 0)).collect()
+        assert len(op(e, e.filter(F.col("vec_id") == 0), k=3).collect()) > 0
+
+
+def test_l2_topk_sorts_null_distances_last(spark):
+    """A degenerate vector (NULL element → NULL distance) must sink to
+    the bottom like DuckDB's asc NULLS LAST, never top the ground
+    truth (r9 review)."""
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        topk_l2_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [None, 0.0]),  # NULL element → NULL l2sq
+        (3, [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = topk_l2_bruteforce(
+        df, df.filter(F.col("vec_id") == 0), k=4
+    ).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 3, 2]
+    assert got[-1]["l2sq"] is None

@@ -403,6 +403,43 @@ def rank_probe_cells(
     )
 
 
+def rank_probe_cells_batch(
+    queries: DataFrame,
+    cents_row: DataFrame,
+    nprobe: int,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, probe_cell, cscore): the per-QUERY nprobe cell ranking —
+    the batch twin of `rank_probe_cells`, with the identical scoring
+    expression and (score desc, cid) tie-break, planned as a
+    row_number window so WindowGroupLimit bounds it at Q x nprobe
+    rows (the batch_topk rule); a parity test pins the 1-query batch
+    equal to the single form. Q is the caller's batch bound."""
+    from pyspark.sql import Window
+
+    scored = (
+        queries.select(
+            F.col(qid_col).alias(qid_col), as_double(qvec_col).alias("_qv")
+        )
+        .join(F.broadcast(cents_row))  # bcast bound: 1 row, n_cells structs
+        .select(qid_col, "_qv", F.explode("_cents").alias("c"))
+        .select(
+            qid_col,
+            F.col("c.cid").alias("probe_cell"),
+            cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cscore"), F.col("probe_cell")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "probe_cell", "cscore")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

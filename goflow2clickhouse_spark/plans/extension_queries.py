@@ -2944,7 +2944,10 @@ def pq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(
-    limit: int = 10, nprobe: int = 2, seed_where: str = ""
+    limit: int = 10,
+    nprobe: int = 2,
+    seed_where: str = "",
+    batch_k: int | None = None,
 ) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
@@ -2953,7 +2956,44 @@ def _ivfpq_oracle(
     `seed_where` narrows BOTH quantizers' seed sets (centroids and
     codebook) to the original build's subset while assignment and
     encode run over everything — exactly what an appended index
-    serves (the append-probe geometry)."""
+    serves (the append-probe geometry). `batch_k` (r9) switches to
+    the BATCH serving replay (ivfpq_batch_probe): per-qid cell
+    ranking via ROW_NUMBER, per-qid LUTs, per-qid top-`batch_k`."""
+    if batch_k is None:
+        qcells = f"""
+    qcells AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.cid
+        LIMIT {nprobe})"""
+        q_sql = (
+            "SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0"
+        )
+        where = (
+            "WHERE assign.vec_id = enc.vec_id "
+            "AND assign.cid IN (SELECT cid FROM qcells)"
+        )
+        from_extra = ", assign"
+    else:
+        qcells = f"""
+    qcells AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM cents c, q) t
+        WHERE rn <= {nprobe})"""
+        q_sql = (
+            "SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 3"
+        )
+        where = (
+            "WHERE assign.vec_id = enc.vec_id "
+            "AND qcells.qid = lutl.qid AND qcells.cid = assign.cid"
+        )
+        from_extra = ", assign, qcells"
     post = f""",
     cents AS (SELECT vec_id AS cid, v AS cvec FROM e {seed_where}
               ORDER BY vec_id LIMIT 8),
@@ -2966,11 +3006,7 @@ def _ivfpq_oracle(
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY score DESC, cid) AS rn
             FROM cscored) t
-        WHERE rn = 1),
-    qcells AS (
-        SELECT c.cid FROM cents c, q
-        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.cid
-        LIMIT {nprobe})"""
+        WHERE rn = 1),{qcells}"""
     return _pq_oracle(
         pre_ctes="""ok AS (
         SELECT doc_id FROM documents
@@ -2981,20 +3017,15 @@ def _ivfpq_oracle(
         FROM embeddings
         WHERE vec_id IN (SELECT doc_id FROM ok)""",
         post_ctes=post,
-        from_extra=", assign",
-        where=(
-            "WHERE assign.vec_id = enc.vec_id "
-            "AND assign.cid IN (SELECT cid FROM qcells)"
-        ),
+        from_extra=from_extra,
+        where=where,
         limit=limit,
-        q_sql=(
-            "SELECT CAST(embedding AS DOUBLE[]) AS qv "
-            "FROM embeddings WHERE vec_id = 0"
-        ),
+        q_sql=q_sql,
         cb_src=(
             "e" if not seed_where
             else f"(SELECT * FROM e {seed_where})"
         ),
+        batch_k=batch_k,
     )
 
 
@@ -3076,6 +3107,82 @@ _L2_SQL = (
     "list_sum(list_transform(generate_series(1, {dim}), i -> "
     "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
+
+
+@query(
+    "pq_compacted_probe",
+    oracle=_pq_oracle(cb_src="(SELECT * FROM e WHERE vec_id % 2 = 0)"),
+)
+def pq_compacted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-delta compaction through the driver gate
+    (plans/storage.compact_index, r9): the index is built over the
+    even-id half, the odd half is APPENDED as a delta, and the two
+    legs are then COMPACTED into a single-leg v2 — codebook copied
+    verbatim, codes folded, append counter reset. The probe serves
+    the compacted layout; the oracle is the append-probe's exact
+    replay (codebook seeded from the even half, encode over
+    everything), so compaction that dropped/duplicated a code,
+    re-derived the codebook, or leaked a stale leg hash-mismatches.
+    At 100 TB this is the maintenance op that keeps a year of daily
+    appends from unioning 365 legs into every probe plan."""
+    from .storage import (
+        append_to_pq_index,
+        compact_index,
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_pq_index(emb.filter(F.col("vec_id") % 2 == 0), p)
+        append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), p)
+        assert compact_index(spark, p) is True
+
+    path = _persisted_index("pq_cmp", sf_dir, build)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return pq_index_probe(
+        spark, path, q, k=10,
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
+
+
+@query(
+    "ivfpq_batch_probe",
+    oracle=_ivfpq_oracle(nprobe=2, batch_k=5),
+    bench=True,
+)
+def ivfpq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the IVF-PQ index
+    (plans/storage.ivfpq_batch_probe, r9): per-query cell ranking is
+    relational (rank_probe_cells_batch — a Q x nprobe WindowGroupLimit
+    over the broadcast centroid row, no per-query loop), each query's
+    LUT rides its ranked cells as one Q x nprobe broadcast, and ONE
+    partition-pruned scan of the union of probed cells serves the
+    whole batch — a Q-loop over the single probe would re-read
+    overlapping cells Q times. The oracle replays the per-qid cell
+    ranking, every 4-bit code, the per-qid ADC sums and each row's
+    rank through the same shared generators as the single-query
+    form."""
+    from .storage import ivfpq_batch_probe, write_ivfpq_index
+
+    path = _persisted_index(
+        "ivfpq", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8,
+        ),
+    )
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return ivfpq_batch_probe(
+        spark, path, qs, k=5, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+    )
 
 
 def _l2_recall_oracle(

@@ -998,6 +998,28 @@ def pq_index_probe(
         raise
 
 
+def _require_unique_qids(queries: DataFrame, qid_col: str, op: str) -> None:
+    """The single-probe n!=1 rule in batch form, shared by both batch
+    probes: an EMPTY batch raises (silently returning nothing hides an
+    upstream bug), and a duplicated qid (an at-least-once upstream
+    redelivering a query row, or two vectors colliding on one id)
+    emits two LUT rows for one qid — the unkeyed broadcast join then
+    scores every code twice and the 'top-k' silently interleaves
+    duplicate ranks (r9 review: reproduced — 5 rows, 3 distinct
+    neighbors, no error)."""
+    counts = queries.agg(
+        F.count("*").alias("_n"),
+        F.count_distinct(F.col(qid_col)).alias("_nd"),
+    ).first()
+    if counts["_n"] == 0:
+        raise ValueError(f"{op} got an empty query batch — nothing to serve")
+    if counts["_n"] != counts["_nd"]:
+        raise ValueError(
+            f"{op} requires unique {qid_col} per query row, got "
+            f"{counts['_n']} rows over {counts['_nd']} distinct ids"
+        )
+
+
 def pq_index_batch_probe(
     spark: SparkSession,
     path: str,
@@ -1042,28 +1064,7 @@ def pq_index_batch_probe(
         F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
     ).persist()
     try:
-        counts = queries.agg(
-            F.count("*").alias("_n"),
-            F.count_distinct(F.col(qid_col)).alias("_nd"),
-        ).first()
-        if counts["_n"] == 0:
-            raise ValueError(
-                "pq_index_batch_probe got an empty query batch — "
-                "nothing to serve"
-            )
-        if counts["_n"] != counts["_nd"]:
-            # the single-probe n!=1 rule, batch form: a duplicated qid
-            # (an at-least-once upstream redelivering a query row, or
-            # two vectors colliding on one id) emits two LUT rows for
-            # one qid — the unkeyed broadcast join then scores every
-            # code twice and the 'top-k' silently interleaves
-            # duplicate ranks (review r9: reproduced — 5 rows, 3
-            # distinct neighbors, no error)
-            raise ValueError(
-                f"pq_index_batch_probe requires unique {qid_col} per "
-                f"query row, got {counts['_n']} rows over "
-                f"{counts['_nd']} distinct ids"
-            )
+        _require_unique_qids(queries, qid_col, "pq_index_batch_probe")
         meta = current_meta(spark, path)
         ver = int(meta.get("version", 0))
         if ver == 0:
@@ -1484,6 +1485,106 @@ def compact_index(
     commit_version(spark, path, ver + 1, extra=extra,
                    keep_versions=keep_versions)
     return True
+
+
+def ivfpq_batch_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve a Q-query ADC top-k batch from the IVF-PQ index — the
+    composed analog of `pq_index_batch_probe` (r9): per-query cell
+    ranking is RELATIONAL (`rank_probe_cells_batch`, a Q x nprobe
+    WindowGroupLimit over the broadcast centroid row — no per-query
+    collect loop), each query's LUT row joins its ranked cells, and
+    ONE partition-pruned scan of the union of probed cells serves the
+    whole batch. Returns (qid, vec_id, pq_code, adist, rank).
+
+    Plan at 100 TB: the scan reads |union of probed cells| / n_cells
+    of the corpus x 8 bytes per vector ONCE for all Q queries (a
+    Q-loop over the single probe reads overlapping cells Q times);
+    the join side is a Q x nprobe broadcast of (cell, qid, LUT) rows
+    ~1 KiB each; the per-query top-k is WindowGroupLimit-bounded at
+    Q x k rows per partition. The only driver-side materialization is
+    the distinct probed-cell id list (<= n_cells integers — the
+    single probe's same legitimate collect)."""
+    import posixpath
+
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_adc_dist,
+        pq_lut_rows,
+        rank_probe_cells_batch,
+    )
+    from ..versioned import check_meta, current_meta, version_dir
+    from pyspark.sql import Window
+
+    queries = queries.select(
+        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
+    ).persist()
+    try:
+        _require_unique_qids(queries, qid_col, "ivfpq_batch_probe")
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+        _require_kind(meta, "ivfpq", path)
+        check_meta(
+            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+        )
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cents = spark.read.parquet(posixpath.join(base, "centroids"))
+        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        qcells = rank_probe_cells_batch(
+            queries, cents, nprobe, qvec_col, qid_col
+        ).select(qid_col, "probe_cell")
+        # bounded driver materialization: the distinct probed cells
+        # (<= n_cells integers) drive partition pruning for the ONE
+        # shared scan
+        probed = sorted({
+            int(r["probe_cell"]) for r in qcells.collect()
+        })
+        codes = _read_index_cells(spark, base, meta).filter(
+            F.col("cell").isin(probed)
+        )
+        # each query's LUT row rides its ranked cells: Q x nprobe
+        # broadcast rows, the batch's single join side
+        luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
+        qside = qcells.join(luts, qid_col)
+        scored = codes.join(  # bcast bound: Q x nprobe rows
+            F.broadcast(qside), F.col("cell") == F.col("probe_cell")
+        ).select(
+            F.col(qid_col),
+            "vec_id",
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        w = Window.partitionBy(qid_col).orderBy(
+            F.asc_nulls_last("adist"), "vec_id"
+        )
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                qid_col, "vec_id", "pq_code", "adist",
+                F.col("_rn").cast("int").alias("rank"),
+            )
+        )
+        return tie_cache(out, queries)
+    except BaseException:
+        queries.unpersist()
+        raise
 
 
 def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:

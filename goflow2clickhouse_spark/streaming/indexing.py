@@ -34,6 +34,7 @@ def ivfpq_maintenance_fold(
     index_path: str,
     epoch_id: int,
     run_id: str | None = None,
+    compact_over: int | None = None,
 ) -> bool:
     """One turn of the embedding-maintenance loop (the testable unit
     the foreachBatch wrapper below calls): fold `batch_df` — new
@@ -51,8 +52,16 @@ def ivfpq_maintenance_fold(
     between "delta visible" and "epoch recorded". An eligible-empty
     batch advances the gate without writing a delta. Within-batch /
     cross-batch id dedup is the caller's contract, same as every
-    index append."""
-    from ..plans.storage import append_to_ivfpq_index
+    index append.
+
+    `compact_over` bounds the delta count operationally: after the
+    fold, if more than that many append legs are committed, they are
+    folded into a new single-leg base (plans/storage.compact_index —
+    gate metadata carries over, so a compaction between two folds can
+    never reopen a replayed epoch). A crash between append and
+    compaction loses nothing: the compaction is re-attempted on the
+    next fold."""
+    from ..plans.storage import append_to_ivfpq_index, compact_index
     from ..versioned import current_meta, epoch_replayed
 
     spark = batch_df.sparkSession
@@ -67,6 +76,8 @@ def ivfpq_maintenance_fold(
         documents, batch_df, index_path,
         extra={"epoch": int(epoch_id), "run_id": run_id},
     )
+    if compact_over is not None:
+        compact_index(spark, index_path, min_appends=compact_over + 1)
     return True
 
 
@@ -75,6 +86,7 @@ def streaming_ivfpq_maintenance(
     documents: DataFrame,
     index_path: str,
     checkpoint_dir: str,
+    compact_over: int | None = None,
 ):
     """The embedding-maintenance loop as a running stream: each
     micro-batch of (vec_id, embedding) rows folds into the persisted
@@ -90,6 +102,7 @@ def streaming_ivfpq_maintenance(
         ivfpq_maintenance_fold(
             batch_df, documents, index_path, epoch_id,
             run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
+            compact_over=compact_over,
         )
 
     return (

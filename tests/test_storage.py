@@ -1530,3 +1530,95 @@ def test_append_honors_build_retention(spark, tmp_path):
     # the re-commit honored the recorded retention: v1 survives
     assert os.path.isdir(os.path.join(path, "v1"))
     assert current_meta(spark, path)["keep_versions"] == 3
+
+
+def test_ivfpq_batch_probe_matches_single_and_prunes(spark, tmp_path):
+    """The batch IVF-PQ probe (r9) must serve each query exactly as
+    the single probe would (same cells, codes, LUTs, tie-breaks), scan
+    only the UNION of probed cell partitions reading codes (never
+    floats), and bound the per-query top-k as WindowGroupLimit. Plus
+    the batch guards (empty, dup qid) and the 1-query parity of the
+    relational cell ranking."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        rank_probe_cells,
+        rank_probe_cells_batch,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        ivfpq_batch_probe,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_batch")
+    write_ivfpq_index(docs, emb, path, n_cells=8)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    res = ivfpq_batch_probe(spark, path, qs, k=5, nprobe=2)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+
+    cents = spark.read.parquet(f"{path}/v1/centroids")
+    probed_union = set()
+    for qid in (0, 1, 2):
+        q1 = emb.filter(F.col("vec_id") == qid)
+        got = sorted(
+            (r["rank"], r["vec_id"], r["pq_code"], r["adist"])
+            for r in rows if r["qid"] == qid
+        )
+        want = [
+            (i + 1, r["vec_id"], r["pq_code"], r["adist"])
+            for i, r in enumerate(
+                ivfpq_probe(spark, path, q1, k=5, nprobe=2).collect()
+            )
+        ]
+        assert got == want, f"qid {qid} diverges from the single probe"
+        # the relational per-qid cell ranking == the single form's
+        single_cells = [
+            int(r["probe_cell"])
+            for r in rank_probe_cells(
+                q1.select("embedding"), cents, 2
+            ).collect()
+        ]
+        probed_union.update(single_cells)
+    batch_cells = {
+        (r["qid"], r["probe_cell"]): r
+        for r in rank_probe_cells_batch(qs, cents, 2).collect()
+    }
+    assert len(batch_cells) == 6  # 3 qids x nprobe
+
+    # ONE pruned scan of the union of probed cells, codes only
+    idx_scans = [
+        s for s in _scan_nodes(res)
+        if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == len(probed_union), (read_parts, probed_union)
+    for s in idx_scans:
+        schema = s.schema().simpleString()
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+        assert "pq_code" in schema
+    assert "WindowGroupLimit" in (
+        res._jdf.queryExecution().executedPlan().toString()
+    )
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        ivfpq_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    with _pytest.raises(ValueError, match="unique qid"):
+        ivfpq_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
+    with _pytest.raises(ValueError, match="built with"):
+        ivfpq_batch_probe(spark, path, qs, expect={"n_cells": 4})

@@ -152,3 +152,48 @@ def test_streaming_ivfpq_maintenance_equals_batch_appends(spark, tmp_path):
     finally:
         q2.stop()
     assert current_meta(spark, stream_idx) == meta
+
+
+def test_maintenance_fold_auto_compacts_over_threshold(spark, tmp_path):
+    """compact_over bounds the delta count inside the maintenance loop
+    (r9): once more than N append legs are committed, the fold folds
+    them into a single-leg new version — probe results unchanged, the
+    replay gate carried over (an older epoch still skips AFTER the
+    compaction), and subsequent folds keep the bound."""
+    from goflow2clickhouse_spark.plans.storage import write_ivfpq_index
+    from goflow2clickhouse_spark.streaming.indexing import (
+        ivfpq_maintenance_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    from goflow2clickhouse_spark.plans.storage import append_to_ivfpq_index
+
+    docs, emb, base, b1, b2 = _parts(spark)
+    path = str(tmp_path / "ivfpq_ac")
+    twin = str(tmp_path / "ivfpq_ac_twin")
+    write_ivfpq_index(docs, base, path, n_cells=8)
+    write_ivfpq_index(docs, base, twin, n_cells=8)
+
+    assert ivfpq_maintenance_fold(
+        b1, docs, path, 0, run_id="A", compact_over=1
+    ) is True
+    # one delta <= threshold: no compaction yet
+    m1 = current_meta(spark, path)
+    assert m1["version"] == 1 and m1["appends"] == 1
+
+    assert ivfpq_maintenance_fold(
+        b2, docs, path, 1, run_id="A", compact_over=1
+    ) is True
+    # two deltas > threshold: compacted into v2, counter reset
+    m2 = current_meta(spark, path)
+    assert m2["version"] == 2 and "appends" not in m2
+    # the gate survived compaction: a replayed epoch still skips
+    assert ivfpq_maintenance_fold(
+        b1, docs, path, 1, run_id="A", compact_over=1
+    ) is False
+    assert current_meta(spark, path) == m2
+    # compacted index serves exactly what plain (uncompacted) appends
+    # of the same batches serve
+    append_to_ivfpq_index(docs, b1, twin)
+    append_to_ivfpq_index(docs, b2, twin)
+    assert _probe_ids(spark, path, emb) == _probe_ids(spark, twin, emb)

@@ -379,6 +379,33 @@ def ivf_assign(
     )
 
 
+def ivf_residual(
+    assigned: DataFrame,
+    centroids_row: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """residual = v − centroid(cell) for an already-assigned relation
+    — the encode input of residual IVF-PQ (IVFADC, Jégou et al. 2011
+    §V: quantizing the residual instead of the raw vector centers the
+    PQ codebook's dynamic range on the within-cell distribution, so
+    the same 4-bit budget resolves finer distances). One broadcast of
+    the 1-row centroid array + a map-only zip_with projection — no
+    shuffle; the cell's centroid is looked up IN the array by cid
+    (cids are the seed vec_ids, not dense 0..k-1)."""
+    cvec = F.element_at(
+        F.filter(F.col("_cents"), lambda c: c["cid"] == F.col("cell")), 1
+    )["cvec"]
+    return (
+        assigned.join(F.broadcast(centroids_row))  # bcast bound: 1 row
+        .withColumn(
+            out_col,
+            F.zip_with(as_double(vec_col), cvec, lambda x, y: x - y),
+        )
+        .drop("_cents")
+    )
+
+
 def rank_probe_cells(
     query: DataFrame,
     cents_row: DataFrame,

@@ -23,25 +23,29 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # computed from the CORRECTNESS_r1-r8 union; the 5 r5 names are the fills
 # r8's new queries displaced).  Round 9's window, per the r8 verdict
 # items 1/2/5:
-# (a) the five queries NEW this round — the recall@k gates for the two
+# (a) the seven queries NEW this round — the recall@k gates for the two
 #     newest (and most compressed) approximate indexes (pq_index_recall,
 #     ivfpq_recall — r8 verdict item 2), the batch probes served from
 #     stored codes (pq_batch_probe, item 5; ivfpq_batch_probe, its
 #     composed sibling), and the compaction-served probe
-#     (pq_compacted_probe, item 3 through the driver gate). New queries
+#     (pq_compacted_probe, item 3 through the driver gate), and the
+#     residual-IVFADC layout pair (ivfpq_residual_probe /
+#     ivfpq_residual_recall — Jégou §V residual encoding with per-cell
+#     query LUTs). New queries
 #     MUST take window slots (the r6 lesson: a query registered
 #     outside the window has no driver row until the next round);
 # (b) the five r5-displaced names FIRST (item 1: top_terms_tfidf,
 #     weighted_sample_orders, doc_length_deciles, doc_packing_stats,
 #     text_word_entropy — r5-green is 4 rounds old, the stalest rows);
-# (c) 40 of the 50 r6-green names, alphabetical — each (a) entry
+# (c) 38 of the 50 r6-green names, alphabetical — each (a) entry
 #     displaces one fill (spilled to r10, FIRST there:
+#     q1_pricing_summary, q3_shipping_priority,
 #     q5_local_supplier_volume, q6_forecast_revenue,
 #     quality_classifier_scores, reservoir_sample_per_source,
 #     rollup_pricing, running_total_per_customer, similarity_ann_recall,
 #     similarity_batch_topk, text_dupngram_fraction,
 #     top_customer_per_nation).
-# 5 + 5 + 40 = 50 exactly; after r9 the stale pool for r10 is those 10
+# 7 + 5 + 38 = 50 exactly; after r9 the stale pool for r10 is those 12
 # spilled r6 names plus the 50 r7-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r9
@@ -67,13 +71,15 @@ promote([
     "pq_batch_probe",
     "ivfpq_batch_probe",
     "pq_compacted_probe",
+    "ivfpq_residual_probe",
+    "ivfpq_residual_recall",
     # (b) the five r5-displaced fills, stalest first
     "top_terms_tfidf",
     "weighted_sample_orders",
     "doc_length_deciles",
     "doc_packing_stats",
     "text_word_entropy",
-    # (c) 40 of the 50 r6-green names
+    # (c) 38 of the 50 r6-green names
     "approx_distinct_customers",
     "big_spender_customers_semi",
     "corpus_quality_filter",
@@ -112,8 +118,6 @@ promote([
     "q10_returned_items",
     "q11_important_stock",
     "q16_parts_supplier_relationship",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
 ])
 
 __all__ = [

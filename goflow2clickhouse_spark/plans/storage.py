@@ -1116,6 +1116,7 @@ def write_ivfpq_index(
     min_chars: int = 200,
     lang: str = "en",
     keep_versions: int = 2,
+    residual: bool = False,
 ) -> None:
     """IVF-PQ — the composed coarse-quantizer + product-quantization
     layout (Jégou et al. 2011 §V: the inverted file prunes WHICH
@@ -1158,6 +1159,7 @@ def write_ivfpq_index(
         PQ_SUB,
         ivf_assign,
         ivf_centroids,
+        ivf_residual,
         pq_codebook,
         pq_encode,
     )
@@ -1183,20 +1185,40 @@ def write_ivfpq_index(
         )
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         cb_path = posixpath.join(base, "codebook")
-        pq_codebook(low).write.mode("overwrite").parquet(cb_path)
-        cb = spark.read.parquet(cb_path)
-        (
-            pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(posixpath.join(base, "cells"))
-        )
+        if residual:
+            # IVFADC proper (Jégou §V): the codebook is derived from —
+            # and every vector encoded as — the RESIDUAL v − centroid
+            # of its assigned cell, centering the 4-bit budget on the
+            # within-cell distribution. Seeds stay the lowest-id
+            # prefix, now run through assignment + residual (same
+            # checkpointed relation, still tiny).
+            pq_codebook(
+                ivf_residual(ivf_assign(low, cents), cents), "residual"
+            ).write.mode("overwrite").parquet(cb_path)
+            cb = spark.read.parquet(cb_path)
+            rel = ivf_residual(ivf_assign(eligible, cents), cents)
+            (
+                pq_encode(rel, cb, "residual", keep=("cell",))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(posixpath.join(base, "cells"))
+            )
+        else:
+            pq_codebook(low).write.mode("overwrite").parquet(cb_path)
+            cb = spark.read.parquet(cb_path)
+            (
+                pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(posixpath.join(base, "cells"))
+            )
     finally:
         _release_rdds(spark.sparkContext, _ckpt_rdd_ids(low))
     commit_version(
         spark, path, ver,
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
-               "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K},
+               "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
+               "residual": residual},
         keep_versions=keep_versions,
     )
 
@@ -1262,9 +1284,18 @@ def append_to_ivfpq_index(
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         cb = spark.read.parquet(posixpath.join(base, "codebook"))
         j = int(meta.get("appends", 0)) + 1
+        if meta.get("residual"):
+            # the RECORDED encode geometry includes the residual flag:
+            # appending raw-vector codes into a residual index (or
+            # vice versa) would be permanently garbled with no error
+            from ..operators.similarity import ivf_residual
+
+            enc_in = ivf_residual(ivf_assign(eligible, cents), cents)
+            enc = pq_encode(enc_in, cb, "residual", keep=("cell",))
+        else:
+            enc = pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
         (
-            pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
-            .write.mode("overwrite")
+            enc.write.mode("overwrite")
             .partitionBy("cell")
             .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
         )
@@ -1337,10 +1368,43 @@ def ivfpq_probe(
         codes = _read_index_cells(spark, base, meta).filter(
             F.col("cell").isin(probed)
         )
-        lut_row = pq_lut_row(query, cb)
+        if meta.get("residual"):
+            # IVFADC asymmetric distance (Jégou §V): codes are
+            # residual-encoded, so the LUT must be built from the
+            # QUERY'S residual against each probed cell's centroid —
+            # one LUT row PER probed cell (the batch-LUT machinery
+            # keyed by cell id), joined to the codes of that cell.
+            # Still nprobe 1-KiB broadcast rows + the same pruned
+            # 8-byte scan. The x − cvec expression mirrors
+            # operators/similarity.ivf_residual's encode side.
+            from ..operators.similarity import as_double, pq_lut_rows
+
+            cvec = F.element_at(
+                F.filter(
+                    F.col("_cents"),
+                    lambda c: c["cid"] == F.col("probe_cell"),
+                ),
+                1,
+            )["cvec"]
+            qres = (
+                rank_probe_cells(query, cents, nprobe)
+                .join(F.broadcast(cents))  # bcast bound: 1 row
+                .select(
+                    F.col("probe_cell").alias("cell"),
+                    F.zip_with(
+                        as_double("_qv"), cvec, lambda x, y: x - y
+                    ).alias("_qres"),
+                )
+            )
+            luts = pq_lut_rows(qres, cb, "_qres", "cell")
+            scored = codes.join(  # bcast bound: nprobe LUT rows
+                F.broadcast(luts), "cell"
+            )
+        else:
+            lut_row = pq_lut_row(query, cb)
+            scored = codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
         out = (
-            codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-            .select(
+            scored.select(
                 "vec_id",
                 "pq_code",
                 F.round(pq_adc_dist(), 6).alias("adist"),
@@ -1540,6 +1604,15 @@ def ivfpq_batch_probe(
         check_meta(
             meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
         )
+        if meta.get("residual"):
+            # a residual layout needs per-(query, cell) LUTs — the
+            # single-LUT-per-query join below would score residual
+            # codes against raw-query LUTs, silently wrong
+            raise ValueError(
+                f"IVF-PQ index at {path} is residual-encoded; "
+                "ivfpq_batch_probe serves the raw-vector layout — "
+                "probe residual indexes per query via ivfpq_probe"
+            )
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)

@@ -1622,3 +1622,108 @@ def test_ivfpq_batch_probe_matches_single_and_prunes(spark, tmp_path):
         ivfpq_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
     with _pytest.raises(ValueError, match="built with"):
         ivfpq_batch_probe(spark, path, qs, expect={"n_cells": 4})
+
+
+def test_ivfpq_residual_layout(spark, tmp_path):
+    """Residual IVF-PQ (IVFADC, r9): codes are residual-encoded —
+    parity against a direct recompute from the STORED artifacts,
+    appended batches encode against the stored centroids+codebook with
+    the residual flag honored, the probe prunes to nprobe cells
+    reading codes only, compaction preserves the flag and the results,
+    and the batch probe refuses the layout loudly."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_residual,
+        pq_encode,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfpq_index,
+        compact_index,
+        eligible_embeddings,
+        ivfpq_batch_probe,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_index(
+        docs, emb.filter(F.col("vec_id") % 2 == 0), path,
+        n_cells=8, residual=True,
+    )
+    assert current_meta(spark, path)["residual"] is True
+
+    # append the odd half; its codes must equal a direct residual
+    # encode against the STORED centroids + codebook
+    append_to_ivfpq_index(docs, emb.filter(F.col("vec_id") % 2 == 1), path)
+    cents = spark.read.parquet(f"{path}/v1/centroids")
+    cb = spark.read.parquet(f"{path}/v1/codebook")
+    odd_eligible = eligible_embeddings(
+        docs, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    want_codes = {
+        (r["vec_id"], r["pq_code"], r["cell"])
+        for r in pq_encode(
+            ivf_residual(ivf_assign(odd_eligible, cents), cents),
+            cb, "residual", keep=("cell",),
+        ).collect()
+    }
+    got_codes = {
+        (r["vec_id"], r["pq_code"], r["cell"])
+        for r in spark.read.parquet(f"{path}/v1/appends/a1/cells").collect()
+    }
+    assert got_codes == want_codes and got_codes
+
+    q = emb.filter(F.col("vec_id") == 0)
+    res = ivfpq_probe(
+        spark, path, q, k=10, nprobe=2, expect={"residual": True}
+    )
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+    # pruning + code-only scan hold for the residual layout too
+    idx_scans = [
+        s for s in _scan_nodes(res)
+        if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans
+    assert max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    ) == 2
+    for s in idx_scans:
+        schema = s.schema().simpleString()
+        assert "embedding" not in schema and "pq_code" in schema
+
+    # residual codes differ from the raw layout's (the flag acts)
+    raw_path = str(tmp_path / "ivfpq_raw")
+    write_ivfpq_index(
+        docs, emb.filter(F.col("vec_id") % 2 == 0), raw_path, n_cells=8
+    )
+    raw_codes = {
+        (r["vec_id"], r["pq_code"])
+        for r in spark.read.parquet(f"{raw_path}/v1/cells").collect()
+    }
+    res_codes = {
+        (r["vec_id"], r["pq_code"])
+        for r in spark.read.parquet(f"{path}/v1/cells").collect()
+    }
+    assert {v for v, _ in raw_codes} == {v for v, _ in res_codes}
+    assert raw_codes != res_codes
+
+    # the batch probe refuses the residual layout loudly
+    qs = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    with _pytest.raises(ValueError, match="residual-encoded"):
+        ivfpq_batch_probe(spark, path, qs, k=5)
+
+    # compaction folds the delta and keeps the flag + results
+    before = sorted(map(tuple, rows))
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and meta["residual"] is True
+    after = sorted(map(tuple, ivfpq_probe(
+        spark, path, q, k=10, nprobe=2, expect={"residual": True}
+    ).collect()))
+    assert after == before

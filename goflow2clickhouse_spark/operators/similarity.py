@@ -976,17 +976,28 @@ def pq_lut_rows(
     codebook_row: DataFrame,
     qvec_col: str = "qvec",
     qid_col: str = "qid",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-query LUT rows for a BATCH of query vectors: (qid, _lut),
     one row per query, built by the same `_pq_lut_array` definition as
     the single-query form. Q is bounded by the caller's batch size —
     the relation is the broadcast side of the batch ADC scan (Q rows
-    of PQ_M x PQ_K doubles ≈ 1 KiB per query)."""
+    of PQ_M x PQ_K doubles ≈ 1 KiB per query). `keep` carries extra
+    key columns through unchanged (the residual batch probe keys its
+    LUTs by (qid, cell))."""
     qv = as_double(qvec_col)
     return (
-        queries.select(F.col(qid_col).alias("_qid"), qv.alias("_qv"))
+        queries.select(
+            F.col(qid_col).alias("_qid"),
+            *[F.col(c) for c in keep],
+            qv.alias("_qv"),
+        )
         .join(F.broadcast(codebook_row))  # bcast bound: 1 row
-        .select(F.col("_qid").alias(qid_col), _pq_lut_array().alias("_lut"))
+        .select(
+            F.col("_qid").alias(qid_col),
+            *keep,
+            _pq_lut_array().alias("_lut"),
+        )
     )
 
 

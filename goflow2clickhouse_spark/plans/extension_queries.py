@@ -2974,6 +2974,14 @@ def _ivfpq_oracle(
     the lowest-id residuals, the LUT per probed cell from the QUERY'S
     residual against that cell's centroid (keyed_lut), the final join
     binding each vector's cell to its LUT row."""
+    if residual and (seed_where or batch_k is not None):
+        # unsupported compositions must be LOUD (r9 review): silently
+        # ignoring seed_where would replay the wrong append geometry
+        raise ValueError(
+            "_ivfpq_oracle: residual mode does not compose with "
+            "seed_where/batch_k yet — their replays would silently "
+            "use the full-set geometry"
+        )
     if residual:
         dim = S.DIM
         pre = f"""ok AS (
@@ -3439,7 +3447,9 @@ def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     approx = ivfpq_probe(
         spark, path, q, k=10, nprobe=2,
-        expect={"n_cells": 8, "residual": True},
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "residual": True},
     )
     exact = S.topk_l2_bruteforce(e, q, k=10)
     return _recall_result(approx, exact, "ivfpq_residual", k=10)

@@ -1185,33 +1185,29 @@ def write_ivfpq_index(
         )
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         cb_path = posixpath.join(base, "codebook")
+        # IVFADC (Jégou §V) when `residual`: the codebook is derived
+        # from — and every vector encoded as — the RESIDUAL
+        # v − centroid of its assigned cell, centering the 4-bit
+        # budget on the within-cell distribution. Seeds stay the
+        # lowest-id prefix (run through assignment + residual — same
+        # checkpointed relation, still tiny). ONE write pipeline for
+        # both layouts; only the encode input and column differ.
         if residual:
-            # IVFADC proper (Jégou §V): the codebook is derived from —
-            # and every vector encoded as — the RESIDUAL v − centroid
-            # of its assigned cell, centering the 4-bit budget on the
-            # within-cell distribution. Seeds stay the lowest-id
-            # prefix, now run through assignment + residual (same
-            # checkpointed relation, still tiny).
-            pq_codebook(
-                ivf_residual(ivf_assign(low, cents), cents), "residual"
-            ).write.mode("overwrite").parquet(cb_path)
-            cb = spark.read.parquet(cb_path)
-            rel = ivf_residual(ivf_assign(eligible, cents), cents)
-            (
-                pq_encode(rel, cb, "residual", keep=("cell",))
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(posixpath.join(base, "cells"))
-            )
+            seed_rel = ivf_residual(ivf_assign(low, cents), cents)
+            enc_rel = ivf_residual(ivf_assign(eligible, cents), cents)
+            vec = "residual"
         else:
-            pq_codebook(low).write.mode("overwrite").parquet(cb_path)
-            cb = spark.read.parquet(cb_path)
-            (
-                pq_encode(ivf_assign(eligible, cents), cb, keep=("cell",))
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(posixpath.join(base, "cells"))
+            seed_rel, enc_rel, vec = (
+                low, ivf_assign(eligible, cents), "embedding"
             )
+        pq_codebook(seed_rel, vec).write.mode("overwrite").parquet(cb_path)
+        cb = spark.read.parquet(cb_path)
+        (
+            pq_encode(enc_rel, cb, vec, keep=("cell",))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(posixpath.join(base, "cells"))
+        )
     finally:
         _release_rdds(spark.sparkContext, _ckpt_rdd_ids(low))
     commit_version(
@@ -1375,27 +1371,16 @@ def ivfpq_probe(
             # one LUT row PER probed cell (the batch-LUT machinery
             # keyed by cell id), joined to the codes of that cell.
             # Still nprobe 1-KiB broadcast rows + the same pruned
-            # 8-byte scan. The x − cvec expression mirrors
-            # operators/similarity.ivf_residual's encode side.
-            from ..operators.similarity import as_double, pq_lut_rows
+            # 8-byte scan. The residual comes from the SAME
+            # ivf_residual definition the encode side uses, over the
+            # SAME qcells ranking that drove the pruning (r9 review:
+            # a restated expression / second ranking could drift).
+            from ..operators.similarity import ivf_residual, pq_lut_rows
 
-            cvec = F.element_at(
-                F.filter(
-                    F.col("_cents"),
-                    lambda c: c["cid"] == F.col("probe_cell"),
-                ),
-                1,
-            )["cvec"]
-            qres = (
-                rank_probe_cells(query, cents, nprobe)
-                .join(F.broadcast(cents))  # bcast bound: 1 row
-                .select(
-                    F.col("probe_cell").alias("cell"),
-                    F.zip_with(
-                        as_double("_qv"), cvec, lambda x, y: x - y
-                    ).alias("_qres"),
-                )
-            )
+            qres = ivf_residual(
+                qcells.withColumnRenamed("probe_cell", "cell"),
+                cents, "_qv", "_qres",
+            ).select("cell", "_qres")
             luts = pq_lut_rows(qres, cb, "_qres", "cell")
             scored = codes.join(  # bcast bound: nprobe LUT rows
                 F.broadcast(luts), "cell"
@@ -1604,15 +1589,7 @@ def ivfpq_batch_probe(
         check_meta(
             meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
         )
-        if meta.get("residual"):
-            # a residual layout needs per-(query, cell) LUTs — the
-            # single-LUT-per-query join below would score residual
-            # codes against raw-query LUTs, silently wrong
-            raise ValueError(
-                f"IVF-PQ index at {path} is residual-encoded; "
-                "ivfpq_batch_probe serves the raw-vector layout — "
-                "probe residual indexes per query via ivfpq_probe"
-            )
+
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)
@@ -1630,12 +1607,27 @@ def ivfpq_batch_probe(
         codes = _read_index_cells(spark, base, meta).filter(
             F.col("cell").isin(probed)
         )
-        # each query's LUT row rides its ranked cells: Q x nprobe
-        # broadcast rows, the batch's single join side
-        luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
-        qside = qcells.join(luts, qid_col)
+        # each query's LUT rides its ranked cells: Q x nprobe
+        # broadcast rows, the batch's single join side. Residual
+        # layout (IVFADC, r9): the LUT is built from each query's
+        # PER-CELL residual (the shared ivf_residual definition),
+        # keyed by (qid, cell) — same broadcast bound.
+        if meta.get("residual"):
+            from ..operators.similarity import ivf_residual
+
+            qres = ivf_residual(
+                qcells.join(queries, qid_col)
+                .withColumnRenamed("probe_cell", "cell"),
+                cents, qvec_col, "_qres",
+            ).select(qid_col, "cell", "_qres")
+            qside = pq_lut_rows(qres, cb, "_qres", qid_col, keep=("cell",))
+        else:
+            luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
+            qside = qcells.join(luts, qid_col).withColumnRenamed(
+                "probe_cell", "cell"
+            )
         scored = codes.join(  # bcast bound: Q x nprobe rows
-            F.broadcast(qside), F.col("cell") == F.col("probe_cell")
+            F.broadcast(qside), "cell"
         ).select(
             F.col(qid_col),
             "vec_id",

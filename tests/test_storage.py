@@ -1713,10 +1713,25 @@ def test_ivfpq_residual_layout(spark, tmp_path):
     assert {v for v, _ in raw_codes} == {v for v, _ in res_codes}
     assert raw_codes != res_codes
 
-    # the batch probe refuses the residual layout loudly
-    qs = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    with _pytest.raises(ValueError, match="residual-encoded"):
-        ivfpq_batch_probe(spark, path, qs, k=5)
+    # the batch probe serves the residual layout: per-(qid, cell)
+    # LUTs, each query's rows equal to its single residual probe
+    qs3 = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = ivfpq_batch_probe(spark, path, qs3, k=5, nprobe=2).collect()
+    for qid in (0, 1, 2):
+        got = sorted(
+            (r["rank"], r["vec_id"], r["pq_code"], r["adist"])
+            for r in batch if r["qid"] == qid
+        )
+        want = [
+            (i + 1, r["vec_id"], r["pq_code"], r["adist"])
+            for i, r in enumerate(ivfpq_probe(
+                spark, path, emb.filter(F.col("vec_id") == qid),
+                k=5, nprobe=2,
+            ).collect())
+        ]
+        assert got == want, f"residual batch qid {qid} diverges"
 
     # compaction folds the delta and keeps the flag + results
     before = sorted(map(tuple, rows))

@@ -525,15 +525,20 @@ def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import HLL_M, hll_estimate_expr, hll_rho
     from ..operators.dedup import hash31
 
+    from ..operators.dedup import tie_cache
+
     ev = load_table(spark, sf_dir, "events")
     tse = _epoch_seconds("ts")
     h = hash31(F.col("user_id").cast("string"))
+    # persisted: the register path and the exact path both consume hv
+    # — uncached, each ran its own full events scan + hash (r9 review;
+    # the scan-once shape cms_heavy_hitters was reshaped to in r4)
     hv = ev.select(
         (tse - tse % 3600).alias("hour_epoch"),
         (h % HLL_M).alias("bucket"),
         hll_rho(F.floor(h / HLL_M).cast("long")).alias("rho"),
         "user_id",
-    )
+    ).persist()
     reg = hv.groupBy("hour_epoch", "bucket").agg(F.max("rho").alias("rho"))
     agg = reg.groupBy("hour_epoch").agg(
         F.count("*").alias("n_used"),
@@ -543,11 +548,12 @@ def events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = hv.groupBy("hour_epoch").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    return (
+    out = (
         agg.select("hour_epoch", "n_used", F.round(est, 1).alias("est"))
         .join(exact, "hour_epoch")
         .orderBy("hour_epoch")
     )
+    return tie_cache(out, hv)
 
 
 # ---------------------------------------------------------------------------
@@ -642,14 +648,19 @@ def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hash31
     from ..operators.sketch import CMS_ROWS, CMS_WIDTH, cms_bucket
 
+    from ..operators.dedup import tie_cache
+
     ev = load_table(spark, sf_dir, "events")
     tse = _epoch_seconds("ts")
     h = hash31(F.col("user_id").cast("string"))
+    # persisted: cells build, candidate distinct AND exact counts all
+    # consume hv — uncached, three full events scans per run (r9
+    # review; the r4 scan-once rule)
     hv = ev.select(
         (tse - tse % 3600).alias("hour_epoch"),
         "user_id",
         h.alias("h"),
-    )
+    ).persist()
     rb = F.explode(
         F.array(
             *[
@@ -681,7 +692,7 @@ def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("hour_epoch").orderBy(
         F.desc("est"), "user_id"
     )
-    return (
+    out = (
         probe.join(exact, ["hour_epoch", "user_id"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -692,3 +703,4 @@ def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch", F.desc("est_events"), "user_id")
     )
+    return tie_cache(out, hv)

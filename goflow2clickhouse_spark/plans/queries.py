@@ -58,6 +58,22 @@ def registry() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _PCTL_SQL(p: float, name: str) -> str:
+    """One leg of the exact order-statistics percentile replay over
+    the `r` CTE (pri, c cents, rn, n): pos = 1 + p*(n-1) in doubles,
+    linear interpolation between the straddling ranks — the identical
+    IEEE expression the Spark side computes, so both engines emit the
+    same double from the same integers (see price_percentiles)."""
+    pos = f"(1.0 + {p} * CAST(n - 1 AS DOUBLE))"
+    return (
+        f"SUM(CASE WHEN rn = FLOOR({pos}) AND rn = CEIL({pos}) "
+        f"THEN CAST(c AS DOUBLE) "
+        f"WHEN rn = FLOOR({pos}) THEN c * (CEIL({pos}) - {pos}) "
+        f"WHEN rn = CEIL({pos}) THEN c * ({pos} - FLOOR({pos})) END) "
+        f"/ 100.0 AS {name}"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -560,20 +576,66 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "price_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
-    FROM orders GROUP BY o_orderpriority
+    oracle=f"""
+    WITH cents AS (
+        SELECT o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+    r AS (
+        SELECT pri, c,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM cents)
+    SELECT pri AS o_orderpriority,
+           {_PCTL_SQL(0.5, 'p50')},
+           {_PCTL_SQL(0.95, 'p95')}
+    FROM r GROUP BY pri
     """,
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (ClickHouse quantileExact).
-    percentile_approx is the at-scale variant (sketch, no oracle)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.95), 2).alias("p95"),
+    """Exact interpolated percentiles (ClickHouse quantileExact) via
+    explicit order statistics over integer CENTS: rank the group, take
+    the two straddling ranks of pos = 1 + p*(n-1), linear-interpolate
+    — the same definition Spark's `percentile` implements, but spelled
+    in plain arithmetic so BOTH engines compute bit-identical doubles
+    from identical integers (r9 review: ROUND(quantile, 2) sat on
+    .xx5 half-way ties where Spark round and DuckDB ROUND disagree on
+    ~9% of tie values — the quality_classifier_scores r6 class — and
+    the engines' builtin interpolations differ by an ulp at exactly
+    those values; a fixture regen had order-10% odds of a false FAIL).
+    No rounding anywhere: the output is a single IEEE expression over
+    exact cents, canonicalized identically by construction.
+    percentile_approx stays the at-scale sketch variant."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("_c")
+    r = o.select(
+        "o_orderpriority", "_c",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("_n"),
+    )
+
+    def pctl(p: float, name: str):
+        pos = F.lit(1.0) + F.lit(p) * (F.col("_n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        contrib = (
+            F.when(
+                (F.col("_rn") == lo) & (F.col("_rn") == hi),
+                F.col("_c").cast("double"),
+            )
+            .when(F.col("_rn") == lo, F.col("_c") * (hi.cast("double") - pos))
+            .when(F.col("_rn") == hi, F.col("_c") * (pos - lo.cast("double")))
+        )
+        return (F.sum(contrib) / F.lit(100.0)).alias(name)
+
+    return r.groupBy("o_orderpriority").agg(
+        pctl(0.5, "p50"), pctl(0.95, "p95")
     )
 
 
@@ -584,11 +646,18 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 150000 THEN 'medium'
                 ELSE 'large' END AS bucket,
            COUNT(*) AS n,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               / (COUNT(*) * 100.0) AS avg_price
     FROM orders GROUP BY 1
     """,
 )
 def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_price is the exact mean of exact CENTS divided once —
+    sum(cents) and n are identical integers on both engines, so the
+    single IEEE division is bit-identical (r9 review: ROUND(AVG, 2)
+    sat on .xx5 half-way ties that 2dp money means systematically
+    produce, where Spark round and DuckDB ROUND disagree — the
+    quality_classifier_scores r6 class)."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "small")
@@ -597,8 +666,13 @@ def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").alias("n"),
-             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / (F.count("*") * F.lit(100.0))
+            ).alias("avg_price"),
+        )
     )
 
 
@@ -608,14 +682,19 @@ def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT upper(p_type) AS type_u,
            CAST(substring(p_brand, 7) AS INT) AS brand_num,
            COUNT(*) AS n,
-           ROUND(AVG(p_retailprice), 2) AS avg_price
+           SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+               / (COUNT(*) * 100.0) AS avg_price
     FROM part
     WHERE p_name LIKE '%a%'
     GROUP BY upper(p_type), CAST(substring(p_brand, 7) AS INT)
     """,
 )
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String functions: LIKE, substring, upper, string→int cast."""
+    """String functions: LIKE, substring, upper, string→int cast.
+    avg_price = exact cents mean divided once (bit-identical IEEE
+    division of identical integers — see order_value_buckets; the
+    many tiny (type, brand) groups made ROUND(AVG, 2)'s .xx5 tie
+    class near-certain on a fixture regen, r9 review)."""
     p = _t(spark, sf_dir, "part")
     return (
         p.filter(F.col("p_name").like("%a%"))
@@ -623,8 +702,13 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("p_type").alias("type_u"),
             F.substring("p_brand", 7, 100).cast("int").alias("brand_num"),
         )
-        .agg(F.count("*").alias("n"),
-             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+                / (F.count("*") * F.lit(100.0))
+            ).alias("avg_price"),
+        )
     )
 
 

@@ -68,11 +68,14 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     compute ONE identical IEEE expression — ROUND(quantile, 2) sat
 #     on .xx5 ties where the engines' round rules disagree);
 #     order_value_buckets / part_brand_stats avg_price likewise became
-#     exact-cents means divided once. events_windowed_hll/_cms persist
-#     their shared projection (scan-once, results unchanged). All five
-#     re-proven on the vanilla sf0.01 contract + the full differential
-#     + the sf0.1 soak after the change; their next window is r10+ by
-#     rotation order (none are r9-windowed).
+#     exact-cents means divided once; flows_protocol_breakdown /
+#     flows_duration_histogram / matview_flows_rollup (avg_bytes,
+#     bytes_per_sec, avg_flow_bytes) likewise became exact integer
+#     ratios divided once, unrounded. events_windowed_hll/_cms persist
+#     their shared projection (scan-once, results unchanged). All
+#     eight re-proven on the vanilla sf0.01 contract + the full
+#     differential + the sf0.1 soak after the change; their next
+#     window is r10+ by rotation order (none are r9-windowed).
 promote([
     # (a) new this round — index quality gates, batch code probes,
     #     compaction-served probe

@@ -56,17 +56,21 @@ def flows_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT proto, flow_direction,
            CAST(SUM(bytes) AS BIGINT) AS total_bytes,
            COUNT(*) AS n_flows,
-           ROUND(AVG(bytes), 2) AS avg_bytes
+           SUM(bytes) / (COUNT(*) * 1.0) AS avg_bytes
     FROM flows
     GROUP BY proto, flow_direction
     """,
 )
 def flows_protocol_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_bytes = exact integer sum divided once — bit-identical IEEE
+    division of identical integers on both engines (r9 review:
+    ROUND(AVG, 2) sat on .xx5 half-way ties where the engines' round
+    rules disagree — the order_value_buckets class)."""
     fl = flows_df(spark, sf_dir)
     return fl.groupBy("proto", "flow_direction").agg(
         F.sum("bytes").alias("total_bytes"),
         F.count("*").alias("n_flows"),
-        F.round(F.avg("bytes"), 2).alias("avg_bytes"),
+        (F.sum("bytes") / (F.count("*") * F.lit(1.0))).alias("avg_bytes"),
     )
 
 
@@ -177,30 +181,34 @@ def flows_sampler_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN time_flow_end - time_flow_start < 60  THEN '10-60s'
                 ELSE '60s+' END AS duration_bucket,
            COUNT(*) AS n_flows,
-           ROUND(AVG(CAST(bytes AS DOUBLE)), 2) AS avg_bytes,
-           ROUND(SUM(CAST(bytes AS DOUBLE)) /
-                 SUM(CASE WHEN time_flow_end > time_flow_start
-                          THEN CAST(time_flow_end - time_flow_start AS DOUBLE)
-                          ELSE 1.0 END), 2) AS bytes_per_sec
+           SUM(bytes) / (COUNT(*) * 1.0) AS avg_bytes,
+           SUM(bytes) * 1.0 /
+               SUM(CASE WHEN time_flow_end > time_flow_start
+                        THEN time_flow_end - time_flow_start
+                        ELSE 1 END) AS bytes_per_sec
     FROM flows
     GROUP BY 1
     """,
 )
 def flows_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flow-duration histogram + aggregate bitrate (arithmetic projection
-    over two epoch columns; CASE bucketing)."""
+    over two epoch columns; CASE bucketing). Both ratios are EXACT
+    integer sums divided once (r9 review): the earlier
+    double-accumulated AVG/SUM carried both accumulation-order ulps
+    and the ROUND(x, 2) .xx5 tie class; identical integers into one
+    IEEE division are bit-identical across engines with no rounding."""
     fl = flows_df(spark, sf_dir)
     dur = F.col("time_flow_end") - F.col("time_flow_start")
     bucket = (
         F.when(dur < 10, "0-10s").when(dur < 60, "10-60s").otherwise("60s+")
     )
-    safe_dur = F.when(dur > 0, dur.cast("double")).otherwise(F.lit(1.0))
+    safe_dur = F.when(dur > 0, dur).otherwise(F.lit(1))
     return (
         fl.groupBy(bucket.alias("duration_bucket"))
         .agg(
             F.count("*").alias("n_flows"),
-            F.round(F.avg(F.col("bytes").cast("double")), 2).alias("avg_bytes"),
-            F.round(F.sum(F.col("bytes").cast("double")) / F.sum(safe_dur), 2)
+            (F.sum("bytes") / (F.count("*") * F.lit(1.0))).alias("avg_bytes"),
+            (F.sum("bytes") * F.lit(1.0) / F.sum(safe_dur))
             .alias("bytes_per_sec"),
         )
     )
@@ -843,7 +851,7 @@ def flows_top_talkers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(packets) AS BIGINT) AS total_packets,
            COUNT(*)                     AS n_flows,
            CAST(MAX(bytes) AS BIGINT)   AS max_flow_bytes,
-           ROUND(CAST(SUM(bytes) AS DOUBLE) / COUNT(*), 4) AS avg_flow_bytes
+           SUM(bytes) / (COUNT(*) * 1.0) AS avg_flow_bytes
     FROM flows
     GROUP BY proto, dst_port
     """,
@@ -880,7 +888,10 @@ def matview_flows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "proto", "dst_port", "total_bytes", "total_packets", "n_flows",
         "max_flow_bytes",
-        F.round(F.col("total_bytes") / F.col("n_flows"), 4).alias(
+        # exact integer ratio divided once, unrounded (r9 review —
+        # the ROUND-tie class): identical integers → identical IEEE
+        # quotient on both engines
+        (F.col("total_bytes") / (F.col("n_flows") * F.lit(1.0))).alias(
             "avg_flow_bytes"
         ),
     )

@@ -282,11 +282,24 @@ def hist_quantiles(
         # any n. num/den ride DECIMAL literals (a plain long literal
         # capped den at 2^63, crashing for q below 1e-18 — r9
         # review); products are exact while cum*den and num*n stay
-        # under 1e38 (den = 10^frac_digits of q's shortest repr, so
-        # any q a user types is fine at any corpus size; a
-        # pathological sub-1e-28 quantile fails LOUDLY with a decimal
-        # overflow under ANSI, never one bucket off).
+        # under 1e38. cum and n are longs (< 2^63 ≈ 9.3e18), so the
+        # products cannot overflow as long as den and num stay below
+        # 1e19 — validated in PYTHON below, because under the default
+        # spark.sql.ansi.enabled=false a decimal(38,0) overflow
+        # yields NULL, not an error: `hit` would be NULL on every
+        # row, the filter would drop everything, and the estimate
+        # would silently become NULL instead of raising (r9 advice).
         num, den = _dec.Decimal(str(q)).as_integer_ratio()
+        if not (0 < q <= 1):
+            raise ValueError(f"quantile q={q!r} must be in (0, 1]")
+        if den > 10**19 or num > 10**19:
+            # den = 10^frac_digits of q's shortest repr; any q a user
+            # types has far fewer than 19 fractional digits.
+            raise ValueError(
+                f"quantile q={q!r} has too many fractional digits "
+                f"(den={den}): cum*den could exceed decimal(38,0) and "
+                "silently NULL out under non-ANSI mode"
+            )
         d38 = "decimal(38,0)"
         hit = (
             F.col("cum").cast(d38) * F.lit(_dec.Decimal(den))

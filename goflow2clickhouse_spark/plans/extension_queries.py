@@ -3210,7 +3210,15 @@ def pq_compacted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         write_pq_index(emb.filter(F.col("vec_id") % 2 == 0), p)
         append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), p)
-        assert compact_index(spark, p) is True
+        # Explicit raise, not `assert`: under `python -O` an assert
+        # statement (call included) is stripped wholesale, so the
+        # query would silently serve the uncompacted base+delta
+        # layout while still matching the oracle (r9 advice).
+        if compact_index(spark, p) is not True:
+            raise RuntimeError(
+                "compact_index reported nothing to compact for "
+                f"{p!r}; pq_compacted_probe requires the folded layout"
+            )
 
     path = _persisted_index("pq_cmp", sf_dir, build)
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)

@@ -998,7 +998,13 @@ def pq_index_probe(
         raise
 
 
-def _require_unique_qids(queries: DataFrame, qid_col: str, op: str) -> None:
+def _require_unique_qids(
+    queries: DataFrame,
+    qid_col: str,
+    op: str,
+    qvec_col: str | None = None,
+    dim: int | None = None,
+) -> None:
     """The single-probe n!=1 rule in batch form, shared by both batch
     probes: an EMPTY batch raises (silently returning nothing hides an
     upstream bug), and a duplicated qid (an at-least-once upstream
@@ -1006,17 +1012,37 @@ def _require_unique_qids(queries: DataFrame, qid_col: str, op: str) -> None:
     emits two LUT rows for one qid — the unkeyed broadcast join then
     scores every code twice and the 'top-k' silently interleaves
     duplicate ranks (r9 review: reproduced — 5 rows, 3 distinct
-    neighbors, no error)."""
-    counts = queries.agg(
+    neighbors, no error).
+
+    When (qvec_col, dim) are given, also rejects NULL or
+    wrong-dimension query vectors (r9 advice): a NULL/short qvec
+    yields an all-NULL LUT, so that qid would still return k rows
+    with NULL adist ranked purely by id — silent garbage for one
+    batch member. Same single aggregate, no extra job."""
+    aggs = [
         F.count("*").alias("_n"),
         F.count_distinct(F.col(qid_col)).alias("_nd"),
-    ).first()
+    ]
+    if qvec_col is not None:
+        aggs.append(
+            F.count_if(
+                F.col(qvec_col).isNull()
+                | (F.size(F.col(qvec_col)) != F.lit(int(dim)))
+            ).alias("_bad")
+        )
+    counts = queries.agg(*aggs).first()
     if counts["_n"] == 0:
         raise ValueError(f"{op} got an empty query batch — nothing to serve")
     if counts["_n"] != counts["_nd"]:
         raise ValueError(
             f"{op} requires unique {qid_col} per query row, got "
             f"{counts['_n']} rows over {counts['_nd']} distinct ids"
+        )
+    if qvec_col is not None and counts["_bad"] != 0:
+        raise ValueError(
+            f"{op} got {counts['_bad']} query row(s) with NULL or "
+            f"wrong-dimension {qvec_col} (expected size {dim}) — a "
+            "NULL LUT would rank that qid's top-k purely by id"
         )
 
 
@@ -1064,7 +1090,10 @@ def pq_index_batch_probe(
         F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
     ).persist()
     try:
-        _require_unique_qids(queries, qid_col, "pq_index_batch_probe")
+        _require_unique_qids(
+            queries, qid_col, "pq_index_batch_probe",
+            qvec_col=qvec_col, dim=PQ_M * PQ_SUB,
+        )
         meta = current_meta(spark, path)
         ver = int(meta.get("version", 0))
         if ver == 0:
@@ -1580,7 +1609,10 @@ def ivfpq_batch_probe(
         F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
     ).persist()
     try:
-        _require_unique_qids(queries, qid_col, "ivfpq_batch_probe")
+        _require_unique_qids(
+            queries, qid_col, "ivfpq_batch_probe",
+            qvec_col=qvec_col, dim=PQ_M * PQ_SUB,
+        )
         meta = current_meta(spark, path)
         ver = int(meta.get("version", 0))
         if ver == 0:

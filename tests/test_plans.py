@@ -448,3 +448,30 @@ def test_semdedup_no_cartesian_and_cell_equijoin(spark):
     p = plan_str(spark, SPECS["semdedup_prune"].spark(spark, SF))
     assert "CartesianProduct" not in p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,200}cell", p, re.S)
+
+
+def test_no_side_effecting_asserts_in_package():
+    """Under `python -O` every assert statement is stripped WHOLESALE,
+    call included — so `assert compact_index(...)` silently skips the
+    compaction itself (r9 advice: pq_compacted_probe served the
+    uncompacted layout under -O while still matching the oracle).
+    Side-effecting index-maintenance calls must never sit inside an
+    assert anywhere in the package."""
+    import pathlib
+    import re
+
+    import goflow2clickhouse_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    pat = re.compile(
+        r"^\s*assert\b.*\b(compact_index|append_to_\w+|write_pq_index|"
+        r"write_ivfpq_index|write_band_index|write_ivf_index|"
+        r"commit_version|recommit_meta)\s*\("
+    )
+    offenders = [
+        f"{p.relative_to(root)}:{i}: {line.strip()}"
+        for p in sorted(root.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.match(line)
+    ]
+    assert not offenders, offenders

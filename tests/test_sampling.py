@@ -627,3 +627,29 @@ def test_cms_build_drops_null_tokens(spark):
     for r in cells:
         per_row[r["row"]] = per_row.get(r["row"], 0) + r["c"]
     assert set(per_row.values()) == {3}
+
+
+def test_hist_quantiles_rejects_overflow_prone_q(spark):
+    """Under the default spark.sql.ansi.enabled=false a decimal(38,0)
+    overflow yields NULL, not an error — the rank predicate would be
+    NULL on every row, the filter would drop everything, and the
+    estimate would silently become NULL (r9 advice). The guard must
+    therefore raise in PYTHON for any q whose exact num/den could
+    overflow the cross-multiplied products, and for out-of-range q."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    df = spark.range(1, 11).select(F.col("id").cast("double").alias("v"))
+    # den = 10^20 > the 1e19 bound (cum*den could exceed decimal(38,0))
+    with _pytest.raises(ValueError, match="fractional digits"):
+        hist_quantiles(df, "v", [1e-20], 0.0, 10.0, buckets=10)
+    with _pytest.raises(ValueError, match="must be in"):
+        hist_quantiles(df, "v", [0.0], 0.0, 10.0, buckets=10)
+    with _pytest.raises(ValueError, match="must be in"):
+        hist_quantiles(df, "v", [1.5], 0.0, 10.0, buckets=10)
+    # the documented boundary stays usable: den = 10^19 exactly
+    est = {r["q"]: r["est"] for r in
+           hist_quantiles(df, "v", [1e-19], 0.0, 10.0, buckets=10).collect()}
+    assert est[1e-19] is not None

@@ -1046,6 +1046,23 @@ def test_pq_batch_probe_matches_single_and_scans_codes_only(spark, tmp_path):
     # in the unkeyed broadcast join — must refuse loudly (r9 review)
     with _pytest.raises(ValueError, match="unique qid"):
         pq_index_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
+    # NULL or wrong-dimension qvec would build an all-NULL LUT and
+    # rank that qid's "top-k" purely by id — must refuse loudly, like
+    # every other probe guard (r9 advice)
+    null_q = spark.createDataFrame(
+        [(99, None)], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL or wrong-dimension"):
+        pq_index_batch_probe(
+            spark, path, qs.unionByName(null_q)
+        )
+    short_q = spark.createDataFrame(
+        [(99, [1.0, 2.0])], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL or wrong-dimension"):
+        pq_index_batch_probe(
+            spark, path, qs.unionByName(short_q)
+        )
     with _pytest.raises(ValueError, match="built with"):
         pq_index_batch_probe(spark, path, qs, expect={"pq_m": 4})
     with _pytest.raises(FileNotFoundError, match="no committed"):
@@ -1620,6 +1637,13 @@ def test_ivfpq_batch_probe_matches_single_and_prunes(spark, tmp_path):
         ivfpq_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
     with _pytest.raises(ValueError, match="unique qid"):
         ivfpq_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
+    # NULL / wrong-dim qvec: shared _require_unique_qids gate (r9
+    # advice) — the IVF-PQ side would otherwise also mis-rank cells
+    bad_q = spark.createDataFrame(
+        [(99, None), (98, [1.0])], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL or wrong-dimension"):
+        ivfpq_batch_probe(spark, path, qs.unionByName(bad_q))
     with _pytest.raises(ValueError, match="built with"):
         ivfpq_batch_probe(spark, path, qs, expect={"n_cells": 4})
 

@@ -68,8 +68,11 @@ def _single_query(query: DataFrame, op: str, **cols: Column) -> DataFrame:
     a correct call costs ZERO extra jobs (the one-row aggregate folds
     into the broadcast build; an eager count() guard measured ~1.3x
     on every benched ANN query at sf0.1, re-evaluating the query
-    subtree as its own job). The persisted probes keep their eager
-    guards — their serving cost budgets already include it."""
+    subtree as its own job). The persisted probes (r10): pq_index_probe
+    adopted this in-plan guard; the IVF-family probes validate the
+    contract from the bounded ranked-cells collect they already pay
+    for pruning (plans/storage.ivfpq_probe) — no probe runs an eager
+    count() any more."""
     names = list(cols)
     agged = query.select(
         *[c.alias(n) for n, c in cols.items()]
@@ -137,6 +140,47 @@ def topk_l2_bruteforce(
     # truth — while DuckDB sorts it LAST; the desc cosine paths get
     # this for free (desc = NULLS LAST, see cosine()).
     return scored.orderBy(F.asc_nulls_last("l2sq"), F.col(id_col)).limit(k)
+
+
+def topk_l2_bruteforce_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Batch form of `topk_l2_bruteforce` — the exact squared-L2
+    ground truth for a Q-query batch (the denominator of the
+    batch-served recall gates, r10): queries broadcast, ONE corpus
+    scan scores every (query, vector) pair, per-query top-k via
+    row_number over (rounded distance, id) — WindowGroupLimit caps
+    the shuffle at Q x k rows per partition, exactly the batch_topk
+    scale shape. Distance rounded to 6 BEFORE ordering, ties to id —
+    the single-query form's engine-portable tie rule. Returns
+    (qid, id, l2sq, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col), as_double(qvec_col).alias("_qvec")
+    )
+    scored = embeddings.join(F.broadcast(q)).select(  # bcast: Q rows
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(_l2sq(as_double(vec_col), F.col("_qvec")), 6).alias("l2sq"),
+    )
+    # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.asc_nulls_last("l2sq"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            qid_col, id_col, "l2sq", F.col("_rn").cast("int").alias("rank")
+        )
+    )
 
 
 def batch_topk(
@@ -409,15 +453,22 @@ def ivf_residual(
 def rank_probe_cells(
     query: DataFrame,
     cents_row: DataFrame,
-    nprobe: int,
+    nprobe: int | None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(_qv, probe_cell, cscore): the nprobe cells whose centroids are
     nearest the query vector — the cell-ranking step shared by the
-    in-memory probe (ivf_topk) and the persisted-index probe
-    (plans/storage.ivf_index_probe), so tie-breaks and scoring can
-    never drift between them."""
-    return (
+    in-memory probe (ivf_topk) and the persisted-index probes
+    (plans/storage.ivf_index_probe / ivfpq_probe), so tie-breaks and
+    scoring can never drift between them. `nprobe=None` (r10) returns
+    ALL scored cells UNordered — the persisted probes collect that
+    bounded relation (n_queries x n_cells rows) and take the top
+    nprobe in the driver with the SAME (cscore desc nulls-last,
+    probe_cell asc) rule (`top_probe_cells`): the row COUNT is the
+    single-query contract check (exactly n_cells rows per query), and
+    an in-plan limit would hide a second query whose cells all ranked
+    below the first's."""
+    scored = (
         query.join(F.broadcast(cents_row))  # bcast bound: 1 row, n_cells structs
         .select(F.col(vec_col).alias("_qv"), F.explode("_cents").alias("c"))
         .select(
@@ -425,9 +476,27 @@ def rank_probe_cells(
             F.col("c.cid").alias("probe_cell"),
             cosine(F.col("c.cvec"), as_double("_qv")).alias("cscore"),
         )
-        .orderBy(F.desc("cscore"), "probe_cell")
-        .limit(nprobe)
     )
+    if nprobe is None:
+        return scored
+    return scored.orderBy(F.desc("cscore"), "probe_cell").limit(nprobe)
+
+
+def top_probe_cells(rows, nprobe: int) -> list[int]:
+    """Driver-side twin of rank_probe_cells' ordering over COLLECTED
+    (probe_cell, cscore) rows: cscore desc with NULLs last (a
+    zero-norm query cosine is NULL — F.desc is NULLS LAST), ties to
+    the smaller cell id. One definition next to the relational form so
+    the persisted probes' pruning can never drift from ivf_topk."""
+    ordered = sorted(
+        rows,
+        key=lambda r: (
+            r["cscore"] is None,
+            -(r["cscore"] if r["cscore"] is not None else 0.0),
+            r["probe_cell"],
+        ),
+    )
+    return [int(r["probe_cell"]) for r in ordered[:nprobe]]
 
 
 def rank_probe_cells_batch(
@@ -878,6 +947,112 @@ def pq_codebook(
     # (_eid, _v) structs), so codes are dense 0..K-1 positions
     blocks = F.array(*[_block(j) for j in range(PQ_M)])
     return entries.select(blocks.alias("_cb"))
+
+
+def pq_codebook_trained(
+    embeddings: DataFrame,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-trained PQ codebook (Jégou et al. 2011 §II-B train their
+    codebooks with k-means; the untrained `pq_codebook` is the
+    replayable seed stand-in the r9 verdict flagged as capping serving
+    recall). Per subvector block, a fixed number of Lloyd iterations
+    over the TRAINING relation's subvectors, seeded from the untrained
+    codebook (the K lowest-id vectors' subvectors — deterministic, so
+    any engine replays training exactly, the kmeans_refine rule).
+    Returns the SAME 1-row `_cb` shape as `pq_codebook`, so encode,
+    LUTs and every probe consume it unchanged.
+
+    Each iteration: (1) assign every (vector, block) subvector to its
+    argmin-squared-L2 entry — the pq_encode argmin itself (first
+    position of the minimum, ties to the smaller entry id), a map-only
+    projection over the 1-row codebook broadcast; (2) recompute each
+    (block, entry) as the member mean per dimension, ROUNDED to 6
+    decimals — the quantization that makes cross-engine replay exact
+    by construction: float sums accumulate in engine-specific order,
+    so the unrounded means could differ in the last ulp and flip a
+    later argmin; rounding both engines' means to 6dp yields identical
+    doubles (a flip now needs the true mean within ~1 ulp of a 1e-6
+    boundary); (3) an entry that attracted no members keeps its
+    previous subvector (standard Lloyd empty-cluster handling, the
+    kmeans_refine rule).
+
+    Scale: per iteration one training-relation scan (map-only argmin
+    against the 128-entry broadcast) and one aggregation keyed
+    (block, entry, dim) — PQ_M x PQ_K x PQ_SUB = 1024 cells, map-side
+    combined, so the shuffle carries ≤1024 rows per partition. The
+    corpus is never collected."""
+    if iterations < 1:
+        raise ValueError(
+            f"pq_codebook_trained: iterations={iterations} must be >= 1 "
+            "(use pq_codebook for the untrained seeds)"
+        )
+    v = as_double(vec_col)
+    cb_row = pq_codebook(embeddings, vec_col, id_col)
+    for _ in range(iterations):
+
+        def _best(j: int) -> Column:
+            sv = F.slice(v, j * PQ_SUB + 1, PQ_SUB)
+            dists = F.transform(
+                F.col("_cb")[j], lambda en: _l2sq(sv, en["sub"])
+            )
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "int"
+            )
+
+        assigned = embeddings.join(F.broadcast(cb_row)).select(  # 1 row
+            *[
+                F.struct(
+                    _best(j).alias("e"),
+                    F.slice(v, j * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                ).alias(f"_a{j}")
+                for j in range(PQ_M)
+            ]
+        )
+        pts = assigned.select(
+            F.posexplode(
+                F.array(*[F.col(f"_a{j}") for j in range(PQ_M)])
+            ).alias("blk", "a")
+        ).select(
+            "blk",
+            F.col("a.e").alias("entry"),
+            F.posexplode("a.sv").alias("pos", "x"),
+        )
+        newv = (
+            pts.groupBy("blk", "entry", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("blk", "entry")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("nev")
+            )
+        )
+        prev = (
+            cb_row.select(F.posexplode("_cb").alias("blk", "ents"))
+            .select("blk", F.posexplode("ents").alias("entry", "en"))
+            .select("blk", "entry", F.col("en.sub").alias("pev"))
+        )
+        cents = prev.join(newv, ["blk", "entry"], "left").select(
+            "blk", "entry", F.coalesce("nev", "pev").alias("ev")
+        )
+        per_block = cents.groupBy("blk").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("entry", "ev"))),
+                lambda s: F.struct(s["ev"].alias("sub")),
+            ).alias("ents")
+        )
+        cb_row = per_block.select(
+            F.struct("blk", "ents").alias("be")
+        ).agg(
+            F.transform(
+                F.array_sort(F.collect_list("be")), lambda s: s["ents"]
+            ).alias("_cb")
+        )
+    return cb_row
 
 
 def pq_encode(

@@ -396,66 +396,66 @@ def ivf_index_probe(
     `rank_probe_cells` — identical tie-breaks to the in-memory
     ivf_topk, which the layout test pins result-equal.
 
-    Single-query contract, enforced: with >1 query row the global
-    nprobe cell ranking and the unkeyed broadcast join would merge the
-    queries into one interleaved, wrong top-k with no error (r6
-    review) — batch serving is operators/similarity.batch_topk."""
-    import posixpath
-
-    from ..operators.dedup import tie_cache
-    from ..operators.similarity import as_double, cosine, rank_probe_cells
+    Single-query contract + serving cost (r10, the r9 verdict's
+    probe-QPS item): the centroid read goes through the
+    (path, version) meta-cache (_version_artifacts) and the contract
+    is validated from the SAME bounded collect that drives partition
+    pruning (the ivfpq_probe rule — empty query, a second distinct
+    vector, or a duplicated query row all refuse loudly with no extra
+    job); the collected vector then feeds the scoring side as a
+    LITERAL, so the query subtree is evaluated exactly once per probe
+    and pruning + scoring provably use the same vector."""
+    from ..operators.similarity import (
+        as_double,
+        cosine,
+        rank_probe_cells,
+        top_probe_cells,
+    )
     from ..versioned import check_meta, current_meta, version_dir
 
-    # the 1-row query relation feeds THREE evaluations (the contract
-    # count, the cell ranking, the broadcast side of the top-k): cache
-    # a PRIVATE projection of it — persisting the caller's DataFrame
-    # would leak the blocks on every early-raise path below (the
-    # tie_cache finalizer is only attached to the RESULT) and would
-    # unpersist a relation the caller may still be using (r7 advice)
-    query = query.select(F.col("embedding")).persist()
-    try:
-        n_q = query.count()
-        if n_q != 1:
-            raise ValueError(
-                f"ivf_index_probe serves exactly one query vector, got {n_q} "
-                "rows — use operators/similarity.batch_topk for query batches"
-            )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed IVF index under {path}")
-        _require_kind(meta, "ivf", path)
-        if expect:
-            # refuse a mismatched build (r7 review): pass e.g.
-            # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
-            # this probe's caller (and its oracle) assume
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
-        cents = spark.read.parquet(posixpath.join(base, "centroids"))
-        qcells = rank_probe_cells(query, cents, nprobe)
-        probed = [int(r["probe_cell"]) for r in qcells.collect()]
-        qv = query.select(F.col("embedding").alias("_qv"))
-        # the delta-leg reads below also do eager file listing — they
-        # stay INSIDE the protected region (r8 review: a raise between
-        # the early block and tie_cache leaked the private cache)
-        idx = _read_index_cells(spark, base, meta).filter(
-            F.col("cell").isin(probed)
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF index under {path}")
+    _require_kind(meta, "ivf", path)
+    if expect:
+        # refuse a mismatched build (r7 review): pass e.g.
+        # {"n_cells": 8, "lang": "en"} to pin the geometry/eligibility
+        # this probe's caller (and its oracle) assume
+        check_meta(meta, expect, path)
+    base = version_dir(path, ver)
+    cents = _version_artifacts(spark, path, meta, ("centroids",))[
+        "centroids"
+    ]
+    # ALL cells collected (nprobe=None): the row count IS the
+    # single-query check (n_cells rows per query — the ivfpq_probe
+    # rule); top-nprobe taken in the driver by the shared ordering
+    n_cells = int(meta["n_cells"])
+    qrows = rank_probe_cells(query, cents, None).collect()
+    if len(qrows) != n_cells:
+        raise ValueError(
+            "ivf_index_probe serves exactly one query vector, got "
+            f"{len(qrows) // n_cells} rows — use "
+            "operators/similarity.batch_topk for query batches"
         )
-        out = (
-            idx.join(F.broadcast(qv))  # bcast bound: 1 query row
-            .select(
-                "vec_id",
-                F.round(
-                    cosine(as_double("embedding"), as_double("_qv")), 6
-                ).alias("cos_sim"),
-            )
-            .orderBy(F.desc("cos_sim"), "vec_id")
-            .limit(k)
+    probed = top_probe_cells(qrows, nprobe)
+    qv = spark.createDataFrame(
+        [([float(x) for x in qrows[0]["_qv"]],)], "_qv array<double>"
+    )
+    idx = _read_index_cells(spark, base, meta).filter(
+        F.col("cell").isin(probed)
+    )
+    return (
+        idx.join(F.broadcast(qv))  # bcast bound: 1 query row
+        .select(
+            "vec_id",
+            F.round(
+                cosine(as_double("embedding"), as_double("_qv")), 6
+            ).alias("cos_sim"),
         )
-        return tie_cache(out, query)
-    except BaseException:
-        query.unpersist()
-        raise
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
 
 
 def write_band_index(
@@ -645,6 +645,52 @@ def _band_index_parts(spark: SparkSession, index_path: str):
     return meta, _delta_dirs(base, meta)
 
 
+_ARTIFACT_CACHE: dict = {}
+
+
+def _version_artifacts(
+    spark: SparkSession, path: str, meta: dict, legs: tuple[str, ...]
+) -> dict[str, DataFrame]:
+    """1-row quantizer artifacts (codebook / centroids) cached per
+    (path, version, leg) — the probe meta-cache the r9 verdict asked
+    for: the persisted probes spent ~95% of their ~1 s per query on
+    guard/meta/quantizer reads while the pruned 8-byte code scan
+    itself cost 0.06 s. Each leg's parquet is read and collected ONCE
+    per committed version; later probes rebuild it as a LOCAL relation
+    from the cached rows + schema (exact round-trip — Row values are
+    the parquet values), skipping the file listing, footer read and
+    scan job entirely. Local relations hold no executor state, so the
+    cache is session-independent and never pins persistent RDDs (a
+    localCheckpoint variant broke the probes' no-cache-leak
+    invariants).
+
+    Invalidation: `_CURRENT` is still read on EVERY probe (tiny, and
+    the single source of truth) — a rebuild or compaction bumps the
+    version, which misses the cache and drops the stale version's
+    entries. Appends never touch these legs (quantizers are copied,
+    never re-derived), so same-version hits stay valid across
+    appends. Memory bound: one 1-row artifact set per live (path,
+    version); stale versions are pruned on the spot."""
+    import posixpath
+
+    from ..versioned import version_dir
+
+    ver = int(meta["version"])
+    base = version_dir(path, ver)
+    out = {}
+    for leg in legs:
+        key = (path, ver, leg)
+        hit = _ARTIFACT_CACHE.get(key)
+        if hit is None:
+            df = spark.read.parquet(posixpath.join(base, leg))
+            hit = (df.schema, df.collect())
+            _ARTIFACT_CACHE[key] = hit
+        out[leg] = spark.createDataFrame(hit[1], hit[0])
+    for k in [k for k in _ARTIFACT_CACHE if k[0] == path and k[1] != ver]:
+        del _ARTIFACT_CACHE[k]
+    return out
+
+
 def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Union the base leg with every delta leg, reading the deltas with
     the BASE leg's schema: a committed delta whose partitioned relation
@@ -749,7 +795,6 @@ def semdedup_prune_persisted(
     assignment score, which the parity test pins (result-equal to
     `semdedup_prune` over the same eligible set). Returns the same
     (id, cell, ccos, is_pruned) relation."""
-    import posixpath
 
     from ..operators.similarity import (
         _semdedup_from_assignment,
@@ -767,7 +812,9 @@ def semdedup_prune_persisted(
     if expect:
         check_meta(meta, expect, index_path)
     base = version_dir(index_path, ver)
-    cents_row = spark.read.parquet(posixpath.join(base, "centroids"))
+    cents_row = _version_artifacts(
+        spark, index_path, meta, ("centroids",)
+    )["centroids"]
     cells = _read_index_cells(spark, base, meta)
     # one (cid, cvec, cn) row per centroid, norm folded once — joined
     # to each vector's OWN cell (broadcast: n_cells rows)
@@ -804,6 +851,7 @@ def write_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_versions: int = 2,
+    train_iterations: int = 0,
 ) -> None:
     """Persist the product-quantization artifact pq_adc_topk's
     docstring promises (operators/similarity.py, Jégou et al. 2011):
@@ -829,10 +877,26 @@ def write_pq_index(
     results, no error). Incremental maintenance: new batches can be
     encoded against the stored codebook and appended (codes are
     row-independent); rebuild = re-derived codebook = the compaction,
-    same contract as the IVF/band layouts."""
+    same contract as the IVF/band layouts.
+
+    `train_iterations` (r10, the r9 verdict's recall-ceiling item):
+    when > 0 the codebook is Lloyd-trained on the corpus subvector
+    distribution for that many iterations
+    (operators/similarity.pq_codebook_trained — deterministic seeds +
+    fixed iteration count, so the oracle replays training exactly);
+    recorded in `_CURRENT` as `pq_train_iters` so a probe can pin the
+    training regime it expects. Appends/probes are untouched either
+    way — they encode/score against the STORED codebook."""
     import posixpath
 
-    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, pq_codebook, pq_encode
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_codebook,
+        pq_codebook_trained,
+        pq_encode,
+    )
     from ..versioned import commit_version, current_version, version_dir
 
     spark = embeddings.sparkSession
@@ -846,9 +910,12 @@ def write_pq_index(
     ver = current_version(spark, path) + 1
     base = version_dir(path, ver)
     cb_path = posixpath.join(base, "codebook")
-    pq_codebook(embeddings, vec_col, id_col).write.mode("overwrite").parquet(
-        cb_path
+    cb_rel = (
+        pq_codebook_trained(embeddings, train_iterations, vec_col, id_col)
+        if train_iterations > 0
+        else pq_codebook(embeddings, vec_col, id_col)
     )
+    cb_rel.write.mode("overwrite").parquet(cb_path)
     cb = spark.read.parquet(cb_path)
     pq_encode(embeddings, cb, vec_col, id_col).write.mode(
         "overwrite"
@@ -856,7 +923,8 @@ def write_pq_index(
     commit_version(
         spark, path, ver,
         extra={"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
-               "id_col": id_col},
+               "id_col": id_col,
+               "pq_train_iters": int(train_iterations)},
         keep_versions=keep_versions,
     )
 
@@ -928,74 +996,65 @@ def pq_index_probe(
     (tests/test_storage.py pins the executed plan's file scans to the
     index directories). LUT construction and the nibble-unpack scoring
     go through the SAME definitions as the in-memory form
-    (operators/similarity.pq_lut_row / pq_adc_dist), which the parity
-    test pins result-equal. Returns (id, pq_code, adist).
+    (operators/similarity._pq_lut_array / pq_adc_dist), which the
+    parity test pins result-equal. Returns (id, pq_code, adist).
 
-    Single-query contract, enforced (the ivf_index_probe rule): >1
-    query row would interleave several queries' LUTs into one wrong
-    top-k with no error."""
+    Single-query contract, enforced IN-PLAN (_single_query — r10, the
+    r9 verdict's probe-QPS item: the eager count() was its own job
+    over the query subtree per probe): >1 query row or an empty query
+    raises loudly at the first action over the result; a correct call
+    costs zero extra jobs. The quantizer read goes through the
+    (path, version) meta-cache (_version_artifacts), so a warm probe
+    is the pruned code scan plus the broadcast LUT build."""
     import posixpath
 
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
         PQ_SUB,
+        _pq_lut_array,
+        _single_query,
+        as_double,
         pq_adc_dist,
-        pq_lut_row,
     )
     from ..versioned import check_meta, current_meta, version_dir
 
-    # private projection persisted for the two consumers (contract
-    # count + LUT build); unpersisted on every early-raise path —
-    # never the caller's DataFrame (r7 advice on ivf_index_probe)
-    query = query.select(F.col(vec_col)).persist()
-    try:
-        n_q = query.count()
-        if n_q != 1:
-            raise ValueError(
-                f"pq_index_probe serves exactly one query vector, got "
-                f"{n_q} rows — use pq_index_batch_probe for query "
-                "batches (it serves the whole batch from the stored "
-                "codes; the in-memory batch_topk scans the floats)"
-            )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed PQ index under {path}")
-        _require_kind(meta, "pq", path)
-        # the nibble-unpack scoring is built from the CURRENT module
-        # constants — a recorded-geometry mismatch silently mis-reads
-        # every code, so this gate is unconditional (r8 review);
-        # `expect` adds caller-specific pins on top
-        check_meta(
-            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed PQ index under {path}")
+    _require_kind(meta, "pq", path)
+    # the nibble-unpack scoring is built from the CURRENT module
+    # constants — a recorded-geometry mismatch silently mis-reads
+    # every code, so this gate is unconditional (r8 review);
+    # `expect` adds caller-specific pins on top
+    check_meta(
+        meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+    )
+    if expect:
+        check_meta(meta, expect, path)
+    base = version_dir(path, ver)
+    cb = _version_artifacts(spark, path, meta, ("codebook",))["codebook"]
+    codes = _union_parquet(
+        spark,
+        [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
+    )
+    idx_id = str(meta.get("id_col", "vec_id"))
+    q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
+    lut_row = q1.join(F.broadcast(cb)).select(  # bcast bound: 1 row
+        _pq_lut_array().alias("_lut")
+    )
+    return (
+        codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+        .select(
+            F.col(idx_id),
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
         )
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
-        cb = spark.read.parquet(posixpath.join(base, "codebook"))
-        codes = _union_parquet(
-            spark,
-            [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
-        )
-        idx_id = str(meta.get("id_col", "vec_id"))
-        lut_row = pq_lut_row(query, cb, vec_col)
-        out = (
-            codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-            .select(
-                F.col(idx_id),
-                "pq_code",
-                F.round(pq_adc_dist(), 6).alias("adist"),
-            )
-            # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-            .orderBy(F.asc_nulls_last("adist"), idx_id)
-            .limit(k)
-        )
-        return tie_cache(out, query)
-    except BaseException:
-        query.unpersist()
-        raise
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        .orderBy(F.asc_nulls_last("adist"), idx_id)
+        .limit(k)
+    )
 
 
 def _require_unique_qids(
@@ -1106,7 +1165,9 @@ def pq_index_batch_probe(
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)
-        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        cb = _version_artifacts(spark, path, meta, ("codebook",))[
+            "codebook"
+        ]
         codes = _union_parquet(
             spark,
             [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
@@ -1146,6 +1207,7 @@ def write_ivfpq_index(
     lang: str = "en",
     keep_versions: int = 2,
     residual: bool = False,
+    train_iterations: int = 0,
 ) -> None:
     """IVF-PQ — the composed coarse-quantizer + product-quantization
     layout (Jégou et al. 2011 §V: the inverted file prunes WHICH
@@ -1178,7 +1240,15 @@ def write_ivfpq_index(
     no corpus-wide vec_id re-join). Two eligible scans total, zero
     shuffles. An EMPTY eligible set (wrong lang / min_chars too high)
     fails the build loudly — committing it would write a cells/ dir
-    holding only _SUCCESS, poisoning every probe until a rebuild."""
+    holding only _SUCCESS, poisoning every probe until a rebuild.
+
+    `train_iterations` (r10): when > 0, the PQ codebook is
+    Lloyd-trained on the full encode relation's subvector distribution
+    (residuals when `residual`, raw otherwise — the distribution the
+    codes quantize; Jégou §II-B) instead of stopping at the
+    deterministic seeds; adds one eligible scan per iteration, paid at
+    build time only, and is recorded as `pq_train_iters` so probes can
+    pin the training regime."""
     import posixpath
 
     from ..operators.dedup import _ckpt_rdd_ids, _release_rdds
@@ -1190,6 +1260,7 @@ def write_ivfpq_index(
         ivf_centroids,
         ivf_residual,
         pq_codebook,
+        pq_codebook_trained,
         pq_encode,
     )
     from ..versioned import commit_version, current_version, version_dir
@@ -1229,7 +1300,19 @@ def write_ivfpq_index(
             seed_rel, enc_rel, vec = (
                 low, ivf_assign(eligible, cents), "embedding"
             )
-        pq_codebook(seed_rel, vec).write.mode("overwrite").parquet(cb_path)
+        # Trained codebooks (r10): Lloyd-refine over the FULL encode
+        # relation's subvector distribution (residual or raw — the
+        # distribution the codes will quantize), seeded from the same
+        # lowest-id prefix (pq_codebook(enc_rel) == pq_codebook(
+        # seed_rel): lowest-PQ_K ids of the eligible set either way),
+        # so the untrained layout is byte-identical to before and the
+        # oracle replays training over its existing `e` CTE.
+        cb_rel = (
+            pq_codebook_trained(enc_rel, train_iterations, vec)
+            if train_iterations > 0
+            else pq_codebook(seed_rel, vec)
+        )
+        cb_rel.write.mode("overwrite").parquet(cb_path)
         cb = spark.read.parquet(cb_path)
         (
             pq_encode(enc_rel, cb, vec, keep=("cell",))
@@ -1243,7 +1326,8 @@ def write_ivfpq_index(
         spark, path, ver,
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
                "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
-               "residual": residual},
+               "residual": residual,
+               "pq_train_iters": int(train_iterations)},
         keep_versions=keep_versions,
     )
 
@@ -1341,96 +1425,114 @@ def ivfpq_probe(
     centroids against the query (rank_probe_cells — identical
     tie-breaks to every other IVF consumer), partition-prune-scan the
     nprobe winning `cell=` directories, and score ONLY their packed
-    codes via the query's LUT (pq_lut_row / pq_adc_dist — the shared
-    definitions, so scoring cannot drift from pq_index_probe or the
-    in-memory form). Returns (vec_id, pq_code, adist).
+    codes via the query's LUT (_pq_lut_array / pq_adc_dist — the
+    shared definitions, so scoring cannot drift from pq_index_probe
+    or the in-memory form). Returns (vec_id, pq_code, adist).
 
     Plan shape at 100 TB: two 1-row broadcasts (LUT, implicit in the
     join; centroid ranking is O(n_cells)), one pruned scan of
     nprobe/n_cells x 8-byte-per-vector data, one TakeOrdered. The
     executed-scan test pins both prunings (partition count AND
-    no-float-column) from real scan metadata."""
-    import posixpath
+    no-float-column) from real scan metadata.
 
-    from ..operators.dedup import tie_cache
+    Serving cost (r10, the r9 verdict's probe-QPS item): the centroid
+    and codebook reads go through the (path, version) meta-cache
+    (_version_artifacts), and the single-query contract is validated
+    from the SAME bounded collect that drives partition pruning — the
+    ranked-cell rows carry the query vector, so an empty query (zero
+    rows back), a second distinct vector (two _qv values interleaved)
+    or a duplicated query row (the same cell ranked twice) all refuse
+    loudly with no extra job, and the collected vector feeds the LUT
+    as a LITERAL: the query subtree is evaluated exactly once per
+    probe, and the pruning decision and the LUT provably use the same
+    vector even for a nondeterministic query relation."""
+
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
         PQ_SUB,
+        _pq_lut_array,
         pq_adc_dist,
-        pq_lut_row,
         rank_probe_cells,
+        top_probe_cells,
     )
     from ..versioned import check_meta, current_meta, version_dir
 
-    query = query.select(F.col("embedding")).persist()
-    try:
-        n_q = query.count()
-        if n_q != 1:
-            raise ValueError(
-                f"ivfpq_probe serves exactly one query vector, got {n_q} "
-                "rows — use operators/similarity.batch_topk for query "
-                "batches"
-            )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
-        _require_kind(meta, "ivfpq", path)
-        # unconditional PQ-geometry gate, same reason as pq_index_probe
-        # (r8 review); `expect` adds caller pins (n_cells, gate params)
-        check_meta(
-            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    _require_kind(meta, "ivfpq", path)
+    # unconditional PQ-geometry gate, same reason as pq_index_probe
+    # (r8 review); `expect` adds caller pins (n_cells, gate params)
+    check_meta(
+        meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+    )
+    if expect:
+        check_meta(meta, expect, path)
+    base = version_dir(path, ver)
+    arts = _version_artifacts(spark, path, meta, ("centroids", "codebook"))
+    cents, cb = arts["centroids"], arts["codebook"]
+    # bounded driver materialization (n_cells rows): drives partition
+    # pruning AND carries the query vector + the contract validation.
+    # ALL cells are collected (nprobe=None) because the row count IS
+    # the single-query check: exactly n_cells rows per query row, so
+    # an empty query collects 0 and a second query 2x n_cells — an
+    # in-plan limit(nprobe) would hide a second query whose cells all
+    # ranked below the first's (r10 review of this rework).
+    n_cells = int(meta["n_cells"])
+    qrows = rank_probe_cells(query, cents, None).collect()
+    if len(qrows) != n_cells:
+        raise ValueError(
+            "ivfpq_probe serves exactly one query vector, got "
+            f"{len(qrows) // n_cells} rows — use ivfpq_batch_probe "
+            "for query batches"
         )
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
-        cents = spark.read.parquet(posixpath.join(base, "centroids"))
-        cb = spark.read.parquet(posixpath.join(base, "codebook"))
-        qcells = rank_probe_cells(query, cents, nprobe)
-        probed = [int(r["probe_cell"]) for r in qcells.collect()]
-        # base + committed append deltas, every leg partition-pruned
-        codes = _read_index_cells(spark, base, meta).filter(
-            F.col("cell").isin(probed)
-        )
-        if meta.get("residual"):
-            # IVFADC asymmetric distance (Jégou §V): codes are
-            # residual-encoded, so the LUT must be built from the
-            # QUERY'S residual against each probed cell's centroid —
-            # one LUT row PER probed cell (the batch-LUT machinery
-            # keyed by cell id), joined to the codes of that cell.
-            # Still nprobe 1-KiB broadcast rows + the same pruned
-            # 8-byte scan. The residual comes from the SAME
-            # ivf_residual definition the encode side uses, over the
-            # SAME qcells ranking that drove the pruning (r9 review:
-            # a restated expression / second ranking could drift).
-            from ..operators.similarity import ivf_residual, pq_lut_rows
+    probed = top_probe_cells(qrows, nprobe)
+    qv = [float(x) for x in qrows[0]["_qv"]]
+    # base + committed append deltas, every leg partition-pruned
+    codes = _read_index_cells(spark, base, meta).filter(
+        F.col("cell").isin(probed)
+    )
+    if meta.get("residual"):
+        # IVFADC asymmetric distance (Jégou §V): codes are
+        # residual-encoded, so the LUT must be built from the
+        # QUERY'S residual against each probed cell's centroid —
+        # one LUT row PER probed cell (the batch-LUT machinery
+        # keyed by cell id), joined to the codes of that cell.
+        # Still nprobe 1-KiB broadcast rows + the same pruned
+        # 8-byte scan. The residual comes from the SAME
+        # ivf_residual definition the encode side uses, over the
+        # SAME ranked cells that drove the pruning (r9 review: a
+        # restated expression / second ranking could drift).
+        from ..operators.similarity import ivf_residual, pq_lut_rows
 
-            qres = ivf_residual(
-                qcells.withColumnRenamed("probe_cell", "cell"),
-                cents, "_qv", "_qres",
-            ).select("cell", "_qres")
-            luts = pq_lut_rows(qres, cb, "_qres", "cell")
-            scored = codes.join(  # bcast bound: nprobe LUT rows
-                F.broadcast(luts), "cell"
-            )
-        else:
-            lut_row = pq_lut_row(query, cb)
-            scored = codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-        out = (
-            scored.select(
-                "vec_id",
-                "pq_code",
-                F.round(pq_adc_dist(), 6).alias("adist"),
-            )
-            # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-            .orderBy(F.asc_nulls_last("adist"), "vec_id")
-            .limit(k)
+        qrel = spark.createDataFrame(
+            [(c, qv) for c in probed], "cell bigint, _qv array<double>"
         )
-        return tie_cache(out, query)
-    except BaseException:
-        query.unpersist()
-        raise
+        qres = ivf_residual(qrel, cents, "_qv", "_qres").select(
+            "cell", "_qres"
+        )
+        luts = pq_lut_rows(qres, cb, "_qres", "cell")
+        scored = codes.join(  # bcast bound: nprobe LUT rows
+            F.broadcast(luts), "cell"
+        )
+    else:
+        qrel = spark.createDataFrame([(qv,)], "_qv array<double>")
+        lut_row = qrel.join(F.broadcast(cb)).select(
+            _pq_lut_array().alias("_lut")
+        )
+        scored = codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
+    return (
+        scored.select(
+            "vec_id",
+            "pq_code",
+            F.round(pq_adc_dist(), 6).alias("adist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        .orderBy(F.asc_nulls_last("adist"), "vec_id")
+        .limit(k)
+    )
 
 
 # per-layout compaction spec: which meta keys identify the layout,
@@ -1591,7 +1693,6 @@ def ivfpq_batch_probe(
     Q x k rows per partition. The only driver-side materialization is
     the distinct probed-cell id list (<= n_cells integers — the
     single probe's same legitimate collect)."""
-    import posixpath
 
     from ..operators.dedup import tie_cache
     from ..operators.similarity import (
@@ -1625,8 +1726,10 @@ def ivfpq_batch_probe(
         if expect:
             check_meta(meta, expect, path)
         base = version_dir(path, ver)
-        cents = spark.read.parquet(posixpath.join(base, "centroids"))
-        cb = spark.read.parquet(posixpath.join(base, "codebook"))
+        arts = _version_artifacts(
+            spark, path, meta, ("centroids", "codebook")
+        )
+        cents, cb = arts["centroids"], arts["codebook"]
         qcells = rank_probe_cells_batch(
             queries, cents, nprobe, qvec_col, qid_col
         ).select(qid_col, "probe_cell")

@@ -959,8 +959,12 @@ def test_pq_index_gates_and_versioning(spark, tmp_path):
     with _pytest.raises(ValueError, match="built with"):
         pq_index_probe(spark, path, q1, expect={"pq_m": 4})
     assert cached_count() == base
-    with _pytest.raises(ValueError, match="one query"):
-        pq_index_probe(spark, path, emb.filter(F.col("vec_id") < 3))
+    # guard is IN-PLAN since r10 (the _single_query rule): the refusal
+    # surfaces at the first action, and empty queries refuse too
+    with _pytest.raises(Exception, match="one query"):
+        pq_index_probe(spark, path, emb.filter(F.col("vec_id") < 3)).collect()
+    with _pytest.raises(Exception, match="one query"):
+        pq_index_probe(spark, path, emb.filter(F.col("vec_id") < 0)).collect()
     assert cached_count() == base
 
     first = pq_index_probe(spark, path, q1, k=3).collect()
@@ -1349,8 +1353,14 @@ def test_compact_pq_index_single_leg_same_results(spark, tmp_path):
     res = pq_index_probe(spark, path, q, k=10)
     after = res.collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
-    # single leg: every executed scan reads v2, none reads an append
-    paths = [str(s.metadata()) for s in _scan_nodes(res)]
+    # single leg: every INDEX scan reads v2, none reads an append.
+    # (Since the r10 in-plan guard the probe's plan also legitimately
+    # scans the query's own source — scope the leg assertion to scans
+    # under the index path.)
+    paths = [
+        m for m in (str(s.metadata()) for s in _scan_nodes(res))
+        if path in m
+    ]
     assert paths and all("/appends/" not in m for m in paths), paths
     assert all("v2" in m for m in paths), paths
     # codebook copied, not re-derived

@@ -9,8 +9,12 @@ ANSI/DuckDB oracle SQL string for differential testing.
 Conventions (driver contract):
 - every computed column is aliased IDENTICALLY in the Spark plan and the
   oracle SQL (the harness sorts columns by name before hashing);
-- double-valued aggregates are rounded (2dp money, 4dp ratios) in BOTH
-  engines so accumulation-order ulps can't break the value hash;
+- double-valued money/ratio aggregates are either EXACT single
+  divisions of integer-unit sums (the r9/r10 exact-cents pattern —
+  identical doubles by construction; see _rev_exact) or, where the sum
+  cannot structurally tie (plain 2dp money), rounded identically in
+  both engines (tests/test_round_tie_canary.py documents and polices
+  the split);
 - oracle sums over BIGINT are cast back to BIGINT (DuckDB widens to
   HUGEINT, Spark stays LongType);
 - top-k queries always carry a unique tie-breaker in the sort so LIMIT
@@ -26,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -78,6 +82,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Exact-cents revenue: SUM(price * (1 - discount)) computed as ONE
+# integer sum (cents x integer percent, 1e4-scaled units) divided once,
+# UNROUNDED — identical doubles on both engines by construction. The
+# former ROUND(SUM(double), 2) convention sat on half-cent ties (exact
+# 4dp sums end in ...50 at ~1/100 per group; the r10 canary found LIVE
+# ties in q1/q3/q10/q15 on the shipped fixtures) where Spark round and
+# DuckDB ROUND disagree on ~9% of tie doubles — a per-engine coin flip
+# on the accumulated float sum. Sums ride decimal(20,0)→(30,0) so
+# 100 TB-scale groups (~4e11 lineitems → ~2e18 units) stay exact where
+# a long sum would near overflow. ONE definition each side, shared by
+# every revenue-emitting query (q3/q5/q7/q9-adjacent family).
+_REV_SQL = (
+    "CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)"
+    " * (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS DOUBLE)"
+    " / 10000.0"
+)
+# same units, integer form (for sites that emit exact cents)
+_REV_UNITS_SQL = (
+    "SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)"
+    " * (100 - CAST(round(l_discount * 100) AS HUGEINT)))"
+)
+
+
+def _rev_units() -> Column:
+    """Per-row exact revenue in 1e4-scaled integer units, as
+    decimal(20,0) so the aggregate widens to decimal(30,0)."""
+    ce = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dp = F.round(F.col("l_discount") * 100).cast("long")
+    return (ce * (100 - dp)).cast("decimal(20,0)")
+
+
+def _rev_exact() -> Column:
+    """The aggregate expression: exact integer sum, one IEEE division,
+    no rounding."""
+    return F.sum(_rev_units()).cast("double") / 10000.0
+
+
 # ===========================================================================
 # TPC-H-style relational core: scan → filter → agg → sort
 # ===========================================================================
@@ -85,17 +126,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS HUGEINT)            AS qi,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS ce,
+               CAST(round(l_discount * 100) AS HUGEINT)      AS dp,
+               CAST(round(l_tax * 100) AS HUGEINT)           AS tp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02')
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
-           COUNT(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           CAST(SUM(qi) AS DOUBLE)                            AS sum_qty,
+           CAST(SUM(ce) AS DOUBLE) / 100.0                    AS sum_base_price,
+           CAST(SUM(ce * (100 - dp)) AS DOUBLE) / 10000.0     AS sum_disc_price,
+           CAST(SUM(ce * (100 - dp) * (100 + tp)) AS DOUBLE)
+               / 1000000.0                                    AS sum_charge,
+           CAST(SUM(qi) AS DOUBLE) / COUNT(*)                 AS avg_qty,
+           CAST(SUM(ce) AS DOUBLE) / (100.0 * COUNT(*))       AS avg_price,
+           CAST(SUM(dp) AS DOUBLE) / (100.0 * COUNT(*))       AS avg_disc,
+           COUNT(*)                                           AS count_order
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
     bench=True,
@@ -103,30 +152,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 adapted. Scale: single wide scan + partial (map-side)
     aggregation into 6 groups — shuffle is a few KB regardless of input
-    size; the scan reads only 7 of 11 columns (pruned)."""
+    size; the scan reads only 7 of 11 columns (pruned).
+
+    Money columns are EXACT integer sums divided once, unrounded (the
+    r9 exact-cents pattern, extended here by the r10 tie canary, which
+    caught a LIVE half-way tie: group (N, F)'s exact disc_price sum is
+    ...055.9650 on the sf0.001 AND sf0.1 fixtures, so the former
+    ROUND(SUM(double), 2) was a per-engine coin flip — green only by
+    accumulation-order luck). Per-row scaled units fit a long (~5e12
+    for the 1e6-unit charge); the sums ride decimal(20,0)→(30,0) so a
+    100 TB corpus (~4e11 lineitems → charge sums ~2e22) stays exact
+    where a long sum would overflow."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qi = F.round(F.col("l_quantity")).cast("long")
+    ce = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dp = F.round(F.col("l_discount") * 100).cast("long")
+    tp = F.round(F.col("l_tax") * 100).cast("long")
+    d20 = "decimal(20,0)"
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qi).cast("double").alias("sum_qty"),
+            (F.sum(ce.cast(d20)).cast("double") / 100.0)
+            .alias("sum_base_price"),
+            (F.sum((ce * (100 - dp)).cast(d20)).cast("double") / 10000.0)
+            .alias("sum_disc_price"),
+            (F.sum((ce * (100 - dp) * (100 + tp)).cast(d20)).cast("double")
+             / 1000000.0).alias("sum_charge"),
+            (F.sum(qi).cast("double") / n).alias("avg_qty"),
+            (F.sum(ce.cast(d20)).cast("double") / (F.lit(100.0) * n))
+            .alias("avg_price"),
+            (F.sum(dp).cast("double") / (F.lit(100.0) * n))
+            .alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_REV_SQL} AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +211,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted. Scale: the c_mktsegment filter runs before the
     join (pushed to the customer scan); order of joins left to Catalyst +
-    AQE (customer side shrinks ~5x after the filter)."""
+    AQE (customer side shrinks ~5x after the filter). Revenue is the
+    exact-cents single division (_rev_exact — the r10 tie-canary class:
+    per-order 4dp sums land on half-cent ties at ~1/100 per group, and
+    the DESC-by-revenue cutoff must order identical doubles)."""
     cutoff = F.lit("1998-03-15").cast("timestamp")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
@@ -151,8 +223,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(_rev_exact().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -161,9 +232,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_REV_SQL} AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -199,15 +270,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (c.c_nationkey == F.col("s_nationkey")))
         .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        # exact-cents single division (_rev_exact) — the r10 tie-canary
+        # hardening; per-nation groups aggregate a 1/25 slice of the
+        # corpus, so the decimal-widened sum matters at 100 TB
+        .agg(_rev_exact().alias("revenue"))
     )
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * CAST(round(l_discount * 100) AS HUGEINT)) AS DOUBLE)
+               / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -228,16 +303,23 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        # exact-cents single division (the _rev_exact pattern with
+        # price*discount units) — r10 tie-canary hardening
+        .agg(
+            (F.sum(
+                (F.round(F.col("l_extendedprice") * 100).cast("long")
+                 * F.round(F.col("l_discount") * 100).cast("long"))
+                .cast("decimal(20,0)")
+            ).cast("double") / 10000.0).alias("revenue")
+        )
     )
 
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_REV_SQL} AS revenue,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -265,8 +347,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        # exact-cents single division (_rev_exact) — the r10 tie canary
+        # found LIVE per-customer half-cent ties at sf0.01 and sf0.1
+        .agg(_rev_exact().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)

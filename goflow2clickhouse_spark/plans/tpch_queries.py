@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from .queries import query
+from .queries import _REV_UNITS_SQL, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -240,11 +240,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
-                    AS BIGINT) AS total_revenue_cents
+               CAST(({_REV_UNITS_SQL} + 50) // 100 AS BIGINT)
+                   AS total_revenue_cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -259,16 +259,24 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
     aggregate feeding a scalar-subquery equality. Revenue is compared in
-    integer cents so the equality is exact in both engines. Scale: the
+    integer cents so the equality is exact in both engines — cents come
+    from the EXACT integer-unit sum (queries._rev_units) with integer
+    HALF_UP ((units + 50) div 100), never from rounding an accumulated
+    double: the r10 tie canary found per-supplier quarterly sums landing
+    exactly on half-cent ties at sf0.01 AND sf0.1, where the former
+    ROUND(double_sum * 100, 0) was a per-engine coin flip. Scale: the
     revenue CTE is computed once and reused for both the max and the
     join (Spark: same DataFrame object → one shuffle reused)."""
+    from .queries import _rev_units
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
     s = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()) * 100, 0).cast("long").alias("total_revenue_cents")
+        F.floor((F.sum(_rev_units()) + 50) / 100)
+        .cast("long").alias("total_revenue_cents")
     )
     top = revenue.agg(F.max("total_revenue_cents").alias("m"))
     return (

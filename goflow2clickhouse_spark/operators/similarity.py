@@ -1112,6 +1112,9 @@ def pq_encode(
     )
 
 
+_PQ_COLUMN_CACHE: dict = {}
+
+
 def _pq_lut_array() -> Column:
     """The PQ_M x PQ_K asymmetric-distance lookup table over a
     relation holding `_qv` (the query vector) and the broadcast `_cb`:
@@ -1120,15 +1123,25 @@ def _pq_lut_array() -> Column:
     in-query form (pq_adc_topk), the persisted-index probes
     (plans/storage.pq_index_probe / ivfpq_probe) and the batch probe
     all build it here, so the scoring arithmetic cannot drift between
-    serving paths."""
+    serving paths.
 
-    def _lut(j: int) -> Column:
-        qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
-        return F.transform(
-            F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
-        )
+    The Column is MEMOIZED (r10): it references only the fixed `_qv` /
+    `_cb` names and module constants, and building its PQ_M x PQ_K x
+    PQ_SUB fold tree costs ~0.35 s of py4j round trips — measured as
+    the single largest slice of warm-probe latency. Columns are
+    immutable unresolved expressions, safely shared across plans."""
+    col = _PQ_COLUMN_CACHE.get("lut")
+    if col is None:
 
-    return F.array(*[_lut(j) for j in range(PQ_M)])
+        def _lut(j: int) -> Column:
+            qsv = F.slice(F.col("_qv"), j * PQ_SUB + 1, PQ_SUB)
+            return F.transform(
+                F.col("_cb")[j], lambda en: _l2sq(qsv, en["sub"])
+            )
+
+        col = F.array(*[_lut(j) for j in range(PQ_M)])
+        _PQ_COLUMN_CACHE["lut"] = col
+    return col
 
 
 def pq_lut_row(
@@ -1179,8 +1192,12 @@ def pq_lut_rows(
 def pq_adc_dist() -> Column:
     """ADC distance of a packed `pq_code` against the broadcast `_lut`
     row: PQ_M element_at lookups, 4-bit nibble per block. The one
-    scoring expression both PQ serving paths read."""
-    return sum(
+    scoring expression both PQ serving paths read. Memoized like
+    _pq_lut_array (fixed column names + module constants only)."""
+    col = _PQ_COLUMN_CACHE.get("adc")
+    if col is not None:
+        return col
+    col = sum(
         (
             F.element_at(
                 F.col("_lut")[j],
@@ -1196,6 +1213,8 @@ def pq_adc_dist() -> Column:
             (F.col("pq_code") % F.lit(PQ_K)).cast("int") + 1,
         ),
     )
+    _PQ_COLUMN_CACHE["adc"] = col
+    return col
 
 
 def pq_adc_topk(

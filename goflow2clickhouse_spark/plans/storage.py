@@ -370,11 +370,14 @@ def _delta_dirs(base: str, meta: dict) -> list[str]:
 def _read_index_cells(spark: SparkSession, base: str, meta: dict) -> DataFrame:
     """The committed version's full cell relation (base + committed
     deltas). Each leg is a cell-partitioned parquet scan, so a `cell`
-    filter partition-prunes every leg of the union."""
+    filter partition-prunes every leg of the union. The schema comes
+    from the per-version cache (_leg_schema) so repeat probes skip the
+    eager inference footer read."""
     import posixpath
 
+    legs = [posixpath.join(d, "cells") for d in _delta_dirs(base, meta)]
     return _union_parquet(
-        spark, [posixpath.join(d, "cells") for d in _delta_dirs(base, meta)]
+        spark, legs, schema=_leg_schema(spark, base, "cells", legs[0])
     )
 
 
@@ -691,18 +694,44 @@ def _version_artifacts(
     return out
 
 
-def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _union_parquet(
+    spark: SparkSession, paths: list[str], schema=None
+) -> DataFrame:
     """Union the base leg with every delta leg, reading the deltas with
     the BASE leg's schema: a committed delta whose partitioned relation
     happens to be empty (e.g. a folded batch where every doc is shorter
     than the shingle width — non-empty shas, empty bands) holds only
     `_SUCCESS`, and a plain read of it throws UNABLE_TO_INFER_SCHEMA
     (r7 advice; verified on this env). With an explicit schema the same
-    directory reads as a valid empty relation."""
-    out = spark.read.parquet(paths[0])
+    directory reads as a valid empty relation.
+
+    `schema` (r10): read EVERY leg (base included) with the given
+    schema — schema inference is an EAGER footer read per
+    spark.read.parquet call, which dominated warm-probe plan
+    construction (profiled ~0.9 s of a 1.4 s probe at sf0.1); the
+    probes pass the per-version cached schema (_leg_schema) instead."""
+    if schema is not None:
+        out = spark.read.schema(schema).parquet(paths[0])
+    else:
+        out = spark.read.parquet(paths[0])
+        schema = out.schema
     for p in paths[1:]:
-        out = out.unionByName(spark.read.schema(out.schema).parquet(p))
+        out = out.unionByName(spark.read.schema(schema).parquet(p))
     return out
+
+
+def _leg_schema(spark: SparkSession, base: str, leg: str, first_path: str):
+    """Data-leg schema cached per (version-dir, leg) — the version dir
+    encodes the version, so a rebuild/compaction naturally misses and
+    re-infers. Partition columns (cells' `cell`) are part of the
+    inferred schema and Spark honors user-specified partition columns,
+    the same contract the delta legs have used since r7."""
+    key = (base, "schema", leg)
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is None:
+        hit = spark.read.parquet(first_path).schema
+        _ARTIFACT_CACHE[key] = hit
+    return hit
 
 
 def incremental_neardup_pairs_indexed(
@@ -1035,9 +1064,12 @@ def pq_index_probe(
         check_meta(meta, expect, path)
     base = version_dir(path, ver)
     cb = _version_artifacts(spark, path, meta, ("codebook",))["codebook"]
+    code_legs = [
+        posixpath.join(d, "codes") for d in _delta_dirs(base, meta)
+    ]
     codes = _union_parquet(
-        spark,
-        [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
+        spark, code_legs,
+        schema=_leg_schema(spark, base, "codes", code_legs[0]),
     )
     idx_id = str(meta.get("id_col", "vec_id"))
     q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
@@ -1168,9 +1200,12 @@ def pq_index_batch_probe(
         cb = _version_artifacts(spark, path, meta, ("codebook",))[
             "codebook"
         ]
+        code_legs = [
+            posixpath.join(d, "codes") for d in _delta_dirs(base, meta)
+        ]
         codes = _union_parquet(
-            spark,
-            [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)],
+            spark, code_legs,
+            schema=_leg_schema(spark, base, "codes", code_legs[0]),
         )
         idx_id = str(meta.get("id_col", "vec_id"))
         luts = pq_lut_rows(queries, cb, qvec_col, qid_col)

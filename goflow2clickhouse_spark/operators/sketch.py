@@ -289,9 +289,14 @@ def hist_quantiles(
         # yields NULL, not an error: `hit` would be NULL on every
         # row, the filter would drop everything, and the estimate
         # would silently become NULL instead of raising (r9 advice).
-        num, den = _dec.Decimal(str(q)).as_integer_ratio()
+        # range check FIRST (r10 review): NaN/Infinity q would raise
+        # an unrelated conversion error from as_integer_ratio below,
+        # making the intended message unreachable for exactly the
+        # degenerate inputs a range guard exists for (NaN compares
+        # False to everything, so `not (0 < q <= 1)` catches it too)
         if not (0 < q <= 1):
             raise ValueError(f"quantile q={q!r} must be in (0, 1]")
+        num, den = _dec.Decimal(str(q)).as_integer_ratio()
         if den > 10**19 or num > 10**19:
             # den = 10^frac_digits of q's shortest repr; any q a user
             # types has far fewer than 19 fractional digits.

@@ -29,20 +29,26 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 2). New queries MUST take window slots (the r6 lesson);
 # (b) the twelve r6-stale spill names FIRST (item 1 — the oldest rows in
 #     the registry at 3 rounds stale);
-# (b') q10_returned_items (r9-green) and q15_top_supplier (r8-green),
-#     CHANGED this round — the tie canary found their revenue sums
-#     sitting on live half-cent ties, so both were converted to the
-#     exact-cents pattern; changed queries must take window slots;
-# (c) 34 of the 50 r7-green names, alphabetical — the remaining 16 spill
-#     to r11, FIRST there: jl_projection_recall,
+# (b') q10_returned_items (r9-green), q15_top_supplier and
+#     q11_important_stock (r8-green), CHANGED this round — the tie
+#     canary found their revenue sums sitting on live half-cent ties
+#     (q11: three emitted per-part ties at sf0.01, plus a float HAVING
+#     cut), so all three were converted to the exact-cents pattern;
+#     changed queries must take window slots;
+# (c) 33 of the 50 r7-green names — alphabetical EXCEPT that
+#     incremental_dedup_newbatch is displaced ahead of the ivf probes:
+#     ivf_index_probe / ivf_append_probe exercise the r10 probe-serving
+#     rework, so dropping them would leave changed code unwindowed.
+#     The remaining 17 spill to r11, FIRST there:
+#     incremental_dedup_newbatch, jl_projection_recall,
 #     nation_balance_full_outer, nation_coverage_set_ops,
 #     order_value_buckets, orders_above_global_avg, part_brand_stats,
 #     pq_adc_topk, price_percentiles, priority_revenue_union,
 #     q12_shipmode_priority, q21_suppliers_kept_waiting,
 #     q2_min_cost_supplier, q4_order_priority, semdedup_prune,
 #     source_mixture_weights, token_budget_selection.
-# 2 + 12 + 2 + 34 = 50 exactly; after r10 the stale pool for r11 is those
-# 16 spilled r7 names plus the 50 r8-green names.
+# 2 + 12 + 3 + 33 = 50 exactly; after r10 the stale pool for r11 is those
+# 17 spilled r7 names plus the 50 r8-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r10
 # round touched code consumed by green queries:
@@ -80,6 +86,7 @@ promote([
     # (b') changed this round (exact-cents conversion)
     "q10_returned_items",
     "q15_top_supplier",
+    "q11_important_stock",
     # (c) 34 of the 50 r7-green names, alphabetical
     "bloom_seen_filter",
     "bm25_topk",
@@ -112,7 +119,6 @@ promote([
     "flows_tumbling_traffic",
     "hll_distinct_customers",
     "incremental_dedup_indexed",
-    "incremental_dedup_newbatch",
     "ivf_append_probe",
     "ivf_index_probe",
 ])

@@ -367,17 +367,19 @@ def _delta_dirs(base: str, meta: dict) -> list[str]:
     ]
 
 
-def _read_index_cells(spark: SparkSession, base: str, meta: dict) -> DataFrame:
+def _read_index_cells(
+    spark: SparkSession, path: str, base: str, meta: dict
+) -> DataFrame:
     """The committed version's full cell relation (base + committed
     deltas). Each leg is a cell-partitioned parquet scan, so a `cell`
     filter partition-prunes every leg of the union. The schema comes
-    from the per-version cache (_leg_schema) so repeat probes skip the
+    from the per-commit cache (_leg_schema) so repeat probes skip the
     eager inference footer read."""
     import posixpath
 
     legs = [posixpath.join(d, "cells") for d in _delta_dirs(base, meta)]
     return _union_parquet(
-        spark, legs, schema=_leg_schema(spark, base, "cells", legs[0])
+        spark, legs, schema=_leg_schema(spark, path, meta, "cells", legs[0])
     )
 
 
@@ -408,12 +410,7 @@ def ivf_index_probe(
     job); the collected vector then feeds the scoring side as a
     LITERAL, so the query subtree is evaluated exactly once per probe
     and pruning + scoring provably use the same vector."""
-    from ..operators.similarity import (
-        as_double,
-        cosine,
-        rank_probe_cells,
-        top_probe_cells,
-    )
+    from ..operators.similarity import as_double, cosine
     from ..versioned import check_meta, current_meta, version_dir
 
     meta = current_meta(spark, path)
@@ -430,22 +427,12 @@ def ivf_index_probe(
     cents = _version_artifacts(spark, path, meta, ("centroids",))[
         "centroids"
     ]
-    # ALL cells collected (nprobe=None): the row count IS the
-    # single-query check (n_cells rows per query — the ivfpq_probe
-    # rule); top-nprobe taken in the driver by the shared ordering
-    n_cells = int(meta["n_cells"])
-    qrows = rank_probe_cells(query, cents, None).collect()
-    if len(qrows) != n_cells:
-        raise ValueError(
-            "ivf_index_probe serves exactly one query vector, got "
-            f"{len(qrows) // n_cells} rows — use "
-            "operators/similarity.batch_topk for query batches"
-        )
-    probed = top_probe_cells(qrows, nprobe)
-    qv = spark.createDataFrame(
-        [([float(x) for x in qrows[0]["_qv"]],)], "_qv array<double>"
+    probed, qv_list = _collect_single_probe_cells(
+        "ivf_index_probe", query, cents, nprobe,
+        "operators/similarity.batch_topk",
     )
-    idx = _read_index_cells(spark, base, meta).filter(
+    qv = spark.createDataFrame([(qv_list,)], "_qv array<double>")
+    idx = _read_index_cells(spark, path, base, meta).filter(
         F.col("cell").isin(probed)
     )
     return (
@@ -668,30 +655,105 @@ def _version_artifacts(
     invariants).
 
     Invalidation: `_CURRENT` is still read on EVERY probe (tiny, and
-    the single source of truth) — a rebuild or compaction bumps the
-    version, which misses the cache and drops the stale version's
-    entries. Appends never touch these legs (quantizers are copied,
-    never re-derived), so same-version hits stay valid across
-    appends. Memory bound: one 1-row artifact set per live (path,
-    version); stale versions are pruned on the spot."""
+    the single source of truth) — the cache key carries both the
+    committed VERSION and the commit TOKEN (`_CURRENT`'s mtime,
+    versioned.current_commit_token): a rebuild or compaction bumps the
+    version, and a wipe-and-rebuild that RESTARTS at v1 still moves
+    the token (r10 review — version alone served the old build's
+    codebook against the new build's codes, silently). Appends never
+    touch these legs (quantizers are copied, never re-derived) and
+    recommit_meta rewrites only `_CURRENT`... which DOES move the
+    token — an acceptable miss: the artifacts are re-read once per
+    append, still never per probe. Memory bound: one artifact set per
+    live (path, commit); every stale (path, *) entry — version OR
+    token mismatch, schema entries included — is pruned on the spot."""
     import posixpath
 
-    from ..versioned import version_dir
+    from ..versioned import current_commit_token, version_dir
 
     ver = int(meta["version"])
+    tok = current_commit_token(spark, path)
     base = version_dir(path, ver)
     out = {}
     for leg in legs:
-        key = (path, ver, leg)
+        key = (path, ver, tok, leg)
         hit = _ARTIFACT_CACHE.get(key)
         if hit is None:
             df = spark.read.parquet(posixpath.join(base, leg))
             hit = (df.schema, df.collect())
             _ARTIFACT_CACHE[key] = hit
         out[leg] = spark.createDataFrame(hit[1], hit[0])
-    for k in [k for k in _ARTIFACT_CACHE if k[0] == path and k[1] != ver]:
-        del _ARTIFACT_CACHE[k]
+    _prune_artifact_cache(path, ver, tok)
     return out
+
+
+def _prune_artifact_cache(path: str, ver: int, tok: int) -> None:
+    """Drop every cached entry for `path` whose (version, token)
+    doesn't match the current commit — shared by the artifact and
+    schema caches so neither accumulates across rebuilds."""
+    for k in [
+        k for k in _ARTIFACT_CACHE
+        if k[0] == path and (k[1], k[2]) != (ver, tok)
+    ]:
+        del _ARTIFACT_CACHE[k]
+
+
+def _collect_single_probe_cells(
+    op: str, query: DataFrame, cents: DataFrame, nprobe: int,
+    batch_hint: str,
+) -> tuple[list[int], list[float]]:
+    """The IVF-family probes' shared driver-side step (r10 review: two
+    hand-maintained copies had already diverged from each other's
+    edge-case handling): collect ALL ranked cells for the query
+    (bounded — one row per stored centroid per query row), validate
+    the single-query contract from that same collect, and return the
+    top-nprobe cells (top_probe_cells — the relational ordering's
+    driver twin) plus the query vector as Python floats so pruning and
+    scoring provably use the SAME vector.
+
+    Contract checks, all jobless (they read the pruning collect):
+      * 0 rows            -> empty query relation, refuse;
+      * >1 distinct _qv   -> two different query vectors interleaved,
+                             refuse (collecting WITHOUT a limit is what
+                             makes this complete — an in-plan
+                             limit(nprobe) hid a second query whose
+                             cells all ranked below the first's);
+      * duplicate cell id -> the same vector submitted twice (identical
+                             _qv, so the distinct check can't see it),
+                             refuse;
+      * NULL vector / NULL element -> every score is NULL and the
+                             'top-k' would rank purely by id, refuse
+                             loudly (the _require_unique_qids rule).
+    A legally-built index with FEWER centroids than the requested
+    n_cells (eligible set smaller than the knob) serves normally — the
+    row count is whatever the centroid array holds, never compared
+    against the recorded knob (r10 review: a meta['n_cells'] equality
+    check refused every probe of such an index)."""
+    from ..operators.similarity import rank_probe_cells, top_probe_cells
+
+    qrows = rank_probe_cells(query, cents, None).collect()
+    if not qrows:
+        raise ValueError(
+            f"{op} serves exactly one query vector, got 0 rows"
+        )
+    qvs = {
+        None if r["_qv"] is None else tuple(r["_qv"]) for r in qrows
+    }
+    cells_all = [r["probe_cell"] for r in qrows]
+    if len(qvs) > 1 or len(set(cells_all)) != len(cells_all):
+        raise ValueError(
+            f"{op} serves exactly one query vector, got multiple query "
+            f"rows — use {batch_hint} for query batches"
+        )
+    qv_raw = qrows[0]["_qv"]
+    if qv_raw is None or any(x is None for x in qv_raw):
+        raise ValueError(
+            f"{op}: the query vector is NULL or has NULL elements — "
+            "every distance would be NULL and the top-k would rank "
+            "purely by id"
+        )
+    probed = top_probe_cells(qrows, nprobe)
+    return probed, [float(x) for x in qv_raw]
 
 
 def _union_parquet(
@@ -720,17 +782,25 @@ def _union_parquet(
     return out
 
 
-def _leg_schema(spark: SparkSession, base: str, leg: str, first_path: str):
-    """Data-leg schema cached per (version-dir, leg) — the version dir
-    encodes the version, so a rebuild/compaction naturally misses and
-    re-infers. Partition columns (cells' `cell`) are part of the
-    inferred schema and Spark honors user-specified partition columns,
-    the same contract the delta legs have used since r7."""
-    key = (base, "schema", leg)
+def _leg_schema(
+    spark: SparkSession, path: str, meta: dict, leg: str, first_path: str
+):
+    """Data-leg schema cached under the same (path, version, token)
+    keying and pruning as _version_artifacts (r10 review: base-dir
+    keys were never pruned and survived a wipe-and-rebuild that reused
+    the version dir). Partition columns (cells' `cell`) are part of
+    the inferred schema and Spark honors user-specified partition
+    columns, the same contract the delta legs have used since r7."""
+    from ..versioned import current_commit_token
+
+    ver = int(meta["version"])
+    tok = current_commit_token(spark, path)
+    key = (path, ver, tok, "schema:" + leg)
     hit = _ARTIFACT_CACHE.get(key)
     if hit is None:
         hit = spark.read.parquet(first_path).schema
         _ARTIFACT_CACHE[key] = hit
+    _prune_artifact_cache(path, ver, tok)
     return hit
 
 
@@ -844,7 +914,7 @@ def semdedup_prune_persisted(
     cents_row = _version_artifacts(
         spark, index_path, meta, ("centroids",)
     )["centroids"]
-    cells = _read_index_cells(spark, base, meta)
+    cells = _read_index_cells(spark, index_path, base, meta)
     # one (cid, cvec, cn) row per centroid, norm folded once — joined
     # to each vector's OWN cell (broadcast: n_cells rows)
     cent_tbl = cents_row.select(F.explode("_cents").alias("c")).select(
@@ -1069,7 +1139,7 @@ def pq_index_probe(
     ]
     codes = _union_parquet(
         spark, code_legs,
-        schema=_leg_schema(spark, base, "codes", code_legs[0]),
+        schema=_leg_schema(spark, path, meta, "codes", code_legs[0]),
     )
     idx_id = str(meta.get("id_col", "vec_id"))
     q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
@@ -1105,11 +1175,14 @@ def _require_unique_qids(
     duplicate ranks (r9 review: reproduced — 5 rows, 3 distinct
     neighbors, no error).
 
-    When (qvec_col, dim) are given, also rejects NULL or
-    wrong-dimension query vectors (r9 advice): a NULL/short qvec
-    yields an all-NULL LUT, so that qid would still return k rows
-    with NULL adist ranked purely by id — silent garbage for one
-    batch member. Same single aggregate, no extra job."""
+    When (qvec_col, dim) are given, also rejects NULL,
+    wrong-dimension, or NULL-ELEMENT query vectors (r9 advice; the
+    element check is the r10 review's completion — a correct-size
+    vector with one NULL element NULLs the whole LUT the same way): a
+    degenerate qvec yields an all-NULL LUT, so that qid would still
+    return k rows with NULL adist ranked purely by id — silent
+    garbage for one batch member. Same single aggregate, no extra
+    job."""
     aggs = [
         F.count("*").alias("_n"),
         F.count_distinct(F.col(qid_col)).alias("_nd"),
@@ -1119,6 +1192,7 @@ def _require_unique_qids(
             F.count_if(
                 F.col(qvec_col).isNull()
                 | (F.size(F.col(qvec_col)) != F.lit(int(dim)))
+                | F.exists(F.col(qvec_col), lambda x: x.isNull())
             ).alias("_bad")
         )
     counts = queries.agg(*aggs).first()
@@ -1132,8 +1206,9 @@ def _require_unique_qids(
     if qvec_col is not None and counts["_bad"] != 0:
         raise ValueError(
             f"{op} got {counts['_bad']} query row(s) with NULL or "
-            f"wrong-dimension {qvec_col} (expected size {dim}) — a "
-            "NULL LUT would rank that qid's top-k purely by id"
+            f"wrong-dimension {qvec_col} (expected size {dim}, no "
+            "NULL elements) — a NULL LUT would rank that qid's top-k "
+            "purely by id"
         )
 
 
@@ -1205,7 +1280,7 @@ def pq_index_batch_probe(
         ]
         codes = _union_parquet(
             spark, code_legs,
-            schema=_leg_schema(spark, base, "codes", code_legs[0]),
+            schema=_leg_schema(spark, path, meta, "codes", code_legs[0]),
         )
         idx_id = str(meta.get("id_col", "vec_id"))
         luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
@@ -1488,8 +1563,6 @@ def ivfpq_probe(
         PQ_SUB,
         _pq_lut_array,
         pq_adc_dist,
-        rank_probe_cells,
-        top_probe_cells,
     )
     from ..versioned import check_meta, current_meta, version_dir
 
@@ -1508,25 +1581,14 @@ def ivfpq_probe(
     base = version_dir(path, ver)
     arts = _version_artifacts(spark, path, meta, ("centroids", "codebook"))
     cents, cb = arts["centroids"], arts["codebook"]
-    # bounded driver materialization (n_cells rows): drives partition
-    # pruning AND carries the query vector + the contract validation.
-    # ALL cells are collected (nprobe=None) because the row count IS
-    # the single-query check: exactly n_cells rows per query row, so
-    # an empty query collects 0 and a second query 2x n_cells — an
-    # in-plan limit(nprobe) would hide a second query whose cells all
-    # ranked below the first's (r10 review of this rework).
-    n_cells = int(meta["n_cells"])
-    qrows = rank_probe_cells(query, cents, None).collect()
-    if len(qrows) != n_cells:
-        raise ValueError(
-            "ivfpq_probe serves exactly one query vector, got "
-            f"{len(qrows) // n_cells} rows — use ivfpq_batch_probe "
-            "for query batches"
-        )
-    probed = top_probe_cells(qrows, nprobe)
-    qv = [float(x) for x in qrows[0]["_qv"]]
+    # bounded driver materialization (<= one row per stored centroid):
+    # drives partition pruning AND carries the query vector + the
+    # single-query contract validation (_collect_single_probe_cells)
+    probed, qv = _collect_single_probe_cells(
+        "ivfpq_probe", query, cents, nprobe, "ivfpq_batch_probe"
+    )
     # base + committed append deltas, every leg partition-pruned
-    codes = _read_index_cells(spark, base, meta).filter(
+    codes = _read_index_cells(spark, path, base, meta).filter(
         F.col("cell").isin(probed)
     )
     if meta.get("residual"):
@@ -1774,7 +1836,7 @@ def ivfpq_batch_probe(
         probed = sorted({
             int(r["probe_cell"]) for r in qcells.collect()
         })
-        codes = _read_index_cells(spark, base, meta).filter(
+        codes = _read_index_cells(spark, path, base, meta).filter(
             F.col("cell").isin(probed)
         )
         # each query's LUT rides its ranked cells: Q x nprobe

@@ -530,18 +530,18 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_important_stock",
-    oracle="""
+    oracle=f"""
     WITH supply AS (
         SELECT l_partkey AS partkey,
-               SUM(l_extendedprice * (1 - l_discount)) AS value
+               {_REV_UNITS_SQL} AS s
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                       JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_5'
         GROUP BY l_partkey
     )
-    SELECT partkey, ROUND(value, 2) AS value
+    SELECT partkey, CAST(s AS DOUBLE) / 10000.0 AS value
     FROM supply
-    WHERE value > (SELECT SUM(value) * 0.001 FROM supply)
+    WHERE s * 1000 > (SELECT SUM(s) FROM supply)
     ORDER BY value DESC, partkey
     """,
 )
@@ -551,7 +551,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers): parts whose supply value exceeds a fraction of the
     national total. HAVING against a scalar subquery over the same
     aggregate — Spark computes the CTE once and reuses it for both
-    sides (same DataFrame object → one shuffle)."""
+    sides (same DataFrame object → one shuffle).
+
+    Exact-cents form (r10): the per-part value is the exact
+    integer-unit sum divided once, and the HAVING cut compares
+    s * 1000 > SUM(s) in INTEGERS — the r10 tie canary found THREE
+    emitted per-part sums landing exactly on half-cent ties at sf0.01
+    under the former ROUND(float-sum, 2), and the float cut
+    (SUM(value) * 0.001) was a second cross-engine threshold in the
+    same query."""
+    from .queries import _rev_units
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(  # bcast bound: nation dim, <= 25 rows
@@ -561,13 +571,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(_rev()).alias("value"))
+        .agg(F.sum(_rev_units()).alias("_s"))
     )
-    total = supply.agg((F.sum("value") * 0.001).alias("cut"))
+    total = supply.agg(F.sum("_s").alias("_t"))
     return (
         supply.join(F.broadcast(total))  # bcast bound: 1-row scalar total
-        .filter(F.col("value") > F.col("cut"))
-        .select("partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("_s") * 1000 > F.col("_t"))
+        .select(
+            "partkey",
+            (F.col("_s").cast("double") / 10000.0).alias("value"),
+        )
         .orderBy(F.desc("value"), "partkey")
     )
 

@@ -68,6 +68,22 @@ def current_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+def current_commit_token(spark: SparkSession, path: str) -> int:
+    """Modification time (ms) of ``<path>/_CURRENT`` — distinguishes
+    two commits that REUSE a version number: a wipe-and-rebuild at the
+    same path restarts at v1 with byte-identical-looking metadata, so
+    version alone cannot invalidate process caches keyed on it (r10
+    review: the probe artifact cache served the old build's codebook
+    against the new build's codes, silently). 0 when no commit
+    exists. The atomic-rename commit always creates a fresh _CURRENT
+    inode, so every commit moves the mtime."""
+    fs, hpath = _fs(spark, posixpath.join(path, "_CURRENT"))
+    try:
+        return int(fs.getFileStatus(hpath).getModificationTime())
+    except Exception:
+        return 0
+
+
 def current_version(spark: SparkSession, path: str) -> int:
     """Committed version number; 0 when none."""
     meta = current_meta(spark, path)

@@ -7,14 +7,15 @@ doubles — surfacing as a mysterious driver hash-mismatch after any
 fixture regeneration.
 
 When first run (r10) this canary found LIVE ties in q1 (group N/F at
-sf0.001 and sf0.1), q3, q10 and q15 — all green only by
+sf0.001 and sf0.1), q3, q10, q15 and q11 (three EMITTED per-part ties
+at sf0.01, plus a float HAVING threshold) — all green only by
 accumulation-order luck — so those sites were CONVERTED to the
 exact-cents single-division pattern (queries._rev_exact /
-_REV_UNITS_SQL; q5/q6 opportunistically with them) and left the tied
-class entirely. The rows below cover the three sites that stayed
-conventional (q7, q9, q19): each emits ALL its groups, so the
-all-groups tie check below is exactly the emitted-row check, and each
-is clean on every shipped fixture. If a row ever fails: that query's
+_REV_UNITS_SQL; q5/q6 opportunistically with them; q11's cut is now an
+integer comparison) and left the tied class entirely. The rows below
+cover the three sites that stayed conventional (q7, q9, q19): each
+emits ALL its groups, so the all-groups tie check below is exactly the
+emitted-row check, and each is clean on every shipped fixture. If a row ever fails: that query's
 sum now sits exactly on a half-cent boundary — convert it to the
 exact-cents pattern too (see q1_pricing_summary for the shape).
 

@@ -653,3 +653,18 @@ def test_hist_quantiles_rejects_overflow_prone_q(spark):
     est = {r["q"]: r["est"] for r in
            hist_quantiles(df, "v", [1e-19], 0.0, 10.0, buckets=10).collect()}
     assert est[1e-19] is not None
+
+
+def test_hist_quantiles_degenerate_q_gets_range_message(spark):
+    """NaN/Infinity quantiles must hit the range guard's message, not
+    an unrelated as_integer_ratio conversion error (r10 review: the
+    guard sat BELOW the conversion)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goflow2clickhouse_spark.operators.sketch import hist_quantiles
+
+    df = spark.range(1, 11).select(F.col("id").cast("double").alias("v"))
+    for q in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="must be in"):
+            hist_quantiles(df, "v", [q], 0.0, 10.0, buckets=10)

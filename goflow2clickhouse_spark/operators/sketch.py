@@ -289,6 +289,12 @@ def hist_quantiles(
         # yields NULL, not an error: `hit` would be NULL on every
         # row, the filter would drop everything, and the estimate
         # would silently become NULL instead of raising (r9 advice).
+        # Cost of the decimal-exact rank (r9 verdict item 5, r10
+        # interleaved A/B at sf0.1: 0.78 s vs 0.67 s for the float
+        # round-before-ceil form): a bounded ~0.12 s constant — the
+        # decimal arithmetic runs over the <=buckets-row cumulative
+        # relation regardless of corpus size, so the premium buys rank
+        # exactness at any n and never scales with data.
         # range check FIRST (r10 review): NaN/Infinity q would raise
         # an unrelated conversion error from as_integer_ratio below,
         # making the intended message unreachable for exactly the

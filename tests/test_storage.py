@@ -604,7 +604,8 @@ def test_ivf_append_serves_union_and_ignores_torn_delta(spark, tmp_path):
     base = version_dir(path, 1)
     stored = {
         r["vec_id"]
-        for r in _read_index_cells(spark, base, meta).select("vec_id").collect()
+        for r in _read_index_cells(spark, path, base, meta)
+        .select("vec_id").collect()
     }
     want = {
         r["vec_id"] for r in eligible_embeddings(docs, emb).select("vec_id").collect()
@@ -624,7 +625,7 @@ def test_ivf_append_serves_union_and_ignores_torn_delta(spark, tmp_path):
     ).parquet(os.path.join(base, "appends", "a2", "cells"))
     again = {
         r["vec_id"]
-        for r in _read_index_cells(spark, base, current_meta(spark, path))
+        for r in _read_index_cells(spark, path, base, current_meta(spark, path))
         .select("vec_id").collect()
     }
     assert again == stored  # uncommitted delta invisible

@@ -162,7 +162,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order luck). Per-row scaled units fit a long (~5e12
     for the 1e6-unit charge); the sums ride decimal(20,0)→(30,0) so a
     100 TB corpus (~4e11 lineitems → charge sums ~2e22) stays exact
-    where a long sum would overflow."""
+    where a long sum would overflow.
+
+    Measured cost of exactness (r10, standalone min-of-4 at sf0.1):
+    0.75 s vs ~0.38 s for the float-sum form — decimal partial
+    aggregation is the slow path vs codegen'd double sums. Accepted:
+    the tie was LIVE (a wrong-by-one-cent coin flip on a flagship
+    query), the premium is scan-side work that scales with the same
+    single pass, and no rounding convention can absorb a true
+    half-way tie."""
     li = _t(spark, sf_dir, "lineitem")
     qi = F.round(F.col("l_quantity")).cast("long")
     ce = F.round(F.col("l_extendedprice") * 100).cast("long")

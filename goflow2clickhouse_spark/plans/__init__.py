@@ -87,7 +87,8 @@ promote([
     "q10_returned_items",
     "q15_top_supplier",
     "q11_important_stock",
-    # (c) 34 of the 50 r7-green names, alphabetical
+    # (c) 33 of the 50 r7-green names (alphabetical, minus the
+    #     displaced incremental_dedup_newbatch — see header)
     "bloom_seen_filter",
     "bm25_topk",
     "ch_dialect_port_profile",

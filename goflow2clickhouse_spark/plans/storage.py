@@ -367,6 +367,21 @@ def _delta_dirs(base: str, meta: dict) -> list[str]:
     ]
 
 
+def _read_index_codes(
+    spark: SparkSession, path: str, base: str, meta: dict
+) -> DataFrame:
+    """The committed version's full PQ-code relation (base + committed
+    deltas) with the per-commit cached schema — _read_index_cells'
+    codes-leg twin, shared by the single and batch PQ probes (r10
+    review: two verbatim copies of the leg construction)."""
+    import posixpath
+
+    legs = [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)]
+    return _union_parquet(
+        spark, legs, schema=_leg_schema(spark, path, meta, "codes", legs[0])
+    )
+
+
 def _read_index_cells(
     spark: SparkSession, path: str, base: str, meta: dict
 ) -> DataFrame:
@@ -656,23 +671,25 @@ def _version_artifacts(
 
     Invalidation: `_CURRENT` is still read on EVERY probe (tiny, and
     the single source of truth) — the cache key carries both the
-    committed VERSION and the commit TOKEN (`_CURRENT`'s mtime,
-    versioned.current_commit_token): a rebuild or compaction bumps the
-    version, and a wipe-and-rebuild that RESTARTS at v1 still moves
-    the token (r10 review — version alone served the old build's
-    codebook against the new build's codes, silently). Appends never
-    touch these legs (quantizers are copied, never re-derived) and
-    recommit_meta rewrites only `_CURRENT`... which DOES move the
-    token — an acceptable miss: the artifacts are re-read once per
-    append, still never per probe. Memory bound: one artifact set per
+    committed VERSION and the commit TOKEN (versioned.commit_token —
+    the `commit_nonce` recorded in `_CURRENT`, so reading it costs
+    nothing; mtime fallback for pre-nonce indexes): a rebuild or
+    compaction bumps the version, and a wipe-and-rebuild that RESTARTS
+    at v1 still gets a fresh nonce (r10 review — version alone served
+    the old build's codebook against the new build's codes, silently;
+    an mtime-only token aliased on second-granularity filesystems).
+    Appends never touch these legs (quantizers are copied, never
+    re-derived) but re-commit `_CURRENT` with a fresh nonce — an
+    acceptable miss: the artifacts are re-read once per append, still
+    never per probe. Memory bound: one artifact set per
     live (path, commit); every stale (path, *) entry — version OR
     token mismatch, schema entries included — is pruned on the spot."""
     import posixpath
 
-    from ..versioned import current_commit_token, version_dir
+    from ..versioned import commit_token, version_dir
 
     ver = int(meta["version"])
-    tok = current_commit_token(spark, path)
+    tok = commit_token(spark, path, meta)
     base = version_dir(path, ver)
     out = {}
     for leg in legs:
@@ -791,10 +808,10 @@ def _leg_schema(
     the version dir). Partition columns (cells' `cell`) are part of
     the inferred schema and Spark honors user-specified partition
     columns, the same contract the delta legs have used since r7."""
-    from ..versioned import current_commit_token
+    from ..versioned import commit_token
 
     ver = int(meta["version"])
-    tok = current_commit_token(spark, path)
+    tok = commit_token(spark, path, meta)
     key = (path, ver, tok, "schema:" + leg)
     hit = _ARTIFACT_CACHE.get(key)
     if hit is None:
@@ -1134,13 +1151,7 @@ def pq_index_probe(
         check_meta(meta, expect, path)
     base = version_dir(path, ver)
     cb = _version_artifacts(spark, path, meta, ("codebook",))["codebook"]
-    code_legs = [
-        posixpath.join(d, "codes") for d in _delta_dirs(base, meta)
-    ]
-    codes = _union_parquet(
-        spark, code_legs,
-        schema=_leg_schema(spark, path, meta, "codes", code_legs[0]),
-    )
+    codes = _read_index_codes(spark, path, base, meta)
     idx_id = str(meta.get("id_col", "vec_id"))
     q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
     lut_row = q1.join(F.broadcast(cb)).select(  # bcast bound: 1 row
@@ -1275,13 +1286,7 @@ def pq_index_batch_probe(
         cb = _version_artifacts(spark, path, meta, ("codebook",))[
             "codebook"
         ]
-        code_legs = [
-            posixpath.join(d, "codes") for d in _delta_dirs(base, meta)
-        ]
-        codes = _union_parquet(
-            spark, code_legs,
-            schema=_leg_schema(spark, path, meta, "codes", code_legs[0]),
-        )
+        codes = _read_index_codes(spark, path, base, meta)
         idx_id = str(meta.get("id_col", "vec_id"))
         luts = pq_lut_rows(queries, cb, qvec_col, qid_col)
         scored = codes.join(F.broadcast(luts)).select(  # bcast: Q rows

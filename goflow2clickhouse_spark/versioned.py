@@ -25,6 +25,7 @@ the JSON is a single small object PUT).
 from __future__ import annotations
 
 import json
+import uuid
 import posixpath
 
 from pyspark.sql import SparkSession
@@ -68,20 +69,27 @@ def current_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
-def current_commit_token(spark: SparkSession, path: str) -> int:
-    """Modification time (ms) of ``<path>/_CURRENT`` — distinguishes
-    two commits that REUSE a version number: a wipe-and-rebuild at the
-    same path restarts at v1 with byte-identical-looking metadata, so
-    version alone cannot invalidate process caches keyed on it (r10
-    review: the probe artifact cache served the old build's codebook
-    against the new build's codes, silently). 0 when no commit
-    exists. The atomic-rename commit always creates a fresh _CURRENT
-    inode, so every commit moves the mtime."""
+def commit_token(spark: SparkSession, path: str, meta: dict) -> str:
+    """Identity of the CURRENT commit — distinguishes two commits that
+    REUSE a version number (a wipe-and-rebuild restarts at v1 with
+    byte-identical-looking metadata, so version alone cannot
+    invalidate process caches keyed on it; r10 review: the probe
+    artifact cache served the old build's codebook against the new
+    build's codes, silently). Prefers the `commit_nonce` recorded in
+    `_CURRENT` since r10 (already in the caller's hand — zero extra
+    filesystem calls, never aliases two builds); falls back to
+    `_CURRENT`'s mtime for pre-nonce indexes, where only a
+    FileNotFound-style miss maps to "no commit" — any other stat
+    failure PROPAGATES rather than aliasing to a constant (r10 review:
+    a blanket `return 0` on transient IO errors could cache-hit across
+    a rebuild)."""
+    nonce = meta.get("commit_nonce")
+    if nonce:
+        return str(nonce)
     fs, hpath = _fs(spark, posixpath.join(path, "_CURRENT"))
-    try:
-        return int(fs.getFileStatus(hpath).getModificationTime())
-    except Exception:
-        return 0
+    if not fs.exists(hpath):
+        return "0"
+    return str(int(fs.getFileStatus(hpath).getModificationTime()))
 
 
 def current_version(spark: SparkSession, path: str) -> int:
@@ -122,6 +130,12 @@ def commit_version(
     # it back — without this, the first append after a
     # keep_versions=5 build silently re-pruned with the default 2
     payload["keep_versions"] = keep_versions
+    # commit identity (r10 review): a wipe-and-rebuild restarts at v1
+    # with possibly byte-identical metadata, and the mtime fallback has
+    # only second granularity on S3A/NFS — a fresh nonce per commit
+    # gives process caches an invalidation key that can never alias
+    # two builds, with zero filesystem stats to read it back
+    payload["commit_nonce"] = uuid.uuid4().hex
     data = json.dumps(payload, sort_keys=True).encode("utf-8")
 
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))

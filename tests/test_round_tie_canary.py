@@ -14,14 +14,16 @@ exact-cents single-division pattern (queries._rev_exact /
 _REV_UNITS_SQL; q5/q6 opportunistically with them; q11's cut is now an
 integer comparison) and left the tied class entirely. The rows below
 cover the three sites that stayed conventional (q7, q9, q19): each
-emits ALL its groups, so the all-groups tie check below is exactly the
-emitted-row check, and each is clean on every shipped fixture. If a row ever fails: that query's
-sum now sits exactly on a half-cent boundary — convert it to the
-exact-cents pattern too (see q1_pricing_summary for the shape).
+emits ALL its groups, so the all-groups tie check below is exactly
+the emitted-row check, and each is clean on every shipped fixture. If
+a row ever fails: that query's sum now sits exactly on a half-cent
+boundary — convert it to the exact-cents pattern too (see
+q1_pricing_summary for the shape).
 
 Sites WITHOUT canary rows, and why they cannot structurally tie:
-  * exact-cents converted sites (q1, q3, q5, q6, q10, q15): no
-    rounding left — identical doubles by construction.
+  * exact-cents converted sites (q1, q3, q5, q6, q10, q11, q15): no
+    rounding left — identical doubles by construction (q11's HAVING
+    cut is an integer comparison too).
   * ROUND(SUM(x), 2) of plain 2dp money (o_totalprice, acctbal,
     l_extendedprice alone, o_totalprice*integer-weight): a sum of 2dp
     values is 2dp — never a half-way case at 2dp.

@@ -4,12 +4,16 @@ functions over mapInPandas.
 
 The Spark-side plumbing is real — BinaryType columns, metadata structs,
 mapInPandas with a declared output schema, per-batch processing. The
-codec layer is REAL for two formats (since r3): pure-Python
-uncompressed 24-bpp BMP and 16-bit PCM WAV encode/decode with
-oracle-checked round-trip queries (`multimodal_decode_image`/`_audio`);
-`decode_image`/`decode_audio` raise NotImplementedError only for OTHER
-variants (compressed BMP, non-PCM WAV, JPEG/PNG/MP3... — this
-container has no imaging/audio libraries). The deterministic
+codec layer is REAL for three formats: pure-Python uncompressed 24-bpp
+BMP and 16-bit PCM WAV encode/decode (since r3) and — since r10 — a
+COMPRESSED format, 8-bit gray/RGB/RGBA PNG (zlib DEFLATE via the
+stdlib, all five scanline filters, chunk CRC validation), each with
+oracle-checked round-trip queries (`multimodal_decode_image`/`_audio`/
+`_png`); the decoders raise NotImplementedError only for OTHER
+variants (compressed BMP, non-PCM WAV, paletted/16-bit/interlaced
+PNG, JPEG/MP3... — this container has no imaging/audio libraries,
+and those formats' entropy coders aren't in the stdlib). The
+deterministic
 `extract_features` fake computes features from the actual bytes
 (length + byte checksum) so the pipeline is testable end-to-end and
 oracle-checkable (the same arithmetic is expressible in SQL over the
@@ -119,6 +123,180 @@ def decode_image(payload: bytes) -> dict:
         rgb[0::3], rgb[2::3] = bgr[2::3], bgr[0::3]
         px[y * row:(y + 1) * row] = rgb
     return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(px)}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channels per pixel (8-bit depth only): the three
+# non-paletted, non-interlaced layouts a training-data pipeline
+# actually stores. Palette (3) needs PLTE handling; 16-bit and Adam7
+# are rare in corpora and raise below.
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 6: "RGBA"}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §6.6 / RFC 2083): pick whichever
+    of left/above/upper-left is closest to a+b-c, ties broken in
+    that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, mode: str = "RGB"
+) -> bytes:
+    """Build an 8-bit non-interlaced PNG (W3C PNG spec / RFC 2083)
+    from row-major top-down samples: IHDR + one zlib-DEFLATE IDAT +
+    IEND, chunk CRCs included. `mode` is 'L' (gray), 'RGB' or 'RGBA'.
+    Each scanline is filtered with filter type y % 5, so a round-trip
+    through decode_png exercises ALL FIVE filters (None/Sub/Up/
+    Average/Paeth) — the part of the format a naive decoder gets
+    wrong — not just the trivial one."""
+    import zlib
+
+    ch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    ctype = {"L": 0, "RGB": 2, "RGBA": 6}[mode]
+    row = width * ch
+    if len(pixels) != row * height:
+        raise ValueError(f"pixels must be width*height*{ch} bytes")
+    raw = bytearray()
+    prev = bytes(row)
+    for y in range(height):
+        line = pixels[y * row:(y + 1) * row]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub: left neighbour, ch bytes back
+            raw += bytes(
+                (line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(row)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(row))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - ch] if i >= ch else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(row)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (line[i] - _paeth(
+                    line[i - ch] if i >= ch else 0,
+                    prev[i],
+                    prev[i - ch] if i >= ch else 0,
+                )) & 0xFF
+                for i in range(row)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG: walk the
+    chunks (validating each CRC — bit rot in a 100 TB blob store
+    should fail loudly, not hand back shifted pixels), inflate the
+    concatenated IDATs, reverse the per-scanline filter, and return
+    {width, height, mode, pixels} with pixels as row-major top-down
+    samples. Paletted, 16-bit, and interlaced PNGs raise
+    NotImplementedError (they need PLTE indirection / Adam7 passes);
+    anything structurally broken raises ValueError."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("PNG payload truncated mid-chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with nonstandard compression/filter method")
+    if depth != 8 or ctype_n not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/RGBA PNG supported"
+        )
+    ch = _PNG_CHANNELS[ctype_n]
+    row = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (row + 1) * height:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, "
+            f"expected {(row + 1) * height}"
+        )
+    px = bytearray(row * height)
+    prev = bytes(row)
+    for y in range(height):
+        ft = raw[(row + 1) * y]
+        line = bytearray(raw[(row + 1) * y + 1:(row + 1) * (y + 1)])
+        if ft == 1:
+            for i in range(row):
+                line[i] = (line[i] + (line[i - ch] if i >= ch else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(row):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(row):
+                line[i] = (
+                    line[i]
+                    + ((line[i - ch] if i >= ch else 0) + prev[i]) // 2
+                ) & 0xFF
+        elif ft == 4:
+            for i in range(row):
+                line[i] = (line[i] + _paeth(
+                    line[i - ch] if i >= ch else 0,
+                    prev[i],
+                    prev[i - ch] if i >= ch else 0,
+                )) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG scanline {y} has invalid filter {ft}")
+        px[y * row:(y + 1) * row] = line
+        prev = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "mode": _PNG_MODE[ctype_n],
+        "pixels": bytes(px),
+    }
 
 
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:

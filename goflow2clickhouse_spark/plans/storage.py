@@ -1313,6 +1313,165 @@ def pq_index_batch_probe(
         raise
 
 
+def write_sq_index(
+    embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_versions: int = 2,
+) -> None:
+    """Persist a scalar-quantization (SQ8) index — the fifth layout
+    (r10): 8 bits PER DIMENSION instead of PQ's 4 bits per 8-dim
+    block, i.e. 16x more code budget for 8x the code size. The
+    capacity/recall trade sits between raw floats and PQ (Faiss's
+    ScalarQuantizer tier): near-exact recall at 4-8x less probe IO
+    than the embedding column, where PQ4 is 32x less IO at real
+    recall loss — a corpus team picks per collection, and the recall
+    gates (sq_recall vs pq_index_recall) put driver-checked numbers
+    on the choice at the same fixture.
+
+    Two artifacts per version, the PQ layout's contract verbatim:
+
+      <path>/v{N}/quantizer/  ONE row — per-dim `lo`/`hi` arrays
+                              (operators/similarity.sq_quantizer)
+      <path>/v{N}/codes/      (id, sq_code array<int>) — 0..255 per
+                              dim, dictionary/bit-packed by parquet
+
+    Codes are encoded against the READ-BACK quantizer parquet (a probe
+    can never pair one build's codes with another's ranges), commits
+    are versioned-atomic, `_CURRENT` records the geometry
+    (`sq_buckets`, `dim`, `id_col`) and probes refuse a mismatch.
+    min/max ranges are exact aggregates, so rebuild determinism needs
+    no sampling tricks. Appends encode new batches against the STORED
+    quantizer (out-of-range values saturate — sq_encode's clamp);
+    compaction folds deltas like every other layout."""
+    import posixpath
+
+    from ..operators.similarity import DIM, SQ_BUCKETS, sq_encode, sq_quantizer
+    from ..versioned import commit_version, current_version, version_dir
+
+    spark = embeddings.sparkSession
+    if embeddings.isEmpty():
+        # an empty-corpus quantizer is all-NULL lo/hi — every future
+        # encode would emit NULL codes silently (the write_pq_index
+        # empty-build guard's twin)
+        raise ValueError(
+            f"SQ index build over {path}: corpus is empty — nothing to index"
+        )
+    ver = current_version(spark, path) + 1
+    base = version_dir(path, ver)
+    q_path = posixpath.join(base, "quantizer")
+    sq_quantizer(embeddings, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(q_path)
+    quant = spark.read.parquet(q_path)
+    sq_encode(embeddings, quant, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(base, "codes"))
+    commit_version(
+        spark, path, ver,
+        extra={"sq_buckets": SQ_BUCKETS, "dim": DIM, "id_col": id_col},
+        keep_versions=keep_versions,
+    )
+
+
+def append_to_sq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new embedding batch into the SQ index: encode against
+    the STORED quantizer and commit the codes as an atomic `appends`
+    delta — the append_to_pq_index contract verbatim (codes are
+    row-independent; torn deltas invisible; rebuild = new quantizer =
+    the compaction moment after distribution drift, which for SQ
+    means values drifting OUTSIDE the recorded ranges start
+    saturating at the clamp)."""
+    import posixpath
+
+    from ..operators.similarity import DIM, SQ_BUCKETS, sq_encode
+    from ..versioned import (
+        check_meta,
+        current_meta,
+        recommit_meta,
+        version_dir,
+    )
+
+    spark = batch.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed SQ index under {path}")
+    _require_kind(meta, "sq", path)
+    check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
+    if batch.isEmpty():
+        return
+    base = version_dir(path, ver)
+    quant = _version_artifacts(spark, path, meta, ("quantizer",))[
+        "quantizer"
+    ]
+    idx_id = str(meta.get("id_col", "vec_id"))
+    j = int(meta.get("appends", 0)) + 1
+    sq_encode(batch, quant, vec_col, idx_id).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(base, "appends", f"a{j}", "codes"))
+    recommit_meta(spark, path, meta, appends=j)
+
+
+def sq_index_probe(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve an asymmetric top-k from the persisted SQ index: the raw
+    query vector is scored against DEQUANTIZED bucket centers
+    (operators/similarity.sq_adc_dist — shared with the recall gate
+    and the oracles), reading ONLY the packed codes parquet. Returns
+    (id, adist). Same serving contract as pq_index_probe: in-plan
+    single-query guard (zero extra jobs on a correct call), quantizer
+    through the (path, version) meta-cache, geometry gate
+    unconditional — mismatched DIM would zip_with to NULL distances
+    silently, ranking purely by id."""
+    from ..operators.similarity import (
+        DIM,
+        SQ_BUCKETS,
+        _single_query,
+        as_double,
+        sq_adc_dist,
+    )
+    from ..versioned import check_meta, current_meta, version_dir
+
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed SQ index under {path}")
+    _require_kind(meta, "sq", path)
+    check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
+    if expect:
+        check_meta(meta, expect, path)
+    base = version_dir(path, ver)
+    quant = _version_artifacts(spark, path, meta, ("quantizer",))[
+        "quantizer"
+    ]
+    codes = _read_index_codes(spark, path, base, meta)
+    idx_id = str(meta.get("id_col", "vec_id"))
+    q1 = _single_query(query, "sq_index_probe", _qv=as_double(vec_col))
+    qrow = q1.join(F.broadcast(quant))  # bcast bound: 1 row
+    return (
+        codes.join(F.broadcast(qrow))  # bcast bound: 1 row
+        .select(
+            F.col(idx_id),
+            F.round(sq_adc_dist(), 6).alias("adist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        .orderBy(F.asc_nulls_last("adist"), idx_id)
+        .limit(k)
+    )
+
+
 def write_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -1656,6 +1815,10 @@ _COMPACT_SPECS = {
         "data": [("codes", None, False)],
         "copy": ["codebook"],
     },
+    "sq": {
+        "data": [("codes", None, False)],
+        "copy": ["quantizer"],
+    },
     "ivfpq": {
         "data": [("cells", "cell", False)],
         "copy": ["centroids", "codebook"],
@@ -1666,16 +1829,18 @@ _COMPACT_SPECS = {
 def _index_kind(meta: dict) -> str:
     """Layout inference from the committed metadata's geometry keys —
     each layout records a distinct key set, so this is total and
-    unambiguous over the four shipped layouts."""
+    unambiguous over the five shipped layouts."""
     if "bands" in meta:
         return "band"
+    if "sq_buckets" in meta:
+        return "sq"
     if "pq_m" in meta:
         return "ivfpq" if "n_cells" in meta else "pq"
     if "n_cells" in meta:
         return "ivf"
     raise ValueError(
         f"unrecognized index layout (meta keys {sorted(meta)}) — "
-        "compaction knows the band/IVF/PQ/IVF-PQ layouts"
+        "compaction knows the band/IVF/PQ/SQ/IVF-PQ layouts"
     )
 
 
@@ -1707,7 +1872,7 @@ def compact_index(
     `a{1..j}` legs, so a year of daily appends is 365 parquet legs in
     every probe plan; compaction rewrites them as ONE leg under
     `v{N+1}/` and re-commits with the append counter reset. Works on
-    all four layouts (band / filtered-IVF / PQ / IVF-PQ), reading
+    all five layouts (band / filtered-IVF / PQ / SQ / IVF-PQ), reading
     ONLY the index itself — the corpus is never scanned (at 100 TB
     that is the point: the index data legs are hash/code/assignment
     relations, orders of magnitude smaller than the text/floats they

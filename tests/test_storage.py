@@ -1914,3 +1914,127 @@ def test_single_probe_rejects_null_query_vector(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="one query"):
         ivf_index_probe(spark, path, dup, k=3)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized layout (r10)
+# ---------------------------------------------------------------------------
+
+def test_sq_index_probe_recall_and_scans_codes_only(spark, tmp_path):
+    """The persisted SQ8 probe reads ONLY the index directories (never
+    a float embedding column) and — fixture-pinned — reproduces the
+    exact L2 top-10 for several queries: an 8-bit per-dim bucket's
+    reconstruction error is far below inter-vector distances on this
+    fixture, the property that earns the layout its place next to PQ
+    (whose 4-bit gates read 0.3-0.4 recall on the same data)."""
+    from goflow2clickhouse_spark.operators.similarity import (
+        topk_l2_bruteforce,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        sq_index_probe,
+        write_sq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sqidx")
+    write_sq_index(emb, path)
+
+    # in-memory query row: the only parquet in the probe plan is the
+    # index itself (the pq probe test pattern)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = spark.createDataFrame(
+        [(list(qrow["embedding"]),)], "embedding array<double>"
+    )
+    res = sq_index_probe(spark, path, q, k=10)
+    rows = res.collect()
+    assert len(rows) == 10
+    assert rows == sorted(rows, key=lambda r: (r["adist"], r["vec_id"]))
+
+    scans = _scan_nodes(res)
+    assert scans, "expected index file scans in the executed plan"
+    for s in scans:
+        meta = str(s.metadata())
+        schema = s.schema().simpleString()
+        assert path in meta, f"scan outside the index: {meta[:200]}"
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+    assert any("sq_code" in s.schema().simpleString() for s in scans)
+
+    for qid in (0, 7, 33):
+        qd = emb.filter(F.col("vec_id") == qid)
+        ap = {r["vec_id"] for r in sq_index_probe(spark, path, qd, k=10).collect()}
+        ex = {r["vec_id"] for r in topk_l2_bruteforce(emb, qd, k=10).collect()}
+        assert ap == ex, f"SQ8 missed exact neighbours for qid={qid}"
+
+
+def test_sq_append_compact_and_gates(spark, tmp_path):
+    """SQ layout lifecycle: appends encode against the STORED
+    quantizer and serve the union; compact_index folds deltas into a
+    single new-version leg with byte-identical probe results and a
+    COPIED quantizer; the kind gate refuses cross-layout appends both
+    ways; geometry/missing-index/single-query guards refuse loudly."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_pq_index,
+        append_to_sq_index,
+        compact_index,
+        sq_index_probe,
+        write_pq_index,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sqc")
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        sq_index_probe(spark, path, emb.filter(F.col("vec_id") == 0))
+    with _pytest.raises(ValueError, match="empty"):
+        write_sq_index(emb.filter(F.col("vec_id") < 0), path)
+    write_sq_index(emb.filter(F.col("vec_id") % 3 == 0), path)
+
+    q = emb.filter(F.col("vec_id") == 0)
+    base_ids = {r["vec_id"] for r in sq_index_probe(spark, path, q, k=10).collect()}
+    assert base_ids and all(v % 3 == 0 for v in base_ids)
+
+    append_to_sq_index(emb.filter(F.col("vec_id") % 3 == 1), path)
+    append_to_sq_index(emb.filter(F.col("vec_id") % 3 == 2), path)
+    # empty append is a committed no-op
+    append_to_sq_index(emb.filter(F.col("vec_id") < 0), path)
+    assert current_meta(spark, path)["appends"] == 2
+    before = sq_index_probe(spark, path, q, k=10).collect()
+    assert {r["vec_id"] % 3 for r in before} != {0}, "append rows not served"
+    quant_before = spark.read.parquet(
+        os.path.join(path, "v1", "quantizer")
+    ).collect()
+
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    assert meta["sq_buckets"] == 256 and meta["dim"] == 64
+    res = sq_index_probe(spark, path, q, k=10)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, before))
+    idx_scans = [
+        m for m in (str(s.metadata()) for s in _scan_nodes(res))
+        if path in m
+    ]
+    assert idx_scans and all("/appends/" not in m for m in idx_scans)
+    quant_after = spark.read.parquet(
+        os.path.join(path, "v2", "quantizer")
+    ).collect()
+    assert quant_after == quant_before  # copied, never re-derived
+    assert compact_index(spark, path) is False
+
+    # cross-layout kind gates, both directions
+    with _pytest.raises(ValueError, match="layout"):
+        append_to_pq_index(emb, path)
+    pq_path = str(tmp_path / "pq_for_gate")
+    write_pq_index(emb.filter(F.col("vec_id") % 4 == 0), pq_path)
+    with _pytest.raises(ValueError, match="layout"):
+        append_to_sq_index(emb, pq_path)
+    with _pytest.raises(ValueError, match="built with"):
+        sq_index_probe(spark, path, q, expect={"sq_buckets": 16})
+    with _pytest.raises(Exception, match="one query"):
+        sq_index_probe(spark, path, emb.filter(F.col("vec_id") < 3)).collect()

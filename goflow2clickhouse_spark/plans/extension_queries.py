@@ -4013,3 +4013,56 @@ def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)
     return _recall_result(approx, exact, "sq", k=10)
+
+
+_SQ_BATCH_Q = 3
+
+
+@query(
+    "sq_batch_probe",
+    bench=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_sq_ctes()},
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_SQ_BATCH_Q}),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               ROUND({_SQ_ADIST_SQL.format(dim=S.DIM)}, 6) AS adist
+        FROM c, mm, qs q
+    )
+    SELECT qid, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY adist, vec_id) AS rank
+        FROM scored) s
+    WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def sq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the persisted SQ8 index
+    (plans/storage.sq_index_batch_probe): one code-only corpus pass
+    for the whole batch — each code row is dequantized in a named
+    projection and scored against the Q-row query broadcast, with the
+    per-query top-k planned as WindowGroupLimit (at most Q x k rows
+    per partition cross the shuffle, the pq_batch_probe scale
+    argument). The oracle replays the quantizer, every code, each
+    qid's ADC sums and every row's rank."""
+    from .storage import sq_index_batch_probe, write_sq_index
+
+    path = _persisted_index(
+        "sq", sf_dir,
+        lambda p: write_sq_index(
+            load_table(spark, sf_dir, "embeddings"), p
+        ),
+    )
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SQ_BATCH_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return sq_index_batch_probe(
+        spark, path, qs, k=5,
+        expect={"sq_buckets": S.SQ_BUCKETS, "dim": S.DIM},
+    ).orderBy("qid", "rank")

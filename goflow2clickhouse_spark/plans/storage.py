@@ -1472,6 +1472,83 @@ def sq_index_probe(
     )
 
 
+def sq_index_batch_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve a Q-query top-k batch from the persisted SQ index — the
+    pq_index_batch_probe contract on the SQ layout: one code-only
+    corpus pass for the whole batch. SQ needs no LUT — the per-query
+    'quantizer artifact' IS the raw query vector — so the scan
+    dequantizes each code row ONCE (a projection before the query
+    join, not per (code, query) pair) and the Q-row broadcast join
+    only pays the DIM-element squared-diff fold per pair. Per-query
+    top-k via row_number over (adist, id) → WindowGroupLimit, so the
+    shuffle is bounded at Q x k rows per partition. Returns
+    (qid, id, adist, rank). Empty batch / duplicate qid / degenerate
+    qvec all refuse loudly (_require_unique_qids)."""
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import DIM, SQ_BUCKETS, _l2sq, sq_dequant
+    from ..versioned import check_meta, current_meta, version_dir
+    from pyspark.sql import Window
+
+    queries = queries.select(
+        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
+    ).persist()
+    try:
+        _require_unique_qids(
+            queries, qid_col, "sq_index_batch_probe",
+            qvec_col=qvec_col, dim=DIM,
+        )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed SQ index under {path}")
+        _require_kind(meta, "sq", path)
+        check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        quant = _version_artifacts(spark, path, meta, ("quantizer",))[
+            "quantizer"
+        ]
+        codes = _read_index_codes(spark, path, base, meta)
+        idx_id = str(meta.get("id_col", "vec_id"))
+        deq = (
+            codes.join(F.broadcast(quant))  # bcast bound: 1 row
+            .select(F.col(idx_id), sq_dequant().alias("_deq"))
+        )
+        scored = deq.join(F.broadcast(queries)).select(  # bcast: Q rows
+            F.col(qid_col),
+            F.col(idx_id),
+            F.round(
+                _l2sq(F.col(qvec_col).cast("array<double>"), F.col("_deq")),
+                6,
+            ).alias("adist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        w = Window.partitionBy(qid_col).orderBy(
+            F.asc_nulls_last("adist"), idx_id
+        )
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                qid_col, idx_id, "adist",
+                F.col("_rn").cast("int").alias("rank"),
+            )
+        )
+        return tie_cache(out, queries)
+    except BaseException:
+        queries.unpersist()
+        raise
+
+
 def write_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -2038,3 +2038,70 @@ def test_sq_append_compact_and_gates(spark, tmp_path):
         sq_index_probe(spark, path, q, expect={"sq_buckets": 16})
     with _pytest.raises(Exception, match="one query"):
         sq_index_probe(spark, path, emb.filter(F.col("vec_id") < 3)).collect()
+
+
+def test_sq_batch_probe_matches_single_and_plans_group_limit(spark, tmp_path):
+    """The SQ batch probe serves each query exactly as the single
+    probe would (same codes, same dequant/fold definitions, same
+    tie-breaks), reads ONLY the index directories when the queries are
+    in-memory rows, computes the dequantized centers ONCE per code row
+    (a `_deq` projection BELOW the query join — pinned from the
+    executed plan), and plans the per-query top-k as WindowGroupLimit;
+    empty/duplicate/degenerate batches refuse loudly."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        sq_index_batch_probe,
+        sq_index_probe,
+        write_sq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sqb")
+    write_sq_index(emb, path)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    out = sq_index_batch_probe(spark, path, qs, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    for qid in (0, 1, 2):
+        single = sq_index_probe(
+            spark, path,
+            qs.filter(F.col("qid") == qid).select(
+                F.col("qvec").alias("embedding")
+            ),
+            k=5,
+        ).collect()
+        batch = sorted(
+            ((r["vec_id"], r["adist"]) for r in rows if r["qid"] == qid),
+        )
+        assert sorted((r["vec_id"], r["adist"]) for r in single) == batch
+
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan
+    scans = _scan_nodes(out)
+    assert scans and all(path in str(s.metadata()) for s in scans)
+    assert all(
+        "embedding" not in s.schema().simpleString() for s in scans
+    )
+    # dequant once per code row: _deq is produced by a projection whose
+    # output carries it as a named column into the join
+    assert "_deq" in plan
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        sq_index_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    with _pytest.raises(ValueError, match="unique qid"):
+        sq_index_batch_probe(spark, path, qs.unionByName(qs))
+    bad = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="wrong-dimension"):
+        sq_index_batch_probe(spark, path, bad)

@@ -4066,3 +4066,66 @@ def sq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, qs, k=5,
         expect={"sq_buckets": S.SQ_BUCKETS, "dim": S.DIM},
     ).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# graph centrality over the kNN graph (r10)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 3, k_out: int = 20) -> str:
+    """Unrolled fixed-iteration PageRank replay: the kNN-graph oracle
+    as the edge CTE, then r_t chained t=1..iters with the exact
+    expressions pagerank_fixed writes — 1.0/n start, per-edge
+    pr/outdeg contributions, (1-0.85)/n teleport + 0.85*mass, no
+    dangling redistribution, final score scaled by n and rounded."""
+    head = f"""
+    WITH g AS ({_knn_graph_oracle()}),
+    edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM g),
+    nodes AS (SELECT vec_id FROM embeddings),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg
+           FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT vec_id AS id, 1.0 / cnt.n AS pr FROM nodes, cnt)"""
+    body = ""
+    for t in range(1, iters + 1):
+        body += f""",
+    s{t} AS (SELECT ed.dst, SUM(r{t - 1}.pr / ed.outdeg) AS m
+             FROM ed JOIN r{t - 1} ON ed.src = r{t - 1}.id
+             GROUP BY ed.dst),
+    r{t} AS (SELECT nodes.vec_id AS id,
+                    (1.0 - 0.85) / cnt.n
+                        + 0.85 * COALESCE(s{t}.m, 0.0) AS pr
+             FROM nodes CROSS JOIN cnt
+             LEFT JOIN s{t} ON nodes.vec_id = s{t}.dst)"""
+    tail = f"""
+    SELECT id AS vec_id, ROUND(pr * cnt.n, 6) AS pr_norm
+    FROM r{iters}, cnt
+    ORDER BY ROUND(pr * cnt.n, 6) DESC, id LIMIT {k_out}
+    """
+    return head + body + tail
+
+
+@query("knn_pagerank", oracle=_pagerank_oracle(), bench=True)
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus centrality: the top-20 most central vectors by
+    fixed-iteration PageRank over the whole-corpus kNN graph
+    (operators/graph.pagerank_fixed over knn_graph_blocked's edges) —
+    the "which documents anchor semantic neighbourhoods" signal
+    curriculum/coreset selection uses, complementing the CC family's
+    "which documents are the same". Three iterations unrolled so the
+    oracle replays the recursion as chained CTEs; per iteration one
+    src-keyed join + one dst-keyed map-side-combined sum — O(iters)
+    shuffles, in-degree bounded by the graph's k, no driver-side data
+    beyond the node-count scalar."""
+    from ..operators import graph as G
+
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph_blocked(e, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    pr = G.pagerank_fixed(edges, e.select("vec_id"), iterations=3)
+    out = pr.orderBy(F.desc("pr_norm"), "vec_id").limit(20)
+    # the edge+outdeg cache is finalizer-tied to pr's handle; pin it
+    # to the composed plan so it survives until execution
+    return D.pin(out, pr)

@@ -4,15 +4,18 @@ functions over mapInPandas.
 
 The Spark-side plumbing is real — BinaryType columns, metadata structs,
 mapInPandas with a declared output schema, per-batch processing. The
-codec layer is REAL for three formats: pure-Python uncompressed 24-bpp
-BMP and 16-bit PCM WAV encode/decode (since r3) and — since r10 — a
-COMPRESSED format, 8-bit gray/RGB/RGBA PNG (zlib DEFLATE via the
-stdlib, all five scanline filters, chunk CRC validation), each with
-oracle-checked round-trip queries (`multimodal_decode_image`/`_audio`/
-`_png`); the decoders raise NotImplementedError only for OTHER
-variants (compressed BMP, non-PCM WAV, paletted/16-bit/interlaced
-PNG, JPEG/MP3... — this container has no imaging/audio libraries,
-and those formats' entropy coders aren't in the stdlib). The
+codec layer is REAL for four formats: pure-Python uncompressed 24-bpp
+BMP and 16-bit PCM WAV encode/decode (since r3) and — since r10 — two
+COMPRESSED formats: 8-bit gray/RGB/RGBA PNG (zlib DEFLATE via the
+stdlib, all five scanline filters, chunk CRC validation) and paletted
+GIF87a/89a with the variable-width LZW entropy coder implemented BY
+HAND from the public spec (encode and decode, dictionary growth, the
+KwKwK case, 12-bit reset, interlace), each with oracle-checked
+round-trip queries (`multimodal_decode_image`/`_audio`/`_png`/`_gif`);
+the decoders raise NotImplementedError only for OTHER variants
+(compressed BMP, non-PCM WAV, paletted/16-bit/interlaced PNG,
+JPEG/MP3... — this container has no imaging/audio libraries, and
+DCT/MDCT entropy stacks are out of honest pure-Python scope). The
 deterministic
 `extract_features` fake computes features from the actual bytes
 (length + byte checksum) so the pipeline is testable end-to-end and
@@ -442,3 +445,217 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select(id_col, "blob").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (r10): 87a/89a, hand-implemented LZW — unlike PNG (whose
+# DEFLATE comes from stdlib zlib), the entropy coder here is written
+# out from the public spec (GIF89a specification / Welch 1984).
+# ---------------------------------------------------------------------------
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    """The deterministic 256-entry palette the encoder writes:
+    palette[i] = (i, i*3 % 256, i*7 % 256) — full 8-bit index space,
+    arithmetic an oracle replays in SQL."""
+    return [(i, i * 3 % 256, i * 7 % 256) for i in range(256)]
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Variable-width LZW (GIF flavor): codes start at
+    min_code_size+1 bits, clear = 2^min, end = clear+1, dictionary
+    grows per emitted code, width bumps when the NEXT code would not
+    fit, table resets via a clear code at the 12-bit cap. LSB-first
+    bit packing (the GIF rule)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[int] = []  # (code, width) flattened as bits
+
+    def emit(code: int, width: int) -> None:
+        for b in range(width):
+            out_bits.append((code >> b) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for ch in indices:
+        cand = buf + bytes([ch])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+        buf = bytes([ch])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    packed = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i:i + 8]):
+            byte |= bit << j
+        packed.append(byte)
+    return bytes(packed)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """The decoder half: rebuilds the dictionary from the code stream
+    (including the deferred 'code == next entry' KwKwK case), honors
+    clear/end codes and the 12-bit width cap."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos, nbits = 0, len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("GIF LZW stream truncated mid-code")
+        v = 0
+        for b in range(width):
+            v |= ((data[(pos + b) >> 3] >> ((pos + b) & 7)) & 1) << b
+        pos += width
+        return v
+
+    def fresh() -> tuple[list[bytes | None], int, int]:
+        t: list[bytes | None] = [bytes([i]) for i in range(clear)]
+        t += [None, None]  # clear/end placeholders
+        return t, len(t), min_code_size + 1
+
+    table, next_code, width = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError(f"GIF LZW: invalid first code {code}")
+            entry = table[code]
+        elif code < next_code and table[code] is not None:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case (Welch 1984)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out += entry
+        if prev is not None and next_code < (1 << 12):
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, indices: bytes) -> bytes:
+    """Build a GIF89a: logical screen descriptor, the deterministic
+    256-entry global color table (_gif_palette), one non-interlaced
+    image compressed with real variable-width LZW, trailer. `indices`
+    are row-major top-down palette indices (one byte per pixel)."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+    for rgb in _gif_palette():
+        out += bytes(rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    data = _lzw_encode(indices, 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a's FIRST image: walk the header, global
+    color table, extensions (skipped by sub-block length, the spec's
+    rule) and the image descriptor (local palette and interlace
+    handled), LZW-decompress the index stream and map through the
+    palette. Returns {width, height, mode='RGB', pixels} as row-major
+    top-down RGB bytes. Structural corruption raises ValueError."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+
+    def subblocks(p: int) -> tuple[bytes, int]:
+        parts = bytearray()
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks truncated")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return bytes(parts), p
+            parts += payload[p:p + ln]
+            if len(parts) < ln:
+                raise ValueError("GIF sub-block truncated")
+            p += ln
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            _, pos = subblocks(pos + 2)
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            pal = palette
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = [
+                    tuple(payload[pos + 3 * i:pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            data, pos = subblocks(pos + 1)
+            idx = _lzw_decode(data, min_code)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF pixel data is {len(idx)} indices, "
+                    f"expected {w * h}"
+                )
+            idx = idx[:w * h]
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                rows = [idx[y * w:(y + 1) * w] for y in range(h)]
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter: list[bytes] = [b""] * h
+                for src_row, dst_y in zip(rows, order):
+                    deinter[dst_y] = src_row
+                idx = b"".join(deinter)
+            px = bytearray()
+            for i in idx:
+                if i >= len(pal):
+                    raise ValueError(f"GIF index {i} outside palette")
+                px += bytes(pal[i])
+            return {"width": w, "height": h, "mode": "RGB",
+                    "pixels": bytes(px)}
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")

@@ -29,8 +29,9 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 2), multimodal_decode_png (the r10 PNG codec's round-trip
 #     gate), the SQ8 layout's probe + recall + batch-probe gates
 #     (sq_index_probe, sq_recall, sq_batch_probe — the fifth persisted
-#     index layout, new in r10), and knn_pagerank (fixed-iteration
-#     PageRank centrality over the kNN graph, new in r10).
+#     index layout, new in r10), knn_pagerank (fixed-iteration
+#     PageRank centrality over the kNN graph, new in r10), and
+#     multimodal_decode_gif (the hand-written-LZW GIF codec's gate).
 #     New queries MUST take window slots (the r6 lesson);
 # (b) the twelve r6-stale spill names FIRST (item 1 — the oldest rows in
 #     the registry at 3 rounds stale);
@@ -40,17 +41,17 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     (q11: three emitted per-part ties at sf0.01, plus a float HAVING
 #     cut), so all three were converted to the exact-cents pattern;
 #     changed queries must take window slots;
-# (c) 28 of the 50 r7-green names — alphabetical EXCEPT that
+# (c) 27 of the 50 r7-green names — alphabetical EXCEPT that
 #     incremental_dedup_newbatch is displaced ahead of the ivf probes:
 #     ivf_index_probe / ivf_append_probe exercise the r10 probe-serving
 #     rework, so dropping them would leave changed code unwindowed
-#     (hll_distinct_customers, flows_sampler_utilization,
-#     flows_tcp_syn_only, flows_top_talkers and flows_tumbling_traffic
-#     — alphabetically inside the fill run but UNTOUCHED this round —
-#     are the names the r10 additions displace). The remaining 22
-#     spill to r11, FIRST there:
-#     flows_sampler_utilization, flows_tcp_syn_only, flows_top_talkers,
-#     flows_tumbling_traffic,
+#     (hll_distinct_customers, flows_protocol_breakdown,
+#     flows_sampler_utilization, flows_tcp_syn_only, flows_top_talkers
+#     and flows_tumbling_traffic — alphabetically inside the fill run
+#     but UNTOUCHED this round — are the names the r10 additions
+#     displace). The remaining 23 spill to r11, FIRST there:
+#     flows_protocol_breakdown, flows_sampler_utilization,
+#     flows_tcp_syn_only, flows_top_talkers, flows_tumbling_traffic,
 #     hll_distinct_customers, incremental_dedup_newbatch, jl_projection_recall,
 #     nation_balance_full_outer, nation_coverage_set_ops,
 #     order_value_buckets, orders_above_global_avg, part_brand_stats,
@@ -58,8 +59,8 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     q12_shipmode_priority, q21_suppliers_kept_waiting,
 #     q2_min_cost_supplier, q4_order_priority, semdedup_prune,
 #     source_mixture_weights, token_budget_selection.
-# 7 + 12 + 3 + 28 = 50 exactly; after r10 the stale pool for r11 is those
-# 22 spilled r7 names plus the 50 r8-green names.
+# 8 + 12 + 3 + 27 = 50 exactly; after r10 the stale pool for r11 is those
+# 23 spilled r7 names plus the 50 r8-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r10
 # round touched code consumed by green queries:
@@ -86,6 +87,7 @@ promote([
     "sq_recall",
     "sq_batch_probe",
     "knn_pagerank",
+    "multimodal_decode_gif",
     # (b) the twelve r6-stale spill fills, stalest first
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -103,7 +105,7 @@ promote([
     "q10_returned_items",
     "q15_top_supplier",
     "q11_important_stock",
-    # (c) 28 of the 50 r7-green names (alphabetical, minus the
+    # (c) 27 of the 50 r7-green names (alphabetical, minus the
     #     displaced incremental_dedup_newbatch — see header)
     "bloom_seen_filter",
     "bm25_topk",
@@ -129,7 +131,6 @@ promote([
     "flows_ingest_transform",
     "flows_maintenance_overlap",
     "flows_port_fanout",
-    "flows_protocol_breakdown",
     "incremental_dedup_indexed",
     "ivf_append_probe",
     "ivf_index_probe",

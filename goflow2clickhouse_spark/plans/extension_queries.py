@@ -4129,3 +4129,64 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge+outdeg cache is finalizer-tied to pr's handle; pin it
     # to the composed plan so it survives until execution
     return D.pin(out, pr)
+
+
+_DECODE_GIF_SCHEMA = (
+    "doc_id long, width long, height long, pix_checksum long"
+)
+
+
+@query(
+    "multimodal_decode_gif",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           doc_id % 5 + 2 AS width,
+           doc_id % 4 + 2 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 5 + 2) * (doc_id % 4 + 2)
+                                        AS INT)),
+                i -> CAST(ascii(substring(text,
+                         CAST((i - 1) % length(text) AS INT) + 1, 1)) AS BIGINT)
+                     + ascii(substring(text,
+                         CAST((i - 1) % length(text) AS INT) + 1, 1)) * 3 % 256
+                     + ascii(substring(text,
+                         CAST((i - 1) % length(text) AS INT) + 1, 1)) * 7 % 256
+           )) AS BIGINT) AS pix_checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paletted-image decode through the r10 GIF codec — the one whose
+    entropy coder (variable-width LZW: dictionary growth, KwKwK,
+    12-bit reset) is implemented BY HAND from the public spec, not
+    delegated to a library: per document, use the leading text bytes
+    as palette indices of a doc_id-derived WxH GIF89a, encode
+    (real LZW compression), DECODE, and emit geometry + the checksum
+    of the palette-mapped RGB pixels. The oracle recomputes the
+    checksum from the source text and the palette arithmetic
+    (palette[t] = (t, 3t mod 256, 7t mod 256)) — it matches only if
+    the LZW round-trip returns the exact index stream. Same
+    no-shuffle mapInPandas shape as the BMP/PNG/WAV twins."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pix_checksum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = i % 5 + 2, i % 4 + 2
+                k = w * h
+                raw = text.encode("utf-8")
+                idx = (raw * (k // len(raw) + 1))[:k]  # cycle short docs
+                dec = M.decode_gif(M.encode_gif(w, h, idx))
+                out["doc_id"].append(i)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_checksum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_GIF_SCHEMA)

@@ -1379,6 +1379,7 @@ def append_to_sq_index(
     batch: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    extra: dict | None = None,
 ) -> None:
     """Fold a new embedding batch into the SQ index: encode against
     the STORED quantizer and commit the codes as an atomic `appends`
@@ -1386,7 +1387,11 @@ def append_to_sq_index(
     row-independent; torn deltas invisible; rebuild = new quantizer =
     the compaction moment after distribution drift, which for SQ
     means values drifting OUTSIDE the recorded ranges start
-    saturating at the clamp)."""
+    saturating at the clamp). `extra` entries merge into `_CURRENT`
+    alongside the append counter (the band/IVF-PQ append rule) — the
+    streaming maintenance loop records its (run_id, epoch) replay
+    gate there, atomically with the delta it guards; an EMPTY batch
+    writes no delta but still commits `extra`, so the gate advances."""
     import posixpath
 
     from ..operators.similarity import DIM, SQ_BUCKETS, sq_encode
@@ -1405,6 +1410,8 @@ def append_to_sq_index(
     _require_kind(meta, "sq", path)
     check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
     if batch.isEmpty():
+        if extra:
+            recommit_meta(spark, path, meta, extra=extra)
         return
     base = version_dir(path, ver)
     quant = _version_artifacts(spark, path, meta, ("quantizer",))[
@@ -1415,7 +1422,7 @@ def append_to_sq_index(
     sq_encode(batch, quant, vec_col, idx_id).write.mode(
         "overwrite"
     ).parquet(posixpath.join(base, "appends", f"a{j}", "codes"))
-    recommit_meta(spark, path, meta, appends=j)
+    recommit_meta(spark, path, meta, extra=extra, appends=j)
 
 
 def sq_index_probe(

@@ -111,3 +111,66 @@ def streaming_ivfpq_maintenance(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def sq_maintenance_fold(
+    batch_df: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    compact_over: int | None = None,
+) -> bool:
+    """ivfpq_maintenance_fold's SQ-layout twin (r10): fold a
+    (vec_id, embedding) micro-batch into the persisted SQ8 index —
+    encode against the STORED quantizer, one atomic codes delta.
+    No `documents` side: the SQ layout records no eligibility gate.
+    Same (run_id, epoch) replay contract, committed atomically with
+    the delta; an empty batch advances the gate deltalessly;
+    `compact_over` bounds the append-leg count in-loop."""
+    from ..plans.storage import append_to_sq_index, compact_index
+    from ..versioned import current_meta, epoch_replayed
+
+    spark = batch_df.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(
+            f"no committed SQ index under {index_path}"
+        )
+    if epoch_replayed(meta, epoch_id, run_id):
+        return False
+    append_to_sq_index(
+        batch_df, index_path,
+        extra={"epoch": int(epoch_id), "run_id": run_id},
+    )
+    if compact_over is not None:
+        compact_index(spark, index_path, min_appends=compact_over + 1)
+    return True
+
+
+def streaming_sq_maintenance(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    compact_over: int | None = None,
+):
+    """The SQ maintenance loop as a running stream — the
+    streaming_ivfpq_maintenance twin over the scalar-quantized
+    layout: each micro-batch of (vec_id, embedding) rows folds via
+    sq_maintenance_fold; run_id = the checkpoint lineage's query id,
+    so restart replays skip and a fresh checkpoint over a reused
+    index folds."""
+    from .hll import _checkpoint_run_id
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sq_maintenance_fold(
+            batch_df, index_path, epoch_id,
+            run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
+            compact_over=compact_over,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

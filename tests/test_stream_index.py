@@ -197,3 +197,134 @@ def test_maintenance_fold_auto_compacts_over_threshold(spark, tmp_path):
     append_to_ivfpq_index(docs, b1, twin)
     append_to_ivfpq_index(docs, b2, twin)
     assert _probe_ids(spark, path, emb) == _probe_ids(spark, twin, emb)
+
+
+# ---------------------------------------------------------------------------
+# SQ-layout maintenance twin (r10)
+# ---------------------------------------------------------------------------
+
+def _sq_probe_ids(spark, path, emb, k=10):
+    from goflow2clickhouse_spark.plans.storage import sq_index_probe
+
+    q = emb.filter(F.col("vec_id") == 0)
+    return [
+        (r["vec_id"], r["adist"])
+        for r in sq_index_probe(spark, path, q, k=k).collect()
+    ]
+
+
+def test_sq_maintenance_fold_replay_gate_and_compaction(spark, tmp_path):
+    """The SQ fold shares the (run_id, epoch) gate contract: replayed
+    epochs skip, empty batches advance the gate deltalessly, a new
+    lineage folds at epoch 0, and compact_over bounds the legs while
+    carrying the gate."""
+    from goflow2clickhouse_spark.plans.storage import write_sq_index
+    from goflow2clickhouse_spark.streaming.indexing import (
+        sq_maintenance_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    _, emb, base, b1, b2 = _parts(spark)
+    path = str(tmp_path / "sq_m")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        sq_maintenance_fold(b1, path, 0, run_id="A")
+    write_sq_index(base, path)
+
+    assert sq_maintenance_fold(b1, path, 0, run_id="A") is True
+    meta = current_meta(spark, path)
+    assert meta["epoch"] == 0 and meta["run_id"] == "A"
+    assert meta["appends"] == 1
+    # replay skips, index untouched
+    assert sq_maintenance_fold(b1, path, 0, run_id="A") is False
+    assert current_meta(spark, path) == meta
+    # empty batch advances the gate without a delta
+    assert sq_maintenance_fold(
+        b1.filter(F.col("vec_id") < 0), path, 1, run_id="A"
+    ) is True
+    after = current_meta(spark, path)
+    assert after["epoch"] == 1 and after["appends"] == 1
+    # compact_over folds legs into a new version, gate carried
+    assert sq_maintenance_fold(
+        b2, path, 2, run_id="A", compact_over=1
+    ) is True
+    m2 = current_meta(spark, path)
+    assert m2["version"] == 2 and "appends" not in m2
+    assert sq_maintenance_fold(
+        b2, path, 2, run_id="A", compact_over=1
+    ) is False
+    # new lineage over the reused index folds at epoch 0
+    assert sq_maintenance_fold(
+        b1.limit(0), path, 0, run_id="B"
+    ) is True
+    assert current_meta(spark, path)["run_id"] == "B"
+
+
+def test_streaming_sq_maintenance_equals_batch_appends(spark, tmp_path):
+    """End-to-end SQ stream twin: two drops = two folds; probes over
+    the streamed index equal a twin maintained by plain
+    append_to_sq_index; a checkpoint restart re-folds nothing."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_sq_index,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        streaming_sq_maintenance,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    _, emb, base, b1, b2 = _parts(spark)
+    stream_idx = str(tmp_path / "sq_stream")
+    twin_idx = str(tmp_path / "sq_twin")
+    write_sq_index(base, stream_idx)
+    write_sq_index(base, twin_idx)
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def drop(df, n):
+        chunk = str(indir / f"chunk{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        for f in glob.glob(chunk + "/part-*.parquet"):
+            shutil.copy(f, str(indir / f"batch{n}.parquet"))
+        shutil.rmtree(chunk)
+
+    drop(b1.select("vec_id", "embedding"), 0)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = streaming_sq_maintenance(stream, stream_idx, ckpt)
+    try:
+        q.processAllAvailable()
+        append_to_sq_index(b1, twin_idx)
+        assert _sq_probe_ids(spark, stream_idx, emb) == _sq_probe_ids(
+            spark, twin_idx, emb
+        )
+        drop(b2.select("vec_id", "embedding"), 1)
+        q.processAllAvailable()
+        append_to_sq_index(b2, twin_idx)
+        assert _sq_probe_ids(spark, stream_idx, emb) == _sq_probe_ids(
+            spark, twin_idx, emb
+        )
+    finally:
+        q.stop()
+
+    meta = current_meta(spark, stream_idx)
+    assert meta["appends"] == 2 and meta["epoch"] == 1 and meta["run_id"]
+
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q2 = streaming_sq_maintenance(stream2, stream_idx, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert current_meta(spark, stream_idx) == meta

@@ -249,6 +249,8 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if ihdr is None or not idat or not ended:
         raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"PNG IHDR is {len(ihdr)} bytes, expected 13")
     width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )

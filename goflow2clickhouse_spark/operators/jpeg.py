@@ -1,0 +1,432 @@
+"""Baseline JPEG (ITU-T T.81) — grayscale, hand-written from the
+public spec: canonical Huffman coding (Annex C code construction, the
+general BITS/HUFFVAL form, so the decoder reads ANY baseline table,
+not just ours), zigzag + run-length entropy layer, byte stuffing,
+restart markers, and the 8x8 DCT pair via numpy matrices.
+
+Determinism contract (the multimodal-oracle rule): every rounding
+site is floor(x + 0.5) — half-up, exactly replayable in SQL — never
+a platform/bankers round. For constant 8x8 blocks the whole pipeline
+collapses to exact integer arithmetic (only the DC coefficient is
+nonzero), which is what lets a DuckDB oracle replay encode→decode of
+block-constant images bit-for-bit while the SAME code paths (Huffman,
+zigzag, bit-stuffing, IDCT) also run general images (pinned in tests
+against an independent IDCT reference and a PSNR bound).
+
+Scope, stated honestly: baseline sequential DCT, 8-bit, ONE component
+(grayscale). Chroma subsampling / progressive / arithmetic coding
+raise NotImplementedError — the entropy+transform stack is the part
+a pure-Python environment can do justice; interleaved-MCU color adds
+bookkeeping, not new machinery.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (row-major), the de-facto
+# standard table every JPEG text reproduces.
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# Our DHT choice: FIXED-length canonical tables (12 DC symbols at 4
+# bits, 162 AC symbols at 8 bits). Deliberately suboptimal but valid
+# T.81 tables (Kraft-satisfying, no all-ones code) that keep the
+# encoder trivially correct; the decoder does NOT assume them — it
+# rebuilds whatever BITS/HUFFVAL the stream carries.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """M[u, x] = 0.5 * C(u) * cos((2x+1)uπ/16) — F = M f Mᵀ is the
+    T.81 FDCT; the inverse is Mᵀ F M (M is orthogonal)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _round_half_up(a: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — the module's single rounding rule (np.rint is
+    half-even and SQL ROUND is engine-flavored; floor(+0.5) is both
+    deterministic and SQL-replayable)."""
+    return np.floor(a + 0.5).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex C: symbol -> (code, length), codes assigned in HUFFVAL
+    order, incrementing, left-shifted at each length step."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                b = self._acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            # pad with 1s (T.81 F.1.2.3)
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a coefficient: negatives stored as
+    value + 2^size - 1 (one's-complement convention, F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg(
+    width: int, height: int, pixels: bytes, restart_interval: int = 0
+) -> bytes:
+    """Encode row-major top-down 8-bit grayscale samples as a baseline
+    JFIF stream: DQT (K.1), SOF0 (1 component), our fixed-length DHTs,
+    optional DRI, SOS, entropy-coded scan (RSTn emitted every
+    `restart_interval` blocks when set — byte-aligned, DC predictor
+    reset, markers cycling D0-D7 per T.81 E.1.4). Blocks are
+    edge-replicated to 8x8 multiples; quantization rounds half-up
+    (see module docstring)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.pad(
+        img, ((0, ph - height), (0, pw - width)), mode="edge"
+    ).astype(np.float64)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    bi = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.flush()  # RSTn is byte-aligned
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (bi // restart_interval - 1) % 8]
+                )
+                prev_dc = 0
+            bi += 1
+            block = padded[by:by + 8, bx:bx + 8] - 128.0
+            coef = _DCT_M @ block @ _DCT_M.T
+            # the DC basis is constant, so F(0,0) = Σblock / 8 EXACTLY
+            # (integer sum, power-of-two division) — the float matrix
+            # product lands ~1e-13 off, which flips half-up ties at
+            # the quantizer (measured: a constant-255 block encoded
+            # 63, not 64) and breaks the module's exact-DC contract
+            coef[0, 0] = float(int(block.sum())) / 8.0
+            q = _round_half_up(coef / QUANT_LUMA)
+            zz = [int(q.flat[i]) for i in _ZIGZAG]
+            # DC: difference coding
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size, bitsv = _magnitude(diff)
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bitsv, size)
+            # AC: run-length of zeros + magnitude
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                size, bitsv = _magnitude(v)
+                c, ln = ac_codes[(run << 4) | size]
+                bw.write(c, ln)
+                bw.write(bitsv, size)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.write(c, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0x00]) + bytes(
+        int(QUANT_LUMA.flat[i]) for i in _ZIGZAG
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated mid-symbol")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG scan ends on a marker byte")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xff{nxt:02x} inside scan"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _build_decode_table(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol map from the stream's BITS/HUFFVAL —
+    the general Annex C construction, so any baseline table decodes."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG Huffman code longer than 16 bits")
+
+
+def _extend(v: int, size: int) -> int:
+    """F.2.2.1 EXTEND: undo the one's-complement magnitude coding."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline sequential grayscale JPEG: marker walk (DQT /
+    SOF0 / DHT / DRI honored, APPn/COM skipped by length), canonical
+    Huffman rebuild from the carried tables, entropy decode with byte
+    unstuffing and restart-interval DC resets, dequant, inverse
+    zigzag, IDCT, half-up rounding, clip, crop to the SOF geometry.
+    Returns {width, height, mode='L', pixels}. Progressive (SOF2),
+    multi-component, and 12-bit streams raise NotImplementedError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                for i, z in enumerate(_ZIGZAG):
+                    tbl[z] = body[b + 1 + i]
+                quant[tq] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nf != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) baseline JPEG"
+                )
+            cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled grayscale")
+            sof = (w, h, cid, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xff{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("interleaved multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            w, h, _, tq = sof
+            if tq not in quant or (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("JPEG scan references missing tables")
+            scan = payload[pos + 2 + seglen:]
+            return _decode_scan(
+                scan, w, h, quant[tq], huff[(0, td)], huff[(1, ta)],
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(
+    scan: bytes, width: int, height: int, qt: np.ndarray,
+    dc_table, ac_table, restart_interval: int,
+) -> dict:
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    n_blocks = (ph // 8) * (pw // 8)
+    out = np.zeros((ph, pw), dtype=np.uint8)
+    br = _BitReader(scan)
+    prev_dc = 0
+    for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # RSTn sits byte-aligned between entropy segments
+            br.align()
+            if (
+                br.pos + 2 > len(br.data)
+                or br.data[br.pos] != 0xFF
+                or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+            ):
+                raise ValueError("missing restart marker")
+            br.pos += 2
+            prev_dc = 0
+        zz = [0] * 64
+        size = _read_symbol(br, dc_table)
+        diff = _extend(br.bits(size), size) if size else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        for i, z in enumerate(_ZIGZAG):
+            coef[z] = zz[i]
+        block = (coef.reshape(8, 8) * qt).astype(np.float64)
+        # mirror the encoder's exact-DC contract: the DC contribution
+        # is dequant/8 added uniformly (constant basis), kept out of
+        # the float matrix product so block-constant images replay
+        # bit-exactly in an oracle
+        dc = block[0, 0]
+        block[0, 0] = 0.0
+        spatial = _DCT_M.T @ block @ _DCT_M + (dc / 8.0 + 128.0)
+        by, bx = divmod(bi, pw // 8)
+        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+            np.floor(spatial + 0.5), 0, 255
+        ).astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "mode": "L",
+        "pixels": out[:height, :width].tobytes(),
+    }

@@ -4,18 +4,20 @@ functions over mapInPandas.
 
 The Spark-side plumbing is real — BinaryType columns, metadata structs,
 mapInPandas with a declared output schema, per-batch processing. The
-codec layer is REAL for four formats: pure-Python uncompressed 24-bpp
+codec layer is REAL for five formats: pure-Python uncompressed 24-bpp
 BMP and 16-bit PCM WAV encode/decode (since r3) and — since r10 — two
 COMPRESSED formats: 8-bit gray/RGB/RGBA PNG (zlib DEFLATE via the
 stdlib, all five scanline filters, chunk CRC validation) and paletted
 GIF87a/89a with the variable-width LZW entropy coder implemented BY
 HAND from the public spec (encode and decode, dictionary growth, the
-KwKwK case, 12-bit reset, interlace), each with oracle-checked
-round-trip queries (`multimodal_decode_image`/`_audio`/`_png`/`_gif`);
+KwKwK case, 12-bit reset, interlace) — plus baseline grayscale JPEG
+in the sibling `operators/jpeg.py` (hand-written canonical Huffman +
+numpy DCT, exact-DC contract). Each has an oracle-checked round-trip
+query (`multimodal_decode_image`/`_audio`/`_png`/`_gif`/`_jpeg`);
 the decoders raise NotImplementedError only for OTHER variants
 (compressed BMP, non-PCM WAV, paletted/16-bit/interlaced PNG,
-JPEG/MP3... — this container has no imaging/audio libraries, and
-DCT/MDCT entropy stacks are out of honest pure-Python scope). The
+color/progressive JPEG, MP3... — this container has no imaging/audio
+libraries). The
 deterministic
 `extract_features` fake computes features from the actual bytes
 (length + byte checksum) so the pipeline is testable end-to-end and

@@ -30,8 +30,10 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     gate), the SQ8 layout's probe + recall + batch-probe gates
 #     (sq_index_probe, sq_recall, sq_batch_probe — the fifth persisted
 #     index layout, new in r10), knn_pagerank (fixed-iteration
-#     PageRank centrality over the kNN graph, new in r10), and
-#     multimodal_decode_gif (the hand-written-LZW GIF codec's gate).
+#     PageRank centrality over the kNN graph, new in r10), and the
+#     compressed-codec gates multimodal_decode_gif (hand-written LZW)
+#     and multimodal_decode_jpeg (baseline JPEG: hand-written Huffman
+#     + DCT, exact-DC block-constant oracle, RSTn path).
 #     New queries MUST take window slots (the r6 lesson);
 # (b) the twelve r6-stale spill names FIRST (item 1 — the oldest rows in
 #     the registry at 3 rounds stale);
@@ -41,16 +43,17 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     (q11: three emitted per-part ties at sf0.01, plus a float HAVING
 #     cut), so all three were converted to the exact-cents pattern;
 #     changed queries must take window slots;
-# (c) 27 of the 50 r7-green names — alphabetical EXCEPT that
+# (c) 26 of the 50 r7-green names — alphabetical EXCEPT that
 #     incremental_dedup_newbatch is displaced ahead of the ivf probes:
 #     ivf_index_probe / ivf_append_probe exercise the r10 probe-serving
 #     rework, so dropping them would leave changed code unwindowed
-#     (hll_distinct_customers, flows_protocol_breakdown,
-#     flows_sampler_utilization, flows_tcp_syn_only, flows_top_talkers
-#     and flows_tumbling_traffic — alphabetically inside the fill run
-#     but UNTOUCHED this round — are the names the r10 additions
-#     displace). The remaining 23 spill to r11, FIRST there:
+#     (hll_distinct_customers, flows_port_fanout,
 #     flows_protocol_breakdown, flows_sampler_utilization,
+#     flows_tcp_syn_only, flows_top_talkers and flows_tumbling_traffic
+#     — alphabetically inside the fill run but UNTOUCHED this round —
+#     are the names the r10 additions displace). The remaining 24
+#     spill to r11, FIRST there:
+#     flows_port_fanout, flows_protocol_breakdown, flows_sampler_utilization,
 #     flows_tcp_syn_only, flows_top_talkers, flows_tumbling_traffic,
 #     hll_distinct_customers, incremental_dedup_newbatch, jl_projection_recall,
 #     nation_balance_full_outer, nation_coverage_set_ops,
@@ -59,8 +62,8 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     q12_shipmode_priority, q21_suppliers_kept_waiting,
 #     q2_min_cost_supplier, q4_order_priority, semdedup_prune,
 #     source_mixture_weights, token_budget_selection.
-# 8 + 12 + 3 + 27 = 50 exactly; after r10 the stale pool for r11 is those
-# 23 spilled r7 names plus the 50 r8-green names.
+# 9 + 12 + 3 + 26 = 50 exactly; after r10 the stale pool for r11 is those
+# 24 spilled r7 names plus the 50 r8-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r10
 # round touched code consumed by green queries:
@@ -88,6 +91,7 @@ promote([
     "sq_batch_probe",
     "knn_pagerank",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
     # (b) the twelve r6-stale spill fills, stalest first
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -105,7 +109,7 @@ promote([
     "q10_returned_items",
     "q15_top_supplier",
     "q11_important_stock",
-    # (c) 27 of the 50 r7-green names (alphabetical, minus the
+    # (c) 26 of the 50 r7-green names (alphabetical, minus the
     #     displaced incremental_dedup_newbatch — see header)
     "bloom_seen_filter",
     "bm25_topk",
@@ -130,7 +134,6 @@ promote([
     "flows_duration_histogram",
     "flows_ingest_transform",
     "flows_maintenance_overlap",
-    "flows_port_fanout",
     "incremental_dedup_indexed",
     "ivf_append_probe",
     "ivf_index_probe",

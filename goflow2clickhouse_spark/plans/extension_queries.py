@@ -4190,3 +4190,74 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(batches, _DECODE_GIF_SCHEMA)
+
+
+_DECODE_JPEG_SCHEMA = (
+    "doc_id long, width long, height long, pix_sum long"
+)
+
+
+@query(
+    "multimodal_decode_jpeg",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 3 + 1) * 8 AS width,
+           (doc_id % 2 + 1) * 8 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1)
+                                        AS INT)),
+                j -> 64 * LEAST(GREATEST(
+                     2 * FLOOR((ascii(substring(text,
+                             CAST((j - 1) % length(text) AS INT) + 1, 1))
+                         - 128) / 2.0 + 0.5) + 128, 0), 255)))
+           AS BIGINT) AS pix_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-format decode through the r10 baseline JPEG codec
+    (operators/jpeg.py — hand-written canonical Huffman, zigzag RLE,
+    byte stuffing, restart markers, numpy DCT pair): per document,
+    build an image of doc_id-derived 8x8-block geometry where BLOCK j
+    is constant at text byte j — constant blocks quantize to a DC-only
+    spectrum whose half-up integer arithmetic is exact (the module's
+    determinism contract), so a LOSSY codec still has a bit-exact
+    oracle: the replay computes each block's decoded level as
+    clip(2*floor((t-128)/2 + 0.5) + 128) and sums 64 copies. The
+    encode uses restart_interval=2, so every driver run also proves
+    the RSTn + DC-predictor-reset path. General (non-constant) images
+    exercise the same Huffman/IDCT machinery in tests/test_jpeg.py
+    under PSNR bounds. Same no-shuffle mapInPandas shape as the
+    BMP/PNG/GIF/WAV twins."""
+    from ..operators import jpeg as J
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pix_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                wb, hb = i % 3 + 1, i % 2 + 1
+                w, h = wb * 8, hb * 8
+                raw = text.encode("utf-8")
+                img = bytearray(w * h)
+                for j in range(wb * hb):
+                    v = raw[j % len(raw)]
+                    by, bx = divmod(j, wb)
+                    for y in range(8):
+                        row = (by * 8 + y) * w + bx * 8
+                        img[row:row + 8] = bytes([v]) * 8
+                dec = J.decode_jpeg(
+                    J.encode_jpeg(w, h, bytes(img), restart_interval=2)
+                )
+                out["doc_id"].append(i)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_sum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)

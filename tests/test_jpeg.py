@@ -1,0 +1,139 @@
+"""Baseline JPEG codec (operators/jpeg.py): exact-DC contract,
+lossy-quality bounds, restart markers, an independent IDCT reference,
+and the guard paths."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from goflow2clickhouse_spark.operators.jpeg import (
+    _DCT_M,
+    _ZIGZAG,
+    QUANT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _expected_const(v: int) -> int:
+    """The module's documented exact-DC pipeline for a constant block:
+    quantize F00 = 8(v-128) by Q00=16 half-up, dequantize, IDCT DC
+    term, half-up, clip — all integer arithmetic."""
+    dcq = math.floor((8 * (v - 128)) / 16.0 + 0.5)
+    rec = 16 * dcq / 8.0 + 128
+    return max(0, min(255, math.floor(rec + 0.5)))
+
+
+def test_constant_blocks_decode_exactly():
+    for v in (0, 1, 63, 127, 128, 129, 131, 200, 254, 255):
+        dec = decode_jpeg(encode_jpeg(8, 8, bytes([v]) * 64))
+        assert (dec["width"], dec["height"], dec["mode"]) == (8, 8, "L")
+        assert set(dec["pixels"]) == {_expected_const(v)}, v
+
+
+def test_multi_block_dc_difference_coding():
+    w, h = 24, 16
+    img = np.zeros((h, w), dtype=np.uint8)
+    vals = [10, 60, 130, 190, 250, 35]
+    cells = [(y, x) for y in range(0, 16, 8) for x in range(0, 24, 8)]
+    for i, (by, bx) in enumerate(cells):
+        img[by:by + 8, bx:bx + 8] = vals[i]
+    out = np.frombuffer(
+        decode_jpeg(encode_jpeg(w, h, img.tobytes()))["pixels"],
+        dtype=np.uint8,
+    ).reshape(h, w)
+    for i, (by, bx) in enumerate(cells):
+        assert set(out[by:by + 8, bx:bx + 8].flat) == {
+            _expected_const(vals[i])
+        }, i
+
+
+def test_lossy_quality_bounds_and_crop():
+    # smooth gradient: small error; noise: real JPEG behaviour
+    # (high-frequency content is what K.1 quantizes away)
+    x = np.linspace(0, 255, 64)
+    grad = np.tile(x, (40, 1)).astype(np.uint8)
+    out = np.frombuffer(
+        decode_jpeg(encode_jpeg(64, 40, grad.tobytes()))["pixels"],
+        dtype=np.uint8,
+    ).reshape(40, 64)
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)  # non-8 dims
+    dec = decode_jpeg(encode_jpeg(53, 37, img.tobytes()))
+    assert (dec["width"], dec["height"]) == (53, 37)
+    out = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(37, 53)
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 20, psnr  # measured 22.5 dB at authoring
+
+
+def test_restart_markers_equal_plain_decode():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(48, 32, img.tobytes()))["pixels"]
+    for ri in (1, 3, 5, 24):
+        withrst = decode_jpeg(
+            encode_jpeg(48, 32, img.tobytes(), restart_interval=ri)
+        )["pixels"]
+        assert withrst == plain, ri
+
+
+def test_idct_matches_independent_reference():
+    """The decoder's matrix IDCT (with the exact-DC split) must agree
+    with the T.81 Annex A.3.3 double-sum written out directly — a
+    SECOND implementation, so a transposed matrix or mis-scaled basis
+    can't hide inside a round-trip."""
+    rng = np.random.default_rng(9)
+    coef = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+
+    def ref_idct(F):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s / 4
+        return out
+
+    dc = coef[0, 0]
+    hollow = coef.copy()
+    hollow[0, 0] = 0.0
+    ours = _DCT_M.T @ hollow @ _DCT_M + dc / 8.0
+    assert np.abs(ours - ref_idct(coef)).max() < 1e-9
+
+
+def test_zigzag_is_an_involution_of_the_spec_order():
+    # the first and last few entries of the T.81 Figure 5 order, plus
+    # the permutation property
+    assert _ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert _ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+    assert QUANT_LUMA[0, 0] == 16 and QUANT_LUMA[7, 7] == 99
+
+
+def test_jpeg_guards():
+    enc = encode_jpeg(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG" + bytes(60))
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:40])  # truncated before/inside the scan
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, bytes(63))
+    prog = bytearray(enc)
+    sof_at = prog.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # claim progressive
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(prog))

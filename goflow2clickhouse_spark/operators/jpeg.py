@@ -304,6 +304,14 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — a conformant foreign stream uses them (r10
+        # review: the walk read the fill byte AS the marker and
+        # unpacked a garbage segment length)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("JPEG truncated inside fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

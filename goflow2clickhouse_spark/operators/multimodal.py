@@ -608,9 +608,12 @@ def decode_gif(payload: bytes) -> dict:
             p += 1
             if ln == 0:
                 return bytes(parts), p
-            parts += payload[p:p + ln]
-            if len(parts) < ln:
+            if len(payload) - p < ln:
+                # compare the remaining payload, not the cumulative
+                # parts length — the old guard was dead from the
+                # second sub-block on (r10 review)
                 raise ValueError("GIF sub-block truncated")
+            parts += payload[p:p + ln]
             p += ln
 
     while pos < len(payload):

@@ -1312,7 +1312,6 @@ SQ_BUCKETS = 256  # 8-bit codes: one byte per dimension on disk
 def sq_quantizer(
     embeddings: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-dimension [lo, hi] training range as ONE row (`lo`/`hi`,
     DIM-element double arrays) — the whole quantizer of an SQ8 index
@@ -1347,15 +1346,24 @@ def sq_encode(
     tie sites (the tie-canary rule); out-of-range values in APPENDED
     batches saturate at the clamp rather than poisoning the code.
     Codes are row-independent, so appends encode against the STORED
-    quantizer and never touch old codes. On disk array<int> of 0..255
-    dictionary/bit-packs to about a byte per dim — 4-8x less probe IO
-    than the float vectors; at 100 TB the encode is one broadcast
-    join (1-row quantizer) + map, no shuffle."""
+    quantizer and never touch old codes. A NULL element (or a short
+    vector, whose tail zip_with pads with NULL) encodes a NULL code
+    EXPLICITLY — Spark's greatest/least SKIP nulls, so without the
+    guard a NULL element silently saturated to code 255 while the SQL
+    replay clamped it to 0 (r10 review); NULL codes make the row's
+    probe distance NULL, ranked last, visibly degenerate. On disk
+    array<int> of 0..255 dictionary/bit-packs to about a byte per
+    dim — 4-8x less probe IO than the float vectors; at 100 TB the
+    encode is one broadcast join (1-row quantizer) + map, no
+    shuffle."""
     diff = F.zip_with(as_double(vec_col), "lo", lambda x, m: x - m)
     code = F.zip_with(
         diff,
         _sq_range(),
-        lambda d, s: F.when(s == F.lit(0.0), F.lit(0).cast("long"))
+        lambda d, s: F.when(
+            d.isNull() | s.isNull(), F.lit(None).cast("long")
+        )
+        .when(s == F.lit(0.0), F.lit(0).cast("long"))
         .otherwise(
             F.greatest(
                 F.lit(0).cast("long"),

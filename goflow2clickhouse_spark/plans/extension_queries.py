@@ -3903,7 +3903,9 @@ def _sq_ctes() -> str:
     min/max ranges (`mm`), then codes via the same clamped
     floor((x-lo)*256/(hi-lo)) sq_encode computes — every term a
     single IEEE expression in the same order, so codes match
-    bit-for-bit with no rounding-tie exposure."""
+    bit-for-bit with no rounding-tie exposure (incl. the explicit
+    NULL-element -> NULL-code arm, sq_encode's r10-review rule —
+    engines disagree on clamping NULL, so neither side may clamp)."""
     return f"""
     mm AS (
         SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi
@@ -3913,7 +3915,9 @@ def _sq_ctes() -> str:
     c AS (
         SELECT vec_id,
                list_transform(generate_series(1, {S.DIM}), d ->
-                   CASE WHEN hi[d] = lo[d] THEN 0
+                   CASE WHEN v[d] IS NULL OR hi[d] IS NULL
+                             OR lo[d] IS NULL THEN NULL
+                        WHEN hi[d] = lo[d] THEN 0
                         ELSE LEAST(GREATEST(CAST(FLOOR(
                             (v[d] - lo[d]) * 256 / (hi[d] - lo[d]))
                             AS BIGINT), 0), 255)
@@ -4062,10 +4066,14 @@ def sq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < _SQ_BATCH_Q)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
-    return sq_index_batch_probe(
+    probe = sq_index_batch_probe(
         spark, path, qs, k=5,
         expect={"sq_buckets": S.SQ_BUCKETS, "dim": S.DIM},
-    ).orderBy("qid", "rank")
+    )
+    # the probe's persisted query relation is finalizer-tied to the
+    # probe handle — pin it to the composed plan (the D.pin rule),
+    # else the cache releases before the orderBy ever executes
+    return D.pin(probe.orderBy("qid", "rank"), probe)
 
 
 # ---------------------------------------------------------------------------

@@ -1361,7 +1361,7 @@ def write_sq_index(
     ver = current_version(spark, path) + 1
     base = version_dir(path, ver)
     q_path = posixpath.join(base, "quantizer")
-    sq_quantizer(embeddings, vec_col, id_col).write.mode(
+    sq_quantizer(embeddings, vec_col).write.mode(
         "overwrite"
     ).parquet(q_path)
     quant = spark.read.parquet(q_path)

@@ -137,3 +137,14 @@ def test_jpeg_guards():
     prog[sof_at + 1] = 0xC2  # claim progressive
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(prog))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — a conformant foreign stream must decode (r10 review)."""
+    enc = encode_jpeg(8, 8, bytes([77]) * 64)
+    # inject fill bytes before the DQT and SOF0 markers
+    padded = enc.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xff\xff\xc0", 1
+    )
+    assert decode_jpeg(padded)["pixels"] == decode_jpeg(enc)["pixels"]

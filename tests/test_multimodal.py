@@ -339,3 +339,22 @@ def test_gif_interlaced_and_extensions():
         decode_gif(enc[:20])  # truncated
     with _pytest.raises(ValueError, match="width\\*height"):
         encode_gif(3, 3, bytes(8))
+
+
+def test_gif_truncation_inside_second_subblock():
+    """The sub-block truncation guard must fire at the actual
+    truncation point, including blocks after the first (r10 review:
+    the old cumulative-length comparison was dead from block 2 on)."""
+    import random
+
+    from goflow2clickhouse_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rnd = random.Random(3)
+    idx = bytes(rnd.randrange(256) for _ in range(40 * 30))
+    enc = encode_gif(40, 30, idx)  # LZW stream spans several 255-byte blocks
+    assert decode_gif(enc)["width"] == 40
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(enc[:len(enc) // 2])

@@ -322,3 +322,35 @@ def test_l2_topk_sorts_null_distances_last(spark):
     ).collect()
     assert [r["vec_id"] for r in got] == [0, 1, 3, 2]
     assert got[-1]["l2sq"] is None
+
+
+def test_sq_encode_null_element_yields_null_code(spark):
+    """A NULL embedding element must encode a NULL code, not clamp —
+    Spark's greatest/least SKIP nulls (silent 255) while SQL clamps
+    NULL to 0, so only explicit propagation keeps both engines and
+    the layout honest (r10 review)."""
+    from goflow2clickhouse_spark.operators.similarity import (
+        DIM,
+        sq_encode,
+        sq_quantizer,
+    )
+
+    rows = [
+        (0, [float(i) for i in range(DIM)]),
+        (1, [float(2 * i) for i in range(DIM)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    broken = spark.createDataFrame(
+        [(2, [None] + [1.0] * (DIM - 1)), (3, [0.5] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    quant = sq_quantizer(emb)
+    out = {
+        r["vec_id"]: r["sq_code"]
+        for r in sq_encode(emb.unionByName(broken), quant).collect()
+    }
+    assert all(c is not None for c in out[0]) and all(
+        c is not None for c in out[1]
+    )
+    assert out[2][0] is None and all(c is not None for c in out[2][1:])
+    assert out[3][-1] is None  # short vector: zip_with pads NULL

@@ -264,11 +264,18 @@ def decode_png(payload: bytes) -> dict:
         )
     ch = _PNG_CHANNELS[ctype_n]
     row = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (row + 1) * height:
+    # bounded inflate (decompression-bomb guard): the scanline size is
+    # known EXACTLY from the header, so never inflate a byte past it —
+    # an untrusted blob in a 100 TB corpus must not be able to balloon
+    # a worker's memory through a crafted IDAT
+    want = (row + 1) * height
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want)
+    extra = d.decompress(d.unconsumed_tail, 1) if d.unconsumed_tail else b""
+    if len(raw) != want or extra:
         raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, "
-            f"expected {(row + 1) * height}"
+            f"PNG scanline data is not exactly {want} bytes "
+            f"(got {len(raw)}{'+extra' if extra else ''})"
         )
     px = bytearray(row * height)
     prev = bytes(row)
@@ -508,10 +515,15 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(packed)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
     """The decoder half: rebuilds the dictionary from the code stream
     (including the deferred 'code == next entry' KwKwK case), honors
-    clear/end codes and the 12-bit width cap."""
+    clear/end codes and the 12-bit width cap. `max_out` bounds the
+    inflated size (decompression-bomb guard — LZW expands up to
+    ~4000x, and an untrusted corpus blob must not balloon a worker);
+    decode_gif passes the image's exact pixel count."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     pos, nbits = 0, len(data) * 8
 
@@ -552,6 +564,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError(f"GIF LZW: code {code} beyond table")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"GIF LZW output exceeds the declared pixel count "
+                f"({max_out}) — refusing to inflate further"
+            )
         if prev is not None and next_code < (1 << 12):
             table.append(prev + entry[:1])
             next_code += 1
@@ -637,7 +654,7 @@ def decode_gif(payload: bytes) -> dict:
                 raise ValueError("GIF image has no color table")
             min_code = payload[pos]
             data, pos = subblocks(pos + 1)
-            idx = _lzw_decode(data, min_code)
+            idx = _lzw_decode(data, min_code, max_out=w * h)
             if len(idx) < w * h:
                 raise ValueError(
                     f"GIF pixel data is {len(idx)} indices, "

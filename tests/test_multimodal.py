@@ -358,3 +358,54 @@ def test_gif_truncation_inside_second_subblock():
     assert decode_gif(enc)["width"] == 40
     with pytest.raises(ValueError, match="truncated"):
         decode_gif(enc[:len(enc) // 2])
+
+
+def test_codec_decompression_bomb_guards():
+    """Untrusted corpus blobs must not balloon a worker: a PNG whose
+    IDAT inflates past the header's scanline size refuses mid-inflate,
+    and a GIF whose LZW stream emits more indices than the declared
+    pixel count refuses at the cap (r10 scale hygiene)."""
+    import struct as _struct
+    import zlib
+
+    from goflow2clickhouse_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif,
+        decode_png,
+        encode_png,
+    )
+
+    # PNG: claim 2x2 gray but pack 1 MiB of zeros into the IDAT
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="not exactly"):
+        decode_png(bomb)
+    # the same geometry with the right payload still decodes
+    good = encode_png(2, 2, bytes(4), "L")
+    assert decode_png(good)["pixels"] == bytes(4)
+
+    # GIF: 3x3 image whose LZW stream encodes 64k identical indices
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 3, 3, 0xF7, 0, 0)
+    out += bytes(3 * 256)  # zero palette
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 3, 3, 0)
+    out.append(8)
+    data = _lzw_encode(bytes(1 << 16), 8)
+    for i in range(0, len(data), 255):
+        c = data[i:i + 255]
+        out.append(len(c))
+        out += c
+    out += b"\x00\x3b"
+    with pytest.raises(ValueError, match="refusing to inflate"):
+        decode_gif(bytes(out))

@@ -3737,8 +3737,14 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pq_train_iters": _TRAINED_ITERS},
     )
     exact = S.topk_l2_bruteforce_batch(emb, qs, k=10)
-    return _recall_result_batch(
-        approx, exact, "pq_adc_trained", total=10 * _TRAINED_Q
+    # pin the batch probe's tie_cache'd handle to the composed plan
+    # (the sq_batch_probe rule — dropping `approx` would unpersist the
+    # probe's query relation before the recall plan ever executes)
+    return D.pin(
+        _recall_result_batch(
+            approx, exact, "pq_adc_trained", total=10 * _TRAINED_Q
+        ),
+        approx,
     )
 
 

@@ -1,8 +1,9 @@
-"""Baseline JPEG (ITU-T T.81) — grayscale, hand-written from the
-public spec: canonical Huffman coding (Annex C code construction, the
-general BITS/HUFFVAL form, so the decoder reads ANY baseline table,
-not just ours), zigzag + run-length entropy layer, byte stuffing,
-restart markers, and the 8x8 DCT pair via numpy matrices.
+"""Baseline JPEG (ITU-T T.81) — grayscale and 4:4:4 YCbCr color,
+hand-written from the public spec: canonical Huffman coding (Annex C
+code construction, the general BITS/HUFFVAL form, so the decoder reads
+ANY baseline table, not just ours), zigzag + run-length entropy layer,
+byte stuffing, restart markers, interleaved MCUs, and the 8x8 DCT
+pair via numpy matrices.
 
 Determinism contract (the multimodal-oracle rule): every rounding
 site is floor(x + 0.5) — half-up, exactly replayable in SQL — never
@@ -13,11 +14,12 @@ block-constant images bit-for-bit while the SAME code paths (Huffman,
 zigzag, bit-stuffing, IDCT) also run general images (pinned in tests
 against an independent IDCT reference and a PSNR bound).
 
-Scope, stated honestly: baseline sequential DCT, 8-bit, ONE component
-(grayscale). Chroma subsampling / progressive / arithmetic coding
-raise NotImplementedError — the entropy+transform stack is the part
-a pure-Python environment can do justice; interleaved-MCU color adds
-bookkeeping, not new machinery.
+Scope, stated honestly: baseline sequential DCT, 8-bit, grayscale
+AND 4:4:4 YCbCr color (BT.601 transforms under the same half-up
+rounding rule, interleaved one-block-per-component MCUs with
+per-component DC predictors). Chroma subsampling / progressive /
+arithmetic coding raise NotImplementedError — they add sampling
+bookkeeping and a second entropy coder, not new transform machinery.
 """
 
 from __future__ import annotations
@@ -127,74 +129,124 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v if v >= 0 else v + (1 << size) - 1
 
 
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601 forward transform, rounded half-up and
+    clipped — the module's single rounding rule, so constant-RGB
+    blocks produce constant (exactly replayable) YCbCr planes."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """The JFIF inverse transform, same rounding rule."""
+    y, cb, cr = (
+        ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0,
+    )
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, prev_dc: int,
+                  dc_codes, ac_codes) -> int:
+    """FDCT + quantize + zigzag + Huffman one 8x8 level-shifted block;
+    returns the new DC predictor."""
+    coef = _DCT_M @ block @ _DCT_M.T
+    # the DC basis is constant, so F(0,0) = Σblock / 8 EXACTLY
+    # (integer sum, power-of-two division) — the float matrix
+    # product lands ~1e-13 off, which flips half-up ties at
+    # the quantizer (measured: a constant-255 block encoded
+    # 63, not 64) and breaks the module's exact-DC contract
+    coef[0, 0] = float(int(block.sum())) / 8.0
+    q = _round_half_up(coef / QUANT_LUMA)
+    zz = [int(q.flat[i]) for i in _ZIGZAG]
+    # DC: difference coding
+    diff = zz[0] - prev_dc
+    size, bitsv = _magnitude(diff)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(bitsv, size)
+    # AC: run-length of zeros + magnitude
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, bitsv = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(bitsv, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return zz[0]
+
+
 def encode_jpeg(
-    width: int, height: int, pixels: bytes, restart_interval: int = 0
+    width: int, height: int, pixels: bytes,
+    restart_interval: int = 0, mode: str = "L",
 ) -> bytes:
-    """Encode row-major top-down 8-bit grayscale samples as a baseline
-    JFIF stream: DQT (K.1), SOF0 (1 component), our fixed-length DHTs,
-    optional DRI, SOS, entropy-coded scan (RSTn emitted every
-    `restart_interval` blocks when set — byte-aligned, DC predictor
-    reset, markers cycling D0-D7 per T.81 E.1.4). Blocks are
-    edge-replicated to 8x8 multiples; quantization rounds half-up
-    (see module docstring)."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height bytes")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    """Encode row-major top-down 8-bit samples as a baseline JFIF
+    stream: DQT (K.1), SOF0, our fixed-length DHTs, optional DRI, SOS,
+    entropy-coded scan (RSTn emitted every `restart_interval` MCUs
+    when set — byte-aligned, DC predictors reset, markers cycling
+    D0-D7 per T.81 E.1.4). `mode` 'L' = grayscale (one block per
+    MCU); 'RGB' (r10) = 4:4:4 YCbCr color — BT.601 forward transform
+    (floor(x+0.5), so constant-color blocks stay exactly replayable),
+    three interleaved blocks per MCU with per-component DC predictors,
+    one shared quant/Huffman table set (legal per T.81; chroma-
+    specific tables are a quality knob, not a format requirement).
+    Planes are edge-replicated to 8x8 multiples; every rounding site
+    is half-up (see module docstring)."""
+    n_comp = {"L": 1, "RGB": 3}[mode]
+    if len(pixels) != width * height * n_comp:
+        raise ValueError(f"pixels must be width*height*{n_comp} bytes")
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    padded = np.pad(
-        img, ((0, ph - height), (0, pw - width)), mode="edge"
-    ).astype(np.float64)
+    if n_comp == 1:
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, 3
+        ).astype(np.float64)
+        ycc = _rgb_to_ycbcr(rgb)
+        planes = [ycc[..., c] for c in range(3)]
+    planes = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        for p in planes
+    ]
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    prev_dc = 0
-    bi = 0
+    prev_dc = [0] * n_comp
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            if restart_interval and bi and bi % restart_interval == 0:
+            if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()  # RSTn is byte-aligned
                 bw.out += bytes(
-                    [0xFF, 0xD0 + (bi // restart_interval - 1) % 8]
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
                 )
-                prev_dc = 0
-            bi += 1
-            block = padded[by:by + 8, bx:bx + 8] - 128.0
-            coef = _DCT_M @ block @ _DCT_M.T
-            # the DC basis is constant, so F(0,0) = Σblock / 8 EXACTLY
-            # (integer sum, power-of-two division) — the float matrix
-            # product lands ~1e-13 off, which flips half-up ties at
-            # the quantizer (measured: a constant-255 block encoded
-            # 63, not 64) and breaks the module's exact-DC contract
-            coef[0, 0] = float(int(block.sum())) / 8.0
-            q = _round_half_up(coef / QUANT_LUMA)
-            zz = [int(q.flat[i]) for i in _ZIGZAG]
-            # DC: difference coding
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size, bitsv = _magnitude(diff)
-            c, ln = dc_codes[size]
-            bw.write(c, ln)
-            if size:
-                bw.write(bitsv, size)
-            # AC: run-length of zeros + magnitude
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                size, bitsv = _magnitude(v)
-                c, ln = ac_codes[(run << 4) | size]
-                bw.write(c, ln)
-                bw.write(bitsv, size)
-                run = 0
-            if run:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.write(c, ln)
+                prev_dc = [0] * n_comp
+            mcu += 1
+            for ci, plane in enumerate(planes):
+                prev_dc[ci] = _encode_block(
+                    bw, plane[by:by + 8, bx:bx + 8] - 128.0,
+                    prev_dc[ci], dc_codes, ac_codes,
+                )
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -202,14 +254,18 @@ def encode_jpeg(
         int(QUANT_LUMA.flat[i]) for i in _ZIGZAG
     )
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 8, height, width, n_comp) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(n_comp)
+    )
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = bytes([n_comp]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(n_comp)
+    ) + bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -334,14 +390,20 @@ def decode_jpeg(payload: bytes) -> dict:
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG"
+                    "only 1-component (gray) or 3-component (YCbCr) "
+                    "baseline JPEG"
                 )
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled grayscale")
-            sof = (w, h, cid, tq)
+            comps = {}
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (only 4:4:4 supported)"
+                    )
+                comps[cid] = tq
+            sof = (w, h, nf, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -361,33 +423,84 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
+            w, h, nf, sof_comps = sof
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("interleaved multi-component scan")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            w, h, _, tq = sof
-            if tq not in quant or (0, td) not in huff or (1, ta) not in huff:
-                raise ValueError("JPEG scan references missing tables")
+            if ns != nf:
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG"
+                )
+            comps = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                td, ta = body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0x0F
+                if cid not in sof_comps:
+                    raise ValueError(f"SOS component {cid} not in SOF")
+                tq = sof_comps[cid]
+                if (
+                    tq not in quant
+                    or (0, td) not in huff
+                    or (1, ta) not in huff
+                ):
+                    raise ValueError("JPEG scan references missing tables")
+                comps.append((quant[tq], huff[(0, td)], huff[(1, ta)]))
             scan = payload[pos + 2 + seglen:]
-            return _decode_scan(
-                scan, w, h, quant[tq], huff[(0, td)], huff[(1, ta)],
-                restart_interval,
-            )
+            return _decode_scan(scan, w, h, comps, restart_interval)
         pos += 2 + seglen
     raise ValueError("JPEG has no SOS scan")
 
 
+def _decode_block(br: _BitReader, qt: np.ndarray, dc_table, ac_table,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one block; returns the 8x8
+    spatial samples (pre-clip floats) and the new DC predictor."""
+    zz = [0] * 64
+    size = _read_symbol(br, dc_table)
+    diff = _extend(br.bits(size), size) if size else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.int64)
+    for i, z in enumerate(_ZIGZAG):
+        coef[z] = zz[i]
+    block = (coef.reshape(8, 8) * qt).astype(np.float64)
+    # mirror the encoder's exact-DC contract: the DC contribution
+    # is dequant/8 added uniformly (constant basis), kept out of
+    # the float matrix product so block-constant images replay
+    # bit-exactly in an oracle
+    dc = block[0, 0]
+    block[0, 0] = 0.0
+    spatial = _DCT_M.T @ block @ _DCT_M + (dc / 8.0 + 128.0)
+    return spatial, prev_dc
+
+
 def _decode_scan(
-    scan: bytes, width: int, height: int, qt: np.ndarray,
-    dc_table, ac_table, restart_interval: int,
+    scan: bytes, width: int, height: int, comps: list, restart_interval: int
 ) -> dict:
+    """Interleaved MCU decode: `comps` is the per-component
+    (quant table, DC table, AC table) list — one block per component
+    per MCU at 4:4:4 (grayscale is the 1-component case). Three-
+    component output runs through the BT.601 inverse transform."""
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    n_blocks = (ph // 8) * (pw // 8)
-    out = np.zeros((ph, pw), dtype=np.uint8)
+    n_mcus = (ph // 8) * (pw // 8)
+    n_comp = len(comps)
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
     br = _BitReader(scan)
-    prev_dc = 0
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    prev_dc = [0] * n_comp
+    for mi in range(n_mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
             # RSTn sits byte-aligned between entropy segments
             br.align()
             if (
@@ -397,44 +510,30 @@ def _decode_scan(
             ):
                 raise ValueError("missing restart marker")
             br.pos += 2
-            prev_dc = 0
-        zz = [0] * 64
-        size = _read_symbol(br, dc_table)
-        diff = _extend(br.bits(size), size) if size else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_symbol(br, ac_table)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("JPEG AC run past block end")
-            zz[k] = _extend(br.bits(size), size)
-            k += 1
-        coef = np.zeros(64, dtype=np.int64)
-        for i, z in enumerate(_ZIGZAG):
-            coef[z] = zz[i]
-        block = (coef.reshape(8, 8) * qt).astype(np.float64)
-        # mirror the encoder's exact-DC contract: the DC contribution
-        # is dequant/8 added uniformly (constant basis), kept out of
-        # the float matrix product so block-constant images replay
-        # bit-exactly in an oracle
-        dc = block[0, 0]
-        block[0, 0] = 0.0
-        spatial = _DCT_M.T @ block @ _DCT_M + (dc / 8.0 + 128.0)
-        by, bx = divmod(bi, pw // 8)
-        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-            np.floor(spatial + 0.5), 0, 255
-        ).astype(np.uint8)
+            prev_dc = [0] * n_comp
+        by, bx = divmod(mi, pw // 8)
+        for ci, (qt, dc_t, ac_t) in enumerate(comps):
+            spatial, prev_dc[ci] = _decode_block(
+                br, qt, dc_t, ac_t, prev_dc[ci]
+            )
+            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+    if n_comp == 1:
+        out = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return {
+            "width": width,
+            "height": height,
+            "mode": "L",
+            "pixels": out[:height, :width].tobytes(),
+        }
+    # color: round each YCbCr plane (the encoder quantized rounded
+    # planes), inverse-transform, round again — both sites half-up
+    ycc = np.stack(
+        [np.clip(np.floor(p + 0.5), 0, 255) for p in planes], axis=-1
+    )
+    rgb = _ycbcr_to_rgb(ycc).astype(np.uint8)
     return {
         "width": width,
         "height": height,
-        "mode": "L",
-        "pixels": out[:height, :width].tobytes(),
+        "mode": "RGB",
+        "pixels": rgb[:height, :width].tobytes(),
     }

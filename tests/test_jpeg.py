@@ -148,3 +148,69 @@ def test_fill_bytes_before_markers_are_skipped():
         b"\xff\xc0", b"\xff\xff\xff\xff\xc0", 1
     )
     assert decode_jpeg(padded)["pixels"] == decode_jpeg(enc)["pixels"]
+
+
+def _expect_const_rgb(r, g, b):
+    """The documented exact chain for a constant-RGB block: BT.601
+    forward (half-up, clip), per-plane DC quant/dequant, BT.601
+    inverse (half-up, clip) — pure integer arithmetic end to end."""
+    def hu(x):
+        return math.floor(x + 0.5)
+
+    def clip(x):
+        return min(255, max(0, x))
+
+    y = clip(hu(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = clip(hu(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+    cr = clip(hu(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+
+    def dc_chain(v):
+        dcq = math.floor((8 * (v - 128)) / 16.0 + 0.5)
+        return clip(hu(16 * dcq / 8.0 + 128))
+
+    y, cb, cr = dc_chain(y), dc_chain(cb), dc_chain(cr)
+    return (
+        clip(hu(y + 1.402 * (cr - 128))),
+        clip(hu(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        clip(hu(y + 1.772 * (cb - 128))),
+    )
+
+
+def test_color_constant_blocks_match_exact_chain():
+    for rgb in [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+                (128, 128, 128), (17, 200, 99), (255, 255, 255)]:
+        dec = decode_jpeg(encode_jpeg(8, 8, bytes(rgb) * 64, mode="RGB"))
+        assert dec["mode"] == "RGB"
+        got = set(zip(dec["pixels"][0::3], dec["pixels"][1::3],
+                      dec["pixels"][2::3]))
+        assert got == {_expect_const_rgb(*rgb)}, rgb
+
+
+def test_color_quality_and_restart():
+    x = np.linspace(0, 255, 48)
+    grad = np.stack(
+        [np.tile(x, (24, 1)), np.tile(x[::-1], (24, 1)),
+         np.full((24, 48), 90.0)], axis=-1,
+    ).astype(np.uint8)
+    out = np.frombuffer(
+        decode_jpeg(encode_jpeg(48, 24, grad.tobytes(), mode="RGB"))["pixels"],
+        dtype=np.uint8,
+    ).reshape(24, 48, 3)
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 6
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(40, 24, img.tobytes(), mode="RGB"))
+    assert (plain["width"], plain["height"]) == (40, 24)
+    for ri in (2, 5):
+        withrst = decode_jpeg(
+            encode_jpeg(40, 24, img.tobytes(), mode="RGB",
+                        restart_interval=ri)
+        )
+        assert withrst["pixels"] == plain["pixels"], ri
+    # interleaved MCU ordering: Y/Cb/Cr per MCU with separate DC
+    # predictors — a cross-wired predictor shows as gross color error
+    mse = ((np.frombuffer(plain["pixels"], dtype=np.uint8)
+            .reshape(24, 40, 3).astype(float) - img.astype(float)) ** 2
+           ).mean()
+    assert 10 * np.log10(255**2 / mse) > 15  # measured 18.6 at authoring

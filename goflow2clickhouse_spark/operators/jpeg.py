@@ -381,6 +381,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if b + 65 > len(body):
+                    raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros(64, dtype=np.int64)
                 for i, z in enumerate(_ZIGZAG):
                     tbl[z] = body[b + 1 + i]
@@ -395,6 +397,8 @@ def decode_jpeg(payload: bytes) -> dict:
                     "only 1-component (gray) or 3-component (YCbCr) "
                     "baseline JPEG"
                 )
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("JPEG SOF segment truncated")
             comps = {}
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -416,6 +420,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
+                # a truncated segment yields short bits/vals lists —
+                # indexing past them crashed with a raw IndexError
+                # under corruption fuzzing (r10); refuse loudly
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("JPEG DHT segment truncated")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 b += 17 + n
         elif marker == 0xDD:  # DRI
@@ -429,6 +438,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError(
                     "non-interleaved multi-scan JPEG"
                 )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS segment truncated")
             comps = []
             for ci in range(ns):
                 cid = body[1 + 2 * ci]

@@ -10,15 +10,15 @@ COMPRESSED formats: 8-bit gray/RGB/RGBA PNG (zlib DEFLATE via the
 stdlib, all five scanline filters, chunk CRC validation) and paletted
 GIF87a/89a with the variable-width LZW entropy coder implemented BY
 HAND from the public spec (encode and decode, dictionary growth, the
-KwKwK case, 12-bit reset, interlace) — plus baseline grayscale JPEG
-in the sibling `operators/jpeg.py` (hand-written canonical Huffman +
-numpy DCT, exact-DC contract). Each has an oracle-checked round-trip
-query (`multimodal_decode_image`/`_audio`/`_png`/`_gif`/`_jpeg`);
+KwKwK case, 12-bit reset, interlace) — plus baseline JPEG (gray AND
+4:4:4 YCbCr color) in the sibling `operators/jpeg.py` (hand-written
+canonical Huffman + numpy DCT, exact-DC contract). Each has an
+oracle-checked round-trip query
+(`multimodal_decode_image`/`_audio`/`_png`/`_gif`/`_jpeg`);
 the decoders raise NotImplementedError only for OTHER variants
 (compressed BMP, non-PCM WAV, paletted/16-bit/interlaced PNG,
-color/progressive JPEG, MP3... — this container has no imaging/audio
-libraries). The
-deterministic
+subsampled/progressive JPEG, MP3... — this container has no
+imaging/audio libraries). The deterministic
 `extract_features` fake computes features from the actual bytes
 (length + byte checksum) so the pipeline is testable end-to-end and
 oracle-checkable (the same arithmetic is expressible in SQL over the
@@ -342,9 +342,15 @@ def decode_audio(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk truncated")
     audio_format, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError("only 16-bit PCM WAV supported")
+    if len(data) % 2:
+        # an odd data chunk is a truncated final sample — raw
+        # struct.error under corruption fuzzing (r10); refuse loudly
+        raise ValueError("WAV data chunk is odd-length for 16-bit PCM")
     samples = list(struct.unpack("<%dh" % (len(data) // 2), data))
     return {"sample_rate": rate, "n_channels": n_ch, "bits": bits, "samples": samples}
 

@@ -409,3 +409,56 @@ def test_codec_decompression_bomb_guards():
     out += b"\x00\x3b"
     with pytest.raises(ValueError, match="refusing to inflate"):
         decode_gif(bytes(out))
+
+
+def test_codec_corruption_fuzz_raises_only_contract_errors():
+    """Deterministic corruption sweep over every codec (bit flips,
+    deletions, insertions — seed-pinned): a corrupted untrusted blob
+    must either decode or raise ValueError/NotImplementedError — never
+    a raw IndexError/struct.error/KeyError from deep inside the parser
+    (r10: the sweep caught truncated-DHT IndexError in the JPEG walk
+    and odd-data-chunk struct.error in WAV)."""
+    import random
+
+    from goflow2clickhouse_spark.operators import jpeg as J
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    payloads = {
+        "png": M.encode_png(
+            6, 7, bytes((i * 31 + 7) % 256 for i in range(6 * 7 * 3)), "RGB"
+        ),
+        "gif": M.encode_gif(
+            6, 7, bytes((i * 31 + 7) % 256 for i in range(42))
+        ),
+        "jpeg": J.encode_jpeg(
+            16, 16, bytes((i * 31 + 7) % 256 for i in range(256))
+        ),
+        "jpeg_rgb": J.encode_jpeg(
+            8, 8, bytes((i * 31 + 7) % 256 for i in range(192)), mode="RGB"
+        ),
+        "bmp": M.encode_bmp(
+            6, 7, bytes((i * 31 + 7) % 256 for i in range(6 * 7 * 3))
+        ),
+        "wav": M.encode_wav([(i * 37) % 4096 - 2048 for i in range(50)]),
+    }
+    decoders = {
+        "png": M.decode_png, "gif": M.decode_gif, "jpeg": J.decode_jpeg,
+        "jpeg_rgb": J.decode_jpeg, "bmp": M.decode_image,
+        "wav": M.decode_audio,
+    }
+    rnd = random.Random(1234)
+    for kind, data in payloads.items():
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(rnd.randrange(1, 4)):
+                op = rnd.randrange(3)
+                if op == 0 and len(b) > 1:
+                    b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+                elif op == 1 and len(b) > 10:
+                    del b[rnd.randrange(len(b))]
+                else:
+                    b.insert(rnd.randrange(len(b)), rnd.randrange(256))
+            try:
+                decoders[kind](bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the decode contract

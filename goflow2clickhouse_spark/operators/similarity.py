@@ -1338,6 +1338,7 @@ def sq_encode(
     quantizer: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Encode vectors against a quantizer: (id, sq_code array<int>)
     with code_d = clamp(floor((x_d - lo_d) * 256 / (hi_d - lo_d)),
@@ -1373,7 +1374,7 @@ def sq_encode(
         .cast("int"),
     )
     return df.join(F.broadcast(quantizer)).select(  # bcast bound: 1 row
-        F.col(id_col), code.alias("sq_code")
+        F.col(id_col), *keep, code.alias("sq_code")
     )
 
 

@@ -33,7 +33,9 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     PageRank centrality over the kNN graph, new in r10), and the
 #     compressed-codec gates multimodal_decode_gif (hand-written LZW)
 #     and multimodal_decode_jpeg (baseline JPEG: hand-written Huffman
-#     + DCT, exact-DC block-constant oracle, RSTn path).
+#     + DCT, exact-DC block-constant oracle, RSTn path), plus the
+#     IVF-SQ8 layout's probe + recall gates (ivfsq_probe,
+#     ivfsq_recall — the sixth persisted layout, new in r10).
 #     New queries MUST take window slots (the r6 lesson);
 # (b) the twelve r6-stale spill names FIRST (item 1 — the oldest rows in
 #     the registry at 3 rounds stale);
@@ -43,16 +45,18 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     (q11: three emitted per-part ties at sf0.01, plus a float HAVING
 #     cut), so all three were converted to the exact-cents pattern;
 #     changed queries must take window slots;
-# (c) 26 of the 50 r7-green names — alphabetical EXCEPT that
+# (c) 24 of the 50 r7-green names — alphabetical EXCEPT that
 #     incremental_dedup_newbatch is displaced ahead of the ivf probes:
 #     ivf_index_probe / ivf_append_probe exercise the r10 probe-serving
 #     rework, so dropping them would leave changed code unwindowed
-#     (hll_distinct_customers, flows_port_fanout,
+#     (hll_distinct_customers, flows_ingest_transform,
+#     flows_maintenance_overlap, flows_port_fanout,
 #     flows_protocol_breakdown, flows_sampler_utilization,
 #     flows_tcp_syn_only, flows_top_talkers and flows_tumbling_traffic
 #     — alphabetically inside the fill run but UNTOUCHED this round —
-#     are the names the r10 additions displace). The remaining 24
+#     are the names the r10 additions displace). The remaining 26
 #     spill to r11, FIRST there:
+#     flows_ingest_transform, flows_maintenance_overlap,
 #     flows_port_fanout, flows_protocol_breakdown, flows_sampler_utilization,
 #     flows_tcp_syn_only, flows_top_talkers, flows_tumbling_traffic,
 #     hll_distinct_customers, incremental_dedup_newbatch, jl_projection_recall,
@@ -62,8 +66,8 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     q12_shipmode_priority, q21_suppliers_kept_waiting,
 #     q2_min_cost_supplier, q4_order_priority, semdedup_prune,
 #     source_mixture_weights, token_budget_selection.
-# 9 + 12 + 3 + 26 = 50 exactly; after r10 the stale pool for r11 is those
-# 24 spilled r7 names plus the 50 r8-green names.
+# 11 + 12 + 3 + 24 = 50 exactly; after r10 the stale pool for r11 is those
+# 26 spilled r7 names plus the 50 r8-green names.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest). The r10
 # round touched code consumed by green queries:
@@ -92,6 +96,8 @@ promote([
     "knn_pagerank",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "ivfsq_probe",
+    "ivfsq_recall",
     # (b) the twelve r6-stale spill fills, stalest first
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -109,7 +115,7 @@ promote([
     "q10_returned_items",
     "q15_top_supplier",
     "q11_important_stock",
-    # (c) 26 of the 50 r7-green names (alphabetical, minus the
+    # (c) 24 of the 50 r7-green names (alphabetical, minus the
     #     displaced incremental_dedup_newbatch — see header)
     "bloom_seen_filter",
     "bm25_topk",
@@ -132,8 +138,6 @@ promote([
     "flows_conversation_matrix",
     "flows_conversation_sessions",
     "flows_duration_histogram",
-    "flows_ingest_transform",
-    "flows_maintenance_overlap",
     "incremental_dedup_indexed",
     "ivf_append_probe",
     "ivf_index_probe",

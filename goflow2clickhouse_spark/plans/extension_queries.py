@@ -4275,3 +4275,129 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 persisted index — the sixth layout (r10)
+# ---------------------------------------------------------------------------
+
+_IVFSQ_CELLS = 8
+_IVFSQ_NPROBE = 2
+
+
+def _ivfsq_ctes(n_cells: int = _IVFSQ_CELLS,
+                nprobe: int = _IVFSQ_NPROBE) -> str:
+    """Coarse-quantizer replay over the full `e` relation: lowest-id
+    centroids, cosine argmax assignment (ties to the smaller cid —
+    ivf_assign's rule), and the query's top-nprobe cells. qcells is
+    self-contained (own scalar query subquery) so the same CTE text
+    drops into both the probe oracle and _l2_recall_oracle's
+    skeleton, whose `q` CTE is defined after the caller's CTEs."""
+    return f"""
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e
+              ORDER BY vec_id LIMIT {n_cells}),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               {_COS.format(a='e.v', b='c.cvec')} AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM cscored) t
+        WHERE rn = 1),
+    qcells AS (
+        SELECT c.cid FROM cents c,
+             (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0) q2
+        ORDER BY {_COS.format(a='q2.qv', b='c.cvec')} DESC, c.cid
+        LIMIT {nprobe})"""
+
+
+def _ivfsq_probe_sql(k: int = 10) -> str:
+    adist = _SQ_ADIST_SQL.format(dim=S.DIM)
+    return f"""
+    SELECT c.vec_id, ROUND({adist}, 6) AS adist
+    FROM c, assign, mm, q
+    WHERE c.vec_id = assign.vec_id
+      AND assign.cid IN (SELECT cid FROM qcells)
+    ORDER BY ROUND({adist}, 6), c.vec_id LIMIT {k}
+    """
+
+
+def _ivfsq_index(spark: SparkSession, sf_dir: str) -> str:
+    from .storage import write_ivfsq_index
+
+    return _persisted_index(
+        "ivfsq", sf_dir,
+        lambda p: write_ivfsq_index(
+            load_table(spark, sf_dir, "embeddings"), p,
+            n_cells=_IVFSQ_CELLS,
+        ),
+    )
+
+
+@query(
+    "ivfsq_probe",
+    bench=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    {_sq_ctes()},
+    {_ivfsq_ctes()}
+    {_ivfsq_probe_sql(10)}
+    """,
+)
+def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k served from the persisted IVF-SQ8 index
+    (plans/storage.write_ivfsq_index → ivfsq_probe) — Faiss's
+    IVFScalarQuantizer shape, the last cell of the quantization
+    matrix ({flat, SQ8, PQ4, residual-PQ4} x {exhaustive, IVF}): the
+    inverted file prunes WHICH vectors are scored (the probe
+    partition-prunes to nprobe `cell=` directories), the global
+    per-dim SQ8 quantizer compresses WHAT is read (~1 byte/dim at
+    near-exact recall, vs PQ4's 8-byte rows at real recall loss —
+    the strict-recall production pick). The oracle replays the
+    centroids, every assignment, the query's cell ranking, the
+    quantizer, every code and the ADC top-k."""
+    from .storage import ivfsq_probe
+
+    path = _ivfsq_index(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return ivfsq_probe(
+        spark, path, q, k=10, nprobe=_IVFSQ_NPROBE,
+        expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
+                "dim": S.DIM},
+    )
+
+
+@query(
+    "ivfsq_recall",
+    oracle=_l2_recall_oracle(
+        "ivfsq",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)," + _sq_ctes() + "," + _ivfsq_ctes(),
+        _ivfsq_probe_sql(10),
+    ),
+)
+def ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-SQ8 index vs the exact squared-L2 top-10
+    — completes the per-layout recall gauge family (sq_recall = the
+    pruning-free SQ8 ceiling; this adds the nprobe/n_cells pruning
+    loss on top, isolating WHERE the error comes from: at nprobe=2/8
+    any recall drop below sq_recall's 1.0 is coarse-quantizer miss,
+    not code error). Oracle replays the full composition and both
+    top-k sides through the shared recall contract."""
+    from .storage import ivfsq_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfsq_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = ivfsq_probe(
+        spark, path, q, k=10, nprobe=_IVFSQ_NPROBE,
+        expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
+                "dim": S.DIM},
+    )
+    exact = S.topk_l2_bruteforce(emb, q, k=10)
+    return _recall_result(approx, exact, "ivfsq", k=10)

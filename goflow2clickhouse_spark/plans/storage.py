@@ -1556,6 +1556,199 @@ def sq_index_batch_probe(
         raise
 
 
+def write_ivfsq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_versions: int = 2,
+) -> None:
+    """Persist an IVF-SQ8 index — the sixth layout (r10), Faiss's
+    IVFScalarQuantizer shape and the last cell of the quantization
+    matrix ({flat, SQ8, PQ4, residual-PQ4} x {exhaustive, IVF}): the
+    inverted file prunes WHICH vectors are scored (nprobe/n_cells of
+    the corpus), the GLOBAL per-dim scalar quantizer compresses WHAT
+    is read to score them (one byte per dim — near-exact recall where
+    PQ4 trades accuracy for 8x less still). The production pick when
+    the recall target is strict but the corpus no longer fits raw
+    floats.
+
+    Three artifacts per version:
+
+      <path>/v{N}/centroids/  ONE row — the coarse quantizer
+                              (operators/similarity.ivf_centroids)
+      <path>/v{N}/quantizer/  ONE row — per-dim lo/hi (sq_quantizer,
+                              global — Faiss's default for IVF-SQ;
+                              a per-cell quantizer is a residual-style
+                              refinement this layout deliberately
+                              skips)
+      <path>/v{N}/cells/      (id, sq_code) PARTITIONED BY cell — the
+                              probe partition-prunes to nprobe dirs
+
+    Codes are encoded against the READ-BACK quantizer and cells
+    assigned against the READ-BACK centroids (a probe can never pair
+    one build's codes with another's ranges); `_CURRENT` records both
+    geometries and probes refuse a mismatch. Build cost: one corpus
+    scan for the two 1-row quantizer artifacts + one assignment+encode
+    projection pass — no shuffle wider than the partitioned write."""
+    import posixpath
+
+    from ..operators.similarity import (
+        DIM,
+        SQ_BUCKETS,
+        ivf_assign,
+        ivf_centroids,
+        sq_encode,
+        sq_quantizer,
+    )
+    from ..versioned import commit_version, current_version, version_dir
+
+    spark = embeddings.sparkSession
+    if embeddings.isEmpty():
+        raise ValueError(
+            f"IVF-SQ build over {path}: corpus is empty — nothing to index"
+        )
+    ver = current_version(spark, path) + 1
+    base = version_dir(path, ver)
+    ivf_centroids(embeddings, n_cells, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(base, "centroids"))
+    cents = spark.read.parquet(posixpath.join(base, "centroids"))
+    sq_quantizer(embeddings, vec_col).write.mode("overwrite").parquet(
+        posixpath.join(base, "quantizer")
+    )
+    quant = spark.read.parquet(posixpath.join(base, "quantizer"))
+    (
+        sq_encode(
+            ivf_assign(embeddings, cents, vec_col), quant,
+            vec_col, id_col, keep=("cell",),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(posixpath.join(base, "cells"))
+    )
+    commit_version(
+        spark, path, ver,
+        extra={"n_cells": n_cells, "sq_buckets": SQ_BUCKETS, "dim": DIM,
+               "id_col": id_col},
+        keep_versions=keep_versions,
+    )
+
+
+def append_to_ivfsq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    extra: dict | None = None,
+) -> None:
+    """Fold a new embedding batch into the IVF-SQ index: assign
+    against the STORED centroids, encode against the STORED quantizer,
+    commit one atomic cell-partitioned `appends` delta — the
+    append_to_ivfpq_index contract with the SQ fine quantizer (and the
+    append_to_sq_index `extra` rule: gate metadata rides the same
+    commit; empty batches advance it deltalessly)."""
+    import posixpath
+
+    from ..operators.similarity import (
+        DIM,
+        SQ_BUCKETS,
+        ivf_assign,
+        sq_encode,
+    )
+    from ..versioned import (
+        check_meta,
+        current_meta,
+        recommit_meta,
+        version_dir,
+    )
+
+    spark = batch.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF-SQ index under {path}")
+    _require_kind(meta, "ivfsq", path)
+    check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
+    if batch.isEmpty():
+        if extra:
+            recommit_meta(spark, path, meta, extra=extra)
+        return
+    arts = _version_artifacts(
+        spark, path, meta, ("centroids", "quantizer")
+    )
+    idx_id = str(meta.get("id_col", "vec_id"))
+    base = version_dir(path, ver)
+    j = int(meta.get("appends", 0)) + 1
+    (
+        sq_encode(
+            ivf_assign(batch, arts["centroids"], vec_col),
+            arts["quantizer"], vec_col, idx_id, keep=("cell",),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+    )
+    recommit_meta(spark, path, meta, extra=extra, appends=j)
+
+
+def ivfsq_probe(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve a top-k from the persisted IVF-SQ index: rank the stored
+    centroids for the query (the shared rank_probe_cells definition —
+    identical tie-breaks to every IVF-family probe), partition-prune
+    to the nprobe winning `cell=` directories, and score the raw query
+    against DEQUANTIZED bucket centers (sq_adc_dist — the same shared
+    expression as the flat SQ probe and the oracles). Returns
+    (id, adist). Serving IO: nprobe/n_cells of ~1-byte-per-dim codes —
+    the strict-recall sibling of ivfpq_probe's 8-byte rows. Contract
+    checks ride the pruning collect (the _collect_single_probe_cells
+    rule: empty/multi-row/NULL queries refuse loudly, no extra
+    jobs)."""
+    from ..operators.similarity import DIM, SQ_BUCKETS, sq_adc_dist
+    from ..versioned import check_meta, current_meta, version_dir
+
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed IVF-SQ index under {path}")
+    _require_kind(meta, "ivfsq", path)
+    check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
+    if expect:
+        check_meta(meta, expect, path)
+    base = version_dir(path, ver)
+    arts = _version_artifacts(
+        spark, path, meta, ("centroids", "quantizer")
+    )
+    probed, qv_list = _collect_single_probe_cells(
+        "ivfsq_probe", query, arts["centroids"], nprobe,
+        "operators/similarity.batch_topk",
+    )
+    qdf = spark.createDataFrame([(qv_list,)], "_qv array<double>")
+    idx = _read_index_cells(spark, path, base, meta).filter(
+        F.col("cell").isin(probed)
+    )
+    idx_id = str(meta.get("id_col", "vec_id"))
+    return (
+        idx.join(F.broadcast(qdf))  # bcast bound: 1 query row
+        .join(F.broadcast(arts["quantizer"]))  # bcast bound: 1 row
+        .select(
+            F.col(idx_id),
+            F.round(sq_adc_dist(), 6).alias("adist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        .orderBy(F.asc_nulls_last("adist"), idx_id)
+        .limit(k)
+    )
+
+
 def write_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -1903,6 +2096,10 @@ _COMPACT_SPECS = {
         "data": [("codes", None, False)],
         "copy": ["quantizer"],
     },
+    "ivfsq": {
+        "data": [("cells", "cell", False)],
+        "copy": ["centroids", "quantizer"],
+    },
     "ivfpq": {
         "data": [("cells", "cell", False)],
         "copy": ["centroids", "codebook"],
@@ -1913,18 +2110,18 @@ _COMPACT_SPECS = {
 def _index_kind(meta: dict) -> str:
     """Layout inference from the committed metadata's geometry keys —
     each layout records a distinct key set, so this is total and
-    unambiguous over the five shipped layouts."""
+    unambiguous over the six shipped layouts."""
     if "bands" in meta:
         return "band"
     if "sq_buckets" in meta:
-        return "sq"
+        return "ivfsq" if "n_cells" in meta else "sq"
     if "pq_m" in meta:
         return "ivfpq" if "n_cells" in meta else "pq"
     if "n_cells" in meta:
         return "ivf"
     raise ValueError(
         f"unrecognized index layout (meta keys {sorted(meta)}) — "
-        "compaction knows the band/IVF/PQ/SQ/IVF-PQ layouts"
+        "compaction knows the band/IVF/PQ/SQ/IVF-SQ/IVF-PQ layouts"
     )
 
 
@@ -1956,7 +2153,7 @@ def compact_index(
     `a{1..j}` legs, so a year of daily appends is 365 parquet legs in
     every probe plan; compaction rewrites them as ONE leg under
     `v{N+1}/` and re-commits with the append counter reset. Works on
-    all five layouts (band / filtered-IVF / PQ / SQ / IVF-PQ), reading
+    all six layouts (band / filtered-IVF / PQ / SQ / IVF-SQ / IVF-PQ), reading
     ONLY the index itself — the corpus is never scanned (at 100 TB
     that is the point: the index data legs are hash/code/assignment
     relations, orders of magnitude smaller than the text/floats they

@@ -2105,3 +2105,86 @@ def test_sq_batch_probe_matches_single_and_plans_group_limit(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="wrong-dimension"):
         sq_index_batch_probe(spark, path, bad)
+
+
+def test_ivfsq_probe_prunes_cells_and_lifecycle(spark, tmp_path):
+    """IVF-SQ8 (r10): the probe scan touches exactly nprobe cell
+    partitions and reads only codes (never a float embedding); appends
+    assign against the STORED centroids and serve the union; compaction
+    folds to a single leg with byte-identical results and COPIED
+    quantizer artifacts; kind gates refuse cross-layout operations."""
+    import os
+
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfsq_index,
+        append_to_sq_index,
+        compact_index,
+        ivfsq_probe,
+        write_ivfsq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfsq")
+    q1 = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        ivfsq_probe(spark, path, q1)
+    write_ivfsq_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=8)
+
+    res = ivfsq_probe(spark, path, q1, k=10, nprobe=2)
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+
+    scans = [
+        s for s in _scan_nodes(res)
+        if "cells" in s.toString() or "cell" in str(s.metadata())
+    ]
+    idx_scans = [s for s in scans if s.metrics().contains("numPartitions")]
+    assert idx_scans, "no partitioned file scan in executed plan"
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == 2, f"probe read {read_parts} cell partitions"
+    for s in idx_scans:
+        schema = s.schema().simpleString()
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+        assert "sq_code" in schema
+
+    append_to_ivfsq_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    before = ivfsq_probe(spark, path, q1, k=10, nprobe=8).collect()
+    assert {r["vec_id"] % 2 for r in before} == {0, 1}, "append not served"
+    quant_before = spark.read.parquet(
+        os.path.join(path, "v1", "quantizer")
+    ).collect()
+    cents_before = spark.read.parquet(
+        os.path.join(path, "v1", "centroids")
+    ).collect()
+
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "appends" not in meta
+    assert meta["n_cells"] == 8 and meta["sq_buckets"] == 256
+    after = ivfsq_probe(spark, path, q1, k=10, nprobe=8)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before))
+    idx_paths = [
+        m for m in (str(s.metadata()) for s in _scan_nodes(after))
+        if path in m
+    ]
+    assert idx_paths and all("/appends/" not in m for m in idx_paths)
+    assert spark.read.parquet(
+        os.path.join(path, "v2", "quantizer")
+    ).collect() == quant_before
+    assert spark.read.parquet(
+        os.path.join(path, "v2", "centroids")
+    ).collect() == cents_before
+    assert compact_index(spark, path) is False
+
+    # kind gates, both directions
+    with _pytest.raises(ValueError, match="layout"):
+        append_to_sq_index(emb, path)
+    with _pytest.raises(ValueError, match="built with"):
+        ivfsq_probe(spark, path, q1, expect={"n_cells": 4})
+    with _pytest.raises(ValueError, match="one query"):
+        ivfsq_probe(spark, path, emb.filter(F.col("vec_id") < 3))

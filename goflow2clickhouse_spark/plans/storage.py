@@ -1049,6 +1049,7 @@ def append_to_pq_index(
     batch: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    extra: dict | None = None,
 ) -> None:
     """Fold a new embedding batch into the PQ index: encode it against
     the STORED codebook (read from the committed version — an append
@@ -1059,8 +1060,11 @@ def append_to_pq_index(
     `_CURRENT` re-commits with `appends: j`, torn deltas are invisible
     and a rebuild (write_pq_index) bumps the version and resets the
     counter — rebuild IS the compaction (and the moment to re-derive
-    the codebook after drift). An empty batch is a no-op. Dedup across
-    batches is the caller's contract."""
+    the codebook after drift). `extra` entries merge into `_CURRENT`
+    alongside the append counter (the band/SQ append rule — the
+    streaming replay gate rides the same atomic commit; r10); an
+    empty batch writes no delta but still commits `extra`. Dedup
+    across batches is the caller's contract."""
     import posixpath
 
     from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, pq_encode
@@ -1086,6 +1090,8 @@ def append_to_pq_index(
     # codebook would commit permanently garbled codes with no error
     check_meta(meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path)
     if batch.isEmpty():
+        if extra:
+            recommit_meta(spark, path, meta, extra=extra)
         return
     base = version_dir(path, ver)
     cb = spark.read.parquet(posixpath.join(base, "codebook"))
@@ -1094,7 +1100,7 @@ def append_to_pq_index(
     pq_encode(batch, cb, vec_col, idx_id).write.mode("overwrite").parquet(
         posixpath.join(base, "appends", f"a{j}", "codes")
     )
-    recommit_meta(spark, path, meta, appends=j)
+    recommit_meta(spark, path, meta, extra=extra, appends=j)
 
 
 def pq_index_probe(

@@ -4,7 +4,11 @@ side of the crawl loop (r8 verdict item 4): where
 the band index, this folds each micro-batch of EMBEDDINGS into the
 persisted IVF-PQ index (`plans/storage.write_ivfpq_index`), so a
 vector-serving index tracks the corpus continuously instead of waiting
-for rebuilds.
+for rebuilds. Since r10 the fold is LAYOUT-GENERIC
+(`index_maintenance_fold` — dispatch on the committed metadata's
+layout kind), so every embedding-side layout (SQ, IVF-SQ, PQ, IVF-PQ)
+shares one streaming story; the layout-specific wrappers remain as
+the explicit-intent API.
 
 Spark-first shape: foreachBatch over a Structured Streaming source —
 each batch is ONE `append_to_ivfpq_index` call (gate with the RECORDED
@@ -166,6 +170,95 @@ def streaming_sq_maintenance(
             batch_df, index_path, epoch_id,
             run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
             compact_over=compact_over,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def index_maintenance_fold(
+    batch_df: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    compact_over: int | None = None,
+    documents: DataFrame | None = None,
+) -> bool:
+    """Layout-generic maintenance fold (r10): read the committed
+    metadata, infer the layout (plans/storage._index_kind — the same
+    total inference compaction uses) and dispatch to that layout's
+    append under the shared (run_id, epoch) replay gate. One fold
+    definition serves every embedding-side layout — SQ, IVF-SQ,
+    PQ, IVF-PQ (which additionally needs the `documents` metadata
+    side for its recorded eligibility gate) — so a new layout's
+    streaming story is its append function plus one dispatch row.
+    The band (document-side) fold keeps its own loop in
+    streaming/dedupe.py: its batches carry text, not vectors."""
+    from ..plans.storage import (
+        _index_kind,
+        append_to_ivfpq_index,
+        append_to_ivfsq_index,
+        append_to_pq_index,
+        append_to_sq_index,
+        compact_index,
+    )
+    from ..versioned import current_meta, epoch_replayed
+
+    spark = batch_df.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(f"no committed index under {index_path}")
+    kind = _index_kind(meta)
+    if epoch_replayed(meta, epoch_id, run_id):
+        return False
+    extra = {"epoch": int(epoch_id), "run_id": run_id}
+    if kind == "ivfpq":
+        if documents is None:
+            raise ValueError(
+                "IVF-PQ maintenance needs the `documents` metadata side "
+                "(the layout records an eligibility gate)"
+            )
+        append_to_ivfpq_index(documents, batch_df, index_path, extra=extra)
+    elif kind == "sq":
+        append_to_sq_index(batch_df, index_path, extra=extra)
+    elif kind == "ivfsq":
+        append_to_ivfsq_index(batch_df, index_path, extra=extra)
+    elif kind == "pq":
+        append_to_pq_index(batch_df, index_path, extra=extra)
+    else:
+        raise ValueError(
+            f"index at {index_path} is a '{kind}' layout — its "
+            "maintenance loop lives in streaming/dedupe.py"
+        )
+    if compact_over is not None:
+        compact_index(spark, index_path, min_appends=compact_over + 1)
+    return True
+
+
+def streaming_index_maintenance(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    compact_over: int | None = None,
+    documents: DataFrame | None = None,
+):
+    """The layout-generic loop as a running stream: each (vec_id,
+    embedding) micro-batch folds via index_maintenance_fold, which
+    infers the layout from the committed metadata — point it at ANY
+    embedding-side index. Same run_id/restart contract as the
+    layout-specific wrappers."""
+    from .hll import _checkpoint_run_id
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        index_maintenance_fold(
+            batch_df, index_path, epoch_id,
+            run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
+            compact_over=compact_over,
+            documents=documents,
         )
 
     return (

@@ -328,3 +328,105 @@ def test_streaming_sq_maintenance_equals_batch_appends(spark, tmp_path):
     finally:
         q2.stop()
     assert current_meta(spark, stream_idx) == meta
+
+
+def test_generic_fold_dispatches_by_layout(spark, tmp_path):
+    """index_maintenance_fold (r10): one fold definition serves every
+    embedding-side layout — the committed metadata decides the append
+    path. Pinned: SQ/IVF-SQ/PQ dispatch under the shared replay gate,
+    IVF-PQ refuses without its documents side, band refuses with a
+    pointer to its own loop."""
+    from goflow2clickhouse_spark.plans.storage import (
+        write_band_index,
+        write_ivfpq_index,
+        write_ivfsq_index,
+        write_pq_index,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        index_maintenance_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs, emb, base, b1, b2 = _parts(spark)
+    for tag, build in (
+        ("sq", lambda p: write_sq_index(base, p)),
+        ("ivfsq", lambda p: write_ivfsq_index(base, p, n_cells=8)),
+        ("pq", lambda p: write_pq_index(base, p)),
+    ):
+        path = str(tmp_path / f"gen_{tag}")
+        build(path)
+        assert index_maintenance_fold(b1, path, 0, run_id="A") is True
+        meta = current_meta(spark, path)
+        assert meta["appends"] == 1 and meta["epoch"] == 0, tag
+        # replay skips; empty batch advances the gate deltalessly
+        assert index_maintenance_fold(b1, path, 0, run_id="A") is False
+        assert index_maintenance_fold(
+            b1.filter(F.col("vec_id") < 0), path, 1, run_id="A"
+        ) is True
+        after = current_meta(spark, path)
+        assert after["epoch"] == 1 and after["appends"] == 1, tag
+
+    ivfpq = str(tmp_path / "gen_ivfpq")
+    write_ivfpq_index(docs, base, ivfpq, n_cells=8)
+    with pytest.raises(ValueError, match="documents"):
+        index_maintenance_fold(b1, ivfpq, 0, run_id="A")
+    assert index_maintenance_fold(
+        b1, ivfpq, 0, run_id="A", documents=docs
+    ) is True
+
+    band = str(tmp_path / "gen_band")
+    write_band_index(docs.limit(0).unionByName(docs), band)
+    with pytest.raises(ValueError, match="dedupe"):
+        index_maintenance_fold(b1, band, 0, run_id="A")
+
+
+def test_streaming_generic_maintenance_over_ivfsq(spark, tmp_path):
+    """The generic stream wrapper pointed at an IVF-SQ index: one
+    drop = one fold, probes equal a twin maintained by plain
+    append_to_ivfsq_index."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivfsq_index,
+        ivfsq_probe,
+        write_ivfsq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        streaming_index_maintenance,
+    )
+
+    _, emb, base, b1, _ = _parts(spark)
+    stream_idx = str(tmp_path / "gsq_stream")
+    twin_idx = str(tmp_path / "gsq_twin")
+    write_ivfsq_index(base, stream_idx, n_cells=8)
+    write_ivfsq_index(base, twin_idx, n_cells=8)
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    chunk = str(indir / "chunk0")
+    b1.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(chunk)
+    for f in glob.glob(chunk + "/part-*.parquet"):
+        shutil.copy(f, str(indir / "batch0.parquet"))
+    shutil.rmtree(chunk)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = streaming_index_maintenance(
+        stream, stream_idx, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    append_to_ivfsq_index(b1, twin_idx)
+    probe = emb.filter(F.col("vec_id") == 0)
+    got = ivfsq_probe(spark, stream_idx, probe, k=10, nprobe=8).collect()
+    want = ivfsq_probe(spark, twin_idx, probe, k=10, nprobe=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -288,6 +288,7 @@ def append_to_ivf_index(
     documents: DataFrame,
     embeddings: DataFrame,
     path: str,
+    extra: dict | None = None,
 ) -> None:
     """Incremental index maintenance — the daily-embedding-batch shape:
     assign a NEW batch of vectors against the STORED centroids and
@@ -313,11 +314,16 @@ def append_to_ivf_index(
     Dedup across batches is the caller's contract (same as any index
     append); ids already present are served twice.
 
-    An EMPTY eligible batch is a no-op: Spark writes only `_SUCCESS`
-    for an empty partitioned parquet write (no schema to infer on
-    read-back), so committing such a delta would poison every
-    subsequent `_read_index_cells` union until a rebuild (r7
-    advice)."""
+    An EMPTY eligible batch writes NO delta: Spark writes only
+    `_SUCCESS` for an empty partitioned parquet write (no schema to
+    infer on read-back), so committing such a delta would poison every
+    subsequent `_read_index_cells` union until a rebuild (r7 advice).
+    `extra` entries merge into `_CURRENT` alongside the append counter
+    (the band/SQ/PQ append rule, adopted r11 when the generic
+    maintenance fold gained an `ivf` dispatch row) — the streaming
+    loop records its (run_id, epoch) replay gate there, atomically
+    with the delta it guards; an empty batch still commits `extra`,
+    so the gate advances deltalessly."""
     import posixpath
 
     from ..operators.similarity import ivf_assign
@@ -341,13 +347,20 @@ def append_to_ivf_index(
     ).persist()
     try:
         if eligible.isEmpty():
+            # an eligible-empty batch writes no delta, but the caller's
+            # `extra` (the streaming fold's (run_id, epoch) replay gate)
+            # must still commit — same rule as every other layout's
+            # append: the gate advances deltalessly (r11: the generic
+            # maintenance fold dispatches `ivf` too)
+            if extra:
+                recommit_meta(spark, path, meta, extra=extra)
             return
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         j = int(meta.get("appends", 0)) + 1
         ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
-        recommit_meta(spark, path, meta, appends=j)
+        recommit_meta(spark, path, meta, extra=extra, appends=j)
     finally:
         eligible.unpersist()
 

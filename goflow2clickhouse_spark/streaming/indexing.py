@@ -6,9 +6,9 @@ persisted IVF-PQ index (`plans/storage.write_ivfpq_index`), so a
 vector-serving index tracks the corpus continuously instead of waiting
 for rebuilds. Since r10 the fold is LAYOUT-GENERIC
 (`index_maintenance_fold` — dispatch on the committed metadata's
-layout kind), so every embedding-side layout (SQ, IVF-SQ, PQ, IVF-PQ)
-shares one streaming story; the layout-specific wrappers remain as
-the explicit-intent API.
+layout kind), so every embedding-side layout (SQ, IVF-SQ, PQ, IVF-PQ,
+and since r11 the filtered IVF) shares one streaming story; the
+layout-specific wrappers remain as the explicit-intent API.
 
 Spark-first shape: foreachBatch over a Structured Streaming source —
 each batch is ONE `append_to_ivfpq_index` call (gate with the RECORDED
@@ -192,14 +192,17 @@ def index_maintenance_fold(
     metadata, infer the layout (plans/storage._index_kind — the same
     total inference compaction uses) and dispatch to that layout's
     append under the shared (run_id, epoch) replay gate. One fold
-    definition serves every embedding-side layout — SQ, IVF-SQ,
-    PQ, IVF-PQ (which additionally needs the `documents` metadata
-    side for its recorded eligibility gate) — so a new layout's
-    streaming story is its append function plus one dispatch row.
-    The band (document-side) fold keeps its own loop in
-    streaming/dedupe.py: its batches carry text, not vectors."""
+    definition serves every embedding-side layout — SQ, IVF-SQ, PQ,
+    IVF-PQ and (since r11, closing the r10 verdict's misrouting
+    finding) the filtered-IVF layout; the two gated layouts (IVF,
+    IVF-PQ) additionally need the `documents` metadata side for their
+    recorded eligibility gate — so a new layout's streaming story is
+    its append function plus one dispatch row. The band
+    (document-side) fold keeps its own loop in streaming/dedupe.py:
+    its batches carry text, not vectors."""
     from ..plans.storage import (
         _index_kind,
+        append_to_ivf_index,
         append_to_ivfpq_index,
         append_to_ivfsq_index,
         append_to_pq_index,
@@ -216,23 +219,37 @@ def index_maintenance_fold(
     if epoch_replayed(meta, epoch_id, run_id):
         return False
     extra = {"epoch": int(epoch_id), "run_id": run_id}
-    if kind == "ivfpq":
+    if kind in ("ivfpq", "ivf"):
+        # both layouts record an eligibility gate at build time and
+        # re-apply it per batch, so both need the documents side
         if documents is None:
             raise ValueError(
-                "IVF-PQ maintenance needs the `documents` metadata side "
-                "(the layout records an eligibility gate)"
+                f"{kind.upper()} maintenance needs the `documents` "
+                "metadata side (the layout records an eligibility gate)"
             )
-        append_to_ivfpq_index(documents, batch_df, index_path, extra=extra)
+        if kind == "ivfpq":
+            append_to_ivfpq_index(
+                documents, batch_df, index_path, extra=extra
+            )
+        else:
+            append_to_ivf_index(documents, batch_df, index_path, extra=extra)
     elif kind == "sq":
         append_to_sq_index(batch_df, index_path, extra=extra)
     elif kind == "ivfsq":
         append_to_ivfsq_index(batch_df, index_path, extra=extra)
     elif kind == "pq":
         append_to_pq_index(batch_df, index_path, extra=extra)
+    elif kind == "band":
+        raise ValueError(
+            f"index at {index_path} is the document-side 'band' layout — "
+            "its maintenance loop is streaming/dedupe.py's "
+            "streaming_incremental_dedup (its batches carry text, "
+            "not vectors)"
+        )
     else:
         raise ValueError(
-            f"index at {index_path} is a '{kind}' layout — its "
-            "maintenance loop lives in streaming/dedupe.py"
+            f"index at {index_path} is an unrecognized '{kind}' layout — "
+            "no maintenance fold is defined for it"
         )
     if compact_over is not None:
         compact_index(spark, index_path, min_appends=compact_over + 1)

@@ -375,6 +375,32 @@ def test_generic_fold_dispatches_by_layout(spark, tmp_path):
         b1, ivfpq, 0, run_id="A", documents=docs
     ) is True
 
+    # filtered-IVF (r11: the r10 verdict's misrouting finding) — gated
+    # layout like ivfpq: refuses without the documents side, folds
+    # with it, and an eligible-empty batch advances the gate
+    # deltalessly through append_to_ivf_index's extra commit
+    from goflow2clickhouse_spark.plans.storage import (
+        write_filtered_ivf_index,
+    )
+
+    ivf = str(tmp_path / "gen_ivf")
+    write_filtered_ivf_index(docs, base, ivf, n_cells=8)
+    with pytest.raises(ValueError, match="documents"):
+        index_maintenance_fold(b1, ivf, 0, run_id="A")
+    assert index_maintenance_fold(
+        b1, ivf, 0, run_id="A", documents=docs
+    ) is True
+    meta = current_meta(spark, ivf)
+    assert meta["appends"] == 1 and meta["epoch"] == 0
+    assert index_maintenance_fold(
+        b1, ivf, 0, run_id="A", documents=docs
+    ) is False
+    assert index_maintenance_fold(
+        b1.filter(F.col("vec_id") < 0), ivf, 1, run_id="A", documents=docs
+    ) is True
+    after = current_meta(spark, ivf)
+    assert after["epoch"] == 1 and after["appends"] == 1
+
     band = str(tmp_path / "gen_band")
     write_band_index(docs.limit(0).unionByName(docs), band)
     with pytest.raises(ValueError, match="dedupe"):
@@ -430,3 +456,57 @@ def test_streaming_generic_maintenance_over_ivfsq(spark, tmp_path):
     got = ivfsq_probe(spark, stream_idx, probe, k=10, nprobe=8).collect()
     want = ivfsq_probe(spark, twin_idx, probe, k=10, nprobe=8).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_generic_maintenance_over_filtered_ivf(spark, tmp_path):
+    """The generic stream wrapper pointed at a filtered-IVF index
+    (r11 — the r10 verdict's misrouting finding): one drop = one fold
+    through append_to_ivf_index, probes equal a twin maintained by
+    plain append calls, and the eligibility gate applies to the
+    streamed batch exactly as it did at build time."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_ivf_index,
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        streaming_index_maintenance,
+    )
+
+    docs, emb, base, b1, _ = _parts(spark)
+    stream_idx = str(tmp_path / "givf_stream")
+    twin_idx = str(tmp_path / "givf_twin")
+    write_filtered_ivf_index(docs, base, stream_idx, n_cells=8)
+    write_filtered_ivf_index(docs, base, twin_idx, n_cells=8)
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    chunk = str(indir / "chunk0")
+    b1.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(chunk)
+    for f in glob.glob(chunk + "/part-*.parquet"):
+        shutil.copy(f, str(indir / "batch0.parquet"))
+    shutil.rmtree(chunk)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = streaming_index_maintenance(
+        stream, stream_idx, str(tmp_path / "ck"), documents=docs
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    append_to_ivf_index(docs, b1, twin_idx)
+    probe = emb.filter(F.col("vec_id") == 0)
+    got = ivf_index_probe(spark, stream_idx, probe, k=10, nprobe=8).collect()
+    want = ivf_index_probe(spark, twin_idx, probe, k=10, nprobe=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 10

@@ -4285,14 +4285,13 @@ _IVFSQ_CELLS = 8
 _IVFSQ_NPROBE = 2
 
 
-def _ivfsq_ctes(n_cells: int = _IVFSQ_CELLS,
-                nprobe: int = _IVFSQ_NPROBE) -> str:
-    """Coarse-quantizer replay over the full `e` relation: lowest-id
-    centroids, cosine argmax assignment (ties to the smaller cid —
-    ivf_assign's rule), and the query's top-nprobe cells. qcells is
-    self-contained (own scalar query subquery) so the same CTE text
-    drops into both the probe oracle and _l2_recall_oracle's
-    skeleton, whose `q` CTE is defined after the caller's CTEs."""
+def _ivfsq_assign_ctes(n_cells: int = _IVFSQ_CELLS) -> str:
+    """The query-independent half of the IVF-SQ replay over the full
+    `e` relation: lowest-id centroids and cosine argmax assignment
+    (ties to the smaller cid — ivf_assign's rule). Factored from
+    _ivfsq_ctes (r11) so the batch probe's per-qid cell ranking can
+    compose with the IDENTICAL assignment text instead of restating
+    it."""
     return f"""
     cents AS (SELECT vec_id AS cid, v AS cvec FROM e
               ORDER BY vec_id LIMIT {n_cells}),
@@ -4305,7 +4304,17 @@ def _ivfsq_ctes(n_cells: int = _IVFSQ_CELLS,
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY score DESC, cid) AS rn
             FROM cscored) t
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+
+def _ivfsq_ctes(n_cells: int = _IVFSQ_CELLS,
+                nprobe: int = _IVFSQ_NPROBE) -> str:
+    """Coarse-quantizer replay over the full `e` relation: the shared
+    assignment CTEs plus the single query's top-nprobe cells. qcells
+    is self-contained (own scalar query subquery) so the same CTE
+    text drops into both the probe oracle and _l2_recall_oracle's
+    skeleton, whose `q` CTE is defined after the caller's CTEs."""
+    return f"""{_ivfsq_assign_ctes(n_cells)},
     qcells AS (
         SELECT c.cid FROM cents c,
              (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
@@ -4401,3 +4410,68 @@ def ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)
     return _recall_result(approx, exact, "ivfsq", k=10)
+
+
+@query(
+    "ivfsq_batch_probe",
+    bench=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_sq_ctes()},
+    {_ivfsq_assign_ctes()},
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_SQ_BATCH_Q}),
+    qcells AS (
+        SELECT qid, cid FROM (
+            SELECT qs.qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY qs.qid
+                       ORDER BY {_COS.format(a='qs.qv', b='c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM qs CROSS JOIN cents c) t
+        WHERE rn <= {_IVFSQ_NPROBE}),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               ROUND({_SQ_ADIST_SQL.format(dim=S.DIM)}, 6) AS adist
+        FROM c
+        JOIN assign ON c.vec_id = assign.vec_id
+        JOIN qcells ON assign.cid = qcells.cid
+        JOIN qs q ON q.qid = qcells.qid
+        CROSS JOIN mm
+    )
+    SELECT qid, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY adist, vec_id) AS rank
+        FROM scored) s
+    WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def ivfsq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the persisted IVF-SQ8 index
+    (plans/storage.ivfsq_batch_probe, r11 — closing the r10 verdict's
+    last minor gap): per-query cell ranking is relational
+    (rank_probe_cells_batch — Q x nprobe WindowGroupLimit rows, no
+    per-query loop), ONE partition-pruned scan of the union of probed
+    cells serves the whole batch, each code row dequantizes once
+    below the Q x nprobe broadcast join, and the per-query top-k is
+    WindowGroupLimit-bounded at Q x k rows per partition. The oracle
+    replays the quantizer, the coarse assignment, each qid's cell
+    ranking and ADC sums, and every row's rank."""
+    from .storage import ivfsq_batch_probe
+
+    path = _ivfsq_index(spark, sf_dir)
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SQ_BATCH_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    probe = ivfsq_batch_probe(
+        spark, path, qs, k=5, nprobe=_IVFSQ_NPROBE,
+        expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
+                "dim": S.DIM},
+    )
+    # the probe's persisted query relation is finalizer-tied to the
+    # probe handle — pin it to the composed plan (the D.pin rule),
+    # else the cache releases before the orderBy ever executes
+    return D.pin(probe.orderBy("qid", "rank"), probe)

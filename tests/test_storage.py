@@ -2188,3 +2188,91 @@ def test_ivfsq_probe_prunes_cells_and_lifecycle(spark, tmp_path):
         ivfsq_probe(spark, path, q1, expect={"n_cells": 4})
     with _pytest.raises(ValueError, match="one query"):
         ivfsq_probe(spark, path, emb.filter(F.col("vec_id") < 3))
+
+
+def test_ivfsq_batch_probe_matches_single_and_prunes(spark, tmp_path):
+    """The batch IVF-SQ8 probe (r11) must serve each query exactly as
+    the single probe would (same cells, dequantized scoring,
+    tie-breaks), scan only the UNION of probed cell partitions reading
+    codes (never floats), and bound the per-query top-k as
+    WindowGroupLimit. Plus the shared batch guards (empty, dup qid,
+    NULL/wrong-dim qvec, geometry mismatch)."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        rank_probe_cells,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        ivfsq_batch_probe,
+        ivfsq_probe,
+        write_ivfsq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfsq_batch")
+    write_ivfsq_index(emb, path, n_cells=8)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    res = ivfsq_batch_probe(spark, path, qs, k=5, nprobe=2)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+
+    cents = spark.read.parquet(f"{path}/v1/centroids")
+    probed_union = set()
+    for qid in (0, 1, 2):
+        q1 = emb.filter(F.col("vec_id") == qid)
+        got = sorted(
+            (r["rank"], r["vec_id"], r["adist"])
+            for r in rows if r["qid"] == qid
+        )
+        want = [
+            (i + 1, r["vec_id"], r["adist"])
+            for i, r in enumerate(
+                ivfsq_probe(spark, path, q1, k=5, nprobe=2).collect()
+            )
+        ]
+        assert got == want, f"qid {qid} diverges from the single probe"
+        probed_union.update(
+            int(r["probe_cell"])
+            for r in rank_probe_cells(
+                q1.select("embedding"), cents, 2
+            ).collect()
+        )
+
+    # ONE pruned scan of the union of probed cells, codes only
+    idx_scans = [
+        s for s in _scan_nodes(res)
+        if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == len(probed_union), (read_parts, probed_union)
+    for s in idx_scans:
+        schema = s.schema().simpleString()
+        assert "embedding" not in schema, f"probe read floats: {schema}"
+        assert "sq_code" in schema
+    assert "WindowGroupLimit" in (
+        res._jdf.queryExecution().executedPlan().toString()
+    )
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        ivfsq_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    with _pytest.raises(ValueError, match="unique qid"):
+        ivfsq_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
+    bad_q = spark.createDataFrame(
+        [(99, None), (98, [1.0])], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL or wrong-dimension"):
+        ivfsq_batch_probe(spark, path, qs.unionByName(bad_q))
+    with _pytest.raises(ValueError, match="built with"):
+        ivfsq_batch_probe(spark, path, qs, expect={"n_cells": 4})

@@ -423,6 +423,75 @@ def ivf_assign(
     )
 
 
+def ivf_centroids_trained(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-trained COARSE centroids (r11 — the r10 verdict's #2:
+    `ivf_centroids`' lowest-id seeds cap every IVF-family layout's
+    recall, and the repo's own recall pair isolates the remaining
+    error as coarse-quantizer miss). Same recipe as the r10
+    `pq_codebook_trained`, over whole vectors with the COARSE
+    assignment rule: a fixed number of Lloyd iterations seeded from
+    the untrained `ivf_centroids` row, each iteration (1) assigning
+    every vector to its argmax-cosine centroid — `ivf_assign` ITSELF,
+    so training optimizes exactly the partition the index will use
+    (ties to the smaller cid); (2) recomputing each cell's centroid
+    as the member mean per dimension ROUNDED to 6 decimals (the
+    cross-engine-exactness quantization: float sums accumulate in
+    engine-specific order, so unrounded means could differ in the
+    last ulp and flip a later argmax — rounding both engines' means
+    to 6dp yields identical doubles); (3) an empty cell keeping its
+    previous centroid (standard Lloyd empty-cluster handling). The
+    plain per-dim mean IS the spherical-k-means update here: cosine
+    scoring normalizes the centroid by its own norm, so only the mean
+    DIRECTION matters. Returns the SAME 1-row `_cents` shape (cids =
+    the seed vec_ids, labels stable across training), so assignment,
+    probes and oracles consume it unchanged.
+
+    Scale: per iteration one map-only corpus scan (argmax against the
+    k-centroid broadcast) + one aggregation keyed (cell, dim) —
+    k x DIM cells, map-side combined, so the shuffle carries ≤ k x DIM
+    rows per partition. The corpus is never collected; training cost
+    is paid at build time only."""
+    if iterations < 1:
+        raise ValueError(
+            f"ivf_centroids_trained: iterations={iterations} must be >= 1 "
+            "(use ivf_centroids for the untrained seeds)"
+        )
+    cents_row = ivf_centroids(embeddings, k, vec_col, id_col)
+    for _ in range(iterations):
+        members = ivf_assign(embeddings, cents_row, vec_col).select(
+            "cell", F.posexplode(as_double(vec_col)).alias("pos", "x")
+        )
+        newv = (
+            members.groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("nv")
+            )
+        )
+        prev = cents_row.select(F.explode("_cents").alias("c")).select(
+            F.col("c.cid").alias("cid"), F.col("c.cvec").alias("pv")
+        )
+        merged = prev.join(
+            newv, prev["cid"] == newv["cell"], "left"
+        ).select("cid", F.coalesce("nv", "pv").alias("cvec"))
+        cents_row = merged.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias(
+                "_cents"
+            )
+        )
+    return cents_row
+
+
 def ivf_residual(
     assigned: DataFrame,
     centroids_row: DataFrame,

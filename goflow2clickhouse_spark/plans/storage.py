@@ -212,6 +212,7 @@ def write_filtered_ivf_index(
     min_chars: int = 200,
     lang: str = "en",
     keep_versions: int = 2,
+    coarse_train_iterations: int = 0,
 ) -> None:
     """Persist the FILTERED IVF index `filtered_ann_ivf` promises
     (extension_queries.py): eligibility (eligible_embeddings — the
@@ -244,14 +245,23 @@ def write_filtered_ivf_index(
     import posixpath
 
     from ..operators.dedup import _ckpt_rdd_ids, _release_rdds
-    from ..operators.similarity import ivf_centroids
+    from ..operators.similarity import ivf_centroids, ivf_centroids_trained
     from ..versioned import commit_version, version_dir
 
     spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
     ver = _ivf_current_version(spark, path) + 1
     base = version_dir(path, ver)
-    cents = ivf_centroids(eligible, n_cells).localCheckpoint(eager=True)
+    # coarse_train_iterations > 0 (r11, the r10 verdict's #2): Lloyd-
+    # refine the seed centroids over the ELIGIBLE corpus before
+    # assignment — one eligible scan per iteration, paid at build
+    # time only; recorded below so probes can pin the regime
+    cents_rel = (
+        ivf_centroids_trained(eligible, n_cells, coarse_train_iterations)
+        if coarse_train_iterations > 0
+        else ivf_centroids(eligible, n_cells)
+    )
+    cents = cents_rel.localCheckpoint(eager=True)
     try:
         if not cents.first()["_cents"]:
             # committing an empty build would write a cells/ dir
@@ -279,7 +289,8 @@ def write_filtered_ivf_index(
     # silently serve a different geometry than the caller assumes)
     commit_version(
         spark, path, ver,
-        extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang},
+        extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
+               "coarse_train_iters": int(coarse_train_iterations)},
         keep_versions=keep_versions,
     )
 
@@ -380,35 +391,78 @@ def _delta_dirs(base: str, meta: dict) -> list[str]:
     ]
 
 
+def _read_tombstones(
+    spark: SparkSession, base: str, meta: dict, id_col: str
+) -> DataFrame | None:
+    """The committed version's tombstoned-id relation (union of
+    `tombstones/t{1..meta['tombstones']}/ids` — dirs beyond the
+    counter are torn/uncommitted and ignored, the _delta_dirs rule);
+    None when the index has no deletions, so undeleted indexes keep
+    their exact pre-deletion plans. The schema is a literal (ids are
+    always written as one BIGINT column named after the layout's id
+    column), so the read never pays an inference footer pass."""
+    import posixpath
+
+    nt = int(meta.get("tombstones", 0))
+    if nt == 0:
+        return None
+    legs = [
+        posixpath.join(base, "tombstones", f"t{j}", "ids")
+        for j in range(1, nt + 1)
+    ]
+    return spark.read.schema(f"{id_col} bigint").parquet(*legs).distinct()
+
+
+def _drop_tombstoned(
+    spark: SparkSession, rel: DataFrame, base: str, meta: dict
+) -> DataFrame:
+    """Anti-join a data-leg relation against the committed tombstones
+    (delete_from_index) — THE single statement of the deletion-
+    visibility rule, applied by every reader. A broadcast: takedown
+    lists are small by nature, and a tombstone set large enough to
+    matter is the operational signal to compact (which physically
+    drops the rows and resets the counter). No-op (plan unchanged)
+    when the index has no deletions."""
+    idc = str(meta.get("id_col", "vec_id"))
+    tombs = _read_tombstones(spark, base, meta, idc)
+    if tombs is None:
+        return rel
+    return rel.join(F.broadcast(tombs), idc, "left_anti")
+
+
 def _read_index_codes(
     spark: SparkSession, path: str, base: str, meta: dict
 ) -> DataFrame:
     """The committed version's full PQ-code relation (base + committed
-    deltas) with the per-commit cached schema — _read_index_cells'
-    codes-leg twin, shared by the single and batch PQ probes (r10
-    review: two verbatim copies of the leg construction)."""
+    deltas, minus committed tombstones) with the per-commit cached
+    schema — _read_index_cells' codes-leg twin, shared by the single
+    and batch PQ probes (r10 review: two verbatim copies of the leg
+    construction)."""
     import posixpath
 
     legs = [posixpath.join(d, "codes") for d in _delta_dirs(base, meta)]
-    return _union_parquet(
+    rel = _union_parquet(
         spark, legs, schema=_leg_schema(spark, path, meta, "codes", legs[0])
     )
+    return _drop_tombstoned(spark, rel, base, meta)
 
 
 def _read_index_cells(
     spark: SparkSession, path: str, base: str, meta: dict
 ) -> DataFrame:
     """The committed version's full cell relation (base + committed
-    deltas). Each leg is a cell-partitioned parquet scan, so a `cell`
-    filter partition-prunes every leg of the union. The schema comes
-    from the per-commit cache (_leg_schema) so repeat probes skip the
-    eager inference footer read."""
+    deltas, minus committed tombstones). Each leg is a
+    cell-partitioned parquet scan, so a `cell` filter partition-prunes
+    every leg of the union. The schema comes from the per-commit cache
+    (_leg_schema) so repeat probes skip the eager inference footer
+    read."""
     import posixpath
 
     legs = [posixpath.join(d, "cells") for d in _delta_dirs(base, meta)]
-    return _union_parquet(
+    rel = _union_parquet(
         spark, legs, schema=_leg_schema(spark, path, meta, "cells", legs[0])
     )
+    return _drop_tombstoned(spark, rel, base, meta)
 
 
 def ivf_index_probe(
@@ -553,8 +607,15 @@ def write_band_index(
     band_key_rows(array_minhash_sigs(sh, id_col), id_col).write.mode(
         "overwrite"
     ).partitionBy("band_no").parquet(posixpath.join(base, "bands"))
-    corpus.select(F.sha2(F.col(text_col), 256).alias("_sha")).distinct(
-    ).write.mode("overwrite").parquet(posixpath.join(base, "shas"))
+    # shas carry the doc id (r11): the exact-dup gate only reads the
+    # distinct _sha column, but deletion (delete_from_index) must be
+    # able to address a doc's hash — an unlinked distinct-sha set
+    # could never drop a tombstoned doc's content hash at compaction
+    corpus.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha")
+    ).distinct().write.mode("overwrite").parquet(
+        posixpath.join(base, "shas")
+    )
     commit_version(
         spark, path, ver,
         extra={"n": n, "num_perm": NUM_PERM, "bands": BANDS,
@@ -642,8 +703,11 @@ def append_to_band_index(
         band_key_rows(array_minhash_sigs(sh, idx_id), idx_id).write.mode(
             "overwrite"
         ).partitionBy("band_no").parquet(posixpath.join(delta, "bands"))
-        norm_batch.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct(
-        ).write.mode("overwrite").parquet(posixpath.join(delta, "shas"))
+        norm_batch.select(
+            F.col(idx_id), F.sha2(F.col("text"), 256).alias("_sha")
+        ).distinct().write.mode("overwrite").parquet(
+            posixpath.join(delta, "shas")
+        )
         recommit_meta(spark, path, meta, extra=extra, appends=j)
     finally:
         norm_batch.unpersist()
@@ -886,12 +950,25 @@ def incremental_neardup_pairs_indexed(
         # INSIDE the protected region (r9 review — the ivf_index_probe
         # r8 rule): a leg read raising between persist and tie_cache
         # would orphan the cache with no owner to unpersist it
+        # committed tombstones (delete_from_index) drop out of both
+        # old sides — a deleted doc can never resurface as a
+        # candidate or a verified pair partner
+        tombs = _read_tombstones(spark, dirs[0], meta, idx_id)
         bk_old = _union_parquet(
             spark, [posixpath.join(d, "bands") for d in dirs]
-        ).select(F.col(idx_id).alias("id_a"), "band_no", "band_key")
+        )
         old_sets = _union_parquet(
             spark, [posixpath.join(d, "shingles") for d in dirs]
-        ).select(F.col(idx_id).alias("id_a"), "shs")
+        )
+        if tombs is not None:
+            bk_old = bk_old.join(F.broadcast(tombs), idx_id, "left_anti")
+            old_sets = old_sets.join(
+                F.broadcast(tombs), idx_id, "left_anti"
+            )
+        bk_old = bk_old.select(
+            F.col(idx_id).alias("id_a"), "band_no", "band_key"
+        )
+        old_sets = old_sets.select(F.col(idx_id).alias("id_a"), "shs")
         result, cands = _incremental_pairs(
             sh_new, bk_old, old_sets, id_col, threshold
         )
@@ -1582,6 +1659,7 @@ def write_ivfsq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_versions: int = 2,
+    coarse_train_iterations: int = 0,
 ) -> None:
     """Persist an IVF-SQ8 index — the sixth layout (r10), Faiss's
     IVFScalarQuantizer shape and the last cell of the quantization
@@ -1618,6 +1696,7 @@ def write_ivfsq_index(
         SQ_BUCKETS,
         ivf_assign,
         ivf_centroids,
+        ivf_centroids_trained,
         sq_encode,
         sq_quantizer,
     )
@@ -1630,9 +1709,19 @@ def write_ivfsq_index(
         )
     ver = current_version(spark, path) + 1
     base = version_dir(path, ver)
-    ivf_centroids(embeddings, n_cells, vec_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(posixpath.join(base, "centroids"))
+    # coarse_train_iterations > 0 (r11): Lloyd-refined coarse
+    # quantizer — one corpus scan per iteration at build time;
+    # recorded below so probes can pin the regime
+    cents_rel = (
+        ivf_centroids_trained(
+            embeddings, n_cells, coarse_train_iterations, vec_col, id_col
+        )
+        if coarse_train_iterations > 0
+        else ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    )
+    cents_rel.write.mode("overwrite").parquet(
+        posixpath.join(base, "centroids")
+    )
     cents = spark.read.parquet(posixpath.join(base, "centroids"))
     sq_quantizer(embeddings, vec_col).write.mode("overwrite").parquet(
         posixpath.join(base, "quantizer")
@@ -1650,7 +1739,8 @@ def write_ivfsq_index(
     commit_version(
         spark, path, ver,
         extra={"n_cells": n_cells, "sq_buckets": SQ_BUCKETS, "dim": DIM,
-               "id_col": id_col},
+               "id_col": id_col,
+               "coarse_train_iters": int(coarse_train_iterations)},
         keep_versions=keep_versions,
     )
 
@@ -1892,6 +1982,7 @@ def write_ivfpq_index(
     keep_versions: int = 2,
     residual: bool = False,
     train_iterations: int = 0,
+    coarse_train_iterations: int = 0,
 ) -> None:
     """IVF-PQ — the composed coarse-quantizer + product-quantization
     layout (Jégou et al. 2011 §V: the inverted file prunes WHICH
@@ -1942,6 +2033,7 @@ def write_ivfpq_index(
         PQ_SUB,
         ivf_assign,
         ivf_centroids,
+        ivf_centroids_trained,
         ivf_residual,
         pq_codebook,
         pq_codebook_trained,
@@ -1964,7 +2056,19 @@ def write_ivfpq_index(
             )
         ver = current_version(spark, path) + 1
         base = version_dir(path, ver)
-        ivf_centroids(low, n_cells).write.mode("overwrite").parquet(
+        # coarse_train_iterations > 0 (r11): Lloyd-refine the coarse
+        # quantizer over the FULL eligible relation (the seeds derive
+        # from the lowest-id prefix either way, so the untrained
+        # layout is byte-identical to before); one eligible scan per
+        # iteration, build-time only, recorded so probes pin it
+        cents_rel = (
+            ivf_centroids_trained(
+                eligible, n_cells, coarse_train_iterations
+            )
+            if coarse_train_iterations > 0
+            else ivf_centroids(low, n_cells)
+        )
+        cents_rel.write.mode("overwrite").parquet(
             posixpath.join(base, "centroids")
         )
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
@@ -2011,7 +2115,8 @@ def write_ivfpq_index(
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
                "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
                "residual": residual,
-               "pq_train_iters": int(train_iterations)},
+               "pq_train_iters": int(train_iterations),
+               "coarse_train_iters": int(coarse_train_iterations)},
         keep_versions=keep_versions,
     )
 
@@ -2274,6 +2379,69 @@ def _require_kind(meta: dict, kind: str, path: str) -> None:
         )
 
 
+def delete_from_index(ids: DataFrame, path: str) -> None:
+    """Tombstone deletion from any of the six persisted layouts (r11
+    — the r10 verdict's missing lifecycle verb: build / append /
+    compact / probe existed, but takedown/opt-out removal of an id —
+    a routine operation for a 100 TB corpus index — required a full
+    rebuild). `ids` is a one-column relation of ids to remove (any
+    column name; vector layouts delete by their recorded `id_col`,
+    the band layout by its doc id). The delta commits ATOMICALLY via
+    the appends machinery verbatim: distinct non-NULL ids land at
+    `v{N}/tombstones/t{j}/ids` and `_CURRENT` re-commits with
+    `tombstones: j` — a torn write (ids written, commit lost) is
+    invisible and the retried delete overwrites it. Every reader
+    anti-joins the committed tombstone union (_drop_tombstoned — a
+    broadcast; takedown lists are small, and a tombstone set that has
+    grown large is the signal to compact). `compact_index` physically
+    drops tombstoned rows into the new base and resets the counter.
+
+    Contract notes: a tombstoned id is suppressed from EVERY
+    committed leg, including appends folded AFTER the deletion —
+    re-adding a deleted id requires a compaction (or rebuild) first,
+    the same caller-owns-id-lifecycle contract as the appends' dedup
+    rule. An EMPTY `ids` relation refuses loudly: a takedown that
+    deletes nothing is a caller bug, not a no-op. Ids absent from the
+    index are tolerated (idempotent takedown replays)."""
+    import posixpath
+
+    from ..versioned import current_meta, recommit_meta, version_dir
+
+    spark = ids.sparkSession
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(f"no committed index under {path}")
+    _index_kind(meta)  # refuse unrecognized layouts before writing
+    idc = str(meta.get("id_col", "vec_id"))
+    if len(ids.columns) != 1:
+        raise ValueError(
+            f"delete_from_index expects a single-column id relation, "
+            f"got columns {ids.columns}"
+        )
+    rel = (
+        ids.select(F.col(ids.columns[0]).cast("long").alias(idc))
+        .where(F.col(idc).isNotNull())
+        .distinct()
+        .persist()
+    )
+    try:
+        if rel.isEmpty():
+            raise ValueError(
+                f"delete_from_index over {path}: the id relation is "
+                "empty (or all-NULL) — a takedown that deletes nothing "
+                "is a caller bug, not a no-op"
+            )
+        j = int(meta.get("tombstones", 0)) + 1
+        base = version_dir(path, ver)
+        rel.write.mode("overwrite").parquet(
+            posixpath.join(base, "tombstones", f"t{j}", "ids")
+        )
+        recommit_meta(spark, path, meta, extra={"tombstones": j})
+    finally:
+        rel.unpersist()
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -2292,7 +2460,12 @@ def compact_index(
     relations, orders of magnitude smaller than the text/floats they
     summarize). The band layout's sha set is re-deduped across legs
     (a doc repeated verbatim across batches is stored once after
-    compaction — exactly what a fresh build would hold).
+    compaction — exactly what a fresh build would hold). Since r11
+    this is also deletion's physical half: committed tombstones
+    (delete_from_index) are dropped from every folded data leg and
+    the tombstone counter resets — after the fold the deleted rows
+    exist nowhere on disk, and the per-probe anti-join disappears
+    from the plan.
 
     What compaction is NOT: a quantizer refresh. Centroids and PQ
     codebooks are COPIED from the current version, never re-derived —
@@ -2320,7 +2493,10 @@ def compact_index(
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed index under {path}")
-    if int(meta.get("appends", 0)) < min_appends:
+    # tombstones alone also justify a compaction (r11): the physical
+    # purge of deleted rows is this fold, even with zero append legs
+    if (int(meta.get("appends", 0)) < min_appends
+            and int(meta.get("tombstones", 0)) == 0):
         return False
     if keep_versions is None:
         # honor the retention the BUILD chose (recorded in _CURRENT
@@ -2330,8 +2506,24 @@ def compact_index(
     base = version_dir(path, ver)
     nbase = version_dir(path, ver + 1)
     dirs = _delta_dirs(base, meta)
+    idc = str(meta.get("id_col", "vec_id"))
+    tombs = _read_tombstones(spark, base, meta, idc)
     for leg, part_col, dedup in spec["data"]:
         rel = _union_parquet(spark, [posixpath.join(d, leg) for d in dirs])
+        if tombs is not None:
+            # the physical half of deletion: tombstoned rows do not
+            # reach the new base, and the counter resets below
+            rel = rel.join(F.broadcast(tombs), idc, "left_anti")
+            if rel.isEmpty():
+                # an all-tombstoned leg would commit a _SUCCESS-only
+                # dir, poisoning every read until a rebuild (the empty
+                # build/append rule) — the index has no rows left to
+                # serve, so a fold cannot represent it
+                raise ValueError(
+                    f"compaction over {path}: tombstones cover every "
+                    f"row of the '{leg}' leg — rebuild the index "
+                    "instead of compacting it away"
+                )
         if dedup:
             rel = rel.distinct()
         w = rel.write.mode("overwrite")
@@ -2342,7 +2534,8 @@ def compact_index(
         spark.read.parquet(posixpath.join(base, leg)).write.mode(
             "overwrite"
         ).parquet(posixpath.join(nbase, leg))
-    extra = {k: v for k, v in meta.items() if k not in ("version", "appends")}
+    extra = {k: v for k, v in meta.items()
+             if k not in ("version", "appends", "tombstones")}
     commit_version(spark, path, ver + 1, extra=extra,
                    keep_versions=keep_versions)
     return True
@@ -2473,12 +2666,17 @@ def band_index_sha_set(spark: SparkSession, index_path: str) -> DataFrame:
     the exact-dup gate's old side, served from the index so an
     increment's exact gate never re-hashes (or even reads) old corpus
     text. 64-byte keys; the gate is a LEFT SEMI join on them. Includes
-    every committed append delta; the cross-delta distinct is cheap
-    (the relation is hash-sized) and only needed because a doc may
-    repeat verbatim across batches."""
+    every committed append delta, EXCLUDES tombstoned docs (r11: the
+    stored rows carry the doc id precisely so deletion can address a
+    doc's content hash); the cross-delta distinct is cheap (the
+    relation is hash-sized) and only needed because a doc may repeat
+    verbatim across batches."""
     import posixpath
 
-    _, dirs = _band_index_parts(spark, index_path)
-    return _union_parquet(
-        spark, [posixpath.join(d, "shas") for d in dirs]
-    ).distinct()
+    meta, dirs = _band_index_parts(spark, index_path)
+    rel = _union_parquet(spark, [posixpath.join(d, "shas") for d in dirs])
+    idc = str(meta.get("id_col", "doc_id"))
+    tombs = _read_tombstones(spark, dirs[0], meta, idc)
+    if tombs is not None:
+        rel = rel.join(F.broadcast(tombs), idc, "left_anti")
+    return rel.select("_sha").distinct()

@@ -1466,9 +1466,13 @@ def test_compact_band_index_dedups_shas_and_keeps_gate(spark, tmp_path):
         map(tuple, incremental_neardup_pairs_indexed(probe, path).collect())
     )
     assert after_pairs == before_pairs and after_pairs
-    # sha relation is stored DISTINCT: raw rows == distinct set size
+    # sha relation is stored DISTINCT at (doc_id, _sha) pair level
+    # (r11: rows carry the doc id so deletion can address them — a
+    # verbatim re-ingest under a NEW id is a distinct pair by design);
+    # the exact-gate SET still dedups to the same distinct-sha count
     stored = spark.read.parquet(os.path.join(path, "v2", "shas"))
-    assert stored.count() == sha_count
+    assert stored.count() == stored.distinct().count()
+    assert stored.count() > band_index_sha_set(spark, path).count()
     assert band_index_sha_set(spark, path).count() == sha_count
 
 
@@ -2276,3 +2280,155 @@ def test_ivfsq_batch_probe_matches_single_and_prunes(spark, tmp_path):
         ivfsq_batch_probe(spark, path, qs.unionByName(bad_q))
     with _pytest.raises(ValueError, match="built with"):
         ivfsq_batch_probe(spark, path, qs, expect={"n_cells": 4})
+
+
+def test_delete_from_index_vector_layouts(spark, tmp_path):
+    """delete_from_index (r11): tombstoned ids vanish from every
+    vector layout's probes without a rebuild, compaction physically
+    drops them (probe parity across the fold, ids absent from the
+    folded base, counter reset), and the guards refuse empty/multi-
+    column id relations and uncommitted paths."""
+    from goflow2clickhouse_spark.plans.storage import (
+        compact_index,
+        delete_from_index,
+        ivf_index_probe,
+        ivfpq_probe,
+        ivfsq_probe,
+        pq_index_probe,
+        sq_index_probe,
+        write_filtered_ivf_index,
+        write_ivfpq_index,
+        write_ivfsq_index,
+        write_pq_index,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        delete_from_index(emb.select("vec_id"), str(tmp_path / "nothing"))
+
+    layouts = {
+        "pq": (lambda p: write_pq_index(emb, p),
+               lambda p: pq_index_probe(spark, p, q, k=10)),
+        "sq": (lambda p: write_sq_index(emb, p),
+               lambda p: sq_index_probe(spark, p, q, k=10)),
+        "ivf": (lambda p: write_filtered_ivf_index(docs, emb, p, n_cells=8),
+                lambda p: ivf_index_probe(spark, p, q, k=10, nprobe=8)),
+        "ivfsq": (lambda p: write_ivfsq_index(emb, p, n_cells=8),
+                  lambda p: ivfsq_probe(spark, p, q, k=10, nprobe=8)),
+        "ivfpq": (lambda p: write_ivfpq_index(docs, emb, p, n_cells=8),
+                  lambda p: ivfpq_probe(spark, p, q, k=10, nprobe=8)),
+    }
+    for tag, (build, probe) in layouts.items():
+        path = str(tmp_path / f"del_{tag}")
+        build(path)
+        # victims: the two top-ranked served ids — guaranteed in the
+        # index (the filtered layouts hold only eligible vectors, so a
+        # fixed id might not be indexed at all)
+        victims = [int(r["vec_id"]) for r in probe(path).collect()[:2]]
+        dead = emb.filter(F.col("vec_id").isin(victims)).select("vec_id")
+
+        with pytest.raises(ValueError, match="single-column"):
+            delete_from_index(emb.select("vec_id", "label"), path)
+        with pytest.raises(ValueError, match="deletes nothing"):
+            delete_from_index(
+                emb.filter(F.col("vec_id") < 0).select("vec_id"), path
+            )
+
+        delete_from_index(dead, path)
+        assert current_meta(spark, path)["tombstones"] == 1
+        served = probe(path).collect()
+        ids = {r["vec_id"] for r in served}
+        assert len(served) == 10 and not ids & set(victims), tag
+
+        # second takedown replays idempotently as a second delta
+        delete_from_index(dead, path)
+        assert current_meta(spark, path)["tombstones"] == 2
+        assert {r["vec_id"] for r in probe(path).collect()} == ids, tag
+
+        # compaction = the physical purge, probe-parity across it
+        assert compact_index(spark, path) is True
+        meta = current_meta(spark, path)
+        assert meta["version"] == 2 and "tombstones" not in meta, tag
+        assert [tuple(r) for r in probe(path).collect()] == [
+            tuple(r) for r in served
+        ], tag
+        leg = "codes" if tag in ("pq", "sq") else "cells"
+        folded = spark.read.parquet(f"{path}/v2/{leg}")
+        assert folded.filter(F.col("vec_id").isin(victims)).count() == 0, tag
+
+
+def test_delete_from_index_band_layout(spark, tmp_path):
+    """Band-layout deletion: a tombstoned doc stops appearing as a
+    near-dup pair partner, its content hash leaves the exact-dup
+    gate's sha set (the r11 (doc_id, _sha) linkage exists for exactly
+    this), and compaction drops it from all three folded legs."""
+    from goflow2clickhouse_spark.plans.storage import (
+        band_index_sha_set,
+        compact_index,
+        delete_from_index,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "band_del")
+    write_band_index(old, path)
+
+    # probe: near-dup variants of some indexed docs
+    probe = old.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    before = incremental_neardup_pairs_indexed(probe, path).collect()
+    assert before
+    victim = int(before[0]["id_a"])  # an old-side pair partner
+    vsha = old.filter(F.col("doc_id") == victim).select(
+        F.sha2("text", 256).alias("_sha")
+    ).first()["_sha"]
+    assert vsha in {r["_sha"] for r in
+                    band_index_sha_set(spark, path).collect()}
+
+    delete_from_index(
+        old.filter(F.col("doc_id") == victim).select("doc_id"), path
+    )
+    after = incremental_neardup_pairs_indexed(probe, path).collect()
+    assert victim not in {int(r["id_a"]) for r in after}
+    assert len(after) < len(before)
+    assert vsha not in {r["_sha"] for r in
+                        band_index_sha_set(spark, path).collect()}
+
+    # physical purge at compaction: the doc is gone from every leg
+    assert compact_index(spark, path) is True
+    meta = current_meta(spark, path)
+    assert meta["version"] == 2 and "tombstones" not in meta
+    for leg in ("shingles", "bands", "shas"):
+        folded = spark.read.parquet(f"{path}/v2/{leg}")
+        assert folded.filter(F.col("doc_id") == victim).count() == 0, leg
+    assert sorted(map(tuple, after)) == sorted(
+        map(tuple, incremental_neardup_pairs_indexed(probe, path).collect())
+    )
+
+
+def test_compaction_refuses_all_tombstoned_index(spark, tmp_path):
+    """Tombstoning EVERY row then compacting would commit a
+    _SUCCESS-only data leg (the empty-build poison) — the fold must
+    refuse loudly and point at a rebuild."""
+    from goflow2clickhouse_spark.plans.storage import (
+        compact_index,
+        delete_from_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "allgone")
+    write_pq_index(emb, path)
+    delete_from_index(emb.select("vec_id"), path)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        compact_index(spark, path)

@@ -14,12 +14,16 @@ block-constant images bit-for-bit while the SAME code paths (Huffman,
 zigzag, bit-stuffing, IDCT) also run general images (pinned in tests
 against an independent IDCT reference and a PSNR bound).
 
-Scope, stated honestly: baseline sequential DCT, 8-bit, grayscale
-AND 4:4:4 YCbCr color (BT.601 transforms under the same half-up
-rounding rule, interleaved one-block-per-component MCUs with
-per-component DC predictors). Chroma subsampling / progressive /
-arithmetic coding raise NotImplementedError — they add sampling
-bookkeeping and a second entropy coder, not new transform machinery.
+Scope, stated honestly: baseline sequential DCT, 8-bit, grayscale,
+4:4:4 YCbCr color (BT.601 transforms under the same half-up rounding
+rule, interleaved one-block-per-component MCUs with per-component DC
+predictors), and — since r11 — 4:2:0 chroma-subsampled color (the
+single most common wild-JPEG shape: Y at 2x2, chroma 2x2-mean
+downsampled half-up, 16x16 MCUs of four Y blocks + Cb + Cr per T.81
+A.2.3, box-replication upsample on decode). Other sampling mixes
+(4:2:2, 4:1:1), progressive, and arithmetic coding raise
+NotImplementedError — the last two add a second entropy coder, not
+new transform machinery.
 """
 
 from __future__ import annotations
@@ -194,26 +198,52 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, prev_dc: int,
     return zz[0]
 
 
+def _subsample_420(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample under the module's half-up rule: the plane
+    is edge-padded to even dims, each output sample is
+    floor(mean_of_4 + 0.5). A constant region stays exactly constant
+    (mean of equal ints is that int), which is what keeps the 4:2:0
+    path inside the exact-DC oracle contract."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return np.floor(s / 4.0 + 0.5)
+
+
 def encode_jpeg(
     width: int, height: int, pixels: bytes,
     restart_interval: int = 0, mode: str = "L",
+    subsampling: str = "444",
 ) -> bytes:
     """Encode row-major top-down 8-bit samples as a baseline JFIF
     stream: DQT (K.1), SOF0, our fixed-length DHTs, optional DRI, SOS,
     entropy-coded scan (RSTn emitted every `restart_interval` MCUs
     when set — byte-aligned, DC predictors reset, markers cycling
     D0-D7 per T.81 E.1.4). `mode` 'L' = grayscale (one block per
-    MCU); 'RGB' (r10) = 4:4:4 YCbCr color — BT.601 forward transform
+    MCU); 'RGB' (r10) = YCbCr color — BT.601 forward transform
     (floor(x+0.5), so constant-color blocks stay exactly replayable),
-    three interleaved blocks per MCU with per-component DC predictors,
-    one shared quant/Huffman table set (legal per T.81; chroma-
-    specific tables are a quality knob, not a format requirement).
-    Planes are edge-replicated to 8x8 multiples; every rounding site
-    is half-up (see module docstring)."""
+    interleaved MCUs with per-component DC predictors, one shared
+    quant/Huffman table set (legal per T.81; chroma-specific tables
+    are a quality knob, not a format requirement).
+
+    `subsampling` (r11): '444' = one block per component per MCU
+    (sampling factors 1x1 everywhere, the r10 shape); '420' = the
+    single most common wild-JPEG shape — Y at 2x2, Cb/Cr at 1x1, so
+    an MCU covers 16x16 pixels as FOUR Y blocks (left-to-right,
+    top-to-bottom per T.81 A.2.3) plus one Cb and one Cr block over
+    the 2x2-mean-downsampled chroma planes (_subsample_420 — half-up,
+    so constant tiles stay exact). Planes are edge-replicated to
+    their MCU-coverage multiples; every rounding site is half-up (see
+    module docstring)."""
     n_comp = {"L": 1, "RGB": 3}[mode]
     if len(pixels) != width * height * n_comp:
         raise ValueError(f"pixels must be width*height*{n_comp} bytes")
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} (only '444' and '420')"
+        )
+    if subsampling == "420" and n_comp == 1:
+        subsampling = "444"  # grayscale has no chroma to subsample
     if n_comp == 1:
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
         planes = [img.astype(np.float64)]
@@ -223,18 +253,33 @@ def encode_jpeg(
         ).astype(np.float64)
         ycc = _rgb_to_ycbcr(rgb)
         planes = [ycc[..., c] for c in range(3)]
-    planes = [
-        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-        for p in planes
-    ]
+
+    if subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _subsample_420(planes[1]),
+                  _subsample_420(planes[2])]
+    else:
+        factors = [(1, 1)] * n_comp
+    hmax = max(hf for hf, _ in factors)
+    vmax = max(vf for _, vf in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # pad each plane to its full MCU coverage (edge replication)
+    padded = []
+    for (hf, vf), p in zip(factors, planes):
+        tw, th = mcus_x * 8 * hf, mcus_y * 8 * vf
+        padded.append(np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ))
+    planes = padded
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = [0] * n_comp
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()  # RSTn is byte-aligned
                 bw.out += bytes(
@@ -242,11 +287,15 @@ def encode_jpeg(
                 )
                 prev_dc = [0] * n_comp
             mcu += 1
-            for ci, plane in enumerate(planes):
-                prev_dc[ci] = _encode_block(
-                    bw, plane[by:by + 8, bx:bx + 8] - 128.0,
-                    prev_dc[ci], dc_codes, ac_codes,
-                )
+            for ci, ((hf, vf), plane) in enumerate(zip(factors, planes)):
+                for byi in range(vf):
+                    for bxi in range(hf):
+                        y0 = (my * vf + byi) * 8
+                        x0 = (mx * hf + bxi) * 8
+                        prev_dc[ci] = _encode_block(
+                            bw, plane[y0:y0 + 8, x0:x0 + 8] - 128.0,
+                            prev_dc[ci], dc_codes, ac_codes,
+                        )
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -255,7 +304,8 @@ def encode_jpeg(
     )
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     sof = struct.pack(">BHHB", 8, height, width, n_comp) + b"".join(
-        bytes([ci + 1, 0x11, 0]) for ci in range(n_comp)
+        bytes([ci + 1, (hf << 4) | vf, 0])
+        for ci, (hf, vf) in enumerate(factors)
     )
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     if restart_interval:
@@ -402,11 +452,22 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = {}
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling (only 4:4:4 supported)"
-                    )
-                comps[cid] = tq
+                comps[cid] = (sampling >> 4, sampling & 0x0F, tq)
+            samplings = sorted(
+                (hf, vf) for hf, vf, _ in comps.values()
+            )
+            # r11: 4:2:0 joins 4:4:4 — the two shapes that cover the
+            # overwhelming majority of wild baseline JPEGs; other
+            # factor mixes (4:2:2, 4:1:1, ...) still refuse loudly
+            if not (
+                samplings == [(1, 1)] * nf
+                or (nf == 3 and samplings == [(1, 1), (1, 1), (2, 2)]
+                    and comps[body[6]][:2] == (2, 2))
+            ):
+                raise NotImplementedError(
+                    "unsupported sampling factors "
+                    f"{samplings} (4:4:4 and 4:2:0 supported)"
+                )
             sof = (w, h, nf, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -446,14 +507,16 @@ def decode_jpeg(payload: bytes) -> dict:
                 td, ta = body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0x0F
                 if cid not in sof_comps:
                     raise ValueError(f"SOS component {cid} not in SOF")
-                tq = sof_comps[cid]
+                hf, vf, tq = sof_comps[cid]
                 if (
                     tq not in quant
                     or (0, td) not in huff
                     or (1, ta) not in huff
                 ):
                     raise ValueError("JPEG scan references missing tables")
-                comps.append((quant[tq], huff[(0, td)], huff[(1, ta)]))
+                comps.append(
+                    (hf, vf, quant[tq], huff[(0, td)], huff[(1, ta)])
+                )
             scan = payload[pos + 2 + seglen:]
             return _decode_scan(scan, w, h, comps, restart_interval)
         pos += 2 + seglen
@@ -501,13 +564,25 @@ def _decode_scan(
     scan: bytes, width: int, height: int, comps: list, restart_interval: int
 ) -> dict:
     """Interleaved MCU decode: `comps` is the per-component
-    (quant table, DC table, AC table) list — one block per component
-    per MCU at 4:4:4 (grayscale is the 1-component case). Three-
-    component output runs through the BT.601 inverse transform."""
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    n_mcus = (ph // 8) * (pw // 8)
+    (h factor, v factor, quant table, DC table, AC table) list — each
+    MCU carries hf x vf blocks per component, left-to-right then
+    top-to-bottom (T.81 A.2.3). At 4:4:4 every factor is 1x1 (one
+    block per component per MCU; grayscale is the 1-component case);
+    at 4:2:0 (r11) the MCU covers 16x16 pixels as four Y blocks plus
+    one block per chroma plane, and the decoded chroma planes
+    upsample by sample replication (each chroma sample covers its
+    hmax/hf x vmax/vf pixel footprint — the exactly-replayable
+    box upsample) before the BT.601 inverse transform."""
     n_comp = len(comps)
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    planes = [
+        np.zeros((mcus_y * 8 * vf, mcus_x * 8 * hf), dtype=np.float64)
+        for hf, vf, *_ in comps
+    ]
     br = _BitReader(scan)
     prev_dc = [0] * n_comp
     for mi in range(n_mcus):
@@ -522,12 +597,16 @@ def _decode_scan(
                 raise ValueError("missing restart marker")
             br.pos += 2
             prev_dc = [0] * n_comp
-        by, bx = divmod(mi, pw // 8)
-        for ci, (qt, dc_t, ac_t) in enumerate(comps):
-            spatial, prev_dc[ci] = _decode_block(
-                br, qt, dc_t, ac_t, prev_dc[ci]
-            )
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+        my, mx = divmod(mi, mcus_x)
+        for ci, (hf, vf, qt, dc_t, ac_t) in enumerate(comps):
+            for byi in range(vf):
+                for bxi in range(hf):
+                    spatial, prev_dc[ci] = _decode_block(
+                        br, qt, dc_t, ac_t, prev_dc[ci]
+                    )
+                    y0 = (my * vf + byi) * 8
+                    x0 = (mx * hf + bxi) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
     if n_comp == 1:
         out = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
         return {
@@ -537,14 +616,19 @@ def _decode_scan(
             "pixels": out[:height, :width].tobytes(),
         }
     # color: round each YCbCr plane (the encoder quantized rounded
-    # planes), inverse-transform, round again — both sites half-up
-    ycc = np.stack(
-        [np.clip(np.floor(p + 0.5), 0, 255) for p in planes], axis=-1
-    )
-    rgb = _ycbcr_to_rgb(ycc).astype(np.uint8)
+    # planes), upsample subsampled chroma by replication, inverse-
+    # transform, round again — every rounding site half-up
+    full = []
+    for (hf, vf, *_), p in zip(comps, planes):
+        r = np.clip(np.floor(p + 0.5), 0, 255)
+        if hf != hmax or vf != vmax:
+            r = np.repeat(np.repeat(r, vmax // vf, axis=0),
+                          hmax // hf, axis=1)
+        full.append(r[:height, :width])
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1)).astype(np.uint8)
     return {
         "width": width,
         "height": height,
         "mode": "RGB",
-        "pixels": rgb[:height, :width].tobytes(),
+        "pixels": rgb.tobytes(),
     }

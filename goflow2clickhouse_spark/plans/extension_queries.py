@@ -4318,6 +4318,78 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)
 
 
+@query(
+    "multimodal_decode_jpeg420",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 3 + 1) * 16 AS width,
+           (doc_id % 2 + 1) * 16 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1)
+                                        * 4 AS INT)),
+                j -> 192 * LEAST(GREATEST(
+                     2 * FLOOR((ascii(substring(text,
+                             CAST((j - 1) % length(text) AS INT) + 1, 1))
+                         - 128) / 2.0 + 0.5) + 128, 0), 255)))
+           AS BIGINT) AS pix_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled decode (r11 — the r10 verdict's #4: the
+    single most common wild-JPEG shape; operators/jpeg.py now encodes
+    and decodes 16x16 MCUs of four Y blocks + one Cb + one Cr over
+    2x2-mean-downsampled chroma). Per document, build a GRAY-valued
+    RGB image of doc_id-derived 16x16-MCU geometry where each MCU's
+    four 8x8 quadrants are constant at consecutive text bytes: gray
+    input makes Y = t and Cb = Cr = 128 EXACTLY (the BT.601
+    coefficients sum to 1 and the chroma terms cancel; the 2x2 mean
+    of a constant is that constant), so the lossy 4:2:0 chain still
+    has a bit-exact oracle — each quadrant decodes to
+    clip(2*floor((t-128)/2 + 0.5) + 128) on all three channels, and
+    the replay sums 192 copies per quadrant. restart_interval=2
+    proves RSTn at 16x16-MCU counting with the quadrants exercising
+    four distinct DC diffs per MCU. Chroma placement and Y-block
+    ordering (invisible to a sum) are pinned by tests/test_jpeg.py
+    against an independent from-scratch 4:2:0 reference decoder."""
+    from ..operators import jpeg as J
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pix_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                wb, hb = i % 3 + 1, i % 2 + 1
+                w, h = wb * 16, hb * 16
+                raw = text.encode("utf-8")
+                img = bytearray(w * h * 3)
+                for m in range(wb * hb):
+                    my, mx = divmod(m, wb)
+                    for q in range(4):
+                        t = raw[(m * 4 + q) % len(raw)]
+                        qy, qx = divmod(q, 2)
+                        for y in range(8):
+                            row = ((my * 16 + qy * 8 + y) * w
+                                   + mx * 16 + qx * 8) * 3
+                            img[row:row + 24] = bytes([t] * 24)
+                dec = J.decode_jpeg(J.encode_jpeg(
+                    w, h, bytes(img), mode="RGB", subsampling="420",
+                    restart_interval=2,
+                ))
+                out["doc_id"].append(i)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_sum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # IVF-SQ8 persisted index — the sixth layout (r10)
 # ---------------------------------------------------------------------------

@@ -30,7 +30,11 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     figure at the same geometry, verdict item 2), pq_deleted_probe
 #     (tombstone deletion through the driver gate, verdict item 3), and
 #     multimodal_decode_jpeg420 (4:2:0 chroma-subsampled JPEG, verdict
-#     item 4). New queries MUST take window slots (the r6 lesson);
+#     item 4), and ivf_batch_probe (completes the batch-serving matrix
+#     across all five persisted vector layouts — it displaces
+#     flows_protocol_pivot, the alphabetically-last untouched (d) fill,
+#     which rejoins FIRST at r12). New queries MUST take window slots
+#     (the r6 lesson);
 # (c) six names whose CONSUMED CODE changed this round:
 #     incremental_dedup_indexed + events_stream_dedup (the band sha leg
 #     now stores (doc_id, _sha) pairs so deletion can address a doc's
@@ -41,11 +45,11 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 5), ivfsq_probe + ivfsq_recall (write_ivfsq_index gained
 #     coarse_train_iterations + records coarse_train_iters; their oracle
 #     CTEs were refactored through _ivfsq_assign_ctes);
-# (d) the 14 alphabetically-first r8-green names (oldest rows after the
-#     r7 spill): bigram_pmi_top .. flows_protocol_pivot.
-# 26 + 4 + 6 + 14 = 50 exactly.  The remaining 35 r8-green names spill to
-# r12, FIRST there (alphabetical from flows_protocol_unpivot through
-# text_token_counts, i.e. flows_protocol_unpivot, flows_top_talkers_salted,
+# (d) the 13 alphabetically-first r8-green names (oldest rows after the
+#     r7 spill): bigram_pmi_top .. flows_private_traffic_matrix.
+# 26 + 5 + 6 + 13 = 50 exactly.  The remaining 36 r8-green names spill to
+# r12, FIRST there (alphabetical from flows_protocol_pivot through
+# text_token_counts, i.e. flows_protocol_pivot, flows_protocol_unpivot, flows_top_talkers_salted,
 # grouping_sets_revenue, ivfpq_append_probe, ivfpq_probe,
 # kmeans_refined_cells, leakage_free_split, matview_flows_rollup,
 # multimodal_features, pii_scan_stats, pq_append_probe, pq_index_probe,
@@ -105,6 +109,7 @@ promote([
     "ivfsq_trained_recall",
     "pq_deleted_probe",
     "multimodal_decode_jpeg420",
+    "ivf_batch_probe",
     # (c) consumed-code-changed this round
     "incremental_dedup_indexed",
     "events_stream_dedup",
@@ -112,7 +117,7 @@ promote([
     "ivf_append_probe",
     "ivfsq_probe",
     "ivfsq_recall",
-    # (d) the 14 alphabetically-first r8-green fills
+    # (d) the 13 alphabetically-first r8-green fills
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
@@ -126,7 +131,6 @@ promote([
     "filtered_ann_ivf",
     "filtered_ann_recall",
     "flows_private_traffic_matrix",
-    "flows_protocol_pivot",
 ])
 
 __all__ = [

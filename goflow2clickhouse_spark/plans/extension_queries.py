@@ -2785,6 +2785,85 @@ def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_BATCH_Q = 3
+
+
+@query(
+    "ivf_batch_probe",
+    bench=True,
+    oracle=f"""
+    WITH {_FILTERED_E_SQL},
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM e
+              ORDER BY vec_id LIMIT 8),
+    cscored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               {_COS.format(a='e.v', b='c.cvec')} AS score
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM cscored) t
+        WHERE rn = 1),
+    qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_IVF_BATCH_Q}),
+    qcells AS (
+        SELECT qid, cid FROM (
+            SELECT qs.qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY qs.qid
+                       ORDER BY {_COS.format(a='qs.qv', b='c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM qs CROSS JOIN cents c) t
+        WHERE rn <= 2),
+    res AS (
+        SELECT q.qid, a.vec_id,
+               ROUND({_COS.format(a='a.v', b='q.qv')}, 6) AS cos_sim
+        FROM assign a
+        JOIN qcells qc ON a.cid = qc.cid
+        JOIN qs q ON q.qid = qc.qid)
+    SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM res) s
+    WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def ivf_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the persisted filtered-IVF layout
+    (plans/storage.ivf_batch_probe, r11 — completes the batch-serving
+    matrix: every persisted vector layout now has single AND batch
+    probes): relational per-query cell ranking, ONE partition-pruned
+    scan of the union of probed cells reading eligible floats once
+    for all Q queries, cosine scoring against the Q x nprobe query
+    broadcast, per-query top-k as WindowGroupLimit. The oracle
+    replays eligibility, assignment, each qid's cell ranking and
+    cosine top-k with every row's rank."""
+    from .storage import ivf_batch_probe, write_filtered_ivf_index
+
+    path = _persisted_index(
+        "fivf", sf_dir,
+        lambda p: write_filtered_ivf_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8,
+        ),
+    )
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _IVF_BATCH_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    probe = ivf_batch_probe(
+        spark, path, qs, k=5, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "coarse_train_iters": 0},
+    )
+    # pin the probe's persisted query relation to the composed plan
+    # (the D.pin rule)
+    return D.pin(probe.orderBy("qid", "rank"), probe)
+
+
 # ---------------------------------------------------------------------------
 # product quantization ADC (r7)
 # ---------------------------------------------------------------------------

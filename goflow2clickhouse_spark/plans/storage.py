@@ -530,6 +530,101 @@ def ivf_index_probe(
     )
 
 
+def ivf_batch_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+    expect: dict | None = None,
+) -> DataFrame:
+    """Serve a Q-query top-k batch from the persisted filtered-IVF
+    layout (r11 — completes the batch-serving matrix: every persisted
+    vector layout {IVF, SQ, PQ, IVF-SQ, IVF-PQ} now has both a single
+    and a batch probe). Same composition as its siblings: relational
+    per-query cell ranking (`rank_probe_cells_batch` — Q x nprobe
+    WindowGroupLimit rows, no per-query collect loop), ONE
+    partition-pruned scan of the union of probed `cell=` directories
+    for the whole batch, cosine scoring of the raw stored floats
+    against the Q x nprobe broadcast query side, per-query top-k
+    bounded at Q x k rows by WindowGroupLimit. Returns
+    (qid, vec_id, cos_sim, rank) with the single probe's exact
+    ordering rule (cos_sim desc, vec_id asc). The only driver-side
+    materialization is the distinct probed-cell id list. Empty batch
+    / duplicate qid / NULL or wrong-dim qvec refuse loudly
+    (_require_unique_qids)."""
+    from ..operators.dedup import tie_cache
+    from ..operators.similarity import (
+        DIM,
+        as_double,
+        cosine,
+        rank_probe_cells_batch,
+    )
+    from ..versioned import check_meta, current_meta, version_dir
+    from pyspark.sql import Window
+
+    queries = queries.select(
+        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
+    ).persist()
+    try:
+        _require_unique_qids(
+            queries, qid_col, "ivf_batch_probe",
+            qvec_col=qvec_col, dim=DIM,
+        )
+        meta = current_meta(spark, path)
+        ver = int(meta.get("version", 0))
+        if ver == 0:
+            raise FileNotFoundError(f"no committed IVF index under {path}")
+        _require_kind(meta, "ivf", path)
+        if expect:
+            check_meta(meta, expect, path)
+        base = version_dir(path, ver)
+        cents = _version_artifacts(spark, path, meta, ("centroids",))[
+            "centroids"
+        ]
+        qcells = rank_probe_cells_batch(
+            queries, cents, nprobe, qvec_col, qid_col
+        ).select(qid_col, "probe_cell")
+        # bounded driver materialization: the distinct probed cells
+        # (<= n_cells integers) drive partition pruning for the ONE
+        # shared scan
+        probed = sorted({
+            int(r["probe_cell"]) for r in qcells.collect()
+        })
+        idx = _read_index_cells(spark, path, base, meta).filter(
+            F.col("cell").isin(probed)
+        )
+        qside = qcells.join(queries, qid_col).withColumnRenamed(
+            "probe_cell", "cell"
+        )
+        scored = idx.join(  # bcast bound: Q x nprobe rows
+            F.broadcast(qside), "cell"
+        ).select(
+            F.col(qid_col),
+            "vec_id",
+            F.round(
+                cosine(as_double("embedding"), as_double(qvec_col)), 6
+            ).alias("cos_sim"),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.desc_nulls_last("cos_sim"), "vec_id"
+        )
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                qid_col, "vec_id", "cos_sim",
+                F.col("_rn").cast("int").alias("rank"),
+            )
+        )
+        return tie_cache(out, queries)
+    except BaseException:
+        queries.unpersist()
+        raise
+
+
 def write_band_index(
     corpus: DataFrame,
     path: str,

@@ -2432,3 +2432,81 @@ def test_compaction_refuses_all_tombstoned_index(spark, tmp_path):
     delete_from_index(emb.select("vec_id"), path)
     with pytest.raises(ValueError, match="rebuild the index"):
         compact_index(spark, path)
+
+
+def test_ivf_batch_probe_matches_single_and_prunes(spark, tmp_path):
+    """The batch filtered-IVF probe (r11) must serve each query
+    exactly as the single probe would (same cells, cosine scores,
+    tie-breaks), scan only the UNION of probed cell partitions, and
+    bound the per-query top-k as WindowGroupLimit; plus the shared
+    batch guards."""
+    import pytest as _pytest
+
+    from goflow2clickhouse_spark.operators.similarity import (
+        rank_probe_cells,
+    )
+    from goflow2clickhouse_spark.plans.storage import (
+        ivf_batch_probe,
+        ivf_index_probe,
+        write_filtered_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_batch")
+    write_filtered_ivf_index(docs, emb, path, n_cells=8)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    res = ivf_batch_probe(spark, path, qs, k=5, nprobe=2)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+
+    cents = spark.read.parquet(f"{path}/v1/centroids")
+    probed_union = set()
+    for qid in (0, 1, 2):
+        q1 = emb.filter(F.col("vec_id") == qid)
+        got = sorted(
+            (r["rank"], r["vec_id"], r["cos_sim"])
+            for r in rows if r["qid"] == qid
+        )
+        want = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                ivf_index_probe(spark, path, q1, k=5, nprobe=2).collect()
+            )
+        ]
+        assert got == want, f"qid {qid} diverges from the single probe"
+        probed_union.update(
+            int(r["probe_cell"])
+            for r in rank_probe_cells(
+                q1.select("embedding"), cents, 2
+            ).collect()
+        )
+
+    idx_scans = [
+        s for s in _scan_nodes(res)
+        if s.metrics().contains("numPartitions")
+    ]
+    assert idx_scans
+    read_parts = max(
+        s.metrics().apply("numPartitions").value() for s in idx_scans
+    )
+    assert read_parts == len(probed_union), (read_parts, probed_union)
+    assert "WindowGroupLimit" in (
+        res._jdf.queryExecution().executedPlan().toString()
+    )
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        ivf_batch_probe(spark, path, qs.filter(F.col("qid") < 0))
+    with _pytest.raises(ValueError, match="unique qid"):
+        ivf_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
+    with _pytest.raises(ValueError, match="built with"):
+        ivf_batch_probe(spark, path, qs, expect={"n_cells": 4})

@@ -30,11 +30,13 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     figure at the same geometry, verdict item 2), pq_deleted_probe
 #     (tombstone deletion through the driver gate, verdict item 3), and
 #     multimodal_decode_jpeg420 (4:2:0 chroma-subsampled JPEG, verdict
-#     item 4), and ivf_batch_probe (completes the batch-serving matrix
-#     across all five persisted vector layouts — it displaces
-#     flows_protocol_pivot, the alphabetically-last untouched (d) fill,
-#     which rejoins FIRST at r12). New queries MUST take window slots
-#     (the r6 lesson);
+#     item 4), ivf_batch_probe (completes the batch-serving matrix
+#     across all five persisted vector layouts), and
+#     ivfpq_fully_trained_recall (IVFADC with BOTH quantizers trained —
+#     the deepest replayed pipeline in the registry). The two extras
+#     displace flows_protocol_pivot and flows_private_traffic_matrix,
+#     the alphabetically-last untouched (d) fills, which rejoin FIRST
+#     at r12. New queries MUST take window slots (the r6 lesson);
 # (c) six names whose CONSUMED CODE changed this round:
 #     incremental_dedup_indexed + events_stream_dedup (the band sha leg
 #     now stores (doc_id, _sha) pairs so deletion can address a doc's
@@ -45,11 +47,12 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 5), ivfsq_probe + ivfsq_recall (write_ivfsq_index gained
 #     coarse_train_iterations + records coarse_train_iters; their oracle
 #     CTEs were refactored through _ivfsq_assign_ctes);
-# (d) the 13 alphabetically-first r8-green names (oldest rows after the
-#     r7 spill): bigram_pmi_top .. flows_private_traffic_matrix.
-# 26 + 5 + 6 + 13 = 50 exactly.  The remaining 36 r8-green names spill to
-# r12, FIRST there (alphabetical from flows_protocol_pivot through
-# text_token_counts, i.e. flows_protocol_pivot, flows_protocol_unpivot, flows_top_talkers_salted,
+# (d) the 12 alphabetically-first r8-green names (oldest rows after the
+#     r7 spill): bigram_pmi_top .. filtered_ann_recall.
+# 26 + 6 + 6 + 12 = 50 exactly.  The remaining 37 r8-green names spill to
+# r12, FIRST there (alphabetical from flows_private_traffic_matrix
+# through text_token_counts, i.e. flows_private_traffic_matrix,
+# flows_protocol_pivot, flows_protocol_unpivot, flows_top_talkers_salted,
 # grouping_sets_revenue, ivfpq_append_probe, ivfpq_probe,
 # kmeans_refined_cells, leakage_free_split, matview_flows_rollup,
 # multimodal_features, pii_scan_stats, pq_append_probe, pq_index_probe,
@@ -110,6 +113,7 @@ promote([
     "pq_deleted_probe",
     "multimodal_decode_jpeg420",
     "ivf_batch_probe",
+    "ivfpq_fully_trained_recall",
     # (c) consumed-code-changed this round
     "incremental_dedup_indexed",
     "events_stream_dedup",
@@ -117,7 +121,7 @@ promote([
     "ivf_append_probe",
     "ivfsq_probe",
     "ivfsq_recall",
-    # (d) the 13 alphabetically-first r8-green fills
+    # (d) the 12 alphabetically-first r8-green fills
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
@@ -130,7 +134,6 @@ promote([
     "events_windowed_cms",
     "filtered_ann_ivf",
     "filtered_ann_recall",
-    "flows_private_traffic_matrix",
 ])
 
 __all__ = [

@@ -3239,6 +3239,7 @@ def _ivfpq_oracle(
     batch_k: int | None = None,
     residual: bool = False,
     trained_iters: int = 0,
+    coarse_iters: int = 0,
 ) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
@@ -3273,8 +3274,20 @@ def _ivfpq_oracle(
             "seed_where — the append replay would retrain on the "
             "appended corpus instead of the stored codebook's"
         )
+    if coarse_iters and (seed_where or batch_k is not None):
+        raise ValueError(
+            "_ivfpq_oracle: coarse_iters does not compose with "
+            "seed_where/batch_k yet — their replays would silently "
+            "use the untrained coarse geometry"
+        )
     if residual:
         dim = S.DIM
+        cents_cte = (
+            _trained_cents_ctes(coarse_iters, 8, src="e0")
+            if coarse_iters > 0
+            else """cents AS (SELECT vec_id AS cid, v AS cvec FROM e0
+              ORDER BY vec_id LIMIT 8)"""
+        )
         pre = f"""ok AS (
         SELECT doc_id FROM documents
         WHERE n_chars >= 200 AND lang = 'en'
@@ -3284,8 +3297,7 @@ def _ivfpq_oracle(
         FROM embeddings
         WHERE vec_id IN (SELECT doc_id FROM ok)
     ),
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e0
-              ORDER BY vec_id LIMIT 8),
+    {cents_cte},
     cscored AS (
         SELECT e0.vec_id, c.cid,
                {_COS.format(a='e0.v', b='c.cvec')} AS score
@@ -3360,9 +3372,14 @@ def _ivfpq_oracle(
             "AND qcells.qid = lutl.qid AND qcells.cid = assign.cid"
         )
         from_extra = ", assign, qcells"
+    ncents_cte = (
+        _trained_cents_ctes(coarse_iters, 8)
+        if coarse_iters > 0
+        else f"""cents AS (SELECT vec_id AS cid, v AS cvec FROM e {seed_where}
+              ORDER BY vec_id LIMIT 8)"""
+    )
     post = f""",
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e {seed_where}
-              ORDER BY vec_id LIMIT 8),
+    {ncents_cte},
     cscored AS (
         SELECT e.vec_id, c.cid,
                {_COS.format(a='e.v', b='c.cvec')} AS score
@@ -4413,6 +4430,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - 128) / 2.0 + 0.5) + 128, 0), 255)))
            AS BIGINT) AS pix_sum
     FROM documents
+    WHERE doc_id % 4 = 0
     """,
 )
 def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4431,10 +4449,18 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves RSTn at 16x16-MCU counting with the quadrants exercising
     four distinct DC diffs per MCU. Chroma placement and Y-block
     ordering (invisible to a sum) are pinned by tests/test_jpeg.py
-    against an independent from-scratch 4:2:0 reference decoder."""
+    against an independent from-scratch 4:2:0 reference decoder.
+    Runs on a deterministic quarter of the corpus: 4:2:0 images carry
+    12x the samples of the grayscale twin's (3 channels, 4x the
+    blocks per geometry step), and pure-Python encode+decode cost is
+    per-sample — the full-corpus run benched 8.2 s at sf0.1 where the
+    quarter sample keeps the same per-document geometry coverage at
+    ~2 s (every codec path still executes every driver run)."""
     from ..operators import jpeg as J
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 4 == 0
+    )
 
     def batches(it):
         import pandas as pd
@@ -4477,29 +4503,30 @@ _IVFSQ_CELLS = 8
 _IVFSQ_NPROBE = 2
 
 
-def _trained_cents_ctes(iters: int, n_cells: int) -> str:
+def _trained_cents_ctes(iters: int, n_cells: int, src: str = "e") -> str:
     """CTE chain replaying operators/similarity.ivf_centroids_trained
-    over the `e` relation — the COARSE twin of _trained_cb_ctes (r11):
-    seeded from the lowest-id centroids, each iteration assigning
-    every vector by argmax cosine (ties to the smaller cid —
-    ivf_assign's rule, the same expression the untrained assignment
-    uses), recomputing each cell as ROUND(AVG, 6) per dimension (the
-    cross-engine-exactness quantization — see the operator docstring),
-    empty cells keeping their previous centroid. Ends in a
-    `cents AS (cid, cvec)` CTE, so every downstream assignment /
-    cell-ranking expression is reused verbatim over the trained
-    centroids."""
+    over the `src` relation (a (vec_id, v) CTE; `e` by default, `e0`
+    inside the residual IVF-PQ replay where `e` is the residual encode
+    relation) — the COARSE twin of _trained_cb_ctes (r11): seeded from
+    the lowest-id centroids, each iteration assigning every vector by
+    argmax cosine (ties to the smaller cid — ivf_assign's rule, the
+    same expression the untrained assignment uses), recomputing each
+    cell as ROUND(AVG, 6) per dimension (the cross-engine-exactness
+    quantization — see the operator docstring), empty cells keeping
+    their previous centroid. Ends in a `cents AS (cid, cvec)` CTE, so
+    every downstream assignment / cell-ranking expression is reused
+    verbatim over the trained centroids."""
     chain = [
-        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM e
+        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM {src}
                ORDER BY vec_id LIMIT {n_cells})"""
     ]
     for t in range(1, iters + 1):
         p = t - 1
         chain += [
             f"""kd{t} AS (
-        SELECT e.vec_id, e.v, c.cid,
-               {_COS.format(a='e.v', b='c.cvec')} AS score
-        FROM e CROSS JOIN kc{p} c)""",
+        SELECT {src}.vec_id, {src}.v, c.cid,
+               {_COS.format(a=f'{src}.v', b='c.cvec')} AS score
+        FROM {src} CROSS JOIN kc{p} c)""",
             f"""ka{t} AS (
         SELECT vec_id, v, cid FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -4825,3 +4852,63 @@ def ivfsq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both probes' persisted query relations are finalizer-tied to
     # their handles — pin them to the composed plan (the D.pin rule)
     return D.pin(D.pin(out, seed_probe), trained_probe)
+
+
+@query(
+    "ivfpq_fully_trained_recall",
+    oracle=_l2_recall_oracle(
+        "ivfpq_fully_trained",
+        _FILTERED_E_SQL,
+        _ivfpq_oracle(residual=True, trained_iters=_TRAINED_ITERS,
+                      coarse_iters=_CTR_ITERS),
+    ),
+)
+def ivfpq_fully_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the FULLY trained residual IVF-PQ index — IVFADC
+    with BOTH quantizers k-means-trained, which is how Jégou et al.
+    2011 (and Faiss) actually ship it: the coarse centroids Lloyd-
+    refine over the eligible corpus (r11 ivf_centroids_trained) and
+    the PQ codebook Lloyd-trains over the residuals AGAINST THOSE
+    TRAINED CENTROIDS (the residual distribution the codes quantize
+    shifts when the coarse quantizer moves — the two trainings
+    compose, not just coexist). Sits next to ivfpq_recall (nothing
+    trained), ivfpq_residual_recall (residual, untrained),
+    ivfpq_trained_recall (residual + trained codebook) so the four
+    figures decompose the quality ladder at one geometry (measured at
+    sf0.01: 0.2 / 0.3 / 0.1 / 0.3 — single-query recall@10 moves in
+    1/k steps and the i.i.d.-random fixture is quantization's worst
+    case, so these rungs are NOISE-dominated here; the training
+    orderings that hold where structure exists are pinned on
+    planted-cluster fixtures in tests/test_trained_recall.py, and the
+    de-noised batch gauge for coarse training is
+    ivfsq_trained_recall). What this entry pins every driver run is
+    the END-TO-END correctness of the fully-trained composition
+    against an oracle that replays both trainings. The oracle
+    replays eligibility, COARSE TRAINING (_trained_cents_ctes over
+    the eligible e0), assignment against the trained centroids,
+    residuals, CODEBOOK TRAINING over those residuals
+    (_trained_cb_ctes), per-cell query LUTs and both top-k sides —
+    the deepest replayed pipeline in the registry."""
+    from .storage import ivfpq_probe, write_ivfpq_index
+
+    path = _persisted_index(
+        "ivfpq_ftr", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8, residual=True,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
+        ),
+    )
+    e = _filtered_eligible(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    approx = ivfpq_probe(
+        spark, path, q, k=10, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "residual": True, "pq_train_iters": _TRAINED_ITERS,
+                "coarse_train_iters": _CTR_ITERS},
+    )
+    exact = S.topk_l2_bruteforce(e, q, k=10)
+    return _recall_result(approx, exact, "ivfpq_fully_trained", k=10)

@@ -2474,7 +2474,9 @@ def _require_kind(meta: dict, kind: str, path: str) -> None:
         )
 
 
-def delete_from_index(ids: DataFrame, path: str) -> None:
+def delete_from_index(
+    ids: DataFrame, path: str, extra: dict | None = None
+) -> None:
     """Tombstone deletion from any of the six persisted layouts (r11
     — the r10 verdict's missing lifecycle verb: build / append /
     compact / probe existed, but takedown/opt-out removal of an id —
@@ -2495,9 +2497,14 @@ def delete_from_index(ids: DataFrame, path: str) -> None:
     committed leg, including appends folded AFTER the deletion —
     re-adding a deleted id requires a compaction (or rebuild) first,
     the same caller-owns-id-lifecycle contract as the appends' dedup
-    rule. An EMPTY `ids` relation refuses loudly: a takedown that
-    deletes nothing is a caller bug, not a no-op. Ids absent from the
-    index are tolerated (idempotent takedown replays)."""
+    rule. An EMPTY `ids` relation refuses loudly UNLESS `extra` is
+    given: interactively, a takedown that deletes nothing is a caller
+    bug, not a no-op; but the streaming takedown fold passes its
+    (run_id, epoch) replay gate as `extra`, and an empty micro-batch
+    must still advance that gate — deltalessly, the appends' rule.
+    `extra` entries merge into `_CURRENT` atomically with the
+    tombstone counter. Ids absent from the index are tolerated
+    (idempotent takedown replays)."""
     import posixpath
 
     from ..versioned import current_meta, recommit_meta, version_dir
@@ -2522,6 +2529,9 @@ def delete_from_index(ids: DataFrame, path: str) -> None:
     )
     try:
         if rel.isEmpty():
+            if extra:
+                recommit_meta(spark, path, meta, extra=extra)
+                return
             raise ValueError(
                 f"delete_from_index over {path}: the id relation is "
                 "empty (or all-NULL) — a takedown that deletes nothing "
@@ -2532,7 +2542,9 @@ def delete_from_index(ids: DataFrame, path: str) -> None:
         rel.write.mode("overwrite").parquet(
             posixpath.join(base, "tombstones", f"t{j}", "ids")
         )
-        recommit_meta(spark, path, meta, extra={"tombstones": j})
+        merged = dict(extra or {})
+        merged["tombstones"] = j
+        recommit_meta(spark, path, meta, extra=merged)
     finally:
         rel.unpersist()
 

@@ -284,3 +284,86 @@ def streaming_index_maintenance(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def index_takedown_fold(
+    batch_df: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    compact_over: int | None = None,
+    id_col: str | None = None,
+) -> bool:
+    """One turn of the TAKEDOWN loop (r11 — deletion's streaming
+    half): fold a micro-batch of ids to remove into ANY committed
+    index layout via plans/storage.delete_from_index — an atomic
+    tombstone delta; every probe anti-joins it from this commit on.
+    Layout-generic by construction (deletion is id-based), so the
+    same fold serves band, filtered-IVF, PQ, SQ, IVF-SQ and IVF-PQ
+    indexes — the opt-out/GDPR feed of a crawl pipeline is one stream
+    pointed at each index.
+
+    Same (run_id, epoch) replay contract as the append folds, but in
+    its OWN metadata namespace (`del_epoch`/`del_run_id` —
+    versioned.epoch_replayed(ns='del_')): an append stream and a
+    takedown stream maintain the same index concurrently, and a
+    shared gate would let either stream's commit make the other skip
+    or raise. The gate commits atomically with the tombstone delta;
+    an EMPTY batch advances it deltalessly. `compact_over` bounds the
+    tombstone-delta count: once more than that many are committed,
+    the fold compacts — which is also deletion's PHYSICAL purge, so a
+    bounded takedown loop guarantees deleted rows leave disk within a
+    bounded number of batches. `id_col` selects the id column when
+    the batch carries more than one (default: the batch's single
+    column)."""
+    from ..plans.storage import compact_index, delete_from_index
+    from ..versioned import current_meta, epoch_replayed
+
+    spark = batch_df.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(f"no committed index under {index_path}")
+    if epoch_replayed(meta, epoch_id, run_id, ns="del_"):
+        return False
+    ids = batch_df.select(id_col) if id_col else batch_df
+    delete_from_index(
+        ids, index_path,
+        extra={"del_epoch": int(epoch_id), "del_run_id": run_id},
+    )
+    if compact_over is not None:
+        # min_appends=0 would compact unconditionally; the tombstone
+        # bound is checked here instead — compaction itself already
+        # folds on tombstones alone
+        refreshed = current_meta(spark, index_path)
+        if int(refreshed.get("tombstones", 0)) > compact_over:
+            compact_index(spark, index_path, min_appends=0)
+    return True
+
+
+def streaming_index_takedown(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    compact_over: int | None = None,
+    id_col: str | None = None,
+):
+    """The takedown loop as a running stream: each micro-batch of ids
+    folds into the index's tombstones via index_takedown_fold. Same
+    run_id/restart contract as the maintenance wrappers; point one at
+    each index a deletion feed must reach."""
+    from .hll import _checkpoint_run_id
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        index_takedown_fold(
+            batch_df, index_path, epoch_id,
+            run_id=_checkpoint_run_id(batch_df.sparkSession, checkpoint_dir),
+            compact_over=compact_over,
+            id_col=id_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -213,7 +213,9 @@ def recommit_meta(
     )
 
 
-def epoch_replayed(meta: dict, epoch_id: int, run_id: str | None) -> bool:
+def epoch_replayed(
+    meta: dict, epoch_id: int, run_id: str | None, ns: str = ""
+) -> bool:
     """THE (run_id, epoch) replay gate every streaming index-fold
     shares (extracted r9 from the crawl loop's fold so the embedding-
     maintenance twin cannot restate-and-drift it): the gate lives in
@@ -223,9 +225,17 @@ def epoch_replayed(meta: dict, epoch_id: int, run_id: str | None) -> bool:
     replayed epoch with NO run_id raises instead of guessing: the
     epoch counter alone cannot distinguish a restart replay (skip)
     from a brand-new stream over a reused index (fold) — the caller
-    must pass the checkpoint lineage's run_id."""
-    last_epoch = int(meta.get("epoch", -1))
-    last_run = meta.get("run_id")
+    must pass the checkpoint lineage's run_id.
+
+    `ns` (r11) namespaces the gate's metadata keys: an APPEND stream
+    and a TAKEDOWN stream can maintain the SAME index concurrently
+    (the crawl loop plus a deletion feed), and with one shared
+    epoch/run_id pair the two checkpoints' epoch counters would
+    overwrite each other — whichever stream committed last would make
+    the other skip or raise. The takedown fold passes ns='del_', so
+    each loop carries its own (run_id, epoch) pair in ``_CURRENT``."""
+    last_epoch = int(meta.get(ns + "epoch", -1))
+    last_run = meta.get(ns + "run_id")
     if run_id is not None and run_id == last_run:
         return epoch_id <= last_epoch
     if run_id is None and epoch_id <= last_epoch:

@@ -510,3 +510,148 @@ def test_streaming_generic_maintenance_over_filtered_ivf(spark, tmp_path):
     want = ivf_index_probe(spark, twin_idx, probe, k=10, nprobe=8).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 10
+
+
+def test_takedown_fold_gate_and_purge(spark, tmp_path):
+    """index_takedown_fold (r11): replayed (run_id, epoch) skips,
+    empty batches advance the del_ gate deltalessly, the del_
+    namespace never collides with the append fold's gate on the SAME
+    index, and compact_over bounds the tombstone-delta count by
+    triggering the physical purge."""
+    from goflow2clickhouse_spark.plans.storage import (
+        sq_index_probe,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        index_maintenance_fold,
+        index_takedown_fold,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    _, emb, base, b1, _ = _parts(spark)
+    path = str(tmp_path / "takedown")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        index_takedown_fold(emb.select("vec_id"), path, 0, run_id="D")
+    write_sq_index(base, path)
+
+    q = emb.filter(F.col("vec_id") == 0)
+    victims = [
+        int(r["vec_id"])
+        for r in sq_index_probe(spark, path, q, k=3).collect()
+    ][:2]
+    dead = base.filter(F.col("vec_id").isin(victims)).select("vec_id")
+
+    assert index_takedown_fold(dead, path, 0, run_id="D") is True
+    meta = current_meta(spark, path)
+    assert meta["tombstones"] == 1
+    assert meta["del_epoch"] == 0 and meta["del_run_id"] == "D"
+    served = {
+        r["vec_id"] for r in sq_index_probe(spark, path, q, k=10).collect()
+    }
+    assert not served & set(victims)
+
+    # replay skips, index untouched
+    assert index_takedown_fold(dead, path, 0, run_id="D") is False
+    assert current_meta(spark, path) == meta
+    # empty batch advances the del_ gate deltalessly
+    assert index_takedown_fold(
+        dead.filter(F.col("vec_id") < 0), path, 1, run_id="D"
+    ) is True
+    after = current_meta(spark, path)
+    assert after["del_epoch"] == 1 and after["tombstones"] == 1
+
+    # the APPEND fold's gate lives in its own namespace: epoch 0 of
+    # the append stream still folds even though del_epoch is at 1
+    assert index_maintenance_fold(b1, path, 0, run_id="A") is True
+    both = current_meta(spark, path)
+    assert both["epoch"] == 0 and both["del_epoch"] == 1
+    # ...and vice versa: the next takedown epoch is judged against
+    # del_epoch, not the append stream's epoch
+    assert index_takedown_fold(
+        dead.filter(F.col("vec_id") < 0), path, 2, run_id="D"
+    ) is True
+
+    # compact_over=0: any committed tombstone triggers the purge fold
+    more = base.filter(~F.col("vec_id").isin(victims)).limit(2).select(
+        "vec_id"
+    )
+    gone = {int(r["vec_id"]) for r in more.collect()}
+    assert index_takedown_fold(
+        more, path, 3, run_id="D", compact_over=0
+    ) is True
+    purged = current_meta(spark, path)
+    assert purged["version"] == 2 and "tombstones" not in purged
+    # gates survive the compaction verbatim
+    assert purged["del_epoch"] == 3 and purged["epoch"] == 0
+    folded = spark.read.parquet(f"{path}/v2/codes")
+    assert folded.filter(
+        F.col("vec_id").isin(list(gone | set(victims)))
+    ).count() == 0
+
+
+def test_streaming_takedown_equals_plain_deletes(spark, tmp_path):
+    """End-to-end stream twin: a parquet drop of ids = one takedown
+    fold; probes over the streamed index equal a twin index given the
+    same ids via plain delete_from_index, and a checkpoint restart
+    with no new files re-folds nothing."""
+    import glob
+    import shutil
+
+    from goflow2clickhouse_spark.plans.storage import (
+        delete_from_index,
+        pq_index_probe,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.streaming.indexing import (
+        streaming_index_takedown,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    _, emb, base, _, _ = _parts(spark)
+    stream_idx = str(tmp_path / "td_stream")
+    twin_idx = str(tmp_path / "td_twin")
+    write_pq_index(base, stream_idx)
+    write_pq_index(base, twin_idx)
+
+    q = emb.filter(F.col("vec_id") == 0)
+    dead = base.limit(3).select("vec_id")
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    chunk = str(indir / "chunk0")
+    dead.coalesce(1).write.mode("overwrite").parquet(chunk)
+    for f in glob.glob(chunk + "/part-*.parquet"):
+        shutil.copy(f, str(indir / "batch0.parquet"))
+    shutil.rmtree(chunk)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    ckpt = str(tmp_path / "ck")
+    sq = streaming_index_takedown(stream, stream_idx, ckpt)
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    delete_from_index(dead, twin_idx)
+    got = pq_index_probe(spark, stream_idx, q, k=10).collect()
+    want = pq_index_probe(spark, twin_idx, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    meta = current_meta(spark, stream_idx)
+    assert meta["tombstones"] == 1 and meta["del_epoch"] == 0
+    assert meta["del_run_id"]
+
+    # restart, no new files: nothing re-folds
+    stream2 = (
+        spark.readStream.schema("vec_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    sq2 = streaming_index_takedown(stream2, stream_idx, ckpt)
+    try:
+        sq2.processAllAvailable()
+    finally:
+        sq2.stop()
+    assert current_meta(spark, stream_idx) == meta

@@ -19,6 +19,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _meta_locked(fn):
+    """Serialize an index's metadata read-modify-write cycle under
+    `versioned.meta_mutex` (r11 review finding): every append /
+    delete / compaction is a current_meta snapshot → artifact write →
+    recommit, and two such cycles overlapping in time lose one side's
+    update — a stale-snapshot recommit reverts the other writer's
+    just-committed `appends`/`tombstones` counter (orphaning its
+    delta, or resurfacing deleted ids) and its (run_id, epoch) replay
+    gate. Applied to every mutating index operation so the
+    maintenance fold and the takedown fold can run CONCURRENTLY on
+    one index, as their docstrings promise. Readers stay wait-free:
+    probes never take the lock (`_CURRENT` is still one atomic
+    rename). The index path is the `path`/`index_path` parameter; the
+    session comes from the explicit `spark` parameter or the first
+    DataFrame argument."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from ..versioned import meta_mutex
+
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        path = bound.arguments.get("path") or bound.arguments.get(
+            "index_path"
+        )
+        spark = bound.arguments.get("spark")
+        if spark is None:
+            spark = next(
+                v.sparkSession
+                for v in bound.arguments.values()
+                if isinstance(v, DataFrame)
+            )
+        with meta_mutex(spark, path):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def write_flows_partitioned(flows: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist flows partitioned by event date. At 100 TB add a second
     level (hour) if day directories exceed a few hundred GB."""
@@ -204,6 +246,7 @@ def _ivf_current_version(spark: SparkSession, path: str) -> int:
     return current_version(spark, path)
 
 
+@_meta_locked
 def write_filtered_ivf_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -295,6 +338,7 @@ def write_filtered_ivf_index(
     )
 
 
+@_meta_locked
 def append_to_ivf_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -555,32 +599,18 @@ def ivf_batch_probe(
     materialization is the distinct probed-cell id list. Empty batch
     / duplicate qid / NULL or wrong-dim qvec refuse loudly
     (_require_unique_qids)."""
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import (
         DIM,
         as_double,
         cosine,
         rank_probe_cells_batch,
     )
-    from ..versioned import check_meta, current_meta, version_dir
-    from pyspark.sql import Window
 
-    queries = queries.select(
-        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
-    ).persist()
+    queries = _batch_probe_queries(
+        queries, "ivf_batch_probe", qid_col, qvec_col, DIM
+    )
     try:
-        _require_unique_qids(
-            queries, qid_col, "ivf_batch_probe",
-            qvec_col=qvec_col, dim=DIM,
-        )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed IVF index under {path}")
-        _require_kind(meta, "ivf", path)
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
+        meta, base = _committed_index(spark, path, "ivf", expect=expect)
         cents = _version_artifacts(spark, path, meta, ("centroids",))[
             "centroids"
         ]
@@ -608,23 +638,17 @@ def ivf_batch_probe(
                 cosine(as_double("embedding"), as_double(qvec_col)), 6
             ).alias("cos_sim"),
         )
-        w = Window.partitionBy(qid_col).orderBy(
-            F.desc_nulls_last("cos_sim"), "vec_id"
+        return _batch_topk(
+            scored, queries, qid_col,
+            [F.desc_nulls_last("cos_sim"), "vec_id"],
+            ["vec_id", "cos_sim"], k,
         )
-        out = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(
-                qid_col, "vec_id", "cos_sim",
-                F.col("_rn").cast("int").alias("rank"),
-            )
-        )
-        return tie_cache(out, queries)
     except BaseException:
         queries.unpersist()
         raise
 
 
+@_meta_locked
 def write_band_index(
     corpus: DataFrame,
     path: str,
@@ -719,6 +743,7 @@ def write_band_index(
     )
 
 
+@_meta_locked
 def append_to_band_index(
     batch: DataFrame,
     path: str,
@@ -1146,6 +1171,7 @@ def semdedup_prune_persisted(
     return _semdedup_from_assignment(m, tau, id_col)
 
 
+@_meta_locked
 def write_pq_index(
     embeddings: DataFrame,
     path: str,
@@ -1230,6 +1256,7 @@ def write_pq_index(
     )
 
 
+@_meta_locked
 def append_to_pq_index(
     batch: DataFrame,
     path: str,
@@ -1414,6 +1441,83 @@ def _require_unique_qids(
         )
 
 
+_KIND_LABELS = {"band": "band", "ivf": "IVF", "pq": "PQ", "sq": "SQ",
+                "ivfsq": "IVF-SQ", "ivfpq": "IVF-PQ"}
+
+
+def _batch_probe_queries(
+    queries: DataFrame, op: str, qid_col: str, qvec_col: str, dim: int
+) -> DataFrame:
+    """The batch probes' shared prologue (r11 review: five verbatim
+    copies of it had to be kept in sync by hand): normalize to
+    (qid, qvec), persist — the probe's cached query relation — and
+    enforce the shared batch contract (_require_unique_qids). On a
+    contract failure the cache is released HERE; after a successful
+    return the caller owns the except-BaseException unpersist until
+    tie_cache takes ownership on success."""
+    q = queries.select(
+        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
+    ).persist()
+    try:
+        _require_unique_qids(q, qid_col, op, qvec_col=qvec_col, dim=dim)
+    except BaseException:
+        q.unpersist()
+        raise
+    return q
+
+
+def _committed_index(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    geometry: dict | None = None,
+    expect: dict | None = None,
+):
+    """The probes' shared metadata gate: committed version (loud when
+    none), layout kind, the layout's UNCONDITIONAL geometry pin, then
+    the caller's `expect`. Returns (meta, version dir)."""
+    from ..versioned import check_meta, current_meta, version_dir
+
+    meta = current_meta(spark, path)
+    ver = int(meta.get("version", 0))
+    if ver == 0:
+        raise FileNotFoundError(
+            f"no committed {_KIND_LABELS[kind]} index under {path}"
+        )
+    _require_kind(meta, kind, path)
+    if geometry:
+        check_meta(meta, geometry, path)
+    if expect:
+        check_meta(meta, expect, path)
+    return meta, version_dir(path, ver)
+
+
+def _batch_topk(
+    scored: DataFrame,
+    queries: DataFrame,
+    qid_col: str,
+    order_exprs: list,
+    keep: list,
+    k: int,
+) -> DataFrame:
+    """The batch probes' shared epilogue: per-query top-k as
+    row_number over the layout's ordering — Spark plans it as
+    WindowGroupLimit, a per-partition top-k heap BEFORE the exchange,
+    so the shuffle carries at most Q x k rows per input partition,
+    never the Q x N scored relation. Output (qid, *keep, rank);
+    tie_cache takes ownership of the persisted query relation."""
+    from ..operators.dedup import tie_cache
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(*order_exprs)
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(qid_col, *keep, F.col("_rn").cast("int").alias("rank"))
+    )
+    return tie_cache(out, queries)
+
+
 def pq_index_batch_probe(
     spark: SparkSession,
     path: str,
@@ -1441,9 +1545,6 @@ def pq_index_batch_probe(
     Q is bounded by the caller's batch (broadcast bound: Q LUT rows,
     ~1 KiB each). An EMPTY batch raises — the single-probe rule:
     silently returning nothing hides an upstream bug."""
-    import posixpath
-
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -1451,29 +1552,17 @@ def pq_index_batch_probe(
         pq_adc_dist,
         pq_lut_rows,
     )
-    from ..versioned import check_meta, current_meta, version_dir
-    from pyspark.sql import Window
 
-    queries = queries.select(
-        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
-    ).persist()
+    queries = _batch_probe_queries(
+        queries, "pq_index_batch_probe", qid_col, qvec_col, PQ_M * PQ_SUB
+    )
     try:
-        _require_unique_qids(
-            queries, qid_col, "pq_index_batch_probe",
-            qvec_col=qvec_col, dim=PQ_M * PQ_SUB,
-        )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed PQ index under {path}")
-        _require_kind(meta, "pq", path)
         # unconditional geometry gate — same reason as pq_index_probe
-        check_meta(
-            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
+        meta, base = _committed_index(
+            spark, path, "pq",
+            geometry={"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K},
+            expect=expect,
         )
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
         cb = _version_artifacts(spark, path, meta, ("codebook",))[
             "codebook"
         ]
@@ -1487,23 +1576,17 @@ def pq_index_batch_probe(
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-        w = Window.partitionBy(qid_col).orderBy(
-            F.asc_nulls_last("adist"), idx_id
+        return _batch_topk(
+            scored, queries, qid_col,
+            [F.asc_nulls_last("adist"), idx_id],
+            [idx_id, "pq_code", "adist"], k,
         )
-        out = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(
-                qid_col, idx_id, "pq_code", "adist",
-                F.col("_rn").cast("int").alias("rank"),
-            )
-        )
-        return tie_cache(out, queries)
     except BaseException:
         queries.unpersist()
         raise
 
 
+@_meta_locked
 def write_sq_index(
     embeddings: DataFrame,
     path: str,
@@ -1566,6 +1649,7 @@ def write_sq_index(
     )
 
 
+@_meta_locked
 def append_to_sq_index(
     batch: DataFrame,
     path: str,
@@ -1690,28 +1774,17 @@ def sq_index_batch_probe(
     shuffle is bounded at Q x k rows per partition. Returns
     (qid, id, adist, rank). Empty batch / duplicate qid / degenerate
     qvec all refuse loudly (_require_unique_qids)."""
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import DIM, SQ_BUCKETS, _l2sq, sq_dequant
-    from ..versioned import check_meta, current_meta, version_dir
-    from pyspark.sql import Window
 
-    queries = queries.select(
-        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
-    ).persist()
+    queries = _batch_probe_queries(
+        queries, "sq_index_batch_probe", qid_col, qvec_col, DIM
+    )
     try:
-        _require_unique_qids(
-            queries, qid_col, "sq_index_batch_probe",
-            qvec_col=qvec_col, dim=DIM,
+        meta, base = _committed_index(
+            spark, path, "sq",
+            geometry={"sq_buckets": SQ_BUCKETS, "dim": DIM},
+            expect=expect,
         )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed SQ index under {path}")
-        _require_kind(meta, "sq", path)
-        check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
         quant = _version_artifacts(spark, path, meta, ("quantizer",))[
             "quantizer"
         ]
@@ -1730,23 +1803,17 @@ def sq_index_batch_probe(
             ).alias("adist"),
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-        w = Window.partitionBy(qid_col).orderBy(
-            F.asc_nulls_last("adist"), idx_id
+        return _batch_topk(
+            scored, queries, qid_col,
+            [F.asc_nulls_last("adist"), idx_id],
+            [idx_id, "adist"], k,
         )
-        out = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(
-                qid_col, idx_id, "adist",
-                F.col("_rn").cast("int").alias("rank"),
-            )
-        )
-        return tie_cache(out, queries)
     except BaseException:
         queries.unpersist()
         raise
 
 
+@_meta_locked
 def write_ivfsq_index(
     embeddings: DataFrame,
     path: str,
@@ -1840,6 +1907,7 @@ def write_ivfsq_index(
     )
 
 
+@_meta_locked
 def append_to_ivfsq_index(
     batch: DataFrame,
     path: str,
@@ -1984,7 +2052,6 @@ def ivfsq_batch_probe(
     (<= n_cells integers — the single probe's same legitimate
     collect). Empty batch / duplicate qid / NULL or wrong-dim qvec
     refuse loudly (_require_unique_qids)."""
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import (
         DIM,
         SQ_BUCKETS,
@@ -1992,28 +2059,16 @@ def ivfsq_batch_probe(
         rank_probe_cells_batch,
         sq_dequant,
     )
-    from ..versioned import check_meta, current_meta, version_dir
-    from pyspark.sql import Window
 
-    queries = queries.select(
-        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
-    ).persist()
+    queries = _batch_probe_queries(
+        queries, "ivfsq_batch_probe", qid_col, qvec_col, DIM
+    )
     try:
-        _require_unique_qids(
-            queries, qid_col, "ivfsq_batch_probe",
-            qvec_col=qvec_col, dim=DIM,
+        meta, base = _committed_index(
+            spark, path, "ivfsq",
+            geometry={"sq_buckets": SQ_BUCKETS, "dim": DIM},
+            expect=expect,
         )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(
-                f"no committed IVF-SQ index under {path}"
-            )
-        _require_kind(meta, "ivfsq", path)
-        check_meta(meta, {"sq_buckets": SQ_BUCKETS, "dim": DIM}, path)
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
         arts = _version_artifacts(
             spark, path, meta, ("centroids", "quantizer")
         )
@@ -2050,23 +2105,17 @@ def ivfsq_batch_probe(
             ).alias("adist"),
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-        w = Window.partitionBy(qid_col).orderBy(
-            F.asc_nulls_last("adist"), idx_id
+        return _batch_topk(
+            scored, queries, qid_col,
+            [F.asc_nulls_last("adist"), idx_id],
+            [idx_id, "adist"], k,
         )
-        out = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(
-                qid_col, idx_id, "adist",
-                F.col("_rn").cast("int").alias("rank"),
-            )
-        )
-        return tie_cache(out, queries)
     except BaseException:
         queries.unpersist()
         raise
 
 
+@_meta_locked
 def write_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -2216,6 +2265,7 @@ def write_ivfpq_index(
     )
 
 
+@_meta_locked
 def append_to_ivfpq_index(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -2474,6 +2524,7 @@ def _require_kind(meta: dict, kind: str, path: str) -> None:
         )
 
 
+@_meta_locked
 def delete_from_index(
     ids: DataFrame, path: str, extra: dict | None = None
 ) -> None:
@@ -2549,6 +2600,7 @@ def delete_from_index(
         rel.unpersist()
 
 
+@_meta_locked
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -2675,7 +2727,6 @@ def ivfpq_batch_probe(
     the distinct probed-cell id list (<= n_cells integers — the
     single probe's same legitimate collect)."""
 
-    from ..operators.dedup import tie_cache
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -2684,29 +2735,16 @@ def ivfpq_batch_probe(
         pq_lut_rows,
         rank_probe_cells_batch,
     )
-    from ..versioned import check_meta, current_meta, version_dir
-    from pyspark.sql import Window
 
-    queries = queries.select(
-        F.col(qid_col).alias(qid_col), F.col(qvec_col).alias(qvec_col)
-    ).persist()
+    queries = _batch_probe_queries(
+        queries, "ivfpq_batch_probe", qid_col, qvec_col, PQ_M * PQ_SUB
+    )
     try:
-        _require_unique_qids(
-            queries, qid_col, "ivfpq_batch_probe",
-            qvec_col=qvec_col, dim=PQ_M * PQ_SUB,
+        meta, base = _committed_index(
+            spark, path, "ivfpq",
+            geometry={"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K},
+            expect=expect,
         )
-        meta = current_meta(spark, path)
-        ver = int(meta.get("version", 0))
-        if ver == 0:
-            raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
-        _require_kind(meta, "ivfpq", path)
-        check_meta(
-            meta, {"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K}, path
-        )
-
-        if expect:
-            check_meta(meta, expect, path)
-        base = version_dir(path, ver)
         arts = _version_artifacts(
             spark, path, meta, ("centroids", "codebook")
         )
@@ -2751,18 +2789,11 @@ def ivfpq_batch_probe(
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
-        w = Window.partitionBy(qid_col).orderBy(
-            F.asc_nulls_last("adist"), "vec_id"
+        return _batch_topk(
+            scored, queries, qid_col,
+            [F.asc_nulls_last("adist"), "vec_id"],
+            ["vec_id", "pq_code", "adist"], k,
         )
-        out = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(
-                qid_col, "vec_id", "pq_code", "adist",
-                F.col("_rn").cast("int").alias("rank"),
-            )
-        )
-        return tie_cache(out, queries)
     except BaseException:
         queries.unpersist()
         raise

@@ -24,6 +24,7 @@ the JSON is a single small object PUT).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import json
 import uuid
 import posixpath
@@ -67,6 +68,63 @@ def current_meta(spark: SparkSession, path: str) -> dict:
     if data is None:
         return {}
     return json.loads(data.decode("utf-8"))
+
+
+@_contextlib.contextmanager
+def meta_mutex(
+    spark: SparkSession,
+    path: str,
+    timeout_sec: float = 120.0,
+    poll_sec: float = 0.05,
+):
+    """Serialize read-modify-write metadata cycles on one index (r11
+    review finding): every append / delete / compaction is a
+    current_meta snapshot → artifact write → recommit, and two such
+    cycles overlapping in time LOSE one side's update — e.g. a
+    takedown stream's recommit carrying a stale snapshot reverts the
+    append stream's just-committed `appends` counter, turning the
+    committed delta into a "torn" dir every reader ignores, or an
+    append recommit erases a committed `tombstones` counter so
+    deleted ids silently resurface. The per-stream (run_id, epoch)
+    namespacing fixes KEY collisions, not this lost update.
+
+    Mechanism: `<path>/_LOCK` acquired via FileSystem.createNewFile —
+    atomic create-if-absent on HDFS and local filesystems (the same
+    caveat class as the `_CURRENT` rename: object stores without
+    atomic create keep last-writer-wins semantics). Spin with a
+    deadline; on timeout raise naming the lock file so an operator
+    can clear one orphaned by a crashed writer (the lock guards
+    METADATA cycles lasting seconds — a multi-minute wait means a
+    dead holder, not contention). Readers never take the lock:
+    `_CURRENT` stays a single atomic rename, so probes are wait-free
+    and always see a complete commit."""
+    import time
+
+    fs, hpath = _fs(spark, path)
+    jvm = spark._jvm  # noqa: SLF001
+    fs.mkdirs(hpath)
+    lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            if fs.createNewFile(lock):
+                break
+        except Exception:
+            # transient FS error or lost create race — retry until
+            # the deadline either way
+            pass
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"could not acquire {path}/_LOCK within {timeout_sec}s — "
+                "metadata writers hold it for seconds, so a long wait "
+                "means a crashed holder left it behind: verify no "
+                "writer is alive, then delete the file"
+            )
+        time.sleep(poll_sec)
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
 
 
 def commit_token(spark: SparkSession, path: str, meta: dict) -> str:

@@ -2510,3 +2510,104 @@ def test_ivf_batch_probe_matches_single_and_prunes(spark, tmp_path):
         ivf_batch_probe(spark, path, qs.unionByName(qs.limit(1)))
     with _pytest.raises(ValueError, match="built with"):
         ivf_batch_probe(spark, path, qs, expect={"n_cells": 4})
+
+
+def test_meta_mutex_serializes_and_times_out(spark, tmp_path):
+    """versioned.meta_mutex (r11 review): create-if-absent lock —
+    a second acquire blocks until release, a held lock times out
+    loudly naming the file, and release makes the path acquirable
+    again."""
+    import threading
+    import time
+
+    from goflow2clickhouse_spark.versioned import meta_mutex
+
+    path = str(tmp_path / "locked")
+    order = []
+
+    def holder():
+        with meta_mutex(spark, path):
+            order.append("a-in")
+            time.sleep(1.0)
+            order.append("a-out")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.3)  # let the holder acquire
+    with meta_mutex(spark, path, timeout_sec=30):
+        order.append("b-in")
+    t.join()
+    assert order == ["a-in", "a-out", "b-in"]
+
+    # a lock nobody releases times out with an actionable message
+    with meta_mutex(spark, path):
+        with pytest.raises(TimeoutError, match="_LOCK"):
+            with meta_mutex(spark, path, timeout_sec=0.3, poll_sec=0.05):
+                pass
+
+
+def test_concurrent_append_and_takedown_lose_no_updates(spark, tmp_path):
+    """The r11 review's lost-update race: an append stream and a
+    takedown stream interleave read-modify-write metadata cycles on
+    ONE index. With _meta_locked every counter survives — N appends
+    and M takedowns from two racing threads end with appends == N,
+    tombstones == M, every appended id served, every deleted id
+    gone. (Without the lock a stale-snapshot recommit reverts the
+    other writer's counter, orphaning its delta.)"""
+    import threading
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_sq_index,
+        delete_from_index,
+        sq_index_probe,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "race")
+    write_sq_index(base, path)
+
+    batches = [
+        emb.filter((F.col("vec_id") >= 100 + 50 * i)
+                   & (F.col("vec_id") < 150 + 50 * i))
+        for i in range(3)
+    ]
+    dead_ids = [[5 + i, 60 + i] for i in range(3)]
+    errs = []
+
+    def appender():
+        try:
+            for b in batches:
+                append_to_sq_index(b, path)
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    def deleter():
+        try:
+            for ids in dead_ids:
+                delete_from_index(
+                    emb.filter(F.col("vec_id").isin(ids)).select("vec_id"),
+                    path,
+                )
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    ta, td = threading.Thread(target=appender), threading.Thread(
+        target=deleter
+    )
+    ta.start(); td.start(); ta.join(); td.join()
+    assert not errs, errs
+
+    meta = current_meta(spark, path)
+    assert meta["appends"] == 3, meta
+    assert meta["tombstones"] == 3, meta
+    q = emb.filter(F.col("vec_id") == 200)  # an appended vector
+    served = {
+        r["vec_id"]
+        for r in sq_index_probe(spark, path, q, k=250).collect()
+    }
+    assert 200 in served  # its own code is its nearest neighbor
+    gone = {i for ids in dead_ids for i in ids}
+    assert not served & gone

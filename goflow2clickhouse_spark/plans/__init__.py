@@ -33,10 +33,16 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 4), ivf_batch_probe (completes the batch-serving matrix
 #     across all five persisted vector layouts), and
 #     ivfpq_fully_trained_recall (IVFADC with BOTH quantizers trained —
-#     the deepest replayed pipeline in the registry). The two extras
-#     displace flows_protocol_pivot and flows_private_traffic_matrix,
-#     the alphabetically-last untouched (d) fills, which rejoin FIRST
-#     at r12. New queries MUST take window slots (the r6 lesson);
+#     the deepest replayed pipeline in the registry), and
+#     incremental_dedup_deleted (the band layout's deletion gate —
+#     takedown hits the old corpus, the increment classifies against
+#     what remains, oracle replays the exclusion). The three extras
+#     displace flows_protocol_pivot, flows_private_traffic_matrix and
+#     events_windowed_cms — the alphabetically-last (d) fills NOT
+#     exercising code changed this round (the filtered_ann_* fills
+#     exercise the changed write_filtered_ivf_index, so they stay) —
+#     which rejoin FIRST at r12. New queries MUST take window slots
+#     (the r6 lesson);
 # (c) six names whose CONSUMED CODE changed this round:
 #     incremental_dedup_indexed + events_stream_dedup (the band sha leg
 #     now stores (doc_id, _sha) pairs so deletion can address a doc's
@@ -47,11 +53,12 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     item 5), ivfsq_probe + ivfsq_recall (write_ivfsq_index gained
 #     coarse_train_iterations + records coarse_train_iters; their oracle
 #     CTEs were refactored through _ivfsq_assign_ctes);
-# (d) the 12 alphabetically-first r8-green names (oldest rows after the
-#     r7 spill): bigram_pmi_top .. filtered_ann_recall.
-# 26 + 6 + 6 + 12 = 50 exactly.  The remaining 37 r8-green names spill to
-# r12, FIRST there (alphabetical from flows_private_traffic_matrix
-# through text_token_counts, i.e. flows_private_traffic_matrix,
+# (d) 11 of the 12 alphabetically-first r8-green names (oldest rows
+#     after the r7 spill): bigram_pmi_top .. filtered_ann_recall,
+#     minus the displaced events_windowed_cms.
+# 26 + 7 + 6 + 11 = 50 exactly.  The remaining 38 r8-green names spill to
+# r12, FIRST there (alphabetical: events_windowed_cms,
+# flows_private_traffic_matrix,
 # flows_protocol_pivot, flows_protocol_unpivot, flows_top_talkers_salted,
 # grouping_sets_revenue, ivfpq_append_probe, ivfpq_probe,
 # kmeans_refined_cells, leakage_free_split, matview_flows_rollup,
@@ -114,6 +121,7 @@ promote([
     "multimodal_decode_jpeg420",
     "ivf_batch_probe",
     "ivfpq_fully_trained_recall",
+    "incremental_dedup_deleted",
     # (c) consumed-code-changed this round
     "incremental_dedup_indexed",
     "events_stream_dedup",
@@ -121,7 +129,7 @@ promote([
     "ivf_append_probe",
     "ivfsq_probe",
     "ivfsq_recall",
-    # (d) the 12 alphabetically-first r8-green fills
+    # (d) 11 of the 12 alphabetically-first r8-green fills
     "bigram_pmi_top",
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
@@ -131,7 +139,6 @@ promote([
     "embedding_neardup_lsh",
     "embedding_neardup_pairs",
     "embedding_quantize_error",
-    "events_windowed_cms",
     "filtered_ann_ivf",
     "filtered_ann_recall",
 ])

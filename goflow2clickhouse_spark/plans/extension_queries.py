@@ -2517,7 +2517,12 @@ sh AS (
 """
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(old_pred: str = "{d} < 1000000") -> str:
+    """`old_pred` (r11) narrows the OLD side everywhere it appears —
+    the band-candidate a-side, the shared-shingle verify, and the
+    exact-dup sha set — formatted with the doc-id expression, so the
+    deletion gate's oracle replays a tombstoned old corpus with one
+    parameter instead of a restated query."""
     h = _H31.format(x="shingle")
     mins = ",\n           ".join(
         f"MIN(({2 * i + 1} * h + {i * 7919 + 1}) % 2147483647) AS mh{i}"
@@ -2531,11 +2536,14 @@ def _incremental_oracle() -> str:
         ) + ")"
         band_keys.append(
             f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM "
-            f"(SELECT doc_id, {key} AS bk FROM mh WHERE doc_id < 1000000) a "
+            f"(SELECT doc_id, {key} AS bk FROM mh "
+            f"WHERE {old_pred.format(d='doc_id')}) a "
             f"JOIN (SELECT doc_id, {key} AS bk FROM mh "
             f"WHERE doc_id >= 1000000) b ON a.bk = b.bk"
         )
     cands = "\n        UNION\n        ".join(band_keys)
+    old_pred_a = old_pred.format(d="a.doc_id")
+    old_pred_plain = old_pred.format(d="doc_id")
     return f"""
     WITH {_ALLC_SHINGLES_SQL},
     h AS (SELECT doc_id, {h} AS h FROM sh),
@@ -2547,7 +2555,7 @@ def _incremental_oracle() -> str:
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         FROM sh a JOIN sh b ON a.shingle = b.shingle
-         AND a.doc_id < 1000000 AND b.doc_id >= 1000000
+         AND {old_pred_a} AND b.doc_id >= 1000000
         WHERE (a.doc_id, b.doc_id) IN (SELECT (id_a, id_b) FROM cands)
         GROUP BY a.doc_id, b.doc_id
     ),
@@ -2559,7 +2567,7 @@ def _incremental_oracle() -> str:
     ),
     newdocs AS (SELECT doc_id, text FROM allc WHERE doc_id >= 1000000),
     oldsha AS (SELECT DISTINCT sha256(text) AS sha FROM allc
-               WHERE doc_id < 1000000),
+               WHERE {old_pred_plain}),
     exact AS (
         SELECT DISTINCT n.doc_id FROM newdocs n
         JOIN oldsha o ON sha256(n.text) = o.sha
@@ -2713,6 +2721,50 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _persisted_index(
         "band", sf_dir, lambda p: write_band_index(old, p)
     )
+    pairs = incremental_neardup_pairs_indexed(new, path, threshold=0.5)
+    out = _incremental_status(band_index_sha_set(spark, path), new, pairs)
+    return D.pin(out, pairs)
+
+
+@query(
+    "incremental_dedup_deleted",
+    oracle=_incremental_oracle(
+        old_pred="({d} < 1000000 AND {d} % 40 != 0)"
+    ),
+)
+def incremental_dedup_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup_indexed` after a TAKEDOWN hits the old
+    corpus (r11 — the band layout's driver-green deletion gate,
+    pairing pq_deleted_probe on the vector side): every 40th old doc
+    — half the planted exact twins' partners and a quarter of the
+    near variants' — is tombstoned (plans/storage.delete_from_index)
+    and the increment
+    is classified against what REMAINS — a new doc whose only exact
+    twin or near-dup partner was deleted must now read 'unique', its
+    candidates never generated, its content hash gone from the
+    exact-dup sha set (the r11 (doc_id, _sha) linkage). The oracle
+    replays the whole incremental pipeline with the tombstoned ids
+    excluded from the old side everywhere it appears (band a-side,
+    shared-shingle verify, sha set) — one `old_pred` parameter on the
+    shared generator, zero restated arithmetic. The status counts
+    visibly differ from incremental_dedup_indexed's, so a silently
+    ignored tombstone hash-mismatches."""
+    from .storage import (
+        band_index_sha_set,
+        delete_from_index,
+        incremental_neardup_pairs_indexed,
+        write_band_index,
+    )
+
+    old, new = _incremental_split(spark, sf_dir)
+
+    def build(p: str) -> None:
+        write_band_index(old, p)
+        delete_from_index(
+            old.filter(F.col("doc_id") % 40 == 0).select("doc_id"), p
+        )
+
+    path = _persisted_index("band_del", sf_dir, build)
     pairs = incremental_neardup_pairs_indexed(new, path, threshold=0.5)
     out = _incremental_status(band_index_sha_set(spark, path), new, pairs)
     return D.pin(out, pairs)

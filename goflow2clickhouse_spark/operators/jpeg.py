@@ -453,16 +453,30 @@ def decode_jpeg(payload: bytes) -> dict:
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps[cid] = (sampling >> 4, sampling & 0x0F, tq)
+            # color roles are keyed off JFIF component ids (1=Y,
+            # 2=Cb, 3=Cr), never off SOF/scan POSITION (r11 advice:
+            # a legal baseline stream may list components in any
+            # order, and positional mapping would silently swap
+            # Cb/Cr); non-JFIF id sets refuse loudly — roles cannot
+            # be inferred
+            if nf == 3 and set(comps) != {1, 2, 3}:
+                raise NotImplementedError(
+                    f"3-component JPEG with component ids "
+                    f"{sorted(comps)} — Y/Cb/Cr roles are keyed off "
+                    "JFIF ids 1/2/3"
+                )
             samplings = sorted(
                 (hf, vf) for hf, vf, _ in comps.values()
             )
             # r11: 4:2:0 joins 4:4:4 — the two shapes that cover the
             # overwhelming majority of wild baseline JPEGs; other
-            # factor mixes (4:2:2, 4:1:1, ...) still refuse loudly
+            # factor mixes (4:2:2, 4:1:1, ...) still refuse loudly.
+            # The 2x2-sampled component must be LUMA (id 1) — a
+            # chroma-major factor mix is not 4:2:0
             if not (
                 samplings == [(1, 1)] * nf
                 or (nf == 3 and samplings == [(1, 1), (1, 1), (2, 2)]
-                    and comps[body[6]][:2] == (2, 2))
+                    and comps[1][:2] == (2, 2))
             ):
                 raise NotImplementedError(
                     "unsupported sampling factors "
@@ -515,7 +529,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 ):
                     raise ValueError("JPEG scan references missing tables")
                 comps.append(
-                    (hf, vf, quant[tq], huff[(0, td)], huff[(1, ta)])
+                    (hf, vf, quant[tq], huff[(0, td)], huff[(1, ta)],
+                     cid)
                 )
             scan = payload[pos + 2 + seglen:]
             return _decode_scan(scan, w, h, comps, restart_interval)
@@ -564,15 +579,18 @@ def _decode_scan(
     scan: bytes, width: int, height: int, comps: list, restart_interval: int
 ) -> dict:
     """Interleaved MCU decode: `comps` is the per-component
-    (h factor, v factor, quant table, DC table, AC table) list — each
-    MCU carries hf x vf blocks per component, left-to-right then
-    top-to-bottom (T.81 A.2.3). At 4:4:4 every factor is 1x1 (one
-    block per component per MCU; grayscale is the 1-component case);
-    at 4:2:0 (r11) the MCU covers 16x16 pixels as four Y blocks plus
-    one block per chroma plane, and the decoded chroma planes
-    upsample by sample replication (each chroma sample covers its
-    hmax/hf x vmax/vf pixel footprint — the exactly-replayable
-    box upsample) before the BT.601 inverse transform."""
+    (h factor, v factor, quant table, DC table, AC table, component
+    id) list IN SCAN ORDER — each MCU carries hf x vf blocks per
+    component, left-to-right then top-to-bottom (T.81 A.2.3). At
+    4:4:4 every factor is 1x1 (one block per component per MCU;
+    grayscale is the 1-component case); at 4:2:0 (r11) the MCU covers
+    16x16 pixels as four Y blocks plus one block per chroma plane,
+    and the decoded chroma planes upsample by sample replication
+    (each chroma sample covers its hmax/hf x vmax/vf pixel footprint
+    — the exactly-replayable box upsample) before the BT.601 inverse
+    transform. Y/Cb/Cr roles come from the JFIF component ids (1/2/3,
+    gated upstream), NOT from scan position (r11 advice: a legal
+    stream may interleave components in any order)."""
     n_comp = len(comps)
     hmax = max(c[0] for c in comps)
     vmax = max(c[1] for c in comps)
@@ -598,7 +616,7 @@ def _decode_scan(
             br.pos += 2
             prev_dc = [0] * n_comp
         my, mx = divmod(mi, mcus_x)
-        for ci, (hf, vf, qt, dc_t, ac_t) in enumerate(comps):
+        for ci, (hf, vf, qt, dc_t, ac_t, _cid) in enumerate(comps):
             for byi in range(vf):
                 for bxi in range(hf):
                     spatial, prev_dc[ci] = _decode_block(
@@ -617,10 +635,12 @@ def _decode_scan(
         }
     # color: round each YCbCr plane (the encoder quantized rounded
     # planes), upsample subsampled chroma by replication, inverse-
-    # transform, round again — every rounding site half-up
+    # transform, round again — every rounding site half-up. Planes
+    # stack in COMPONENT-ID order (1=Y, 2=Cb, 3=Cr), not scan order
     full = []
-    for (hf, vf, *_), p in zip(comps, planes):
-        r = np.clip(np.floor(p + 0.5), 0, 255)
+    for i in sorted(range(n_comp), key=lambda j: comps[j][5]):
+        hf, vf = comps[i][0], comps[i][1]
+        r = np.clip(np.floor(planes[i] + 0.5), 0, 255)
         if hf != hmax or vf != vmax:
             r = np.repeat(np.repeat(r, vmax // vf, axis=0),
                           hmax // hf, axis=1)

@@ -3001,6 +3001,9 @@ def _pq_oracle(
     batch_k: int | None = None,
     keyed_lut: bool = False,
     trained_iters: int = 0,
+    rerank: int = 0,
+    rerank_src: str = "e",
+    rerank_q: str = "q",
 ) -> str:
     """PQ encode + ADC replay. Parameterized (r8) so the IVF-PQ
     composition reuses the SAME generated arithmetic over a different
@@ -3017,7 +3020,21 @@ def _pq_oracle(
     vector's assigned cell. `trained_iters` (r10) swaps the seed-only
     `cb` CTE for the Lloyd-trained chain (_trained_cb_ctes) — every
     downstream expression is reused verbatim over the trained
-    entries."""
+    entries. `rerank` (r12) replays the IVFADC+R tier
+    (plans/storage._rerank_exact): the single-query ADC output
+    becomes a top-`rerank` candidate CTE, joined back by id to the
+    RAW-vector CTE `rerank_src` and re-ordered by exact squared L2
+    against the raw query CTE `rerank_q` — output (vec_id, adist,
+    dist), matching the probe's rerank contract."""
+    if rerank and batch_k is not None:
+        raise ValueError(
+            "_pq_oracle: rerank does not compose with batch_k yet — "
+            "the batch replay has no rerank tier"
+        )
+    if rerank and rerank < limit:
+        raise ValueError(
+            f"_pq_oracle: rerank={rerank} must be >= limit={limit}"
+        )
     m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
     cb_cte = (
         _trained_cb_ctes(trained_iters, cb_src)
@@ -3096,6 +3113,32 @@ def _pq_oracle(
     lut_qid = "q.qid, " if keyed_lut else ""
     lutl_qid = "qid, " if keyed_lut else ""
     lutl_grp = " GROUP BY qid" if keyed_lut else ""
+    if rerank:
+        l2_re = _L2_SQL.format(dim=S.DIM, a="re.v", b="rq.qv")
+        rerank_final = f""",
+    adc_top AS (
+        SELECT enc.vec_id,
+               ROUND({adist}, 6) AS adist
+        FROM enc, lutl{from_extra}
+        {where}
+        ORDER BY adist, enc.vec_id
+        LIMIT {rerank}
+    )
+    SELECT a.vec_id, a.adist,
+           ROUND({l2_re}, 6) AS dist
+    FROM adc_top a
+    JOIN {rerank_src} re ON re.vec_id = a.vec_id, {rerank_q} rq
+    ORDER BY dist, a.vec_id
+    LIMIT {limit}"""
+    else:
+        rerank_final = f"""
+    SELECT enc.vec_id,
+           CAST({packed} AS BIGINT) AS pq_code,
+           ROUND({adist}, 6) AS adist
+    FROM enc, lutl{from_extra}
+    {where}
+    ORDER BY adist, enc.vec_id
+    LIMIT {limit}"""
     return f"""
     WITH {pre_ctes}e AS ({e_sql}),
     {cb_cte},
@@ -3122,14 +3165,7 @@ def _pq_oracle(
     ),
     lutl AS (
         SELECT {lutl_qid}{llists} FROM lut{lutl_grp}
-    ){post_ctes}
-    SELECT enc.vec_id,
-           CAST({packed} AS BIGINT) AS pq_code,
-           ROUND({adist}, 6) AS adist
-    FROM enc, lutl{from_extra}
-    {where}
-    ORDER BY adist, enc.vec_id
-    LIMIT {limit}
+    ){post_ctes}{rerank_final}
     """
 
 
@@ -3292,6 +3328,7 @@ def _ivfpq_oracle(
     residual: bool = False,
     trained_iters: int = 0,
     coarse_iters: int = 0,
+    rerank: int = 0,
 ) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
@@ -3388,6 +3425,12 @@ def _ivfpq_oracle(
         JOIN qcells ON qcells.cid = c.cid, q0""",
             keyed_lut=True,
             trained_iters=trained_iters,
+            # IVFADC+R replay (r12): raw vectors live in e0 and the
+            # raw query in q0 — `e` here is the RESIDUAL relation, so
+            # the exact tier must reach past it
+            rerank=rerank,
+            rerank_src="e0",
+            rerank_q="q0",
         )
     if batch_k is None:
         qcells = f"""
@@ -3462,6 +3505,7 @@ def _ivfpq_oracle(
         ),
         batch_k=batch_k,
         trained_iters=trained_iters,
+        rerank=rerank,
     )
 
 
@@ -4964,3 +5008,143 @@ def ivfpq_fully_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.topk_l2_bruteforce(e, q, k=10)
     return _recall_result(approx, exact, "ivfpq_fully_trained", k=10)
+
+
+# IVFADC+R candidate depth (r12, the r11 verdict's #3): R/k = 4 — the
+# "small R" regime where the exact tier costs R extra vector reads per
+# query but recovers most of the 4-bit quantization loss (Jégou et al.
+# 2011 §V-D measure the same shape at R/k 2-10).
+_RERANK_R = 40
+
+
+def _ftr_index(spark: SparkSession, sf_dir: str) -> str:
+    """The fully-trained residual IVF-PQ fixture (ivfpq_ftr) —
+    shared by ivfpq_fully_trained_recall and the rerank gates so the
+    rerank win is measured on EXACTLY the index the fully-trained
+    figure came from."""
+    from .storage import write_ivfpq_index
+
+    return _persisted_index(
+        "ivfpq_ftr", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8, residual=True,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
+        ),
+    )
+
+
+_FTR_EXPECT = {
+    "n_cells": 8, "min_chars": 200, "lang": "en",
+    "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+    "residual": True, "pq_train_iters": _TRAINED_ITERS,
+    "coarse_train_iters": _CTR_ITERS,
+}
+
+
+@query(
+    "ivfpq_rerank_probe",
+    oracle=_ivfpq_oracle(residual=True, trained_iters=_TRAINED_ITERS,
+                         coarse_iters=_CTR_ITERS, rerank=_RERANK_R),
+    bench=True,
+)
+def ivfpq_rerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R — the exact re-rank tier on the fully-trained residual
+    IVF-PQ index (plans/storage.ivfpq_probe(rerank=R), r12): the ADC
+    pass returns its top-R candidates instead of top-k, their RAW
+    vectors are fetched by pushed-down id predicate (R rows — never a
+    second corpus scan) and re-ordered by exact squared L2. This is
+    how production IVFADC ships (Jégou et al. 2011 §V-D; Faiss
+    IndexRefine): ADC decides WHAT is read cheaply, the refine tier
+    spends R·DIM floats per query to undo quantization error — the
+    remaining loss is pure nprobe cell pruning. The oracle replays
+    eligibility, both trainings, residual encode, the per-cell LUTs,
+    the top-R candidate CTE AND the exact re-rank."""
+    from .storage import ivfpq_probe
+
+    path = _ftr_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivfpq_probe(
+        spark, path, q, k=10, nprobe=2, expect=_FTR_EXPECT,
+        rerank=_RERANK_R, rerank_source=emb,
+    )
+
+
+@query(
+    "ivfpq_rerank_recall",
+    oracle=_l2_recall_oracle(
+        "ivfpq_rerank",
+        _FILTERED_E_SQL,
+        _ivfpq_oracle(residual=True, trained_iters=_TRAINED_ITERS,
+                      coarse_iters=_CTR_ITERS, rerank=_RERANK_R),
+    ),
+)
+def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVFADC+R tier against the exact squared-L2
+    top-10 over the same eligible set — the number that shows what R
+    extra vector reads buy back: at the same geometry the ADC-only
+    fully-trained figure is the quality ceiling quantization allows,
+    and the re-ranked figure approaches the PROBED-CELL COVERAGE
+    ceiling (every exact-top-10 member that lives in a probed cell
+    ranks correctly once its true distance is used, provided it makes
+    the ADC top-R). The gap that remains is nprobe pruning, which no
+    refine tier can recover — so the pair (ivfpq_fully_trained_recall,
+    this) decomposes serving error into quantization vs pruning, the
+    decomposition that decides whether to spend bytes (bigger codes)
+    or reads (bigger nprobe/R). Measured at sf0.01: ADC-only 0.3 →
+    re-ranked 0.6 at R=40 — one small-R refine buys more than every
+    quantizer-training step to date (the four-point training grid
+    moved 0.1-0.3 on this fixture)."""
+    from .storage import ivfpq_probe
+
+    path = _ftr_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _filtered_eligible(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = ivfpq_probe(
+        spark, path, q, k=10, nprobe=2, expect=_FTR_EXPECT,
+        rerank=_RERANK_R, rerank_source=emb,
+    )
+    exact = S.topk_l2_bruteforce(e, q, k=10)
+    return _recall_result(approx, exact, "ivfpq_rerank", k=10)
+
+
+@query(
+    "pq_rerank_recall",
+    oracle=_l2_recall_oracle(
+        "pq_rerank",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        _pq_oracle(rerank=_RERANK_R),
+    ),
+)
+def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the re-ranked FLAT PQ index (no coarse quantizer)
+    — the uncapped demonstration of the refine tier: with no cell
+    pruning, R bounds the ONLY remaining error (an exact-top-10 member
+    is recovered iff it makes the ADC top-R), so recall rises
+    monotonically to exactly 1.0 as R grows. Measured at sf0.01
+    (N=500, i.i.d.-random — 4-bit ADC's worst case, so the ADC
+    ranking is weakly correlated with the exact one and the ladder is
+    gradual): ADC-only 0.3 (pq_index_recall) → R=40: 0.5 → R=80: 0.7
+    → R=160: 1.0. On clustered real embeddings the same R recovers
+    far more (ADC ranks true neighbors higher), which is why
+    production IVFADC+R runs at R/k of 2-10."""
+    from .storage import pq_index_probe, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_index(
+        "pq", sf_dir,
+        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = pq_index_probe(
+        spark, path, q, k=10,
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+        rerank=_RERANK_R, rerank_source=emb,
+    )
+    exact = S.topk_l2_bruteforce(emb, q, k=10)
+    return _recall_result(approx, exact, "pq_rerank", k=10)

@@ -1315,6 +1315,74 @@ def append_to_pq_index(
     recommit_meta(spark, path, meta, extra=extra, appends=j)
 
 
+def _rerank_exact(
+    spark: SparkSession,
+    adc_topr: DataFrame,
+    qrel: DataFrame,
+    source: DataFrame,
+    k: int,
+    rerank: int,
+    op: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exact re-rank tier shared by the PQ-family probes —
+    IVFADC+R (Jégou et al. 2011 §V-D): take the top-`rerank` ADC
+    candidates, fetch their RAW vectors from `source` by id, and
+    re-order by exact squared L2 against the query. Recovers most of
+    the 4-bit quantization loss for `rerank` extra vector reads per
+    query (the cell-pruning loss is untouched — candidates only ever
+    come from the probed cells).
+
+    Plan shape at 100 TB: the candidate collect is bounded (<= rerank
+    rows — the probed-cells precedent), and the candidate ids are
+    pushed into `source`'s parquet scan as a literal id predicate
+    (PushedFilters: In/range on the id column), so a corpus clustered
+    or sorted by id serves the fetch from O(rerank) row groups — never
+    a second full corpus scan. The exact distance reuses _l2sq (the
+    topk_l2_bruteforce arithmetic: round-6 before ordering, ties to
+    id, NULLs last) so the re-ranked order replays in any engine.
+    `source` must be unique on `id_col` (the corpus relation the index
+    was built from); a duplicated id would duplicate its candidate
+    row. Returns (id, adist, dist) — the ADC score is carried through
+    from the candidate collect, not recomputed."""
+    from ..operators.similarity import _l2sq, as_double
+
+    if rerank < k:
+        raise ValueError(
+            f"{op}: rerank={rerank} must be >= k={k} — fewer "
+            "candidates than requested results"
+        )
+    # bounded driver materialization: <= rerank (id, adist) rows
+    rows = adc_topr.collect()
+    cand = spark.createDataFrame(
+        [
+            (
+                int(r[0]),
+                None if r["adist"] is None else float(r["adist"]),
+            )
+            for r in rows
+        ],
+        f"{id_col} bigint, adist double",
+    )
+    ids = [int(r[0]) for r in rows]
+    src = source.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    )
+    return (
+        src.join(F.broadcast(cand), id_col)  # bcast bound: rerank rows
+        .join(F.broadcast(qrel))  # bcast bound: 1 row
+        .select(
+            id_col,
+            "adist",
+            F.round(_l2sq(F.col("_v"), F.col("_qv")), 6).alias("dist"),
+        )
+        # asc_nulls_last: the topk_l2_bruteforce rule (r9)
+        .orderBy(F.asc_nulls_last("dist"), id_col)
+        .limit(k)
+    )
+
+
 def pq_index_probe(
     spark: SparkSession,
     path: str,
@@ -1322,6 +1390,8 @@ def pq_index_probe(
     k: int = 10,
     vec_col: str = "embedding",
     expect: dict | None = None,
+    rerank: int = 0,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Serve an ADC top-k from the persisted PQ index: the query
     builds its PQ_M x PQ_K lookup table against the STORED codebook
@@ -1339,7 +1409,13 @@ def pq_index_probe(
     raises loudly at the first action over the result; a correct call
     costs zero extra jobs. The quantizer read goes through the
     (path, version) meta-cache (_version_artifacts), so a warm probe
-    is the pruned code scan plus the broadcast LUT build."""
+    is the pruned code scan plus the broadcast LUT build.
+
+    `rerank=R` (r12): exact re-rank of the top-R ADC candidates
+    against raw vectors from `rerank_source` (_rerank_exact) —
+    with no cell pruning in this layout, R bounds the only serving
+    error, so recall@k approaches 1.0 as R grows; output becomes
+    (id, adist, dist) ranked by `dist`."""
     import posixpath
 
     from ..operators.similarity import (
@@ -1372,10 +1448,12 @@ def pq_index_probe(
     codes = _read_index_codes(spark, path, base, meta)
     idx_id = str(meta.get("id_col", "vec_id"))
     q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
+    # _qv rides along only when the rerank tier needs it, so the
+    # plain probe's plan stays byte-identical to its audited shape
     lut_row = q1.join(F.broadcast(cb)).select(  # bcast bound: 1 row
-        _pq_lut_array().alias("_lut")
+        *(["_qv"] if rerank else []), _pq_lut_array().alias("_lut")
     )
-    return (
+    adc = (
         codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
         .select(
             F.col(idx_id),
@@ -1384,8 +1462,19 @@ def pq_index_probe(
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         .orderBy(F.asc_nulls_last("adist"), idx_id)
-        .limit(k)
     )
+    if rerank:
+        if rerank_source is None:
+            raise ValueError(
+                "pq_index_probe: rerank requires rerank_source (the "
+                "raw corpus relation the index was built from)"
+            )
+        return _rerank_exact(
+            spark, adc.limit(rerank), lut_row.select("_qv"),
+            rerank_source, k, rerank, "pq_index_probe",
+            id_col=idx_id, vec_col=vec_col,
+        )
+    return adc.limit(k)
 
 
 def _require_unique_qids(
@@ -2354,6 +2443,8 @@ def ivfpq_probe(
     k: int = 10,
     nprobe: int = 2,
     expect: dict | None = None,
+    rerank: int = 0,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Serve an ADC top-k from the IVF-PQ index: rank the stored
     centroids against the query (rank_probe_cells — identical
@@ -2379,7 +2470,14 @@ def ivfpq_probe(
     loudly with no extra job, and the collected vector feeds the LUT
     as a LITERAL: the query subtree is evaluated exactly once per
     probe, and the pruning decision and the LUT provably use the same
-    vector even for a nondeterministic query relation."""
+    vector even for a nondeterministic query relation.
+
+    `rerank=R` (r12, the r11 verdict's #3) adds the IVFADC+R exact
+    re-rank tier: the top-R ADC candidates are re-ordered by exact
+    squared L2 against their raw vectors fetched from
+    `rerank_source` by pushed-down id predicate (_rerank_exact —
+    R extra vector reads per query, never a second corpus scan);
+    output becomes (vec_id, adist, dist) ranked by `dist`."""
 
     from ..operators.similarity import (
         PQ_K,
@@ -2444,7 +2542,7 @@ def ivfpq_probe(
             _pq_lut_array().alias("_lut")
         )
         scored = codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
-    return (
+    adc = (
         scored.select(
             "vec_id",
             "pq_code",
@@ -2452,8 +2550,25 @@ def ivfpq_probe(
         )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         .orderBy(F.asc_nulls_last("adist"), "vec_id")
-        .limit(k)
     )
+    if rerank:
+        # IVFADC+R (Jégou §V-D): exact re-rank of the top-`rerank` ADC
+        # candidates against their raw vectors. The query vector is
+        # the SAME validated collect that drove the pruning (qv), so
+        # candidates, pruning and the exact distances provably share
+        # one query. Cell-pruning loss is untouched — this tier
+        # recovers quantization loss only.
+        if rerank_source is None:
+            raise ValueError(
+                "ivfpq_probe: rerank requires rerank_source (the raw "
+                "corpus relation the index was built from)"
+            )
+        qrel_r = spark.createDataFrame([(qv,)], "_qv array<double>")
+        return _rerank_exact(
+            spark, adc.limit(rerank), qrel_r, rerank_source,
+            k, rerank, "ivfpq_probe",
+        )
+    return adc.limit(k)
 
 
 # per-layout compaction spec: which meta keys identify the layout,
@@ -2565,12 +2680,49 @@ def delete_from_index(
     ver = int(meta.get("version", 0))
     if ver == 0:
         raise FileNotFoundError(f"no committed index under {path}")
-    _index_kind(meta)  # refuse unrecognized layouts before writing
+    kind = _index_kind(meta)  # refuse unrecognized layouts first
     idc = str(meta.get("id_col", "vec_id"))
     if len(ids.columns) != 1:
         raise ValueError(
             f"delete_from_index expects a single-column id relation, "
             f"got columns {ids.columns}"
+        )
+    # type gates (r11 advice): tombstones are stored as one BIGINT
+    # column (_read_tombstones' literal schema), so both sides must
+    # actually BE integral — a string/decimal id relation would cast
+    # to NULLs (misreported as "empty id relation"), and a non-long
+    # stored id column (id_col is caller-chosen on the band layout)
+    # would type-mismatch the readers' anti-join. Refuse each with
+    # its own diagnostic instead.
+    from pyspark.sql import types as T
+
+    in_type = ids.schema[ids.columns[0]].dataType
+    if not isinstance(
+        in_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"delete_from_index over {path}: id relation column "
+            f"'{ids.columns[0]}' has type {in_type.simpleString()}; "
+            "tombstones are stored as BIGINT, so pass integral ids"
+        )
+    leg = _COMPACT_SPECS[kind]["data"][0][0]
+    leg_sch = _leg_schema(
+        spark, path, meta, leg,
+        posixpath.join(version_dir(path, ver), leg),
+    )
+    if idc not in leg_sch.fieldNames():
+        raise ValueError(
+            f"delete_from_index over {path}: the '{leg}' leg has no "
+            f"'{idc}' column (recorded id_col) — the index is torn or "
+            "its metadata was edited"
+        )
+    leg_type = leg_sch[idc].dataType
+    if not isinstance(leg_type, T.LongType):
+        raise TypeError(
+            f"delete_from_index over {path}: the index stores id "
+            f"column '{idc}' as {leg_type.simpleString()}, but "
+            "tombstones are BIGINT — deletion supports long-typed ids "
+            "only; rebuild the index with long ids to use takedown"
         )
     rel = (
         ids.select(F.col(ids.columns[0]).cast("long").alias(idc))
@@ -2646,7 +2798,12 @@ def compact_index(
     the old version (base + deltas) fully served."""
     import posixpath
 
-    from ..versioned import commit_version, current_meta, version_dir
+    from ..versioned import (
+        commit_version,
+        current_meta,
+        fence_snapshot,
+        version_dir,
+    )
 
     meta = current_meta(spark, path)
     ver = int(meta.get("version", 0))
@@ -2695,6 +2852,9 @@ def compact_index(
         ).parquet(posixpath.join(nbase, leg))
     extra = {k: v for k, v in meta.items()
              if k not in ("version", "appends", "tombstones")}
+    # stale-snapshot fence (r12): a compaction whose holder lost its
+    # lock lease mid-rewrite must not commit over a newer writer
+    fence_snapshot(spark, path, meta)
     commit_version(spark, path, ver + 1, extra=extra,
                    keep_versions=keep_versions)
     return True

@@ -70,12 +70,25 @@ def current_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+class FencingError(RuntimeError):
+    """A writer's metadata cycle was overtaken: between its
+    `current_meta` snapshot and its recommit, some other writer
+    committed (the snapshot's `commit_nonce` no longer matches
+    `_CURRENT`). Raised INSTEAD of committing, because a recommit from
+    the stale snapshot would revert the other writer's counters — the
+    exact lost update `meta_mutex` exists to prevent. Reachable only
+    when mutual exclusion was broken from outside: a paused-past-its-
+    lease holder whose lock was taken over, or an operator deleting a
+    live `_LOCK`."""
+
+
 @_contextlib.contextmanager
 def meta_mutex(
     spark: SparkSession,
     path: str,
-    timeout_sec: float = 120.0,
+    timeout_sec: float = 600.0,
     poll_sec: float = 0.05,
+    lease_sec: float = 30.0,
 ):
     """Serialize read-modify-write metadata cycles on one index (r11
     review finding): every append / delete / compaction is a
@@ -91,13 +104,32 @@ def meta_mutex(
     Mechanism: `<path>/_LOCK` acquired via FileSystem.createNewFile —
     atomic create-if-absent on HDFS and local filesystems (the same
     caveat class as the `_CURRENT` rename: object stores without
-    atomic create keep last-writer-wins semantics). Spin with a
-    deadline; on timeout raise naming the lock file so an operator
-    can clear one orphaned by a crashed writer (the lock guards
-    METADATA cycles lasting seconds — a multi-minute wait means a
-    dead holder, not contention). Readers never take the lock:
-    `_CURRENT` stays a single atomic rename, so probes are wait-free
-    and always see a complete commit."""
+    atomic create keep last-writer-wins semantics). Readers never
+    take the lock: `_CURRENT` stays a single atomic rename, so probes
+    are wait-free and always see a complete commit.
+
+    Lease + takeover (r12, the r11 verdict's sharp edge: a crashed
+    holder orphaned `_LOCK` until manual deletion, and the timeout
+    message invited deleting a LIVE lock, since writers legitimately
+    hold it for the full data-write duration — minutes+ for a
+    compaction): the holder HEARTBEATS the lock file's mtime every
+    lease_sec/3 from a daemon thread, and a waiter that finds the
+    lock older than `lease_sec` takes it over — atomically, by
+    renaming the stale file to a unique tombstone (only one renamer
+    can win; the loser's rename fails and it goes back to polling)
+    and re-entering the normal create race. Liveness is judged by
+    LOCK AGE, never by how long this caller waited, so a long wait
+    on a fresh lock is what it looks like: a live writer mid-write —
+    raise `timeout_sec` (it is a safety cap, not a liveness signal).
+    Caveat: mtime freshness assumes writer clocks agree to within
+    ~lease_sec (same class of caveat as the rename atomicity).
+
+    Takeover is what makes `FencingError` matter: a holder paused
+    past its lease (GC, swapped-out VM) can lose the lock while
+    believing it holds it; its eventual recommit is then refused by
+    the commit-nonce fence in `recommit_meta` instead of reverting
+    the new holder's updates."""
+    import threading
     import time
 
     fs, hpath = _fs(spark, path)
@@ -105,25 +137,79 @@ def meta_mutex(
     fs.mkdirs(hpath)
     lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
     deadline = time.monotonic() + timeout_sec
+    last_exc: Exception | None = None
     while True:
         try:
             if fs.createNewFile(lock):
                 break
-        except Exception:
-            # transient FS error or lost create race — retry until
-            # the deadline either way
-            pass
+            # lock exists: a stale one (holder stopped heartbeating
+            # for > lease_sec) is taken over via atomic rename — only
+            # one waiter can win the rename, and the winner still
+            # re-enters the createNewFile race like everyone else
+            try:
+                age_ms = (
+                    int(time.time() * 1000)
+                    - int(fs.getFileStatus(lock).getModificationTime())
+                )
+                if age_ms > lease_sec * 1000:
+                    corpse = jvm.org.apache.hadoop.fs.Path(
+                        posixpath.join(
+                            path, f"_LOCK.stale.{uuid.uuid4().hex}"
+                        )
+                    )
+                    if fs.rename(lock, corpse):
+                        fs.delete(corpse, False)
+                        continue
+            except Exception:
+                # the lock vanished between exists and stat (released
+                # or stolen) or another waiter won the rename — poll
+                pass
+        except Exception as exc:
+            # createNewFile failed abnormally (not the boolean
+            # already-exists result). A lost create race looks like
+            # this on some filesystems — but so does a broken FS
+            # (auth, wrong scheme, permissions), which must surface
+            # instead of spinning into a misleading timeout (r11
+            # advice). Probe the FS once: if even exists() fails, the
+            # filesystem is down — re-raise the original error now.
+            last_exc = exc
+            try:
+                fs.exists(lock)
+            except Exception:
+                raise exc
         if time.monotonic() > deadline:
             raise TimeoutError(
-                f"could not acquire {path}/_LOCK within {timeout_sec}s — "
-                "metadata writers hold it for seconds, so a long wait "
-                "means a crashed holder left it behind: verify no "
-                "writer is alive, then delete the file"
+                f"could not acquire {path}/_LOCK within {timeout_sec}s. "
+                "The lock is heartbeated while held and a stale one is "
+                "taken over automatically, so this lock is FRESH: a "
+                "live writer is mid-write (compactions hold it for the "
+                "full rewrite) — raise timeout_sec rather than deleting "
+                "the file"
+                + (f"; last acquire error: {last_exc!r}" if last_exc
+                   else "")
             )
         time.sleep(poll_sec)
+    stop = threading.Event()
+
+    def _heartbeat():
+        while not stop.wait(lease_sec / 3.0):
+            try:
+                now = int(time.time() * 1000)
+                fs.setTimes(lock, now, -1)
+            except Exception:  # noqa: BLE001
+                # a failed touch only ages the lock toward takeover —
+                # the fence in recommit_meta backstops correctness
+                pass
+
+    hb = threading.Thread(
+        target=_heartbeat, name=f"meta-mutex-hb:{path}", daemon=True
+    )
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
+        hb.join(timeout=5.0)
         fs.delete(lock, False)
 
 
@@ -260,7 +346,19 @@ def recommit_meta(
     and commit at the SAME version honoring the retention the build
     recorded (`keep_versions` rides the payload since r9 — before
     that, the first append after a keep_versions=5 build silently
-    re-pruned old versions with the default 2)."""
+    re-pruned old versions with the default 2).
+
+    Fencing (r12): before committing, the snapshot's `commit_nonce`
+    is checked against the LIVE `_CURRENT` — a mismatch means some
+    other writer committed after this cycle's snapshot (mutual
+    exclusion was broken: a paused holder lost its lease and its lock
+    was taken over, or an operator removed a live `_LOCK`), and
+    committing the stale snapshot would revert that writer's
+    counters. Raise FencingError instead; the caller's work is lost,
+    the OTHER writer's committed state is not. One extra small-JSON
+    read per metadata cycle. Pre-nonce snapshots (no `commit_nonce`
+    recorded) skip the fence — nothing to compare."""
+    fence_snapshot(spark, path, meta)
     merged = {k: v for k, v in meta.items() if k != "version"}
     merged.update(extra or {})
     if appends is not None:
@@ -269,6 +367,29 @@ def recommit_meta(
         spark, path, int(meta["version"]), extra=merged,
         keep_versions=int(meta.get("keep_versions", 2)),
     )
+
+
+def fence_snapshot(spark: SparkSession, path: str, meta: dict) -> None:
+    """Refuse to commit from a stale snapshot (r12): `meta` is the
+    `current_meta` a metadata cycle started from; if `_CURRENT`'s
+    live `commit_nonce` no longer matches, another writer committed
+    in between — mutual exclusion was broken (a holder paused past
+    its `meta_mutex` lease lost the lock, or an operator deleted a
+    live `_LOCK`) — and committing would revert that writer's
+    counters. Used by recommit_meta (appends/deletes/stream folds)
+    and compact_index (new-version commits). Pre-nonce snapshots
+    carry no nonce and skip the check."""
+    snap_nonce = meta.get("commit_nonce")
+    if not snap_nonce:
+        return
+    live = current_meta(spark, path).get("commit_nonce")
+    if live != snap_nonce:
+        raise FencingError(
+            f"refusing to commit over {path}: another writer "
+            f"committed after this cycle's snapshot (snapshot nonce "
+            f"{snap_nonce}, live {live}) — the lock lease was lost "
+            "mid-cycle; retry the operation from a fresh snapshot"
+        )
 
 
 def epoch_replayed(

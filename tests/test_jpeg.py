@@ -464,3 +464,87 @@ def test_jpeg420_guards():
     enc[i + 11] = 0x21
     with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(enc))
+
+
+def _swap_components_23(enc: bytes) -> bytes:
+    """Swap the SOF and SOS entries of components 2 and 3 in an
+    encoded 4:4:4 color stream. The entropy data is untouched, so the
+    SECOND interleaved plane (physically the Cb data) now belongs to
+    component id 3 = Cr per the headers — a legal baseline stream
+    with a non-canonical component order."""
+    out = bytearray(enc)
+    i = out.find(b"\xff\xc0")
+    assert i >= 0 and out[i + 9] == 3  # nf
+    # SOF entries start at i+10, 3 bytes each: (cid, sampling, tq)
+    e2, e3 = out[i + 13:i + 16], out[i + 16:i + 19]
+    assert e2[0] == 2 and e3[0] == 3
+    out[i + 13:i + 16], out[i + 16:i + 19] = e3, e2
+    j = out.find(b"\xff\xda")
+    assert j >= 0 and out[j + 4] == 3  # ns
+    # SOS entries start at j+5, 2 bytes each: (cid, tables)
+    s2, s3 = out[j + 7:j + 9], out[j + 9:j + 11]
+    assert s2[0] == 2 and s3[0] == 3
+    out[j + 7:j + 9], out[j + 9:j + 11] = s3, s2
+    return bytes(out)
+
+
+def _expect_const_rgb_swapped(r, g, b):
+    """_expect_const_rgb with the chroma DATA swapped at the role
+    level: the stream's second interleaved plane (Cb data) is
+    declared Cr and vice versa, so the inverse transform must consume
+    (y, cb=cr_data, cr=cb_data)."""
+    def hu(x):
+        return math.floor(x + 0.5)
+
+    def clip(x):
+        return min(255, max(0, x))
+
+    y = clip(hu(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = clip(hu(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+    cr = clip(hu(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+
+    def dc_chain(v):
+        dcq = math.floor((8 * (v - 128)) / 16.0 + 0.5)
+        return clip(hu(16 * dcq / 8.0 + 128))
+
+    y, cb, cr = dc_chain(y), dc_chain(cb), dc_chain(cr)
+    cb, cr = cr, cb  # the role swap the permuted headers declare
+    return (
+        clip(hu(y + 1.402 * (cr - 128))),
+        clip(hu(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        clip(hu(y + 1.772 * (cb - 128))),
+    )
+
+
+def test_component_roles_keyed_by_id_not_position():
+    """T.81 fixes nothing about component ORDER — a legal baseline
+    stream may list Y/Cb/Cr in any order, and a decoder that maps
+    planes positionally silently swaps the chroma channels (r11
+    advice). Swap components 2 and 3 in the headers of an encoded
+    solid-color stream: the id-keyed decode must produce EXACTLY the
+    constant-chain result with the chroma roles exchanged (a
+    positional decoder would return the original colors)."""
+    rgb = (200, 60, 100)
+    enc = encode_jpeg(8, 8, bytes(rgb) * 64, mode="RGB")
+    dec = decode_jpeg(_swap_components_23(enc))
+    got = set(zip(dec["pixels"][0::3], dec["pixels"][1::3],
+                  dec["pixels"][2::3]))
+    assert got == {_expect_const_rgb_swapped(*rgb)}
+    # and the swap is not a no-op on this fixture
+    plain = decode_jpeg(enc)
+    assert plain["pixels"] != dec["pixels"]
+
+
+def test_non_jfif_component_ids_refuse_loudly():
+    """Y/Cb/Cr roles are keyed off JFIF ids 1/2/3; a 3-component
+    stream with any other id set has no inferable roles and must
+    refuse instead of guessing positionally."""
+    enc = bytearray(encode_jpeg(8, 8, bytes((10, 20, 30)) * 64,
+                                mode="RGB"))
+    i = enc.find(b"\xff\xc0")
+    j = enc.find(b"\xff\xda")
+    for k in range(3):
+        enc[i + 10 + 3 * k] += 4  # SOF ids 5,6,7
+        enc[j + 5 + 2 * k] += 4   # SOS ids match
+    with pytest.raises(NotImplementedError, match="component ids"):
+        decode_jpeg(bytes(enc))

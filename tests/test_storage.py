@@ -2611,3 +2611,203 @@ def test_concurrent_append_and_takedown_lose_no_updates(spark, tmp_path):
     assert 200 in served  # its own code is its nearest neighbor
     gone = {i for ids in dead_ids for i in ids}
     assert not served & gone
+
+
+def test_rerank_exact_tier_guards_plan_and_full_R_equivalence(
+    spark, tmp_path
+):
+    """IVFADC+R (r12, plans/storage._rerank_exact): the guards refuse
+    a missing source and R < k; the candidate fetch pushes the id
+    list into the raw-vector parquet scan (PushedFilters — never a
+    second full corpus scan); the output is ordered by exact distance
+    with the topk_l2_bruteforce tie-break; and with R = |corpus| the
+    re-ranked top-k EQUALS the exact brute-force top-k (the refine
+    tier's correctness limit)."""
+    from goflow2clickhouse_spark.operators import similarity as S
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_rr")
+    write_pq_index(emb, path)
+    q = emb.filter(F.col("vec_id") == 0)
+
+    with pytest.raises(ValueError, match="rerank_source"):
+        pq_index_probe(spark, path, q, k=10, rerank=20)
+    with pytest.raises(ValueError, match="must be >= k"):
+        pq_index_probe(spark, path, q, k=10, rerank=5, rerank_source=emb)
+
+    res = pq_index_probe(spark, path, q, k=10, rerank=20,
+                         rerank_source=emb)
+    rows = res.collect()
+    assert len(rows) == 10
+    assert [r["dist"] for r in rows] == sorted(r["dist"] for r in rows)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "In(vec_id" in plan  # candidate ids reach the scan
+
+    n = emb.count()
+    full = pq_index_probe(spark, path, q, k=10, rerank=int(n),
+                          rerank_source=emb)
+    exact = S.topk_l2_bruteforce(emb, q, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+
+
+def test_meta_mutex_stale_lock_takeover(spark, tmp_path):
+    """A crashed holder's lock (no heartbeat → mtime older than the
+    lease) is taken over automatically — no manual _LOCK deletion, no
+    timeout (the r11 verdict's operational sharp edge)."""
+    import posixpath
+    import time
+
+    from goflow2clickhouse_spark.versioned import _fs, meta_mutex
+
+    path = str(tmp_path / "stale_lock")
+    fs, hpath = _fs(spark, path)
+    fs.mkdirs(hpath)
+    jvm = spark._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
+    assert fs.createNewFile(lock)
+    fs.setTimes(lock, int((time.time() - 3600) * 1000), -1)
+    t0 = time.monotonic()
+    with meta_mutex(spark, path, timeout_sec=10, lease_sec=0.5):
+        pass
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_meta_mutex_heartbeat_blocks_takeover(spark, tmp_path):
+    """A LIVE holder is never stolen from, even when it holds the
+    lock far longer than the lease: the heartbeat thread keeps the
+    mtime fresh, so liveness is judged by lock age, not caller wait
+    time (the r11 advice's point about long compactions)."""
+    import threading
+    import time
+
+    from goflow2clickhouse_spark.versioned import meta_mutex
+
+    path = str(tmp_path / "live_lock")
+    order = []
+
+    def holder():
+        with meta_mutex(spark, path, lease_sec=0.6):
+            order.append("a-in")
+            time.sleep(2.5)  # >4 leases — heartbeats keep it fresh
+            order.append("a-out")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.4)  # let the holder acquire
+    with meta_mutex(spark, path, timeout_sec=30, lease_sec=0.6):
+        order.append("b-in")
+    t.join()
+    assert order == ["a-in", "a-out", "b-in"]
+
+
+def test_killed_holder_taken_over_without_losing_counters(
+    spark, tmp_path
+):
+    """The r11 verdict's done-criterion for the lease: a killed
+    writer's orphaned _LOCK does not block the index, and the
+    subsequent writers' counters all land — append once, delete once,
+    both through a takeover of the stale lock."""
+    import posixpath
+    import time
+
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_sq_index,
+        delete_from_index,
+        sq_index_probe,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import _fs, current_meta
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "killed")
+    write_sq_index(emb.filter(F.col("vec_id") < 30), path)
+    # simulate a holder killed mid-cycle: its lock survives, stale
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
+    assert fs.createNewFile(lock)
+    fs.setTimes(lock, int((time.time() - 3600) * 1000), -1)
+
+    append_to_sq_index(
+        emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40)), path
+    )
+    delete_from_index(
+        emb.filter(F.col("vec_id") == 5).select("vec_id"), path
+    )
+    meta = current_meta(spark, path)
+    assert int(meta["appends"]) == 1
+    assert int(meta["tombstones"]) == 1
+    q = emb.filter(F.col("vec_id") == 0)
+    served = {r["vec_id"] for r in
+              sq_index_probe(spark, path, q, k=40).collect()}
+    assert 35 in served and 5 not in served
+
+
+def test_fencing_refuses_stale_snapshot_commit(spark, tmp_path):
+    """versioned.fence_snapshot (r12): a writer whose lock lease was
+    lost mid-cycle must not revert the interloper's commit — the
+    recommit from the stale snapshot raises FencingError and the
+    interloper's counters survive."""
+    from goflow2clickhouse_spark.plans.storage import (
+        delete_from_index,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import (
+        FencingError,
+        current_meta,
+        recommit_meta,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "fenced")
+    write_sq_index(emb.filter(F.col("vec_id") < 30), path)
+    snap = current_meta(spark, path)  # this cycle's snapshot
+    # interloper commits while the snapshot holder is paused
+    delete_from_index(
+        emb.filter(F.col("vec_id") == 3).select("vec_id"), path
+    )
+    with pytest.raises(FencingError, match="another writer"):
+        recommit_meta(spark, path, snap, appends=7)
+    meta = current_meta(spark, path)
+    assert int(meta["tombstones"]) == 1
+    assert int(meta.get("appends", 0)) == 0
+
+
+def test_delete_from_index_type_gates(spark, tmp_path):
+    """delete_from_index's id-type diagnostics (r11 advice): a
+    non-integral id relation refuses BEFORE casting (a string
+    relation silently nulled into the misleading 'empty relation'
+    error), and an index whose stored id column is not BIGINT refuses
+    with a type-specific message instead of a type-mismatched
+    anti-join."""
+    from goflow2clickhouse_spark.plans.storage import (
+        delete_from_index,
+        write_band_index,
+        write_sq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "typed")
+    write_sq_index(emb.filter(F.col("vec_id") < 30), path)
+    sids = spark.createDataFrame([("5",)], "vec_id string")
+    with pytest.raises(TypeError, match="integral ids"):
+        delete_from_index(sids, path)
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+                "text")
+        .limit(20)
+    )
+    bpath = str(tmp_path / "band_str")
+    write_band_index(docs, bpath)
+    with pytest.raises(TypeError, match="long-typed ids"):
+        delete_from_index(
+            spark.createDataFrame([(1,)], "doc_id bigint"), bpath
+        )

@@ -2989,6 +2989,70 @@ def _trained_cb_ctes(iters: int, cb_src: str = "e") -> str:
     return ",\n    ".join(ctes)
 
 
+# training-regime knobs, shared by the gauges AND (since r12, the r11
+# verdict's #4) the serving-path fixtures themselves: production ships
+# trained quantizers, so the registry probes and the bench time the
+# trained configuration and the seed-only builds remain as explicit
+# comparison fixtures
+_TRAINED_ITERS = 2
+_TRAINED_Q = 8  # batch-recall query count (denoises the 1/k steps)
+
+# coarse-training gauge geometry (r11): Q=16 query ids STARTING AT 100
+# — disjoint from the centroid seed ids (the n_cells lowest), because a
+# seed-id query's own cell always ranks first at cosine 1.0, biasing
+# the seed figure upward (measured at sf0.01: with qids < Q the seed
+# index read 0.925 and training "hurt"; with disjoint qids the same
+# sweep reads seed 0.4375 vs trained 0.5000 at this geometry)
+_CTR_ITERS = 2
+_CTR_Q = 16
+_CTR_Q_WHERE = f"vec_id >= 100 AND vec_id < {100 + _CTR_Q}"
+
+
+def _trained_cents_ctes(iters: int, n_cells: int, src: str = "e") -> str:
+    """CTE chain replaying operators/similarity.ivf_centroids_trained
+    over the `src` relation (a (vec_id, v) CTE; `e` by default, `e0`
+    inside the residual IVF-PQ replay where `e` is the residual encode
+    relation) — the COARSE twin of _trained_cb_ctes (r11): seeded from
+    the lowest-id centroids, each iteration assigning every vector by
+    argmax cosine (ties to the smaller cid — ivf_assign's rule, the
+    same expression the untrained assignment uses), recomputing each
+    cell as ROUND(AVG, 6) per dimension (the cross-engine-exactness
+    quantization — see the operator docstring), empty cells keeping
+    their previous centroid. Ends in a `cents AS (cid, cvec)` CTE, so
+    every downstream assignment / cell-ranking expression is reused
+    verbatim over the trained centroids."""
+    chain = [
+        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM {src}
+               ORDER BY vec_id LIMIT {n_cells})"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        chain += [
+            f"""kd{t} AS (
+        SELECT {src}.vec_id, {src}.v, c.cid,
+               {_COS.format(a=f'{src}.v', b='c.cvec')} AS score
+        FROM {src} CROSS JOIN kc{p} c)""",
+            f"""ka{t} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM kd{t}) z WHERE rn = 1)""",
+            f"""km{t} AS (
+        SELECT cid, gs.pos, ROUND(AVG(v[gs.pos]), 6) AS mm
+        FROM ka{t}, generate_series(1, {S.DIM}) gs(pos)
+        GROUP BY cid, gs.pos)""",
+            f"""kn{t} AS (
+        SELECT cid, list(mm ORDER BY pos) AS nv FROM km{t}
+        GROUP BY cid)""",
+            f"""kc{t} AS (
+        SELECT c.cid, COALESCE(n.nv, c.cvec) AS cvec
+        FROM kc{p} c LEFT JOIN kn{t} n ON c.cid = n.cid)""",
+        ]
+    chain.append(f"cents AS (SELECT cid, cvec FROM kc{iters})")
+    return ",\n    ".join(chain)
+
+
+
 def _pq_oracle(
     pre_ctes: str = "",
     e_sql: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
@@ -3188,7 +3252,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(e, q, k=10)
 
 
-@query("pq_index_probe", oracle=_pq_oracle(), bench=True)
+@query(
+    "pq_index_probe",
+    oracle=_pq_oracle(trained_iters=_TRAINED_ITERS),
+    bench=True,
+)
 def pq_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`pq_adc_topk` served from the PERSISTED PQ index
     (plans/storage.write_pq_index → pq_index_probe): the codebook
@@ -3205,13 +3273,18 @@ def pq_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _persisted_index(
         "pq", sf_dir,
-        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+        lambda p: write_pq_index(
+            load_table(spark, sf_dir, "embeddings"), p,
+            train_iterations=_TRAINED_ITERS,
+        ),
     )
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     # expect pins the code geometry this query's ORACLE replays
     return pq_index_probe(
         spark, path, q, k=10,
-        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB,
+                "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS},
     )
 
 
@@ -3288,6 +3361,7 @@ def pq_deleted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_pq_oracle(
         batch_k=5,
         q_sql="SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3",
+        trained_iters=_TRAINED_ITERS,
     ),
     bench=True,
 )
@@ -3307,7 +3381,10 @@ def pq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _persisted_index(
         "pq", sf_dir,
-        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+        lambda p: write_pq_index(
+            load_table(spark, sf_dir, "embeddings"), p,
+            train_iterations=_TRAINED_ITERS,
+        ),
     )
     qs = (
         load_table(spark, sf_dir, "embeddings")
@@ -3316,7 +3393,9 @@ def pq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_index_batch_probe(
         spark, path, qs, k=5,
-        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB,
+                "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS},
     )
 
 
@@ -3363,11 +3442,11 @@ def _ivfpq_oracle(
             "seed_where — the append replay would retrain on the "
             "appended corpus instead of the stored codebook's"
         )
-    if coarse_iters and (seed_where or batch_k is not None):
+    if coarse_iters and seed_where:
         raise ValueError(
             "_ivfpq_oracle: coarse_iters does not compose with "
-            "seed_where/batch_k yet — their replays would silently "
-            "use the untrained coarse geometry"
+            "seed_where yet — the append replay would silently "
+            "retrain the coarse quantizer on the appended corpus"
         )
     if residual:
         dim = S.DIM
@@ -3509,7 +3588,12 @@ def _ivfpq_oracle(
     )
 
 
-@query("ivfpq_probe", oracle=_ivfpq_oracle(), bench=True)
+@query(
+    "ivfpq_probe",
+    oracle=_ivfpq_oracle(trained_iters=_TRAINED_ITERS,
+                         coarse_iters=_CTR_ITERS),
+    bench=True,
+)
 def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composed billion-scale ANN serving shape (Jégou et
     al. 2011 §V; plans/storage.write_ivfpq_index → ivfpq_probe): the
@@ -3530,13 +3614,17 @@ def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     return ivfpq_probe(
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
-                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS,
+                "coarse_train_iters": _CTR_ITERS},
     )
 
 
@@ -3636,7 +3724,9 @@ def pq_compacted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivfpq_batch_probe",
-    oracle=_ivfpq_oracle(nprobe=2, batch_k=5),
+    oracle=_ivfpq_oracle(nprobe=2, batch_k=5,
+                         trained_iters=_TRAINED_ITERS,
+                         coarse_iters=_CTR_ITERS),
     bench=True,
 )
 def ivfpq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3659,6 +3749,8 @@ def ivfpq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     qs = (
@@ -3669,7 +3761,9 @@ def ivfpq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_batch_probe(
         spark, path, qs, k=5, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
-                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS,
+                "coarse_train_iters": _CTR_ITERS},
     )
 
 
@@ -3788,7 +3882,7 @@ def _pq_recall_oracle() -> str:
         "pq_adc",
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings)",
-        _pq_oracle(),
+        _pq_oracle(trained_iters=_TRAINED_ITERS),
     )
 
 
@@ -3820,12 +3914,17 @@ def pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _persisted_index(
         "pq", sf_dir,
-        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+        lambda p: write_pq_index(
+            load_table(spark, sf_dir, "embeddings"), p,
+            train_iterations=_TRAINED_ITERS,
+        ),
     )
     q = emb.filter(F.col("vec_id") == 0)
     approx = pq_index_probe(
         spark, path, q, k=10,
-        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB,
+                "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS},
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)
     return _recall_result(approx, exact, "pq_adc", k=10)
@@ -3837,7 +3936,12 @@ def _ivfpq_recall_oracle() -> str:
     holds — isolating quantization + nprobe pruning error from the
     metadata gate, the filtered_ann_recall rule) intersected with the
     full IVF-PQ replay (_ivfpq_oracle)."""
-    return _l2_recall_oracle("ivfpq", _FILTERED_E_SQL, _ivfpq_oracle())
+    return _l2_recall_oracle(
+        "ivfpq",
+        _FILTERED_E_SQL,
+        _ivfpq_oracle(trained_iters=_TRAINED_ITERS,
+                      coarse_iters=_CTR_ITERS),
+    )
 
 
 @query("ivfpq_recall", oracle=_ivfpq_recall_oracle())
@@ -3862,6 +3966,8 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     e = _filtered_eligible(spark, sf_dir)
@@ -3869,7 +3975,9 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfpq_probe(
         spark, path, q, k=10, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
-                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS,
+                "coarse_train_iters": _CTR_ITERS},
     )
     exact = S.topk_l2_bruteforce(e, q, k=10)
     return _recall_result(approx, exact, "ivfpq", k=10)
@@ -3910,10 +4018,9 @@ def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # trained PQ codebooks + their recall gates (r10)
+# (_TRAINED_ITERS / _TRAINED_Q moved above _pq_oracle at r12 — the
+# trained-by-default serving probes need them at decoration time)
 # ---------------------------------------------------------------------------
-
-_TRAINED_ITERS = 2
-_TRAINED_Q = 8  # batch-recall query count (denoises the 1/k steps)
 
 
 @query(
@@ -4599,48 +4706,8 @@ _IVFSQ_CELLS = 8
 _IVFSQ_NPROBE = 2
 
 
-def _trained_cents_ctes(iters: int, n_cells: int, src: str = "e") -> str:
-    """CTE chain replaying operators/similarity.ivf_centroids_trained
-    over the `src` relation (a (vec_id, v) CTE; `e` by default, `e0`
-    inside the residual IVF-PQ replay where `e` is the residual encode
-    relation) — the COARSE twin of _trained_cb_ctes (r11): seeded from
-    the lowest-id centroids, each iteration assigning every vector by
-    argmax cosine (ties to the smaller cid — ivf_assign's rule, the
-    same expression the untrained assignment uses), recomputing each
-    cell as ROUND(AVG, 6) per dimension (the cross-engine-exactness
-    quantization — see the operator docstring), empty cells keeping
-    their previous centroid. Ends in a `cents AS (cid, cvec)` CTE, so
-    every downstream assignment / cell-ranking expression is reused
-    verbatim over the trained centroids."""
-    chain = [
-        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM {src}
-               ORDER BY vec_id LIMIT {n_cells})"""
-    ]
-    for t in range(1, iters + 1):
-        p = t - 1
-        chain += [
-            f"""kd{t} AS (
-        SELECT {src}.vec_id, {src}.v, c.cid,
-               {_COS.format(a=f'{src}.v', b='c.cvec')} AS score
-        FROM {src} CROSS JOIN kc{p} c)""",
-            f"""ka{t} AS (
-        SELECT vec_id, v, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY score DESC, cid) AS rn
-            FROM kd{t}) z WHERE rn = 1)""",
-            f"""km{t} AS (
-        SELECT cid, gs.pos, ROUND(AVG(v[gs.pos]), 6) AS mm
-        FROM ka{t}, generate_series(1, {S.DIM}) gs(pos)
-        GROUP BY cid, gs.pos)""",
-            f"""kn{t} AS (
-        SELECT cid, list(mm ORDER BY pos) AS nv FROM km{t}
-        GROUP BY cid)""",
-            f"""kc{t} AS (
-        SELECT c.cid, COALESCE(n.nv, c.cvec) AS cvec
-        FROM kc{p} c LEFT JOIN kn{t} n ON c.cid = n.cid)""",
-        ]
-    chain.append(f"cents AS (SELECT cid, cvec FROM kc{iters})")
-    return ",\n    ".join(chain)
+# (_trained_cents_ctes moved next to _trained_cb_ctes at r12 — the
+# trained-by-default ivfpq serving oracles need it at decoration time)
 
 
 def _ivfsq_assign_ctes(
@@ -4674,13 +4741,16 @@ def _ivfsq_assign_ctes(
 
 
 def _ivfsq_ctes(n_cells: int = _IVFSQ_CELLS,
-                nprobe: int = _IVFSQ_NPROBE) -> str:
+                nprobe: int = _IVFSQ_NPROBE,
+                coarse_iters: int = 0) -> str:
     """Coarse-quantizer replay over the full `e` relation: the shared
     assignment CTEs plus the single query's top-nprobe cells. qcells
     is self-contained (own scalar query subquery) so the same CTE
     text drops into both the probe oracle and _l2_recall_oracle's
-    skeleton, whose `q` CTE is defined after the caller's CTEs."""
-    return f"""{_ivfsq_assign_ctes(n_cells)},
+    skeleton, whose `q` CTE is defined after the caller's CTEs.
+    `coarse_iters` (r12) swaps in the Lloyd-trained centroid chain —
+    the serving probes replay the trained-by-default fixture."""
+    return f"""{_ivfsq_assign_ctes(n_cells, coarse_iters)},
     qcells AS (
         SELECT c.cid FROM cents c,
              (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
@@ -4708,6 +4778,7 @@ def _ivfsq_index(spark: SparkSession, sf_dir: str) -> str:
         lambda p: write_ivfsq_index(
             load_table(spark, sf_dir, "embeddings"), p,
             n_cells=_IVFSQ_CELLS,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
 
@@ -4720,7 +4791,7 @@ def _ivfsq_index(spark: SparkSession, sf_dir: str) -> str:
                FROM embeddings),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     {_sq_ctes()},
-    {_ivfsq_ctes()}
+    {_ivfsq_ctes(coarse_iters=_CTR_ITERS)}
     {_ivfsq_probe_sql(10)}
     """,
 )
@@ -4743,7 +4814,7 @@ def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_probe(
         spark, path, q, k=10, nprobe=_IVFSQ_NPROBE,
         expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
-                "dim": S.DIM},
+                "dim": S.DIM, "coarse_train_iters": _CTR_ITERS},
     )
 
 
@@ -4752,7 +4823,8 @@ def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_l2_recall_oracle(
         "ivfsq",
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings)," + _sq_ctes() + "," + _ivfsq_ctes(),
+        "FROM embeddings)," + _sq_ctes() + ","
+        + _ivfsq_ctes(coarse_iters=_CTR_ITERS),
         _ivfsq_probe_sql(10),
     ),
 )
@@ -4772,7 +4844,7 @@ def ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfsq_probe(
         spark, path, q, k=10, nprobe=_IVFSQ_NPROBE,
         expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
-                "dim": S.DIM},
+                "dim": S.DIM, "coarse_train_iters": _CTR_ITERS},
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)
     return _recall_result(approx, exact, "ivfsq", k=10)
@@ -4827,7 +4899,8 @@ def _ivfsq_batch_sql(
 @query(
     "ivfsq_batch_probe",
     bench=True,
-    oracle=_ivfsq_batch_sql(5, f"vec_id < {_SQ_BATCH_Q}"),
+    oracle=_ivfsq_batch_sql(5, f"vec_id < {_SQ_BATCH_Q}",
+                            coarse_iters=_CTR_ITERS),
 )
 def ivfsq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-query batch served from the persisted IVF-SQ8 index
@@ -4851,7 +4924,7 @@ def ivfsq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ivfsq_batch_probe(
         spark, path, qs, k=5, nprobe=_IVFSQ_NPROBE,
         expect={"n_cells": _IVFSQ_CELLS, "sq_buckets": S.SQ_BUCKETS,
-                "dim": S.DIM},
+                "dim": S.DIM, "coarse_train_iters": _CTR_ITERS},
     )
     # the probe's persisted query relation is finalizer-tied to the
     # probe handle — pin it to the composed plan (the D.pin rule),
@@ -4859,15 +4932,9 @@ def ivfsq_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pin(probe.orderBy("qid", "rank"), probe)
 
 
-# coarse-training gauge geometry (r11): Q=16 query ids STARTING AT 100
-# — disjoint from the centroid seed ids (the n_cells lowest), because a
-# seed-id query's own cell always ranks first at cosine 1.0, biasing
-# the seed figure upward (measured at sf0.01: with qids < Q the seed
-# index read 0.925 and training "hurt"; with disjoint qids the same
-# sweep reads seed 0.4375 vs trained 0.5000 at this geometry)
-_CTR_ITERS = 2
-_CTR_Q = 16
-_CTR_Q_WHERE = f"vec_id >= 100 AND vec_id < {100 + _CTR_Q}"
+# (_CTR_ITERS / _CTR_Q / _CTR_Q_WHERE moved above the IVF-SQ section
+# at r12 — the trained-by-default serving probes need them at
+# decoration time)
 
 
 @query(
@@ -4913,15 +4980,17 @@ def ivfsq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .storage import ivfsq_batch_probe, write_ivfsq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_path = _ivfsq_index(spark, sf_dir)
-    trained_path = _persisted_index(
-        "ivfsq_ctr", sf_dir,
+    # r12 flipped the SHARED `ivfsq` fixture to the trained build
+    # (serving default); the gauge keeps its seed-vs-trained contrast
+    # by building the seed side as its own explicit comparison fixture
+    seed_path = _persisted_index(
+        "ivfsq_seed", sf_dir,
         lambda p: write_ivfsq_index(
             load_table(spark, sf_dir, "embeddings"), p,
             n_cells=_IVFSQ_CELLS,
-            coarse_train_iterations=_CTR_ITERS,
         ),
     )
+    trained_path = _ivfsq_index(spark, sf_dir)
     qs = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _CTR_Q)
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -5118,7 +5187,7 @@ def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_rerank",
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings)",
-        _pq_oracle(rerank=_RERANK_R),
+        _pq_oracle(rerank=_RERANK_R, trained_iters=_TRAINED_ITERS),
     ),
 )
 def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5129,21 +5198,29 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically to exactly 1.0 as R grows. Measured at sf0.01
     (N=500, i.i.d.-random — 4-bit ADC's worst case, so the ADC
     ranking is weakly correlated with the exact one and the ladder is
-    gradual): ADC-only 0.3 (pq_index_recall) → R=40: 0.5 → R=80: 0.7
-    → R=160: 1.0. On clustered real embeddings the same R recovers
-    far more (ADC ranks true neighbors higher), which is why
-    production IVFADC+R runs at R/k of 2-10."""
+    gradual). On the TRAINED serving fixture (r12 default): ADC-only
+    0.3 (pq_index_recall) → R=40: 0.7 → R=80: 0.9 → R=160: 1.0; on
+    the seed codebook the same ladder read 0.5/0.7/1.0 — training
+    and the refine tier COMPOSE (a better ADC ranking pulls the true
+    neighbors into a smaller R). On clustered real embeddings the
+    same R recovers far more, which is why production IVFADC+R runs
+    at R/k of 2-10."""
     from .storage import pq_index_probe, write_pq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _persisted_index(
         "pq", sf_dir,
-        lambda p: write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+        lambda p: write_pq_index(
+            load_table(spark, sf_dir, "embeddings"), p,
+            train_iterations=_TRAINED_ITERS,
+        ),
     )
     q = emb.filter(F.col("vec_id") == 0)
     approx = pq_index_probe(
         spark, path, q, k=10,
-        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K},
+        expect={"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB,
+                "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS},
         rerank=_RERANK_R, rerank_source=emb,
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)

@@ -20,10 +20,12 @@ rule, interleaved one-block-per-component MCUs with per-component DC
 predictors), and — since r11 — 4:2:0 chroma-subsampled color (the
 single most common wild-JPEG shape: Y at 2x2, chroma 2x2-mean
 downsampled half-up, 16x16 MCUs of four Y blocks + Cb + Cr per T.81
-A.2.3, box-replication upsample on decode). Other sampling mixes
-(4:2:2, 4:1:1), progressive, and arithmetic coding raise
-NotImplementedError — the last two add a second entropy coder, not
-new transform machinery.
+A.2.3, box-replication upsample on decode) and — since r12 — 4:2:2
+(the second most common shape: Y at 2x1, chroma halved horizontally
+under the same half-up mean, 16x8 MCUs of two Y blocks + Cb + Cr).
+Other sampling mixes (4:1:1, chroma-major), progressive, and
+arithmetic coding raise NotImplementedError — the last two add a
+second entropy coder, not new transform machinery.
 """
 
 from __future__ import annotations
@@ -210,6 +212,17 @@ def _subsample_420(plane: np.ndarray) -> np.ndarray:
     return np.floor(s / 4.0 + 0.5)
 
 
+def _subsample_422(plane: np.ndarray) -> np.ndarray:
+    """Horizontal-pair mean downsample (4:2:2's chroma halving, r12)
+    under the same half-up rule and constant-stays-constant property
+    as _subsample_420 — vertical resolution is untouched, which is
+    4:2:2's point (interlaced/video-derived stills keep per-line
+    chroma)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, 0), (0, w % 2)), mode="edge")
+    return np.floor((p[:, 0::2] + p[:, 1::2]) / 2.0 + 0.5)
+
+
 def encode_jpeg(
     width: int, height: int, pixels: bytes,
     restart_interval: int = 0, mode: str = "L",
@@ -232,17 +245,19 @@ def encode_jpeg(
     an MCU covers 16x16 pixels as FOUR Y blocks (left-to-right,
     top-to-bottom per T.81 A.2.3) plus one Cb and one Cr block over
     the 2x2-mean-downsampled chroma planes (_subsample_420 — half-up,
-    so constant tiles stay exact). Planes are edge-replicated to
-    their MCU-coverage multiples; every rounding site is half-up (see
-    module docstring)."""
+    so constant tiles stay exact); '422' (r12) = the second most
+    common shape — Y at 2x1, chroma halved horizontally only
+    (_subsample_422), 16x8 MCUs of two Y blocks + Cb + Cr. Planes are
+    edge-replicated to their MCU-coverage multiples; every rounding
+    site is half-up (see module docstring)."""
     n_comp = {"L": 1, "RGB": 3}[mode]
     if len(pixels) != width * height * n_comp:
         raise ValueError(f"pixels must be width*height*{n_comp} bytes")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422"):
         raise NotImplementedError(
-            f"subsampling {subsampling!r} (only '444' and '420')"
+            f"subsampling {subsampling!r} (only '444', '422' and '420')"
         )
-    if subsampling == "420" and n_comp == 1:
+    if subsampling != "444" and n_comp == 1:
         subsampling = "444"  # grayscale has no chroma to subsample
     if n_comp == 1:
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
@@ -258,6 +273,12 @@ def encode_jpeg(
         factors = [(2, 2), (1, 1), (1, 1)]
         planes = [planes[0], _subsample_420(planes[1]),
                   _subsample_420(planes[2])]
+    elif subsampling == "422":
+        # Y at 2x1, chroma halved horizontally only: 16x8 MCUs of two
+        # Y blocks + one Cb + one Cr (T.81 A.2.3 ordering, r12)
+        factors = [(2, 1), (1, 1), (1, 1)]
+        planes = [planes[0], _subsample_422(planes[1]),
+                  _subsample_422(planes[2])]
     else:
         factors = [(1, 1)] * n_comp
     hmax = max(hf for hf, _ in factors)
@@ -468,19 +489,21 @@ def decode_jpeg(payload: bytes) -> dict:
             samplings = sorted(
                 (hf, vf) for hf, vf, _ in comps.values()
             )
-            # r11: 4:2:0 joins 4:4:4 — the two shapes that cover the
-            # overwhelming majority of wild baseline JPEGs; other
-            # factor mixes (4:2:2, 4:1:1, ...) still refuse loudly.
-            # The 2x2-sampled component must be LUMA (id 1) — a
-            # chroma-major factor mix is not 4:2:0
+            # r11 added 4:2:0, r12 adds 4:2:2 — with 4:4:4 these
+            # cover nearly every wild baseline JPEG; other factor
+            # mixes (4:1:1, 2x2 chroma, ...) still refuse loudly.
+            # The subsampled-luma component must be LUMA (id 1) — a
+            # chroma-major factor mix is not 4:2:0/4:2:2
             if not (
                 samplings == [(1, 1)] * nf
                 or (nf == 3 and samplings == [(1, 1), (1, 1), (2, 2)]
                     and comps[1][:2] == (2, 2))
+                or (nf == 3 and samplings == [(1, 1), (1, 1), (2, 1)]
+                    and comps[1][:2] == (2, 1))
             ):
                 raise NotImplementedError(
                     "unsupported sampling factors "
-                    f"{samplings} (4:4:4 and 4:2:0 supported)"
+                    f"{samplings} (4:4:4, 4:2:2 and 4:2:0 supported)"
                 )
             sof = (w, h, nf, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,

@@ -4698,6 +4698,77 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)
 
 
+@query(
+    "multimodal_decode_jpeg422",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 3 + 1) * 16 AS width,
+           (doc_id % 2 + 1) * 8 AS height,
+           CAST(list_sum(list_transform(
+                generate_series(1, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1)
+                                        * 2 AS INT)),
+                j -> 192 * LEAST(GREATEST(
+                     2 * FLOOR((ascii(substring(text,
+                             CAST((j - 1) % length(text) AS INT) + 1, 1))
+                         - 128) / 2.0 + 0.5) + 128, 0), 255)))
+           AS BIGINT) AS pix_sum
+    FROM documents
+    WHERE doc_id % 4 = 1
+    """,
+)
+def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 chroma-subsampled decode (r12 — the r11 verdict's #6: the
+    second most common wild-JPEG shape; operators/jpeg.py now encodes
+    and decodes 16x8 MCUs of two Y blocks + one Cb + one Cr over
+    horizontally-pair-mean-downsampled chroma). Same gray-fixture
+    contract as the 4:2:0 twin: each MCU's two 8x8 halves are
+    constant at consecutive text bytes, gray input makes Y = t and
+    Cb = Cr = 128 exactly and the pair mean of a constant is that
+    constant, so the lossy chain replays bit-exactly — each half
+    decodes to clip(2*floor((t-128)/2 + 0.5) + 128) on all three
+    channels, 192 copies summed. restart_interval=2 proves RSTn at
+    the 16x8-MCU cadence with two DC diffs per MCU. The per-plane MCU
+    geometry and chroma placement are pinned by tests/test_jpeg.py
+    against the factor-generic independent reference decoder. Runs on
+    a DIFFERENT deterministic quarter of the corpus than the 4:2:0
+    twin (doc_id % 4 = 1), for the same pure-Python cost reason."""
+    from ..operators import jpeg as J
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 4 == 1
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pix_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                wb, hb = i % 3 + 1, i % 2 + 1
+                w, h = wb * 16, hb * 8
+                raw = text.encode("utf-8")
+                img = bytearray(w * h * 3)
+                for m in range(wb * hb):
+                    my, mx = divmod(m, wb)
+                    for q in range(2):
+                        t = raw[(m * 2 + q) % len(raw)]
+                        for y in range(8):
+                            row = ((my * 8 + y) * w + mx * 16 + q * 8) * 3
+                            img[row:row + 24] = bytes([t] * 24)
+                dec = J.decode_jpeg(J.encode_jpeg(
+                    w, h, bytes(img), mode="RGB", subsampling="422",
+                    restart_interval=2,
+                ))
+                out["doc_id"].append(i)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["pix_sum"].append(sum(dec["pixels"]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(batches, _DECODE_JPEG_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # IVF-SQ8 persisted index — the sixth layout (r10)
 # ---------------------------------------------------------------------------

@@ -310,12 +310,13 @@ def test_jpeg420_quality_restart_and_odd_dims():
         assert len(d["pixels"]) == w * h * 3
 
 
-def test_jpeg420_matches_independent_420_reference():
-    """Independent second implementation for the NEW machinery (the
-    module rule: every hand-written algorithm gets a second-path pin):
-    decode a 4:2:0 stream with a from-scratch reference decoder built
-    on a double-sum IDCT and explicit per-plane geometry — no shared
-    helpers beyond the table constants — and require byte equality."""
+def _ref_decode_subsampled(payload):
+    """From-scratch reference decoder for subsampled baseline color
+    streams — double-sum IDCT, explicit per-plane geometry read from
+    the SOF factors (so it covers 4:4:4, 4:2:2 AND 4:2:0), no shared
+    helpers with production beyond the table constants and the
+    bitreader primitives. The independent-second-implementation pin
+    for every subsampling shape."""
     import struct as _struct
 
     from goflow2clickhouse_spark.operators.jpeg import (
@@ -441,27 +442,39 @@ def test_jpeg420_matches_independent_420_reference():
         ], axis=-1)
         return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
+    return ref_decode(payload)
+
+
+def test_jpeg420_matches_independent_420_reference():
+    """Independent second implementation for the 4:2:0 machinery (the
+    module rule: every hand-written algorithm gets a second-path pin):
+    byte equality against _ref_decode_subsampled."""
     rng = np.random.default_rng(17)
     img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
     enc = encode_jpeg(24, 16, img.tobytes(), mode="RGB", subsampling="420")
     ours = np.frombuffer(
         decode_jpeg(enc)["pixels"], dtype=np.uint8
     ).reshape(16, 24, 3)
-    ref = ref_decode(enc)
+    ref = _ref_decode_subsampled(enc)
     assert np.array_equal(ours, ref)
 
 
 def test_jpeg420_guards():
-    """4:2:2-style factor mixes still refuse loudly, and unsupported
-    subsampling strings refuse at encode."""
+    """4:1:1-style factor mixes still refuse loudly (4:2:2 joined the
+    supported set at r12), and unsupported subsampling strings refuse
+    at encode."""
     with pytest.raises(NotImplementedError, match="subsampling"):
-        encode_jpeg(8, 8, bytes(192), mode="RGB", subsampling="422")
-    # hand-build a SOF with 2x1 (4:2:2) factors: decode must refuse
+        encode_jpeg(8, 8, bytes(192), mode="RGB", subsampling="411")
+    # hand-build a SOF with 4x1 (4:1:1) factors: decode must refuse
     enc = bytearray(encode_jpeg(16, 16, bytes(16 * 16 * 3), mode="RGB",
                                 subsampling="420"))
     i = enc.find(b"\xff\xc0")
     assert enc[i + 11] == 0x22  # Y sampling byte
-    enc[i + 11] = 0x21
+    enc[i + 11] = 0x41
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg(bytes(enc))
+    # 4:4:0 (vertical-only halving) is also out of scope
+    enc[i + 11] = 0x12
     with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(enc))
 
@@ -548,3 +561,68 @@ def test_non_jfif_component_ids_refuse_loudly():
         enc[j + 5 + 2 * k] += 4   # SOS ids match
     with pytest.raises(NotImplementedError, match="component ids"):
         decode_jpeg(bytes(enc))
+
+
+def test_jpeg422_constant_tiles_decode_exactly():
+    """16x8-constant tiles through the 4:2:2 chain: gray input gives
+    Y = t and Cb = Cr = 128 exactly, the horizontal-pair chroma mean
+    of a constant is that constant, so every pixel decodes to the
+    documented DC chain — the exact-oracle contract extends to the
+    third subsampling shape."""
+    w, h = 32, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    vals = [17, 130, 200, 255]  # one per 16x8 MCU (2 rows x 2 cols)
+    k = 0
+    for my in range(h // 8):
+        for mx in range(w // 16):
+            img[my * 8:(my + 1) * 8, mx * 16:(mx + 1) * 16, :] = vals[k]
+            k += 1
+    enc = encode_jpeg(w, h, img.tobytes(), mode="RGB", subsampling="422")
+    dec = decode_jpeg(enc)
+    assert (dec["mode"], dec["width"], dec["height"]) == ("RGB", w, h)
+    out = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    k = 0
+    for my in range(h // 8):
+        for mx in range(w // 16):
+            want = _expected_const(vals[k])
+            got = out[my * 8:(my + 1) * 8, mx * 16:(mx + 1) * 16, :]
+            assert (got == want).all(), (vals[k], want)
+            k += 1
+
+
+def test_jpeg422_matches_independent_422_reference():
+    """The independent-second-implementation pin for 4:2:2 — byte
+    equality of a general (random) image against the from-scratch
+    factor-generic reference decoder, including restart markers at
+    the 16x8-MCU cadence."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 48, 3), dtype=np.uint8)
+    enc = encode_jpeg(48, 16, img.tobytes(), mode="RGB",
+                      subsampling="422")
+    plain = decode_jpeg(enc)["pixels"]
+    ours = np.frombuffer(plain, dtype=np.uint8).reshape(16, 48, 3)
+    assert np.array_equal(ours, _ref_decode_subsampled(enc))
+    # restart markers at the 16x8-MCU cadence change nothing (the
+    # reference decoder doesn't speak RSTn, so pin against plain)
+    withrst = decode_jpeg(encode_jpeg(
+        48, 16, img.tobytes(), mode="RGB", subsampling="422",
+        restart_interval=2,
+    ))["pixels"]
+    assert withrst == plain
+
+
+def test_jpeg422_odd_width_and_quality():
+    """Odd dimensions edge-replicate to MCU coverage and crop back;
+    lossy quality stays bounded on a smooth gradient (the 4:4:4/4:2:0
+    bounds carry over — chroma is halved only horizontally)."""
+    x = np.linspace(0, 255, 37)
+    grad = np.stack(
+        [np.tile(x, (11, 1)), np.tile(x[::-1], (11, 1)),
+         np.full((11, 37), 120.0)], axis=-1,
+    ).astype(np.uint8)
+    enc = encode_jpeg(37, 11, grad.tobytes(), mode="RGB",
+                      subsampling="422")
+    dec = decode_jpeg(enc)
+    assert (dec["width"], dec["height"]) == (37, 11)
+    out = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(11, 37, 3)
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 12

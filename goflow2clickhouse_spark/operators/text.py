@@ -136,6 +136,143 @@ def token_count_regex(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
 
 
+# --------------------------------------------------------------------------
+# Byte-pair-encoding token counts (r12, the r11 verdict's #3 gap: the
+# regex count above approximates; BPE is what trainers actually bill by)
+# --------------------------------------------------------------------------
+
+# Token boundaries inside the merge replay are the TWO-character
+# string U+001E U+001F (record + unit separator), both stripped from
+# input text first so they can never collide. Two characters because
+# merge application is ONE string replace per merge, and a one-char
+# boundary breaks merge-all on adjacent occurrences: matching
+# "␟a␟b␟" consumes the trailing ␟ that the next "␟a␟b␟" needs as its
+# lead, so "thththth" merged to th-t-h-th instead of th-th-th-th.
+# With boundary "␞␟" the match is "␟a␞␟b␞" -> "␟ab␞": it consumes
+# only the INNER halves of its outer boundaries, adjacent occurrences
+# share no characters, and one left-to-right pass merges every one —
+# exactly BPE's within-word merge-all.
+BPE_B0 = "\x1e"
+BPE_B1 = "\x1f"
+BPE_SEP = BPE_B0 + BPE_B1
+
+# The pre-tokenizer split (GPT-2's shape, minus the unicode categories
+# the fixture corpus doesn't exercise): letter runs, digit runs, single
+# punctuation. Identical to token_count_regex's pattern, so the two
+# counters are directly comparable.
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# The merge table, in rank order. A DEMONSTRATION table of common
+# English/digit pairs — production swaps in a vendored 50k-merge file
+# (GPT-2's merges.txt) through the exact same machinery; the count
+# semantics, the replay and the tests do not change with table size.
+# INVARIANT (checked by _check_bpe_merges and pinned in tests): every
+# side of a merge is a single character or the output of an EARLIER
+# merge, and every pair whose side is a merged token ranks strictly
+# after the merge that created that token. Real BPE training produces
+# tables with this property by construction (a pair over token X can
+# only be counted once X exists), and it is what makes rank-sequential
+# exhaustive application equivalent to the reference min-rank loop:
+# merging rank r can only create pairs involving its output token,
+# whose table ranks all exceed r.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "l"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("er", "s"), ("a", "r"),
+    ("o", "f"), ("t", "o"), ("e", "d"), ("at", "i"), ("ati", "on"),
+    ("1", "9"), ("2", "0"), ("0", "0"),
+)
+
+
+def _check_bpe_merges(merges=BPE_MERGES) -> None:
+    """Refuse a merge table that breaks the rank-sequential-equals-
+    min-rank equivalence (see BPE_MERGES): each side must be a single
+    char or an earlier merge's output."""
+    known: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for side in (a, b):
+            if len(side) > 1 and side not in known:
+                raise ValueError(
+                    f"BPE merge {i} ({a!r},{b!r}): side {side!r} is "
+                    "neither a single character nor an earlier "
+                    "merge's output — rank-sequential application "
+                    "would diverge from reference BPE"
+                )
+        known.add(a + b)
+
+
+_check_bpe_merges()
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Exact BPE token count as a PURE COLUMN EXPRESSION — zero
+    Python, zero shuffle, and byte-for-byte replayable in any SQL
+    engine (the oracle builds the identical chain in DuckDB):
+
+      1. strip the boundary chars from the text (no collisions),
+      2. pre-tokenize with BPE_PRETOKEN_RE,
+      3. per pre-token, interleave the two-char boundary ␞␟ as the
+         token marker ("hello" -> "␞␟h␞␟e␞␟l␞␟l␞␟o␞␟") and apply the
+         merges in rank order, each as ONE string replace
+         ("␟a␞␟b␞" -> "␟ab␞" — see the BPE_SEP note for why the
+         boundary is two chars): both Spark's `replace` and DuckDB's
+         scan left-to-right non-overlapping, one pass merges all
+         occurrences, and the BPE_MERGES invariant makes
+         rank-sequential application equivalent to the reference
+         min-rank loop (pinned in tests against an independent
+         classic-BPE second implementation),
+      4. tokens per pre-token = boundaries remaining - 1,
+      5. sum over pre-tokens.
+
+    At 100 TB this is a map-only projection inside whole-stage
+    codegen — the shape every other text operator here ships with."""
+    c = F.col(text) if isinstance(text, str) else text
+    clean = F.replace(
+        F.replace(c, F.lit(BPE_B0), F.lit("")), F.lit(BPE_B1), F.lit("")
+    )
+    pretoks = F.regexp_extract_all(clean, F.lit(BPE_PRETOKEN_RE), 0)
+
+    def count_one(w: Column) -> Column:
+        s = F.concat(F.lit(BPE_SEP),
+                     F.regexp_replace(w, "(.)", "$1" + BPE_SEP))
+        for a, b in BPE_MERGES:
+            s = F.replace(
+                s,
+                F.lit(f"{BPE_B1}{a}{BPE_SEP}{b}{BPE_B0}"),
+                F.lit(f"{BPE_B1}{a}{b}{BPE_B0}"),
+            )
+        nbounds = F.length(s) - F.length(
+            F.replace(s, F.lit(BPE_B0), F.lit(""))
+        )
+        return (nbounds - 1).cast("long")
+
+    return F.aggregate(
+        F.transform(pretoks, count_one),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bpe_token_count_sql(text_expr: str) -> str:
+    """The DuckDB twin of `bpe_token_count`, generated from the SAME
+    BPE_MERGES table so the two chains cannot drift — one replace per
+    merge, same separator trick, same per-pre-token count."""
+    b0, b1 = BPE_B0, BPE_B1
+    seed = ("chr(30) || chr(31) || "
+            "regexp_replace(w, '(.)', '\\1' || chr(30) || chr(31), 'g')")
+    s = seed
+    for a, b in BPE_MERGES:
+        s = (f"replace({s}, '{b1}{a}{b0}{b1}{b}{b0}',"
+             f" '{b1}{a}{b}{b0}')")
+    return f"""COALESCE(list_sum(list_transform(
+        regexp_extract_all(
+            replace(replace({text_expr}, chr(30), ''), chr(31), ''),
+            '{BPE_PRETOKEN_RE}'),
+        w -> length({s})
+             - length(replace({s}, chr(30), '')) - 1)), 0)"""
+
+
 def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
     """Deterministic position-weighted document fingerprint
     (rolling-hash family): sum_i ascii(text[i]) * i  mod  `mod`.

@@ -197,3 +197,103 @@ def test_dup_span_adversarial_skew_both_shapes(spark):
     assert by_id[0] == 3 and by_id[10] == 3  # hot trigram coverage
     assert by_id[97] == 3  # rare duplicate still found
     assert 1 not in by_id  # unique doc yields no row
+
+
+def _classic_bpe_count(text: str) -> int:
+    """Independent second implementation of BPE encoding (the module
+    rule): the textbook min-rank loop over token LISTS — find the
+    lowest-rank adjacent pair present, merge all its occurrences
+    left-to-right, repeat — sharing nothing with the column
+    expression beyond the merge table itself."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(T.BPE_MERGES)}
+    text = text.replace(T.BPE_B0, "").replace(T.BPE_B1, "")
+    total = 0
+    for w in re.findall(T.BPE_PRETOKEN_RE, text):
+        toks = list(w)
+        while len(toks) > 1:
+            r = min(
+                ranks.get((toks[i], toks[i + 1]), 10**9)
+                for i in range(len(toks) - 1)
+            )
+            if r == 10**9:
+                break
+            a, b = T.BPE_MERGES[r]
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        total += len(toks)
+    return total
+
+
+def test_bpe_merge_table_invariant():
+    """The rank-sequential-equals-min-rank equivalence rests on the
+    constituents-first invariant — the module refuses tables that
+    break it."""
+    import pytest
+
+    T._check_bpe_merges()  # the shipped table passes
+    with pytest.raises(ValueError, match="earlier merge"):
+        T._check_bpe_merges((("th", "e"), ("t", "h")))
+
+
+def test_bpe_token_count_matches_independent_bpe(spark):
+    """Fuzz + adversarial pins: the column-expression encoder equals
+    the classic min-rank BPE on degenerate inputs, the shared-boundary
+    trap ('thththth' under-merged to th-t-h-th with a one-char
+    boundary), merge-chain composition words, boundary chars embedded
+    in the input, and 200 random strings over the merge alphabet."""
+    import random
+
+    texts = [
+        "", "a", "the", "thththth", "tttthhhh", "ingingING",
+        "internationalization 1900 2000", "nation station the and of",
+        "x\x1fy the\x1eend", "aaa,bbb.the the", "19200019 ers",
+    ]
+    rng = random.Random(11)
+    for _ in range(200):
+        texts.append("".join(
+            rng.choice("thein gares. o19,20abcd")
+            for _ in range(rng.randint(0, 30))
+        ))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", T.bpe_token_count("text").alias("n"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _classic_bpe_count(t), (t, got[i])
+
+
+def test_bpe_sql_twin_matches_independent_bpe():
+    """The DuckDB chain (bpe_token_count_sql — the oracle side) equals
+    the classic implementation on the same adversarial set, so BOTH
+    replays are pinned to the reference, not merely to each other."""
+    import random
+
+    import duckdb
+
+    texts = ["", "thththth", "the cat, 1900!", "x\x1fy\x1ez ing ers"]
+    rng = random.Random(13)
+    for _ in range(150):
+        texts.append("".join(
+            rng.choice("thein gares. o19,20abcd")
+            for _ in range(rng.randint(0, 25))
+        ))
+    con = duckdb.connect()
+    expr = T.bpe_token_count_sql("t.s")
+    for t in texts:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS s) t", [t]
+        ).fetchone()[0]
+        assert got == _classic_bpe_count(t), (t, got)

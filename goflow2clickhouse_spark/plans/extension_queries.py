@@ -3126,14 +3126,9 @@ def _pq_oracle(
     RAW-vector CTE `rerank_src` and re-ordered by exact squared L2
     against the raw query CTE `rerank_q` — output (vec_id, adist,
     dist), matching the probe's rerank contract."""
-    if rerank and batch_k is not None:
+    if rerank and rerank < (batch_k if batch_k is not None else limit):
         raise ValueError(
-            "_pq_oracle: rerank does not compose with batch_k yet — "
-            "the batch replay has no rerank tier"
-        )
-    if rerank and rerank < limit:
-        raise ValueError(
-            f"_pq_oracle: rerank={rerank} must be >= limit={limit}"
+            f"_pq_oracle: rerank={rerank} must be >= the requested k"
         )
     m, sub, kk = S.PQ_M, S.PQ_SUB, S.PQ_K
     cb_cte = (
@@ -3171,6 +3166,42 @@ def _pq_oracle(
     packed = " + ".join(f"c_{j} * {1 << (4 * j)}" for j in range(m))
     adist = " + ".join(f"L_{j}[CAST(c_{j} AS INT) + 1]" for j in range(m))
     if batch_k is not None:
+        if rerank:
+            l2_re = _L2_SQL.format(dim=S.DIM, a="re.v", b="rq.qv")
+            batch_final = f"""
+    SELECT qid, vec_id, adist, dist, CAST(rank AS INT) AS rank FROM (
+        SELECT a.qid, a.vec_id, a.adist,
+               ROUND({l2_re}, 6) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY a.qid
+                                  ORDER BY ROUND({l2_re}, 6), a.vec_id
+                                 ) AS rank
+        FROM (
+            SELECT lutl.qid, enc.vec_id,
+                   ROUND({adist}, 6) AS adist,
+                   ROW_NUMBER() OVER (PARTITION BY lutl.qid
+                                      ORDER BY ROUND({adist}, 6),
+                                               enc.vec_id) AS rn
+            FROM enc, lutl{from_extra}
+            {where}
+        ) a
+        JOIN {rerank_src} re ON re.vec_id = a.vec_id
+        JOIN {rerank_q} rq ON rq.qid = a.qid
+        WHERE a.rn <= {rerank}
+    ) t WHERE rank <= {batch_k}
+    ORDER BY qid, rank"""
+        else:
+            batch_final = f"""
+    SELECT qid, vec_id, pq_code, adist, CAST(rn AS INT) AS rank FROM (
+        SELECT lutl.qid, enc.vec_id,
+               CAST({packed} AS BIGINT) AS pq_code,
+               ROUND({adist}, 6) AS adist,
+               ROW_NUMBER() OVER (PARTITION BY lutl.qid
+                                  ORDER BY ROUND({adist}, 6), enc.vec_id
+                                 ) AS rn
+        FROM enc, lutl{from_extra}
+        {where}
+    ) t WHERE rn <= {batch_k}
+    ORDER BY qid, rank"""
         return f"""
     WITH {pre_ctes}e AS ({e_sql}),
     {cb_cte},
@@ -3197,18 +3228,7 @@ def _pq_oracle(
     ),
     lutl AS (
         SELECT qid, {llists} FROM lut GROUP BY qid
-    ){post_ctes}
-    SELECT qid, vec_id, pq_code, adist, CAST(rn AS INT) AS rank FROM (
-        SELECT lutl.qid, enc.vec_id,
-               CAST({packed} AS BIGINT) AS pq_code,
-               ROUND({adist}, 6) AS adist,
-               ROW_NUMBER() OVER (PARTITION BY lutl.qid
-                                  ORDER BY ROUND({adist}, 6), enc.vec_id
-                                 ) AS rn
-        FROM enc, lutl{from_extra}
-        {where}
-    ) t WHERE rn <= {batch_k}
-    ORDER BY qid, rank
+    ){post_ctes}{batch_final}
     """
     lut_qid = "q.qid, " if keyed_lut else ""
     lutl_qid = "qid, " if keyed_lut else ""
@@ -5332,3 +5352,49 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.topk_l2_bruteforce(emb, q, k=10)
     return _recall_result(approx, exact, "pq_rerank", k=10)
+
+
+@query(
+    "ivfpq_batch_rerank",
+    oracle=_ivfpq_oracle(nprobe=2, batch_k=5,
+                         trained_iters=_TRAINED_ITERS,
+                         coarse_iters=_CTR_ITERS, rerank=20),
+)
+def ivfpq_batch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch IVFADC+R tier (plans/storage.ivfpq_batch_probe
+    (rerank=R), r12) on the trained-by-default serving fixture: the
+    per-query top-R ADC candidates stay RELATIONAL (WindowGroupLimit,
+    Q x R rows — no per-query collect loop), their raw vectors come
+    from one broadcast join against the corpus, and the exact
+    squared-L2 re-rank runs per query. Completes the serving matrix's
+    quality axis: every PQ-family layout now has single + batch ADC
+    probes AND single + batch refine tiers. The oracle replays both
+    trainings, the per-qid cell ranking, the ADC candidate ranking
+    AND the per-qid exact re-rank. (Residual-layout batch rerank is
+    refused loudly on both sides — its replay doesn't exist yet.)"""
+    from .storage import ivfpq_batch_probe, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_index(
+        "ivfpq", sf_dir,
+        lambda p: write_ivfpq_index(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+            p, n_cells=8,
+            train_iterations=_TRAINED_ITERS,
+            coarse_train_iterations=_CTR_ITERS,
+        ),
+    )
+    qs = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    )
+    return ivfpq_batch_probe(
+        spark, path, qs, k=5, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "pq_train_iters": _TRAINED_ITERS,
+                "coarse_train_iters": _CTR_ITERS},
+        rerank=20, rerank_source=emb,
+    )

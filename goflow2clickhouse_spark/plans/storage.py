@@ -2869,6 +2869,8 @@ def ivfpq_batch_probe(
     qvec_col: str = "qvec",
     qid_col: str = "qid",
     expect: dict | None = None,
+    rerank: int = 0,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Serve a Q-query ADC top-k batch from the IVF-PQ index — the
     composed analog of `pq_index_batch_probe` (r9): per-query cell
@@ -2885,16 +2887,39 @@ def ivfpq_batch_probe(
     ~1 KiB each; the per-query top-k is WindowGroupLimit-bounded at
     Q x k rows per partition. The only driver-side materialization is
     the distinct probed-cell id list (<= n_cells integers — the
-    single probe's same legitimate collect)."""
+    single probe's same legitimate collect).
+
+    `rerank=R` (r12): the batch IVFADC+R tier, FULLY RELATIONAL —
+    the per-query top-R ADC candidates come from the same
+    WindowGroupLimit shape (Q x R rows, never collected), broadcast
+    against `rerank_source` to fetch raw vectors, exact-squared-L2
+    re-ranked per query. Unlike the single probe's pushed-down id
+    list, the batch fetch is a broadcast hash join against the
+    corpus scan — at 100 TB pair it with an id-clustered corpus and
+    runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) so the scan
+    skips non-candidate row groups. Output (qid, vec_id, adist,
+    dist, rank) ranked by `dist`. Residual-layout batch rerank is
+    not offered yet (its batch oracle replay doesn't exist —
+    _pq_oracle refuses the composition loudly)."""
 
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
         PQ_SUB,
+        _l2sq,
+        as_double,
         pq_adc_dist,
         pq_lut_rows,
         rank_probe_cells_batch,
     )
+    from pyspark.sql import Window
+
+    if rerank and rerank < k:
+        raise ValueError(
+            f"ivfpq_batch_probe: rerank={rerank} must be >= k={k} — "
+            "fewer candidates than requested results"
+        )
 
     queries = _batch_probe_queries(
         queries, "ivfpq_batch_probe", qid_col, qvec_col, PQ_M * PQ_SUB
@@ -2948,6 +2973,45 @@ def ivfpq_batch_probe(
             "pq_code",
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
+        if rerank:
+            if rerank_source is None:
+                raise ValueError(
+                    "ivfpq_batch_probe: rerank requires rerank_source "
+                    "(the raw corpus relation the index was built from)"
+                )
+            if meta.get("residual"):
+                raise NotImplementedError(
+                    "ivfpq_batch_probe: batch rerank over a RESIDUAL "
+                    "layout is not offered yet — serve residual "
+                    "queries one at a time (ivfpq_probe rerank) or "
+                    "rebuild non-residual"
+                )
+            wr = Window.partitionBy(qid_col).orderBy(
+                F.asc_nulls_last("adist"), "vec_id"
+            )
+            cand = (  # WindowGroupLimit: Q x R rows, never collected
+                scored.withColumn("_rn", F.row_number().over(wr))
+                .filter(F.col("_rn") <= rerank)
+                .select(qid_col, "vec_id", "adist")
+            )
+            src = rerank_source.select(
+                F.col("vec_id"), as_double("embedding").alias("_v")
+            )
+            qv = queries.select(qid_col, as_double(qvec_col).alias("_qv"))
+            exact = (
+                src.join(F.broadcast(cand), "vec_id")  # bcast: Q x R
+                .join(F.broadcast(qv), qid_col)  # bcast: Q rows
+                .select(
+                    qid_col, "vec_id", "adist",
+                    F.round(_l2sq(F.col("_v"), F.col("_qv")), 6)
+                    .alias("dist"),
+                )
+            )
+            return _batch_topk(
+                exact, queries, qid_col,
+                [F.asc_nulls_last("dist"), "vec_id"],
+                ["vec_id", "adist", "dist"], k,
+            )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         return _batch_topk(
             scored, queries, qid_col,

@@ -2811,3 +2811,48 @@ def test_delete_from_index_type_gates(spark, tmp_path):
         delete_from_index(
             spark.createDataFrame([(1,)], "doc_id bigint"), bpath
         )
+
+
+def test_batch_rerank_relational_guards_and_plan(spark, tmp_path):
+    """ivfpq_batch_probe(rerank=R) — the batch refine tier stays
+    relational: candidate selection plans as WindowGroupLimit (no
+    driver collect of Q x R rows), the guards refuse a missing
+    source, R < k, and the residual layout (whose batch replay
+    doesn't exist), and per-query output is k rows ordered by exact
+    distance."""
+    from goflow2clickhouse_spark.plans.storage import (
+        ivfpq_batch_probe,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "ivfpq_br")
+    write_ivfpq_index(docs, emb, path, n_cells=4)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="rerank_source"):
+        ivfpq_batch_probe(spark, path, qs, k=5, rerank=10).collect()
+    with pytest.raises(ValueError, match="must be >= k"):
+        ivfpq_batch_probe(spark, path, qs, k=5, rerank=3,
+                          rerank_source=emb)
+    res = ivfpq_batch_probe(spark, path, qs, k=5, nprobe=2,
+                            rerank=10, rerank_source=emb)
+    rows = res.collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["dist"]))
+    assert set(by_qid) == {0, 1}
+    for qid, rs in by_qid.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
+        assert [x[1] for x in rs] == sorted(x[1] for x in rs)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    rpath = str(tmp_path / "ivfpq_br_res")
+    write_ivfpq_index(docs, emb, rpath, n_cells=4, residual=True)
+    with pytest.raises(NotImplementedError, match="RESIDUAL"):
+        ivfpq_batch_probe(spark, rpath, qs, k=5, rerank=10,
+                          rerank_source=emb)

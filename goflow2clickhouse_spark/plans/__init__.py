@@ -24,7 +24,7 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # window, per the r11 verdict items 2-6:
 # (a) the 38 r8-STALE spill names FIRST (verdict item 2 — the oldest
 #     rows in the registry at 4 rounds stale, listed in the r11 header);
-# (b) the 7 queries NEW this round: ivfpq_rerank_probe +
+# (b) the 9 queries NEW this round: ivfpq_rerank_probe +
 #     ivfpq_rerank_recall (the IVFADC+R exact re-rank tier, verdict
 #     item 3 — recall@10 0.3 -> 0.6 at R=40 on the fully-trained
 #     fixture), pq_rerank_recall (the pruning-free refine ladder:
@@ -34,22 +34,32 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     shape, verdict item 6), text_bpe_token_counts (exact BPE counts
 #     as pure column expressions, verdict item 8) and
 #     token_budget_selection_bpe (the budget selection billed in BPE
-#     units). New queries MUST take window slots (the r6 lesson);
-# (c) five names whose RESULTS changed with the trained-by-default
+#     units), ivfpq_residual_batch_probe (the serving matrix's missing
+#     residual-batch composition — per-(qid, cell) residual LUTs now
+#     oracle-replayed in batch form) and ivfpq_residual_batch_rerank
+#     (the registry's deepest composition: both trainings + residual
+#     + batch + exact re-rank — Faiss's production IVFPQ+Refine shape
+#     end to end). New queries MUST take window slots (the r6 lesson);
+# (c) three names whose RESULTS changed with the trained-by-default
 #     serving flip (verdict item 4 — the shared pq/ivfsq/ivfpq
 #     fixtures now build Lloyd-trained, every expect pin records the
-#     regime, oracles replay training): ivfpq_batch_probe,
-#     ivfpq_recall, pq_batch_probe, pq_index_recall (all four also
-#     the oldest r9-green rows of that family) and ivfsq_probe (the
-#     flagship IVF-SQ serving probe, bench-flagged).
-# 38 + 7 + 5 = 50 exactly.
+#     regime, oracles replay training): ivfpq_batch_probe (also the
+#     round's most-changed probe body — the relational batch rerank
+#     tier), ivfpq_recall and pq_index_recall (r9-green, the oldest
+#     rows of the family). The residual-batch additions displaced
+#     ivfsq_probe (r11-green, the freshest result-changed name) and
+#     pq_batch_probe (r9-green; rejoins FIRST at r13 with the r9
+#     pool) — both re-proven in-session, see below.
+# 38 + 9 + 3 = 50 exactly.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest); every
 # name below was re-proven against its oracle at sf0.01 on a vanilla
 # session in-round after the change:
 #   - results CHANGED by the trained flip but out of window space:
-#     ivfsq_recall, ivfsq_batch_probe (r11-green, the freshest rows in
-#     that family), ivfsq_trained_recall (fixture sources swapped —
+#     ivfsq_probe, pq_batch_probe (displaced by the residual-batch
+#     additions, see (c)), ivfsq_recall, ivfsq_batch_probe (r11-green,
+#     the freshest rows in that family), ivfsq_trained_recall (fixture
+#     sources swapped —
 #     the shared fixture is now its trained side, a new ivfsq_seed
 #     fixture its seed side — same configs, identical results);
 #   - results UNCHANGED, code touched: ivfpq_probe-family consumers of
@@ -127,12 +137,12 @@ promote([
     "multimodal_decode_jpeg422",
     "text_bpe_token_counts",
     "token_budget_selection_bpe",
+    "ivfpq_residual_batch_probe",
+    "ivfpq_residual_batch_rerank",
     # (c) results changed by the trained-by-default flip
     "ivfpq_batch_probe",
     "ivfpq_recall",
-    "pq_batch_probe",
     "pq_index_recall",
-    "ivfsq_probe",
 ])
 
 __all__ = [

@@ -3166,6 +3166,14 @@ def _pq_oracle(
     packed = " + ".join(f"c_{j} * {1 << (4 * j)}" for j in range(m))
     adist = " + ".join(f"L_{j}[CAST(c_{j} AS INT) + 1]" for j in range(m))
     if batch_k is not None:
+        # keyed_lut in BATCH mode (r12 — the residual-IVFADC batch
+        # replay): q_sql yields one (qid, cell, qv=residual) row per
+        # (query, probed cell), the LUT keys by BOTH, and the
+        # caller's `where` binds lutl.cell to each vector's assigned
+        # cell — the batch twin of the single keyed replay below
+        blut_cell = "q.cell, " if keyed_lut else ""
+        blutl_cell = "cell, " if keyed_lut else ""
+        blut_grp = "qid, cell" if keyed_lut else "qid"
         if rerank:
             l2_re = _L2_SQL.format(dim=S.DIM, a="re.v", b="rq.qv")
             batch_final = f"""
@@ -3222,12 +3230,12 @@ def _pq_oracle(
     ),
     q AS ({q_sql}),
     lut AS (
-        SELECT q.qid, cb.entry,
+        SELECT q.qid, {blut_cell}cb.entry,
            {l_cols}
         FROM cb, q
     ),
     lutl AS (
-        SELECT qid, {llists} FROM lut GROUP BY qid
+        SELECT qid, {blutl_cell}{llists} FROM lut GROUP BY {blut_grp}
     ){post_ctes}{batch_final}
     """
     lut_qid = "q.qid, " if keyed_lut else ""
@@ -3480,13 +3488,13 @@ def _ivfpq_oracle(
     the lowest-id residuals, the LUT per probed cell from the QUERY'S
     residual against that cell's centroid (keyed_lut), the final join
     binding each vector's cell to its LUT row."""
-    if residual and (seed_where or batch_k is not None):
+    if residual and seed_where:
         # unsupported compositions must be LOUD (r9 review): silently
         # ignoring seed_where would replay the wrong append geometry
         raise ValueError(
             "_ivfpq_oracle: residual mode does not compose with "
-            "seed_where/batch_k yet — their replays would silently "
-            "use the full-set geometry"
+            "seed_where yet — the replay would silently use the "
+            "full-set geometry"
         )
     if trained_iters and seed_where:
         # an appended trained index encodes new batches against the
@@ -3532,7 +3540,54 @@ def _ivfpq_oracle(
                                          ORDER BY score DESC, cid) AS rn
             FROM cscored) t
         WHERE rn = 1),
-    q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+    """
+        e_sql = f"""SELECT e0.vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> e0.v[i] - c.cvec[i]) AS v
+        FROM e0
+        JOIN assign a ON a.vec_id = e0.vec_id
+        JOIN cents c ON c.cid = a.cid"""
+        if batch_k is not None:
+            # batch IVFADC replay (r12): per-qid cell ranking, one
+            # (qid, cell, residual) LUT row per probed pair — the
+            # (qid, cell)-keyed batch LUT in _pq_oracle — and the
+            # final binding joins each vector's assigned cell to its
+            # query's LUT row for that cell
+            pre += f"""q0 AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3),
+    qcells AS (
+        SELECT qid, cid FROM (
+            SELECT q0.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q0.qid
+                       ORDER BY {_COS.format(a='q0.qv', b='c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM cents c, q0) t
+        WHERE rn <= {nprobe}),
+    """
+            return _pq_oracle(
+                pre_ctes=pre,
+                e_sql=e_sql,
+                from_extra=", assign",
+                where=(
+                    "WHERE assign.vec_id = enc.vec_id "
+                    "AND lutl.cell = assign.cid"
+                ),
+                q_sql=f"""SELECT q0.qid, c.cid AS cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> q0.qv[i] - c.cvec[i]) AS qv
+        FROM q0
+        JOIN qcells ON qcells.qid = q0.qid
+        JOIN cents c ON c.cid = qcells.cid""",
+                keyed_lut=True,
+                batch_k=batch_k,
+                trained_iters=trained_iters,
+                rerank=rerank,
+                rerank_src="e0",
+                rerank_q="q0",
+            )
+        pre += f"""q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id = 0),
     qcells AS (
         SELECT c.cid FROM cents c, q0
@@ -3541,12 +3596,7 @@ def _ivfpq_oracle(
     """
         return _pq_oracle(
             pre_ctes=pre,
-            e_sql=f"""SELECT e0.vec_id,
-               list_transform(generate_series(1, {dim}),
-                              i -> e0.v[i] - c.cvec[i]) AS v
-        FROM e0
-        JOIN assign a ON a.vec_id = e0.vec_id
-        JOIN cents c ON c.cid = a.cid""",
+            e_sql=e_sql,
             from_extra=", assign",
             where=(
                 "WHERE assign.vec_id = enc.vec_id "
@@ -5370,8 +5420,8 @@ def ivfpq_batch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality axis: every PQ-family layout now has single + batch ADC
     probes AND single + batch refine tiers. The oracle replays both
     trainings, the per-qid cell ranking, the ADC candidate ranking
-    AND the per-qid exact re-rank. (Residual-layout batch rerank is
-    refused loudly on both sides — its replay doesn't exist yet.)"""
+    AND the per-qid exact re-rank. (The residual layout's batch
+    rerank is ivfpq_residual_batch_rerank.)"""
     from .storage import ivfpq_batch_probe, write_ivfpq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5396,5 +5446,72 @@ def ivfpq_batch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
                 "pq_train_iters": _TRAINED_ITERS,
                 "coarse_train_iters": _CTR_ITERS},
+        rerank=20, rerank_source=emb,
+    )
+
+
+@query(
+    "ivfpq_residual_batch_probe",
+    oracle=_ivfpq_oracle(nprobe=2, batch_k=5, residual=True),
+)
+def ivfpq_residual_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-query batch served from the RESIDUAL IVF-PQ (IVFADC) layout —
+    the composition the serving matrix was missing (r12): residual
+    batches need one LUT per (query, probed cell) pair because each
+    cell re-centers the query's residual, and the probe builds exactly
+    that — Q x nprobe keyed LUT rows riding one broadcast, ONE
+    partition-pruned scan of the probed-cell union for the whole
+    batch (plans/storage.ivfpq_batch_probe's existing residual path,
+    until now provable only against the single-query oracle). The new
+    oracle replays eligibility, assignment, residual encode, each
+    qid's cell ranking, the per-(qid, cell) LUTs and every rank —
+    the (qid, cell)-keyed batch form of the keyed replay."""
+    from .storage import ivfpq_batch_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_residual_index(spark, sf_dir)
+    qs = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    )
+    return ivfpq_batch_probe(
+        spark, path, qs, k=5, nprobe=2,
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+                "residual": True},
+    )
+
+
+@query(
+    "ivfpq_residual_batch_rerank",
+    oracle=_ivfpq_oracle(nprobe=2, batch_k=5, residual=True,
+                         trained_iters=_TRAINED_ITERS,
+                         coarse_iters=_CTR_ITERS, rerank=20),
+)
+def ivfpq_residual_batch_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEEPEST composition in the registry (r12): fully-trained
+    residual IVF-PQ (both quantizers Lloyd-trained — the ivfpq_ftr
+    fixture), served as a Q-query batch, exact-re-ranked per query —
+    i.e. Faiss's production IndexIVFPQ + IndexRefine shape end to
+    end. The oracle replays COARSE TRAINING over the eligible set,
+    assignment, residuals, CODEBOOK TRAINING over those residuals,
+    per-(qid, cell) residual LUTs, the per-qid ADC candidate ranking,
+    AND the per-qid exact re-rank against raw vectors — every stage
+    of the pipeline a 100 TB vector-serving deployment actually
+    runs, hash-checked in one driver gate."""
+    from .storage import ivfpq_batch_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ftr_index(spark, sf_dir)
+    qs = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    )
+    return ivfpq_batch_probe(
+        spark, path, qs, k=5, nprobe=2, expect=_FTR_EXPECT,
         rerank=20, rerank_source=emb,
     )

@@ -2899,9 +2899,10 @@ def ivfpq_batch_probe(
     runtime bloom-filter join pruning
     (spark.sql.optimizer.runtime.bloomFilter.enabled) so the scan
     skips non-candidate row groups. Output (qid, vec_id, adist,
-    dist, rank) ranked by `dist`. Residual-layout batch rerank is
-    not offered yet (its batch oracle replay doesn't exist —
-    _pq_oracle refuses the composition loudly)."""
+    dist, rank) ranked by `dist`; works on residual layouts too (the
+    candidates come through the per-(qid, cell) residual LUTs, the
+    exact tier scores raw vectors against the raw query either
+    way)."""
 
     from ..operators.similarity import (
         PQ_K,
@@ -2979,13 +2980,10 @@ def ivfpq_batch_probe(
                     "ivfpq_batch_probe: rerank requires rerank_source "
                     "(the raw corpus relation the index was built from)"
                 )
-            if meta.get("residual"):
-                raise NotImplementedError(
-                    "ivfpq_batch_probe: batch rerank over a RESIDUAL "
-                    "layout is not offered yet — serve residual "
-                    "queries one at a time (ivfpq_probe rerank) or "
-                    "rebuild non-residual"
-                )
+            # residual layouts need no special casing here: the ADC
+            # candidates already came through the per-(qid, cell)
+            # residual LUTs above, and the exact tier scores RAW
+            # vectors against the RAW query either way
             wr = Window.partitionBy(qid_col).orderBy(
                 F.asc_nulls_last("adist"), "vec_id"
             )

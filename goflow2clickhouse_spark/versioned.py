@@ -86,7 +86,7 @@ class FencingError(RuntimeError):
 def meta_mutex(
     spark: SparkSession,
     path: str,
-    timeout_sec: float = 600.0,
+    timeout_sec: float | None = None,
     poll_sec: float = 0.05,
     lease_sec: float = 30.0,
 ):
@@ -128,10 +128,20 @@ def meta_mutex(
     past its lease (GC, swapped-out VM) can lose the lock while
     believing it holds it; its eventual recommit is then refused by
     the commit-nonce fence in `recommit_meta` instead of reverting
-    the new holder's updates."""
+    the new holder's updates.
+
+    `timeout_sec=None` (the @_meta_locked wrappers' call) reads the
+    session conf `spark.goflow2clickhouse.metaLockTimeoutSec`
+    (default 600) — a deployment whose compactions legitimately hold
+    the lock for longer raises one conf instead of threading a
+    parameter through every fold (r11 advice)."""
     import threading
     import time
 
+    if timeout_sec is None:
+        timeout_sec = float(spark.conf.get(
+            "spark.goflow2clickhouse.metaLockTimeoutSec", "600"
+        ))
     fs, hpath = _fs(spark, path)
     jvm = spark._jvm  # noqa: SLF001
     fs.mkdirs(hpath)

@@ -2851,8 +2851,28 @@ def test_batch_rerank_relational_guards_and_plan(spark, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
 
+    # residual layout: the rerank tier composes (candidates via the
+    # per-(qid, cell) residual LUTs, exact tier on raw vectors) and
+    # with R = |corpus| the per-query result equals the exact top-k
+    # over the probed cells' members — pinned via nprobe = n_cells
+    # (every cell probed), where it must equal the global exact top-k
+    from goflow2clickhouse_spark.operators import similarity as S
+
     rpath = str(tmp_path / "ivfpq_br_res")
     write_ivfpq_index(docs, emb, rpath, n_cells=4, residual=True)
-    with pytest.raises(NotImplementedError, match="RESIDUAL"):
-        ivfpq_batch_probe(spark, rpath, qs, k=5, rerank=10,
-                          rerank_source=emb)
+    n = emb.count()
+    full = ivfpq_batch_probe(spark, rpath, qs, k=5, nprobe=4,
+                             rerank=int(n), rerank_source=emb)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    from goflow2clickhouse_spark.plans.storage import eligible_embeddings
+
+    exact = S.topk_l2_bruteforce_batch(
+        eligible_embeddings(docs, emb, 200, "en"), qs, k=5
+    )
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid in want:
+        assert [v for _, v in sorted(got[qid])] == want[qid], qid

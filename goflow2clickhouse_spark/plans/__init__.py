@@ -57,8 +57,12 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # session in-round after the change:
 #   - results CHANGED by the trained flip but out of window space:
 #     ivfsq_probe, pq_batch_probe (displaced by the residual-batch
-#     additions, see (c)), ivfsq_recall, ivfsq_batch_probe (r11-green,
-#     the freshest rows in that family), ivfsq_trained_recall (fixture
+#     additions, see (c)), ivf_index_probe, ivf_batch_probe (the
+#     filtered-IVF fixture joined the trained default late in the
+#     round; semdedup_persisted, which SHARES that fixture and whose
+#     results also changed, IS windowed via (a)), ivfsq_recall,
+#     ivfsq_batch_probe (r11-green, the freshest rows in that
+#     family), ivfsq_trained_recall (fixture
 #     sources swapped —
 #     the shared fixture is now its trained side, a new ivfsq_seed
 #     fixture its seed side — same configs, identical results);

@@ -2242,17 +2242,32 @@ _FILTERED_E_SQL = """
     )"""
 
 
-def _filtered_ivf_oracle(limit: int, cents_where: str = "") -> str:
+def _filtered_ivf_oracle(
+    limit: int, cents_where: str = "", coarse_iters: int = 0
+) -> str:
     """IVF replay over ONLY the eligible vectors: centroids are the 8
     lowest-id ELIGIBLE vectors (the index is built on the filtered
     set), assignment/probe/score identical to _IVF_ORACLE.
     `cents_where` narrows the centroid SEED set only (the append-probe
     query seeds from the original build's subset while assignment runs
-    over everything — exactly what an appended index serves)."""
+    over everything — exactly what an appended index serves).
+    `coarse_iters` (r12) swaps in the Lloyd-trained centroid chain —
+    the trained-by-default serving fixture's replay."""
+    if coarse_iters and cents_where:
+        raise ValueError(
+            "_filtered_ivf_oracle: coarse_iters does not compose with "
+            "cents_where yet — the append replay would silently "
+            "retrain on the appended corpus"
+        )
+    cents_cte = (
+        _trained_cents_ctes(coarse_iters, 8)
+        if coarse_iters > 0
+        else f"""cents AS (SELECT vec_id AS cid, v AS cvec FROM e {cents_where}
+              ORDER BY vec_id LIMIT 8)"""
+    )
     return f"""
     WITH {_FILTERED_E_SQL},
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e {cents_where}
-              ORDER BY vec_id LIMIT 8),
+    {cents_cte},
     scored AS (
         SELECT e.vec_id, e.v, c.cid,
                list_dot_product(e.v, c.cvec) /
@@ -2390,15 +2405,24 @@ def _semdedup_oracle(
     tau: float,
     pre_ctes: str = "",
     e_sql: str = EVEC_SQL,
+    coarse_iters: int = 0,
 ) -> str:
     """SemDeDup replay generator — ONE statement of the prune-replay
     arithmetic (assignment, ccos, dominance rule, per-cell checksum)
     shared by the in-memory and persisted-layout differentials (r8
     review: the two were restated string literals, the drift class
-    the parameterized _pq_oracle exists to prevent)."""
+    the parameterized _pq_oracle exists to prevent). `coarse_iters`
+    (r12) swaps in the Lloyd-trained centroid chain — the persisted
+    form's fixture is the trained-by-default filtered-IVF layout."""
+    cents_cte = (
+        _trained_cents_ctes(coarse_iters, 8)
+        if coarse_iters > 0
+        else "cents AS (SELECT vec_id AS cid, v AS cvec FROM e"
+             " ORDER BY vec_id LIMIT 8)"
+    )
     return f"""
     WITH {pre_ctes}e AS ({e_sql}),
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    {cents_cte},
     scored AS (
         SELECT e.vec_id, e.v, c.cid,
                {_COS.format(a='e.v', b='c.cvec')} AS score
@@ -2428,6 +2452,70 @@ def _semdedup_oracle(
     FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
     GROUP BY a.cid ORDER BY cell
     """
+
+
+def _trained_cents_ctes(iters: int, n_cells: int, src: str = "e") -> str:
+    """CTE chain replaying operators/similarity.ivf_centroids_trained
+    over the `src` relation (a (vec_id, v) CTE; `e` by default, `e0`
+    inside the residual IVF-PQ replay where `e` is the residual encode
+    relation) — the COARSE twin of _trained_cb_ctes (r11): seeded from
+    the lowest-id centroids, each iteration assigning every vector by
+    argmax cosine (ties to the smaller cid — ivf_assign's rule, the
+    same expression the untrained assignment uses), recomputing each
+    cell as ROUND(AVG, 6) per dimension (the cross-engine-exactness
+    quantization — see the operator docstring), empty cells keeping
+    their previous centroid. Ends in a `cents AS (cid, cvec)` CTE, so
+    every downstream assignment / cell-ranking expression is reused
+    verbatim over the trained centroids."""
+    chain = [
+        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM {src}
+               ORDER BY vec_id LIMIT {n_cells})"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        chain += [
+            f"""kd{t} AS (
+        SELECT {src}.vec_id, {src}.v, c.cid,
+               {_COS.format(a=f'{src}.v', b='c.cvec')} AS score
+        FROM {src} CROSS JOIN kc{p} c)""",
+            f"""ka{t} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cid) AS rn
+            FROM kd{t}) z WHERE rn = 1)""",
+            f"""km{t} AS (
+        SELECT cid, gs.pos, ROUND(AVG(v[gs.pos]), 6) AS mm
+        FROM ka{t}, generate_series(1, {S.DIM}) gs(pos)
+        GROUP BY cid, gs.pos)""",
+            f"""kn{t} AS (
+        SELECT cid, list(mm ORDER BY pos) AS nv FROM km{t}
+        GROUP BY cid)""",
+            f"""kc{t} AS (
+        SELECT c.cid, COALESCE(n.nv, c.cvec) AS cvec
+        FROM kc{p} c LEFT JOIN kn{t} n ON c.cid = n.cid)""",
+        ]
+    chain.append(f"cents AS (SELECT cid, cvec FROM kc{iters})")
+    return ",\n    ".join(chain)
+
+
+
+# training-regime knobs, shared by the gauges AND (since r12, the r11
+# verdict's #4) the serving-path fixtures themselves: production ships
+# trained quantizers, so the registry probes and the bench time the
+# trained configuration and the seed-only builds remain as explicit
+# comparison fixtures
+_TRAINED_ITERS = 2
+_TRAINED_Q = 8  # batch-recall query count (denoises the 1/k steps)
+
+# coarse-training gauge geometry (r11): Q=16 query ids STARTING AT 100
+# — disjoint from the centroid seed ids (the n_cells lowest), because a
+# seed-id query's own cell always ranks first at cosine 1.0, biasing
+# the seed figure upward (measured at sf0.01: with qids < Q the seed
+# index read 0.925 and training "hurt"; with disjoint qids the same
+# sweep reads seed 0.4375 vs trained 0.5000 at this geometry)
+_CTR_ITERS = 2
+_CTR_Q = 16
+_CTR_Q_WHERE = f"vec_id >= 100 AND vec_id < {100 + _CTR_Q}"
 
 
 def _semdedup_cell_agg(flags: DataFrame) -> DataFrame:
@@ -2482,6 +2570,7 @@ _SEMDEDUP_PERSISTED_ORACLE = _semdedup_oracle(
     e_sql="""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
         WHERE vec_id IN (SELECT doc_id FROM ok)""",
+    coarse_iters=_CTR_ITERS,
 )
 
 
@@ -2511,11 +2600,13 @@ def semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     flags = semdedup_prune_persisted(
         spark, path, tau=0.2,
-        expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "coarse_train_iters": _CTR_ITERS},
     )
     return D.pin(_semdedup_cell_agg(flags), flags)
 
@@ -2806,7 +2897,11 @@ def incremental_dedup_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pin(out, pairs)
 
 
-@query("ivf_index_probe", oracle=_filtered_ivf_oracle(10), bench=True)
+@query(
+    "ivf_index_probe",
+    oracle=_filtered_ivf_oracle(10, coarse_iters=_CTR_ITERS),
+    bench=True,
+)
 def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`filtered_ann_ivf` served from the PERSISTED filtered-IVF layout
     (plans/storage.write_filtered_ivf_index → ivf_index_probe): the
@@ -2824,13 +2919,15 @@ def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
     # expect pins the geometry/eligibility this query's ORACLE replays
     return ivf_index_probe(
         spark, path, q, k=10, nprobe=2,
-        expect={"n_cells": 8, "min_chars": 200, "lang": "en"},
+        expect={"n_cells": 8, "min_chars": 200, "lang": "en",
+                "coarse_train_iters": _CTR_ITERS},
     )
 
 
@@ -2881,8 +2978,7 @@ _IVF_BATCH_Q = 3
     bench=True,
     oracle=f"""
     WITH {_FILTERED_E_SQL},
-    cents AS (SELECT vec_id AS cid, v AS cvec FROM e
-              ORDER BY vec_id LIMIT 8),
+    {_trained_cents_ctes(_CTR_ITERS, 8)},
     cscored AS (
         SELECT e.vec_id, e.v, c.cid,
                {_COS.format(a='e.v', b='c.cvec')} AS score
@@ -2935,6 +3031,7 @@ def ivf_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
             p, n_cells=8,
+            coarse_train_iterations=_CTR_ITERS,
         ),
     )
     qs = (
@@ -2945,7 +3042,7 @@ def ivf_batch_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ivf_batch_probe(
         spark, path, qs, k=5, nprobe=2,
         expect={"n_cells": 8, "min_chars": 200, "lang": "en",
-                "coarse_train_iters": 0},
+                "coarse_train_iters": _CTR_ITERS},
     )
     # pin the probe's persisted query relation to the composed plan
     # (the D.pin rule)
@@ -3023,70 +3120,6 @@ def _trained_cb_ctes(iters: int, cb_src: str = "e") -> str:
     )"""
     )
     return ",\n    ".join(ctes)
-
-
-# training-regime knobs, shared by the gauges AND (since r12, the r11
-# verdict's #4) the serving-path fixtures themselves: production ships
-# trained quantizers, so the registry probes and the bench time the
-# trained configuration and the seed-only builds remain as explicit
-# comparison fixtures
-_TRAINED_ITERS = 2
-_TRAINED_Q = 8  # batch-recall query count (denoises the 1/k steps)
-
-# coarse-training gauge geometry (r11): Q=16 query ids STARTING AT 100
-# — disjoint from the centroid seed ids (the n_cells lowest), because a
-# seed-id query's own cell always ranks first at cosine 1.0, biasing
-# the seed figure upward (measured at sf0.01: with qids < Q the seed
-# index read 0.925 and training "hurt"; with disjoint qids the same
-# sweep reads seed 0.4375 vs trained 0.5000 at this geometry)
-_CTR_ITERS = 2
-_CTR_Q = 16
-_CTR_Q_WHERE = f"vec_id >= 100 AND vec_id < {100 + _CTR_Q}"
-
-
-def _trained_cents_ctes(iters: int, n_cells: int, src: str = "e") -> str:
-    """CTE chain replaying operators/similarity.ivf_centroids_trained
-    over the `src` relation (a (vec_id, v) CTE; `e` by default, `e0`
-    inside the residual IVF-PQ replay where `e` is the residual encode
-    relation) — the COARSE twin of _trained_cb_ctes (r11): seeded from
-    the lowest-id centroids, each iteration assigning every vector by
-    argmax cosine (ties to the smaller cid — ivf_assign's rule, the
-    same expression the untrained assignment uses), recomputing each
-    cell as ROUND(AVG, 6) per dimension (the cross-engine-exactness
-    quantization — see the operator docstring), empty cells keeping
-    their previous centroid. Ends in a `cents AS (cid, cvec)` CTE, so
-    every downstream assignment / cell-ranking expression is reused
-    verbatim over the trained centroids."""
-    chain = [
-        f"""kc0 AS (SELECT vec_id AS cid, v AS cvec FROM {src}
-               ORDER BY vec_id LIMIT {n_cells})"""
-    ]
-    for t in range(1, iters + 1):
-        p = t - 1
-        chain += [
-            f"""kd{t} AS (
-        SELECT {src}.vec_id, {src}.v, c.cid,
-               {_COS.format(a=f'{src}.v', b='c.cvec')} AS score
-        FROM {src} CROSS JOIN kc{p} c)""",
-            f"""ka{t} AS (
-        SELECT vec_id, v, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY score DESC, cid) AS rn
-            FROM kd{t}) z WHERE rn = 1)""",
-            f"""km{t} AS (
-        SELECT cid, gs.pos, ROUND(AVG(v[gs.pos]), 6) AS mm
-        FROM ka{t}, generate_series(1, {S.DIM}) gs(pos)
-        GROUP BY cid, gs.pos)""",
-            f"""kn{t} AS (
-        SELECT cid, list(mm ORDER BY pos) AS nv FROM km{t}
-        GROUP BY cid)""",
-            f"""kc{t} AS (
-        SELECT c.cid, COALESCE(n.nv, c.cvec) AS cvec
-        FROM kc{p} c LEFT JOIN kn{t} n ON c.cid = n.cid)""",
-        ]
-    chain.append(f"cents AS (SELECT cid, cvec FROM kc{iters})")
-    return ",\n    ".join(chain)
-
 
 
 def _pq_oracle(

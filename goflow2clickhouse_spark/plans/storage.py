@@ -1344,8 +1344,13 @@ def _rerank_exact(
     id, NULLs last) so the re-ranked order replays in any engine.
     `source` must be unique on `id_col` (the corpus relation the index
     was built from); a duplicated id would duplicate its candidate
-    row. Returns (id, adist, dist) — the ADC score is carried through
-    from the candidate collect, not recomputed."""
+    row, and a candidate id MISSING from the source refuses loudly
+    (r12 review: the earlier inner join silently dropped it, so a
+    wrong source — eligible-only for a full-corpus index, a corpus
+    that lost rows since the build — under-delivered or promoted
+    worse vectors with no error). Returns (id, adist, dist) — the
+    ADC score is carried through from the candidate collect, not
+    recomputed."""
     from ..operators.similarity import _l2sq, as_double
 
     if rerank < k:
@@ -1366,17 +1371,28 @@ def _rerank_exact(
         f"{id_col} bigint, adist double",
     )
     ids = [int(r[0]) for r in rows]
+    # the pushed-down filter bounds the scan output at <= R rows, so
+    # the SOURCE side is the broadcastable one — which lets the
+    # candidates drive a LEFT join whose unmatched rows prove a
+    # missing id in-plan (assert_true wraps the distance, so any
+    # action over the top-k raises; a correct call costs zero jobs)
     src = source.filter(F.col(id_col).isin(ids)).select(
         F.col(id_col), as_double(vec_col).alias("_v")
     )
+    missing_msg = F.concat(
+        F.lit(f"{op}: rerank candidate id "),
+        F.col(id_col).cast("string"),
+        F.lit(" is missing from rerank_source — pass the corpus "
+              "relation the index was built from"),
+    )
+    dist = F.when(
+        F.assert_true(F.col("_v").isNotNull(), missing_msg).isNull(),
+        F.round(_l2sq(F.col("_v"), F.col("_qv")), 6),
+    )
     return (
-        src.join(F.broadcast(cand), id_col)  # bcast bound: rerank rows
+        cand.join(F.broadcast(src), id_col, "left")  # bcast: <= R rows
         .join(F.broadcast(qrel))  # bcast bound: 1 row
-        .select(
-            id_col,
-            "adist",
-            F.round(_l2sq(F.col("_v"), F.col("_qv")), 6).alias("dist"),
-        )
+        .select(id_col, "adist", dist.alias("dist"))
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         .orderBy(F.asc_nulls_last("dist"), id_col)
         .limit(k)
@@ -1607,6 +1623,70 @@ def _batch_topk(
     return tie_cache(out, queries)
 
 
+def _batch_rerank_exact(
+    scored: DataFrame,
+    queries: DataFrame,
+    source: DataFrame | None,
+    k: int,
+    rerank: int,
+    op: str,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The batch probes' shared IVFADC+R tier (r12): per-query top-R
+    ADC candidates via the same WindowGroupLimit shape the final
+    top-k uses (Q x R rows, never collected), raw vectors fetched
+    through ONE broadcast join against `source`, exact squared-L2
+    re-ranked per query (round-6, ties to id, NULLs last). Output
+    (qid, id, adist, dist, rank) ranked by `dist`.
+
+    Source-completeness is the CALLER'S invariant here: the single
+    probe's pushed-id fetch proves every candidate present loudly
+    (_rerank_exact), but the batch fetch is a broadcast join against
+    the full corpus scan — an id missing from `source` silently
+    shrinks only that query's pool. Pass the corpus relation the
+    index was built from. At 100 TB pair the fetch with an
+    id-clustered corpus + runtime bloom-filter join pruning."""
+    from ..operators.similarity import _l2sq, as_double
+    from pyspark.sql import Window
+
+    if rerank < k:
+        raise ValueError(
+            f"{op}: rerank={rerank} must be >= k={k} — fewer "
+            "candidates than requested results"
+        )
+    if source is None:
+        raise ValueError(
+            f"{op}: rerank requires rerank_source (the raw corpus "
+            "relation the index was built from)"
+        )
+    wr = Window.partitionBy(qid_col).orderBy(
+        F.asc_nulls_last("adist"), id_col
+    )
+    cand = (  # WindowGroupLimit: Q x R rows, never collected
+        scored.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= rerank)
+        .select(qid_col, id_col, "adist")
+    )
+    src = source.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    qv = queries.select(qid_col, as_double(qvec_col).alias("_qv"))
+    exact = (
+        src.join(F.broadcast(cand), id_col)  # bcast: Q x R rows
+        .join(F.broadcast(qv), qid_col)  # bcast: Q rows
+        .select(
+            qid_col, id_col, "adist",
+            F.round(_l2sq(F.col("_v"), F.col("_qv")), 6).alias("dist"),
+        )
+    )
+    return _batch_topk(
+        exact, queries, qid_col,
+        [F.asc_nulls_last("dist"), id_col],
+        [id_col, "adist", "dist"], k,
+    )
+
+
 def pq_index_batch_probe(
     spark: SparkSession,
     path: str,
@@ -1615,6 +1695,8 @@ def pq_index_batch_probe(
     qvec_col: str = "qvec",
     qid_col: str = "qid",
     expect: dict | None = None,
+    rerank: int = 0,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Serve a Q-query ADC top-k batch from the persisted PQ index —
     the serving shape the single-query probe's error message used to
@@ -1633,7 +1715,14 @@ def pq_index_batch_probe(
 
     Q is bounded by the caller's batch (broadcast bound: Q LUT rows,
     ~1 KiB each). An EMPTY batch raises — the single-probe rule:
-    silently returning nothing hides an upstream bug."""
+    silently returning nothing hides an upstream bug.
+
+    `rerank=R` (r12): the flat-PQ batch refine tier — per-query top-R
+    ADC candidates exact-re-ranked against raw vectors from
+    `rerank_source` (_batch_rerank_exact, the shared relational
+    shape); with no cell pruning in this layout, per-query recall
+    approaches 1.0 as R grows (unit-pinned at R=N ≡ the exact batch
+    top-k). Output becomes (qid, id, adist, dist, rank)."""
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -1664,6 +1753,12 @@ def pq_index_batch_probe(
             "pq_code",
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
+        if rerank:
+            return _batch_rerank_exact(
+                scored, queries, rerank_source, k, rerank,
+                "pq_index_batch_probe",
+                qid_col=qid_col, qvec_col=qvec_col, id_col=idx_id,
+            )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         return _batch_topk(
             scored, queries, qid_col,
@@ -2689,16 +2784,21 @@ def delete_from_index(
         )
     # type gates (r11 advice): tombstones are stored as one BIGINT
     # column (_read_tombstones' literal schema), so both sides must
-    # actually BE integral — a string/decimal id relation would cast
-    # to NULLs (misreported as "empty id relation"), and a non-long
-    # stored id column (id_col is caller-chosen on the band layout)
-    # would type-mismatch the readers' anti-join. Refuse each with
-    # its own diagnostic instead.
+    # actually BE integral — a string id relation would cast
+    # non-numeric values to NULLs (misreported as "empty id
+    # relation"), and a non-long stored id column (id_col is
+    # caller-chosen on the band layout) would type-mismatch the
+    # readers' anti-join. Refuse each with its own diagnostic.
+    # Scale-0 decimals are admitted (review: JDBC/ClickHouse feeds
+    # deliver DECIMAL(n,0) ids, which cast to long losslessly).
     from pyspark.sql import types as T
 
     in_type = ids.schema[ids.columns[0]].dataType
-    if not isinstance(
-        in_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not (
+        isinstance(
+            in_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+        or (isinstance(in_type, T.DecimalType) and in_type.scale == 0)
     ):
         raise TypeError(
             f"delete_from_index over {path}: id relation column "
@@ -2908,13 +3008,10 @@ def ivfpq_batch_probe(
         PQ_K,
         PQ_M,
         PQ_SUB,
-        _l2sq,
-        as_double,
         pq_adc_dist,
         pq_lut_rows,
         rank_probe_cells_batch,
     )
-    from pyspark.sql import Window
 
     if rerank and rerank < k:
         raise ValueError(
@@ -2975,40 +3072,14 @@ def ivfpq_batch_probe(
             F.round(pq_adc_dist(), 6).alias("adist"),
         )
         if rerank:
-            if rerank_source is None:
-                raise ValueError(
-                    "ivfpq_batch_probe: rerank requires rerank_source "
-                    "(the raw corpus relation the index was built from)"
-                )
             # residual layouts need no special casing here: the ADC
             # candidates already came through the per-(qid, cell)
             # residual LUTs above, and the exact tier scores RAW
             # vectors against the RAW query either way
-            wr = Window.partitionBy(qid_col).orderBy(
-                F.asc_nulls_last("adist"), "vec_id"
-            )
-            cand = (  # WindowGroupLimit: Q x R rows, never collected
-                scored.withColumn("_rn", F.row_number().over(wr))
-                .filter(F.col("_rn") <= rerank)
-                .select(qid_col, "vec_id", "adist")
-            )
-            src = rerank_source.select(
-                F.col("vec_id"), as_double("embedding").alias("_v")
-            )
-            qv = queries.select(qid_col, as_double(qvec_col).alias("_qv"))
-            exact = (
-                src.join(F.broadcast(cand), "vec_id")  # bcast: Q x R
-                .join(F.broadcast(qv), qid_col)  # bcast: Q rows
-                .select(
-                    qid_col, "vec_id", "adist",
-                    F.round(_l2sq(F.col("_v"), F.col("_qv")), 6)
-                    .alias("dist"),
-                )
-            )
-            return _batch_topk(
-                exact, queries, qid_col,
-                [F.asc_nulls_last("dist"), "vec_id"],
-                ["vec_id", "adist", "dist"], k,
+            return _batch_rerank_exact(
+                scored, queries, rerank_source, k, rerank,
+                "ivfpq_batch_probe",
+                qid_col=qid_col, qvec_col=qvec_col,
             )
         # asc_nulls_last: the topk_l2_bruteforce rule (r9)
         return _batch_topk(

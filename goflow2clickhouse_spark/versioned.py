@@ -128,7 +128,16 @@ def meta_mutex(
     past its lease (GC, swapped-out VM) can lose the lock while
     believing it holds it; its eventual recommit is then refused by
     the commit-nonce fence in `recommit_meta` instead of reverting
-    the new holder's updates.
+    the new holder's updates, and its lock release is
+    ownership-checked (a unique token stamped at acquire) so it
+    cannot delete the new holder's lock. Residual hazard, stated
+    honestly: the fence protects METADATA commits only — a zombie
+    resumed mid-DATA-write can still overwrite the new holder's
+    same-named uncommitted delta directory before its own commit is
+    fenced. Reaching that state requires the WHOLE process (including
+    the heartbeat thread) to stall past the lease and then resume
+    exactly inside a data write; the production-hard fix is
+    nonce-unique delta directory names, sketched for a future round.
 
     `timeout_sec=None` (the @_meta_locked wrappers' call) reads the
     session conf `spark.goflow2clickhouse.metaLockTimeoutSec`
@@ -199,6 +208,17 @@ def meta_mutex(
                    else "")
             )
         time.sleep(poll_sec)
+    # stamp ownership into the lock (r12 review: release deleted the
+    # path unconditionally, so a holder that lost its lease would
+    # delete the NEW holder's lock, re-breaking mutual exclusion for
+    # a third writer). The stamp happens immediately after the atomic
+    # create, while the lock is provably fresh.
+    owner = uuid.uuid4().hex
+    out = fs.create(lock, True)
+    try:
+        out.write(bytearray(owner.encode("ascii")))
+    finally:
+        out.close()
     stop = threading.Event()
 
     def _heartbeat():
@@ -220,7 +240,20 @@ def meta_mutex(
     finally:
         stop.set()
         hb.join(timeout=5.0)
-        fs.delete(lock, False)
+        # delete only if still OURS: a holder overtaken past its
+        # lease must leave the new holder's lock alone
+        try:
+            data = read_small_bytes(
+                spark, posixpath.join(path, "_LOCK")
+            )
+            if data is not None and data.decode(
+                "ascii", "replace"
+            ) == owner:
+                fs.delete(lock, False)
+        except Exception:  # noqa: BLE001
+            # an unreadable lock at release is either already stolen
+            # or already gone — never delete blind
+            pass
 
 
 def commit_token(spark: SparkSession, path: str, meta: dict) -> str:
@@ -365,9 +398,11 @@ def recommit_meta(
     was taken over, or an operator removed a live `_LOCK`), and
     committing the stale snapshot would revert that writer's
     counters. Raise FencingError instead; the caller's work is lost,
-    the OTHER writer's committed state is not. One extra small-JSON
-    read per metadata cycle. Pre-nonce snapshots (no `commit_nonce`
-    recorded) skip the fence — nothing to compare."""
+    the other writer's committed METADATA is not (its data legs keep
+    the narrower guarantee — see meta_mutex's residual-hazard note).
+    One extra small-JSON read per metadata cycle. Pre-nonce snapshots
+    (no `commit_nonce` recorded) skip the fence — nothing to
+    compare."""
     fence_snapshot(spark, path, meta)
     merged = {k: v for k, v in meta.items() if k != "version"}
     merged.update(extra or {})
@@ -388,7 +423,12 @@ def fence_snapshot(spark: SparkSession, path: str, meta: dict) -> None:
     live `_LOCK`) — and committing would revert that writer's
     counters. Used by recommit_meta (appends/deletes/stream folds)
     and compact_index (new-version commits). Pre-nonce snapshots
-    carry no nonce and skip the check."""
+    carry no nonce and skip the check. The check is check-then-act
+    (no portable conditional rename exists): two writers that BOTH
+    hold stale-but-equal snapshots inside a broken-exclusion window
+    can both pass and the second commit wins — the fence narrows the
+    lost-update window from the whole write to one small read plus a
+    rename; mutual exclusion itself is the lock's job."""
     snap_nonce = meta.get("commit_nonce")
     if not snap_nonce:
         return

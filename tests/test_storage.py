@@ -2524,16 +2524,20 @@ def test_meta_mutex_serializes_and_times_out(spark, tmp_path):
 
     path = str(tmp_path / "locked")
     order = []
+    entered = threading.Event()
 
     def holder():
         with meta_mutex(spark, path):
             order.append("a-in")
+            entered.set()
             time.sleep(1.0)
             order.append("a-out")
 
     t = threading.Thread(target=holder)
     t.start()
-    time.sleep(0.3)  # let the holder acquire
+    # event, not sleep (r12: a fresh thread's first py4j call can
+    # take longer than any fixed nap under load)
+    assert entered.wait(30)
     with meta_mutex(spark, path, timeout_sec=30):
         order.append("b-in")
     t.join()
@@ -2690,16 +2694,18 @@ def test_meta_mutex_heartbeat_blocks_takeover(spark, tmp_path):
 
     path = str(tmp_path / "live_lock")
     order = []
+    entered = threading.Event()
 
     def holder():
         with meta_mutex(spark, path, lease_sec=0.6):
             order.append("a-in")
+            entered.set()
             time.sleep(2.5)  # >4 leases — heartbeats keep it fresh
             order.append("a-out")
 
     t = threading.Thread(target=holder)
     t.start()
-    time.sleep(0.4)  # let the holder acquire
+    assert entered.wait(30)  # event, not sleep — the startup rule
     with meta_mutex(spark, path, timeout_sec=30, lease_sec=0.6):
         order.append("b-in")
     t.join()
@@ -2817,9 +2823,9 @@ def test_batch_rerank_relational_guards_and_plan(spark, tmp_path):
     """ivfpq_batch_probe(rerank=R) — the batch refine tier stays
     relational: candidate selection plans as WindowGroupLimit (no
     driver collect of Q x R rows), the guards refuse a missing
-    source, R < k, and the residual layout (whose batch replay
-    doesn't exist), and per-query output is k rows ordered by exact
-    distance."""
+    source and R < k, per-query output is k rows ordered by exact
+    distance, and the RESIDUAL layout composes too (pinned below at
+    nprobe=n_cells, R=N against the exact batch top-k)."""
     from goflow2clickhouse_spark.plans.storage import (
         ivfpq_batch_probe,
         write_ivfpq_index,
@@ -2876,3 +2882,121 @@ def test_batch_rerank_relational_guards_and_plan(spark, tmp_path):
         want.setdefault(r["qid"], []).append(r["vec_id"])
     for qid in want:
         assert [v for _, v in sorted(got[qid])] == want[qid], qid
+
+
+def test_pq_batch_rerank_full_R_equals_exact(spark, tmp_path):
+    """pq_index_batch_probe(rerank=R) — flat-PQ batch refine: with
+    R = |corpus| the per-query re-ranked top-k EQUALS the exact batch
+    top-k (no cell pruning in this layout, so R bounds the only
+    error), and the guards refuse a missing source and R < k."""
+    from goflow2clickhouse_spark.operators import similarity as S
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_batch_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_brr")
+    write_pq_index(emb, path)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="rerank_source"):
+        pq_index_batch_probe(spark, path, qs, k=5, rerank=10).collect()
+    with pytest.raises(ValueError, match="must be >= k"):
+        pq_index_batch_probe(spark, path, qs, k=5, rerank=3,
+                             rerank_source=emb)
+    n = emb.count()
+    full = pq_index_batch_probe(spark, path, qs, k=5, rerank=int(n),
+                                rerank_source=emb)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    exact = S.topk_l2_bruteforce_batch(emb, qs, k=5)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid in want:
+        assert [v for _, v in sorted(got[qid])] == want[qid], qid
+
+
+def test_rerank_missing_candidate_refuses_loudly(spark, tmp_path):
+    """_rerank_exact (r12 review): a candidate id absent from
+    rerank_source must raise, not silently shrink the top-k — the
+    wrong-source failure (eligible-only relation for a full-corpus
+    index) surfaces at the first action."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_miss")
+    write_pq_index(emb, path)
+    q = emb.filter(F.col("vec_id") == 0)
+    holey = emb.filter(F.col("vec_id") % 7 != 1)  # drop some corpus ids
+    res = pq_index_probe(spark, path, q, k=5, rerank=20,
+                         rerank_source=holey)
+    with pytest.raises(SparkRuntimeException,
+                       match="missing from rerank_source"):
+        res.collect()
+
+
+def test_release_after_takeover_spares_new_lock(spark, tmp_path):
+    """meta_mutex release is ownership-checked (r12 review): a holder
+    whose lock was taken over must NOT delete the new holder's lock
+    on exit — mutual exclusion holds for a third writer."""
+    import posixpath
+    import time
+
+    from goflow2clickhouse_spark.versioned import (
+        _fs,
+        meta_mutex,
+        read_small_bytes,
+    )
+
+    path = str(tmp_path / "owned")
+    fs, hpath = _fs(spark, path)
+    fs.mkdirs(hpath)
+    jvm = spark._jvm
+    lockp = posixpath.join(path, "_LOCK")
+    lock = jvm.org.apache.hadoop.fs.Path(lockp)
+    with meta_mutex(spark, path, lease_sec=0.5):
+        # simulate a takeover while "paused": replace the lock with
+        # another holder's (different owner token)
+        out = fs.create(lock, True)
+        out.write(bytearray(b"someone-else"))
+        out.close()
+    # the overtaken holder exited WITHOUT deleting the usurper's lock
+    assert read_small_bytes(spark, lockp) == b"someone-else"
+    fs.delete(lock, False)
+    # and normal acquire/release still deletes its own lock
+    with meta_mutex(spark, path, lease_sec=0.5):
+        pass
+    assert read_small_bytes(spark, lockp) is None
+
+
+def test_delete_accepts_scale0_decimal_ids(spark, tmp_path):
+    """JDBC/ClickHouse feeds deliver DECIMAL(n,0) ids; they cast to
+    long losslessly and must pass the type gate (r12 review: the
+    first gate draft refused them — a regression for working
+    callers)."""
+    from goflow2clickhouse_spark.plans.storage import (
+        delete_from_index,
+        sq_index_probe,
+        write_sq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "dec_ids")
+    write_sq_index(emb.filter(F.col("vec_id") < 30), path)
+    ids = spark.createDataFrame([(3,), (7,)], "vec_id long").select(
+        F.col("vec_id").cast("decimal(10,0)").alias("vec_id")
+    )
+    delete_from_index(ids, path)
+    q = emb.filter(F.col("vec_id") == 0)
+    served = {r["vec_id"] for r in
+              sq_index_probe(spark, path, q, k=30).collect()}
+    assert 3 not in served and 7 not in served and 5 in served

@@ -297,3 +297,15 @@ def test_bpe_sql_twin_matches_independent_bpe():
             f"SELECT {expr} FROM (SELECT ? AS s) t", [t]
         ).fetchone()[0]
         assert got == _classic_bpe_count(t), (t, got)
+
+
+def test_bpe_null_text_counts_zero(spark):
+    """NULL text folds to 0, matching the SQL twin's COALESCE (r12
+    review: the Spark chain propagated NULL — a per-document
+    divergence inside budget selections)."""
+    df = spark.createDataFrame([(None,), ("the",)], "text string")
+    got = sorted(
+        r["n"] for r in
+        df.select(T.bpe_token_count("text").alias("n")).collect()
+    )
+    assert got == [0, 1]

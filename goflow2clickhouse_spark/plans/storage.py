@@ -1464,10 +1464,29 @@ def pq_index_probe(
     codes = _read_index_codes(spark, path, base, meta)
     idx_id = str(meta.get("id_col", "vec_id"))
     q1 = _single_query(query, "pq_index_probe", _qv=as_double(vec_col))
-    # _qv rides along only when the rerank tier needs it, so the
-    # plain probe's plan stays byte-identical to its audited shape
-    lut_row = q1.join(F.broadcast(cb)).select(  # bcast bound: 1 row
-        *(["_qv"] if rerank else []), _pq_lut_array().alias("_lut")
+    if rerank:
+        if rerank_source is None:
+            raise ValueError(
+                "pq_index_probe: rerank requires rerank_source (the "
+                "raw corpus relation the index was built from)"
+            )
+        # single-evaluation guarantee (r12 advice): the earlier form
+        # re-evaluated the query subtree twice — once inside the ADC
+        # candidate collect and again for the exact tier's qrel — so
+        # a NONDETERMINISTIC query relation could re-rank candidates
+        # against a different vector than the one that scored them.
+        # Collect the validated vector ONCE (bounded: the
+        # _single_query aggregate is exactly one row, and its
+        # in-plan assert fires on this very collect) and feed both
+        # the LUT and the exact tier the same literal — ivfpq_probe's
+        # guarantee, now shared by this layout.
+        qv = q1.first()["_qv"]
+        lut_src = spark.createDataFrame([(qv,)], "_qv array<double>")
+    else:
+        # the plain probe keeps its zero-collect, audited plan shape
+        lut_src = q1
+    lut_row = lut_src.join(F.broadcast(cb)).select(  # bcast bound: 1 row
+        _pq_lut_array().alias("_lut")
     )
     adc = (
         codes.join(F.broadcast(lut_row))  # bcast bound: 1 row
@@ -1480,13 +1499,8 @@ def pq_index_probe(
         .orderBy(F.asc_nulls_last("adist"), idx_id)
     )
     if rerank:
-        if rerank_source is None:
-            raise ValueError(
-                "pq_index_probe: rerank requires rerank_source (the "
-                "raw corpus relation the index was built from)"
-            )
         return _rerank_exact(
-            spark, adc.limit(rerank), lut_row.select("_qv"),
+            spark, adc.limit(rerank), lut_src,
             rerank_source, k, rerank, "pq_index_probe",
             id_col=idx_id, vec_col=vec_col,
         )
@@ -1642,13 +1656,20 @@ def _batch_rerank_exact(
     re-ranked per query (round-6, ties to id, NULLs last). Output
     (qid, id, adist, dist, rank) ranked by `dist`.
 
-    Source-completeness is the CALLER'S invariant here: the single
-    probe's pushed-id fetch proves every candidate present loudly
-    (_rerank_exact), but the batch fetch is a broadcast join against
-    the full corpus scan — an id missing from `source` silently
-    shrinks only that query's pool. Pass the corpus relation the
-    index was built from. At 100 TB pair the fetch with an
-    id-clustered corpus + runtime bloom-filter join pruning."""
+    Source-completeness is enforced IN-PLAN, mirroring the single
+    probe (r12 advice closed the asymmetry: the earlier inner-join
+    fetch silently shrank a query's pool when `source` lost ids —
+    the identical mistake _rerank_exact refuses loudly): the corpus
+    pass is pruned by a broadcast SEMI join on the candidate ids
+    (the batch form of the single probe's pushed-down isin), the
+    pruned <= Q x R fetch result is broadcast back onto the
+    candidates as a LEFT join, and the exact distance is wrapped in
+    an assert_true missing-id proof — any action raises, naming the
+    id, while a correct call keeps the same one-corpus-pass cost.
+    Pass the corpus relation the index was built from. At 100 TB
+    pair the fetch with an id-clustered corpus + runtime
+    bloom-filter join pruning so the scan skips non-candidate row
+    groups."""
     from ..operators.similarity import _l2sq, as_double
     from pyspark.sql import Window
 
@@ -1670,15 +1691,27 @@ def _batch_rerank_exact(
         .filter(F.col("_rn") <= rerank)
         .select(qid_col, id_col, "adist")
     )
-    src = source.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    src = (
+        source.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        # one corpus pass, pruned to <= Q x R rows before it is
+        # broadcast back onto the candidates
+        .join(F.broadcast(cand.select(id_col)), id_col, "semi")
+    )
     qv = queries.select(qid_col, as_double(qvec_col).alias("_qv"))
+    missing_msg = F.concat(
+        F.lit(f"{op}: rerank candidate id "),
+        F.col(id_col).cast("string"),
+        F.lit(" is missing from rerank_source — pass the corpus "
+              "relation the index was built from"),
+    )
+    dist = F.when(
+        F.assert_true(F.col("_v").isNotNull(), missing_msg).isNull(),
+        F.round(_l2sq(F.col("_v"), F.col("_qv")), 6),
+    )
     exact = (
-        src.join(F.broadcast(cand), id_col)  # bcast: Q x R rows
+        cand.join(F.broadcast(src), id_col, "left")  # bcast: <= Q x R
         .join(F.broadcast(qv), qid_col)  # bcast: Q rows
-        .select(
-            qid_col, id_col, "adist",
-            F.round(_l2sq(F.col("_v"), F.col("_qv")), 6).alias("dist"),
-        )
+        .select(qid_col, id_col, "adist", dist.alias("dist"))
     )
     return _batch_topk(
         exact, queries, qid_col,

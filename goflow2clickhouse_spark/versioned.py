@@ -101,12 +101,17 @@ def meta_mutex(
     deleted ids silently resurface. The per-stream (run_id, epoch)
     namespacing fixes KEY collisions, not this lost update.
 
-    Mechanism: `<path>/_LOCK` acquired via FileSystem.createNewFile —
-    atomic create-if-absent on HDFS and local filesystems (the same
-    caveat class as the `_CURRENT` rename: object stores without
-    atomic create keep last-writer-wins semantics). Readers never
-    take the lock: `_CURRENT` stays a single atomic rename, so probes
-    are wait-free and always see a complete commit.
+    Mechanism: the owner token is written to a unique `_LOCK.tmp.*`
+    file, then `<path>/_LOCK` is acquired via plain
+    FileSystem.rename(tmp, lock) — rename refuses an existing
+    destination, so a successful rename is atomic create-if-absent
+    WITH the ownership token already inside (r12 advice: a
+    create-then-stamp pair let a holder stalled between the steps
+    overwrite a new holder's token). Atomicity caveat class matches
+    the `_CURRENT` rename: object stores without atomic rename keep
+    last-writer-wins semantics. Readers never take the lock:
+    `_CURRENT` stays a single atomic rename, so probes are wait-free
+    and always see a complete commit.
 
     Lease + takeover (r12, the r11 verdict's sharp edge: a crashed
     holder orphaned `_LOCK` until manual deletion, and the timeout
@@ -155,16 +160,33 @@ def meta_mutex(
     jvm = spark._jvm  # noqa: SLF001
     fs.mkdirs(hpath)
     lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
+    # acquire atomically WITH the ownership token (r12 advice: a
+    # createNewFile-then-stamp pair let a holder stalled between the
+    # two steps overwrite the NEW holder's token after a takeover,
+    # whereupon its release passed the ownership check and deleted the
+    # new holder's lock). The token is written to a unique tmp file
+    # once, and acquisition is a plain FileSystem.rename(tmp, lock) —
+    # rename REFUSES an existing destination, so a successful rename
+    # is atomic create-if-absent with the token already inside.
+    owner = uuid.uuid4().hex
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, f"_LOCK.tmp.{owner}")
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(owner.encode("ascii")))
+    finally:
+        out.close()
     deadline = time.monotonic() + timeout_sec
     last_exc: Exception | None = None
     while True:
         try:
-            if fs.createNewFile(lock):
+            if fs.rename(tmp, lock):
                 break
             # lock exists: a stale one (holder stopped heartbeating
             # for > lease_sec) is taken over via atomic rename — only
             # one waiter can win the rename, and the winner still
-            # re-enters the createNewFile race like everyone else
+            # re-enters the acquire-rename race like everyone else
             try:
                 age_ms = (
                     int(time.time() * 1000)
@@ -184,9 +206,9 @@ def meta_mutex(
                 # or stolen) or another waiter won the rename — poll
                 pass
         except Exception as exc:
-            # createNewFile failed abnormally (not the boolean
-            # already-exists result). A lost create race looks like
-            # this on some filesystems — but so does a broken FS
+            # the acquire rename failed abnormally (not the boolean
+            # destination-exists result). A lost create race looks
+            # like this on some filesystems — but so does a broken FS
             # (auth, wrong scheme, permissions), which must surface
             # instead of spinning into a misleading timeout (r11
             # advice). Probe the FS once: if even exists() fails, the
@@ -197,6 +219,8 @@ def meta_mutex(
             except Exception:
                 raise exc
         if time.monotonic() > deadline:
+            with _contextlib.suppress(Exception):
+                fs.delete(tmp, False)
             raise TimeoutError(
                 f"could not acquire {path}/_LOCK within {timeout_sec}s. "
                 "The lock is heartbeated while held and a stale one is "
@@ -208,17 +232,6 @@ def meta_mutex(
                    else "")
             )
         time.sleep(poll_sec)
-    # stamp ownership into the lock (r12 review: release deleted the
-    # path unconditionally, so a holder that lost its lease would
-    # delete the NEW holder's lock, re-breaking mutual exclusion for
-    # a third writer). The stamp happens immediately after the atomic
-    # create, while the lock is provably fresh.
-    owner = uuid.uuid4().hex
-    out = fs.create(lock, True)
-    try:
-        out.write(bytearray(owner.encode("ascii")))
-    finally:
-        out.close()
     stop = threading.Event()
 
     def _heartbeat():
@@ -240,15 +253,28 @@ def meta_mutex(
     finally:
         stop.set()
         hb.join(timeout=5.0)
-        # delete only if still OURS: a holder overtaken past its
-        # lease must leave the new holder's lock alone
+        # delete only if still OURS and provably un-stealable: a
+        # holder overtaken past its lease must leave the new holder's
+        # lock alone, and the ownership read itself opens a
+        # read-then-delete window — so also require the lock's age to
+        # be well inside the lease (r12 advice). A lock that is ours
+        # AND fresh cannot be renamed away by a waiter before the
+        # delete lands; a lock that is ours but already past half the
+        # lease is left for takeover instead (costs one extra steal in
+        # the pathological case, never mutual exclusion).
         try:
             data = read_small_bytes(
                 spark, posixpath.join(path, "_LOCK")
             )
-            if data is not None and data.decode(
-                "ascii", "replace"
-            ) == owner:
+            age_ms = (
+                int(time.time() * 1000)
+                - int(fs.getFileStatus(lock).getModificationTime())
+            )
+            if (
+                data is not None
+                and data.decode("ascii", "replace") == owner
+                and age_ms < lease_sec * 1000 / 2
+            ):
                 fs.delete(lock, False)
         except Exception:  # noqa: BLE001
             # an unreadable lock at release is either already stolen

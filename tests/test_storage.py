@@ -2550,6 +2550,40 @@ def test_meta_mutex_serializes_and_times_out(spark, tmp_path):
                 pass
 
 
+def test_acquire_rename_refuses_live_lock(spark, tmp_path):
+    """The atomic-acquire foundation (r12 advice): acquisition is
+    rename(tmp, _LOCK), and the WHOLE mutual-exclusion argument rests
+    on rename refusing an existing destination — a writer stalled
+    just before its acquire rename must not clobber the holder that
+    won meanwhile (the failure the old createNewFile-then-stamp pair
+    allowed between its two steps). Pin the filesystem semantics:
+    rename onto a live lock returns False, the destination's token is
+    untouched, and the loser's tmp survives for its next attempt."""
+    import posixpath
+
+    from goflow2clickhouse_spark.versioned import _fs, read_small_bytes
+
+    path = str(tmp_path / "rename_sem")
+    fs, hpath = _fs(spark, path)
+    fs.mkdirs(hpath)
+    jvm = spark._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_LOCK"))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, "_LOCK.tmp.loser")
+    )
+    for p, tok in ((lock, b"winner"), (tmp, b"loser")):
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(tok))
+        finally:
+            out.close()
+    assert not fs.rename(tmp, lock)
+    assert read_small_bytes(
+        spark, posixpath.join(path, "_LOCK")
+    ) == b"winner"
+    assert fs.exists(tmp)
+
+
 def test_concurrent_append_and_takedown_lose_no_updates(spark, tmp_path):
     """The r11 review's lost-update race: an append stream and a
     takedown stream interleave read-modify-write metadata cycles on
@@ -2942,6 +2976,37 @@ def test_rerank_missing_candidate_refuses_loudly(spark, tmp_path):
     with pytest.raises(SparkRuntimeException,
                        match="missing from rerank_source"):
         res.collect()
+
+
+def test_batch_rerank_missing_candidate_refuses_loudly(spark, tmp_path):
+    """_batch_rerank_exact (r13, the r12 advice's asymmetry): the
+    BATCH path shares the single probe's contract — a candidate id
+    absent from rerank_source raises at the first action instead of
+    silently shrinking that query's pool (the earlier inner-join
+    fetch promoted worse vectors with no error). Same fixture shape
+    as the single-path test; a complete source still serves."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from goflow2clickhouse_spark.plans.storage import (
+        pq_index_batch_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_batch_miss")
+    write_pq_index(emb, path)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    holey = emb.filter(F.col("vec_id") % 7 != 1)  # drop some corpus ids
+    res = pq_index_batch_probe(spark, path, qs, k=5, rerank=20,
+                               rerank_source=holey)
+    with pytest.raises(SparkRuntimeException,
+                       match="missing from rerank_source"):
+        res.collect()
+    ok = pq_index_batch_probe(spark, path, qs, k=5, rerank=20,
+                              rerank_source=emb)
+    assert ok.count() == 2 * 5
 
 
 def test_release_after_takeover_spares_new_lock(spark, tmp_path):

@@ -163,9 +163,12 @@ BPE_SEP = BPE_B0 + BPE_B1
 BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 # The merge table, in rank order. A DEMONSTRATION table of common
-# English/digit pairs — production swaps in a vendored 50k-merge file
-# (GPT-2's merges.txt) through the exact same machinery; the count
-# semantics, the replay and the tests do not change with table size.
+# English/digit pairs, sized for the column-expression chain below
+# (one Catalyst replace node PER MERGE — honest only at this scale;
+# a production 50k-merge table goes through the mapInPandas tier
+# further down, with_bpe_token_count + load_bpe_merges, whose plan
+# size is independent of table size). The count semantics, the
+# replay and the tests are shared across both tiers.
 # INVARIANT (checked by _check_bpe_merges and pinned in tests): every
 # side of a merge is a single character or the output of an EARLIER
 # merge, and every pair whose side is a merged token ranks strictly
@@ -277,6 +280,280 @@ def bpe_token_count_sql(text_expr: str) -> str:
             '{BPE_PRETOKEN_RE}'),
         w -> length({s})
              - length(replace({s}, chr(30), '')) - 1)), 0)"""
+
+
+# --------------------------------------------------------------------------
+# Production-scale BPE (r13, the r12 verdict's #2 gap): the column
+# chain above is exact but builds one Catalyst replace node PER MERGE,
+# so a production 50k-merge table would be a ~50k-node expression that
+# chokes analysis/codegen long before 100 TB. The production tier is a
+# trained merge TABLE as plain data plus a mapInPandas encoder whose
+# plan size is independent of table size; the column chain stays as
+# the small-table oracle twin.
+# --------------------------------------------------------------------------
+
+_BPE_NO_RANK = 1 << 60
+
+
+def train_bpe_merges(
+    word_counts, n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Classic BPE trainer (Sennrich, Haddow & Birch 2016 — the same
+    procedure that produced GPT-2's published merges.txt): repeatedly
+    count adjacent symbol pairs across the pre-tokenized vocabulary
+    weighted by word frequency, merge the most frequent pair
+    everywhere, record it, until `n_merges` merges or no pair reaches
+    `min_count`. Deterministic: ties break by (count desc, pair
+    lexicographic asc), so one corpus always yields one table.
+
+    `word_counts` is a mapping pre-token -> frequency (the bounded
+    relation a distributed count produces; training itself is an
+    in-memory vocabulary fold, the shape every production tokenizer
+    trainer takes — HF/SentencePiece train on a bounded sample too).
+    Incremental pair index + lazy max-heap, so each merge costs
+    O(words containing the pair), not O(vocab): 2000 merges over an
+    18k-word vocabulary train in seconds.
+
+    Tables trained here satisfy the constituents-first invariant
+    (_check_bpe_merges) BY CONSTRUCTION — a pair over token X can
+    only be counted once X exists — which is what makes the
+    rank-sequential replay (the column chain, and the
+    exhaustive-replace second implementation in tests) coincide with
+    the min-rank encoder."""
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in sorted(word_counts.items()):
+        if len(w) > 1 and int(c) > 0:
+            words.append(list(w))
+            counts.append(int(c))
+    pair_n: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for p in zip(syms, syms[1:]):
+            pair_n[p] += c
+            where.setdefault(p, set()).add(i)
+    # lazy heap: every count CHANGE pushes a fresh entry; a popped
+    # entry whose stored count no longer matches the live one is
+    # stale and skipped. Decrements must push too — a pair whose
+    # count only ever decreased would otherwise have no live entry
+    # and could never win even while being the true maximum.
+    heap = [(-n, p) for p, n in pair_n.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, p = heapq.heappop(heap)
+        n = pair_n.get(p, 0)
+        if -negn != n:
+            continue  # stale
+        if n < min_count:
+            break  # the true maximum is below threshold: saturated
+        a, b = p
+        merges.append(p)
+        new = a + b
+        touched: Counter = Counter()
+        for i in sorted(where.get(p, ())):  # sorted: determinism aid
+            syms, c = words[i], counts[i]
+            for q in zip(syms, syms[1:]):
+                pair_n[q] -= c
+                touched[q] += 1
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j < len(syms) - 1
+                    and syms[j] == a
+                    and syms[j + 1] == b
+                ):
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for q in zip(out, out[1:]):
+                pair_n[q] += c
+                where.setdefault(q, set()).add(i)
+                touched[q] += 1
+        for q in touched:
+            if pair_n.get(q, 0) <= 0:
+                pair_n.pop(q, None)
+                where.pop(q, None)
+            else:
+                heapq.heappush(heap, (-pair_n[q], q))
+        pair_n.pop(p, None)
+        where.pop(p, None)
+    return merges
+
+
+def load_bpe_merges(path: str | None = None) -> tuple[tuple[str, str], ...]:
+    """Parse a merges.txt-format table ('a b' per line; '#'-prefixed
+    header lines skipped) — GPT-2's published file drops in
+    unchanged. The vendored default at data/bpe_merges.txt was
+    trained IN-REPO (tools/train_bpe_fixture.py — train_bpe_merges
+    over the PySpark 4.1.2 source text shipped with this
+    environment's pyspark package: Apache-2.0, ~8.9M chars, 18,490
+    distinct pre-tokens) because this environment has no network
+    access to fetch a published table; its statistics are
+    code-plus-English. Validates the constituents-first invariant on
+    load, so every consumer may assume rank-sequential == min-rank."""
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "data", "bpe_merges.txt"
+        )
+    return _load_bpe_merges_cached(os.path.abspath(path))
+
+
+def _load_bpe_merges_uncached(path: str) -> tuple[tuple[str, str], ...]:
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, _, b = line.partition(" ")
+            if not a or not b or " " in b:
+                raise ValueError(
+                    f"{path}: malformed merges.txt line {line!r} — "
+                    "expected exactly 'left right'"
+                )
+            merges.append((a, b))
+    out = tuple(merges)
+    _check_bpe_merges(out)
+    return out
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _load_bpe_merges_cached(path: str) -> tuple[tuple[str, str], ...]:
+    return _load_bpe_merges_uncached(path)
+
+
+def bpe_merges_values_sql(merges: tuple[tuple[str, str], ...]) -> str:
+    """The merge table as SQL VALUES rows ``(rank, a, b)`` — how a
+    registry oracle replays the trained table in DuckDB. Refuses
+    non-ASCII-alphanumeric sides: tables trained over
+    BPE_PRETOKEN_RE can only merge within letter or digit runs
+    (punctuation pre-tokens are single chars), so the constraint
+    holds by construction and guarantees no quoting subtlety can
+    corrupt the inlined replay."""
+    rows = []
+    for i, (a, b) in enumerate(merges):
+        ab = a + b
+        if not (ab.isascii() and ab.isalnum()):
+            raise ValueError(
+                f"merge {i} ({a!r},{b!r}) is not ASCII-alphanumeric — "
+                "cannot be inlined into a SQL replay safely"
+            )
+        rows.append(f"({i},'{a}','{b}')")
+    return ",".join(rows)
+
+
+def bpe_count_word(w: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of ONE pre-token under the textbook min-rank BPE
+    loop (GPT-2's encoder shape): find the lowest-rank adjacent pair
+    present, merge ALL its occurrences left-to-right, repeat until no
+    table pair remains. Shared by the mapInPandas encoder and the
+    trainer tests; the module's cross-impl pins run this against the
+    column chain, the exhaustive-replace second implementation and
+    the oracle's recursive-CTE replay."""
+    toks = list(w)
+    while len(toks) > 1:
+        r, best = _BPE_NO_RANK, None
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            r2 = ranks.get(p, _BPE_NO_RANK)
+            if r2 < r:
+                r, best = r2, p
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return len(toks)
+
+
+def with_bpe_token_count(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] | None = None,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    memo_cap: int = 1_000_000,
+) -> DataFrame:
+    """Exact BPE token counts at PRODUCTION merge-table size: the
+    table rides the task closure as plain data (a 50k-merge table is
+    ~1 MB pickled — constant plan size, vs the column chain's one
+    Catalyst node per merge), and each Arrow batch is encoded by the
+    min-rank loop with a per-task word->count memo, so per-row cost
+    is O(distinct NEW words in the batch), not O(merges).
+
+    Semantics are IDENTICAL to bpe_token_count (strip the boundary
+    chars, BPE_PRETOKEN_RE pre-tokens, min-rank merge-all
+    left-to-right, NULL -> 0) — pinned in tests against the column
+    chain on the demonstration table and against an independent
+    rank-sequential exhaustive-replace implementation on the trained
+    table, and replayed cross-engine by the registry oracle's
+    recursive-CTE min-rank loop.
+
+    Scale: map-only (mapInPandas adds no exchange), Arrow-batched;
+    the memo is capped at `memo_cap` distinct words per task so a
+    web-scale vocabulary cannot grow the cache unboundedly."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if merges is None:
+        merges = load_bpe_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    # a fresh StructType: df.schema returns the CACHED instance and
+    # StructType.add mutates in place — appending to it directly
+    # corrupts df's own column list
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+    pretoken_re, b0, b1 = BPE_PRETOKEN_RE, BPE_B0, BPE_B1
+
+    def encode(batches):
+        import re
+
+        rx = re.compile(pretoken_re)
+        memo: dict[str, int] = {}
+
+        def count_text(t) -> int:
+            if t is None:
+                return 0
+            t = t.replace(b0, "").replace(b1, "")
+            total = 0
+            for w in rx.findall(t):
+                n = memo.get(w)
+                if n is None:
+                    n = bpe_count_word(w, ranks)
+                    if len(memo) < memo_cap:
+                        memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = (
+                pdf[text_col].map(count_text).astype("int64")
+            )
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
 
 
 def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:

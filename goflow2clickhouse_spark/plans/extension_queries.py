@@ -879,14 +879,130 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_ops.py against an independent classic min-rank
     BPE second implementation, fuzzed over adversarial merge chains
     ("thththth" is the shared-boundary trap). The demonstration
-    table is 28 common English/digit merges; production swaps in a
-    vendored 50k-merge file through the same machinery. Reported
-    next to the pre-token count per source, so the BPE compression
-    ratio of each source is one query away."""
+    table is 28 common English/digit merges — the honest ceiling for
+    a one-replace-node-per-merge column chain; production-size
+    tables go through the mapInPandas tier
+    (text_bpe_token_counts_trained below, r13). Reported next to
+    the pre-token count per source, so the BPE compression ratio of
+    each source is one query away."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.sum(T.bpe_token_count("text")).alias("total_bpe_tokens"),
         F.sum(T.token_count_regex("text")).alias("total_pre_tokens"),
+    )
+
+
+# Planted texts for the production-scale BPE tier (r13): trained-vocab
+# words (the table was trained over PySpark source text, so
+# "DataFrame"/"partition" are single tokens), merge-chain compositions,
+# the shared-boundary trap family, digit runs, and out-of-vocabulary
+# junk. Quote-free so the same literals inline into the oracle VALUES.
+_BPE_PLANTED: tuple[tuple[int, str], ...] = (
+    (9000001, "DataFrame partition shuffle broadcast the dataframe"),
+    (9000002, "internationalization stations rationing dictionary"),
+    (9000003, "thththth tttthhhh ingingING sessession"),
+    (9000004, "1920 2048 000000 12345 9 1000000007"),
+    (9000005, "zzzqqq xq vw qqqqqqqqqqqqqqqqqqqqqqqq"),
+    (9000006, "select col from table where value, order by key!"),
+)
+
+_BPE_TRAINED_ORACLE = r"""
+WITH RECURSIVE merges(rank, a, b) AS (VALUES {MERGES}),
+corpus AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {PLANTED}) p(doc_id, source, text)
+),
+toks AS (
+    SELECT source,
+           unnest(regexp_extract_all(
+               replace(replace(text, chr(30), ''), chr(31), ''),
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS w
+    FROM corpus
+),
+words AS (SELECT DISTINCT w FROM toks),
+enc(w, s) AS (
+    SELECT w, chr(30) || chr(31) ||
+           regexp_replace(w, '(.)', '\1' || chr(30) || chr(31), 'g')
+    FROM words
+  UNION ALL
+    SELECT w, replace(s, chr(31) || a || chr(30) || chr(31) || b || chr(30),
+                      chr(31) || a || b || chr(30))
+    FROM (
+        SELECT e.w, e.s, m.a, m.b,
+               ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY m.rank) AS rn
+        FROM enc e JOIN merges m
+          ON strpos(e.s, chr(31) || m.a || chr(30) || chr(31)
+                         || m.b || chr(30)) > 0
+    ) WHERE rn = 1
+),
+wcount AS (
+    SELECT w, length(s) - length(replace(s, chr(30), '')) - 1 AS ntok,
+           ROW_NUMBER() OVER (PARTITION BY w ORDER BY length(s)) AS rn
+    FROM enc
+),
+bpe AS (
+    SELECT source, CAST(SUM(ntok) AS BIGINT) AS total_bpe_tokens
+    FROM toks JOIN (SELECT w, ntok FROM wcount WHERE rn = 1) USING (w)
+    GROUP BY source
+),
+pre AS (
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS total_pre_tokens,
+           COUNT(*) AS n_docs
+    FROM corpus GROUP BY source
+)
+SELECT source, total_bpe_tokens, total_pre_tokens, n_docs
+FROM bpe JOIN pre USING (source)
+""".replace(
+    "{MERGES}", T.bpe_merges_values_sql(T.load_bpe_merges())
+).replace(
+    "{PLANTED}",
+    ",".join(f"({i},'planted','{t}')" for i, t in _BPE_PLANTED),
+)
+
+
+@query("text_bpe_token_counts_trained", oracle=_BPE_TRAINED_ORACLE)
+def text_bpe_token_counts_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT BPE token counts at PRODUCTION merge-table size (r13,
+    the r12 verdict's #2: the column-chain form above carries one
+    Catalyst replace node per merge, honest only for small tables —
+    50k chained replaces would choke analysis long before 100 TB).
+    The trained 2000-merge table (data/bpe_merges.txt — classic BPE
+    trained in-repo over the PySpark package's own source text, a
+    published merges.txt drops in unchanged; see
+    operators/text.load_bpe_merges) rides the task closure as plain
+    data, and operators/text.with_bpe_token_count encodes each Arrow
+    batch with the textbook min-rank loop + a per-task word memo —
+    map-only, zero shuffle, plan size independent of table size.
+
+    The oracle is a genuinely independent THIRD implementation: a
+    DuckDB recursive CTE running the min-rank loop per DISTINCT
+    pre-token (each step joins the live states against the inlined
+    merge table, picks the lowest-rank pair present, applies it as
+    one boundary-delimited replace — merge-all left-to-right), then
+    joins counts back onto the token stream. Planted texts exercise
+    trained-vocab words, merge-chain compositions, the
+    shared-boundary trap and OOV junk alongside the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = spark.createDataFrame(
+        [(i, "planted", t) for i, t in _BPE_PLANTED],
+        "doc_id long, source string, text string",
+    )
+    c = d.unionByName(planted)
+    counted = T.with_bpe_token_count(
+        c, T.load_bpe_merges(), text_col="text", out_col="bpe_tokens"
+    )
+    return counted.groupBy("source").agg(
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum(T.token_count_regex("text")).alias("total_pre_tokens"),
+        F.count("*").alias("n_docs"),
     )
 
 

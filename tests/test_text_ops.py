@@ -309,3 +309,147 @@ def test_bpe_null_text_counts_zero(spark):
         df.select(T.bpe_token_count("text").alias("n")).collect()
     )
     assert got == [0, 1]
+
+
+# --------------------------------------------------------------------------
+# Production-scale BPE (r13): trainer, vendored-table loader, and the
+# mapInPandas encoder whose plan size is independent of table size
+# --------------------------------------------------------------------------
+
+
+def _rankseq_count(text: str, merges) -> int:
+    """Independent second implementation of the TRAINED-table encoder
+    (the module rule): rank-SEQUENTIAL exhaustive application via
+    boundary-delimited string replaces — a different algorithm and a
+    different representation from the min-rank token-list loop, equal
+    to it exactly when the table satisfies the constituents-first
+    invariant (which trained tables do by construction and
+    load_bpe_merges enforces)."""
+    import re
+
+    text = text.replace(T.BPE_B0, "").replace(T.BPE_B1, "")
+    total = 0
+    for w in re.findall(T.BPE_PRETOKEN_RE, text):
+        s = T.BPE_SEP + "".join(c + T.BPE_SEP for c in w)
+        for a, b in merges:
+            s = s.replace(
+                T.BPE_B1 + a + T.BPE_B0 + T.BPE_B1 + b + T.BPE_B0,
+                T.BPE_B1 + a + b + T.BPE_B0,
+            )
+        total += s.count(T.BPE_B0) - 1
+    return total
+
+
+def test_bpe_trainer_hand_computed():
+    """Classic trainer on a corpus small enough to verify by hand:
+    'abab' x3 + 'abc' x2 -> pairs ab:8? no — per-word counts: abab has
+    (a,b) x2, (b,a) x1; abc has (a,b), (b,c). Weighted: (a,b) 3*2+2=8,
+    (b,a) 3, (b,c) 2. First merge ('a','b'); then states ab-ab / ab-c
+    give (ab,ab) 3, (ab,c) 2 -> second merge ('ab','ab'); third
+    ('ab','c') at count 2 = min_count."""
+    got = T.train_bpe_merges({"abab": 3, "abc": 2}, 10)
+    assert got == [("a", "b"), ("ab", "ab"), ("ab", "c")]
+
+
+def test_bpe_trainer_deterministic_tiebreak():
+    """Equal-count pairs break lexicographically — 'ba' and 'ab' both
+    count 2: ('a','b') wins over ('b','a')."""
+    got = T.train_bpe_merges({"ab": 2, "ba": 2}, 1)
+    assert got == [("a", "b")]
+
+
+def test_bpe_trainer_output_satisfies_invariant():
+    """Trained tables satisfy the constituents-first invariant BY
+    CONSTRUCTION (a pair over token X is only countable once X
+    exists) — the property that makes rank-sequential replay equal
+    min-rank encoding. Checked for a fresh train over mixed words and
+    for the vendored fixture."""
+    merges = T.train_bpe_merges(
+        {"the": 50, "then": 20, "there": 10, "ingestion": 5,
+         "nation": 9, "station": 7, "1900": 4, "2000": 6}, 64,
+    )
+    T._check_bpe_merges(tuple(merges))
+    vendored = T.load_bpe_merges()
+    assert len(vendored) == 2000
+    T._check_bpe_merges(vendored)  # loader already enforces; re-pin
+
+
+def test_bpe_loader_gpt2_format(tmp_path):
+    """load_bpe_merges parses the published merges.txt shape —
+    '#'-prefixed headers skipped, one 'a b' pair per line — and
+    refuses malformed lines loudly."""
+    import pytest
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nt h\nth e\n")
+    assert T.load_bpe_merges(str(p)) == (("t", "h"), ("th", "e"))
+    bad = tmp_path / "bad.txt"
+    bad.write_text("t h x\n")
+    with pytest.raises(ValueError, match="malformed"):
+        T.load_bpe_merges(str(bad))
+
+
+def test_bpe_encoder_matches_column_chain_on_demo_table(spark):
+    """The r12 verdict's cross-check: the mapInPandas encoder and the
+    column-expression chain agree on the demonstration table — same
+    strip/pre-tokenize/merge semantics, two implementations, one
+    result — over the adversarial set plus corpus-style text."""
+    texts = [
+        "", "a", "the", "thththth", "tttthhhh", "ingingING",
+        "internationalization 1900 2000", "nation station the and of",
+        "x\x1fy the\x1eend", "aaa,bbb.the the", "19200019 ers",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    counted = T.with_bpe_token_count(
+        df, T.BPE_MERGES, text_col="text", out_col="n_pandas"
+    ).withColumn("n_chain", T.bpe_token_count("text"))
+    for r in counted.collect():
+        assert r["n_pandas"] == r["n_chain"], texts[r["i"]]
+
+
+def test_bpe_encoder_trained_table_matches_independent(spark):
+    """The trained-table encoder (min-rank token-list loop inside
+    mapInPandas) equals the rank-sequential exhaustive-replace second
+    implementation on trained-vocab words, merge compositions, OOV
+    junk and 150 fuzz strings — the two coincide exactly because
+    trained tables satisfy the constituents-first invariant."""
+    import random
+
+    merges = T.load_bpe_merges()
+    texts = [
+        "DataFrame partition shuffle the dataframe",
+        "internationalization stations rationing dictionary",
+        "thththth sessession 1000000007 zzzqqq",
+        "select col from table where value, order by key!",
+    ]
+    rng = random.Random(17)
+    alpha = "sparkdatafmethein0123456789"
+    for _ in range(150):
+        texts.append(" ".join(
+            "".join(rng.choice(alpha)
+                    for _ in range(rng.randint(1, 16)))
+            for _ in range(rng.randint(1, 5))
+        ))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"] for r in T.with_bpe_token_count(
+            df, merges, text_col="text", out_col="n"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _rankseq_count(t, merges), (t, got[i])
+
+
+def test_bpe_merges_values_sql_refuses_unsafe_sides():
+    """The SQL inliner refuses non-alphanumeric merge sides — a
+    quote inside a side would corrupt the oracle replay silently."""
+    import pytest
+
+    assert T.bpe_merges_values_sql((("t", "h"),)) == "(0,'t','h')"
+    with pytest.raises(ValueError, match="ASCII-alphanumeric"):
+        T.bpe_merges_values_sql((("a'", "b"),))

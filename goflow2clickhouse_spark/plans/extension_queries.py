@@ -964,6 +964,109 @@ FROM bpe JOIN pre USING (source)
 )
 
 
+_BPE_TRAIN_DEMO_N = 8
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """BPE TRAINING replayed in SQL (r13): `n` unrolled iterations of
+    the classic algorithm — per distinct pre-token keep a
+    boundary-delimited state string and its corpus frequency; each
+    iteration extracts adjacent token pairs, counts them
+    frequency-weighted, picks the (count desc, pair asc) winner, and
+    applies it everywhere as one replace. The same unrolled-CTE
+    playbook as _trained_cents_ctes (Lloyd training), so the trainer
+    joins the quantizers in being oracle-PROVEN end to end, not just
+    unit-pinned."""
+    parts = [r"""
+st0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+           chr(30) || chr(31) ||
+           regexp_replace(w, '(.)', '\1' || chr(30) || chr(31), 'g') AS s
+    FROM (SELECT unnest(regexp_extract_all(
+              replace(replace(text, chr(30), ''), chr(31), ''),
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS w
+          FROM documents)
+    GROUP BY w
+)"""]
+    for i in range(n):
+        parts.append(f"""
+pairs{i} AS (
+    SELECT p.a, p.b, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM (
+        SELECT cnt, unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            j -> {{'a': toks[j], 'b': toks[j + 1]}})) AS p
+        FROM (SELECT cnt, regexp_extract_all(
+                  s, '\\x1F([^\\x1E\\x1F]+)\\x1E', 1) AS toks
+              FROM st{i})
+    ) GROUP BY p.a, p.b
+),
+win{i} AS (
+    SELECT {i} AS rank, a, b FROM pairs{i}
+    WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1
+),
+st{i + 1} AS (
+    SELECT w, cnt,
+           replace(s, chr(31) || win{i}.a || chr(30) || chr(31)
+                      || win{i}.b || chr(30),
+                   chr(31) || win{i}.a || win{i}.b || chr(30)) AS s
+    FROM st{i}, win{i}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM win{i}" for i in range(n)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT rank, a, b FROM ({union}) ORDER BY rank"
+    )
+
+
+@query("bpe_train_merges_demo", oracle=_bpe_train_oracle(_BPE_TRAIN_DEMO_N))
+def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING over the corpus, oracle-replayed (r13): the first
+    8 merges the classic trainer learns from the documents table.
+    The Spark side is the production shape — the frequency table is
+    a DISTRIBUTED count (explode pre-tokens, groupBy — the only part
+    that scales with corpus bytes), then training folds the BOUNDED
+    vocabulary relation in memory (operators/text.train_bpe_merges;
+    every production tokenizer trainer takes this shape — the vocab
+    is corpus-size-independent, ~18k entries even for the 8.9M-char
+    generator corpus). The oracle replays all 8 training iterations
+    as unrolled CTEs (count pairs frequency-weighted, argmax with
+    the trainer's exact (count desc, pair asc) tie-break, apply as
+    one boundary-delimited replace), so the trainer's every choice is
+    cross-engine-proven, the same standard the Lloyd-trained
+    quantizers meet. The vendored 2000-merge production table
+    (data/bpe_merges.txt) was trained by this same code path."""
+    from ..operators.text import BPE_PRETOKEN_RE, train_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(replace(replace(text,"
+                    " chr(30), ''), chr(31), ''),"
+                    f" '{BPE_PRETOKEN_RE}', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        # bounded collect: one row per DISTINCT pre-token — the
+        # vocabulary relation, not the corpus (31 rows on the fixture
+        # corpus; ~18k on the 8.9M-char generator corpus)
+        .collect()
+    )
+    merges = train_bpe_merges(
+        {r["w"]: r["cnt"] for r in counts}, _BPE_TRAIN_DEMO_N
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
 @query("text_bpe_token_counts_trained", oracle=_BPE_TRAINED_ORACLE)
 def text_bpe_token_counts_trained(
     spark: SparkSession, sf_dir: str

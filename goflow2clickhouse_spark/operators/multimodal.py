@@ -689,3 +689,160 @@ def decode_gif(payload: bytes) -> dict:
         else:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
     raise ValueError("GIF contains no image block")
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (r13, the r12 verdict's #3: the multimodal dedup
+# bridge) — pHash over DECODED image planes, bucketed like SimHash so
+# 100 TB of images dedups through the same never-all-pairs join shape.
+# Every arithmetic step is INTEGER-EXACT (fixed-point DCT table
+# embedded below, floor sampling, division-free threshold), so the
+# whole hash replays bit-for-bit in any SQL engine — the registry
+# oracle recomputes it per image in DuckDB.
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 32  # sampled luma grid feeding the DCT
+
+# Q14 fixed-point DCT-II basis: PHASH_DCT_Q14[u][x] =
+# round(cos((2x+1)*u*pi/64) * 2^14) for u in 0..7, x in 0..31 —
+# EMBEDDED as integers (not recomputed from math.cos at import) so a
+# 1-ulp libm difference can never flip a rounding and fork the hash
+# across platforms. Rows u>=1 sum to EXACTLY 0 in this table, which
+# makes the hash invariant to uniform brightness shifts by
+# construction (a +c shift perturbs no AC coefficient at all).
+PHASH_DCT_Q14: tuple[tuple[int, ...], ...] = (
+    (16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+     16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+     16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+     16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384),
+    (16364, 16207, 15893, 15426, 14811, 14053, 13160, 12140,
+     11003, 9760, 8423, 7005, 5520, 3981, 2404, 804,
+     -804, -2404, -3981, -5520, -7005, -8423, -9760, -11003,
+     -12140, -13160, -14053, -14811, -15426, -15893, -16207, -16364),
+    (16305, 15679, 14449, 12665, 10394, 7723, 4756, 1606,
+     -1606, -4756, -7723, -10394, -12665, -14449, -15679, -16305,
+     -16305, -15679, -14449, -12665, -10394, -7723, -4756, -1606,
+     1606, 4756, 7723, 10394, 12665, 14449, 15679, 16305),
+    (16207, 14811, 12140, 8423, 3981, -804, -5520, -9760,
+     -13160, -15426, -16364, -15893, -14053, -11003, -7005, -2404,
+     2404, 7005, 11003, 14053, 15893, 16364, 15426, 13160,
+     9760, 5520, 804, -3981, -8423, -12140, -14811, -16207),
+    (16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069,
+     -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069,
+     16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069,
+     -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069),
+    (15893, 12140, 5520, -2404, -9760, -14811, -16364, -14053,
+     -8423, -804, 7005, 13160, 16207, 15426, 11003, 3981,
+     -3981, -11003, -15426, -16207, -13160, -7005, 804, 8423,
+     14053, 16364, 14811, 9760, 2404, -5520, -12140, -15893),
+    (15679, 10394, 1606, -7723, -14449, -16305, -12665, -4756,
+     4756, 12665, 16305, 14449, 7723, -1606, -10394, -15679,
+     -15679, -10394, -1606, 7723, 14449, 16305, 12665, 4756,
+     -4756, -12665, -16305, -14449, -7723, 1606, 10394, 15679),
+    (15426, 8423, -2404, -12140, -16364, -13160, -3981, 7005,
+     14811, 15893, 9760, -804, -11003, -16207, -14053, -5520,
+     5520, 14053, 16207, 11003, 804, -9760, -15893, -14811,
+     -7005, 3981, 13160, 16364, 12140, 2404, -8423, -15426),
+)
+
+
+def gray_plane(dec: dict) -> tuple[list[int], int, int]:
+    """Decoded-image dict -> (luma samples, width, height). Gray modes
+    pass through; RGB/RGBA collapse by the exact integer BT.601 luma
+    (299r + 587g + 114b + 500) // 1000 — for r=g=b=v this is EXACTLY v
+    (the weights sum to 1000), so a gray image re-encoded through an
+    RGB codec hashes identically (the r12 exact-DC playbook)."""
+    px, mode = dec["pixels"], dec.get("mode", "L")
+    w, h = int(dec["width"]), int(dec["height"])
+    if mode in ("L", "gray"):
+        return list(px), w, h
+    step = {"RGB": 3, "RGBA": 4}.get(mode)
+    if step is None:
+        raise ValueError(f"gray_plane: unsupported decoded mode {mode!r}")
+    out = [
+        (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2] + 500) // 1000
+        for i in range(0, len(px), step)
+    ]
+    return out, w, h
+
+
+def phash64(pixels, width: int, height: int) -> int:
+    """63-bit DCT perceptual hash of a grayscale plane, every step
+    integer-exact so any SQL engine replays it bit-for-bit:
+
+      1. sample a PHASH_GRID^2 luma grid by floor-index nearest
+         neighbor: g[i][j] = p[(i*H)//32][(j*W)//32];
+      2. separable fixed-point DCT with the embedded Q14 table:
+         R = g x K^T (32x8), C = K x R (8x8) — pure int64, max
+         |C| < 2^47, no rounding anywhere;
+      3. threshold each AC coefficient against the AC mean WITHOUT
+         dividing: bit(u,v) = 63*C[u,v] > sum(AC), DC excluded;
+      4. pack the 63 AC bits into bits 0..62 of a NON-NEGATIVE int64
+         (bit k-1 for coefficient k = 8u+v), so band extraction and
+         xor/bit_count downstream never meet a sign bit.
+
+    Uniform brightness shifts perturb NO bit (the Q14 rows u>=1 sum
+    to exactly 0); re-encoding through any lossless codec perturbs
+    no bit either (same decoded plane). Hamming distance between
+    hashes is the dedup radius."""
+    import numpy as np
+
+    p = np.asarray(list(pixels), dtype=np.int64).reshape(height, width)
+    ys = (np.arange(PHASH_GRID) * height) // PHASH_GRID
+    xs = (np.arange(PHASH_GRID) * width) // PHASH_GRID
+    g = p[np.ix_(ys, xs)]
+    k = np.asarray(PHASH_DCT_Q14, dtype=np.int64)
+    c = k @ (g @ k.T)
+    s = int(c.sum()) - int(c[0, 0])
+    h = 0
+    for idx in range(1, 64):
+        if 63 * int(c[idx // 8, idx % 8]) > s:
+            h |= 1 << (idx - 1)
+    return h
+
+
+def phash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup candidates + exact verify over phash64 values —
+    the SimHash join shape applied to the 63-bit image hash: four
+    16-bit band keys (pigeonhole: hamming <= 3 over 63 bits leaves at
+    least one band untouched), candidate pairs from four equi-joins on
+    the band key — shuffle-hash joins, NEVER an all-pairs cross — then
+    one exact hamming = bit_count(xor) verify. Returns
+    (id_a, id_b, hamming). Raises for max_hamming > 3: a fourth
+    differing bit can land one per band and the pair would silently
+    never become a candidate (the simhash_near_pairs rule)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band pigeonhole is only complete for max_hamming <= 3; "
+            f"got {max_hamming}"
+        )
+    cands = None
+    for j in range(4):
+        band = F.expr(f"shiftright({hash_col}, {16 * j}) & 65535")
+        b = sigs.select(F.col(id_col), band.alias("band_key"))
+        pairs = (
+            b.select(F.col(id_col).alias("id_a"), "band_key")
+            .join(
+                b.select(F.col(id_col).alias("id_b"), "band_key"),
+                "band_key",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -5129,6 +5129,145 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DCT perceptual-hash image near-dup (r13, the r12 verdict's #3: the
+# multimodal dedup bridge — the codec family composed with the dedup
+# family's never-all-pairs join shape)
+# ---------------------------------------------------------------------------
+
+_PHASH_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents),
+kt(u, x, kv) AS (VALUES {KT}),
+imgs AS (
+    SELECT doc_id AS id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h,
+           0 AS shift, 0 AS bump, text FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, 4 + doc_id % 3, 4 + doc_id % 2, 8, 0, text
+    FROM base WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 0, text
+    FROM base WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 2, text
+    FROM base WHERE doc_id % 25 = 0
+),
+-- one row per 32x32 grid cell: floor-index nearest-neighbor sample of
+-- the text-derived pixel stream (+shift for the brightness twin,
+-- +bump on source pixel 0 for the tweak twin)
+grid AS (
+    SELECT id, CAST(i // 32 AS INT) AS gy, CAST(i % 32 AS INT) AS gx,
+           ascii(substring(text,
+               CAST((((i // 32) * h // 32) * w + ((i % 32) * w // 32))
+                    % length(text) AS INT) + 1, 1)) + shift
+           + CASE WHEN ((i // 32) * h // 32) * w
+                       + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END
+           AS gv
+    FROM imgs, generate_series(0, 1023) s(i)
+),
+rt AS (
+    SELECT g.id, g.gy AS x, kt.u AS v,
+           CAST(SUM(g.gv * kt.kv) AS BIGINT) AS rv
+    FROM grid g JOIN kt ON kt.x = g.gx
+    GROUP BY g.id, g.gy, kt.u
+),
+ct AS (
+    SELECT r.id, kt.u, r.v, CAST(SUM(kt.kv * r.rv) AS BIGINT) AS cv
+    FROM rt r JOIN kt ON kt.x = r.x
+    GROUP BY r.id, kt.u, r.v
+),
+acsum AS (
+    SELECT id, CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE cv END)
+                    AS BIGINT) AS s
+    FROM ct GROUP BY id
+),
+hs AS (
+    SELECT ct.id,
+           CAST(SUM(CASE WHEN (u != 0 OR v != 0) AND 63 * cv > s
+                         THEN CAST(1 AS BIGINT) << (u * 8 + v - 1)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM ct JOIN acsum USING (id) GROUP BY ct.id
+),
+bands AS (
+    SELECT id, phash, j, (phash >> (16 * j)) & 65535 AS bk
+    FROM hs, (VALUES (0), (1), (2), (3)) b(j)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
+FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
+WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
+""".replace("{KT}", ",".join(
+    f"({u},{x},{v})"
+    for u, row in enumerate(M.PHASH_DCT_Q14) for x, v in enumerate(row)
+))
+
+
+@query("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via DCT perceptual hash (r13, the r12 verdict's
+    #3: the multimodal dedup bridge): per document, synthesize a
+    text-derived image, plant three near-dup twin classes — a
+    BRIGHTNESS-SHIFTED copy (+8, id+1e6; found at hamming 0 BY
+    CONSTRUCTION, the Q14 DCT rows sum to exactly 0), a RE-ENCODED
+    copy (same pixels through the BMP codec instead of PNG, id+2e6;
+    identical decoded plane, hamming 0 — the codec-parity leg), and a
+    one-pixel TWEAK (+2 on pixel 0, id+3e6; found iff its hash lands
+    within the radius — both engines compute the same answer) — then
+    DECODE every blob through the real codecs (operators/multimodal:
+    PNG inflate+unfilter, BMP BGR/bottom-up walk), hash the decoded
+    luma plane (phash64: floor-sampled 32x32 grid, fixed-point
+    separable DCT, division-free AC-mean threshold — every step
+    integer-exact) and join near pairs with the SimHash shape
+    (phash_near_pairs: four 16-bit band equi-joins, pigeonhole-
+    complete for hamming <= 3, then ONE bit_count(xor) exact verify).
+
+    100 TB story: hashing is map-only mapInPandas over the decoded
+    blobs; the candidate step is a shuffle-hash join on the band key —
+    NEVER an all-pairs cross — so image dedup scales exactly like the
+    text near-dup family it composes with. The oracle replays the
+    ENTIRE pipeline relationally in DuckDB: pixels from the text, the
+    same Q14 table as a 256-row VALUES relation, the separable DCT as
+    two join-aggregates, the same band join and xor verify."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+
+            def emit(img_id, dec):
+                g, w2, h2 = M.gray_plane(dec)
+                ids.append(img_id)
+                hashes.append(M.phash64(g, w2, h2))
+
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = 4 + i % 3, 4 + i % 2
+                k = w * h
+                raw = text.encode("utf-8")
+                px = (raw * (k // len(raw) + 1))[:k]
+                emit(i, M.decode_png(M.encode_png(w, h, px, "L")))
+                if i % 10 == 0:
+                    bright = bytes(v + 8 for v in px)
+                    emit(i + 1000000,
+                         M.decode_png(M.encode_png(w, h, bright, "L")))
+                if i % 20 == 0:
+                    rgb = bytes(v for v in px for _ in range(3))
+                    emit(i + 2000000,
+                         M.decode_image(M.encode_bmp(w, h, rgb)))
+                if i % 25 == 0:
+                    tweak = bytes([px[0] + 2]) + px[1:]
+                    emit(i + 3000000,
+                         M.decode_png(M.encode_png(w, h, tweak, "L")))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashes = d.mapInPandas(batches, "doc_id long, phash long")
+    return M.phash_near_pairs(hashes, id_col="doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
 # IVF-SQ8 persisted index — the sixth layout (r10)
 # ---------------------------------------------------------------------------
 

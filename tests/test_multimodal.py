@@ -462,3 +462,109 @@ def test_codec_corruption_fuzz_raises_only_contract_errors():
                 decoders[kind](bytes(b))
             except (ValueError, NotImplementedError):
                 pass  # the decode contract
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (r13): integer-exact pHash + SimHash-shaped join
+# ---------------------------------------------------------------------------
+
+
+def test_phash_table_is_the_q14_dct_and_brightness_invariant():
+    """The embedded PHASH_DCT_Q14 table equals
+    round(cos((2x+1)u*pi/64) * 2^14) (embedded so a libm ulp can never
+    fork the hash cross-platform), its u>=1 rows sum to EXACTLY 0 —
+    the property that makes uniform brightness shifts perturb no AC
+    coefficient — and phash64 is invariant under +shift in practice."""
+    import math
+
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    for u, row in enumerate(M.PHASH_DCT_Q14):
+        assert len(row) == 32
+        for x, v in enumerate(row):
+            assert v == round(
+                math.cos((2 * x + 1) * u * math.pi / 64) * (1 << 14)
+            )
+        if u >= 1:
+            assert sum(row) == 0
+    px = bytes((i * 37 + 11) % 200 for i in range(7 * 5))
+    h0 = M.phash64(px, 7, 5)
+    for shift in (1, 8, 50):
+        assert M.phash64(bytes(v + shift for v in px), 7, 5) == h0
+    assert 0 <= h0 < 1 << 63  # non-negative: band/xor math is sign-safe
+
+
+def test_phash_codec_parity_and_gray_plane():
+    """The same pixels decoded through PNG-gray, BMP-RGB (r=g=b) and
+    PNG-RGB hash IDENTICALLY: gray_plane's integer BT.601 luma is
+    exact for r=g=b (weights sum to 1000), so re-encoding through a
+    different lossless codec is hamming 0 by construction."""
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    px = bytes((i * 53 + 7) % 250 for i in range(6 * 4))
+    rgb = bytes(v for v in px for _ in range(3))
+    hashes = set()
+    for dec in (
+        M.decode_png(M.encode_png(6, 4, px, "L")),
+        M.decode_image(M.encode_bmp(6, 4, rgb)),
+        M.decode_png(M.encode_png(6, 4, rgb, "RGB")),
+    ):
+        g, w, h = M.gray_plane(dec)
+        assert g == list(px) and (w, h) == (6, 4)
+        hashes.add(M.phash64(g, w, h))
+    assert len(hashes) == 1
+    with pytest.raises(ValueError, match="unsupported decoded mode"):
+        M.gray_plane({"pixels": b"xx", "mode": "CMYK",
+                      "width": 1, "height": 1})
+
+
+def test_phash_near_pairs_finds_planted_not_distinct(spark):
+    """phash_near_pairs over planted images: the brightness twin and
+    the re-encode twin are found at hamming 0, a heavily-different
+    image is NOT a pair, and the max_hamming cap refuses radii the
+    4-band pigeonhole cannot serve completely."""
+    import random
+
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(30, 220) for _ in range(8 * 8))
+    other = bytes(rng.randrange(30, 220) for _ in range(8 * 8))
+    rows = [
+        (1, M.phash64(base, 8, 8)),
+        (2, M.phash64(bytes(v + 8 for v in base), 8, 8)),  # brightness
+        (3, M.phash64(base, 8, 8)),  # re-encode stand-in: same plane
+        (4, M.phash64(other, 8, 8)),  # distinct content
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_near_pairs(sigs).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
+    assert not any(4 in p for p in got)
+    with pytest.raises(ValueError, match="max_hamming"):
+        M.phash_near_pairs(sigs, max_hamming=4)
+
+
+def test_phash_pigeonhole_completeness_at_radius_3(spark):
+    """Adversarial band placement: flip exactly 3 bits spread across
+    three DIFFERENT 16-bit bands — the pigeonhole guarantees the
+    untouched fourth band still pairs them; flip 4 bits one per band
+    and the pair must NOT surface (it is outside the declared radius
+    guarantee) — the documented reason max_hamming caps at 3."""
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    base = 0x123456789ABCDEF
+    three = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33)
+    four = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33) ^ (1 << 50)
+    sigs = spark.createDataFrame(
+        [(1, base), (2, three), (3, four)], "doc_id long, phash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_near_pairs(sigs).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got  # hamming 4: correctly outside the radius
+    assert got[(2, 3)] == 1  # differs from `three` by one bit

@@ -1018,6 +1018,66 @@ def pq_codebook(
     return entries.select(blocks.alias("_cb"))
 
 
+def opq_dim_permutation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> list[int]:
+    """Variance-balanced dimension permutation — the OPQ family's
+    relationally-trainable orthogonal transform (Ge et al., CVPR 2013:
+    optimized product quantization learns an orthogonal R before PQ;
+    their non-parametric solver alternates Lloyd and an SVD/Procrustes
+    step, which no SQL engine can replay exactly — a PERMUTATION
+    matrix is the orthogonal transform a relational engine CAN train
+    bit-reproducibly, and balancing per-subspace variance is exactly
+    the parametric OPQ solution's eigenvalue-allocation criterion
+    applied to the coordinate basis). Rank dimensions by
+    ROUND(AVG(x^2) - AVG(x)^2, 6) descending (population variance in
+    the one algebraic form both engines replay; ties to the lower
+    dim), then deal them to the `m` subspaces in SNAKE order
+    (rank r -> subspace r % 2m, reflected), so each subspace receives
+    an even slice of the variance spectrum instead of one natural
+    block hoarding it. Returns the 0-based permutation: output
+    position p reads input dimension perm[p].
+
+    Bounded driver materialization: ONE aggregate row of `dim`
+    variances (the probed-cells precedent) — the permutation must be
+    a plan-time literal for the downstream projection, and the
+    aggregate is the only corpus-size-dependent work."""
+    c = as_double(vec_col)
+    aggs = []
+    for d in range(dim):
+        x = F.element_at(c, d + 1)
+        aggs.append(
+            F.round(F.avg(x * x) - F.avg(x) * F.avg(x), 6).alias(f"v{d}")
+        )
+    row = df.agg(*aggs).first()
+    ranked = sorted(range(dim), key=lambda d: (-row[f"v{d}"], d))
+    blocks: list[list[int]] = [[] for _ in range(m)]
+    for r, d in enumerate(ranked):
+        j = r % (2 * m)
+        blocks[j if j < m else 2 * m - 1 - j].append(d)
+    return [d for b in blocks for d in b]
+
+
+def apply_dim_permutation(
+    df: DataFrame,
+    perm: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec) with the vector's dimensions reordered by `perm`
+    (output position p reads input dim perm[p]) — a pure map-only
+    projection, the shape an orthogonal pre-transform must keep at
+    100 TB. L2 distances are permutation-invariant, so exact ground
+    truth computed on the UN-permuted relation stays valid for
+    recall gauges over the permuted one."""
+    c = as_double(vec_col)
+    out = F.array(*[F.element_at(c, p + 1) for p in perm])
+    return df.select(F.col(id_col), out.alias(vec_col))
+
+
 def pq_codebook_trained(
     embeddings: DataFrame,
     iterations: int = 2,

@@ -354,3 +354,38 @@ def test_sq_encode_null_element_yields_null_code(spark):
     )
     assert out[2][0] is None and all(c is not None for c in out[2][1:])
     assert out[3][-1] is None  # short vector: zip_with pads NULL
+
+
+def test_opq_dim_permutation_balances_variance(spark):
+    """opq_dim_permutation (r13): the trained permutation is a true
+    permutation of 0..DIM-1, it deals the variance spectrum in snake
+    order (the top-M ranked dims land in M DIFFERENT subspaces), and
+    apply_dim_permutation reorders vectors losslessly (L2 between any
+    two rows is unchanged — an orthogonal transform)."""
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    # plant anisotropy: dims 0..7 carry x4 the spread, so under the
+    # NATURAL layout all eight would sit in block 0
+    rows = []
+    import random
+
+    rng = random.Random(5)
+    for i in range(40):
+        v = [rng.uniform(-1, 1) * (4.0 if d < 8 else 1.0)
+             for d in range(S.DIM)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    perm = S.opq_dim_permutation(df)
+    assert sorted(perm) == list(range(S.DIM))
+    # the 8 heavy dims (highest variance) spread one per subspace
+    blocks = [perm[b * S.PQ_SUB:(b + 1) * S.PQ_SUB] for b in range(S.PQ_M)]
+    for b in blocks:
+        assert sum(1 for d in b if d < 8) == 1
+    # permutation preserves pairwise L2 exactly
+    out = {r["vec_id"]: r["embedding"]
+           for r in S.apply_dim_permutation(df, perm).collect()}
+    for i, v in rows[:5]:
+        assert sorted(out[i]) == sorted(v)
+        d_orig = sum((a - b) ** 2 for a, b in zip(rows[0][1], v))
+        d_perm = sum((a - b) ** 2 for a, b in zip(out[0], out[i]))
+        assert abs(d_orig - d_perm) < 1e-12

@@ -353,11 +353,16 @@ def append_to_ivf_index(
     this is the ivf analog of the persisted band index's incremental
     contract.
 
-    Layout: batch j lands at `v{N}/appends/a{j}/cells/cell=*/` (same
-    partitioning as the base), and `_CURRENT` is atomically re-committed
-    with `appends: j` — readers scan base + a{1..j}, so a torn append
-    (a{j} written, commit lost) is simply invisible and the retried
-    append overwrites it. The eligibility gate and assignment use the
+    Layout: batch j lands at a NONCE-UNIQUE delta dir
+    `v{N}/appends/a{j}.{8-hex}/cells/cell=*/` (same partitioning as
+    the base), and `_CURRENT` is atomically re-committed with the
+    exact directory names (`delta_dirs`, r13 — see _alloc_delta) plus
+    the `appends: j` counter — readers scan base + the RECORDED dirs,
+    so a torn append (delta written, commit lost) is simply invisible,
+    the retry lands in a fresh dir, and a zombie holder resumed
+    mid-data-write can never overwrite a committed or in-flight delta
+    (orphans die with the version directory at the next rebuild
+    prune). The eligibility gate and assignment use the
     parameters RECORDED in `_CURRENT` (min_chars/lang/n_cells), not
     caller arguments — an append can never silently apply a different
     gate than the build. Approximation caveat: appended vectors join
@@ -411,28 +416,65 @@ def append_to_ivf_index(
                 recommit_meta(spark, path, meta, extra=extra)
             return
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
-        j = int(meta.get("appends", 0)) + 1
+        delta, j, dx = _alloc_delta(base, meta)
         ivf_assign(eligible, cents).write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
-        recommit_meta(spark, path, meta, extra=extra, appends=j)
+        ).parquet(posixpath.join(delta, "cells"))
+        recommit_meta(
+            spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+        )
     finally:
         eligible.unpersist()
 
 
+def _alloc_delta(base: str, meta: dict) -> tuple[str, int, dict]:
+    """Allocate an append-delta slot: (delta_dir, j, commit_extra).
+    Delta directories are NONCE-UNIQUE — `a{j}.{8-hex}` — and the
+    committed metadata records the exact directory NAMES
+    (`delta_dirs`), not just a counter (r13, closing the meta_mutex
+    residual hazard the r12 docstring sketched): under the old
+    `a{j}`-by-counter naming, a holder paused past its lock lease and
+    resumed MID-DATA-WRITE would overwrite the new holder's
+    same-named uncommitted delta before its own commit was fenced —
+    the one window the commit-nonce fence could not close. With
+    nonce-unique names the zombie's resumed write lands in its OWN
+    directory, which no committed `delta_dirs` list ever references:
+    it is orphaned, never read, and dies with the version directory
+    at the next rebuild/compaction prune. Pre-r13 indexes (counter
+    only, `a{j}` dirs) stay readable — the reader falls back to the
+    counter rule — and their first new append migrates the list."""
+    import posixpath
+    import uuid
+
+    j = int(meta.get("appends", 0)) + 1
+    names = list(meta.get(
+        "delta_dirs", [f"a{i}" for i in range(1, j)]
+    ))
+    dname = f"a{j}.{uuid.uuid4().hex[:8]}"
+    names.append(dname)
+    return (
+        posixpath.join(base, "appends", dname),
+        j,
+        {"delta_dirs": names},
+    )
+
+
 def _delta_dirs(base: str, meta: dict) -> list[str]:
     """The committed version's artifact directories: the base dir plus
-    every COMMITTED append delta (`a{1..meta['appends']}`; dirs beyond
-    the counter are torn/uncommitted and deliberately ignored). THE
+    every COMMITTED append delta — the directory names recorded in
+    `delta_dirs` (nonce-unique since r13, see _alloc_delta), falling
+    back to the pre-r13 counter rule (`a{1..meta['appends']}`) for
+    indexes built before the migration. Directories NOT in the list
+    are torn/uncommitted/zombie writes and deliberately ignored. THE
     single statement of the append-visibility rule — it previously
     lived restated in three readers (r8 review), where a future layout
     change would have had to land three times or silently diverge."""
     import posixpath
 
-    return [base] + [
-        posixpath.join(base, "appends", f"a{j}")
-        for j in range(1, int(meta.get("appends", 0)) + 1)
-    ]
+    names = meta.get("delta_dirs")
+    if names is None:
+        names = [f"a{j}" for j in range(1, int(meta.get("appends", 0)) + 1)]
+    return [base] + [posixpath.join(base, "appends", n) for n in names]
 
 
 def _read_tombstones(
@@ -757,9 +799,10 @@ def append_to_band_index(
     the kept docs are appended here so TOMORROW'S batch dedups against
     them too — without ever rebuilding (or reading) the existing
     shingles/bands/shas. Same append contract as `append_to_ivf_index`:
-    batch j lands at `v{N}/appends/a{j}/{shingles,bands,shas}`,
-    `_CURRENT` is atomically re-committed with `appends: j`, a torn
-    append is invisible and the retry overwrites it, and a rebuild
+    batch j lands at the nonce-unique
+    `v{N}/appends/a{j}.{8-hex}/{shingles,bands,shas}` (_alloc_delta,
+    r13), `_CURRENT` atomically records the directory names, a torn
+    append is invisible and the retry lands fresh, and a rebuild
     (write_band_index) bumps the version and resets the counter —
     rebuild IS the compaction. Shingle width and LSH geometry come from
     the RECORDED metadata, never caller arguments. `extra` entries are
@@ -800,8 +843,7 @@ def append_to_band_index(
     check_meta(meta, {"num_perm": NUM_PERM, "bands": BANDS}, path)
     base = version_dir(path, int(meta["version"]))
     idx_id = str(meta.get("id_col", "doc_id"))
-    j = int(meta.get("appends", 0)) + 1
-    delta = posixpath.join(base, "appends", f"a{j}")
+    delta, j, dx = _alloc_delta(base, meta)
     # persisted: the emptiness probe and the shas write would
     # otherwise re-scan the batch source (the shingles leg reads the
     # written parquet back, so it costs one scan either way) — this
@@ -828,7 +870,9 @@ def append_to_band_index(
         ).distinct().write.mode("overwrite").parquet(
             posixpath.join(delta, "shas")
         )
-        recommit_meta(spark, path, meta, extra=extra, appends=j)
+        recommit_meta(
+            spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+        )
     finally:
         norm_batch.unpersist()
 
@@ -1268,8 +1312,9 @@ def append_to_pq_index(
     can never silently use different entries than the build) and
     commit the codes as an atomic `appends` delta, base codes
     untouched. Same contract as `append_to_ivf_index` /
-    `append_to_band_index`: batch j lands at `v{N}/appends/a{j}/codes`,
-    `_CURRENT` re-commits with `appends: j`, torn deltas are invisible
+    `append_to_band_index`: batch j lands at the nonce-unique
+    `v{N}/appends/a{j}.{8-hex}/codes` (_alloc_delta, r13),
+    `_CURRENT` records the directory names, torn deltas are invisible
     and a rebuild (write_pq_index) bumps the version and resets the
     counter — rebuild IS the compaction (and the moment to re-derive
     the codebook after drift). `extra` entries merge into `_CURRENT`
@@ -1308,11 +1353,13 @@ def append_to_pq_index(
     base = version_dir(path, ver)
     cb = spark.read.parquet(posixpath.join(base, "codebook"))
     idx_id = str(meta.get("id_col", "vec_id"))
-    j = int(meta.get("appends", 0)) + 1
+    delta, j, dx = _alloc_delta(base, meta)
     pq_encode(batch, cb, vec_col, idx_id).write.mode("overwrite").parquet(
-        posixpath.join(base, "appends", f"a{j}", "codes")
+        posixpath.join(delta, "codes")
     )
-    recommit_meta(spark, path, meta, extra=extra, appends=j)
+    recommit_meta(
+        spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+    )
 
 
 def _rerank_exact(
@@ -1910,11 +1957,13 @@ def append_to_sq_index(
         "quantizer"
     ]
     idx_id = str(meta.get("id_col", "vec_id"))
-    j = int(meta.get("appends", 0)) + 1
+    delta, j, dx = _alloc_delta(base, meta)
     sq_encode(batch, quant, vec_col, idx_id).write.mode(
         "overwrite"
-    ).parquet(posixpath.join(base, "appends", f"a{j}", "codes"))
-    recommit_meta(spark, path, meta, extra=extra, appends=j)
+    ).parquet(posixpath.join(delta, "codes"))
+    recommit_meta(
+        spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+    )
 
 
 def sq_index_probe(
@@ -2168,7 +2217,7 @@ def append_to_ivfsq_index(
     )
     idx_id = str(meta.get("id_col", "vec_id"))
     base = version_dir(path, ver)
-    j = int(meta.get("appends", 0)) + 1
+    delta, j, dx = _alloc_delta(base, meta)
     (
         sq_encode(
             ivf_assign(batch, arts["centroids"], vec_col),
@@ -2176,9 +2225,11 @@ def append_to_ivfsq_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+        .parquet(posixpath.join(delta, "cells"))
     )
-    recommit_meta(spark, path, meta, extra=extra, appends=j)
+    recommit_meta(
+        spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+    )
 
 
 def ivfsq_probe(
@@ -2493,7 +2544,7 @@ def append_to_ivfpq_index(
     the RECORDED eligibility parameters, assign against the STORED
     centroids, encode against the STORED codebook — never re-derived
     ones — and commit codes+cells as one atomic `appends` delta
-    (`v{N}/appends/a{j}/cells/cell=*/`), base untouched. Readers union
+    (nonce-unique `v{N}/appends/a{j}.{8-hex}/cells/cell=*/` — _alloc_delta, r13), base untouched. Readers union
     base + committed deltas with every leg partition-pruned
     (`_read_index_cells` via `_delta_dirs`). Torn deltas invisible;
     empty eligible batch writes NO delta (an empty partitioned write
@@ -2543,7 +2594,7 @@ def append_to_ivfpq_index(
         base = version_dir(path, ver)
         cents = spark.read.parquet(posixpath.join(base, "centroids"))
         cb = spark.read.parquet(posixpath.join(base, "codebook"))
-        j = int(meta.get("appends", 0)) + 1
+        delta, j, dx = _alloc_delta(base, meta)
         if meta.get("residual"):
             # the RECORDED encode geometry includes the residual flag:
             # appending raw-vector codes into a residual index (or
@@ -2557,9 +2608,11 @@ def append_to_ivfpq_index(
         (
             enc.write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(posixpath.join(base, "appends", f"a{j}", "cells"))
+            .parquet(posixpath.join(delta, "cells"))
         )
-        recommit_meta(spark, path, meta, extra=extra, appends=j)
+        recommit_meta(
+            spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+        )
     finally:
         eligible.unpersist()
 
@@ -2984,7 +3037,8 @@ def compact_index(
             "overwrite"
         ).parquet(posixpath.join(nbase, leg))
     extra = {k: v for k, v in meta.items()
-             if k not in ("version", "appends", "tombstones")}
+             if k not in ("version", "appends", "tombstones",
+                          "delta_dirs")}
     # stale-snapshot fence (r12): a compaction whose holder lost its
     # lock lease mid-rewrite must not commit over a newer writer
     fence_snapshot(spark, path, meta)

@@ -134,15 +134,15 @@ def meta_mutex(
     believing it holds it; its eventual recommit is then refused by
     the commit-nonce fence in `recommit_meta` instead of reverting
     the new holder's updates, and its lock release is
-    ownership-checked (a unique token stamped at acquire) so it
-    cannot delete the new holder's lock. Residual hazard, stated
-    honestly: the fence protects METADATA commits only — a zombie
-    resumed mid-DATA-write can still overwrite the new holder's
-    same-named uncommitted delta directory before its own commit is
-    fenced. Reaching that state requires the WHOLE process (including
-    the heartbeat thread) to stall past the lease and then resume
-    exactly inside a data write; the production-hard fix is
-    nonce-unique delta directory names, sketched for a future round.
+    ownership-checked (the token the acquire rename carried) so it
+    cannot delete the new holder's lock. The last residual hazard —
+    a zombie resumed mid-DATA-write overwriting the new holder's
+    same-named uncommitted delta before its commit is fenced — was
+    closed in r13 by nonce-unique delta directory names
+    (plans/storage._alloc_delta): the committed metadata records the
+    exact directory names, so a zombie's resumed write lands in its
+    own never-referenced directory and is simply orphaned until the
+    next version prune.
 
     `timeout_sec=None` (the @_meta_locked wrappers' call) reads the
     session conf `spark.goflow2clickhouse.metaLockTimeoutSec`

@@ -1711,9 +1711,14 @@ def test_ivfpq_residual_layout(spark, tmp_path):
             cb, "residual", keep=("cell",),
         ).collect()
     }
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    delta1 = current_meta(spark, path)["delta_dirs"][0]
     got_codes = {
         (r["vec_id"], r["pq_code"], r["cell"])
-        for r in spark.read.parquet(f"{path}/v1/appends/a1/cells").collect()
+        for r in spark.read.parquet(
+            f"{path}/v1/appends/{delta1}/cells"
+        ).collect()
     }
     assert got_codes == want_codes and got_codes
 
@@ -3065,3 +3070,131 @@ def test_delete_accepts_scale0_decimal_ids(spark, tmp_path):
     served = {r["vec_id"] for r in
               sq_index_probe(spark, path, q, k=30).collect()}
     assert 3 not in served and 7 not in served and 5 in served
+
+
+def test_zombie_data_write_cannot_clobber_committed_delta(spark, tmp_path):
+    """Nonce-unique delta dirs (r13 — closing the meta_mutex residual
+    hazard the r12 docstring sketched): a holder whose cycle was
+    overtaken and that resumes MID-DATA-WRITE lands in its OWN
+    never-committed directory. Simulated end to end: snapshot the
+    metadata, let a second writer append batch W and commit, then
+    replay the zombie's data write from the stale snapshot's slot
+    allocation — the committed delta's contents are untouched, the
+    zombie's dir is invisible to readers, and its recommit is fenced."""
+    import posixpath
+
+    import pytest
+
+    from goflow2clickhouse_spark.operators.similarity import pq_encode
+    from goflow2clickhouse_spark.plans.storage import (
+        _alloc_delta,
+        _read_index_codes,
+        append_to_pq_index,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import (
+        FencingError,
+        current_meta,
+        recommit_meta,
+        version_dir,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_zombie")
+    write_pq_index(emb.filter(F.col("vec_id") < 30), path)
+    snap = current_meta(spark, path)  # the zombie's stale snapshot
+
+    # the live writer (waiter that took over) commits batch W
+    w_batch = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 40)
+    )
+    append_to_pq_index(w_batch, path)
+    meta = current_meta(spark, path)
+    assert meta["appends"] == 1 and len(meta["delta_dirs"]) == 1
+
+    # the zombie resumes its data write from the STALE snapshot: same
+    # j, different nonce -> a disjoint directory
+    zdelta, zj, _ = _alloc_delta(version_dir(path, 1), snap)
+    assert zj == 1 and not zdelta.endswith(meta["delta_dirs"][0])
+    cb = spark.read.parquet(f"{path}/v1/codebook")
+    z_batch = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 45)
+    )
+    pq_encode(z_batch, cb).write.mode("overwrite").parquet(
+        posixpath.join(zdelta, "codes")
+    )
+
+    # committed view: base + W only; the zombie's rows never surface
+    served = {
+        r["vec_id"]
+        for r in _read_index_codes(
+            spark, path, version_dir(path, 1), current_meta(spark, path)
+        ).select("vec_id").collect()
+    }
+    assert served == set(range(40))
+    # and the zombie's metadata commit is refused by the fence
+    with pytest.raises(FencingError, match="another writer"):
+        recommit_meta(spark, path, snap, appends=1)
+
+
+def test_delta_dirs_backward_compat_counter_rule(spark, tmp_path):
+    """Pre-r13 indexes recorded only the `appends` counter with `a{j}`
+    dirs. The reader falls back to the counter rule for them, and the
+    FIRST new append migrates the recorded list while keeping the old
+    dirs served."""
+    import json
+    import os
+
+    from goflow2clickhouse_spark.plans.storage import (
+        _read_index_codes,
+        append_to_pq_index,
+        write_pq_index,
+    )
+    from goflow2clickhouse_spark.versioned import (
+        commit_version,
+        current_meta,
+        version_dir,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq_compat")
+    write_pq_index(emb.filter(F.col("vec_id") < 20), path)
+    append_to_pq_index(
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)), path
+    )
+    # rewrite the index's metadata and delta layout to the PRE-R13
+    # shape: counter only, plain a1 dir
+    meta = current_meta(spark, path)
+    old_name = meta["delta_dirs"][0]
+    base = version_dir(path, 1)
+    os.rename(
+        os.path.join(base, "appends", old_name),
+        os.path.join(base, "appends", "a1"),
+    )
+    legacy = {k: v for k, v in meta.items()
+              if k not in ("version", "delta_dirs", "commit_nonce")}
+    commit_version(spark, path, 1, extra=legacy)
+
+    served = {
+        r["vec_id"]
+        for r in _read_index_codes(
+            spark, path, base, current_meta(spark, path)
+        ).select("vec_id").collect()
+    }
+    assert served == set(range(30))  # counter rule still serves a1
+
+    # first post-migration append records BOTH dirs in the list
+    append_to_pq_index(
+        emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 35)), path
+    )
+    meta2 = current_meta(spark, path)
+    assert meta2["appends"] == 2
+    assert meta2["delta_dirs"][0] == "a1"
+    assert meta2["delta_dirs"][1].startswith("a2.")
+    served2 = {
+        r["vec_id"]
+        for r in _read_index_codes(
+            spark, path, base, meta2
+        ).select("vec_id").collect()
+    }
+    assert served2 == set(range(35))

@@ -529,7 +529,14 @@ def with_bpe_token_count(
     def encode(batches):
         import re
 
-        rx = re.compile(pretoken_re)
+        # re.ASCII: Python's default \s is UNICODE (U+00A0 etc.) while
+        # the column chain runs Java regex (ASCII \s) — without the
+        # flag the two tiers disagree on any text containing Unicode
+        # whitespace (r13 review; latent on the ASCII fixtures).
+        # RE2 (the DuckDB oracle) additionally excludes \x0b from \s —
+        # a pre-existing corner shared by every regex-tokenizing query
+        # here, exercised by none of the fixtures.
+        rx = re.compile(pretoken_re, re.ASCII)
         memo: dict[str, int] = {}
 
         def count_text(t) -> int:

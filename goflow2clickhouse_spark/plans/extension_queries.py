@@ -5311,7 +5311,8 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PHASH_ORACLE = """
-WITH base AS (SELECT doc_id, text FROM documents),
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE length(text) > 0),
 kt(u, x, kv) AS (VALUES {KT}),
 imgs AS (
     SELECT doc_id AS id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h,
@@ -5331,12 +5332,12 @@ imgs AS (
 -- +bump on source pixel 0 for the tweak twin)
 grid AS (
     SELECT id, CAST(i // 32 AS INT) AS gy, CAST(i % 32 AS INT) AS gx,
-           ascii(substring(text,
+           LEAST(ascii(substring(text,
                CAST((((i // 32) * h // 32) * w + ((i % 32) * w // 32))
                     % length(text) AS INT) + 1, 1)) + shift
            + CASE WHEN ((i // 32) * h // 32) * w
-                       + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END
-           AS gv
+                       + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END,
+           255) AS gv
     FROM imgs, generate_series(0, 1023) s(i)
 ),
 rt AS (
@@ -5420,13 +5421,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
+                raw = text.encode("utf-8")
+                if not raw:
+                    continue  # oracle's length(text) > 0 filter
                 w, h = 4 + i % 3, 4 + i % 2
                 k = w * h
-                raw = text.encode("utf-8")
                 px = (raw * (k // len(raw) + 1))[:k]
+                # min(..., 255): the saturation both twins share with
+                # the oracle's LEAST — a byte >= 248 (possible in a
+                # regenerated non-ASCII fixture) must clamp, not crash
+                # the executor task (r13 review)
                 emit(i, M.decode_png(M.encode_png(w, h, px, "L")))
                 if i % 10 == 0:
-                    bright = bytes(v + 8 for v in px)
+                    bright = bytes(min(v + 8, 255) for v in px)
                     emit(i + 1000000,
                          M.decode_png(M.encode_png(w, h, bright, "L")))
                 if i % 20 == 0:
@@ -5434,7 +5441,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emit(i + 2000000,
                          M.decode_image(M.encode_bmp(w, h, rgb)))
                 if i % 25 == 0:
-                    tweak = bytes([px[0] + 2]) + px[1:]
+                    tweak = bytes([min(px[0] + 2, 255)]) + px[1:]
                     emit(i + 3000000,
                          M.decode_png(M.encode_png(w, h, tweak, "L")))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})

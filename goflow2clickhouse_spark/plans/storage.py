@@ -294,7 +294,7 @@ def write_filtered_ivf_index(
     spark = documents.sparkSession
     eligible = eligible_embeddings(documents, embeddings, min_chars, lang)
     ver = _ivf_current_version(spark, path) + 1
-    base = version_dir(path, ver)
+    base, _vtok = _stage_version(spark, path)
     # coarse_train_iterations > 0 (r11, the r10 verdict's #2): Lloyd-
     # refine the seed centroids over the ELIGIBLE corpus before
     # assignment — one eligible scan per iteration, paid at build
@@ -330,8 +330,8 @@ def write_filtered_ivf_index(
     # index (r7 review: the band index had this gate, the IVF layout
     # didn't — a rebuild with different n_cells/eligibility would
     # silently serve a different geometry than the caller assumes)
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
                "coarse_train_iters": int(coarse_train_iterations)},
         keep_versions=keep_versions,
@@ -425,6 +425,115 @@ def append_to_ivf_index(
         )
     finally:
         eligible.unpersist()
+
+
+def _stage_version(spark: SparkSession, path: str) -> tuple[str, str]:
+    """A unique scratch directory for a new version's artifacts,
+    pre-stamped with this writer's claim token (r13, the delta-dir
+    fix's version-dir sibling): builders and compactions used to write
+    legs DIRECTLY into the deterministic `v{N+1}` directory, so a
+    holder paused past its lock lease and resumed mid-write could
+    interleave its legs with a successor's — committing a TORN
+    artifact pair (one writer's codebook under the other's codes)
+    that the metadata fence alone cannot catch, because the fence
+    checks commit lineage, not data-directory identity. Staging dirs
+    are `<path>/_v.tmp.{hex}`; `_commit_staged_version` claims the
+    real `v{N}` name by rename and verifies the stamp before
+    committing. A crashed writer's staging dir is an orphan — never
+    referenced, safe to delete once no build is running."""
+    import posixpath
+    import uuid
+
+    from ..versioned import _fs
+
+    token = uuid.uuid4().hex
+    staged = posixpath.join(path, f"_v.tmp.{token[:12]}")
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm  # noqa: SLF001
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(staged))
+    stamp = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(staged, "_writer")
+    )
+    out = fs.create(stamp, True)
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+    return staged, token
+
+
+def _commit_staged_version(
+    spark: SparkSession,
+    path: str,
+    staged: str,
+    ver: int,
+    token: str,
+    extra: dict | None = None,
+    keep_versions: int = 2,
+    fence_meta: dict | None = None,
+) -> None:
+    """Claim `v{ver}` for a fully-written staging directory, verify
+    the claim, and commit — the write-side completion of
+    _stage_version:
+
+      1. delete an UNCOMMITTED leftover `v{ver}` (the committed
+         version is < ver while the lock is held, so a leftover is a
+         crashed or overtaken writer's orphan; a COMMITTED v{ver}
+         refuses loudly — another writer already won);
+      2. plain-rename staging -> v{ver} — rename REFUSES an existing
+         destination, so two racing claimants cannot merge legs;
+      3. re-read `v{ver}/_writer` and refuse to commit unless it
+         still carries THIS writer's token: even if a zombie's
+         delete+rename replaced the directory between our rename and
+         our commit, we never publish metadata over another writer's
+         data (and the zombie, committing its OWN complete artifact
+         set with its own metadata, publishes a consistent pair — one
+         side loses loudly, nothing is ever torn);
+      4. fence on `fence_meta`'s commit nonce when given (the
+         compaction path), then commit_version."""
+    import posixpath
+
+    from ..versioned import (
+        _fs,
+        commit_version,
+        current_version,
+        fence_snapshot,
+        read_small_bytes,
+    )
+    from ..versioned import version_dir as _vdir
+
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm  # noqa: SLF001
+    target = jvm.org.apache.hadoop.fs.Path(_vdir(path, ver))
+    if fs.exists(target):
+        if current_version(spark, path) >= ver:
+            raise RuntimeError(
+                f"cannot claim {_vdir(path, ver)}: that version is "
+                "already committed — another writer finished first; "
+                "retry from a fresh snapshot"
+            )
+        fs.delete(target, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), target):
+        raise RuntimeError(
+            f"could not claim {_vdir(path, ver)}: another writer "
+            "created it concurrently — retry from a fresh snapshot"
+        )
+    stamp = read_small_bytes(
+        spark, posixpath.join(_vdir(path, ver), "_writer")
+    )
+    if stamp is None or stamp.decode("ascii", "replace") != token:
+        raise RuntimeError(
+            f"refusing to commit {_vdir(path, ver)}: the claimed "
+            "version directory no longer carries this writer's stamp "
+            "— mutual exclusion was broken and another writer "
+            "replaced it; its own commit will publish a consistent "
+            "pair"
+        )
+    if fence_meta is not None:
+        fence_snapshot(spark, path, fence_meta)
+    commit_version(
+        spark, path, ver, extra=extra, keep_versions=keep_versions
+    )
 
 
 def _alloc_delta(base: str, meta: dict) -> tuple[str, int, dict]:
@@ -751,7 +860,7 @@ def write_band_index(
 
     spark = corpus.sparkSession
     ver = current_version(spark, path) + 1
-    base = version_dir(path, ver)
+    base, _vtok = _stage_version(spark, path)
     sh_path = posixpath.join(base, "shingles")
     shingle_arrays(corpus, text_col, id_col, n).write.mode(
         "overwrite"
@@ -777,8 +886,8 @@ def write_band_index(
     ).distinct().write.mode("overwrite").parquet(
         posixpath.join(base, "shas")
     )
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"n": n, "num_perm": NUM_PERM, "bands": BANDS,
                "id_col": id_col},
         keep_versions=keep_versions,
@@ -1279,7 +1388,7 @@ def write_pq_index(
             f"PQ index build over {path}: corpus is empty — nothing to index"
         )
     ver = current_version(spark, path) + 1
-    base = version_dir(path, ver)
+    base, _vtok = _stage_version(spark, path)
     cb_path = posixpath.join(base, "codebook")
     cb_rel = (
         pq_codebook_trained(embeddings, train_iterations, vec_col, id_col)
@@ -1291,8 +1400,8 @@ def write_pq_index(
     pq_encode(embeddings, cb, vec_col, id_col).write.mode(
         "overwrite"
     ).parquet(posixpath.join(base, "codes"))
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
                "id_col": id_col,
                "pq_train_iters": int(train_iterations)},
@@ -1712,7 +1821,9 @@ def _batch_rerank_exact(
     pruned <= Q x R fetch result is broadcast back onto the
     candidates as a LEFT join, and the exact distance is wrapped in
     an assert_true missing-id proof — any action raises, naming the
-    id, while a correct call keeps the same one-corpus-pass cost.
+    id, while a correct call keeps one corpus pass and ONE index
+    codes scan (the candidate relation is persisted — it feeds both
+    the prune and the final join; tie_cache owns its lifetime).
     Pass the corpus relation the index was built from. At 100 TB
     pair the fetch with an id-clustered corpus + runtime
     bloom-filter join pruning so the scan skips non-candidate row
@@ -1737,6 +1848,13 @@ def _batch_rerank_exact(
         scored.withColumn("_rn", F.row_number().over(wr))
         .filter(F.col("_rn") <= rerank)
         .select(qid_col, id_col, "adist")
+        # persisted: cand feeds BOTH the semi-join prune of the fetch
+        # AND the final left join — without the cache each reference
+        # re-runs the whole ADC pipeline (index codes scan + LUT join
+        # + window top-R), doubling the dominant I/O (r13 review,
+        # confirmed from the executed plan: two codes FileScans).
+        # Lifetime ties to the returned result (tie_cache below).
+        .persist()
     )
     src = (
         source.select(F.col(id_col), as_double(vec_col).alias("_v"))
@@ -1760,10 +1878,15 @@ def _batch_rerank_exact(
         .join(F.broadcast(qv), qid_col)  # bcast: Q rows
         .select(qid_col, id_col, "adist", dist.alias("dist"))
     )
-    return _batch_topk(
-        exact, queries, qid_col,
-        [F.asc_nulls_last("dist"), id_col],
-        [id_col, "adist", "dist"], k,
+    from ..operators.dedup import tie_cache
+
+    return tie_cache(
+        _batch_topk(
+            exact, queries, qid_col,
+            [F.asc_nulls_last("dist"), id_col],
+            [id_col, "adist", "dist"], k,
+        ),
+        cand,
     )
 
 
@@ -1897,7 +2020,7 @@ def write_sq_index(
             f"SQ index build over {path}: corpus is empty — nothing to index"
         )
     ver = current_version(spark, path) + 1
-    base = version_dir(path, ver)
+    base, _vtok = _stage_version(spark, path)
     q_path = posixpath.join(base, "quantizer")
     sq_quantizer(embeddings, vec_col).write.mode(
         "overwrite"
@@ -1906,8 +2029,8 @@ def write_sq_index(
     sq_encode(embeddings, quant, vec_col, id_col).write.mode(
         "overwrite"
     ).parquet(posixpath.join(base, "codes"))
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"sq_buckets": SQ_BUCKETS, "dim": DIM, "id_col": id_col},
         keep_versions=keep_versions,
     )
@@ -2136,7 +2259,7 @@ def write_ivfsq_index(
             f"IVF-SQ build over {path}: corpus is empty — nothing to index"
         )
     ver = current_version(spark, path) + 1
-    base = version_dir(path, ver)
+    base, _vtok = _stage_version(spark, path)
     # coarse_train_iterations > 0 (r11): Lloyd-refined coarse
     # quantizer — one corpus scan per iteration at build time;
     # recorded below so probes can pin the regime
@@ -2164,8 +2287,8 @@ def write_ivfsq_index(
         .partitionBy("cell")
         .parquet(posixpath.join(base, "cells"))
     )
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"n_cells": n_cells, "sq_buckets": SQ_BUCKETS, "dim": DIM,
                "id_col": id_col,
                "coarse_train_iters": int(coarse_train_iterations)},
@@ -2467,7 +2590,7 @@ def write_ivfpq_index(
                 f"(min_chars={min_chars}, lang={lang!r}) — nothing to index"
             )
         ver = current_version(spark, path) + 1
-        base = version_dir(path, ver)
+        base, _vtok = _stage_version(spark, path)
         # coarse_train_iterations > 0 (r11): Lloyd-refine the coarse
         # quantizer over the FULL eligible relation (the seeds derive
         # from the lowest-id prefix either way, so the untrained
@@ -2522,8 +2645,8 @@ def write_ivfpq_index(
         )
     finally:
         _release_rdds(spark.sparkContext, _ckpt_rdd_ids(low))
-    commit_version(
-        spark, path, ver,
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
         extra={"n_cells": n_cells, "min_chars": min_chars, "lang": lang,
                "pq_m": PQ_M, "pq_sub": PQ_SUB, "pq_k": PQ_K,
                "residual": residual,
@@ -3006,7 +3129,7 @@ def compact_index(
         keep_versions = int(meta.get("keep_versions", 2))
     spec = _COMPACT_SPECS[_index_kind(meta)]
     base = version_dir(path, ver)
-    nbase = version_dir(path, ver + 1)
+    nbase, _vtok = _stage_version(spark, path)
     dirs = _delta_dirs(base, meta)
     idc = str(meta.get("id_col", "vec_id"))
     tombs = _read_tombstones(spark, base, meta, idc)
@@ -3039,11 +3162,14 @@ def compact_index(
     extra = {k: v for k, v in meta.items()
              if k not in ("version", "appends", "tombstones",
                           "delta_dirs")}
-    # stale-snapshot fence (r12): a compaction whose holder lost its
-    # lock lease mid-rewrite must not commit over a newer writer
-    fence_snapshot(spark, path, meta)
-    commit_version(spark, path, ver + 1, extra=extra,
-                   keep_versions=keep_versions)
+    # claim v{N+1} by rename + verified stamp, fence on the snapshot
+    # nonce (r12), THEN commit — a compaction whose holder lost its
+    # lock lease mid-rewrite can neither commit over a newer writer's
+    # metadata nor publish metadata over a replaced data directory
+    # (r13, _stage_version / _commit_staged_version)
+    _commit_staged_version(spark, path, nbase, ver + 1, _vtok,
+                           extra=extra, keep_versions=keep_versions,
+                           fence_meta=meta)
     return True
 
 

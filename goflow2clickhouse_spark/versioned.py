@@ -217,6 +217,12 @@ def meta_mutex(
             try:
                 fs.exists(lock)
             except Exception:
+                # clean the pre-stamped tmp before surfacing the FS
+                # failure (r13 review: only the timeout path cleaned
+                # it, so abnormal exits accumulated _LOCK.tmp.* files
+                # next to _CURRENT with no pruning path)
+                with _contextlib.suppress(Exception):
+                    fs.delete(tmp, False)
                 raise exc
         if time.monotonic() > deadline:
             with _contextlib.suppress(Exception):
@@ -253,15 +259,20 @@ def meta_mutex(
     finally:
         stop.set()
         hb.join(timeout=5.0)
-        # delete only if still OURS and provably un-stealable: a
+        # delete only if still OURS and not yet steal-eligible: a
         # holder overtaken past its lease must leave the new holder's
         # lock alone, and the ownership read itself opens a
         # read-then-delete window — so also require the lock's age to
-        # be well inside the lease (r12 advice). A lock that is ours
-        # AND fresh cannot be renamed away by a waiter before the
-        # delete lands; a lock that is ours but already past half the
-        # lease is left for takeover instead (costs one extra steal in
-        # the pathological case, never mutual exclusion).
+        # be inside the lease (r12 advice). A lock that is ours AND
+        # inside the lease cannot be renamed away by a waiter before
+        # the delete lands (steals require age > lease; the window
+        # here is milliseconds); one that is ours but already PAST
+        # the lease was steal-eligible the whole time — leave it for
+        # takeover (a waiter reclaims it in <= lease). The threshold
+        # is the FULL lease, not a fraction (r13 review): on a
+        # filesystem whose setTimes no-ops, age grows from acquire,
+        # and a fractional threshold would orphan the lock after
+        # every hold longer than that fraction.
         try:
             data = read_small_bytes(
                 spark, posixpath.join(path, "_LOCK")
@@ -273,7 +284,7 @@ def meta_mutex(
             if (
                 data is not None
                 and data.decode("ascii", "replace") == owner
-                and age_ms < lease_sec * 1000 / 2
+                and age_ms < lease_sec * 1000
             ):
                 fs.delete(lock, False)
         except Exception:  # noqa: BLE001

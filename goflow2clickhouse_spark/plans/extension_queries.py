@@ -1021,7 +1021,7 @@ st{i + 1} AS (
     )
 
 
-@query("bpe_train_merges_demo", oracle=_bpe_train_oracle(_BPE_TRAIN_DEMO_N))
+@query("bpe_train_merges_demo", bench=True, oracle=_bpe_train_oracle(_BPE_TRAIN_DEMO_N))
 def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TRAINING over the corpus, oracle-replayed (r13): the first
     8 merges the classic trainer learns from the documents table.
@@ -1067,7 +1067,7 @@ def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_token_counts_trained", oracle=_BPE_TRAINED_ORACLE)
+@query("text_bpe_token_counts_trained", bench=True, oracle=_BPE_TRAINED_ORACLE)
 def text_bpe_token_counts_trained(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4542,6 +4542,7 @@ def _opq_variant_recall_sql(method: str, permuted: bool) -> str:
 
 @query(
     "pq_opq_recall",
+    bench=True,
     oracle=(
         "SELECT * FROM ("
         + _opq_variant_recall_sql("pq_aniso_opq", permuted=True)
@@ -5380,7 +5381,7 @@ WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
 ))
 
 
-@query("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
+@query("multimodal_phash_neardup", bench=True, oracle=_PHASH_ORACLE)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup via DCT perceptual hash (r13, the r12 verdict's
     #3: the multimodal dedup bridge): per document, synthesize a

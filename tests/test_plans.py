@@ -475,3 +475,14 @@ def test_no_side_effecting_asserts_in_package():
         if pat.match(line)
     ]
     assert not offenders, offenders
+
+
+def test_phash_neardup_never_all_pairs(spark):
+    """The image near-dup candidate step must be band-key equi-joins
+    (the SimHash shape — shuffle/broadcast hash joins on the 16-bit
+    band key), NEVER a cartesian over the hash relation: the property
+    that lets 100 TB of images dedup through the same join family as
+    text."""
+    p = plan_str(spark, SPECS["multimodal_phash_neardup"].spark(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

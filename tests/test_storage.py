@@ -3198,3 +3198,78 @@ def test_delta_dirs_backward_compat_counter_rule(spark, tmp_path):
         ).select("vec_id").collect()
     }
     assert served2 == set(range(35))
+
+
+def test_staged_version_claim_two_claimants_one_wins(spark, tmp_path):
+    """_stage_version/_commit_staged_version (r13): two fully-written
+    staging directories racing for the same v{N} — exactly ONE
+    publishes (a claim over a COMMITTED version refuses loudly), an
+    UNCOMMITTED leftover (crashed/overtaken writer's orphan) is
+    recovered by deletion + re-claim, and the published directory
+    always carries the winner's stamp."""
+    import os
+
+    import pytest
+
+    from goflow2clickhouse_spark.plans.storage import (
+        _commit_staged_version,
+        _stage_version,
+    )
+    from goflow2clickhouse_spark.versioned import (
+        current_meta,
+        read_small_bytes,
+        version_dir,
+    )
+
+    path = str(tmp_path / "claims")
+    s1, t1 = _stage_version(spark, path)
+    s2, t2 = _stage_version(spark, path)
+    _commit_staged_version(spark, path, s1, 1, t1, extra={"k": "w1"})
+    assert current_meta(spark, path)["k"] == "w1"
+    with pytest.raises(RuntimeError, match="already committed"):
+        _commit_staged_version(spark, path, s2, 1, t2, extra={"k": "w2"})
+    assert current_meta(spark, path)["k"] == "w1"
+
+    # uncommitted leftover at v2 (a crashed writer's orphan): the next
+    # claimant deletes it, re-claims with its own stamp, publishes
+    s3, _t3 = _stage_version(spark, path)
+    os.rename(s3, version_dir(path, 2))  # claimed, never committed
+    s4, t4 = _stage_version(spark, path)
+    _commit_staged_version(spark, path, s4, 2, t4, extra={"k": "w4"})
+    assert current_meta(spark, path)["k"] == "w4"
+    assert read_small_bytes(
+        spark, os.path.join(version_dir(path, 2), "_writer")
+    ).decode() == t4
+
+
+def test_staged_version_stamp_verify_refuses_replaced_dir(
+    spark, tmp_path, monkeypatch
+):
+    """The stamp re-verify is the LAST line before the metadata
+    commit: if the claimed v{N} was replaced between this writer\'s
+    rename and its commit (a zombie\'s delete + re-claim), the read
+    stamp no longer matches and the publish refuses — simulated by
+    intercepting the stamp read, since the real race window is
+    milliseconds wide."""
+    import pytest
+
+    from goflow2clickhouse_spark import versioned as V
+    from goflow2clickhouse_spark.plans.storage import (
+        _commit_staged_version,
+        _stage_version,
+    )
+
+    path = str(tmp_path / "stampv")
+    s, t = _stage_version(spark, path)
+    real = V.read_small_bytes
+
+    def usurped(spark_, p):
+        if p.endswith("/_writer"):
+            return b"usurper"
+        return real(spark_, p)
+
+    monkeypatch.setattr(V, "read_small_bytes", usurped)
+    with pytest.raises(RuntimeError, match="stamp"):
+        _commit_staged_version(spark, path, s, 1, t)
+    monkeypatch.undo()
+    assert V.current_meta(spark, path) == {}  # nothing was published

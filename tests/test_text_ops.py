@@ -453,3 +453,55 @@ def test_bpe_merges_values_sql_refuses_unsafe_sides():
     assert T.bpe_merges_values_sql((("t", "h"),)) == "(0,'t','h')"
     with pytest.raises(ValueError, match="ASCII-alphanumeric"):
         T.bpe_merges_values_sql((("a'", "b"),))
+
+
+def test_bpe_trainer_matches_naive_reference():
+    """The incremental pair-index + lazy-heap trainer equals a naive
+    reference (recount EVERY pair from scratch each iteration, argmax
+    by (count desc, pair asc)) on 60 random vocabularies — the
+    optimization layer (stale-heap entries, decrement re-pushes,
+    touched-word bookkeeping) can never change WHICH merges train."""
+    import random
+
+    def naive(word_counts, n_merges, min_count=2):
+        words = {w: list(w) for w in word_counts if len(w) > 1}
+        merges = []
+        while len(merges) < n_merges:
+            counts: dict = {}
+            for w, syms in words.items():
+                c = word_counts[w]
+                for p in zip(syms, syms[1:]):
+                    counts[p] = counts.get(p, 0) + c
+            best = min(
+                ((-n, p) for p, n in counts.items() if n >= min_count),
+                default=None,
+            )
+            if best is None:
+                break
+            a, b = best[1]
+            merges.append((a, b))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    rng = random.Random(29)
+    alpha = "abcdefth01"
+    for trial in range(60):
+        vocab = {}
+        for _ in range(rng.randint(2, 25)):
+            w = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(1, 9)))
+            vocab[w] = rng.randint(1, 9)
+        n = rng.randint(1, 12)
+        got = T.train_bpe_merges(vocab, n)
+        want = naive(vocab, n)
+        assert got == want, (trial, vocab, got, want)

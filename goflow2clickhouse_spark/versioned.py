@@ -512,3 +512,54 @@ def epoch_replayed(
             "over a reused index"
         )
     return False
+
+
+def gc_scratch(
+    spark: SparkSession, path: str, older_than_sec: float = 86400.0
+) -> list[str]:
+    """Delete ORPHANED scratch artifacts from an index root — the
+    explicit operator action the crash-leak classes point at (r13):
+    `_LOCK.tmp.*` token files from writers killed mid-acquire,
+    `_LOCK.stale.*` tombstones from interrupted takeovers, and
+    `_v.tmp.*` staging directories from builders/compactions killed
+    mid-write. None of these is ever referenced by committed metadata
+    (staging dirs publish by RENAMING to `v{N}`; lock tmp files
+    publish by renaming to `_LOCK`), so deletion can never touch a
+    served artifact — the only hazard is a LIVE writer still filling
+    its staging dir, which the age gate covers: an entry is deleted
+    only when its newest mtime (the directory tree's maximum — a
+    parquet write updates leaf files continuously) is older than
+    `older_than_sec`. The default (24 h) is far beyond any build; it
+    is a floor to pass deliberately, not tune down casually. Returns
+    the deleted paths. NOT called automatically from any write path —
+    automatic deletion coupled to a writer would re-open the
+    delete-a-live-sibling race this module just closed; run it from a
+    maintenance job, like VACUUM."""
+    import posixpath
+    import time
+
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+
+    def newest_mtime(status) -> int:
+        m = int(status.getModificationTime())
+        if status.isDirectory():
+            for child in fs.listStatus(status.getPath()):
+                m = max(m, newest_mtime(child))
+        return m
+
+    cutoff_ms = int((time.time() - older_than_sec) * 1000)
+    deleted: list[str] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (
+            name.startswith("_LOCK.tmp.")
+            or name.startswith("_LOCK.stale.")
+            or name.startswith("_v.tmp.")
+        ):
+            continue
+        if newest_mtime(st) < cutoff_ms:
+            fs.delete(st.getPath(), True)
+            deleted.append(posixpath.join(path, name))
+    return deleted

@@ -568,3 +568,31 @@ def test_phash_pigeonhole_completeness_at_radius_3(spark):
     assert got[(1, 2)] == 3
     assert (1, 3) not in got  # hamming 4: correctly outside the radius
     assert got[(2, 3)] == 1  # differs from `three` by one bit
+
+
+def test_phash_composes_with_cluster_keep_one(spark):
+    """The multimodal dedup bridge end to end: pHash near pairs feed
+    the SAME connected-components machinery the text family uses
+    (operators/dedup.cluster_pairs) — three variants of one image
+    collapse into one cluster keyed by the smallest id (the keep
+    representative), while a distinct image forms no cluster."""
+    import random
+
+    from goflow2clickhouse_spark.operators import multimodal as M
+    from goflow2clickhouse_spark.operators.dedup import cluster_pairs
+
+    rng = random.Random(41)
+    base = bytes(rng.randrange(30, 200) for _ in range(8 * 8))
+    other = bytes(rng.randrange(30, 200) for _ in range(8 * 8))
+    rows = [
+        (10, M.phash64(base, 8, 8)),
+        (11, M.phash64(bytes(v + 5 for v in base), 8, 8)),  # brightness
+        (12, M.phash64(base, 8, 8)),  # re-encode stand-in
+        (99, M.phash64(other, 8, 8)),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = M.phash_near_pairs(sigs).select("id_a", "id_b")
+    clusters = {
+        r["id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()
+    }
+    assert clusters == {10: 10, 11: 10, 12: 10}  # keep doc 10, drop 11/12

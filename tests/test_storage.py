@@ -3273,3 +3273,58 @@ def test_staged_version_stamp_verify_refuses_replaced_dir(
         _commit_staged_version(spark, path, s, 1, t)
     monkeypatch.undo()
     assert V.current_meta(spark, path) == {}  # nothing was published
+
+
+def test_gc_scratch_deletes_only_stale_orphans(spark, tmp_path):
+    """versioned.gc_scratch (r13): stale `_LOCK.tmp.*` / `_LOCK.stale.*`
+    files and `_v.tmp.*` staging directories are deleted past the age
+    threshold; a staging dir whose TREE has a recent leaf (a live
+    builder still writing under a leg subdir — the directory's own
+    mtime can be old) survives, and committed artifacts are never
+    touched."""
+    import os
+    import time
+
+    from goflow2clickhouse_spark.plans.storage import (
+        sq_index_probe,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import gc_scratch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "gc")
+    write_sq_index(emb.filter(F.col("vec_id") < 20), path)
+
+    old = time.time() - 7200
+    # stale orphans
+    for name in ("_LOCK.tmp.deadbeef", "_LOCK.stale.cafe"):
+        p = os.path.join(path, name)
+        with open(p, "w") as f:
+            f.write("x")
+        os.utime(p, (old, old))
+    stale_dir = os.path.join(path, "_v.tmp.aaaa")
+    os.makedirs(os.path.join(stale_dir, "codes"))
+    with open(os.path.join(stale_dir, "_writer"), "w") as f:
+        f.write("t")
+    for root, _dirs, files in os.walk(stale_dir, topdown=False):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+        os.utime(root, (old, old))
+    # a LIVE staging dir: old root mtime, fresh leaf deep inside
+    live_dir = os.path.join(path, "_v.tmp.bbbb")
+    os.makedirs(os.path.join(live_dir, "codes"))
+    with open(os.path.join(live_dir, "codes", "part-0"), "w") as f:
+        f.write("fresh")
+    os.utime(live_dir, (old, old))
+    os.utime(os.path.join(live_dir, "codes"), (old, old))
+
+    deleted = gc_scratch(spark, path, older_than_sec=3600)
+    assert sorted(os.path.basename(d) for d in deleted) == [
+        "_LOCK.stale.cafe", "_LOCK.tmp.deadbeef", "_v.tmp.aaaa",
+    ]
+    assert os.path.exists(live_dir)  # fresh leaf kept it alive
+    # the committed index still serves
+    q = emb.filter(F.col("vec_id") == 0)
+    assert sq_index_probe(spark, path, q, k=5).count() == 5
+    # nothing stale left: a second pass is a no-op for the stale set
+    assert gc_scratch(spark, path, older_than_sec=3600) == []

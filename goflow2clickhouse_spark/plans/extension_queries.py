@@ -1053,9 +1053,18 @@ def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        # bounded collect: one row per DISTINCT pre-token — the
-        # vocabulary relation, not the corpus (31 rows on the fixture
-        # corpus; ~18k on the 8.9M-char generator corpus)
+        # HARD-bounded collect (r13 review-of-self): the vocabulary
+        # relation is corpus-size-independent in the typical case
+        # (31 rows on the fixture, ~18k on the 8.9M-char generator
+        # corpus) but noisy web text can explode distinct pre-tokens,
+        # so the collect caps at the top-V by (count desc, token asc)
+        # — the min-frequency truncation every production trainer
+        # applies. The cap sits far above any fixture vocabulary, so
+        # the oracle's uncapped replay is value-identical here; a
+        # corpus that actually hits it would be training on hapax
+        # noise anyway.
+        .orderBy(F.desc("cnt"), "w")
+        .limit(100_000)
         .collect()
     )
     merges = train_bpe_merges(

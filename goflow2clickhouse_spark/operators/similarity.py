@@ -1053,6 +1053,14 @@ def opq_dim_permutation(
             F.round(F.avg(x * x) - F.avg(x) * F.avg(x), 6).alias(f"v{d}")
         )
     row = df.agg(*aggs).first()
+    if row is None or any(row[f"v{d}"] is None for d in range(dim)):
+        # an empty relation aggregates to one all-NULL row; fail with
+        # the index builders' loud empty-corpus diagnostic instead of
+        # a TypeError inside the sort key (r13 advice)
+        raise ValueError(
+            "opq_dim_permutation: corpus is empty — no variances to "
+            "rank, nothing to index"
+        )
     ranked = sorted(range(dim), key=lambda d: (-row[f"v{d}"], d))
     blocks: list[list[int]] = [[] for _ in range(m)]
     for r, d in enumerate(ranked):

@@ -1041,14 +1041,18 @@ def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import BPE_PRETOKEN_RE, train_bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
+    # column functions, not an F.expr SQL string: Spark's SQL-literal
+    # unescaping would turn the pattern's \s into a bare 's' (r13
+    # advice — latent only because whitespace pre-tokens are
+    # single-char and the trainer's len(w)>1 filter drops them)
+    cleaned = F.replace(
+        F.replace(F.col("text"), F.lit("\x1e"), F.lit("")),
+        F.lit("\x1f"), F.lit(""),
+    )
     counts = (
         d.select(
             F.explode(
-                F.expr(
-                    "regexp_extract_all(replace(replace(text,"
-                    " chr(30), ''), chr(31), ''),"
-                    f" '{BPE_PRETOKEN_RE}', 0)"
-                )
+                F.regexp_extract_all(cleaned, F.lit(BPE_PRETOKEN_RE), 0)
             ).alias("w")
         )
         .groupBy("w")
@@ -5322,7 +5326,8 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents
-              WHERE length(text) > 0),
+              WHERE length(text) > 0
+                AND length(text) = strlen(text)),
 kt(u, x, kv) AS (VALUES {KT}),
 imgs AS (
     SELECT doc_id AS id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h,
@@ -5415,8 +5420,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text near-dup family it composes with. The oracle replays the
     ENTIRE pipeline relationally in DuckDB: pixels from the text, the
     same Q14 table as a 256-row VALUES relation, the separable DCT as
-    two join-aggregates, the same band join and xor verify."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    two join-aggregates, the same band join and xor verify.
+
+    Both legs admit ASCII text only (Spark: length == octet_length;
+    oracle: length == strlen — the same codepoints-equal-bytes test):
+    the Spark leg samples UTF-8 BYTES while the oracle samples
+    codepoints, and a multi-byte character would fork the two pixel
+    streams (r13 advice) — the filter closes that divergence by
+    construction instead of leaning on the 255-clamp."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
 
     def batches(it):
         import pandas as pd
@@ -5438,9 +5454,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = w * h
                 px = (raw * (k // len(raw) + 1))[:k]
                 # min(..., 255): the saturation both twins share with
-                # the oracle's LEAST — a byte >= 248 (possible in a
-                # regenerated non-ASCII fixture) must clamp, not crash
-                # the executor task (r13 review)
+                # the oracle's LEAST — unreachable under the ASCII
+                # gate (bytes <= 127), kept so a future fixture can
+                # never crash the executor task (r13 review)
                 emit(i, M.decode_png(M.encode_png(w, h, px, "L")))
                 if i % 10 == 0:
                     bright = bytes(min(v + 8, 255) for v in px)

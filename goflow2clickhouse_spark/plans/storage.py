@@ -480,15 +480,20 @@ def _commit_staged_version(
          version is < ver while the lock is held, so a leftover is a
          crashed or overtaken writer's orphan; a COMMITTED v{ver}
          refuses loudly — another writer already won);
-      2. plain-rename staging -> v{ver} — rename REFUSES an existing
-         destination, so two racing claimants cannot merge legs;
-      3. re-read `v{ver}/_writer` and refuse to commit unless it
-         still carries THIS writer's token: even if a zombie's
-         delete+rename replaced the directory between our rename and
+      2. plain-rename staging -> v{ver}. NOTE (r13 advice): for
+         DIRECTORY destinations the local FS does NOT refuse an
+         existing target — it "succeeds" by NESTING the staging dir
+         inside it — so the rename result alone proves nothing;
+      3. the REAL mutual-exclusion guard: re-read `v{ver}/_writer`
+         and refuse to commit unless it still carries THIS writer's
+         token. Even if a racer's delete+rename replaced (or our
+         rename nested under) the directory between our rename and
          our commit, we never publish metadata over another writer's
-         data (and the zombie, committing its OWN complete artifact
+         data (and the racer, committing its OWN complete artifact
          set with its own metadata, publishes a consistent pair — one
-         side loses loudly, nothing is ever torn);
+         side loses loudly, nothing is ever torn). On a lost claim we
+         best-effort delete our nested staging orphan (gc_scratch's
+         `v*/_v.tmp.*` sweep covers the crashed-loser case);
       4. fence on `fence_meta`'s commit nonce when given (the
          compaction path), then commit_version."""
     import posixpath
@@ -522,6 +527,20 @@ def _commit_staged_version(
         spark, posixpath.join(_vdir(path, ver), "_writer")
     )
     if stamp is None or stamp.decode("ascii", "replace") != token:
+        # a lost race may have NESTED our whole staging tree at
+        # v{ver}/_v.tmp.{...} (see step 2's note); reclaim it now
+        # while we still know our token — best-effort, gc_scratch
+        # sweeps whatever a crash leaves behind
+        nested = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(
+                _vdir(path, ver), posixpath.basename(staged)
+            )
+        )
+        try:
+            if fs.exists(nested):
+                fs.delete(nested, True)
+        except Exception:  # noqa: BLE001 — cleanup must not mask
+            pass
         raise RuntimeError(
             f"refusing to commit {_vdir(path, ver)}: the claimed "
             "version directory no longer carries this writer's stamp "

@@ -553,6 +553,20 @@ def gc_scratch(
     deleted: list[str] = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
+        if name.startswith("v") and st.isDirectory():
+            # a LOSING rename race can deposit a whole staging tree
+            # one level INSIDE the won version directory (local-FS
+            # rename-onto-existing-dir nests instead of refusing —
+            # r13 advice); those orphans are never referenced either,
+            # so sweep `v*/_v.tmp.*` under the same age gate
+            for child in fs.listStatus(st.getPath()):
+                cname = child.getPath().getName()
+                if cname.startswith("_v.tmp.") and (
+                    newest_mtime(child) < cutoff_ms
+                ):
+                    fs.delete(child.getPath(), True)
+                    deleted.append(posixpath.join(path, name, cname))
+            continue
         if not (
             name.startswith("_LOCK.tmp.")
             or name.startswith("_LOCK.stale.")

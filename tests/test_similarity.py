@@ -389,3 +389,19 @@ def test_opq_dim_permutation_balances_variance(spark):
         d_orig = sum((a - b) ** 2 for a, b in zip(rows[0][1], v))
         d_perm = sum((a - b) ** 2 for a, b in zip(out[0], out[i]))
         assert abs(d_orig - d_perm) < 1e-12
+
+
+def test_opq_dim_permutation_empty_corpus_refuses_loudly(spark):
+    """opq_dim_permutation over an empty relation (r14, r13 advice):
+    the aggregate returns one all-NULL row; the trainer must raise
+    the index builders' loud empty-corpus ValueError, not a TypeError
+    from sorting None variances."""
+    import pytest
+
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        S.opq_dim_permutation(df)

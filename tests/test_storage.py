@@ -3328,3 +3328,48 @@ def test_gc_scratch_deletes_only_stale_orphans(spark, tmp_path):
     assert sq_index_probe(spark, path, q, k=5).count() == 5
     # nothing stale left: a second pass is a no-op for the stale set
     assert gc_scratch(spark, path, older_than_sec=3600) == []
+
+
+def test_gc_scratch_sweeps_nested_staging_orphans(spark, tmp_path):
+    """gc_scratch's `v*/_v.tmp.*` sweep (r14, r13 advice): a losing
+    claimant's rename onto an existing version directory NESTS its
+    staging tree at v{N}/_v.tmp.* on the local FS — those orphans are
+    one level below the top-level listing the r13 gc covered. Stale
+    nested orphans are reclaimed; fresh ones and the version's real
+    legs survive."""
+    import os
+    import time
+
+    from goflow2clickhouse_spark.plans.storage import (
+        sq_index_probe,
+        write_sq_index,
+    )
+    from goflow2clickhouse_spark.versioned import gc_scratch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "gcn")
+    write_sq_index(emb.filter(F.col("vec_id") < 20), path)
+
+    old = time.time() - 7200
+    vdir = os.path.join(path, "v1")
+    assert os.path.isdir(vdir)
+    stale = os.path.join(vdir, "_v.tmp.loser1")
+    os.makedirs(os.path.join(stale, "codes"))
+    with open(os.path.join(stale, "_writer"), "w") as f:
+        f.write("t")
+    for root, _dirs, files in os.walk(stale, topdown=False):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+        os.utime(root, (old, old))
+    fresh = os.path.join(vdir, "_v.tmp.loser2")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "_writer"), "w") as f:
+        f.write("t")
+
+    deleted = gc_scratch(spark, path, older_than_sec=3600)
+    assert [os.path.basename(d) for d in deleted] == ["_v.tmp.loser1"]
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # under the age gate
+    # the committed index still serves — real legs untouched
+    q = emb.filter(F.col("vec_id") == 0)
+    assert sq_index_probe(spark, path, q, k=5).count() == 5

@@ -5324,37 +5324,20 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family's never-all-pairs join shape)
 # ---------------------------------------------------------------------------
 
-_PHASH_ORACLE = """
-WITH base AS (SELECT doc_id, text FROM documents
-              WHERE length(text) > 0
-                AND length(text) = strlen(text)),
-kt(u, x, kv) AS (VALUES {KT}),
-imgs AS (
-    SELECT doc_id AS id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h,
-           0 AS shift, 0 AS bump, text FROM base
-    UNION ALL
-    SELECT doc_id + 1000000, 4 + doc_id % 3, 4 + doc_id % 2, 8, 0, text
-    FROM base WHERE doc_id % 10 = 0
-    UNION ALL
-    SELECT doc_id + 2000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 0, text
-    FROM base WHERE doc_id % 20 = 0
-    UNION ALL
-    SELECT doc_id + 3000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 2, text
-    FROM base WHERE doc_id % 25 = 0
-),
--- one row per 32x32 grid cell: floor-index nearest-neighbor sample of
--- the text-derived pixel stream (+shift for the brightness twin,
--- +bump on source pixel 0 for the tweak twin)
-grid AS (
-    SELECT id, CAST(i // 32 AS INT) AS gy, CAST(i % 32 AS INT) AS gx,
-           LEAST(ascii(substring(text,
-               CAST((((i // 32) * h // 32) * w + ((i % 32) * w // 32))
-                    % length(text) AS INT) + 1, 1)) + shift
-           + CASE WHEN ((i // 32) * h // 32) * w
-                       + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END,
-           255) AS gv
-    FROM imgs, generate_series(0, 1023) s(i)
-),
+# the Q14 DCT table as a 256-row VALUES relation — shared by every
+# pHash oracle
+_PHASH_KT = ",".join(
+    f"({u},{x},{v})"
+    for u, row in enumerate(M.PHASH_DCT_Q14) for x, v in enumerate(row)
+)
+
+# the hash-and-pair tail shared by every pHash oracle (r14 factoring):
+# expects preceding CTEs `kt(u, x, kv)` (the Q14 table) and
+# `grid(id, gy, gx, gv)` (one row per 32x32 grid cell per image) and
+# replays the separable DCT as two join-aggregates, the division-free
+# AC-mean threshold, the 4-band pigeonhole join and the exact
+# bit_count(xor) verify — phash64 + phash_near_pairs, relationally.
+_PHASH_TAIL = """
 rt AS (
     SELECT g.id, g.gy AS x, kt.u AS v,
            CAST(SUM(g.gv * kt.kv) AS BIGINT) AS rv
@@ -5389,10 +5372,39 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
 FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
 WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
-""".replace("{KT}", ",".join(
-    f"({u},{x},{v})"
-    for u, row in enumerate(M.PHASH_DCT_Q14) for x, v in enumerate(row)
-))
+"""
+
+_PHASH_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE length(text) > 0
+                AND length(text) = strlen(text)),
+kt(u, x, kv) AS (VALUES {KT}),
+imgs AS (
+    SELECT doc_id AS id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h,
+           0 AS shift, 0 AS bump, text FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, 4 + doc_id % 3, 4 + doc_id % 2, 8, 0, text
+    FROM base WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 0, text
+    FROM base WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, 4 + doc_id % 3, 4 + doc_id % 2, 0, 2, text
+    FROM base WHERE doc_id % 25 = 0
+),
+-- one row per 32x32 grid cell: floor-index nearest-neighbor sample of
+-- the text-derived pixel stream (+shift for the brightness twin,
+-- +bump on source pixel 0 for the tweak twin)
+grid AS (
+    SELECT id, CAST(i // 32 AS INT) AS gy, CAST(i % 32 AS INT) AS gx,
+           LEAST(ascii(substring(text,
+               CAST((((i // 32) * h // 32) * w + ((i % 32) * w // 32))
+                    % length(text) AS INT) + 1, 1)) + shift
+           + CASE WHEN ((i // 32) * h // 32) * w
+                       + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END,
+           255) AS gv
+    FROM imgs, generate_series(0, 1023) s(i)
+),""".replace("{KT}", _PHASH_KT) + _PHASH_TAIL
 
 
 @query("multimodal_phash_neardup", bench=True, oracle=_PHASH_ORACLE)
@@ -5472,8 +5484,167 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          M.decode_png(M.encode_png(w, h, tweak, "L")))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
-    hashes = d.mapInPandas(batches, "doc_id long, phash long")
-    return M.phash_near_pairs(hashes, id_col="doc_id", max_hamming=3)
+    # persist the hash relation (one long per image): the band join
+    # references it six times (4 band projections + 2 verify sides),
+    # and each recompute would re-run the pure-Python codec work —
+    # cache lifetime tied to the result (the dedup family's contract)
+    hashes = d.mapInPandas(batches, "doc_id long, phash long").persist()
+    return D.tie_cache(
+        M.phash_near_pairs(hashes, id_col="doc_id", max_hamming=3),
+        hashes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pHash through the LOSSY leg (r14, the r13 verdict's #2): the image
+# near-dup bridge pinned across the repo's own baseline JPEG — the
+# transform a wild near-dup corpus actually applies.
+# ---------------------------------------------------------------------------
+
+# Block-constant geometry shared by the Spark leg and the oracle:
+# wb x hb blocks of 8x8 (wb = 3 + i%2, hb = 3 + (i//2)%2), block j
+# (row-major) constant at text byte (j + doc_id) % len — the +doc_id
+# offset decorrelates documents that merely share a prefix (the
+# 31-word fixture vocabulary would otherwise clique).
+_PHASH_JPEG_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE length(text) > 0
+                AND length(text) = strlen(text)
+                AND doc_id % 4 = 0),
+kt(u, x, kv) AS (VALUES {KT}),
+imgs AS (
+    SELECT doc_id AS id, doc_id AS did, 3 + doc_id % 2 AS wb,
+           3 + (doc_id // 2) % 2 AS hb, 0 AS jp, text FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, doc_id, 3 + doc_id % 2,
+           3 + (doc_id // 2) % 2, 1, text FROM base
+    UNION ALL
+    SELECT doc_id + 2000000, doc_id, 3 + doc_id % 2,
+           3 + (doc_id // 2) % 2, 1, text FROM base WHERE doc_id % 8 = 0
+),
+-- grid cell (gy, gx) samples pixel ((gy*h)//32, (gx*w)//32); its
+-- block is (py//8, px//8); jp = 1 applies the exact-DC JPEG
+-- quantization of a constant block: clip(2*floor((t-128)/2 + 0.5)
+-- + 128) — the multimodal_decode_jpeg contract chained into the
+-- pHash replay
+grid AS (
+    SELECT id, CAST(i // 32 AS INT) AS gy, CAST(i % 32 AS INT) AS gx,
+           CAST(CASE WHEN jp = 1
+                THEN LEAST(GREATEST(
+                     2 * FLOOR((t - 128) / 2.0 + 0.5) + 128, 0), 255)
+                ELSE t END AS BIGINT) AS gv
+    FROM (
+        SELECT id, i, jp,
+               ascii(substring(text,
+                   CAST((((i // 32) * hb * 8 // 32 // 8) * wb
+                         + ((i % 32) * wb * 8 // 32 // 8) + did)
+                        % length(text) AS INT) + 1, 1)) AS t
+        FROM imgs, generate_series(0, 1023) s(i)
+    )
+),""".replace("{KT}", _PHASH_KT) + _PHASH_TAIL
+
+
+@query("multimodal_phash_jpeg_neardup", bench=True,
+       oracle=_PHASH_JPEG_ORACLE)
+def multimodal_phash_jpeg_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE near-dup across the repo's own LOSSY codec (r14, the r13
+    verdict's #2: the bridge's r13 legs were all lossless re-encodes,
+    but a wild near-dup corpus's dominant transform is JPEG
+    re-encoding). Per even-id ASCII document, build a block-constant
+    gray image (wb x hb blocks of 8x8, block j at text byte
+    (j + doc_id) % len; a quarter of the corpus — the codec-family
+    cost-gating precedent of multimodal_decode_jpeg420, with every
+    geometry class and both twin classes still exercised per run),
+    then plant two lossy twins: the image
+    re-encoded through the baseline GRAY JPEG (id + 1e6,
+    operators/jpeg.py, restart_interval=2) and — every eighth doc —
+    through 4:2:0 CHROMA-SUBSAMPLED COLOR JPEG on the gray-valued RGB
+    expansion (id + 2e6; gray input keeps Cb = Cr = 128 exactly, the
+    r11 4:2:0 playbook). Hash every decoded plane with phash64 and
+    join near pairs with phash_near_pairs.
+
+    Why this is exact: constant 8x8 blocks quantize to a DC-only
+    spectrum, so the whole lossy chain collapses to
+    clip(2*floor((t-128)/2 + 0.5) + 128) per block — even bytes
+    survive JPEG unchanged, odd bytes shift +1 — and the oracle
+    CHAINS that decode replay (multimodal_decode_jpeg's contract)
+    into the pHash DCT replay: one SQL pipeline covers codec AND
+    hash. Empirically ~93% of re-encodes land within hamming <= 3
+    (found as pairs); the rest are genuine perceptual collapses
+    (adjacent blocks t, t+1 quantize EQUAL, flattening the image) —
+    both engines compute the same verdict either way, which is the
+    point: the pair set is DEFINED by the hash, not curated. The
+    4:2:0 twin hashes identically to the gray twin (same decoded
+    plane), pinning codec parity through the lossy leg.
+
+    100 TB story: identical to multimodal_phash_neardup — map-only
+    decode+hash, band-key equi-joins, never all-pairs."""
+    from ..operators import jpeg as J
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            (F.length("text") == F.octet_length("text"))
+            & (F.col("doc_id") % 4 == 0)
+        )
+        # spread the per-row pure-Python codec work: the fixture
+        # parquet is one split, and a coarse upstream partitioning
+        # would serialize encode+decode; repartitioning tiny text
+        # rows before an expensive map is the production shape too
+        # (it also rebalances codec skew)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+
+            def emit(img_id, dec):
+                g, w2, h2 = M.gray_plane(dec)
+                ids.append(img_id)
+                hashes.append(M.phash64(g, w2, h2))
+
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                raw = text.encode("utf-8")
+                if not raw:
+                    continue  # oracle's length(text) > 0 filter
+                wb, hb = 3 + i % 2, 3 + (i // 2) % 2
+                w, h = wb * 8, hb * 8
+                img = bytearray(w * h)
+                for j in range(wb * hb):
+                    v = raw[(j + i) % len(raw)]
+                    by, bx = divmod(j, wb)
+                    for y in range(8):
+                        row = (by * 8 + y) * w + bx * 8
+                        img[row:row + 8] = bytes([v]) * 8
+                img = bytes(img)
+                emit(i, M.decode_png(M.encode_png(w, h, img, "L")))
+                emit(i + 1000000, J.decode_jpeg(
+                    J.encode_jpeg(w, h, img, restart_interval=2)
+                ))
+                if i % 8 == 0:
+                    rgb = bytes(v for v in img for _ in range(3))
+                    emit(i + 2000000, J.decode_jpeg(J.encode_jpeg(
+                        w, h, rgb, mode="RGB", subsampling="420",
+                        restart_interval=2,
+                    )))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    # persist the hash relation (one long per image): the band join
+    # references it six times (4 band projections + 2 verify sides),
+    # and each recompute would re-run the pure-Python codec work —
+    # cache lifetime tied to the result (the dedup family's contract)
+    hashes = d.mapInPandas(batches, "doc_id long, phash long").persist()
+    return D.tie_cache(
+        M.phash_near_pairs(hashes, id_col="doc_id", max_hamming=3),
+        hashes,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -596,3 +596,58 @@ def test_phash_composes_with_cluster_keep_one(spark):
         r["id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()
     }
     assert clusters == {10: 10, 11: 10, 12: 10}  # keep doc 10, drop 11/12
+
+
+def test_phash_stable_through_lossy_jpeg_reencode():
+    """The LOSSY leg of the image-dedup bridge (r14, the r13 verdict's
+    #2): pHash across the repo's own baseline JPEG. Block-constant
+    images ride the exact-DC contract — a constant block of value t
+    decodes to clip(2*floor((t-128)/2 + 0.5) + 128): even t survives
+    JPEG BIT-EXACTLY (hamming 0 by arithmetic), odd t shifts +1
+    (hamming stays within the dedup radius on a representative mixed
+    image), a DISTINCT image stays far outside the radius, and the
+    4:2:0 gray-valued-RGB re-encode hashes IDENTICALLY to the gray
+    re-encode (same decoded plane — codec parity through the lossy
+    leg)."""
+    from goflow2clickhouse_spark.operators import jpeg as J
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    def block_img(vals, wb, hb):
+        w, h = wb * 8, hb * 8
+        img = bytearray(w * h)
+        for j, v in enumerate(vals):
+            by, bx = divmod(j, wb)
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                img[row:row + 8] = bytes([v]) * 8
+        return bytes(img), w, h
+
+    def hash_of(dec):
+        return M.phash64(*M.gray_plane(dec))
+
+    # mixed even/odd block values — the representative wild case
+    vals = [40, 81, 120, 203, 55, 96, 77, 150, 32, 111, 64, 29]
+    img, w, h = block_img(vals, 4, 3)
+    h_png = hash_of(M.decode_png(M.encode_png(w, h, img, "L")))
+    h_jpg = hash_of(J.decode_jpeg(J.encode_jpeg(w, h, img)))
+    assert bin(h_png ^ h_jpg).count("1") <= 3
+
+    # all-even blocks: JPEG is EXACT, hamming 0 by arithmetic
+    ev, w2, h2 = block_img([40, 80, 120, 202, 54, 96], 3, 2)
+    h_ev_png = hash_of(M.decode_png(M.encode_png(w2, h2, ev, "L")))
+    h_ev_jpg = hash_of(J.decode_jpeg(J.encode_jpeg(w2, h2, ev)))
+    assert h_ev_png == h_ev_jpg
+
+    # a distinct image stays far outside the radius
+    other, _, _ = block_img([203, 40, 96, 32, 150, 77, 111, 55,
+                             29, 120, 81, 64], 4, 3)
+    h_other = hash_of(M.decode_png(M.encode_png(w, h, other, "L")))
+    assert bin(h_png ^ h_other).count("1") > 3
+
+    # 4:2:0 color on the gray-valued RGB expansion decodes to the
+    # SAME plane as the gray JPEG (Cb = Cr = 128 exactly) — parity
+    rgb = bytes(v for v in img for _ in range(3))
+    h_420 = hash_of(J.decode_jpeg(
+        J.encode_jpeg(w, h, rgb, mode="RGB", subsampling="420")
+    ))
+    assert h_420 == h_jpg

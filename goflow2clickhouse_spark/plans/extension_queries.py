@@ -5337,7 +5337,11 @@ _PHASH_KT = ",".join(
 # replays the separable DCT as two join-aggregates, the division-free
 # AC-mean threshold, the 4-band pigeonhole join and the exact
 # bit_count(xor) verify — phash64 + phash_near_pairs, relationally.
-_PHASH_TAIL = """
+# `pair_pred` narrows WHICH pairs are emitted (the default is the
+# in-corpus a < b rule; the index probes use an old-side x new-side
+# split, optionally minus tombstoned ids).
+def _phash_tail(pair_pred: str = "a.id < b.id") -> str:
+    return """
 rt AS (
     SELECT g.id, g.gy AS x, kt.u AS v,
            CAST(SUM(g.gv * kt.kv) AS BIGINT) AS rv
@@ -5367,14 +5371,18 @@ bands AS (
 ),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.id < b.id
+    FROM bands a JOIN bands b
+      ON a.j = b.j AND a.bk = b.bk AND (""" + pair_pred + """)
 )
 SELECT id_a, id_b, CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
 FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
 WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
 """
 
-_PHASH_ORACLE = """
+
+_PHASH_TAIL = _phash_tail()
+
+_PHASH_HEAD = """
 WITH base AS (SELECT doc_id, text FROM documents
               WHERE length(text) > 0
                 AND length(text) = strlen(text)),
@@ -5404,7 +5412,9 @@ grid AS (
                        + ((i % 32) * w // 32) = 0 THEN bump ELSE 0 END,
            255) AS gv
     FROM imgs, generate_series(0, 1023) s(i)
-),""".replace("{KT}", _PHASH_KT) + _PHASH_TAIL
+),""".replace("{KT}", _PHASH_KT)
+
+_PHASH_ORACLE = _PHASH_HEAD + _PHASH_TAIL
 
 
 @query("multimodal_phash_neardup", bench=True, oracle=_PHASH_ORACLE)
@@ -5645,6 +5655,153 @@ def multimodal_phash_jpeg_neardup(
         M.phash_near_pairs(hashes, id_col="doc_id", max_hamming=3),
         hashes,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted pHash band index (r14, the r13 verdict's #3): crawl-loop
+# IMAGE dedup with the same index lifecycle text already has.
+# ---------------------------------------------------------------------------
+
+# old side = the original images (id < 1e6), new side = the planted
+# twin classes — the SAME imgs/grid head as _PHASH_ORACLE, with the
+# pair predicate narrowed to the index probe's old x new split
+_PHASH_INC_ORACLE = _PHASH_HEAD + _phash_tail(
+    "a.id < 1000000 AND b.id >= 1000000"
+)
+_PHASH_INC_DEL_ORACLE = _PHASH_HEAD + _phash_tail(
+    "a.id < 1000000 AND a.id % 30 != 0 AND b.id >= 1000000"
+)
+
+
+def _phash_stream_sigs(
+    spark: SparkSession, sf_dir: str, new_side: bool
+) -> DataFrame:
+    """(doc_id, phash) hash relations for the incremental image-dedup
+    queries: the SAME image geometry and twin classes as
+    multimodal_phash_neardup, hashed from the text-derived pixel
+    stream DIRECTLY (no codec round-trip: PNG/BMP are lossless, so
+    decode(encode(px)) == px — proven by that query's codec-parity
+    legs; the index queries measure the INDEX, not the codecs).
+    new_side=False yields the originals (the already-ingested
+    corpus); new_side=True yields the brightness / re-encode / tweak
+    twins (today's crawl)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+
+            def emit(img_id, px, w, h):
+                ids.append(img_id)
+                hashes.append(M.phash64(px, w, h))
+
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                raw = text.encode("utf-8")
+                if not raw:
+                    continue
+                w, h = 4 + i % 3, 4 + i % 2
+                k = w * h
+                px = (raw * (k // len(raw) + 1))[:k]
+                if not new_side:
+                    emit(i, px, w, h)
+                    continue
+                if i % 10 == 0:
+                    emit(i + 1000000,
+                         bytes(min(v + 8, 255) for v in px), w, h)
+                if i % 20 == 0:
+                    emit(i + 2000000, px, w, h)
+                if i % 25 == 0:
+                    emit(i + 3000000,
+                         bytes([min(px[0] + 2, 255)]) + px[1:], w, h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return d.mapInPandas(batches, "doc_id long, phash long")
+
+
+@query("incremental_image_dedup_indexed", oracle=_PHASH_INC_ORACLE,
+       bench=True)
+def incremental_image_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental IMAGE dedup served from the PERSISTED pHash band
+    index (r14, the r13 verdict's #3: the crawl-loop composition —
+    text near-dup got its persisted index in r9, images get the same
+    lifecycle here). The already-ingested corpus is hashed ONCE at
+    index-build time (plans/storage.write_phash_index — and the build
+    itself exercises the append verb: even ids land in the base,
+    odd ids fold in via append_to_phash_index, so every probe reads
+    base + delta legs); the per-increment probe
+    (incremental_phash_pairs_indexed) joins the new batch's four
+    band keys against the index and verifies candidates against the
+    index's STORED hashes — the old corpus's blobs are never
+    re-decoded, re-hashed, or even read (tests/test_storage.py pins
+    the executed plan to index-only scans). Returns (id_a, id_b,
+    hamming): id_a from the index, id_b from today's batch of
+    planted brightness / re-encode / tweak twins.
+
+    The oracle replays the whole pipeline relationally — the SAME
+    imgs/grid/DCT head as multimodal_phash_neardup with the pair
+    predicate narrowed to the probe's old x new split (old-old pairs
+    are never generated — at 100 TB that asymmetry IS the point:
+    work scales with the batch, never the corpus)."""
+    from .storage import (
+        append_to_phash_index,
+        incremental_phash_pairs_indexed,
+        write_phash_index,
+    )
+
+    old = _phash_stream_sigs(spark, sf_dir, new_side=False)
+
+    def build(p: str) -> None:
+        write_phash_index(old.filter(F.col("doc_id") % 2 == 0), p)
+        append_to_phash_index(old.filter(F.col("doc_id") % 2 == 1), p)
+
+    path = _persisted_index("phash", sf_dir, build)
+    new = _phash_stream_sigs(spark, sf_dir, new_side=True)
+    return incremental_phash_pairs_indexed(new, path, max_hamming=3)
+
+
+@query("incremental_image_dedup_deleted", oracle=_PHASH_INC_DEL_ORACLE)
+def incremental_image_dedup_deleted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`incremental_image_dedup_indexed` after a TAKEDOWN hits the
+    image corpus — the pHash layout's driver-green deletion gate
+    (pairing incremental_dedup_deleted on the text side and
+    pq_deleted_probe on the vector side): every 30th original image
+    is tombstoned (plans/storage.delete_from_index — the shared verb,
+    no pHash-specific code), and the increment pairs against what
+    REMAINS: a twin whose only partner was deleted surfaces NO pair,
+    its candidates never generated (the tombstone anti-join hits the
+    band leg) and its verify partner gone (it hits the hashes leg
+    too). The oracle excludes the tombstoned ids from the old side of
+    the pair predicate — one parameter on the shared generator."""
+    from .storage import (
+        append_to_phash_index,
+        delete_from_index,
+        incremental_phash_pairs_indexed,
+        write_phash_index,
+    )
+
+    old = _phash_stream_sigs(spark, sf_dir, new_side=False)
+
+    def build(p: str) -> None:
+        write_phash_index(old.filter(F.col("doc_id") % 2 == 0), p)
+        append_to_phash_index(old.filter(F.col("doc_id") % 2 == 1), p)
+        delete_from_index(
+            old.filter(F.col("doc_id") % 30 == 0).select("doc_id"), p
+        )
+
+    path = _persisted_index("phash_del", sf_dir, build)
+    new = _phash_stream_sigs(spark, sf_dir, new_side=True)
+    return incremental_phash_pairs_indexed(new, path, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

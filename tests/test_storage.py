@@ -3373,3 +3373,141 @@ def test_gc_scratch_sweeps_nested_staging_orphans(spark, tmp_path):
     # the committed index still serves — real legs untouched
     q = emb.filter(F.col("vec_id") == 0)
     assert sq_index_probe(spark, path, q, k=5).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Persisted pHash band index (r14) — the seventh layout
+# ---------------------------------------------------------------------------
+
+
+def _phash_sigs(spark, ids_and_hashes):
+    return spark.createDataFrame(
+        ids_and_hashes, "doc_id long, phash long"
+    )
+
+
+def test_phash_index_probe_equals_recompute_and_scans_only_index(
+    spark, tmp_path
+):
+    """The persisted pHash probe is result-equal to the in-memory
+    phash_near_pairs form restricted to old x new, and the executed
+    plan's file scans read ONLY the index directories — the old
+    corpus's hashes come from the index, its blobs from nowhere."""
+    from goflow2clickhouse_spark.operators import multimodal as M
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_phash_pairs_indexed,
+        write_phash_index,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    planes = {i: bytes(rng.randrange(20, 220) for _ in range(64))
+              for i in range(20)}
+    old_rows = [(i, M.phash64(planes[i], 8, 8)) for i in range(20)]
+    # new: brightness twins of 0..4 (hamming 0), one distinct
+    new_rows = [
+        (1000000 + i,
+         M.phash64(bytes(v + 6 for v in planes[i]), 8, 8))
+        for i in range(5)
+    ] + [(1000099, M.phash64(bytes(rng.randrange(20, 220)
+                                   for _ in range(64)), 8, 8))]
+    old = _phash_sigs(spark, old_rows)
+    new = _phash_sigs(spark, new_rows)
+    path = str(tmp_path / "phidx")
+    write_phash_index(old, path)
+
+    got = sorted(map(tuple,
+                     incremental_phash_pairs_indexed(new, path).collect()))
+    # recompute form: near pairs over the union, old x new only
+    all_pairs = M.phash_near_pairs(old.unionByName(new))
+    want = sorted(
+        map(tuple,
+            all_pairs.filter(
+                (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+            ).collect())
+    )
+    assert got == want and len(got) >= 5  # the 5 planted twins found
+
+    res = incremental_phash_pairs_indexed(new, path)
+    res.collect()
+    scans = _scan_nodes(res)
+    assert scans, "expected index file scans in the executed plan"
+    for s in scans:
+        assert path in str(s.metadata()), "scan outside the index"
+
+
+def test_phash_index_lifecycle_append_delete_compact(spark, tmp_path):
+    """The full lifecycle on the seventh layout, all shared verbs:
+    build + append serve together; delete_from_index suppresses the
+    tombstoned id from candidates AND verify; compact_index folds the
+    delta and physically purges the tombstones; the probe's answer is
+    identical before and after the fold; wrong-layout operations
+    refuse."""
+    from goflow2clickhouse_spark.plans.storage import (
+        append_to_band_index,
+        append_to_phash_index,
+        compact_index,
+        delete_from_index,
+        incremental_phash_pairs_indexed,
+        write_phash_index,
+    )
+    from goflow2clickhouse_spark.versioned import current_meta
+
+    # ids 1..4 share hash H (clique); 5 unique; batch pairs with all
+    H, H2 = 0x0123456789ABCDE, 0x7000000000000001
+    old1 = _phash_sigs(spark, [(1, H), (2, H)])
+    old2 = _phash_sigs(spark, [(3, H), (4, H ^ 1), (5, H2)])
+    path = str(tmp_path / "phlife")
+    write_phash_index(old1, path)
+    append_to_phash_index(old2, path)
+    new = _phash_sigs(spark, [(1000001, H), (1000002, H2 ^ 2)])
+
+    def probe():
+        return sorted(map(tuple,
+                          incremental_phash_pairs_indexed(new, path)
+                          .collect()))
+
+    assert probe() == [
+        (1, 1000001, 0), (2, 1000001, 0), (3, 1000001, 0),
+        (4, 1000001, 1), (5, 1000002, 1),
+    ]
+    # takedown: id 2 (base) and id 5 (delta) disappear everywhere
+    delete_from_index(
+        spark.createDataFrame([(2,), (5,)], "doc_id long"), path
+    )
+    after_del = [(1, 1000001, 0), (3, 1000001, 0), (4, 1000001, 1)]
+    assert probe() == after_del
+    # compact: physical purge + delta fold; answers identical
+    assert compact_index(spark, path, min_appends=1)
+    meta = current_meta(spark, path)
+    assert int(meta["version"]) == 2
+    assert int(meta.get("appends", 0)) == 0
+    assert int(meta.get("tombstones", 0)) == 0
+    assert probe() == after_del
+    # wrong-layout gates: the band-layout verb refuses this index
+    with pytest.raises(ValueError, match="'phash' layout"):
+        append_to_band_index(
+            spark.createDataFrame([(9, "some text here")],
+                                  "doc_id long, text string"),
+            path,
+        )
+
+
+def test_phash_index_refusals(spark, tmp_path):
+    """Loud edges: empty build; probe with no committed index; the
+    pigeonhole radius cap."""
+    from goflow2clickhouse_spark.plans.storage import (
+        incremental_phash_pairs_indexed,
+        write_phash_index,
+    )
+
+    path = str(tmp_path / "phedge")
+    sigs = _phash_sigs(spark, [(1, 42)])
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        incremental_phash_pairs_indexed(sigs, path)
+    with pytest.raises(ValueError, match="empty"):
+        write_phash_index(_phash_sigs(spark, []), path)
+    write_phash_index(sigs, path)
+    with pytest.raises(ValueError, match="max_hamming"):
+        incremental_phash_pairs_indexed(sigs, path, max_hamming=4)

@@ -456,14 +456,17 @@ def bpe_merges_values_sql(merges: tuple[tuple[str, str], ...]) -> str:
     return ",".join(rows)
 
 
-def bpe_count_word(w: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Token count of ONE pre-token under the textbook min-rank BPE
+def bpe_encode_word(
+    w: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Token STRINGS of ONE pre-token under the textbook min-rank BPE
     loop (GPT-2's encoder shape): find the lowest-rank adjacent pair
     present, merge ALL its occurrences left-to-right, repeat until no
-    table pair remains. Shared by the mapInPandas encoder and the
-    trainer tests; the module's cross-impl pins run this against the
-    column chain, the exhaustive-replace second implementation and
-    the oracle's recursive-CTE replay."""
+    table pair remains. Shared by the mapInPandas encoders
+    (with_bpe_token_count / with_bpe_token_ids) and the trainer
+    tests; the module's cross-impl pins run this against the column
+    chain, the exhaustive-replace second implementation and the
+    oracle's recursive-CTE replay."""
     toks = list(w)
     while len(toks) > 1:
         r, best = _BPE_NO_RANK, None
@@ -485,7 +488,34 @@ def bpe_count_word(w: str, ranks: dict[tuple[str, str], int]) -> int:
                 out.append(toks[i])
                 i += 1
         toks = out
-    return len(toks)
+    return toks
+
+
+def bpe_count_word(w: str, ranks: dict[tuple[str, str], int]) -> int:
+    """len(bpe_encode_word(...)) — the count form the token-count
+    tier bills with."""
+    return len(bpe_encode_word(w, ranks))
+
+
+# Token-ID space (r14): single-char tokens use their codepoint
+# (<= 0x10FFFF); merged tokens use BPE_MERGED_ID_BASE + the LOWEST
+# rank whose concatenation equals the token string (two merges CAN
+# produce the same string — (a,bc) and (ab,c) — so the id must be a
+# function of the STRING, not of which merge fired). 1 << 21 sits
+# above every Unicode codepoint, so the two ranges can never collide.
+BPE_MERGED_ID_BASE = 1 << 21
+
+
+def bpe_merged_token_ids(
+    merges: tuple[tuple[str, str], ...]
+) -> dict[str, int]:
+    """token string -> id for every merge output: BPE_MERGED_ID_BASE
+    + min rank producing that string. The SQL twin is
+    GROUP BY a||b with MIN(rank) over the inlined merge relation."""
+    out: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges):
+        out.setdefault(a + b, BPE_MERGED_ID_BASE + i)
+    return out
 
 
 def with_bpe_token_count(
@@ -558,6 +588,71 @@ def with_bpe_token_count(
             pdf[out_col] = (
                 pdf[text_col].map(count_text).astype("int64")
             )
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
+
+
+def with_bpe_token_ids(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] | None = None,
+    text_col: str = "text",
+    out_col: str = "bpe_token_ids",
+    memo_cap: int = 1_000_000,
+) -> DataFrame:
+    """TOKEN-ID emission under the trained table (r14, the r13
+    verdict's #4: counts bill a budget, but packing / serving
+    compositions consume the ids themselves): `out_col` is the
+    document's full token-id array — pre-tokens in order, each
+    encoded by the same min-rank loop as with_bpe_token_count
+    (bpe_encode_word; the count tier IS len() of this tier, pinned in
+    tests), ids per the module's deterministic scheme (codepoint for
+    single chars, BPE_MERGED_ID_BASE + min-rank for merges — see
+    bpe_merged_token_ids), NULL text -> empty array.
+
+    Same production shape as the count tier: the table rides the task
+    closure, map-only mapInPandas, Arrow-batched, per-task word memo
+    capped at `memo_cap`. The SQL twin extracts token strings from
+    the recursive-CTE encoder's final state and joins the min-rank id
+    relation — the registry oracle replays every id."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    if merges is None:
+        merges = load_bpe_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    merged_ids = bpe_merged_token_ids(merges)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(LongType(), False), False)]
+    )
+    pretoken_re, b0, b1 = BPE_PRETOKEN_RE, BPE_B0, BPE_B1
+
+    def encode(batches):
+        import re
+
+        rx = re.compile(pretoken_re, re.ASCII)  # see with_bpe_token_count
+        memo: dict[str, list[int]] = {}
+
+        def ids_text(t) -> list[int]:
+            if t is None:
+                return []
+            t = t.replace(b0, "").replace(b1, "")
+            out: list[int] = []
+            for w in rx.findall(t):
+                ids = memo.get(w)
+                if ids is None:
+                    ids = [
+                        ord(tok) if len(tok) == 1 else merged_ids[tok]
+                        for tok in bpe_encode_word(w, ranks)
+                    ]
+                    if len(memo) < memo_cap:
+                        memo[w] = ids
+                out.extend(ids)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(ids_text)
             yield pdf
 
     return df.mapInPandas(encode, schema)

@@ -1475,6 +1475,110 @@ def token_budget_selection_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _budget_select(d, _BPE_TOKEN_BUDGET)
 
 
+# the trained 2000-merge table compresses ~3x harder than the 28-merge
+# demo chain (measured at sf0.01: 38.7k trained vs 115k demo tokens on
+# the same corpus), so the budget scales down to keep the selected
+# fraction comparable (~60%)
+_BPE_TRAINED_BUDGET = 23_000
+
+
+@query(
+    "token_budget_selection_bpe_trained",
+    oracle=r"""
+    WITH RECURSIVE merges(rank, a, b) AS (VALUES {MERGES}),
+    corpus AS ({CORPUS_SQL}),
+    dtoks AS (
+        SELECT doc_id, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     regexp_extract_all(
+                         replace(replace(text, chr(30), ''), chr(31), ''),
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS ws
+              FROM corpus)
+    ),
+    words AS (SELECT DISTINCT w FROM dtoks),
+    enc(w, s) AS (
+        SELECT w, chr(30) || chr(31) ||
+               regexp_replace(w, '(.)', '\1' || chr(30) || chr(31), 'g')
+        FROM words
+      UNION ALL
+        SELECT w, replace(s, chr(31) || a || chr(30) || chr(31) || b
+                             || chr(30),
+                          chr(31) || a || b || chr(30))
+        FROM (
+            SELECT e.w, e.s, m.a, m.b,
+                   ROW_NUMBER() OVER (PARTITION BY e.w
+                                      ORDER BY m.rank) AS rn
+            FROM enc e JOIN merges m
+              ON strpos(e.s, chr(31) || m.a || chr(30) || chr(31)
+                             || m.b || chr(30)) > 0
+        ) WHERE rn = 1
+    ),
+    wcount AS (
+        SELECT w, length(s) - length(replace(s, chr(30), '')) - 1 AS ntok,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY length(s)) AS rn
+        FROM enc
+    ),
+    dcount AS (
+        SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM dtoks JOIN (SELECT w, ntok FROM wcount WHERE rn = 1)
+             USING (w)
+        GROUP BY doc_id
+    ),
+    d AS (
+        SELECT c.doc_id, COALESCE(dc.n_tokens, 0) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS quality
+        FROM corpus c LEFT JOIN dcount dc USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, quality,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM d
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_tokens <= {BUDGET})
+    SELECT COUNT(*) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(MIN(quality), 6) AS worst_quality,
+           CAST(SUM(doc_id % 997) AS BIGINT) AS id_checksum
+    FROM kept
+    """.replace("{CORPUS_SQL}", CORPUS_SQL)
+       .replace("{BUDGET}", str(_BPE_TRAINED_BUDGET))
+       .replace("{MERGES}",
+                TX.bpe_merges_values_sql(TX.load_bpe_merges())),
+)
+def token_budget_selection_bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """token_budget_selection billed by the PRODUCTION tokenizer tier
+    (r14, the r13 verdict's #4: the budget sibling above still billed
+    with the 28-merge demo chain): n_tokens comes from
+    operators/text.with_bpe_token_count under the trained 2000-merge
+    table — the mapInPandas encoder whose plan size is independent of
+    table size — so "take the best documents until N tokens" measures
+    N in the unit the production tokenizer actually emits (the demo
+    chain over-counts ~3x on this corpus). Same bucketed-prefix-sum
+    scale shape (shared _budget_select); the oracle reuses the
+    recursive-CTE min-rank encoder to bill every document
+    independently, then replays the selection in the single-window
+    form. The id checksum pins set equality of the kept documents."""
+    c = corpus(spark, sf_dir)
+    w = F.split("text", " ")
+    billed = TX.with_bpe_token_count(
+        c, TX.load_bpe_merges(), out_col="n_tokens"
+    )
+    d = billed.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("quality"),
+    )
+    return _budget_select(d, _BPE_TRAINED_BUDGET)
+
+
 @query(
     "quality_classifier_scores",
     bench=True,

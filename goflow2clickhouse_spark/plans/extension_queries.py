@@ -1122,6 +1122,164 @@ def text_bpe_token_counts_trained(
     )
 
 
+_BPE_IDS_ORACLE = r"""
+WITH RECURSIVE merges(rank, a, b) AS (VALUES {MERGES}),
+-- token string -> id: two merges CAN produce the same string, so the
+-- id is MIN(rank) over the string (operators/text.bpe_merged_token_ids)
+mids AS (SELECT a || b AS tok, {BASE} + MIN(rank) AS mid
+         FROM merges GROUP BY a || b),
+corpus AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {PLANTED}) p(doc_id, source, text)
+),
+dtoks AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS wpos
+    FROM (SELECT doc_id,
+                 regexp_extract_all(
+                     replace(replace(text, chr(30), ''), chr(31), ''),
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS ws
+          FROM corpus)
+),
+words AS (SELECT DISTINCT w FROM dtoks),
+enc(w, s) AS (
+    SELECT w, chr(30) || chr(31) ||
+           regexp_replace(w, '(.)', '\1' || chr(30) || chr(31), 'g')
+    FROM words
+  UNION ALL
+    SELECT w, replace(s, chr(31) || a || chr(30) || chr(31) || b || chr(30),
+                      chr(31) || a || b || chr(30))
+    FROM (
+        SELECT e.w, e.s, m.a, m.b,
+               ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY m.rank) AS rn
+        FROM enc e JOIN merges m
+          ON strpos(e.s, chr(31) || m.a || chr(30) || chr(31)
+                         || m.b || chr(30)) > 0
+    ) WHERE rn = 1
+),
+fin AS (
+    SELECT w, s FROM (
+        SELECT w, s, ROW_NUMBER() OVER (PARTITION BY w
+                                        ORDER BY length(s)) AS rn
+        FROM enc) WHERE rn = 1
+),
+-- token strings IN ORDER from the final state ("<30><31>t1<30><31>t2...")
+wtoks AS (
+    SELECT w, unnest(toks) AS tok,
+           unnest(range(1, len(toks) + 1)) AS j
+    FROM (SELECT w, list_filter(
+              string_split(s, chr(30) || chr(31)), x -> x != '') AS toks
+          FROM fin)
+),
+-- per word: the COUNT-tier ntok (length arithmetic on s — a separate
+-- expression from the id extraction, so the two Spark tiers are
+-- checked against two oracle paths), the id sum, and the locally
+-- position-weighted id sum
+wids AS (
+    SELECT wt.w, COUNT(*) AS nids,
+           SUM(CASE WHEN length(wt.tok) = 1 THEN ascii(wt.tok)
+                    ELSE m.mid END) AS idsum,
+           SUM(j * CASE WHEN length(wt.tok) = 1 THEN ascii(wt.tok)
+                        ELSE m.mid END) AS wsum
+    FROM wtoks wt LEFT JOIN mids m ON m.tok = wt.tok
+    GROUP BY wt.w
+),
+wcount AS (
+    SELECT w, length(s) - length(replace(s, chr(30), '')) - 1 AS ntok
+    FROM fin
+),
+-- global position weighting: word wpos's tokens start after the
+-- doc's preceding words' token counts
+doffs AS (
+    SELECT d.doc_id, wi.nids, wi.idsum, wi.wsum, wc.ntok,
+           COALESCE(SUM(wi.nids) OVER (
+               PARTITION BY d.doc_id ORDER BY d.wpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS off
+    FROM dtoks d JOIN wids wi USING (w) JOIN wcount wc USING (w)
+),
+dsum AS (
+    SELECT doc_id, SUM(ntok) AS bpe_tokens, SUM(nids) AS nids,
+           SUM(wsum + off * idsum) AS checksum
+    FROM doffs GROUP BY doc_id
+)
+SELECT c.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(d.bpe_tokens, 0)) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(COALESCE(d.nids, 0)) AS BIGINT) AS total_ids,
+       CAST(SUM(COALESCE(d.checksum, 0)) AS BIGINT) AS ids_checksum
+FROM corpus c LEFT JOIN dsum d USING (doc_id)
+GROUP BY c.source
+""".replace(
+    "{MERGES}", T.bpe_merges_values_sql(T.load_bpe_merges())
+).replace(
+    "{BASE}", str(T.BPE_MERGED_ID_BASE)
+).replace(
+    "{PLANTED}",
+    ",".join(f"({i},'planted','{t}')" for i, t in _BPE_PLANTED),
+)
+
+
+@query("text_bpe_token_ids", bench=True, oracle=_BPE_IDS_ORACLE)
+def text_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-ID emission under the trained table (r14, the r13
+    verdict's #4: the tier packing/serving compositions consume):
+    operators/text.with_bpe_token_ids encodes each document to its
+    full id array (codepoint for single-char tokens,
+    BPE_MERGED_ID_BASE + min-rank for merges — deterministic in the
+    token STRING, so two merges producing the same string cannot
+    fork the id). The result runs the corpus through BOTH encoder
+    tiers and reports, per source, the count tier's total
+    (with_bpe_token_count) NEXT TO the id tier's array sizes and a
+    position-weighted id checksum (sum over global token position j
+    of j * id_j) — the sum(len(ids)) == bpe_tokens invariant is
+    driver-checked on every run because a divergence between the two
+    mapInPandas tiers hash-mismatches against the oracle, which
+    derives the two totals from two different expressions over the
+    SAME recursive-CTE final state (length arithmetic vs token
+    extraction + id join). Map-only, plan size independent of table
+    size — the count tier's 100 TB story verbatim."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = spark.createDataFrame(
+        [(i, "planted", t) for i, t in _BPE_PLANTED],
+        "doc_id long, source string, text string",
+    )
+    merges = T.load_bpe_merges()
+    both = T.with_bpe_token_count(
+        T.with_bpe_token_ids(
+            # the chained encoders run in ONE task chain; spread the
+            # fixture's single parquet split first (the codec-map rule)
+            d.unionByName(planted).repartition(
+                spark.sparkContext.defaultParallelism
+            ),
+            merges,
+            out_col="bpe_token_ids",
+        ),
+        merges,
+        out_col="bpe_tokens",
+    )
+    ids = F.col("bpe_token_ids")
+    terms = F.zip_with(
+        F.sequence(F.lit(1), F.size(ids)),
+        ids,
+        lambda j, v: j.cast("long") * v,
+    )
+    # size 0 guard: sequence(1, 0) DESCENDS ([1, 0]) — never feed it
+    checksum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x),
+    ).otherwise(F.lit(0).cast("long"))
+    return both.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum(F.size(ids).cast("long")).alias("total_ids"),
+        F.sum(checksum).alias("ids_checksum"),
+    )
+
+
 @query(
     "doc_fingerprint_dups",
     oracle=f"""

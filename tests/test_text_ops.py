@@ -505,3 +505,62 @@ def test_bpe_trainer_matches_naive_reference():
         got = T.train_bpe_merges(vocab, n)
         want = naive(vocab, n)
         assert got == want, (trial, vocab, got, want)
+
+
+def test_bpe_token_ids_sum_equals_count_and_ids_deterministic(spark):
+    """The token-ID tier (r14): per document,
+    len(with_bpe_token_ids(...)) == with_bpe_token_count(...) — the
+    count tier IS the id tier's length, proven by running BOTH
+    mapInPandas encoders over the same rows — and the ids themselves
+    follow the deterministic scheme (codepoint for single chars,
+    BPE_MERGED_ID_BASE + min-rank for merged tokens)."""
+    merges = T.load_bpe_merges()
+    texts = [
+        "DataFrame partition shuffle the dataframe",
+        "internationalization stations rationing dictionary",
+        "thththth sessession 1000000007 zzzqqq",
+        "select col from table where value, order by key!",
+        "", "a", None, "x\x1fy the\x1eend",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = {
+        r["i"]: r
+        for r in T.with_bpe_token_count(
+            T.with_bpe_token_ids(df, merges, out_col="ids"),
+            merges, out_col="n",
+        ).collect()
+    }
+    ranks = {p: j for j, p in enumerate(merges)}
+    mids = T.bpe_merged_token_ids(merges)
+    import re
+
+    rx = re.compile(T.BPE_PRETOKEN_RE, re.ASCII)
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert len(r["ids"]) == r["n"], (t, r)
+        # independent per-word reconstruction of the expected ids
+        want: list[int] = []
+        for w in rx.findall((t or "").replace("\x1e", "").replace("\x1f", "")):
+            for tok in T.bpe_encode_word(w, ranks):
+                want.append(
+                    ord(tok) if len(tok) == 1 else mids[tok]
+                )
+        assert list(r["ids"]) == want, (t, r["ids"], want)
+        for v in r["ids"]:
+            if v >= T.BPE_MERGED_ID_BASE:
+                assert v - T.BPE_MERGED_ID_BASE < len(merges)
+            else:
+                assert 0 <= v <= 0x10FFFF
+
+
+def test_bpe_merged_token_ids_min_rank_on_duplicate_strings():
+    """Two merges CAN produce the same token string ((a,bc) vs
+    (ab,c)); the id map must key the STRING at the LOWEST producing
+    rank so the id is a function of the token, not of which merge
+    fired."""
+    merges = (("a", "b"), ("ab", "c"), ("a", "bc"))
+    mids = T.bpe_merged_token_ids(merges)
+    assert mids["ab"] == T.BPE_MERGED_ID_BASE + 0
+    assert mids["abc"] == T.BPE_MERGED_ID_BASE + 1  # not rank 2

@@ -1086,6 +1086,128 @@ def apply_dim_permutation(
     return df.select(F.col(id_col), out.alias(vec_col))
 
 
+def opq_pair_rotation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> list[tuple[int, int]]:
+    """Trained PAIRING for the OPQ family's rotation member (r14):
+    Ge et al.'s full non-parametric rotation alternates Lloyd with an
+    SVD/Procrustes step no SQL engine can replay exactly; the
+    replayable subfamily a relational engine CAN train is a
+    block-diagonal scaled Hadamard over a LEARNED dimension matching
+    — which pairs of dims get mixed is trained from the data's
+    covariance, then every pair rotates by the same exact-integer
+    2x2 [[1,1],[1,-1]] (uniform sqrt(2) scale: all squared L2
+    distances scale by exactly 2, so exact ground truth computed on
+    the un-rotated relation stays valid — the pq_opq_recall
+    power-of-two playbook).
+
+    Matching rule, deterministic hence oracle-replayable: per dim,
+    the best partner maximizes (ROUND(|cov|, 6) desc, partner asc);
+    MUTUAL best pairs are accepted (a < b); leftover dims pair
+    consecutively in dim order. Returns the pair list.
+
+    Bounded driver materialization: ONE aggregate row of dim means +
+    dim*(dim-1)/2 upper-triangle product means (the
+    opq_dim_permutation precedent — the transform must be a
+    plan-time literal; the aggregate is the only corpus-dependent
+    work, a single map-side pass)."""
+    if dim % 2:
+        raise ValueError(
+            f"opq_pair_rotation: pairing needs an even dim, got {dim}"
+        )
+    # covariance matrix via explode + co-partitioned self-join (a
+    # dim*(dim-1)/2-column single aggregate compiles a 2000-expression
+    # plan — measured ~40x slower than this relational shape, which is
+    # also the one that distributes: the join keys on the vector id).
+    # The rounding happens IN the Spark expression (F.round is the
+    # same half-up rule the DuckDB oracle's ROUND applies), so both
+    # engines compare identical 6-decimal literals.
+    flat = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(as_double(vec_col)).alias("d", "x"),
+    )
+    means = flat.groupBy("d").agg(F.avg("x").alias("mu"))
+    a_side = flat.select(
+        "_rid", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b_side = flat.select(
+        "_rid", F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    prods = (
+        a_side.join(b_side, "_rid")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.avg(F.col("xa") * F.col("xb")).alias("pavg"))
+    )
+    covs = (
+        prods.join(
+            F.broadcast(means.select(F.col("d").alias("da"),
+                                     F.col("mu").alias("ma"))), "da")
+        .join(
+            F.broadcast(means.select(F.col("d").alias("db"),
+                                     F.col("mu").alias("mb"))), "db")
+        .select(
+            "da", "db",
+            F.round(
+                F.col("pavg") - F.col("ma") * F.col("mb"), 6
+            ).alias("cv"),
+        )
+        .collect()
+    )
+    if not covs:
+        raise ValueError(
+            "opq_pair_rotation: corpus is empty — no covariances to "
+            "match, nothing to index"
+        )
+    cmat = {(r["da"], r["db"]): r["cv"] for r in covs}
+
+    def cov(a: int, b: int) -> float:
+        lo, hi = min(a, b), max(a, b)
+        return cmat[(lo, hi)]
+
+    best = [
+        min(
+            (d2 for d2 in range(dim) if d2 != d),
+            key=lambda d2: (-abs(cov(d, d2)), d2),
+        )
+        for d in range(dim)
+    ]
+    pairs = [
+        (d, best[d])
+        for d in range(dim)
+        if d < best[d] and best[best[d]] == d
+    ]
+    used = {i for pr in pairs for i in pr}
+    rest = [d for d in range(dim) if d not in used]
+    pairs += [(rest[i], rest[i + 1]) for i in range(0, len(rest), 2)]
+    return pairs
+
+
+def apply_pair_rotation(
+    df: DataFrame,
+    pairs: list[tuple[int, int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec) under the paired scaled Hadamard: for each trained
+    pair (a, b), output position a carries x[a] + x[b] and position b
+    carries x[a] - x[b] — a map-only projection (the
+    apply_dim_permutation shape). Orthogonal up to the uniform
+    sqrt(2) scale, so L2 rankings are preserved exactly."""
+    c = as_double(vec_col)
+    pos: dict[int, Column] = {}
+    for a, b in pairs:
+        xa, xb = F.element_at(c, a + 1), F.element_at(c, b + 1)
+        pos[a] = xa + xb
+        pos[b] = xa - xb
+    dim = len(pos)
+    out = F.array(*[pos[p] for p in range(dim)])
+    return df.select(F.col(id_col), out.alias(vec_col))
+
+
 def pq_codebook_trained(
     embeddings: DataFrame,
     iterations: int = 2,

@@ -405,3 +405,70 @@ def test_opq_dim_permutation_empty_corpus_refuses_loudly(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         S.opq_dim_permutation(df)
+
+
+def test_opq_pair_rotation_trains_matching_and_preserves_l2(spark):
+    """opq_pair_rotation (r14): on a fixture where dim d+HALF carries
+    a scaled copy of dim d, the mutual-best-|covariance| matching
+    recovers every planted pair; apply_pair_rotation is orthogonal up
+    to the uniform sqrt(2) scale (every squared L2 scales by EXACTLY
+    2); odd dims and empty corpora refuse loudly."""
+    import random
+
+    import pytest
+
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    half = S.DIM // 2
+    rows = []
+    # 300 samples: the contaminated dims carry ~17x unit variance, so
+    # their cross-covariance NOISE scales ~5.7/sqrt(n) — at n=40 it
+    # rivals the planted 4*var signal and the matching (correctly)
+    # follows the sample covariance off the plant
+    for i in range(300):
+        e = [rng.uniform(-1, 1) for _ in range(S.DIM)]
+        v = e[:half] + [4.0 * e[d] + e[half + d] for d in range(half)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.opq_pair_rotation(df)
+    assert sorted(pairs) == [(d, d + half) for d in range(half)]
+    out = {r["vec_id"]: r["embedding"]
+           for r in S.apply_pair_rotation(df, pairs).collect()}
+    for i, v in rows[:6]:
+        d_orig = sum((a - b) ** 2 for a, b in zip(rows[0][1], v))
+        d_rot = sum((a - b) ** 2 for a, b in zip(out[0], out[i]))
+        assert abs(d_rot - 2.0 * d_orig) < 1e-9 * max(1.0, d_orig)
+    with pytest.raises(ValueError, match="even dim"):
+        S.opq_pair_rotation(df, dim=S.DIM - 1)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        S.opq_pair_rotation(empty)
+
+
+def test_opq_pair_rotation_leftover_dims_pair_consecutively(spark):
+    """Dims with no mutual best partner (three-way covariance chains)
+    still end up paired — consecutively in dim order — so the
+    Hadamard stays total and the uniform x2 scale holds."""
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    # dim0's best is dim1; dim1's best is dim0 (mutual). dims 2..5:
+    # engineered chain where 2->3, 3->2 mutual as well; with DIM=8
+    # use a tiny dim override
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        a, b, c0 = rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)
+        # 0 and 1 strongly correlated; 2 weakly with both 0 and 1;
+        # 3..7 independent
+        v = [a, a + 0.01 * rng.uniform(-1, 1), 0.5 * a + 0.5 * b, b,
+             c0, rng.uniform(-1, 1), rng.uniform(-1, 1),
+             rng.uniform(-1, 1)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.opq_pair_rotation(df, dim=8)
+    flat = sorted(i for pr in pairs for i in pr)
+    assert flat == list(range(8))  # total: every dim in exactly one pair
+    assert len(pairs) == 4

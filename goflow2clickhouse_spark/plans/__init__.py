@@ -18,119 +18,123 @@ from . import corpus_queries as _corpus_queries  # noqa: F401, E402
 from . import tpch_queries as _tpch_queries  # noqa: F401, E402
 
 # Driver-coverage rotation: the correctness driver verifies only the
-# first 50 registry entries each round. After round 12 every
+# first 50 registry entries each round. After round 13 every
 # registered name is driver-green (newest-green histogram:
-# 45 r9 / 45 r10 / 50 r11 / 50 r12, computed from the
-# CORRECTNESS_r1-r12 union). Round 13's window, per the r12 verdict
+# 44 r10 / 50 r11 / 50 r12 / 50 r13, computed from the
+# CORRECTNESS_r1-r13 union). Round 14's window, per the r13 verdict
 # item 1:
-# (a) the 45 r9-STALE spill names FIRST (the oldest rows in the
-#     registry at 4 rounds stale: the 43 names the r12 header listed
-#     plus pq_batch_probe and pq_index_recall, displaced from r12's
-#     window by that round's new-query gate);
-# (b) the 4 queries NEW this round, which MUST take window slots (the
-#     r6 lesson): text_bpe_token_counts_trained (the production-scale
-#     BPE tier — trained 2000-merge table, mapInPandas encoder,
-#     recursive-CTE min-rank oracle; verdict item 2),
-#     bpe_train_merges_demo (BPE TRAINING replayed end to end as
-#     unrolled CTEs — the trainer meets the Lloyd-quantizer standard),
-#     multimodal_phash_neardup (DCT perceptual-hash image near-dup —
-#     the codec family composed with the dedup family's
-#     never-all-pairs band join; verdict item 3), and pq_opq_recall
-#     (OPQ via trained variance-balancing dimension permutation,
-#     plain 0.375 vs permuted 0.6375 mean recall@10 on the
-#     anisotropic fixture; verdict item 6);
-# (c) one name from the next-oldest (r10-green) pool:
-#     bloom_seen_filter (alphabetically first of the 45).
-# 45 + 4 + 1 = 50 exactly.
+# (a) the 44 r10-STALE spill names FIRST (the oldest rows in the
+#     registry at 4 rounds stale — the list the r13 header recorded);
+# (b) the 6 queries NEW this round, which MUST take window slots (the
+#     r6 lesson): multimodal_phash_jpeg_neardup (the image-dedup
+#     bridge pinned through the LOSSY leg — pHash across the repo's
+#     own baseline JPEG, gray and 4:2:0; verdict item 2),
+#     incremental_image_dedup_indexed and
+#     incremental_image_dedup_deleted (the persisted pHash band
+#     index — the seventh layout, crawl-loop image dedup with the
+#     full append/delete/compact lifecycle; verdict item 3),
+#     text_bpe_token_ids (token-ID emission under the trained table,
+#     the sum(len(ids)) == bpe_tokens invariant driver-checked) and
+#     token_budget_selection_bpe_trained (budget billed by the
+#     production tokenizer tier; both verdict item 4), and
+#     pq_opq_rotation_recall (the OPQ ROTATION member: trained
+#     mutual-best-covariance matching + paired scaled Hadamard,
+#     rotated 0.4625 vs permuted 0.4125 on the correlated-dims
+#     fixture; verdict item 6 stretch).
+# 44 + 6 = 50 exactly.
 #
 # Changed-but-NOT-windowed (the policy's honesty clause): NO query
 # changed RESULTS this round. Code touched with results UNCHANGED —
 # every name re-proven against its oracle at sf0.01 on a vanilla
 # session in-round after the change:
-#   - the rerank-capable probe bodies (r12-advice fixes: pq_index_probe
-#     now collects the validated query vector once and feeds LUT +
-#     exact tier the same literal; _batch_rerank_exact gained the
-#     loud missing-id fetch): pq_index_probe, pq_batch_probe,
-#     ivfpq_probe, ivfpq_batch_probe, ivfpq_rerank_probe,
-#     ivfpq_rerank_recall, pq_rerank_recall, ivfpq_batch_rerank,
-#     ivfpq_residual_batch_probe, ivfpq_residual_batch_rerank,
-#     ivfpq_rerank_batch_recall — all compared OK in-session;
-#   - meta_mutex acquire/release (atomic rename-with-token) touches
-#     no query plan.
-# The remaining 44 r10-green names spill to r14, FIRST there
-# (alphabetical: bm25_topk, ch_dialect_port_profile,
-# ch_dialect_sampler_profile, ch_dialect_top_talkers,
-# cms_heavy_hitters, corpus_vocab_topk, customer_order_value_windows,
-# decontamination_stats, dedup_cluster_sizes_bigstar, dedup_simhash,
-# distinct_customers_per_priority, doc_chunk_offsets,
-# doc_fingerprint_dups, dsir_importance_topk, events_stream_neardup,
-# events_windowed_hll, flows_bitrate_timeseries,
-# flows_conversation_matrix, flows_conversation_sessions,
-# flows_duration_histogram, ivfpq_trained_recall, knn_pagerank,
-# multimodal_decode_gif, multimodal_decode_jpeg,
-# multimodal_decode_png, pq_trained_recall, q10_returned_items,
-# q11_important_stock, q15_top_supplier, q1_pricing_summary,
-# q3_shipping_priority, q5_local_supplier_volume,
-# q6_forecast_revenue, quality_classifier_scores,
-# reservoir_sample_per_source, rollup_pricing,
-# running_total_per_customer, similarity_ann_recall,
-# similarity_batch_topk, sq_batch_probe, sq_index_probe, sq_recall,
-# text_dupngram_fraction, top_customer_per_nation), then the r11
-# pool.
+#   - bpe_train_merges_demo (r13-advice regex-literal fix: the
+#     pre-token column is now built with F.regexp_extract_all, not an
+#     F.expr SQL string);
+#   - multimodal_phash_neardup (r13-advice ASCII gate on both legs —
+#     a no-op on the ASCII fixtures; hash relation persisted; oracle
+#     text refactored into the shared head + tail generators);
+#   - pq_opq_recall (the permutation-replay CTEs factored into
+#     _opq_perm_ctes(src) — generated oracle text identical);
+#   - text_bpe_token_counts_trained and token_budget_selection_bpe
+#     (bpe_count_word is now len(bpe_encode_word(...)) — same loop,
+#     shared with the new id tier).
+# The spill pool after r14 is the 50 r11-green names — they go FIRST
+# into the r15 window, leaving ZERO slots for new queries unless some
+# of these are displaced to r16 (document any displacement here).
+# Alphabetical: bigram_pmi_top, corpus_curation_funnel,
+# dedup_cluster_sizes, doc_packing_assign, embedding_cluster_sizes,
+# embedding_label_centroids, embedding_neardup_lsh,
+# embedding_neardup_pairs, embedding_quantize_error,
+# events_stream_dedup, filtered_ann_ivf, filtered_ann_recall,
+# flows_ingest_transform, flows_maintenance_overlap,
+# flows_port_fanout, flows_protocol_breakdown,
+# flows_sampler_utilization, flows_tcp_syn_only, flows_top_talkers,
+# flows_tumbling_traffic, hll_distinct_customers,
+# incremental_dedup_deleted, incremental_dedup_indexed,
+# incremental_dedup_newbatch, ivf_append_probe, ivf_batch_probe,
+# ivf_index_probe, ivfpq_fully_trained_recall, ivfsq_batch_probe,
+# ivfsq_probe, ivfsq_recall, ivfsq_trained_recall,
+# jl_projection_recall, multimodal_decode_jpeg420,
+# nation_balance_full_outer, nation_coverage_set_ops,
+# order_value_buckets, orders_above_global_avg, part_brand_stats,
+# pq_adc_topk, pq_deleted_probe, price_percentiles,
+# priority_revenue_union, q12_shipmode_priority,
+# q21_suppliers_kept_waiting, q2_min_cost_supplier,
+# q4_order_priority, semdedup_prune, source_mixture_weights,
+# token_budget_selection. Then the r12 pool.
 promote([
-    # (a) the 45 r9-stale spill names, FIRST
-    "approx_distinct_customers",
-    "big_spender_customers_semi",
-    "corpus_quality_filter",
-    "cube_order_counts",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "dataset_split_counts",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_sample_stats",
-    "doc_length_deciles",
-    "doc_packing_stats",
-    "documents_profile",
-    "embedding_knn_graph",
-    "events_funnel_pairs",
-    "events_json_extract",
-    "events_json_variant",
-    "events_minutely",
-    "events_sessionization",
-    "events_sliding_windows",
-    "events_user_funnel",
-    "filtered_ann_topk",
-    "flows_site_traffic",
-    "flows_zorder_tiles",
-    "global_shuffle_shards",
-    "ipv6_address_classes",
-    "ipv6_site_traffic",
-    "ivfpq_residual_probe",
-    "ivfpq_residual_recall",
-    "multimodal_blob_schema",
-    "multimodal_decode_audio",
-    "multimodal_decode_image",
-    "orders_asof_last_event",
-    "orders_asof_next_event",
-    "orders_asof_union_timeline",
-    "pq_batch_probe",
-    "pq_compacted_probe",
-    "pq_index_recall",
-    "price_quantile_sketch",
-    "q16_parts_supplier_relationship",
-    "text_word_entropy",
-    "top_terms_tfidf",
-    "weighted_sample_orders",
+    # (a) the 44 r10-stale spill names, FIRST
+    "bm25_topk",
+    "ch_dialect_port_profile",
+    "ch_dialect_sampler_profile",
+    "ch_dialect_top_talkers",
+    "cms_heavy_hitters",
+    "corpus_vocab_topk",
+    "customer_order_value_windows",
+    "decontamination_stats",
+    "dedup_cluster_sizes_bigstar",
+    "dedup_simhash",
+    "distinct_customers_per_priority",
+    "doc_chunk_offsets",
+    "doc_fingerprint_dups",
+    "dsir_importance_topk",
+    "events_stream_neardup",
+    "events_windowed_hll",
+    "flows_bitrate_timeseries",
+    "flows_conversation_matrix",
+    "flows_conversation_sessions",
+    "flows_duration_histogram",
+    "ivfpq_trained_recall",
+    "knn_pagerank",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "pq_trained_recall",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "quality_classifier_scores",
+    "reservoir_sample_per_source",
+    "rollup_pricing",
+    "running_total_per_customer",
+    "similarity_ann_recall",
+    "similarity_batch_topk",
+    "sq_batch_probe",
+    "sq_index_probe",
+    "sq_recall",
+    "text_dupngram_fraction",
+    "top_customer_per_nation",
     # (b) new this round
-    "bpe_train_merges_demo",
-    "multimodal_phash_neardup",
-    "pq_opq_recall",
-    "text_bpe_token_counts_trained",
-    # (c) first of the r10-green pool
-    "bloom_seen_filter",
+    "incremental_image_dedup_deleted",
+    "incremental_image_dedup_indexed",
+    "multimodal_phash_jpeg_neardup",
+    "pq_opq_rotation_recall",
+    "text_bpe_token_ids",
+    "token_budget_selection_bpe_trained",
 ])
 
 __all__ = [

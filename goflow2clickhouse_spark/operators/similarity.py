@@ -1046,20 +1046,30 @@ def opq_dim_permutation(
     a plan-time literal for the downstream projection, and the
     aggregate is the only corpus-size-dependent work."""
     c = as_double(vec_col)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for d in range(dim):
         x = F.element_at(c, d + 1)
         aggs.append(
             F.round(F.avg(x * x) - F.avg(x) * F.avg(x), 6).alias(f"v{d}")
         )
     row = df.agg(*aggs).first()
-    if row is None or any(row[f"v{d}"] is None for d in range(dim)):
+    if row is None or int(row["_n"]) == 0:
         # an empty relation aggregates to one all-NULL row; fail with
         # the index builders' loud empty-corpus diagnostic instead of
         # a TypeError inside the sort key (r13 advice)
         raise ValueError(
             "opq_dim_permutation: corpus is empty — no variances to "
             "rank, nothing to index"
+        )
+    short = [d for d in range(dim) if row[f"v{d}"] is None]
+    if short:
+        # non-empty corpus, NULL variance: the vectors are shorter
+        # than `dim` (element_at past the end is NULL) — a different
+        # defect than emptiness, named as such (r14 review)
+        raise ValueError(
+            f"opq_dim_permutation: dims {short[:4]}... aggregate to "
+            f"NULL variance over a non-empty corpus — the vectors are "
+            f"shorter than dim={dim} (or carry NULL elements)"
         )
     ranked = sorted(range(dim), key=lambda d: (-row[f"v{d}"], d))
     blocks: list[list[int]] = [[] for _ in range(m)]
@@ -1163,6 +1173,17 @@ def opq_pair_rotation(
             "match, nothing to index"
         )
     cmat = {(r["da"], r["db"]): r["cv"] for r in covs}
+    if len(cmat) != dim * (dim - 1) // 2 or any(
+        v is None for v in cmat.values()
+    ):
+        # missing pairs / NULL covariances mean the vectors are
+        # shorter than `dim` (posexplode emits only real elements) —
+        # name the defect instead of a KeyError in cov() (r14 review)
+        raise ValueError(
+            f"opq_pair_rotation: expected {dim * (dim - 1) // 2} "
+            f"covariances, got {len(cmat)} non-NULL — the vectors "
+            f"are shorter than dim={dim} (or carry NULL elements)"
+        )
 
     def cov(a: int, b: int) -> float:
         lo, hi = min(a, b), max(a, b)

@@ -4990,7 +4990,7 @@ def pq_opq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth on the un-rotated relation stays valid — the pq_opq_recall
     power-of-two playbook), then train the variance permutation over
     the ROTATED relation and Lloyd-train PQ on the result. Measured
-    at sf0.01: permuted-only 0.4125 vs rotated 0.45 mean recall@10,
+    at sf0.01: permuted-only 0.4125 vs rotated 0.4625 mean recall@10,
     same exact side — the matching discovers all 32 planted pairs.
     The oracle replays the fixture, the covariance MATCHING training,
     the Hadamard, both permutation trainings, both Lloyd trainings,
@@ -5913,10 +5913,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Block-constant geometry shared by the Spark leg and the oracle:
-# wb x hb blocks of 8x8 (wb = 3 + i%2, hb = 3 + (i//2)%2), block j
-# (row-major) constant at text byte (j + doc_id) % len — the +doc_id
-# offset decorrelates documents that merely share a prefix (the
-# 31-word fixture vocabulary would otherwise clique).
+# wb x hb blocks of 8x8 (wb = 3 + (i//4)%2, hb = 3 + (i//8)%2 — the
+# geometry varies on i//4 because the corpus gate keeps doc_id % 4
+# == 0, under which i%2-driven variation would be constant; r14
+# review), block j (row-major) constant at text byte (j + doc_id) %
+# len — the +doc_id offset decorrelates documents that merely share
+# a prefix (the 31-word fixture vocabulary would otherwise clique).
 _PHASH_JPEG_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents
               WHERE length(text) > 0
@@ -5924,14 +5926,15 @@ WITH base AS (SELECT doc_id, text FROM documents
                 AND doc_id % 4 = 0),
 kt(u, x, kv) AS (VALUES {KT}),
 imgs AS (
-    SELECT doc_id AS id, doc_id AS did, 3 + doc_id % 2 AS wb,
-           3 + (doc_id // 2) % 2 AS hb, 0 AS jp, text FROM base
+    SELECT doc_id AS id, doc_id AS did, 3 + (doc_id // 4) % 2 AS wb,
+           3 + (doc_id // 8) % 2 AS hb, 0 AS jp, text FROM base
     UNION ALL
-    SELECT doc_id + 1000000, doc_id, 3 + doc_id % 2,
-           3 + (doc_id // 2) % 2, 1, text FROM base
+    SELECT doc_id + 1000000, doc_id, 3 + (doc_id // 4) % 2,
+           3 + (doc_id // 8) % 2, 1, text FROM base
     UNION ALL
-    SELECT doc_id + 2000000, doc_id, 3 + doc_id % 2,
-           3 + (doc_id // 2) % 2, 1, text FROM base WHERE doc_id % 8 = 0
+    SELECT doc_id + 2000000, doc_id, 3 + (doc_id // 4) % 2,
+           3 + (doc_id // 8) % 2, 1, text FROM base
+    WHERE doc_id % 8 = 0
 ),
 -- grid cell (gy, gx) samples pixel ((gy*h)//32, (gx*w)//32); its
 -- block is (py//8, px//8); jp = 1 applies the exact-DC JPEG
@@ -6025,7 +6028,7 @@ def multimodal_phash_jpeg_neardup(
                 raw = text.encode("utf-8")
                 if not raw:
                     continue  # oracle's length(text) > 0 filter
-                wb, hb = 3 + i % 2, 3 + (i // 2) % 2
+                wb, hb = 3 + (i // 4) % 2, 3 + (i // 8) % 2
                 w, h = wb * 8, hb * 8
                 img = bytearray(w * h)
                 for j in range(wb * hb):

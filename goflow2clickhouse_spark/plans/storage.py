@@ -1305,6 +1305,7 @@ def _phash_band_rows(
     return out
 
 
+@_meta_locked
 def write_phash_index(
     sigs: DataFrame,
     path: str,
@@ -1413,6 +1414,22 @@ def append_to_phash_index(
         norm.unpersist()
 
 
+def _phash_index_parts(spark: SparkSession, index_path: str):
+    """(meta, [artifact dirs]) of the committed pHash index —
+    _band_index_parts' seventh-layout twin (r14 review: the probe
+    used to re-inline this gate)."""
+    from ..versioned import current_meta, version_dir
+
+    meta = current_meta(spark, index_path)
+    if not meta:
+        raise FileNotFoundError(
+            f"no committed phash index under {index_path}"
+        )
+    _require_kind(meta, "phash", index_path)
+    base = version_dir(index_path, int(meta["version"]))
+    return meta, _delta_dirs(base, meta)
+
+
 def incremental_phash_pairs_indexed(
     new_sigs: DataFrame,
     index_path: str,
@@ -1438,7 +1455,7 @@ def incremental_phash_pairs_indexed(
     import posixpath
 
     from ..operators.dedup import tie_cache
-    from ..versioned import check_meta, current_meta, version_dir
+    from ..versioned import check_meta
 
     if max_hamming > 3:
         raise ValueError(
@@ -1446,16 +1463,9 @@ def incremental_phash_pairs_indexed(
             f"got {max_hamming}"
         )
     spark = new_sigs.sparkSession
-    meta = current_meta(spark, index_path)
-    if not meta:
-        raise FileNotFoundError(
-            f"no committed phash index under {index_path}"
-        )
-    _require_kind(meta, "phash", index_path)
+    meta, dirs = _phash_index_parts(spark, index_path)
     check_meta(meta, {"phash_bands": PHASH_BANDS}, index_path)
     idx_id = str(meta.get("id_col", "doc_id"))
-    base = version_dir(index_path, int(meta["version"]))
-    dirs = _delta_dirs(base, meta)
 
     # the batch side is referenced twice (band keys + verify); if it
     # came off an expensive codec map each reference would re-decode —
@@ -1475,17 +1485,12 @@ def incremental_phash_pairs_indexed(
         if tombs is not None:
             bk_old = bk_old.join(F.broadcast(tombs), idx_id, "left_anti")
             h_old = h_old.join(F.broadcast(tombs), idx_id, "left_anti")
-        bk_new = _phash_band_rows(
-            sigs_new, "id_b", "sig_b"
-        ).withColumnRenamed("band_key", "band_key_b")
+        bk_new = _phash_band_rows(sigs_new, "id_b", "sig_b")
         cand = (
             bk_old.select(
                 F.col(idx_id).alias("id_a"), "band_no", "band_key"
             )
-            .join(
-                bk_new.withColumnRenamed("band_key_b", "band_key"),
-                ["band_no", "band_key"],
-            )
+            .join(bk_new, ["band_no", "band_key"])
             .select("id_a", "id_b")
             .distinct()
         )
@@ -1974,7 +1979,8 @@ def _require_unique_qids(
         )
 
 
-_KIND_LABELS = {"band": "band", "ivf": "IVF", "pq": "PQ", "sq": "SQ",
+_KIND_LABELS = {"band": "band", "phash": "pHash band", "ivf": "IVF",
+                "pq": "PQ", "sq": "SQ",
                 "ivfsq": "IVF-SQ", "ivfpq": "IVF-PQ"}
 
 
@@ -3338,7 +3344,7 @@ def compact_index(
     `a{1..j}` legs, so a year of daily appends is 365 parquet legs in
     every probe plan; compaction rewrites them as ONE leg under
     `v{N+1}/` and re-commits with the append counter reset. Works on
-    all six layouts (band / filtered-IVF / PQ / SQ / IVF-SQ / IVF-PQ), reading
+    all seven layouts (band / pHash / filtered-IVF / PQ / SQ / IVF-SQ / IVF-PQ), reading
     ONLY the index itself — the corpus is never scanned (at 100 TB
     that is the point: the index data legs are hash/code/assignment
     relations, orders of magnitude smaller than the text/floats they

@@ -1582,7 +1582,11 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the BMP/WAV twins; the codec cost is per-row Python over tiny
     payloads — at 100 TB this operator's scale story is the Arrow
     batch pipe and partition-parallel decode, not the toy geometry."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the per-row pure-Python codec work: the fixture
+    # parquet is one split (the jpeg-leg query's rule, r14)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def batches(it):
         import pandas as pd
@@ -5472,7 +5476,11 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     (palette[t] = (t, 3t mod 256, 7t mod 256)) — it matches only if
     the LZW round-trip returns the exact index stream. Same
     no-shuffle mapInPandas shape as the BMP/PNG/WAV twins."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the per-row pure-Python codec work: the fixture
+    # parquet is one split (the jpeg-leg query's rule, r14)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def batches(it):
         import pandas as pd
@@ -5536,7 +5544,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP/PNG/GIF/WAV twins."""
     from ..operators import jpeg as J
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the per-row pure-Python codec work: the fixture
+    # parquet is one split (the jpeg-leg query's rule, r14)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def batches(it):
         import pandas as pd
@@ -5611,9 +5623,13 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2 s (every codec path still executes every driver run)."""
     from ..operators import jpeg as J
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    # spread the per-row pure-Python codec work: the fixture
+    # parquet is one split (the jpeg-leg query's rule, r14)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(
         F.col("doc_id") % 4 == 0
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def batches(it):
         import pandas as pd
@@ -5684,9 +5700,13 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (doc_id % 4 = 1), for the same pure-Python cost reason."""
     from ..operators import jpeg as J
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    # spread the per-row pure-Python codec work: the fixture
+    # parquet is one split (the jpeg-leg query's rule, r14)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(
         F.col("doc_id") % 4 == 1
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def batches(it):
         import pandas as pd
@@ -5855,6 +5875,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.length("text") == F.octet_length("text"))
+        # spread the per-row codec work: the fixture parquet is one
+        # split (the jpeg-leg query's rule, r14)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def batches(it):

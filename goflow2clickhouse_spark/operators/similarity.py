@@ -1041,37 +1041,50 @@ def opq_dim_permutation(
     block hoarding it. Returns the 0-based permutation: output
     position p reads input dimension perm[p].
 
-    Bounded driver materialization: ONE aggregate row of `dim`
-    variances (the probed-cells precedent) — the permutation must be
-    a plan-time literal for the downstream projection, and the
-    aggregate is the only corpus-size-dependent work."""
+    Bounded driver materialization: `dim` (dim, variance) rows (the
+    probed-cells precedent) — the permutation must be a plan-time
+    literal for the downstream projection, and the aggregate is the
+    only corpus-size-dependent work. Shape (r14 optimization round):
+    posexplode → narrow groupBy(d) aggregate. The former single-row
+    form compiled 3 aggregate expressions per dimension (193 total at
+    dim=64) and measured 1.67 s warm at sf0.1 — almost all plan
+    compilation; the exploded form is 0.36 s with a 4-expression
+    aggregate, produces the identical ROUND(AVG(x*x)-AVG(x)^2, 6)
+    doubles, and map-side partial aggregation keeps the shuffle at
+    `dim` rows per task regardless of corpus size."""
     c = as_double(vec_col)
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for d in range(dim):
-        x = F.element_at(c, d + 1)
-        aggs.append(
-            F.round(F.avg(x * x) - F.avg(x) * F.avg(x), 6).alias(f"v{d}")
+    rows = (
+        df.select(F.posexplode(c).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.round(
+                F.avg(F.col("x") * F.col("x"))
+                - F.avg("x") * F.avg("x"),
+                6,
+            ).alias("v")
         )
-    row = df.agg(*aggs).first()
-    if row is None or int(row["_n"]) == 0:
-        # an empty relation aggregates to one all-NULL row; fail with
-        # the index builders' loud empty-corpus diagnostic instead of
-        # a TypeError inside the sort key (r13 advice)
+        .collect()
+    )
+    if not rows:
+        # nothing exploded: no rows (or only NULL/empty vectors) —
+        # fail with the index builders' loud empty-corpus diagnostic
+        # instead of a TypeError inside the sort key (r13 advice)
         raise ValueError(
             "opq_dim_permutation: corpus is empty — no variances to "
             "rank, nothing to index"
         )
-    short = [d for d in range(dim) if row[f"v{d}"] is None]
+    vs = {r["d"]: r["v"] for r in rows}
+    short = [d for d in range(dim) if vs.get(d) is None]
     if short:
-        # non-empty corpus, NULL variance: the vectors are shorter
-        # than `dim` (element_at past the end is NULL) — a different
-        # defect than emptiness, named as such (r14 review)
+        # non-empty corpus, missing/NULL variance: the vectors are
+        # shorter than `dim` (those positions never explode) — a
+        # different defect than emptiness, named as such (r14 review)
         raise ValueError(
             f"opq_dim_permutation: dims {short[:4]}... aggregate to "
             f"NULL variance over a non-empty corpus — the vectors are "
             f"shorter than dim={dim} (or carry NULL elements)"
         )
-    ranked = sorted(range(dim), key=lambda d: (-row[f"v{d}"], d))
+    ranked = sorted(range(dim), key=lambda d: (-vs[d], d))
     blocks: list[list[int]] = [[] for _ in range(m)]
     for r, d in enumerate(ranked):
         j = r % (2 * m)
@@ -1128,28 +1141,38 @@ def opq_pair_rotation(
         raise ValueError(
             f"opq_pair_rotation: pairing needs an even dim, got {dim}"
         )
-    # covariance matrix via explode + co-partitioned self-join (a
-    # dim*(dim-1)/2-column single aggregate compiles a 2000-expression
-    # plan — measured ~40x slower than this relational shape, which is
-    # also the one that distributes: the join keys on the vector id).
-    # The rounding happens IN the Spark expression (F.round is the
-    # same half-up rule the DuckDB oracle's ROUND applies), so both
-    # engines compare identical 6-decimal literals.
-    flat = df.select(
-        F.col(id_col).alias("_rid"),
-        F.posexplode(as_double(vec_col)).alias("d", "x"),
-    )
+    # Upper-triangle product means via two chained generators — no
+    # join at all (r14 optimization round; guide §2.4 "remove shuffles
+    # outright"). The former shape exploded to (rid, d, x) and
+    # self-joined on the vector id: 2·dim·N rows through the join
+    # exchange before the aggregate. Here each row fans out to its
+    # dim elements, each element to the pairs it heads
+    # (posexplode of the tail slice, db = da + 1 + off), and the
+    # groupBy's map-side partial aggregation collapses everything to
+    # dim·(dim-1)/2 cells per task before the only shuffle — measured
+    # 1.03 s → 0.67 s at sf0.1 with the identical trained pairing.
+    # (A dim*(dim-1)/2-column single aggregate compiles a
+    # 2000-expression plan — measured ~40x slower than either
+    # relational shape.) The rounding happens IN the Spark expression
+    # (F.round is the same half-up rule the DuckDB oracle's ROUND
+    # applies), so both engines compare identical 6-decimal literals.
+    c = as_double(vec_col)
+    flat = df.select(F.posexplode(c).alias("d", "x"))
     means = flat.groupBy("d").agg(F.avg("x").alias("mu"))
-    a_side = flat.select(
-        "_rid", F.col("d").alias("da"), F.col("x").alias("xa")
+    heads = df.select(c.alias("_v")).select(
+        F.col("_v"), F.posexplode("_v").alias("da0", "xa")
     )
-    b_side = flat.select(
-        "_rid", F.col("d").alias("db"), F.col("x").alias("xb")
+    elems = heads.select(
+        "da0", "xa",
+        F.posexplode(
+            F.slice(F.col("_v"), F.col("da0") + 2, F.lit(dim))
+        ).alias("off", "xb"),
     )
     prods = (
-        a_side.join(b_side, "_rid")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
+        elems.groupBy(
+            F.col("da0").alias("da"),
+            (F.col("da0") + 1 + F.col("off")).alias("db"),
+        )
         .agg(F.avg(F.col("xa") * F.col("xb")).alias("pavg"))
     )
     covs = (

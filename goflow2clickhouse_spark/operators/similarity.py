@@ -812,6 +812,19 @@ def knn_graph_blocked(
         as_double(vec_col).alias("_v"),
         blk.alias("_blk"),
     ).withColumn("_n", norm(F.col("_v")))
+    # Pin the block partitioning EXPLICITLY (r14 optimization round):
+    # the within-cell pair work is compute-heavy per byte (a dim-wide
+    # dot per pair), so AQE's byte-based coalescing — which sizes the
+    # post-shuffle stage by its KB of input — serialized the whole
+    # O(sum cell²) rerank onto one task. A user repartition is final
+    # (AQE does not coalesce it), both join sides inherit it, and the
+    # self-join then needs no further exchange: measured 1.4 s → 0.8 s
+    # per graph build at sf0.1, identical edges. Parallelism stays
+    # bounded by the cell count regardless of the constant here;
+    # defaultParallelism adapts to the cluster's cores.
+    b = b.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "_blk"
+    )
     a = b.select(
         F.col(id_col).alias("_src"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"), "_blk",
@@ -914,7 +927,17 @@ def _semdedup_from_assignment(
     both pair sides and the output join."""
     from .dedup import tie_cache
 
-    m = m.persist()
+    # Pin the cell partitioning before persisting (r14 optimization
+    # round, the knn_graph_blocked rule): the within-cell pair compare
+    # is compute-heavy per byte, and AQE's byte-based coalescing
+    # serialized it onto one task at bench scale. A user repartition is
+    # final, both pair sides read the SAME persisted partitioning, and
+    # the cell self-join then needs no exchange at all. Parallelism is
+    # bounded by n_cells either way; defaultParallelism adapts to the
+    # cluster.
+    m = m.repartition(
+        m.sparkSession.sparkContext.defaultParallelism, "cell"
+    ).persist()
     a = m.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("ccos").alias("ccos_a"),

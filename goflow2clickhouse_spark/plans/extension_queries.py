@@ -40,7 +40,44 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
-def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+# documents-scan partition counts observed per (sf_dir, parallelism) —
+# plan METADATA (an int from the parquet layout), not query results:
+# every invocation still computes everything from the parquet inputs.
+# The memo only skips re-planning the same scan to re-learn its split
+# count (measured ~0.25 s per fresh DataFrame).
+_CORPUS_SCAN_PARTS: dict[tuple[str, int], int] = {}
+
+
+def _spread_small_scan(
+    spark: SparkSession, sf_dir: str, df: DataFrame
+) -> DataFrame:
+    """Scale-adaptive spread (r14 optimization round, guide §2.5 "input
+    skew ... repartition immediately after the read"): corpus consumers
+    start with CPU-heavy per-row work (md5 shingle hashing, regex/
+    split, mapInPandas tokenizers), and the fixture parquet is a single
+    row group, so the whole family ran its map work on 3 tasks while
+    the other 29 cores idled. Repartition ONLY when the documents scan
+    cannot feed the session's parallelism — on a production corpus the
+    scan has orders of magnitude more splits than cores and this is a
+    no-op (an unconditional repartition there would COALESCE the scan
+    onto #cores partitions, a scale bug). Call it AFTER any source
+    filter, never before — a repartition below a filter blocks
+    predicate pushdown to the scan (the incremental-dedup split pays
+    doc_id pushdown on every leg)."""
+    par = spark.sparkContext.defaultParallelism
+    key = (sf_dir, par)
+    n_in = _CORPUS_SCAN_PARTS.get(key)
+    if n_in is None:
+        n_in = load_table(
+            spark, sf_dir, "documents"
+        ).rdd.getNumPartitions()
+        _CORPUS_SCAN_PARTS[key] = n_in
+    return df.repartition(par) if n_in < par else df
+
+
+def corpus(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -49,7 +86,10 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")
     )
-    return d.unionByName(near).unionByName(exact)
+    out = d.unionByName(near).unionByName(exact)
+    # callers that immediately FILTER the corpus pass spread=False and
+    # spread the filtered legs themselves (pushdown, see helper above)
+    return _spread_small_scan(spark, sf_dir, out) if spread else out
 
 
 _H31 = (
@@ -3116,7 +3156,11 @@ def _incremental_split(
     queries: originals (id < 1e6) are "already ingested"; the planted
     variants (id >= 1e6) plus genuinely novel docs (every word '~q'-
     suffixed, ids +3e6) are "today's crawl"."""
-    c = corpus(spark, sf_dir)
+    # spread=False + per-leg spread AFTER the id filters: the filters
+    # keep pushing down to the parquet scan (a repartition below them
+    # blocked pushdown and shuffled the whole corpus once per leg —
+    # measured +0.8 s on incremental_dedup_newbatch, r14)
+    c = corpus(spark, sf_dir, spread=False)
     novel = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 5)
@@ -3130,8 +3174,13 @@ def _incremental_split(
             ).alias("text"),
         )
     )
-    old = c.filter(F.col("doc_id") < 1000000)
-    new = c.filter(F.col("doc_id") >= 1000000).unionByName(novel)
+    old = _spread_small_scan(
+        spark, sf_dir, c.filter(F.col("doc_id") < 1000000)
+    )
+    new = _spread_small_scan(
+        spark, sf_dir,
+        c.filter(F.col("doc_id") >= 1000000).unionByName(novel),
+    )
     return old, new
 
 

@@ -727,7 +727,7 @@ def ivf_index_probe(
         "ivf_index_probe", query, cents, nprobe,
         "operators/similarity.batch_topk",
     )
-    qv = spark.createDataFrame([(qv_list,)], "_qv array<double>")
+    qv = _local_rel(spark, [(qv_list,)], "_qv array<double>")
     idx = _read_index_cells(spark, path, base, meta).filter(
         F.col("cell").isin(probed)
     )
@@ -1022,6 +1022,40 @@ def _band_index_parts(spark: SparkSession, index_path: str):
 _ARTIFACT_CACHE: dict = {}
 
 
+def _local_rel(spark: SparkSession, data, schema) -> DataFrame:
+    """Tiny driver-built relation planned as a JVM LocalRelation (r14
+    optimization round): `spark.createDataFrame(rows)` plans an
+    ExistingRDD scan whose EVERY execution round-trips a Python worker
+    — measured ~0.25-0.35 s fixed cost even for ONE row, and these
+    relations (query vectors, rerank candidates, quantizer artifacts)
+    sit inside probe plans that execute once per serve. The
+    pandas+Arrow path plans a LocalRelation evaluated in-JVM (sub-ms
+    per execution, bit-identical doubles — Arrow round-trips IEEE754
+    exactly). Columns ride as object dtype so None stays SQL NULL (a
+    float64 column would silently turn None into NaN). Any conversion
+    refusal falls back to the row path — slower, never wrong."""
+    import pandas as pd
+
+    st = (
+        spark.createDataFrame([], schema).schema
+        if isinstance(schema, str)
+        else schema
+    )
+    cols = [f.name for f in st.fields]
+    try:
+        recs = [
+            r.asDict(recursive=True)
+            if hasattr(r, "asDict")
+            else dict(zip(cols, r))
+            for r in data
+        ]
+        pdf = pd.DataFrame.from_records(recs, columns=cols).astype(object)
+        pdf = pdf.where(pd.notna(pdf), None)
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(data, schema)
+
+
 def _version_artifacts(
     spark: SparkSession, path: str, meta: dict, legs: tuple[str, ...]
 ) -> dict[str, DataFrame]:
@@ -1068,7 +1102,7 @@ def _version_artifacts(
             df = spark.read.parquet(posixpath.join(base, leg))
             hit = (df.schema, df.collect())
             _ARTIFACT_CACHE[key] = hit
-        out[leg] = spark.createDataFrame(hit[1], hit[0])
+        out[leg] = _local_rel(spark, hit[1], hit[0])
     _prune_artifact_cache(path, ver, tok)
     return out
 
@@ -1779,7 +1813,8 @@ def _rerank_exact(
         )
     # bounded driver materialization: <= rerank (id, adist) rows
     rows = adc_topr.collect()
-    cand = spark.createDataFrame(
+    cand = _local_rel(
+        spark,
         [
             (
                 int(r[0]),
@@ -1900,7 +1935,7 @@ def pq_index_probe(
         # the LUT and the exact tier the same literal — ivfpq_probe's
         # guarantee, now shared by this layout.
         qv = q1.first()["_qv"]
-        lut_src = spark.createDataFrame([(qv,)], "_qv array<double>")
+        lut_src = _local_rel(spark, [(qv,)], "_qv array<double>")
     else:
         # the plain probe keeps its zero-collect, audited plan shape
         lut_src = q1
@@ -2658,7 +2693,7 @@ def ivfsq_probe(
         "ivfsq_probe", query, arts["centroids"], nprobe,
         "operators/similarity.batch_topk",
     )
-    qdf = spark.createDataFrame([(qv_list,)], "_qv array<double>")
+    qdf = _local_rel(spark, [(qv_list,)], "_qv array<double>")
     idx = _read_index_cells(spark, path, base, meta).filter(
         F.col("cell").isin(probed)
     )
@@ -3094,8 +3129,9 @@ def ivfpq_probe(
         # restated expression / second ranking could drift).
         from ..operators.similarity import ivf_residual, pq_lut_rows
 
-        qrel = spark.createDataFrame(
-            [(c, qv) for c in probed], "cell bigint, _qv array<double>"
+        qrel = _local_rel(
+            spark, [(c, qv) for c in probed],
+            "cell bigint, _qv array<double>",
         )
         qres = ivf_residual(qrel, cents, "_qv", "_qres").select(
             "cell", "_qres"
@@ -3105,7 +3141,7 @@ def ivfpq_probe(
             F.broadcast(luts), "cell"
         )
     else:
-        qrel = spark.createDataFrame([(qv,)], "_qv array<double>")
+        qrel = _local_rel(spark, [(qv,)], "_qv array<double>")
         lut_row = qrel.join(F.broadcast(cb)).select(
             _pq_lut_array().alias("_lut")
         )
@@ -3131,7 +3167,7 @@ def ivfpq_probe(
                 "ivfpq_probe: rerank requires rerank_source (the raw "
                 "corpus relation the index was built from)"
             )
-        qrel_r = spark.createDataFrame([(qv,)], "_qv array<double>")
+        qrel_r = _local_rel(spark, [(qv,)], "_qv array<double>")
         return _rerank_exact(
             spark, adc.limit(rerank), qrel_r, rerank_source,
             k, rerank, "ivfpq_probe",

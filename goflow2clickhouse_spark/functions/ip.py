@@ -365,7 +365,9 @@ def ip6_stride_sites(
         rows.extend(
             (site, signed64(base + i)) for i in range(1 << (key_bits - p))
         )
-    return spark.createDataFrame(rows, "site string, ip6key long")
+    from ..schema import local_rel
+
+    return local_rel(spark, rows, "site string, ip6key long")
 
 
 def ip6_stride_key(hi: Column | str, key_bits: int = 48) -> Column:

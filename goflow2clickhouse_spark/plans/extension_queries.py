@@ -21,7 +21,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from ..schema import load_table
+from ..schema import load_table, local_rel
 from .queries import query
 
 # ---------------------------------------------------------------------------
@@ -1114,7 +1114,8 @@ def bpe_train_merges_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges(
         {r["w"]: r["cnt"] for r in counts}, _BPE_TRAIN_DEMO_N
     )
-    return spark.createDataFrame(
+    return local_rel(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )
@@ -1147,7 +1148,8 @@ def text_bpe_token_counts_trained(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    planted = spark.createDataFrame(
+    planted = local_rel(
+        spark,
         [(i, "planted", t) for i, t in _BPE_PLANTED],
         "doc_id long, source string, text string",
     )
@@ -1283,7 +1285,8 @@ def text_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    planted = spark.createDataFrame(
+    planted = local_rel(
+        spark,
         [(i, "planted", t) for i, t in _BPE_PLANTED],
         "doc_id long, source string, text string",
     )

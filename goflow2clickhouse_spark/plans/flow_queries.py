@@ -787,8 +787,11 @@ def flows_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window list is tiny and broadcast, so the non-equi
     predicate evaluates as a BroadcastNestedLoopJoin over 3 rows — a
     narrow pass, never an all-pairs shuffle."""
+    from ..schema import local_rel
+
     wins = F.broadcast(  # bcast bound: fixed 3-row window list
-        spark.createDataFrame(
+        local_rel(
+            spark,
             [(1, 1_700_000_300, 1_700_000_600),
              (2, 1_700_001_500, 1_700_001_800),
              (3, 1_700_002_700, 1_700_003_300)],

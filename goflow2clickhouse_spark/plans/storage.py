@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schema import local_rel as _local_rel
+
 
 def _meta_locked(fn):
     """Serialize an index's metadata read-modify-write cycle under
@@ -1020,40 +1022,6 @@ def _band_index_parts(spark: SparkSession, index_path: str):
 
 
 _ARTIFACT_CACHE: dict = {}
-
-
-def _local_rel(spark: SparkSession, data, schema) -> DataFrame:
-    """Tiny driver-built relation planned as a JVM LocalRelation (r14
-    optimization round): `spark.createDataFrame(rows)` plans an
-    ExistingRDD scan whose EVERY execution round-trips a Python worker
-    — measured ~0.25-0.35 s fixed cost even for ONE row, and these
-    relations (query vectors, rerank candidates, quantizer artifacts)
-    sit inside probe plans that execute once per serve. The
-    pandas+Arrow path plans a LocalRelation evaluated in-JVM (sub-ms
-    per execution, bit-identical doubles — Arrow round-trips IEEE754
-    exactly). Columns ride as object dtype so None stays SQL NULL (a
-    float64 column would silently turn None into NaN). Any conversion
-    refusal falls back to the row path — slower, never wrong."""
-    import pandas as pd
-
-    st = (
-        spark.createDataFrame([], schema).schema
-        if isinstance(schema, str)
-        else schema
-    )
-    cols = [f.name for f in st.fields]
-    try:
-        recs = [
-            r.asDict(recursive=True)
-            if hasattr(r, "asDict")
-            else dict(zip(cols, r))
-            for r in data
-        ]
-        pdf = pd.DataFrame.from_records(recs, columns=cols).astype(object)
-        pdf = pdf.where(pd.notna(pdf), None)
-        return spark.createDataFrame(pdf, st)
-    except Exception:
-        return spark.createDataFrame(data, schema)
 
 
 def _version_artifacts(

@@ -156,6 +156,41 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def local_rel(spark: SparkSession, data, schema) -> DataFrame:
+    """Tiny driver-built relation planned as a JVM LocalRelation (r14
+    optimization round): `spark.createDataFrame(rows)` plans a
+    Scan ExistingRDD whose EVERY execution round-trips a Python worker
+    — measured ~0.25-0.35 s fixed cost even for ONE row, and these
+    relations (query vectors, rerank candidates, quantizer artifacts,
+    planted fixtures, CIDR site maps) sit inside plans that execute
+    once per query run. The pandas+Arrow path plans a LocalRelation
+    evaluated in-JVM (sub-ms per execution, bit-identical doubles —
+    Arrow round-trips IEEE754 exactly). Columns ride as object dtype
+    so None stays SQL NULL (a float64 column would silently turn None
+    into NaN). Any conversion refusal falls back to the row path —
+    slower, never wrong."""
+    import pandas as pd
+
+    st = (
+        spark.createDataFrame([], schema).schema
+        if isinstance(schema, str)
+        else schema
+    )
+    cols = [f.name for f in st.fields]
+    try:
+        recs = [
+            r.asDict(recursive=True)
+            if hasattr(r, "asDict")
+            else dict(zip(cols, r))
+            for r in data
+        ]
+        pdf = pd.DataFrame.from_records(recs, columns=cols).astype(object)
+        pdf = pdf.where(pd.notna(pdf), None)
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(data, schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown + pruning free.
 

@@ -815,33 +815,67 @@ def phash_near_pairs(
     one exact hamming = bit_count(xor) verify. Returns
     (id_a, id_b, hamming). Raises for max_hamming > 3: a fourth
     differing bit can land one per band and the pair would silently
-    never become a candidate (the simhash_near_pairs rule)."""
+    never become a candidate (the simhash_near_pairs rule).
+
+    Shape (r14 optimization round — the lsh_candidate_pairs bucket
+    expansion applied here): each hash explodes into its four
+    (band_no, band_key) rows CARRYING the hash, buckets gather by one
+    groupBy, and each ≥2-member bucket expands its sorted (id, hash)
+    array into ordered pairs with pure array expressions — hamming
+    verifies inline from the carried hashes. ONE content shuffle (the
+    bucket groupBy) plus the pair distinct, versus the former four
+    band self-joins + union + distinct + two verify fetch-joins
+    (seven exchanges; measured 1.7 s of the 2.3 s query at sf0.1,
+    nearly all stage latency over KB-sized data). Same candidate set,
+    same hamming values — pairs sharing several bands dedupe in the
+    distinct, exactly as the union-of-joins did."""
     if max_hamming > 3:
         raise ValueError(
             "4-band pigeonhole is only complete for max_hamming <= 3; "
             f"got {max_hamming}"
         )
-    cands = None
-    for j in range(4):
-        band = F.expr(f"shiftright({hash_col}, {16 * j}) & 65535")
-        b = sigs.select(F.col(id_col), band.alias("band_key"))
-        pairs = (
-            b.select(F.col(id_col).alias("id_a"), "band_key")
-            .join(
-                b.select(F.col(id_col).alias("id_b"), "band_key"),
-                "band_key",
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_no"),
+            F.expr(f"shiftright({hash_col}, {16 * j}) & 65535")
+            .alias("band_key"),
         )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sig_b"))
+        for j in range(4)
+    ])
+    buckets = (
+        sigs.select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_sig"),
+            F.explode(bands).alias("b"),
+        )
+        .groupBy("b.band_no", "b.band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    m = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_sig"].alias("sig_a"),
+                    y["_sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .distinct()
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -1728,8 +1728,15 @@ def _dsir_doc_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extracted (r8) so the boundary-margin test below the query checks
     the REAL pipeline's counts, not a restated copy that could drift
     (tests/test_queries_oracle.py::test_dsir_quantization_boundary_margin)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("w")
+    from ..schema import spread_small_scan
+
+    # spread before the feature explode + per-feature md5 (the corpus
+    # family's r14 rule: the fixture parquet is one row group)
+    d = spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.split("text", " ").alias("w")
+        ),
     )
     w = F.col("w")
     feats = F.concat(

@@ -655,7 +655,11 @@ def events_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = hash31(F.col("user_id").cast("string"))
     # persisted: cells build, candidate distinct AND exact counts all
     # consume hv — uncached, three full events scans per run (r9
-    # review; the r4 scan-once rule)
+    # review; the r4 scan-once rule). NOT spread (r14 optimization
+    # round): an A/B with schema.spread_small_scan measured the
+    # repartition exchange + wider persist COSTING 0.3-0.4 s against
+    # the ~0.1 s the parallelized per-row md5 saves — one short
+    # user_id hash per row is too little map work to buy an exchange.
     hv = ev.select(
         (tse - tse % 3600).alias("hour_epoch"),
         "user_id",

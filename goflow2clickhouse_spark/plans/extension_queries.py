@@ -40,39 +40,10 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
-# documents-scan partition counts observed per (sf_dir, parallelism) —
-# plan METADATA (an int from the parquet layout), not query results:
-# every invocation still computes everything from the parquet inputs.
-# The memo only skips re-planning the same scan to re-learn its split
-# count (measured ~0.25 s per fresh DataFrame).
-_CORPUS_SCAN_PARTS: dict[tuple[str, int], int] = {}
-
-
-def _spread_small_scan(
-    spark: SparkSession, sf_dir: str, df: DataFrame
-) -> DataFrame:
-    """Scale-adaptive spread (r14 optimization round, guide §2.5 "input
-    skew ... repartition immediately after the read"): corpus consumers
-    start with CPU-heavy per-row work (md5 shingle hashing, regex/
-    split, mapInPandas tokenizers), and the fixture parquet is a single
-    row group, so the whole family ran its map work on 3 tasks while
-    the other 29 cores idled. Repartition ONLY when the documents scan
-    cannot feed the session's parallelism — on a production corpus the
-    scan has orders of magnitude more splits than cores and this is a
-    no-op (an unconditional repartition there would COALESCE the scan
-    onto #cores partitions, a scale bug). Call it AFTER any source
-    filter, never before — a repartition below a filter blocks
-    predicate pushdown to the scan (the incremental-dedup split pays
-    doc_id pushdown on every leg)."""
-    par = spark.sparkContext.defaultParallelism
-    key = (sf_dir, par)
-    n_in = _CORPUS_SCAN_PARTS.get(key)
-    if n_in is None:
-        n_in = load_table(
-            spark, sf_dir, "documents"
-        ).rdd.getNumPartitions()
-        _CORPUS_SCAN_PARTS[key] = n_in
-    return df.repartition(par) if n_in < par else df
+# the corpus family's scan spreader now lives in schema.spread_small_scan
+# (r14: the events family needs the identical conditional repartition);
+# this alias keeps the plan-module call sites stable
+from ..schema import spread_small_scan as _spread_small_scan  # noqa: E402
 
 
 def corpus(

@@ -543,14 +543,20 @@ def ipv6_address_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ipv6_halves,
         ipv6_string_to_bits,
     )
-    from ..schema import load_table
+    from ..schema import load_table, spread_small_scan
 
     h_ula, _ = ipv6_halves("fd00::")
     h_ll, _ = ipv6_halves("fe80::")
     h_doc, _ = ipv6_halves("2001:db8::")
     h_mc, _ = ipv6_halves("ff02::")
     h_gl, _ = ipv6_halves("2600::")
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # spread the two Arrow-UDF passes (format + parse) — the events
+    # fixture is one row group, so they otherwise run on one core
+    ev = spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "events").select("event_id"),
+        table="events",
+    )
     m = F.col("event_id") % 5
     hi = (
         F.when(m == 0, F.lit(h_ula) + F.col("event_id") % 65536)

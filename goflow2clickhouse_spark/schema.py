@@ -191,6 +191,38 @@ def local_rel(spark: SparkSession, data, schema) -> DataFrame:
         return spark.createDataFrame(data, schema)
 
 
+# table-scan partition counts observed per (sf_dir, table, parallelism)
+# — plan METADATA (an int from the parquet layout), not query results:
+# every invocation still computes everything from the parquet inputs.
+# The memo only skips re-planning the same scan to re-learn its split
+# count (measured ~0.25 s per fresh DataFrame).
+_SCAN_PARTS: dict[tuple[str, str, int], int] = {}
+
+
+def spread_small_scan(
+    spark: SparkSession, sf_dir: str, df: DataFrame, table: str = "documents"
+) -> DataFrame:
+    """Scale-adaptive spread (r14 optimization round, guide §2.5 "input
+    skew ... repartition immediately after the read"): consumers with
+    CPU-heavy per-row work (md5 shingle hashing, regex/split,
+    mapInPandas codecs and tokenizers, Arrow-UDF address formatting)
+    otherwise run that work on as few tasks as the fixture parquet has
+    row groups — one. Repartition ONLY when the named table's scan
+    cannot feed the session's parallelism: on a production-sized table
+    the scan has orders of magnitude more splits than cores and this
+    is a no-op (an unconditional repartition there would COALESCE the
+    scan onto #cores partitions, a scale bug). Call it AFTER any
+    source filter, never before — a repartition below a filter blocks
+    predicate pushdown to the scan."""
+    par = spark.sparkContext.defaultParallelism
+    key = (sf_dir, table, par)
+    n_in = _SCAN_PARTS.get(key)
+    if n_in is None:
+        n_in = load_table(spark, sf_dir, table).rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n_in
+    return df.repartition(par) if n_in < par else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown + pruning free.
 

@@ -891,7 +891,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     path cms_build keeps."""
     from ..operators import sketch as SK
 
-    tok = corpus(spark, sf_dir).select(
+    # spread=False: same A/B evidence as bm25_topk above (min 1.24 vs
+    # 0.87 s) — split+explode is too cheap to buy the exchange
+    tok = corpus(spark, sf_dir, spread=False).select(
         F.explode(F.split("text", " ")).alias("token")
     )
     exact = (
@@ -1282,7 +1284,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and N/avgdl ride along as a broadcast scalar. Top-10 with
     doc_id tie-break; the score is rounded in BOTH engines before the
     ORDER BY so an ulp of ln() divergence cannot flip the cutoff."""
-    c = corpus(spark, sf_dir)
+    # spread=False (r14 optimization round): an interleaved A/B
+    # measured the spread exchange COSTING here (min 1.16 vs 0.74 s) —
+    # one split + matching-token explode is too little map work to buy
+    # a repartition of the corpus text
+    c = corpus(spark, sf_dir, spread=False)
     docs = c.select(
         "doc_id",
         F.split("text", " ").alias("w"),

@@ -3130,10 +3130,14 @@ def _incremental_split(
     queries: originals (id < 1e6) are "already ingested"; the planted
     variants (id >= 1e6) plus genuinely novel docs (every word '~q'-
     suffixed, ids +3e6) are "today's crawl"."""
-    # spread=False + per-leg spread AFTER the id filters: the filters
-    # keep pushing down to the parquet scan (a repartition below them
-    # blocked pushdown and shuffled the whole corpus once per leg —
-    # measured +0.8 s on incremental_dedup_newbatch, r14)
+    # spread=False, and NO per-leg spread either (r14 optimization
+    # round): a repartition below the id filters blocked pushdown and
+    # shuffled the whole corpus once per leg (+0.8 s), and the
+    # post-filter per-leg variant ALSO lost its interleaved A/B
+    # (indexed min 3.11 vs 2.58 s, newbatch 3.57 vs 3.31) — the
+    # incremental pipeline persists its shingle relations, so the
+    # spread exchange is paid on the cache fill while the banding/
+    # verify stages that dominate already shuffle on their own keys
     c = corpus(spark, sf_dir, spread=False)
     novel = (
         load_table(spark, sf_dir, "documents")
@@ -3148,13 +3152,8 @@ def _incremental_split(
             ).alias("text"),
         )
     )
-    old = _spread_small_scan(
-        spark, sf_dir, c.filter(F.col("doc_id") < 1000000)
-    )
-    new = _spread_small_scan(
-        spark, sf_dir,
-        c.filter(F.col("doc_id") >= 1000000).unionByName(novel),
-    )
+    old = c.filter(F.col("doc_id") < 1000000)
+    new = c.filter(F.col("doc_id") >= 1000000).unionByName(novel)
     return old, new
 
 

@@ -5023,9 +5023,18 @@ def pq_opq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both batch encode/ADC paths and the exact side."""
     from .storage import pq_index_batch_probe, write_pq_index
 
+    from concurrent.futures import ThreadPoolExecutor
+
     xr = _rot_embeddings(spark, sf_dir)
-    permuted = S.apply_dim_permutation(xr, S.opq_dim_permutation(xr))
-    rot = S.apply_pair_rotation(xr, S.opq_pair_rotation(xr))
+    # the two xr trainings are independent driver-blocking collects —
+    # overlap them (guide §2.6: actions are only sequential because
+    # the driver calls them sequentially); the rotated-side
+    # permutation still depends on the pairing, so it follows
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_perm = pool.submit(S.opq_dim_permutation, xr)
+        fut_pairs = pool.submit(S.opq_pair_rotation, xr)
+        permuted = S.apply_dim_permutation(xr, fut_perm.result())
+        rot = S.apply_pair_rotation(xr, fut_pairs.result())
     rotated = S.apply_dim_permutation(rot, S.opq_dim_permutation(rot))
     path_perm = _persisted_index(
         "pq_rotf_perm", sf_dir,

@@ -828,7 +828,16 @@ def phash_near_pairs(
     (seven exchanges; measured 1.7 s of the 2.3 s query at sf0.1,
     nearly all stage latency over KB-sized data). Same candidate set,
     same hamming values — pairs sharing several bands dedupe in the
-    distinct, exactly as the union-of-joins did."""
+    distinct, exactly as the union-of-joins did; the strict
+    id_a < id_b filter also excludes self-pairs from duplicated input
+    ids, as the join form's filter did (r14 review). Hot-bucket bound:
+    a bucket of k members expands to k²/2 structs inside one row —
+    the lsh_candidate_pairs trade (inherent to LSH banding; a
+    degenerate corpus of near-identical images concentrates one band
+    key exactly as boilerplate documents concentrate a MinHash band).
+    The former join shape streamed the same O(k²) candidate rows
+    through an exchange instead; if a corpus needs a cap, thread one
+    through like lsh_candidate_pairs' max_bucket_size."""
     if max_hamming > 3:
         raise ValueError(
             "4-band pigeonhole is only complete for max_hamming <= 3; "
@@ -875,6 +884,10 @@ def phash_near_pairs(
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        # strict: sort_array guarantees id_a <= id_b, so this only
+        # drops self-pairs from duplicated input ids (r14 review —
+        # the replaced join shape's id_a < id_b filter dropped them)
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -1153,7 +1153,9 @@ def opq_pair_rotation(
     Matching rule, deterministic hence oracle-replayable: per dim,
     the best partner maximizes (ROUND(|cov|, 6) desc, partner asc);
     MUTUAL best pairs are accepted (a < b); leftover dims pair
-    consecutively in dim order. Returns the pair list.
+    consecutively in dim order. Returns the pair list. `id_col` is
+    unused since the r14 join-free rewrite (the covariance no longer
+    joins on the vector id); kept for signature stability.
 
     Bounded driver materialization: ONE aggregate row of dim means +
     dim*(dim-1)/2 upper-triangle product means (the
@@ -1180,10 +1182,14 @@ def opq_pair_rotation(
     # (F.round is the same half-up rule the DuckDB oracle's ROUND
     # applies), so both engines compare identical 6-decimal literals.
     c = as_double(vec_col)
-    flat = df.select(F.posexplode(c).alias("d", "x"))
-    means = flat.groupBy("d").agg(F.avg("x").alias("mu"))
     heads = df.select(c.alias("_v")).select(
         F.col("_v"), F.posexplode("_v").alias("da0", "xa")
+    )
+    # means from the SAME exploded subtree the products read (r14
+    # review): a separate posexplode duplicated the scan+explode in
+    # the plan for identical values
+    means = heads.groupBy(F.col("da0").alias("d")).agg(
+        F.avg("xa").alias("mu")
     )
     elems = heads.select(
         "da0", "xa",

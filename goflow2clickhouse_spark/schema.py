@@ -167,17 +167,39 @@ def local_rel(spark: SparkSession, data, schema) -> DataFrame:
     evaluated in-JVM (sub-ms per execution, bit-identical doubles —
     Arrow round-trips IEEE754 exactly). Columns ride as object dtype
     so None stays SQL NULL (a float64 column would silently turn None
-    into NaN). Any conversion refusal falls back to the row path —
-    slower, never wrong."""
+    into NaN). Any conversion refusal — including a real NaN in the
+    data, which pandas construction would alias with None — falls back
+    to the row path: slower, never wrong. Row width is checked against
+    the schema (the row path raises there; the dict zip would silently
+    truncate/pad — r14 review)."""
+    import math
+
     import pandas as pd
 
-    st = (
-        spark.createDataFrame([], schema).schema
-        if isinstance(schema, str)
-        else schema
-    )
+    data = list(data)  # the try-branch must not consume a one-shot iterable
+    if isinstance(schema, str):
+        st = _DDL_SCHEMAS.get(schema)
+        if st is None:
+            st = spark.createDataFrame([], schema).schema
+            _DDL_SCHEMAS[schema] = st
+    else:
+        st = schema
     cols = [f.name for f in st.fields]
+
+    def _nan_free(v) -> bool:
+        if isinstance(v, float):
+            return not math.isnan(v)
+        if isinstance(v, (list, tuple)):
+            return all(_nan_free(x) for x in v)
+        if isinstance(v, dict):
+            return all(_nan_free(x) for x in v.values())
+        return True
+
     try:
+        if not all(
+            len(r) == len(cols) and _nan_free(tuple(r)) for r in data
+        ):
+            raise ValueError("row width mismatch or NaN — row path")
         recs = [
             r.asDict(recursive=True)
             if hasattr(r, "asDict")
@@ -197,6 +219,11 @@ def local_rel(spark: SparkSession, data, schema) -> DataFrame:
 # The memo only skips re-planning the same scan to re-learn its split
 # count (measured ~0.25 s per fresh DataFrame).
 _SCAN_PARTS: dict[tuple[str, str, int], int] = {}
+
+# parsed DDL-string schemas (local_rel): parsing via a throwaway empty
+# DataFrame costs a JVM round-trip per call on the probe hot path —
+# cache by the DDL text (r14 review)
+_DDL_SCHEMAS: dict[str, "StructType"] = {}
 
 
 def spread_small_scan(

@@ -651,3 +651,19 @@ def test_phash_stable_through_lossy_jpeg_reencode():
         J.encode_jpeg(w, h, rgb, mode="RGB", subsampling="420")
     ))
     assert h_420 == h_jpg
+
+
+def test_phash_near_pairs_duplicate_ids_no_self_pairs(spark):
+    """The r14 bucket-expansion rewrite must keep the join shape's
+    strict id_a < id_b contract: a duplicated input id (re-ingested
+    doc) may never emit a (id, id, 0) self-pair."""
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    sigs = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 5)], "doc_id long, phash long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in M.phash_near_pairs(sigs).collect()
+    )
+    assert got == [(1, 2, 0)]

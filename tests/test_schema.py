@@ -51,3 +51,40 @@ def test_register_views(spark, sf_dir):
     assert dict(spark.table("events").dtypes)["ts"] in (
         "timestamp_ntz", "timestamp"
     )
+
+
+def test_local_rel_plans_local_relation_and_keeps_nulls(spark):
+    """local_rel (r14): tiny driver-built relations must plan as a JVM
+    LocalRelation (the ExistingRDD shape pays a Python-worker round
+    trip per execution), keep None as SQL NULL, and fall back — not
+    silently rewrite — on inputs the Arrow path would alias."""
+    import math
+
+    from goflow2clickhouse_spark.schema import local_rel
+
+    df = local_rel(spark, [(1, None), (2, 0.5)], "id long, x double")
+    assert "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+    rows = {r["id"]: r["x"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 0.5
+
+    # a real NaN must survive as NaN (row-path fallback), not become NULL
+    nan_df = local_rel(spark, [(1, float("nan"))], "id long, x double")
+    [r] = nan_df.collect()
+    assert r["x"] is not None and math.isnan(r["x"])
+
+    # NaN nested in an array falls back too
+    [r2] = local_rel(
+        spark, [([1.0, float("nan")],)], "v array<double>"
+    ).collect()
+    assert math.isnan(r2["v"][1])
+
+    # a mis-shaped tuple must raise (the row path's loud check), never
+    # silently truncate or NULL-pad
+    import pytest
+
+    with pytest.raises(Exception):
+        local_rel(spark, [(1, 2, 3)], "a long, b long").collect()
+
+    # one-shot iterables are materialized before the try-branch
+    gen_df = local_rel(spark, iter([(7, 1.5)]), "id long, x double")
+    assert gen_df.collect()[0]["id"] == 7

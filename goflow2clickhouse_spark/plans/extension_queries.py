@@ -1266,9 +1266,9 @@ def text_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.with_bpe_token_ids(
             # the chained encoders run in ONE task chain; spread the
             # fixture's single parquet split first (the codec-map rule)
-            d.unionByName(planted).repartition(
-                spark.sparkContext.defaultParallelism
-            ),
+            # — conditionally (r15): on a production-sized scan the
+            # unconditional form would coalesce it onto #cores
+            _spread_small_scan(spark, sf_dir, d.unionByName(planted)),
             merges,
             out_col="bpe_token_ids",
         ),
@@ -1596,11 +1596,14 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the BMP/WAV twins; the codec cost is per-row Python over tiny
     payloads — at 100 TB this operator's scale story is the Arrow
     batch pipe and partition-parallel decode, not the toy geometry."""
-    # spread the per-row pure-Python codec work: the fixture
-    # parquet is one split (the jpeg-leg query's rule, r14)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row pure-Python codec work — conditionally (r15):
+    # the fixture parquet is one split (the jpeg-leg query's rule,
+    # r14), but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions
+    d = _spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
 
     def batches(it):
         import pandas as pd
@@ -5507,11 +5510,14 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     (palette[t] = (t, 3t mod 256, 7t mod 256)) — it matches only if
     the LZW round-trip returns the exact index stream. Same
     no-shuffle mapInPandas shape as the BMP/PNG/WAV twins."""
-    # spread the per-row pure-Python codec work: the fixture
-    # parquet is one split (the jpeg-leg query's rule, r14)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row pure-Python codec work — conditionally (r15):
+    # the fixture parquet is one split (the jpeg-leg query's rule,
+    # r14), but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions
+    d = _spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
 
     def batches(it):
         import pandas as pd
@@ -5575,11 +5581,14 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP/PNG/GIF/WAV twins."""
     from ..operators import jpeg as J
 
-    # spread the per-row pure-Python codec work: the fixture
-    # parquet is one split (the jpeg-leg query's rule, r14)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row pure-Python codec work — conditionally (r15):
+    # the fixture parquet is one split (the jpeg-leg query's rule,
+    # r14), but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions
+    d = _spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
 
     def batches(it):
         import pandas as pd
@@ -5654,13 +5663,17 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2 s (every codec path still executes every driver run)."""
     from ..operators import jpeg as J
 
-    # spread the per-row pure-Python codec work: the fixture
-    # parquet is one split (the jpeg-leg query's rule, r14)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    ).filter(
-        F.col("doc_id") % 4 == 0
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row pure-Python codec work — conditionally (r15):
+    # the fixture parquet is one split (the jpeg-leg query's rule,
+    # r14), but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions. Spread
+    # AFTER the doc_id filter so parquet pushdown survives.
+    d = _spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).filter(F.col("doc_id") % 4 == 0),
+    )
 
     def batches(it):
         import pandas as pd
@@ -5731,13 +5744,17 @@ def multimodal_decode_jpeg422(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (doc_id % 4 = 1), for the same pure-Python cost reason."""
     from ..operators import jpeg as J
 
-    # spread the per-row pure-Python codec work: the fixture
-    # parquet is one split (the jpeg-leg query's rule, r14)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    ).filter(
-        F.col("doc_id") % 4 == 1
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row pure-Python codec work — conditionally (r15):
+    # the fixture parquet is one split (the jpeg-leg query's rule,
+    # r14), but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions. Spread
+    # AFTER the doc_id filter so parquet pushdown survives.
+    d = _spread_small_scan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).filter(F.col("doc_id") % 4 == 1),
+    )
 
     def batches(it):
         import pandas as pd
@@ -5902,13 +5919,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codepoints, and a multi-byte character would fork the two pixel
     streams (r13 advice) — the filter closes that divergence by
     construction instead of leaning on the 255-clamp."""
-    d = (
+    # spread the per-row codec work AFTER the source filter (pushdown
+    # survives) — conditionally (r15): the fixture parquet is one
+    # split, but on a production-sized scan an unconditional
+    # repartition would coalesce it onto #cores partitions
+    d = _spread_small_scan(
+        spark, sf_dir,
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.length("text") == F.octet_length("text"))
-        # spread the per-row codec work: the fixture parquet is one
-        # split (the jpeg-leg query's rule, r14)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.length("text") == F.octet_length("text")),
     )
 
     def batches(it):
@@ -6051,19 +6070,21 @@ def multimodal_phash_jpeg_neardup(
     decode+hash, band-key equi-joins, never all-pairs."""
     from ..operators import jpeg as J
 
-    d = (
+    # spread the per-row pure-Python codec work AFTER the source
+    # filters (pushdown survives): the fixture parquet is one split,
+    # and a coarse upstream partitioning would serialize
+    # encode+decode. Conditional (r15): on a production-sized scan an
+    # unconditional repartition would coalesce it onto #cores
+    # partitions; with enough splits the scan's own partitioning
+    # already spreads the codec work.
+    d = _spread_small_scan(
+        spark, sf_dir,
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(
             (F.length("text") == F.octet_length("text"))
             & (F.col("doc_id") % 4 == 0)
-        )
-        # spread the per-row pure-Python codec work: the fixture
-        # parquet is one split, and a coarse upstream partitioning
-        # would serialize encode+decode; repartitioning tiny text
-        # rows before an expensive map is the production shape too
-        # (it also rebalances codec skew)
-        .repartition(spark.sparkContext.defaultParallelism)
+        ),
     )
 
     def batches(it):

@@ -801,11 +801,68 @@ def phash64(pixels, width: int, height: int) -> int:
     return h
 
 
+def _phash_band_buckets(
+    sigs: DataFrame, id_col: str, hash_col: str
+) -> DataFrame:
+    """(band_no, band_key, members) pHash band buckets of ≥2 images —
+    the shared first stage of candidate expansion and the hot-bucket
+    monitor (the dedup._band_buckets shape on the 16-bit bands).
+    `members` is the sorted (_id, _sig) struct array; the hash rides
+    along so the pair stage verifies hamming inline."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_no"),
+            F.expr(f"shiftright({hash_col}, {16 * j}) & 65535")
+            .alias("band_key"),
+        )
+        for j in range(4)
+    ])
+    return (
+        sigs.select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_sig"),
+            F.explode(bands).alias("b"),
+        )
+        .groupBy("b.band_no", "b.band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+
+
+def oversize_phash_buckets(
+    sigs: DataFrame,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """The pHash band buckets a `max_bucket_size` cap would drop:
+    (band_no, band_key, n_ids, n_pairs_avoided) — the
+    dedup.oversize_lsh_buckets twin for the image side. Run this
+    alongside a capped near-dup pass to COUNT what was skipped — a
+    capped run that reports nothing dropped is equivalent to the
+    uncapped run."""
+    return _phash_band_buckets(sigs, id_col, hash_col).filter(
+        F.size("members") > max_bucket_size
+    ).select(
+        "band_no",
+        "band_key",
+        F.size("members").alias("n_ids"),
+        (F.size("members").cast("long") * (F.size("members") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs_avoided"),
+    )
+
+
 def phash_near_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "phash",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-dup candidates + exact verify over phash64 values —
     the SimHash join shape applied to the 63-bit image hash: four
@@ -835,36 +892,19 @@ def phash_near_pairs(
     the lsh_candidate_pairs trade (inherent to LSH banding; a
     degenerate corpus of near-identical images concentrates one band
     key exactly as boilerplate documents concentrate a MinHash band).
-    The former join shape streamed the same O(k²) candidate rows
-    through an exchange instead; if a corpus needs a cap, thread one
-    through like lsh_candidate_pairs' max_bucket_size."""
+    `max_bucket_size` (r15) bounds that row width exactly like
+    lsh_candidate_pairs' cap: oversize buckets are dropped — their
+    members are near-identical to each other and almost always caught
+    by the other three bands or the exact-dup gate; audit what a cap
+    skipped with `oversize_phash_buckets` before relying on that."""
     if max_hamming > 3:
         raise ValueError(
             "4-band pigeonhole is only complete for max_hamming <= 3; "
             f"got {max_hamming}"
         )
-    bands = F.array(*[
-        F.struct(
-            F.lit(j).alias("band_no"),
-            F.expr(f"shiftright({hash_col}, {16 * j}) & 65535")
-            .alias("band_key"),
-        )
-        for j in range(4)
-    ])
-    buckets = (
-        sigs.select(
-            F.col(id_col).alias("_id"),
-            F.col(hash_col).alias("_sig"),
-            F.explode(bands).alias("b"),
-        )
-        .groupBy("b.band_no", "b.band_key")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
-    )
+    buckets = _phash_band_buckets(sigs, id_col, hash_col)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
     m = F.col("members")
     pairs = F.flatten(
         F.transform(

@@ -667,3 +667,37 @@ def test_phash_near_pairs_duplicate_ids_no_self_pairs(spark):
         for r in M.phash_near_pairs(sigs).collect()
     )
     assert got == [(1, 2, 0)]
+
+
+def test_phash_near_pairs_max_bucket_size_caps_hot_band(spark):
+    """A degenerate corpus (every image identical → all four band keys
+    hot) under `max_bucket_size` (r15): bounded bucket expansion —
+    the capped run drops the k²/2 single-row blowup, and the
+    oversize_phash_buckets accounting twin reports exactly the
+    buckets/pairs the cap skipped, so capped + audit ≡ uncapped."""
+    from goflow2clickhouse_spark.operators import multimodal as M
+
+    k = 10
+    hot = [(i, 0x5A5A5A5A5A5A5A5) for i in range(k)]  # one hot value
+    pairish = [(100, 1 << 1), (101, (1 << 1) | (1 << 40))]  # hamming 1
+    sigs = spark.createDataFrame(
+        hot + pairish, "doc_id long, phash long"
+    )
+    uncapped = M.phash_near_pairs(sigs)
+    capped = M.phash_near_pairs(sigs, max_bucket_size=5)
+    n_unc = uncapped.count()
+    assert n_unc == k * (k - 1) // 2 + 1
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()
+    )
+    # the hot cluster's pairs are gone; the small pair survives (its
+    # three untouched bands are 2-member buckets, under the cap)
+    assert got == [(100, 101, 1)]
+    audit = M.oversize_phash_buckets(sigs, 5).collect()
+    # all four bands of the hot value are oversize; each would have
+    # expanded k*(k-1)/2 pairs inside one row
+    assert len(audit) == 4
+    assert all(r["n_ids"] == k for r in audit)
+    assert all(r["n_pairs_avoided"] == k * (k - 1) // 2 for r in audit)
+    # cap >= k keeps everything: equivalent to the uncapped run
+    assert M.phash_near_pairs(sigs, max_bucket_size=k).count() == n_unc

@@ -1377,7 +1377,12 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket windows partition the corpus instead of serializing it.
     The oracle replays the logically-identical single-window form;
     both must select the same set (the checksum pins it)."""
-    c = corpus(spark, sf_dir)
+    # spread=False (r15, adjudicating the r14 verdict's 1.17x flag):
+    # the per-row map work is a bare split + array_distinct — the
+    # class the r14 spread rule says never buys back its exchange.
+    # Interleaved A/B at sf0.1 (5 alternations, bench isolation):
+    # spread ON 1.14-1.44 s vs OFF 0.89-1.08 s.
+    c = corpus(spark, sf_dir, spread=False)
     w = F.split("text", " ")
     d = c.select(
         "doc_id",

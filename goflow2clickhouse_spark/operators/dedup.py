@@ -577,11 +577,16 @@ def _incremental_pairs(
         .distinct()
         .persist()
     )
+    # no distinct on the semi-join right sides (r15): a LEFT SEMI join
+    # dedupes its build side by construction, and each distinct cost a
+    # full shuffle+agg per fetch leg — interleaved A/B at sf0.1
+    # measured the 3-distinct-drop variant (these two + the newbatch
+    # sha gate) faster in 5/5 alternations (min 3.47 vs 4.06 s)
     sa = old_sets.join(
-        cands.select("id_a").distinct(), "id_a", "left_semi"
+        cands.select("id_a"), "id_a", "left_semi"
     ).select("id_a", F.col("shs").alias("shs_a"))
     sb = sh_new.join(
-        cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
     ).select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     return _verify_jaccard(cands, sa, sb, threshold), cands
 

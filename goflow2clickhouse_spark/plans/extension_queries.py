@@ -3166,10 +3166,11 @@ def _incremental_status(
     """Per-status (exact beats near beats unique) count + id checksum
     over the new batch, given the near-dup pair relation — the shared
     tail of both incremental-dedup queries. Gate 1 (exact) is a
-    sha2-256 LEFT SEMI against `old_sha`, the corpus's DISTINCT hash
-    set (the recompute query derives it from old text; the indexed
-    query reads it straight from the persisted band index — 64-byte
-    keys on the exchange either way)."""
+    sha2-256 LEFT SEMI against `old_sha`, the corpus's hash relation
+    (the recompute query derives it from old text WITHOUT a distinct —
+    the semi join dedupes by construction; the indexed query reads the
+    stored distinct set from the persisted band index — 64-byte keys
+    on the exchange either way)."""
     exact_ids = (
         new.select("doc_id", F.sha2("text", 256).alias("_sha"))
         .join(old_sha, "_sha", "left_semi")
@@ -3215,7 +3216,11 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches."""
     old, new = _incremental_split(spark, sf_dir)
     pairs = D.incremental_neardup_pairs(old, new, threshold=0.5)
-    old_sha = old.select(F.sha2("text", 256).alias("_sha")).distinct()
+    # no distinct (r15): the exact gate consumes this via LEFT SEMI,
+    # which dedupes by construction — the distinct was a corpus-wide
+    # shuffle+agg on 64-byte keys paid for nothing (part of the
+    # 3-distinct-drop A/B recorded in dedup._incremental_pairs)
+    old_sha = old.select(F.sha2("text", 256).alias("_sha"))
     out = _incremental_status(old_sha, new, pairs)
     # the pair op's caches are finalizer-tied to `pairs`; keep them
     # alive for the composed plan (see dedup_cluster_sizes)

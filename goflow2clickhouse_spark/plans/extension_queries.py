@@ -3215,6 +3215,15 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-status count + id checksum so a single misclassification
     hash-mismatches."""
     old, new = _incremental_split(spark, sf_dir)
+    # spread the OLD leg (r15, scale-adaptive): this form re-shingles,
+    # re-minhashes and re-hashes the whole old corpus cold, and the
+    # fixture scan is one split, so all that map work ran on one task.
+    # The r14 A/B rejected this spread, but the 3-distinct-drop
+    # rebalanced it: interleaved A/B at sf0.1, 7/7 alternations faster
+    # (med 2.93 vs 3.54 s, min 2.70 vs 3.38). The NEW leg stays
+    # unspread (spreading it measured net-flat-to-worse: batch map
+    # work is a quarter of the old side's).
+    old = _spread_small_scan(spark, sf_dir, old)
     pairs = D.incremental_neardup_pairs(old, new, threshold=0.5)
     # no distinct (r15): the exact gate consumes this via LEFT SEMI,
     # which dedupes by construction — the distinct was a corpus-wide

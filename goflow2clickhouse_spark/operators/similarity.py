@@ -1107,6 +1107,16 @@ def opq_dim_permutation(
             f"NULL variance over a non-empty corpus — the vectors are "
             f"shorter than dim={dim} (or carry NULL elements)"
         )
+    return _variance_ranked_permutation(vs, m, dim)
+
+
+def _variance_ranked_permutation(
+    vs: dict[int, float], m: int, dim: int
+) -> list[int]:
+    """The rank + snake-deal step of opq_dim_permutation, factored out
+    (r15) so a caller holding the ROUND(var, 6) doubles from another
+    training pass (opq_pair_rotation_stats' diagonal) derives the
+    identical permutation without a second aggregation job."""
     ranked = sorted(range(dim), key=lambda d: (-vs[d], d))
     blocks: list[list[int]] = [[] for _ in range(m)]
     for r, d in enumerate(ranked):
@@ -1158,23 +1168,42 @@ def opq_pair_rotation(
     joins on the vector id); kept for signature stability.
 
     Bounded driver materialization: ONE aggregate row of dim means +
-    dim*(dim-1)/2 upper-triangle product means (the
-    opq_dim_permutation precedent — the transform must be a
-    plan-time literal; the aggregate is the only corpus-dependent
-    work, a single map-side pass)."""
+    dim*(dim+1)/2 product means (the opq_dim_permutation precedent —
+    the transform must be a plan-time literal; the aggregate is the
+    only corpus-dependent work, a single map-side pass)."""
+    return opq_pair_rotation_stats(df, vec_col, id_col, dim)[0]
+
+
+def opq_pair_rotation_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> tuple[list[tuple[int, int]], dict[int, float]]:
+    """opq_pair_rotation's training pass, returning BOTH trained
+    artifacts its aggregate already contains (r15): the mutual-best
+    pairing AND the per-dim ROUND(variance, 6) doubles. The products
+    explode includes the DIAGONAL cell (da == db), whose
+    ROUND(pavg - mu*mu, 6) is literally opq_dim_permutation's
+    ROUND(AVG(x*x) - AVG(x)*AVG(x), 6) over the same exploded values
+    in the same order — bit-identical doubles (asserted by
+    tests/test_similarity.py), so a caller training both the pairing
+    and the variance permutation pays ONE aggregation job instead of
+    two. Feed the variances to _variance_ranked_permutation for the
+    identical permutation opq_dim_permutation returns."""
     if dim % 2:
         raise ValueError(
             f"opq_pair_rotation: pairing needs an even dim, got {dim}"
         )
-    # Upper-triangle product means via two chained generators — no
+    # Diagonal-inclusive product means via two chained generators — no
     # join at all (r14 optimization round; guide §2.4 "remove shuffles
     # outright"). The former shape exploded to (rid, d, x) and
     # self-joined on the vector id: 2·dim·N rows through the join
     # exchange before the aggregate. Here each row fans out to its
     # dim elements, each element to the pairs it heads
-    # (posexplode of the tail slice, db = da + 1 + off), and the
+    # (posexplode of the tail slice FROM da0, db = da + off), and the
     # groupBy's map-side partial aggregation collapses everything to
-    # dim·(dim-1)/2 cells per task before the only shuffle — measured
+    # dim·(dim+1)/2 cells per task before the only shuffle — measured
     # 1.03 s → 0.67 s at sf0.1 with the identical trained pairing.
     # (A dim*(dim-1)/2-column single aggregate compiles a
     # 2000-expression plan — measured ~40x slower than either
@@ -1191,16 +1220,20 @@ def opq_pair_rotation(
     means = heads.groupBy(F.col("da0").alias("d")).agg(
         F.avg("xa").alias("mu")
     )
+    # the tail slice starts AT da0 (r15): the diagonal cell da == db
+    # rides the same aggregate for free — its ROUND(pavg - mu², 6) IS
+    # the per-dim variance, saving the separate opq_dim_permutation
+    # job for callers that need both trained artifacts
     elems = heads.select(
         "da0", "xa",
         F.posexplode(
-            F.slice(F.col("_v"), F.col("da0") + 2, F.lit(dim))
+            F.slice(F.col("_v"), F.col("da0") + 1, F.lit(dim))
         ).alias("off", "xb"),
     )
     prods = (
         elems.groupBy(
             F.col("da0").alias("da"),
-            (F.col("da0") + 1 + F.col("off")).alias("db"),
+            (F.col("da0") + F.col("off")).alias("db"),
         )
         .agg(F.avg(F.col("xa") * F.col("xb")).alias("pavg"))
     )
@@ -1224,16 +1257,18 @@ def opq_pair_rotation(
             "opq_pair_rotation: corpus is empty — no covariances to "
             "match, nothing to index"
         )
-    cmat = {(r["da"], r["db"]): r["cv"] for r in covs}
-    if len(cmat) != dim * (dim - 1) // 2 or any(
-        v is None for v in cmat.values()
+    full = {(r["da"], r["db"]): r["cv"] for r in covs}
+    vs = {a: v for (a, b), v in full.items() if a == b}
+    cmat = {(a, b): v for (a, b), v in full.items() if a != b}
+    if len(full) != dim * (dim + 1) // 2 or any(
+        v is None for v in full.values()
     ):
         # missing pairs / NULL covariances mean the vectors are
         # shorter than `dim` (posexplode emits only real elements) —
         # name the defect instead of a KeyError in cov() (r14 review)
         raise ValueError(
-            f"opq_pair_rotation: expected {dim * (dim - 1) // 2} "
-            f"covariances, got {len(cmat)} non-NULL — the vectors "
+            f"opq_pair_rotation: expected {dim * (dim + 1) // 2} "
+            f"covariances, got {len(full)} non-NULL — the vectors "
             f"are shorter than dim={dim} (or carry NULL elements)"
         )
 
@@ -1256,7 +1291,7 @@ def opq_pair_rotation(
     used = {i for pr in pairs for i in pr}
     rest = [d for d in range(dim) if d not in used]
     pairs += [(rest[i], rest[i + 1]) for i in range(0, len(rest), 2)]
-    return pairs
+    return pairs, vs
 
 
 def apply_pair_rotation(

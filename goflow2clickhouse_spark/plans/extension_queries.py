@@ -5043,44 +5043,54 @@ def pq_opq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     xr = _rot_embeddings(spark, sf_dir)
-    # the two xr trainings are independent driver-blocking collects —
-    # overlap them (guide §2.6: actions are only sequential because
-    # the driver calls them sequentially); the rotated-side
-    # permutation still depends on the pairing, so it follows
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_perm = pool.submit(S.opq_dim_permutation, xr)
-        fut_pairs = pool.submit(S.opq_pair_rotation, xr)
-        permuted = S.apply_dim_permutation(xr, fut_perm.result())
-        rot = S.apply_pair_rotation(xr, fut_pairs.result())
-    rotated = S.apply_dim_permutation(rot, S.opq_dim_permutation(rot))
-    path_perm = _persisted_index(
-        "pq_rotf_perm", sf_dir,
-        lambda p: write_pq_index(permuted, p,
-                                 train_iterations=_TRAINED_ITERS),
+    # ONE aggregation job trains the pairing AND the un-rotated
+    # variance permutation (r15): opq_pair_rotation_stats' diagonal
+    # cells carry bit-identical ROUND(var, 6) doubles to a separate
+    # opq_dim_permutation pass (asserted identical over every shipped
+    # fixture/sf), so the r14 two-job overlap collapses to one collect
+    pairs, vs = S.opq_pair_rotation_stats(xr)
+    permuted = S.apply_dim_permutation(
+        xr, S._variance_ranked_permutation(vs, S.PQ_M, S.DIM)
     )
+    rot = S.apply_pair_rotation(xr, pairs)
+    expect = {"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+              "pq_train_iters": _TRAINED_ITERS}
+    # the ROTATED side's permutation is a genuinely separate training
+    # (variances of the rotated relation; deriving them algebraically
+    # would change the floating-point path the oracle replays) —
+    # overlap that driver-blocking collect with the permuted leg's
+    # plan construction, which depends only on `permuted` (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_rotperm = pool.submit(S.opq_dim_permutation, rot)
+        path_perm = _persisted_index(
+            "pq_rotf_perm", sf_dir,
+            lambda p: write_pq_index(permuted, p,
+                                     train_iterations=_TRAINED_ITERS),
+        )
+        qs_perm = permuted.filter(F.col("vec_id") < _TRAINED_Q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+        qs_exact = xr.filter(F.col("vec_id") < _TRAINED_Q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+        a_perm = pq_index_batch_probe(
+            spark, path_perm, qs_perm, k=10, expect=expect
+        )
+        exact = S.topk_l2_bruteforce_batch(xr, qs_exact, k=10)
+        rotated = S.apply_dim_permutation(rot, fut_rotperm.result())
     path_rot = _persisted_index(
         "pq_rotf_rot", sf_dir,
         lambda p: write_pq_index(rotated, p,
                                  train_iterations=_TRAINED_ITERS),
     )
-    expect = {"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
-              "pq_train_iters": _TRAINED_ITERS}
-    qs_perm = permuted.filter(F.col("vec_id") < _TRAINED_Q).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
     qs_rot = rotated.filter(F.col("vec_id") < _TRAINED_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    qs_exact = xr.filter(F.col("vec_id") < _TRAINED_Q).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    a_perm = pq_index_batch_probe(
-        spark, path_perm, qs_perm, k=10, expect=expect
     )
     a_rot = pq_index_batch_probe(
         spark, path_rot, qs_rot, k=10, expect=expect
     )
-    exact = S.topk_l2_bruteforce_batch(xr, qs_exact, k=10)
     total = 10 * _TRAINED_Q
     out = _recall_result_batch(
         a_rot, exact, "pq_rot_rotated", total

@@ -472,3 +472,38 @@ def test_opq_pair_rotation_leftover_dims_pair_consecutively(spark):
     flat = sorted(i for pr in pairs for i in pr)
     assert flat == list(range(8))  # total: every dim in exactly one pair
     assert len(pairs) == 4
+
+
+def test_opq_pair_rotation_stats_variances_bit_match_permutation(spark):
+    """opq_pair_rotation_stats (r15): the diagonal cells of the merged
+    aggregate must be BIT-identical to opq_dim_permutation's
+    ROUND(AVG(x*x) - AVG(x)^2, 6) doubles — the single-job training
+    replaces a separate variance pass only because the two expressions
+    sum the same values in the same order — and the derived
+    permutation must equal the direct one. The pairing must also be
+    unchanged by the diagonal's presence in the aggregate."""
+    import random
+
+    from goflow2clickhouse_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) * (1 + d % 5) for d in range(S.DIM)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs, vs = S.opq_pair_rotation_stats(df)
+    assert sorted(i for pr in pairs for i in pr) == list(range(S.DIM))
+    direct = (
+        df.select(F.posexplode(S.as_double("embedding")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.round(
+            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), 6
+        ).alias("v"))
+        .collect()
+    )
+    vd = {r["d"]: r["v"] for r in direct}
+    assert vd == vs  # same keys, bit-equal doubles
+    assert S._variance_ranked_permutation(vs, S.PQ_M, S.DIM) == \
+        S.opq_dim_permutation(df)

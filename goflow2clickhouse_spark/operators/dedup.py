@@ -632,10 +632,13 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(
         sigs, id_col, max_bucket_size=max_bucket_size
     ).persist()
+    # no distinct on the id union (r15): the LEFT SEMI join below
+    # dedupes its build side by construction, and the distinct was a
+    # full shuffle+agg per run — interleaved A/B at sf0.1 measured
+    # the drop at median 1.82 vs 2.35 s on the pair pipeline alone
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
     )
     sets = sh.join(cand_ids, id_col, "left_semi").persist()
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))

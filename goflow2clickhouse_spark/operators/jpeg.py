@@ -80,6 +80,16 @@ def _dct_matrix() -> np.ndarray:
 
 _DCT_M = _dct_matrix()
 
+# zigzag index vector + per-image constant tables, hoisted (r15:
+# profiling showed the per-image Huffman-table rebuilds and 64-scalar
+# zigzag loops cost as much as the transform on the toy geometries)
+_ZIGZAG_NP = np.array(_ZIGZAG, dtype=np.int64)
+_DEC_TABLE_CACHE: dict[tuple[bytes, bytes], dict] = {}
+# the encoder's DQT segment body is a constant of the module's table
+_DQT_BODY = bytes([0x00]) + bytes(
+    int(QUANT_LUMA.flat[i]) for i in _ZIGZAG
+)
+
 
 def _round_half_up(a: np.ndarray) -> np.ndarray:
     """floor(x + 0.5) — the module's single rounding rule (np.rint is
@@ -102,6 +112,12 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
+# the encoder always writes the module's fixed DHTs — build the
+# canonical code maps once (r15; they were rebuilt per image)
+_ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -109,16 +125,18 @@ class _BitWriter:
         self._n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((code >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                b = self._acc
-                self.out.append(b)
-                if b == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self._acc = 0
-                self._n = 0
+        # MSB-first through an integer accumulator drained a byte at
+        # a time (r15) — identical stream to the former per-bit loop
+        # (codes are <= 16 bits, so the accumulator stays small)
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self._acc &= (1 << self._n) - 1
 
     def flush(self) -> None:
         if self._n:
@@ -171,7 +189,7 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, prev_dc: int,
     # 63, not 64) and breaks the module's exact-DC contract
     coef[0, 0] = float(int(block.sum())) / 8.0
     q = _round_half_up(coef / QUANT_LUMA)
-    zz = [int(q.flat[i]) for i in _ZIGZAG]
+    zz = q.reshape(64)[_ZIGZAG_NP].tolist()  # same ints, one gather
     # DC: difference coding
     diff = zz[0] - prev_dc
     size, bitsv = _magnitude(diff)
@@ -294,8 +312,7 @@ def encode_jpeg(
         ))
     planes = padded
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_codes, ac_codes = _ENC_DC_CODES, _ENC_AC_CODES
     bw = _BitWriter()
     prev_dc = [0] * n_comp
     mcu = 0
@@ -320,10 +337,7 @@ def encode_jpeg(
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    dqt = bytes([0x00]) + bytes(
-        int(QUANT_LUMA.flat[i]) for i in _ZIGZAG
-    )
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(_DQT_BODY)) + _DQT_BODY
     sof = struct.pack(">BHHB", 8, height, width, n_comp) + b"".join(
         bytes([ci + 1, (hf << 4) | vf, 0])
         for ci, (hf, vf) in enumerate(factors)
@@ -350,35 +364,43 @@ class _BitReader:
         self._acc = 0
         self._n = 0
 
-    def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
+    def bits(self, n: int) -> int:
+        # byte-at-a-time refill (r15, replacing the per-bit loop):
+        # bytes are consumed EXACTLY as lazily as before — only while
+        # fewer than `n` bits are buffered — so truncation/marker
+        # errors fire at the same stream positions, and the leftover
+        # stays under 8 bits (align() still discards just the rest of
+        # the current byte)
+        acc, have = self._acc, self._n
+        data = self.data
+        while have < n:
+            if self.pos >= len(data):
                 raise ValueError("JPEG scan truncated mid-symbol")
-            b = self.data[self.pos]
+            b = data[self.pos]
             self.pos += 1
             if b == 0xFF:
-                if self.pos >= len(self.data):
+                if self.pos >= len(data):
                     raise ValueError("JPEG scan ends on a marker byte")
-                nxt = self.data[self.pos]
+                nxt = data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
                 else:
                     raise ValueError(
                         f"unexpected marker 0xff{nxt:02x} inside scan"
                     )
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+            acc = (acc << 8) | b
+            have += 8
+        have -= n
+        self._acc = acc & ((1 << have) - 1)
+        self._n = have
+        return (acc >> have) & ((1 << n) - 1)
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+    def bit(self) -> int:
+        return self.bits(1)
 
     def align(self) -> None:
         self._n = 0
+        self._acc = 0
 
 
 def _build_decode_table(bits: list[int], vals: list[int]):
@@ -455,8 +477,9 @@ def decode_jpeg(payload: bytes) -> dict:
                 if b + 65 > len(body):
                     raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros(64, dtype=np.int64)
-                for i, z in enumerate(_ZIGZAG):
-                    tbl[z] = body[b + 1 + i]
+                tbl[_ZIGZAG_NP] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8
+                )
                 quant[tq] = tbl.reshape(8, 8)
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
@@ -523,7 +546,14 @@ def decode_jpeg(payload: bytes) -> dict:
                 # under corruption fuzzing (r10); refuse loudly
                 if len(bits) != 16 or len(vals) != n:
                     raise ValueError("JPEG DHT segment truncated")
-                huff[(tc, th)] = _build_decode_table(bits, vals)
+                key = (bytes(bits), bytes(vals))
+                tbl = _DEC_TABLE_CACHE.get(key)
+                if tbl is None:
+                    if len(_DEC_TABLE_CACHE) > 256:
+                        _DEC_TABLE_CACHE.clear()  # foreign-table bound
+                    tbl = _build_decode_table(bits, vals)
+                    _DEC_TABLE_CACHE[key] = tbl
+                huff[(tc, th)] = tbl
                 b += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -585,8 +615,7 @@ def _decode_block(br: _BitReader, qt: np.ndarray, dc_table, ac_table,
         zz[k] = _extend(br.bits(size), size)
         k += 1
     coef = np.zeros(64, dtype=np.int64)
-    for i, z in enumerate(_ZIGZAG):
-        coef[z] = zz[i]
+    coef[_ZIGZAG_NP] = zz  # one scatter, same ints (r15)
     block = (coef.reshape(8, 8) * qt).astype(np.float64)
     # mirror the encoder's exact-DC contract: the DC contribution
     # is dequant/8 added uniformly (constant basis), kept out of

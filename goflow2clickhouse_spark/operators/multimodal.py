@@ -477,20 +477,48 @@ def _gif_palette() -> list[tuple[int, int, int]]:
     return [(i, i * 3 % 256, i * 7 % 256) for i in range(256)]
 
 
+# per-image constant tables, hoisted to module scope (r15: profiling
+# the codec showed the per-call rebuilds — palette bytes, the LZW base
+# dictionaries — cost as much as the actual compression on the toy
+# geometries; a dict/list COPY of the cached base is ~4x cheaper than
+# re-running the comprehension, and the copies keep per-image
+# dictionary state fully isolated)
+_GIF_PALETTE_BYTES = b"".join(bytes(rgb) for rgb in _gif_palette())
+_LZW_ENC_BASES: dict[int, dict[bytes, int]] = {}
+_LZW_DEC_BASES: dict[int, list] = {}
+
+
+def _lzw_enc_base(clear: int) -> dict[bytes, int]:
+    t = _LZW_ENC_BASES.get(clear)
+    if t is None:
+        t = {bytes([i]): i for i in range(clear)}
+        _LZW_ENC_BASES[clear] = t
+    return t
+
+
 def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     """Variable-width LZW (GIF flavor): codes start at
     min_code_size+1 bits, clear = 2^min, end = clear+1, dictionary
     grows per emitted code, width bumps when the NEXT code would not
     fit, table resets via a clear code at the 12-bit cap. LSB-first
-    bit packing (the GIF rule)."""
+    bit packing (the GIF rule). Bits pack through an integer
+    accumulator drained a byte at a time (r15) — identical LSB-first
+    stream to the former bit-list, without the per-bit Python loop."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    out_bits: list[int] = []  # (code, width) flattened as bits
+    packed = bytearray()
+    acc = 0
+    nbits = 0
 
     def emit(code: int, width: int) -> None:
-        for b in range(width):
-            out_bits.append((code >> b) & 1)
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    table = dict(_lzw_enc_base(clear))
     next_code, width = end + 1, min_code_size + 1
     emit(clear, width)
     buf = b""
@@ -506,18 +534,14 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
             width += 1
         elif next_code - 1 == (1 << 12):
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = dict(_lzw_enc_base(clear))
             next_code, width = end + 1, min_code_size + 1
         buf = bytes([ch])
     if buf:
         emit(table[buf], width)
     emit(end, width)
-    packed = bytearray()
-    for i in range(0, len(out_bits), 8):
-        byte = 0
-        for j, bit in enumerate(out_bits[i:i + 8]):
-            byte |= bit << j
-        packed.append(byte)
+    if nbits:
+        packed.append(acc & 0xFF)  # zero-padded tail, as before
     return bytes(packed)
 
 
@@ -537,16 +561,25 @@ def _lzw_decode(
         nonlocal pos
         if pos + width > nbits:
             raise ValueError("GIF LZW stream truncated mid-code")
-        v = 0
-        for b in range(width):
-            v |= ((data[(pos + b) >> 3] >> ((pos + b) & 7)) & 1) << b
+        # the code's bits live in at most 3 bytes; slice + shift
+        # replaces the per-bit loop (r15), same LSB-first value
+        v = (
+            int.from_bytes(
+                data[pos >> 3:(pos + width + 7) >> 3], "little"
+            )
+            >> (pos & 7)
+        ) & ((1 << width) - 1)
         pos += width
         return v
 
+    base = _LZW_DEC_BASES.get(clear)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)]
+        base += [None, None]  # clear/end placeholders
+        _LZW_DEC_BASES[clear] = base
+
     def fresh() -> tuple[list[bytes | None], int, int]:
-        t: list[bytes | None] = [bytes([i]) for i in range(clear)]
-        t += [None, None]  # clear/end placeholders
-        return t, len(t), min_code_size + 1
+        return list(base), len(base), min_code_size + 1
 
     table, next_code, width = fresh()
     out = bytearray()
@@ -592,8 +625,7 @@ def encode_gif(width: int, height: int, indices: bytes) -> bytes:
         raise ValueError("indices must be width*height bytes")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
-    for rgb in _gif_palette():
-        out += bytes(rgb)
+    out += _GIF_PALETTE_BYTES
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     out.append(8)  # LZW min code size
     data = _lzw_encode(indices, 8)
@@ -677,13 +709,17 @@ def decode_gif(payload: bytes) -> dict:
                 for src_row, dst_y in zip(rows, order):
                     deinter[dst_y] = src_row
                 idx = b"".join(deinter)
-            px = bytearray()
-            for i in idx:
-                if i >= len(pal):
+            if len(pal) < 256 and idx:
+                bad = max(idx)
+                if bad >= len(pal):
+                    # report the FIRST offending index, as the
+                    # per-pixel loop did
+                    i = next(i for i in idx if i >= len(pal))
                     raise ValueError(f"GIF index {i} outside palette")
-                px += bytes(pal[i])
+            pal_bytes = [bytes(p) for p in pal]
+            px = b"".join(map(pal_bytes.__getitem__, idx))
             return {"width": w, "height": h, "mode": "RGB",
-                    "pixels": bytes(px)}
+                    "pixels": px}
         elif block == 0x3B:
             break
         else:

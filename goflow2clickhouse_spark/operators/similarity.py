@@ -833,21 +833,45 @@ def knn_graph_blocked(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"), "_blk",
     )
-    pairs = (
+    # One dot fold per UNORDERED pair, mirrored into both directed
+    # rows (r15): the graph needs directed edges (each source ranks
+    # its neighbors), but cosine is symmetric BIT-exactly — zip_with
+    # products commute per element and the fold order is identical —
+    # so the `_src < neighbor_id` half-join computes every fold once
+    # and an explode emits (x→y, y→x) with the same rounded value.
+    # The interpreted 64-dim fold is the measured per-pair cost
+    # (r15 sf1 gauge: the directed form's pair stage was 15-20 s for
+    # 12M pairs; this halves it — 9.7-10.1 s, identical top-k rows).
+    cs = F.round(
+        F.try_divide(
+            dot(F.col("_va"), F.col("_vb")),
+            F.col("_na") * F.col("_nb"),
+        ),
+        6,
+    )
+    und = (
         a.join(c, "_blk")
-        .filter(F.col("_src") != F.col("neighbor_id"))
+        .filter(F.col("_src") < F.col("neighbor_id"))
         .select(
-            F.col("_src").alias(id_col),
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot(F.col("_va"), F.col("_vb")),
-                    F.col("_na") * F.col("_nb"),
-                ),
-                6,
-            ).alias("cos_sim"),
+            F.col("_src").alias("_ia"),
+            F.col("neighbor_id").alias("_ib"),
+            cs.alias("_cs"),
         )
     )
+    pairs = und.select(
+        F.explode(F.array(
+            F.struct(
+                F.col("_ia").alias(id_col),
+                F.col("_ib").alias("neighbor_id"),
+                F.col("_cs").alias("cos_sim"),
+            ),
+            F.struct(
+                F.col("_ib").alias(id_col),
+                F.col("_ia").alias("neighbor_id"),
+                F.col("_cs").alias("cos_sim"),
+            ),
+        )).alias("_p")
+    ).select(f"_p.{id_col}", "_p.neighbor_id", "_p.cos_sim")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -916,7 +940,8 @@ def semdedup_prune(
 
 
 def _semdedup_from_assignment(
-    m: DataFrame, tau: float, id_col: str = "vec_id"
+    m: DataFrame, tau: float, id_col: str = "vec_id",
+    n_cells: int = IVF_K,
 ) -> DataFrame:
     """The prune itself, from an assignment relation
     (id, cell, ccos, _v, _n) — ONE definition shared by the in-memory
@@ -924,20 +949,35 @@ def _semdedup_from_assignment(
     (plans/storage.semdedup_prune_persisted), so the two can never
     drift on pair arithmetic or tie-breaks. `m` is persisted here
     (lifetime tied to the result) because it feeds three consumers:
-    both pair sides and the output join."""
+    both pair sides and the output join.
+
+    Sub-blocked pair join (r15): the cell key alone caps the pair
+    stage's parallelism at n_cells tasks — the r15 sf1-scale gauge
+    measured the whole prune serialized onto IVF_K=8 cores of 32
+    (66 s, 8c/32c ratio 1.36). Each member gets a deterministic
+    sub-block s = pmod(xxhash64(id), B); side A replicates to the B
+    pair-tasks (cell, s, j), side B to (cell, i, s), and the join on
+    (cell, i, j) meets every ordered pair exactly once — the SAME
+    pair relation the plain cell join produced, now spread over
+    n_cells*B² tasks. B is the smallest factor lifting that product
+    to >= 2x defaultParallelism (B=1 when cells alone suffice — the
+    plain join shape, no replication). The explicit repartition on
+    the pair-task key is the r14 pin rule: a user repartition is
+    final, so AQE's byte-based coalescing cannot re-serialize the
+    compute-heavy stage."""
     from .dedup import tie_cache
 
+    par = m.sparkSession.sparkContext.defaultParallelism
+    b_factor = 1
+    while n_cells * b_factor * b_factor < 2 * par:
+        b_factor += 1
     # Pin the cell partitioning before persisting (r14 optimization
     # round, the knn_graph_blocked rule): the within-cell pair compare
     # is compute-heavy per byte, and AQE's byte-based coalescing
     # serialized it onto one task at bench scale. A user repartition is
-    # final, both pair sides read the SAME persisted partitioning, and
-    # the cell self-join then needs no exchange at all. Parallelism is
-    # bounded by n_cells either way; defaultParallelism adapts to the
-    # cluster.
-    m = m.repartition(
-        m.sparkSession.sparkContext.defaultParallelism, "cell"
-    ).persist()
+    # final; with B=1 both pair sides read the SAME persisted
+    # partitioning and the cell self-join needs no exchange at all.
+    m = m.repartition(par, "cell").persist()
     a = m.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("ccos").alias("ccos_a"),
@@ -955,8 +995,21 @@ def _semdedup_from_assignment(
     # lower-id), at half the pair-fold work of a directed self-join —
     # the 64-dim dot fold is the measured cost at scale, not the
     # exchange (perf note r6).
+    if b_factor > 1:
+        blocks = F.array(*[F.lit(t) for t in range(b_factor)])
+        sub = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(b_factor))  # noqa: E731
+        key = ["cell", "_bi", "_bj"]
+        a = a.withColumn("_bi", sub("id_a")).select(
+            "*", F.explode(blocks).alias("_bj")
+        ).repartition(par, *key)
+        b = b.withColumn("_bj", sub("id_b")).select(
+            "*", F.explode(blocks).alias("_bi")
+        ).repartition(par, *key)
+        joined = a.join(b, key).drop("_bi", "_bj")
+    else:
+        joined = a.join(b, "cell")
     close = (
-        a.join(b, "cell")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.try_divide(

@@ -4793,34 +4793,42 @@ def pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the permutation (not the SVD rotation) is the member shipped."""
     from .storage import pq_index_batch_probe, write_pq_index
 
+    from concurrent.futures import ThreadPoolExecutor
+
     aniso = _aniso_embeddings(spark, sf_dir)
-    perm = S.opq_dim_permutation(aniso)
-    permuted = S.apply_dim_permutation(aniso, perm)
-    path_plain = _persisted_index(
-        "pq_opq_plain", sf_dir,
-        lambda p: write_pq_index(aniso, p,
-                                 train_iterations=_TRAINED_ITERS),
-    )
+    expect = {"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
+              "pq_train_iters": _TRAINED_ITERS}
+    # overlap the driver-blocking permutation training with the PLAIN
+    # leg's plan construction, which does not depend on it (r15, the
+    # pq_opq_rotation_recall shape; guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_perm = pool.submit(S.opq_dim_permutation, aniso)
+        path_plain = _persisted_index(
+            "pq_opq_plain", sf_dir,
+            lambda p: write_pq_index(aniso, p,
+                                     train_iterations=_TRAINED_ITERS),
+        )
+        qs_plain = aniso.filter(F.col("vec_id") < _TRAINED_Q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+        a_plain = pq_index_batch_probe(
+            spark, path_plain, qs_plain, k=10, expect=expect
+        )
+        exact = S.topk_l2_bruteforce_batch(aniso, qs_plain, k=10)
+        permuted = S.apply_dim_permutation(aniso, fut_perm.result())
     path_opq = _persisted_index(
         "pq_opq_perm", sf_dir,
         lambda p: write_pq_index(permuted, p,
                                  train_iterations=_TRAINED_ITERS),
     )
-    expect = {"pq_m": S.PQ_M, "pq_sub": S.PQ_SUB, "pq_k": S.PQ_K,
-              "pq_train_iters": _TRAINED_ITERS}
-    qs_plain = aniso.filter(F.col("vec_id") < _TRAINED_Q).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
     qs_perm = permuted.filter(F.col("vec_id") < _TRAINED_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    a_plain = pq_index_batch_probe(
-        spark, path_plain, qs_plain, k=10, expect=expect
     )
     a_opq = pq_index_batch_probe(
         spark, path_opq, qs_perm, k=10, expect=expect
     )
-    exact = S.topk_l2_bruteforce_batch(aniso, qs_plain, k=10)
     total = 10 * _TRAINED_Q
     out = _recall_result_batch(
         a_opq, exact, "pq_aniso_opq", total

@@ -1586,7 +1586,9 @@ def semdedup_prune_persisted(
             "_n",
         )
     )
-    return _semdedup_from_assignment(m, tau, id_col)
+    return _semdedup_from_assignment(
+        m, tau, id_col, n_cells=int(meta.get("n_cells", 8))
+    )
 
 
 @_meta_locked

@@ -46,7 +46,17 @@ def get_spark(
         # parallelism partitions even for KB-sized shuffles, so a
         # multi-stage plan schedules 32 tasks per stage of tiny data
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # advisory size is the post-shuffle task granularity knob
+        # (guide §2.2): 64m is right for the KB-scale bench shuffles
+        # (fewer, larger tasks) and for TB-scale production shuffles;
+        # the r15 sf1-scale gauge showed MB-scale shuffles coalesce to
+        # ONE task under it, so mid-size deployments tune it via env
+        # (SCALING_r15.json records the same operators scaling once
+        # the advisory matches the data)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

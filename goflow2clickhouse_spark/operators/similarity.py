@@ -771,6 +771,44 @@ def kmeans_refine(
     )
 
 
+_SUBBLOCK_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _pair_subblock_factor(df: DataFrame, n_blocks: int, par: int) -> int:
+    """Sub-block factor B for a blocked pair self-join: 1 (the
+    exchange-free pinned-bucket shape) while the input is small, else
+    the smallest B putting n_blocks*B² join keys in the guide's
+    20-100x keys-per-partition band (§2.5 — enough distinct keys that
+    hash packing spreads evenly AND a single hot bucket splits into
+    B² sub-tasks). The size gate reads the optimizer's sizeInBytes
+    estimate — plan metadata, no job: below ~4 MB of input the pair
+    folds are KB-scale and the two sub-block exchanges cost more than
+    they save (measured both sides of the boundary: 0.8 MB/sf0.1
+    loses, 5.9 MB/sf1 wins 1.6x — numbers at the call site). The
+    target is 32x par (measured optimum at 32 cores: B=4 beat B=2
+    and B=8), and B is capped at 8 — each side replicates B-fold, so
+    past the measured optimum extra B buys skew-balance already
+    achieved and pays pure replication."""
+    try:
+        est = int(
+            df._jdf.queryExecution()  # noqa: SLF001 — plan metadata
+            .optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = 0
+    # Spark reports UNKNOWN size as spark.sql.defaultSizeInBytes
+    # (Long.MaxValue) — e.g. RDD-backed relations from a driver-side
+    # createDataFrame. Unknown means in-memory/driver-built (file
+    # scans always carry true sizes): stay on the plain pinned shape
+    # rather than paying replication on what is almost surely small.
+    if est < _SUBBLOCK_MIN_BYTES or est >= (1 << 60):
+        return 1
+    b = 1
+    while n_blocks * b * b < 32 * par and b < 8:
+        b += 1
+    return b
+
+
 def knn_graph_blocked(
     embeddings: DataFrame,
     k: int = 3,
@@ -812,27 +850,71 @@ def knn_graph_blocked(
         as_double(vec_col).alias("_v"),
         blk.alias("_blk"),
     ).withColumn("_n", norm(F.col("_v")))
-    # Pin the block partitioning EXPLICITLY (r14 optimization round):
-    # the within-cell pair work is compute-heavy per byte (a dim-wide
-    # dot per pair), so AQE's byte-based coalescing — which sizes the
-    # post-shuffle stage by its KB of input — serialized the whole
-    # O(sum cell²) rerank onto one task. A user repartition is final
-    # (AQE does not coalesce it), both join sides inherit it, and the
-    # self-join then needs no further exchange: measured 1.4 s → 0.8 s
-    # per graph build at sf0.1, identical edges. Parallelism stays
-    # bounded by the cell count regardless of the constant here;
-    # defaultParallelism adapts to the cluster's cores.
-    b = b.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, "_blk"
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # Sub-block the bucket self-join when the pair volume is real
+    # (r15, second pass — the sf1 gauge's residual diagnosis): signrp
+    # bucket sizes are skewed (sf1: top bucket 1155 members vs 312
+    # mean → the hot bucket alone holds 11% of all pair-fold work,
+    # 666k of 6.0M pairs), and the bucket key alone pins that whole
+    # bucket onto ONE task — partition packing cannot split a single
+    # key (guide §2.5: salt the key). The semdedup 2D sub-block
+    # applies unchanged to the half-join: side A replicates to
+    # (_blk, s, j), side B to (_blk, i, s), the join on (_blk, i, j)
+    # meets every ordered pair exactly once, so the `_src <
+    # neighbor_id` filter sees the IDENTICAL pair relation, now
+    # spread over n_blocks*B² keys. Adaptivity is by DATA SIZE, not
+    # core count alone: at KB-scale the two extra exchanges cost more
+    # than the folds (sf0.1 interleaved A/B: B=4 LOST 5/6 runs,
+    # med 2.525 vs 2.283 s on knn_pagerank), so B=1 below
+    # _SUBBLOCK_MIN_BYTES keeps the exchange-free shape; above it the
+    # folds dominate and splitting the hot bucket wins (sf1 32c
+    # interleaved A/B, graph build noop-timed: B=1 10.7 s → B=2
+    # 9.0 s → B=4 6.0-6.7 s → B=8 6.4 s; 8c/32c ratio opens 1.2 →
+    # ~1.6). B=1 also whenever block_col overrides the signrp bucket
+    # (n_blocks unknown, and every in-repo override is test-scale).
+    sub_b = (
+        1 if block_col is not None
+        else _pair_subblock_factor(embeddings, 1 << SIGNRP_BITS, par)
     )
-    a = b.select(
-        F.col(id_col).alias("_src"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), "_blk",
-    )
-    c = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), "_blk",
-    )
+    if sub_b > 1:
+        blocks = F.array(*[F.lit(t) for t in range(sub_b)])
+        sub = lambda col: F.pmod(F.xxhash64(F.col(col)), F.lit(sub_b))  # noqa: E731
+        key = ["_blk", "_bi", "_bj"]
+        a = b.select(
+            F.col(id_col).alias("_src"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "_blk",
+        ).withColumn("_bi", sub("_src")).select(
+            "*", F.explode(blocks).alias("_bj")
+        ).repartition(par, *key)
+        c = b.select(
+            F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "_blk",
+        ).withColumn("_bj", sub("neighbor_id")).select(
+            "*", F.explode(blocks).alias("_bi")
+        ).repartition(par, *key)
+        half = a.join(c, key)
+    else:
+        # Pin the block partitioning EXPLICITLY (r14 optimization
+        # round): the within-cell pair work is compute-heavy per byte
+        # (a dim-wide dot per pair), so AQE's byte-based coalescing —
+        # which sizes the post-shuffle stage by its KB of input —
+        # serialized the whole O(sum cell²) rerank onto one task. A
+        # user repartition is final (AQE does not coalesce it), both
+        # join sides inherit it, and the self-join then needs no
+        # further exchange: measured 1.4 s → 0.8 s per graph build at
+        # sf0.1, identical edges. Parallelism stays bounded by the
+        # cell count regardless of the constant here;
+        # defaultParallelism adapts to the cluster's cores.
+        b = b.repartition(par, "_blk")
+        a = b.select(
+            F.col(id_col).alias("_src"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "_blk",
+        )
+        c = b.select(
+            F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "_blk",
+        )
+        half = a.join(c, "_blk")
     # One dot fold per UNORDERED pair, mirrored into both directed
     # rows (r15): the graph needs directed edges (each source ranks
     # its neighbors), but cosine is symmetric BIT-exactly — zip_with
@@ -850,7 +932,7 @@ def knn_graph_blocked(
         6,
     )
     und = (
-        a.join(c, "_blk")
+        half
         .filter(F.col("_src") < F.col("neighbor_id"))
         .select(
             F.col("_src").alias("_ia"),
@@ -936,12 +1018,13 @@ def semdedup_prune(
         "_v",
         "_n",
     )
-    return _semdedup_from_assignment(m, tau, id_col)
+    return _semdedup_from_assignment(m, tau, id_col, size_hint_df=embeddings)
 
 
 def _semdedup_from_assignment(
     m: DataFrame, tau: float, id_col: str = "vec_id",
     n_cells: int = IVF_K,
+    size_hint_df: DataFrame | None = None,
 ) -> DataFrame:
     """The prune itself, from an assignment relation
     (id, cell, ccos, _v, _n) — ONE definition shared by the in-memory
@@ -971,6 +1054,20 @@ def _semdedup_from_assignment(
     b_factor = 1
     while n_cells * b_factor * b_factor < 2 * par:
         b_factor += 1
+    # Above the size gate, lift B into the 20-100x keys-per-partition
+    # band (r15 second pass, same rule as knn_graph_blocked): the 2x
+    # floor leaves n_cells*B² barely above the core count (8 cells,
+    # B=3 → 72 keys / 32 partitions = 2.25x), so hash packing and
+    # cell-size skew leave tasks ~2x unbalanced. The gate reads the
+    # CALLER's scan-rooted input, not `m` — m's estimate rides a
+    # centroid join whose stats multiply (~37x inflated at sf0.1).
+    # Interleaved sf1 32c A/B on semdedup_prune (noop-timed, identical
+    # rows): B=3 med 30.8 s → B=6 25.0 → B=8 24.1 (1.28x). Below the
+    # gate the floor rule stands unchanged (sf0.1 plan identical).
+    if size_hint_df is not None:
+        b_factor = max(
+            b_factor, _pair_subblock_factor(size_hint_df, n_cells, par)
+        )
     # Pin the cell partitioning before persisting (r14 optimization
     # round, the knn_graph_blocked rule): the within-cell pair compare
     # is compute-heavy per byte, and AQE's byte-based coalescing

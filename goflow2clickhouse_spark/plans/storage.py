@@ -1587,7 +1587,8 @@ def semdedup_prune_persisted(
         )
     )
     return _semdedup_from_assignment(
-        m, tau, id_col, n_cells=int(meta.get("n_cells", 8))
+        m, tau, id_col, n_cells=int(meta.get("n_cells", 8)),
+        size_hint_df=cells,
     )
 
 

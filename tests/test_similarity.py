@@ -507,3 +507,49 @@ def test_opq_pair_rotation_stats_variances_bit_match_permutation(spark):
     assert vd == vs  # same keys, bit-equal doubles
     assert S._variance_ranked_permutation(vs, S.PQ_M, S.DIM) == \
         S.opq_dim_permutation(df)
+
+
+def test_knn_graph_subblocked_pairs_match_plain_shape(spark, monkeypatch):
+    """The 2D sub-blocked bucket join (fires above _SUBBLOCK_MIN_BYTES)
+    must emit the IDENTICAL edge set as the plain pinned-bucket shape —
+    including on a skewed corpus where one signrp bucket holds most
+    members (the hot-bucket case the sub-block exists to split)."""
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    # 30 near-identical vectors (one hot bucket) + 10 scattered ones
+    rows = [
+        (i, [1.0 + (i * (d + 1) % 5) * 1e-3 for d in range(64)])
+        for i in range(30)
+    ] + [
+        (100 + i, [float((i * 7 + d * 3) % 13 - 6) for d in range(64)])
+        for i in range(10)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    plain = sorted(map(tuple, S.knn_graph_blocked(e, k=3).collect()))
+
+    # force the sub-blocked path (the size gate keeps driver-built
+    # relations on the plain shape, so pin the factor directly)
+    monkeypatch.setattr(S, "_pair_subblock_factor", lambda *a: 4)
+    sub = sorted(map(tuple, S.knn_graph_blocked(e, k=3).collect()))
+
+    assert sub == plain and len(plain) > 0
+
+
+def test_pair_subblock_factor_rule(spark):
+    """B=1 for unknown-size (driver-built) inputs regardless of cores;
+    when the gate opens, the smallest B lifting n_blocks*B^2 to 32x
+    parallelism, capped at 8."""
+    from goflow2clickhouse_spark.operators import similarity as S
+
+    e = spark.createDataFrame(
+        [(0, [1.0] * 4)], "vec_id long, embedding array<float>")
+    # RDD-backed relation reports unknown size -> plain shape
+    assert S._pair_subblock_factor(e, 64, 32) == 1
+    # the rule's arithmetic at 64 blocks: B=4 at 32 cores (the
+    # measured optimum), B=2 at 8 cores, cap at 8 for extreme cores
+    for par, expect in ((32, 4), (8, 2), (4096, 8)):
+        b = 1
+        while 64 * b * b < 32 * par and b < 8:
+            b += 1
+        assert b == expect
